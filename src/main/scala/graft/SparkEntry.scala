@@ -1,13 +1,165 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Naming: qNN_* ordering follows SURVEY §2's inventory. Every oracled
+  * query aliases its output columns identically in the DataFrame code and
+  * the DuckDB SQL (the driver sorts columns by name before hashing), uses
+  * DECIMAL(38,6) routing for float sums (see ops/Fns.scala), and ends in
+  * a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the mv_usdc_daily analog (SURVEY §7.2 slice 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Rollups.daily(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference MV analogs on events (SURVEY §2.4, §2.7) —
+    "q01_daily_rollup"   -> (Rollups.daily _),
+    "q02_daily_reagg"    -> (Rollups.dailyReaggTop7 _),
+    "q03_hourly_rollup"  -> (Rollups.hourly _),
+    "q04_uniq_users"     -> (Rollups.uniqUsersHourly _),
+    "q05_minmax_type"    -> (Rollups.minMaxByType _),
+    "q06_histogram"      -> (Rollups.histogram _),
+    "q07_cdc_collapse"   -> (Collapse.cdcCollapse _),
+    "q08_top_users"      -> (Rollups.topUsers _),
+    "q09_union_pivot"    -> (Pivots.unionPivot _),
+    "q10_archive_union"  -> (Pivots.archiveUnion _),
+    "q11_recent_24h"     -> (Rollups.recent24h _),
+    "q12_id_buckets"     -> (Rollups.idBuckets _),
+    "q13_day_partkey"    -> (Rollups.dayPartitionKey _),
+    "q14_point_lookup"   -> (Rollups.pointLookup _),
+    "q15_props_extract"  -> (Rollups.propsExtract _),
+    // — approx variant (reference `uniq()` true semantics; un-oracled) —
+    "q90_uniq_approx"    -> (Rollups.uniqUsersApprox _),
+    // — star-schema joins (added capability, SURVEY §2.3) —
+    "q16_revenue_segment" -> (StarJoins.revenueBySegment _),
+    "q17_top_customers"   -> (StarJoins.topCustomers _),
+    "q18_semi_join"       -> (StarJoins.semiJoin _),
+    "q19_anti_join"       -> (StarJoins.antiJoin _),
+    "q20_pricing_summary" -> (StarJoins.pricingSummary _),
+    "q21_supplier_geo"    -> (StarJoins.supplierGeo _),
+  )
+
+  // Shared SQL fragments (must mirror ops/Fns.scala exactly).
+  private def dsum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
+  private def davg(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($c) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_daily_rollup" ->
+      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
+          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    "q02_daily_reagg" ->
+      s"""SELECT day, ${dsum("v")} AS daily_volume, CAST(SUM(c) AS BIGINT) AS daily_txs
+          FROM (SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS v,
+                COUNT(*) AS c FROM events GROUP BY 1, 2)
+          GROUP BY day ORDER BY daily_volume DESC, day LIMIT 7""",
+    "q03_hourly_rollup" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+          ${dsum("value")} AS total_value, COUNT(*) AS tx_count
+          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q04_uniq_users" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+         COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS tx_count
+         FROM events GROUP BY 1 ORDER BY hour""",
+    "q05_minmax_type" ->
+      """SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q06_histogram" ->
+      s"""SELECT CASE WHEN value < 25 THEN 'small' WHEN value < 100 THEN 'medium'
+                 WHEN value < 500 THEN 'large' ELSE 'whale' END AS size_bucket,
+          COUNT(*) AS tx_count, ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY size_bucket""",
+    "q07_cdc_collapse" ->
+      """SELECT user_id, event_type, _version AS last_version, value AS last_value
+         FROM (SELECT user_id, event_type, event_id AS _version, value,
+                      CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END AS _sign,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND _sign = 1 ORDER BY user_id, event_type""",
+    "q08_top_users" ->
+      s"""SELECT user_id, ${dsum("value")} AS volume, COUNT(*) AS tx_count
+          FROM events GROUP BY 1 ORDER BY volume DESC, user_id LIMIT 10""",
+    "q09_union_pivot" ->
+      s"""SELECT * FROM (
+            SELECT 'buyer' AS address_type, o_custkey AS address,
+                   COUNT(*) AS n_tx, ${dsum("o_totalprice")} AS volume
+            FROM orders GROUP BY o_custkey
+            UNION ALL
+            SELECT 'supplier', l_suppkey, COUNT(*), ${dsum("l_extendedprice")}
+            FROM lineitem GROUP BY l_suppkey)
+          ORDER BY address_type, address""",
+    "q10_archive_union" ->
+      s"""SELECT store, COUNT(*) AS n_rows, ${dsum("value")} AS total_value
+          FROM (SELECT 'archive' AS store, value FROM events
+                WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+                UNION ALL
+                SELECT 'live', value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+          GROUP BY store ORDER BY store""",
+    "q11_recent_24h" ->
+      s"""SELECT user_id, COUNT(*) AS n, ${dsum("value")} AS total_value
+          FROM events
+          WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 24 HOUR
+          GROUP BY user_id ORDER BY user_id""",
+    "q12_id_buckets" ->
+      s"""SELECT event_id // 100 AS bucket, COUNT(*) AS n,
+          ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY bucket""",
+    "q13_day_partkey" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS yyyymmdd, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY yyyymmdd""",
+    "q14_point_lookup" ->
+      """SELECT event_id, ts, value FROM events
+         WHERE user_id = 7 AND event_type = 'purchase' ORDER BY event_id""",
+    "q15_props_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q16_revenue_segment" ->
+      s"""SELECT c_mktsegment,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1 ORDER BY c_mktsegment""",
+    "q17_top_customers" ->
+      s"""SELECT c_custkey, c_name, ${dsum("o_totalprice")} AS volume,
+          COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2 ORDER BY volume DESC, c_custkey LIMIT 10""",
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "q20_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty,
+          ${dsum("l_extendedprice")} AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+          ${davg("l_quantity")} AS avg_qty,
+          ${davg("l_discount")} AS avg_disc,
+          COUNT(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q21_supplier_geo" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+          ${dsum("s_acctbal")} AS total_acctbal
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2 ORDER BY r_name, n_name""",
+  )
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Fns._
+
+/** Batch analogs of the reference's six ClickHouse materialized views
+  * (`usdc-transfers/sql/analytics.sql`, `scripts/setup-analytics.sh`) on
+  * the `events` fact table (role mapping in FIXTURES.md: `ts` ↔
+  * block_timestamp, `user_id` ↔ from/to_address, `value` ↔ value).
+  *
+  * Scale design: every rollup is a single hash-aggregate —
+  * partial (map-side combine) → shuffle on the group keys → final.
+  * At 100 TB the shuffle carries only (key, partial-state) pairs, never
+  * raw rows, which is exactly the SummingMergeTree partial-state economy
+  * the reference relies on (`sql/analytics.sql:10`, SURVEY §2.8 T5).
+  * Group keys are time buckets + bounded-cardinality dims, so the
+  * post-shuffle state is tiny regardless of input size.
+  */
+object Rollups {
+
+  /** mv_usdc_daily analog (`sql/analytics.sql:9-22`): day × user rollup.
+    * A1 sum, A2 count, A5 multi-key GROUP BY, C3 toDate. */
+  def daily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
+      .orderBy("day", "user_id")
+
+  /** Partial→final re-aggregation (A6, `README.md:66-71`): the user-facing
+    * query over the daily rollup — day totals, top 7 by volume (O1).
+    * Sums re-aggregate losslessly; avg would need sum+count (SURVEY A6). */
+  def dailyReaggTop7(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(dsum(col("value")).as("v"), count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(dsum(col("v")).as("daily_volume"), sum(col("c")).as("daily_txs"))
+      .orderBy(col("daily_volume").desc, col("day"))
+      .limit(7)
+
+  /** mv_usdc_hourly analog (`setup-analytics.sh:66-85`): hour × type. C4. */
+  def hourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
+      .orderBy("hour", "event_type")
+
+  /** mv_usdc_volume_hourly `uniq()` analog (A3, `sql/analytics.sql:34-35`)
+    * — exact countDistinct twin for the oracle (SURVEY §5.3). */
+  def uniqUsersHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+           count(lit(1)).as("tx_count"))
+      .orderBy("hour")
+
+  /** Approx-distinct variant — the reference's actual `uniq()` semantics
+    * (HLL++). Not oracle-comparable (SURVEY §5.3), rows-only check. */
+  def uniqUsersApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("hour")
+
+  /** Replication-health min/max/count (A4, `sql/monitoring.sql:31-38`). */
+  def minMaxByType(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** mv_usdc_size_distribution analog (A7/C2, `sql/analytics.sql:76-88`):
+    * multiIf → CASE WHEN bucketing, then GROUP BY bucket. Edges scaled to
+    * the fixture's value range (reference edges 1e8/1e9/1e10 micro-USDC). */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("size_bucket",
+        when(col("value") < 25, "small")
+          .when(col("value") < 100, "medium")
+          .when(col("value") < 500, "large")
+          .otherwise("whale"))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("tx_count"), dsum(col("value")).as("total_value"))
+      .orderBy("size_bucket")
+
+  /** Top senders by volume (O1, `README.md:73-78`): Catalyst plans
+    * TakeOrderedAndProject — true top-k, no global sort. This is the
+    * reference's skew workload: hot addresses concentrate volume; the
+    * partial aggregate absorbs the skew map-side before the shuffle. */
+  def topUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("volume"), count(lit(1)).as("tx_count"))
+      .orderBy(col("volume").desc, col("user_id"))
+      .limit(10)
+
+  /** intDiv block-bucketing (C1, `sql/analytics.sql:19,31`): integer
+    * division bucket — `event_id DIV 100` plays `intDiv(block, 7200)`. */
+  def idBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(expr("event_id DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("bucket")
+
+  /** toYYYYMMDD partition key (C5, `sql/analytics.sql:58,73,93`). */
+  def dayPartitionKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int").as("yyyymmdd"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("yyyymmdd")
+
+  /** mv_recent_activity sliding predicate (F4/C6, `sql/analytics.sql:106`):
+    * `ts >= now() - INTERVAL 24 HOUR`, anchored at max(ts) for
+    * determinism (FIXTURES.md). The 1-row anchor is broadcast — no
+    * shuffle of the fact table. */
+  def recent24h(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(max(col("ts")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .filter(col("ts") >= col("anchor") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** GraphQL point-lookup shape (S10, `schema.graphql:4-7` indexed
+    * columns): equality predicates + projection, pushed into the parquet
+    * scan (PushedFilters) — the Parquet-stats analog of the b-tree
+    * indexes in `db/migrations/1691424065505-Data.js:6-8`. */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") === 7 && col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+      .orderBy("event_id")
+
+  /** Payload-column extraction (C9 marshalling analog over the `props`
+    * JSON column): regex field pull + cast, then rollup. */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"))
+      .orderBy("k_mod")
+}

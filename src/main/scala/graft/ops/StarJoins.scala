@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Fns._
+
+/** Star-schema join capability (SURVEY §2.3 — the reference has zero
+  * joins; these are added capability required by the north star).
+  *
+  * Scale design: dimensions (customer/supplier/nation/region/part) are
+  * orders of magnitude smaller than the facts, so every dim join is an
+  * explicit `broadcast()` — no shuffle of the fact table, the join runs
+  * map-side inside whole-stage codegen. Only fact-fact joins
+  * (lineitem ⋈ orders) shuffle, and they shuffle on the join key that
+  * the downstream aggregate also uses, so Catalyst reuses the exchange.
+  * At 1000 executors a broadcast of a 10 GB dim would not fly — the
+  * threshold stays with `spark.sql.autoBroadcastJoinThreshold`/AQE, and
+  * these hints only pin the genuinely-small sides.
+  */
+object StarJoins {
+
+  /** Revenue by market segment: customer ⋈ orders ⋈ lineitem.
+    * Fact-fact sort-merge on orderkey, dim broadcast on custkey. */
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rev", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("rev")).as("revenue"),
+           countDistinct(col("o_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-10 customers by revenue (top-k over a join, O1 shape). */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("volume"), count(lit(1)).as("n_orders"))
+      .orderBy(col("volume").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Customers with at least one urgent order — left-semi (EXISTS). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, sfDir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no big-ticket order — left-anti (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000)
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q1-shaped pricing summary — the canonical scan-heavy
+    * aggregate; no join, one shuffle over a 4-value key space. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Geography rollup: supplier ⋈ nation ⋈ region — an all-broadcast
+    * snowflake chain (two map-side joins, single tiny aggregate). */
+  def supplierGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+}
