@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +44,21 @@ object SparkEntry {
     "q19_anti_join"       -> (StarJoins.antiJoin _),
     "q20_pricing_summary" -> (StarJoins.pricingSummary _),
     "q21_supplier_geo"    -> (StarJoins.supplierGeo _),
+    // — LLM-pipeline operators (north-star, SURVEY §7.5) —
+    "q22_dedup_exact"    -> (Dedup.exact _),
+    "q23_text_stats"     -> (TextOps.textStats _),
+    "q24_quality"        -> (TextOps.qualityBuckets _),
+    "q25_fingerprint"    -> (TextOps.fingerprints _),
+    "q26_lang_markers"   -> (TextOps.langMarkers _),
+    "q27_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    "q28_knn_brute"      -> (Similarity.knnBrute _),
+    "q29_knn_label"      -> (Similarity.knnWithinLabel _),
+    "q30_media_meta"     -> (Multimodal.mediaMeta _),
+    // — un-oracled scale-path variants (no DuckDB hash twin) —
+    "q91_minhash_bands"  -> (Dedup.minhashBands _),
+    "q92_minhash_pairs"  -> (Dedup.minhashPairs _),
+    "q93_simhash"        -> (Dedup.simhashBuckets _),
+    "q94_lsh_buckets"    -> (Similarity.lshBuckets _),
   )
 
   // Shared SQL fragments (must mirror ops/Fns.scala exactly).
@@ -161,5 +177,88 @@ object SparkEntry {
           FROM supplier JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q23_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          ${davg("n_chars")} AS avg_chars
+          FROM documents GROUP BY 1 ORDER BY lang""",
+    "q24_quality" ->
+      s"""SELECT quality, COUNT(*) AS n_docs, ${dsum("ratio")} AS ratio_sum
+          FROM (SELECT CASE WHEN ratio < 0.3 THEN 'low'
+                            WHEN ratio < 0.5 THEN 'mid'
+                            ELSE 'high' END AS quality, ratio
+                FROM (SELECT CAST(len(list_distinct(toks)) AS DOUBLE) /
+                             CAST(len(toks) AS DOUBLE) AS ratio
+                      FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                            FROM documents)))
+          GROUP BY 1 ORDER BY quality""",
+    "q25_fingerprint" ->
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents) ORDER BY doc_id""",
+    "q26_lang_markers" ->
+      """SELECT lang, predicted, COUNT(*) AS n_docs,
+         CAST(SUM(score_det) AS BIGINT) AS det_total,
+         CAST(SUM(score_dom) AS BIGINT) AS dom_total
+         FROM (SELECT lang,
+                      len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS score_det,
+                      len(list_filter(toks, t -> t = 'data' OR t = 'query' OR t = 'table')) AS score_dom,
+                      CASE WHEN score_det > score_dom THEN 'natural'
+                           WHEN score_det < score_dom THEN 'technical'
+                           ELSE 'mixed' END AS predicted
+               FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                     FROM documents))
+         GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "q27_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, lang, source, n_chars // 50 AS lb,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+           FROM (SELECT doc_id, lang, source, n_chars,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents))
+         SELECT a_id, b_id, CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) AS jaccard
+         FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      len(list_intersect(a.s, b.s)) AS inter,
+                      len(a.s) AS asz, len(b.s) AS bsz
+               FROM sh a JOIN sh b
+               ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+               AND a.doc_id < b.doc_id)
+         ORDER BY jaccard DESC, a_id, b_id LIMIT 20""",
+    "q28_knn_brute" ->
+      """SELECT query_id, rank, neighbor_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) AS sim,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT) AS rank
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q29_knn_label" ->
+      """SELECT query_id, rank, neighbor_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) AS sim,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT) AS rank
+           FROM embeddings q JOIN embeddings c
+           ON c.vec_id <> q.vec_id AND c.label = q.label
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_media_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+         CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
+         CAST(1 + octet_length(encode(text)) // 1000 AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
   )
 }

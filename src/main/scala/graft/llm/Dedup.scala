@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` (north-star, SURVEY §7.5):
+  * exact, n-gram Jaccard with blocking, MinHash-LSH, SimHash.
+  *
+  * Scale design notes:
+  *  - Exact dedup is one hash-aggregate on a 16-byte fingerprint — the
+  *    shuffle carries (md5, id), never the text.
+  *  - Pairwise Jaccard is only ever run behind a *blocking key*
+  *    (lang × source × length-bucket): the O(n²) explosion happens
+  *    per-block, and block sizes stay bounded as the corpus grows
+  *    because the key cardinality grows with it.
+  *  - MinHash-LSH is the 100 TB path: signatures are fixed-width (16
+  *    longs), band buckets shuffle (band, hash) pairs, and candidate
+  *    verification touches only colliding pairs — no all-pairs stage
+  *    anywhere in the plan.
+  */
+object Dedup {
+
+  private val toks = TextOps.toksExpr
+
+  /** Exact duplicate groups by content hash (md5 of raw text).
+    * One groupBy over a fingerprint — the canonical first dedup pass. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  /** Word-trigram shingle set per document (distinct). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr(toks))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+
+  /** N-gram Jaccard near-dedup with blocking: candidate pairs share
+    * (lang, source, n_chars DIV 50); top-20 most similar pairs.
+    * Jaccard over distinct word-trigram shingle sets. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = shingled(Tables.documents(spark, sfDir))
+      .withColumn("len_bucket", expr("n_chars DIV 50"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"), col("shingles"))
+    val a = base.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                        col("len_bucket"), col("shingles").as("a_sh"))
+    val b = base.select(col("doc_id").as("b_id"), col("lang"), col("source"),
+                        col("len_bucket"), col("shingles").as("b_sh"))
+    a.join(b, Seq("lang", "source", "len_bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** k minhash values per doc: min over word-trigram *shingles* of
+    * xxhash64(seed_i, shingle). Shingles, not tokens: the shingle space
+    * is |vocab|³, so unrelated documents share few elements and band
+    * collisions stay proportional to true Jaccard (token-level minhash
+    * on a small vocabulary collides for nearly every pair). */
+  private def minhashSignature(df: DataFrame, k: Int): DataFrame = {
+    val perSh = shingled(df).withColumn("sh", explode(col("shingles")))
+    val aggs: Seq[Column] = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH banding stats: 16 minhashes → 8 bands of 2; documents
+    * sharing a band hash are near-dup candidates. Returns per-band
+    * bucket/candidate-pair counts (always non-empty; the pair list
+    * itself is [[minhashPairs]]). Un-oracled: xxhash64 has no DuckDB
+    * twin (SURVEY §5.3). */
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignature(Tables.documents(spark, sfDir), 16)
+    val bands = (0 until 8).map(bi =>
+      struct(lit(bi).as("band"), xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
+    sig.withColumn("bands", array(bands: _*))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("n") > 1, lit(1)).otherwise(lit(0))).cast("long").as("colliding_buckets"),
+           sum(col("n") * (col("n") - 1) / 2).cast("long").as("candidate_pairs"))
+      .orderBy("band")
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
+    * The scalable near-dedup: only band-colliding pairs are compared. */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = minhashSignature(docs, 16)
+    val bands = (0 until 8).map(bi =>
+      struct(lit(bi).as("band"), xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
+    val banded = sig.withColumn("bands", array(bands: _*))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = shingled(docs).select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  /** 16-bit SimHash per document (sign-sum of token-hash bits), with the
+    * duplicate-candidate histogram per hash value. Un-oracled. */
+  def simhashBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val perTok = Tables.documents(spark, sfDir)
+      .withColumn("tok", explode(expr(toks)))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 16).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"s$i"))
+    val sums = perTok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 16).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+      .groupBy(col("simhash")).agg(count(lit(1)).as("n_docs"))
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("n_hashes"))
+      .orderBy("n_docs")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Fns._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (north-star extensions, SURVEY §7.5): token
+  * counting, quality scoring, document fingerprinting, language-ID
+  * heuristics.
+  *
+  * All tokenization is `filter(split(text, ' '), x -> x != '')` — the
+  * empty-token filter makes Spark's split and DuckDB's string_split
+  * agree on trailing separators (verified bit-identical fingerprints).
+  * Everything here is a narrow projection followed by one hash
+  * aggregate, so it scales linearly: no shuffle carries raw text except
+  * the (bounded top-k) fingerprint outputs.
+  */
+object TextOps {
+
+  /** Tokens column: non-empty whitespace tokens. */
+  val toksExpr = "filter(split(text, ' '), x -> x != '')"
+
+  /** Per-language corpus stats: doc counts, token counts (BPE-ish
+    * proxy = whitespace tokens), char totals. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("toks"))).cast("long").as("total_tokens"),
+           sum(col("n_chars")).cast("long").as("total_chars"),
+           davg(col("n_chars")).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Quality scoring: lexical-diversity ratio (distinct/total tokens)
+    * bucketed into quality bands — the stopword/repetition heuristic a
+    * pretraining filter would run per document. */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("ratio",
+        size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"))
+      .withColumn("quality",
+        when(col("ratio") < 0.3, "low")
+          .when(col("ratio") < 0.5, "mid")
+          .otherwise("high"))
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"), dsum(col("ratio")).as("ratio_sum"))
+      .orderBy("quality")
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content hash (the rolling-hash role; md5 because
+    * both engines implement it identically). */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"),
+              size(col("toks")).as("n_tokens"),
+              md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: marker-token scoring (the n-gram-profile
+    * approach collapsed to its word-level core), cross-tabbed against
+    * the labeled lang for accuracy inspection. */
+  def langMarkers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("score_det", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")))
+      .withColumn("score_dom", size(expr("filter(toks, t -> t = 'data' OR t = 'query' OR t = 'table')")))
+      .withColumn("predicted",
+        when(col("score_det") > col("score_dom"), "natural")
+          .when(col("score_det") < col("score_dom"), "technical")
+          .otherwise("mixed"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("score_det")).cast("long").as("det_total"),
+           sum(col("score_dom")).cast("long").as("dom_total"))
+      .orderBy("lang", "predicted")
+}
