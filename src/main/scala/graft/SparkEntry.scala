@@ -54,11 +54,15 @@ object SparkEntry {
     "q28_knn_brute"      -> (Similarity.knnBrute _),
     "q29_knn_label"      -> (Similarity.knnWithinLabel _),
     "q30_media_meta"     -> (Multimodal.mediaMeta _),
+    // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
+    "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
+    "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     // — un-oracled scale-path variants (no DuckDB hash twin) —
     "q91_minhash_bands"  -> (Dedup.minhashBands _),
     "q92_minhash_pairs"  -> (Dedup.minhashPairs _),
     "q93_simhash"        -> (Dedup.simhashBuckets _),
     "q94_lsh_buckets"    -> (Similarity.lshBuckets _),
+    "q95_readable_size"  -> (TextOps.readableSizes _),
   )
 
   // Shared SQL fragments (must mirror ops/Fns.scala exactly).
@@ -260,5 +264,15 @@ object SparkEntry {
          CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
          CAST(1 + octet_length(encode(text)) // 1000 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "q31_evm_roundtrip" ->
+      """SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS from_address,
+         COUNT(*) AS n_transfers,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY 1 ORDER BY from_address""",
+    // identical to q01 by the A6/T5 invariant: streaming availableNow
+    // aggregation must equal the batch rollup exactly
+    "q32_stream_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
+          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
   )
 }

@@ -62,6 +62,18 @@ object TextOps {
               md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"))
       .orderBy("doc_id")
 
+  /** Diagnostic rollup using the custom codegen'd Catalyst expression
+    * [[graft.expr.FormatReadableSize]] (C7, `sql/monitoring.sql:24`
+    * analog). Un-oracled: the formatter has no DuckDB twin. */
+  def readableSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).cast("double").as("total_bytes"))
+    totals
+      .withColumn("readable", graft.expr.FormatReadableSize(col("total_bytes")))
+      .orderBy("lang")
+  }
+
   /** Language-ID heuristic: marker-token scoring (the n-gram-profile
     * approach collapsed to its word-level core), cross-tabbed against
     * the labeled lang for accuracy inspection. */

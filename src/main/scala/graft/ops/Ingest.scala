@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.HexToDecimal
+
+/** Decode-projection ingest operators (SURVEY §2.2 F1/F2, §2.7 C8/C9).
+  *
+  * The reference's ingest handler ABI-decodes raw EVM log words —
+  * `events.Transfer.decode(log)` (`usdc-transfers/src/main.ts:86`) pulls
+  * `{from, to, value}` out of 32-byte hex topics/data — after a
+  * defensive re-check of the pushed filter (`src/main.ts:83-84`).
+  *
+  * The fixtures carry no raw hex, so [[synthesizeLogs]] builds the wire
+  * format from `events` with engine expressions (the encode direction is
+  * itself C9 marshalling), and [[decodeTransfers]] decodes it back with
+  * the same machinery a real ingest would use: substring word-slicing
+  * for addresses, [[graft.expr.HexToDecimal]] for uint256 amounts. The
+  * roundtrip makes the decode oracle-checkable: DuckDB computes the same
+  * aggregate from the *original* columns.
+  */
+object Ingest {
+
+  /** 0x + 64-hex word with the id right-aligned (topic encoding). */
+  def topicFromId(id: Column): Column =
+    concat(lit("0x"), lpad(lower(hex(id)), 64, "0"))
+
+  /** Address = low 20 bytes (40 hex chars) of a topic word. */
+  def addressFromTopic(t: Column): Column =
+    concat(lit("0x"), substring(t, 3 + 24, 40))
+
+  /** uint256 hex word → DECIMAL(38,0) via the custom expression. */
+  def uint256(data: Column): Column = HexToDecimal(data)
+
+  /** events → synthetic Transfer logs: topic1=from, topic2=to (sender
+    * shifted into a disjoint id space), data=value in integer cents. */
+  def synthesizeLogs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      topicFromId(col("user_id")).as("topic1"),
+      topicFromId(col("user_id") + 1000000L).as("topic2"),
+      lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0").as("data"))
+
+  /** Decode logs back to a typed transfer frame (F1). */
+  def decodeTransfers(logs: DataFrame): DataFrame =
+    logs.select(
+      col("event_id"),
+      addressFromTopic(col("topic1")).as("from_address"),
+      addressFromTopic(col("topic2")).as("to_address"),
+      uint256(col("data")).as("value_cents"))
+
+  /** Encode→decode→aggregate roundtrip query: volume per sender address.
+    * Oracled against the same aggregate computed directly from the
+    * un-encoded columns in DuckDB. */
+  def evmRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeTransfers(synthesizeLogs(spark, sfDir))
+      .groupBy(col("from_address"))
+      .agg(count(lit(1)).as("n_transfers"),
+           sum(col("value_cents")).cast("long").as("total_cents"))
+      .orderBy("from_address")
+}

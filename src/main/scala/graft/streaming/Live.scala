@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+import graft.ops.Fns._
+
+/** Structured-Streaming variants of the ingest/rollup pipeline
+  * (SURVEY §2.8 T1–T6).
+  *
+  * The reference's write path is micro-batched ingest (gateway chunks →
+  * one insert per batch, `usdc-transfers/src/main.ts:22-23,71-100`) into
+  * incrementally-maintained rollups (ClickHouse MV insert-triggers,
+  * `sql/analytics.sql`). Spark-first mapping: `readStream` file source →
+  * the same declarative aggregation → either a complete-mode sink (small
+  * keyspace) or SummingMergeTree-style *partial-state appends* via
+  * `foreachBatch` ([[appendDailyPartials]]), re-aggregated at read
+  * ([[readDailyRollup]]) — the A6 partial→final invariant.
+  */
+object Live {
+
+  /** Raw → canonical stream: schema from a batch probe (file streams
+    * need an explicit schema), nanos→µs conversion as in Tables. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // file-stream sources require a directory: if events.parquet is itself
+    // a directory of part files, stream it directly; if it is a single
+    // file (the driver fixtures), stream its parent with a glob filter
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(rawSchema).parquet(path)
+      else
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** T1+T2+T5: the daily rollup as a streaming aggregation, drained with
+    * availableNow into a memory sink (complete mode — the rollup
+    * keyspace is day×user, bounded). Must equal the batch rollup
+    * bit-for-bit, so it shares q01's oracle. */
+  def streamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
+    val name = "graft_stream_daily"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day", "user_id")
+  }
+
+  /** T3/S9: streaming dedup within a watermark — the
+    * ReplacingMergeTree/finality-horizon analog. Late duplicates beyond
+    * the watermark age out of state (bounded memory at scale). */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_stream_dedup"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = deduped.writeStream.outputMode("complete").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day")
+  }
+
+  /** T5 write side: per micro-batch, append *partial* aggregate states
+    * to the rollup store — exactly SummingMergeTree's insert-trigger
+    * economy (`sql/analytics.sql:10`): the sink receives one small
+    * pre-aggregated block per batch, never raw rows. */
+  def appendDailyPartials(batch: DataFrame, rollupDir: String): Unit =
+    batch
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
+           count(lit(1)).as("c_partial"))
+      .write.mode("append").parquet(rollupDir)
+
+  /** T5 read side / A6: merge partial states at query time — the
+    * explicit final GROUP BY the reference's users write
+    * (`README.md:66-71`). Lossless for sum/count by construction. */
+  def readDailyRollup(spark: SparkSession, rollupDir: String): DataFrame =
+    spark.read.parquet(rollupDir)
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("v_partial")).cast("double").as("total_value"),
+           sum(col("c_partial")).as("tx_count"))
+      .orderBy("day", "user_id")
+
+  /** Run the incremental-maintenance pipeline end-to-end with
+    * availableNow micro-batches (driven by maxFilesPerTrigger when the
+    * source has multiple files). */
+  def maintainDailyRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = eventStream(spark, sfDir).writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => appendDailyPartials(batch, rollupDir))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

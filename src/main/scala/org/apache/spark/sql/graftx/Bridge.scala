@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` surface.
+  *
+  * Spark 4 split `Column` from catalyst `Expression` (Connect refactor);
+  * the conversion helpers live in `org.apache.spark.sql.classic
+  * .ExpressionUtils`, which is `private[sql]`. Extension libraries that
+  * ship native Catalyst expressions conventionally host a small shim in
+  * the `org.apache.spark.sql` namespace — this is that shim, kept to
+  * three calls so the dependency surface on internals stays auditable.
+  */
+object Bridge {
+  /** Wrap a catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its catalyst Expression (classic sessions). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a temp SQL function. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+}

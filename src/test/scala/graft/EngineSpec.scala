@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Operator-family invariants on the reference surface (SURVEY §5.2). */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("dsum is exact: decimal routing beats double accumulation drift") {
+    val df = Seq.fill(1000)(0.1).toDF("x").repartition(7)
+    val got = df.agg(Fns.dsum($"x")).head.getDouble(0)
+    assert(got == 100.0) // double-summing 0.1 a thousand times would drift
+  }
+
+  test("A6: re-aggregating the daily rollup equals aggregating raw") {
+    val rollup = Rollups.daily(spark, sf)
+      .agg(sum($"total_value".cast("decimal(38,6)")).cast("double"),
+           sum($"tx_count"))
+      .head
+    val raw = Tables.events(spark, sf)
+      .agg(Fns.dsum($"value"), count(lit(1))).head
+    assert(rollup.getDouble(0) == raw.getDouble(0))
+    assert(rollup.getLong(1) == raw.getLong(1))
+  }
+
+  test("A7: histogram bucket counts partition the total row count") {
+    val total = Tables.events(spark, sf).count()
+    val bucketed = Rollups.histogram(spark, sf)
+      .agg(sum($"tx_count")).head.getLong(0)
+    assert(bucketed == total)
+  }
+
+  test("T4: collapse keeps exactly the latest live version per key") {
+    val changelog = Seq(
+      (1L, "a", 1L, 1, 10.0), (1L, "a", 3L, 1, 30.0), (1L, "a", 2L, 1, 20.0),
+      (2L, "b", 1L, 1, 11.0), (2L, "b", 2L, -1, 0.0), // deleted entity
+      (3L, "c", 5L, 1, 50.0)
+    ).toDF("user_id", "event_type", "_version", "_sign", "value")
+    val out = Collapse.collapse(changelog, Seq("user_id", "event_type"))
+      .select("user_id", "_version", "value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 30.0), (3L, 5L, 50.0)))
+  }
+
+  test("T4: collapse is idempotent and input-order insensitive") {
+    val changelog = Seq(
+      (1L, "a", 1L, 1, 10.0), (1L, "a", 3L, 1, 30.0), (1L, "a", 2L, 1, 20.0))
+      .toDF("user_id", "event_type", "_version", "_sign", "value")
+    val once = Collapse.collapse(changelog, Seq("user_id", "event_type"))
+    val twice = Collapse.collapse(once, Seq("user_id", "event_type"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+    val shuffled = Collapse.collapse(changelog.orderBy(rand(7)), Seq("user_id", "event_type"))
+    assert(shuffled.select("_version").head.getLong(0) == 3L)
+  }
+
+  test("U1: union pivot preserves each role's total volume") {
+    val pivot = Pivots.unionPivot(spark, sf)
+    val buyers = pivot.filter($"address_type" === "buyer")
+      .agg(sum($"volume".cast("decimal(38,6)")).cast("double")).head.getDouble(0)
+    val direct = Tables.orders(spark, sf)
+      .agg(Fns.dsum($"o_totalprice")).head.getDouble(0)
+    assert(buyers == direct)
+  }
+
+  test("U2: archive union loses no rows") {
+    val n = Tables.events(spark, sf).count()
+    val unioned = Pivots.archiveUnion(spark, sf)
+      .agg(sum($"n_rows")).head.getLong(0)
+    assert(unioned == n)
+  }
+
+  test("semi ∪ anti with the same predicate partitions customers") {
+    val semiOnBig = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter($"o_totalprice" > 450000),
+            $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = StarJoins.antiJoin(spark, sf).count()
+    assert(semiOnBig + anti == Tables.customer(spark, sf).count())
+  }
+
+  test("C8: hex roundtrip decodes addresses and amounts losslessly") {
+    val decoded = Ingest.decodeTransfers(Ingest.synthesizeLogs(spark, sf))
+    val back = decoded
+      .withColumn("uid",
+        expr("cast(conv(substring(from_address, 3, 40), 16, 10) as bigint)"))
+      .select("event_id", "uid", "value_cents")
+    val orig = Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+              floor($"value" * 100).cast("decimal(38,0)").as("cents"))
+    assert(back.join(orig,
+      back("event_id") === orig("event_id") &&
+      back("uid") === orig("user_id") &&
+      back("value_cents") === orig("cents")).count() == orig.count())
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = Rollups.topUsers(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("point lookup pushes filters into the parquet scan") {
+    val plan = Rollups.pointLookup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("EqualTo(user_id,7)") || plan.contains("user_id")))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm._
+
+/** North-star operator invariants: dedup, similarity, text, multimodal. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("exact dedup groups sum back to the corpus size") {
+    val total = Tables.documents(spark, sf).count()
+    val grouped = Dedup.exact(spark, sf).agg(sum($"n_docs")).head.getLong(0)
+    assert(grouped == total)
+  }
+
+  test("fingerprint is invariant under token-order permutation") {
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "gamma alpha beta beta")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(md5(concat_ws(" ", array_sort(array_distinct($"toks")))))
+      .head.getString(0)
+    assert(fp(a) == fp(b)) // same distinct token set → same fingerprint
+  }
+
+  test("jaccard similarity of every ngram pair is within [0, 1]") {
+    val rows = Dedup.ngramJaccard(spark, sf).select("jaccard").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("minhash LSH recalls a planted near-duplicate") {
+    // plant: doc 9001 = doc with one word changed → near-identical shingles
+    val base = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .select($"text").head.getString(0)
+    val mutated = base.split(" ").toSeq.updated(1, "MUTATED").mkString(" ")
+    val planted = Seq((0L, base, "xx", "src", base.length.toLong),
+                      (9001L, mutated, "xx", "src", mutated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .filter($"a_id" === 0 && $"b_id" === 9001).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("knn: cosine bounded, self excluded, ranks contiguous") {
+    val rows = Similarity.knnBrute(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, _, n, s) => q != n && s >= -1.0001 && s <= 1.0001 })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length).toSeq)
+    }
+  }
+
+  test("label-pruned knn returns only same-label neighbors") {
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"label")
+    val got = Similarity.knnWithinLabel(spark, sf)
+      .join(emb.withColumnRenamed("vec_id", "query_id")
+               .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("label", "nlabel"), "neighbor_id")
+    assert(got.filter($"qlabel" =!= $"nlabel").count() == 0)
+  }
+
+  test("multimodal decode stub: deterministic, channel_mean in byte range") {
+    val metas = Multimodal.decodeAll(spark, sf).collect()
+    assert(metas.length == Tables.documents(spark, sf).count())
+    assert(metas.forall(m => m.channel_mean >= 0.0 && m.channel_mean <= 255.0))
+    val m = Multimodal.decodeStub(7L, "abc".getBytes("UTF-8"))
+    assert(m.n_bytes == 3 && m.width == 4 && m.height == 4 && m.n_frames == 1)
+    assert(m.channel_mean == ('a' + 'b' + 'c').toDouble / 3)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Live
+import graft.ops.Lifecycle
+
+/** Streaming semantics (T1–T6) + lifecycle jobs (S11/P1/P2). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("T5: availableNow streaming rollup equals the batch rollup") {
+    val streamed = Live.streamingDaily(spark, sf).collect().toSeq
+    val batch = graft.ops.Rollups.daily(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("T5/A6: foreachBatch partial-state appends re-aggregate to batch truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    Live.maintainDailyRollup(spark, sf, s"$dir/rollup")
+    val merged = Live.readDailyRollup(spark, s"$dir/rollup").collect().toSeq
+    val batch = graft.ops.Rollups.daily(spark, sf).collect().toSeq
+    assert(merged == batch)
+  }
+
+  test("S9/T3: watermark dedup drops in-window duplicate event_ids") {
+    // duplicate the whole events file within the same window → exactly
+    // the original count must survive
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val ev = Tables.events(spark, sf)
+    ev.unionByName(ev).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val n = Live.streamingDedup(spark, dir).agg(sum($"n")).head.getLong(0)
+    assert(n == ev.count())
+  }
+
+  test("S11: archive split is partition-exact and the complete view is lossless") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val arch = java.nio.file.Files.createTempDirectory("graft_arch").toString
+    val live = java.nio.file.Files.createTempDirectory("graft_live").toString
+    Lifecycle.writePartitionedLake(spark, sf, lake)
+    val total = spark.read.parquet(lake).count()
+    Lifecycle.archiveBefore(spark, lake, 202401 + 1, arch, live)
+    val archived = spark.read.parquet(arch)
+    assert(archived.select(max($"month")).head.getInt(0) < 202402)
+    // complete view = archive ∪ live, no loss, partition column intact
+    val complete = Lifecycle.completeView(spark, Seq(arch, live))
+    assert(complete.count() == total)
+  }
+
+  test("P1: month-partition pruning reaches the file scan") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake2").toString
+    Lifecycle.writePartitionedLake(spark, sf, lake)
+    val q = spark.read.parquet(lake).filter($"month" === 202401)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("month"))
+  }
+}
