@@ -31,11 +31,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy("fp")
 
-  /** Word-trigram shingle set per document (distinct). */
+  /** Distinct word-trigram shingle set per document, as an array column
+    * (built from [[shingleRows]] — see that method for why the
+    * HOF-expression formulation is avoided). */
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("toks", expr(toks))
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+    df.join(
+      shingleRows(df).groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles")),
+      "doc_id")
 
   /** N-gram Jaccard near-dedup with blocking: candidate pairs share
     * (lang, source, n_chars DIV 50); top-20 most similar pairs.
@@ -58,15 +60,50 @@ object Dedup {
       .limit(20)
   }
 
-  /** k minhash values per doc: min over word-trigram *shingles* of
-    * xxhash64(seed_i, shingle). Shingles, not tokens: the shingle space
-    * is |vocab|³, so unrelated documents share few elements and band
-    * collisions stay proportional to true Jaccard (token-level minhash
-    * on a small vocabulary collides for nearly every pair). */
+  /** Exploded (doc_id, shingle) stream via a typed flatMap.
+    *
+    * Deliberately NOT the `transform(...)` + `explode` formulation: the
+    * higher-order-function expression is interpreted (no codegen), and
+    * Catalyst pushes the projection below the repartition exchange
+    * (partitioning only needs doc_id), pinning the whole shingle build
+    * onto however few splits the file scan produced — measured 16×
+    * slower. The typed flatMap runs after the exchange, one pass,
+    * shingling and exploding together. */
+  private def shingleRows(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val w = t.split(' ').filter(_.nonEmpty)
+          val shingles: Iterator[String] =
+            if (w.length < 3) Iterator.empty
+            else w.sliding(3).map(_.mkString(" ")).toSet.iterator
+          shingles.map(s => (id, s))
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** k minhash values per doc over word-trigram *shingles*.
+    *
+    * Shingles, not tokens: the shingle space is |vocab|³, so unrelated
+    * documents share few elements and band collisions stay proportional
+    * to true Jaccard (token-level minhash on a small vocabulary collides
+    * for nearly every pair).
+    *
+    * The k hash families re-hash one base string hash with the family
+    * index — the (expensive) string scan happens once per shingle and
+    * each family is an xxhash64 over two longs inside codegen. (A
+    * Kirsch–Mitzenmacher h1+i·h2 would be cheaper still, but Spark 4's
+    * default ANSI mode turns the deliberate long overflow into an
+    * error.) */
   private def minhashSignature(df: DataFrame, k: Int): DataFrame = {
-    val perSh = shingled(df).withColumn("sh", explode(col("shingles")))
+    val perSh = shingleRows(df).withColumn("h1", xxhash64(col("sh")))
     val aggs: Seq[Column] = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+      min(xxhash64(col("h1"), lit(i))).as(s"mh$i"))
     perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -104,7 +141,8 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = shingled(docs).select(col("doc_id"), col("shingles"))
+    val sh = shingleRows(docs)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
@@ -116,11 +154,27 @@ object Dedup {
       .limit(50)
   }
 
+  /** Exploded (doc_id, token) stream — typed flatMap for the same
+    * reasons as [[shingleRows]]; keeps duplicate tokens (term-frequency
+    * weighting, standard for SimHash). */
+  private def tokenRows(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          t.split(' ').iterator.filter(_.nonEmpty).map(tok => (id, tok))
+        }
+      }
+      .toDF("doc_id", "tok")
+  }
+
   /** 16-bit SimHash per document (sign-sum of token-hash bits), with the
     * duplicate-candidate histogram per hash value. Un-oracled. */
   def simhashBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val perTok = Tables.documents(spark, sfDir)
-      .withColumn("tok", explode(expr(toks)))
+    val perTok = tokenRows(Tables.documents(spark, sfDir))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums: Seq[Column] = (0 until 16).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"s$i"))
