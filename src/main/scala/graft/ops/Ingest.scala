@@ -42,13 +42,23 @@ object Ingest {
       topicFromId(col("user_id") + 1000000L).as("topic2"),
       lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0").as("data"))
 
+  /** Defensive equality re-check of the pushed filter (F2,
+    * `src/main.ts:83-84`): drop any log whose topic words are not
+    * well-formed 0x+64-hex — the belt-and-braces predicate the handler
+    * applies even though the gateway already filtered. */
+  def defensiveFilter(logs: DataFrame): DataFrame =
+    logs.filter(col("topic1").rlike("^0x[0-9a-f]{64}$") &&
+                col("topic2").rlike("^0x[0-9a-f]{64}$"))
+
   /** Decode logs back to a typed transfer frame (F1). */
-  def decodeTransfers(logs: DataFrame): DataFrame =
+  def decodeTransfers(logs0: DataFrame): DataFrame = {
+    val logs = defensiveFilter(logs0)
     logs.select(
       col("event_id"),
       addressFromTopic(col("topic1")).as("from_address"),
       addressFromTopic(col("topic2")).as("to_address"),
       uint256(col("data")).as("value_cents"))
+  }
 
   /** Encode→decode→aggregate roundtrip query: volume per sender address.
     * Oracled against the same aggregate computed directly from the

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DateType
+
+/** Transparent materialized-rollup routing (SURVEY §4 / §7.3 stretch).
+  *
+  * The reference pre-aggregates with insert-maintained MVs and users
+  * query the MV by name (`usdc-transfers/README.md:66-71`). This rule
+  * goes one step further than the reference: queries written against the
+  * RAW events table are rewritten to re-aggregate the partial-state
+  * rollup when one is registered — the classic "answering queries using
+  * materialized views" optimization, scoped to the lossless cases:
+  *
+  *  - grouping keys ⊆ {to_date(ts) → day, user_id} (any subset: coarser
+  *    grains re-aggregate losslessly)
+  *  - aggregates ∈ { SUM(value-with-casts) → SUM(v_partial),
+  *                   COUNT(*)/COUNT(lit)   → SUM(c_partial) }
+  *
+  * Anything else — other columns, other aggregates, filters below the
+  * aggregate — leaves the plan untouched. Output attribute ids are
+  * preserved so parent operators (sort, limit, project) re-bind cleanly.
+  *
+  * At scale this turns a full fact-table scan + shuffle into a scan of a
+  * rollup that is orders of magnitude smaller — the same reason the
+  * reference's dashboards read MVs instead of `usdc_transfer`.
+  */
+object RollupRouting {
+
+  /** A registered daily rollup (written by
+    * [[graft.streaming.Live.appendDailyPartials]]). */
+  case class Spec(sourceSuffix: String, rollupPath: String)
+
+  private var specs: List[Spec] = Nil
+  def register(spec: Spec): Unit = synchronized { specs = spec :: specs }
+  def clear(): Unit = synchronized { specs = Nil }
+  def registered: List[Spec] = specs
+
+  class RuleImpl(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    private def stripCasts(e: Expression): Expression = e match {
+      case c: Cast => stripCasts(c.child)
+      case other => other
+    }
+
+    /** Substitute attributes through the Project chain below the
+      * aggregate: by the time optimizer rules run, grouping expressions
+      * have been pulled out into `_groupingexpression` project aliases
+      * (PullOutGroupingExpressions) and `to_date` has been lowered to a
+      * cast — resolve back to source-column terms before matching. */
+    private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = {
+      val aliasMap: Map[ExprId, Expression] = plan.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect { case a @ Alias(child, _) => a.exprId -> child }
+      }.flatten.toMap
+      def subst(x: Expression): Expression = x.transformUp {
+        case a: AttributeReference if aliasMap.contains(a.exprId) => subst(aliasMap(a.exprId))
+      }
+      subst(e)
+    }
+
+    /** Which rollup key a grouping expression computes, if any. */
+    private def keyOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.name == "user_id" => Some("user_id")
+      case e if e.dataType == DateType &&
+        e.references.size == 1 && e.references.head.name == "ts" => Some("day")
+      case _ => None
+    }
+
+    private def scanOf(plan: LogicalPlan): Option[Spec] =
+      plan.collectFirst {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if specs.exists(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix))) =>
+          specs.find(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix))).get
+      }
+
+    /** The child between Aggregate and the scan must be pure projection —
+      * a Filter would make the rollup answer wrong. */
+    private def projectionOnly(plan: LogicalPlan): Boolean = plan match {
+      case _: LogicalRelation => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => projectionOnly(p.child)
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if scanOf(child).isDefined && projectionOnly(child) =>
+        val spec = scanOf(child).get
+        rewrite(agg, groupings, aggExprs, spec).getOrElse(agg)
+    }
+
+    private def rewrite(agg: Aggregate, groupings: Seq[Expression],
+                        aggExprs: Seq[NamedExpression], spec: Spec): Option[LogicalPlan] = {
+      val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
+                   catch { case _: Throwable => return None }
+      def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
+      val (day, userId, vPart, cPart) =
+        (attr("day"), attr("user_id"), attr("v_partial"), attr("c_partial")) match {
+          case (Some(d), Some(u), Some(v), Some(c)) => (d, u, v, c)
+          case _ => return None
+        }
+
+      val child = agg.child
+      def keyOfResolved(e: Expression): Option[String] =
+        keyOf(resolveThroughProjects(e, child))
+
+      // every grouping must map onto a rollup key
+      val keyMap: Map[Expression, Attribute] = groupings.map { g =>
+        keyOfResolved(g) match {
+          case Some("day") => g -> day
+          case Some("user_id") => g -> userId
+          case _ => return None
+        }
+      }.toMap
+
+      var ok = true
+      val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+        case ne if keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
+          val target = keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).get match {
+            case "day" => day
+            case _ => userId
+          }
+          Alias(target, ne.name)(exprId = ne.exprId)
+        case ne =>
+          val rewritten = ne.transformUp {
+            case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
+                if resolveThroughProjects(stripCasts(se), child)
+                     .isInstanceOf[AttributeReference] &&
+                   resolveThroughProjects(stripCasts(se), child)
+                     .asInstanceOf[AttributeReference].name == "value" =>
+              ae.copy(aggregateFunction = Sum(vPart))
+            case ae @ AggregateExpression(Count(children), _, false, None, _)
+                if children.forall(_.isInstanceOf[Literal]) =>
+              ae.copy(aggregateFunction = Sum(cPart))
+          }.asInstanceOf[NamedExpression]
+          // bail if any raw-table reference survived (unknown aggregate)
+          if (!rewritten.references.subsetOf(AttributeSet(rollup.output))) ok = false
+          rewritten
+      }
+      if (!ok) return None
+
+      val newGroupings = groupings.map(keyMap)
+      Some(Aggregate(newGroupings, newAggExprs, rollup))
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(session => new RollupRouting.RuleImpl(session))
+}

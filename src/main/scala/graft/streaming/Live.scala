@@ -95,6 +95,39 @@ object Live {
            sum(col("c_partial")).as("tx_count"))
       .orderBy("day", "user_id")
 
+  /** A3+T5 with true mergeable state — the AggregatingMergeTree analog:
+    * the reference's `uniq(from_address)` inside an incrementally-
+    * maintained MV (`sql/analytics.sql:34-35`) requires the rollup to
+    * store a *mergeable* distinct-count state, not a number. Spark's
+    * Datasketches HLL functions provide exactly that: partials store
+    * `hll_sketch_agg` binaries; readers `hll_union_agg` then estimate.
+    * Appends stay small (one sketch per day per batch) and the merge is
+    * associative — the same partial→final invariant as sum/count. */
+  def appendUniqPartials(batch: DataFrame, rollupDir: String): Unit =
+    batch
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("uniq_state"),
+           count(lit(1)).as("c_partial"))
+      .write.mode("append").parquet(rollupDir)
+
+  /** Merge the per-batch sketches to per-day distinct estimates. */
+  def readUniqRollup(spark: SparkSession, rollupDir: String): DataFrame =
+    spark.read.parquet(rollupDir)
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(uniq_state))").as("uniq_users"),
+           sum(col("c_partial")).as("tx_count"))
+      .orderBy("day")
+
+  /** Drive the uniq-state rollup with availableNow micro-batches. */
+  def maintainUniqRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = eventStream(spark, sfDir).writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => appendUniqPartials(batch, rollupDir))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental-maintenance pipeline end-to-end with
     * availableNow micro-batches (driven by maxFilesPerTrigger when the
     * source has multiple files). */

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.RollupRouting
+import graft.streaming.Live
+
+/** Transparent MV routing (SURVEY §4 stretch): queries on the raw table
+  * silently re-aggregate the partial-state rollup. */
+class RollupRoutingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  private def withRouting[A](f: => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    Live.maintainDailyRollup(spark, sf, s"$dir/rollup")
+    RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/rollup"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try f finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("daily query is routed to the rollup and matches the raw answer") {
+    val plain = graft.ops.Rollups.daily(spark, sf).collect().toSeq
+    withRouting {
+      val routed = graft.ops.Rollups.daily(spark, sf)
+      val scan = routed.queryExecution.executedPlan.toString
+      assert(scan.contains("rollup"), s"expected rollup scan in:\n$scan")
+      assert(routed.collect().toSeq == plain)
+    }
+  }
+
+  test("coarser grain (day only) also routes and stays correct") {
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val plain = q().collect().toSeq
+    withRouting {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("rollup"))
+      assert(routed.collect().toSeq == plain)
+    }
+  }
+
+  test("ineligible queries are left untouched") {
+    withRouting {
+      // filter below the aggregate → must scan raw
+      val filtered = Tables.events(spark, sf)
+        .filter($"event_type" === "purchase")
+        .groupBy(to_date($"ts").as("day")).agg(sum($"value"))
+      assert(!filtered.queryExecution.executedPlan.toString.contains("rollup"))
+      // unsupported aggregate (max) → must scan raw
+      val maxq = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day")).agg(max($"value"))
+      assert(!maxq.queryExecution.executedPlan.toString.contains("rollup"))
+      // unsupported grouping column → must scan raw
+      val byType = Tables.events(spark, sf)
+        .groupBy($"event_type").agg(count(lit(1)))
+      assert(!byType.queryExecution.executedPlan.toString.contains("rollup"))
+    }
+  }
+}

@@ -25,6 +25,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batch)
   }
 
+  test("A3/T5: mergeable HLL uniq states reaggregate to the whole-table sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_uniq").toString
+    Live.maintainUniqRollup(spark, sf, s"$dir/rollup")
+    val merged = Live.readUniqRollup(spark, s"$dir/rollup")
+    // estimate from merged per-batch sketches == estimate from one
+    // whole-table sketch (merge associativity), and ≈ exact
+    val perDay = merged.select($"day", $"uniq_users").collect().map(r => r.getLong(1))
+    val direct = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("u"))
+      .orderBy("day").select($"u").collect().map(_.getLong(0))
+    assert(perDay.toSeq == direct.toSeq)
+    val exact = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id")).orderBy("day")
+      .select(col("count(DISTINCT user_id)")).collect().map(_.getLong(0))
+    // HLL at this cardinality (≤15 users/day) should be exact
+    assert(perDay.toSeq == exact.toSeq)
+  }
+
   test("S9/T3: watermark dedup drops in-window duplicate event_ids") {
     // duplicate the whole events file within the same window → exactly
     // the original count must survive
