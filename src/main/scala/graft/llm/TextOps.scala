@@ -36,13 +36,22 @@ object TextOps {
 
   /** Quality scoring: lexical-diversity ratio (distinct/total tokens)
     * bucketed into quality bands — the stopword/repetition heuristic a
-    * pretraining filter would run per document. */
-  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("ratio",
-        size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double"))
+    * pretraining filter would run per document. The per-doc ratio is a
+    * typed map (same rationale as Dedup.shingleRows: interpreted HOFs
+    * get pushed onto the scan partition); the bucket/rollup stays
+    * declarative. */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ratios = Tables.documents(spark, sfDir)
+      .select(col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[String]
+      .mapPartitions(_.map { t =>
+        val w = t.split(' ').filter(_.nonEmpty)
+        if (w.isEmpty) 0.0 else w.distinct.length.toDouble / w.length.toDouble
+      })
+      .toDF("ratio")
+    ratios
       .withColumn("quality",
         when(col("ratio") < 0.3, "low")
           .when(col("ratio") < 0.5, "mid")
@@ -50,6 +59,7 @@ object TextOps {
       .groupBy(col("quality"))
       .agg(count(lit(1)).as("n_docs"), dsum(col("ratio")).as("ratio_sum"))
       .orderBy("quality")
+  }
 
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content hash (the rolling-hash role; md5 because
