@@ -54,6 +54,7 @@ object SparkEntry {
     "q28_knn_brute"      -> (Similarity.knnBrute _),
     "q29_knn_label"      -> (Similarity.knnWithinLabel _),
     "q30_media_meta"     -> (Multimodal.mediaMeta _),
+    "q33_salted_rollup"  -> ((s, d) => Skew.saltedDaily(s, d)),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -272,6 +273,10 @@ object SparkEntry {
     // identical to q01 by the A6/T5 invariant: streaming availableNow
     // aggregation must equal the batch rollup exactly
     "q32_stream_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
+          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    // identical to q01: salted two-stage aggregation must be lossless
+    "q33_salted_rollup" ->
       s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
           COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
   )

@@ -65,6 +65,33 @@ object Similarity {
     topK(pairs, 5)
   }
 
+  /** True IVF (inverted-file) ANN: build nlist coarse centroids with
+    * k-means, assign every vector to its nearest centroid, and search
+    * only the query's cell (nprobe=1). The index build is a separate,
+    * amortized step — at scale the assignment becomes the table's
+    * partition key and cell search becomes partition pruning. Returns
+    * top-k per query among same-cell candidates. Un-oracled: k-means is
+    * not SQL-expressible (invariants covered in IvfSpec). */
+  def ivfKnn(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("prediction").as("cell"),
+              expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"), col("e").as("qe"))
+    val c = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("e").as("ce"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine)
+    topK(pairs, k)
+  }
+
   /** Random-hyperplane LSH bucketing (the other ANN scale path):
     * 8 sign-bits from fixed pseudo-random hyperplanes → bucket id;
     * reports bucket occupancy. Un-oracled (hyperplanes are engine-side

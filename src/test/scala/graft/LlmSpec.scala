@@ -67,6 +67,20 @@ class LlmSpec extends AnyFunSuite {
     assert(got.filter($"qlabel" =!= $"nlabel").count() == 0)
   }
 
+  test("IVF knn: builds centroids, searches only the query's cell") {
+    val got = Similarity.ivfKnn(spark, sf, k = 3)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length).toSeq)
+      // within a cell, top-1 by IVF == top-1 by brute force restricted
+      // to that cell (sanity: sims sorted descending)
+      assert(g.sortBy(_._2).map(_._4).toSeq.reverse.sorted.reverse == g.sortBy(_._2).map(_._4).toSeq)
+    }
+    assert(got.forall { case (q, _, n, s) => q != n && s >= -1.0001 && s <= 1.0001 })
+  }
+
   test("multimodal decode stub: deterministic, channel_mean in byte range") {
     val metas = Multimodal.decodeAll(spark, sf).collect()
     assert(metas.length == Tables.documents(spark, sf).count())
