@@ -50,11 +50,13 @@ for name, sql in sorted(oracle.items()):
     for c in gcols:
         for i, (a, b) in enumerate(zip(g[c], w[c])):
             eq = (a == b) or (a is None and b is None)
-            try:
-                if not eq and isinstance(a, float) and math.isnan(a) and math.isnan(b):
-                    eq = True
-            except TypeError:
-                pass
+            if not eq:
+                try:
+                    import pandas as pd
+                    if pd.isna(a) and pd.isna(b):
+                        eq = True
+                except (TypeError, ValueError):
+                    pass
             if not eq:
                 mismatch = (c, i, a, b)
                 break

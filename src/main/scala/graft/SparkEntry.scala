@@ -55,6 +55,11 @@ object SparkEntry {
     "q29_knn_label"      -> (Similarity.knnWithinLabel _),
     "q30_media_meta"     -> (Multimodal.mediaMeta _),
     "q33_salted_rollup"  -> ((s, d) => Skew.saltedDaily(s, d)),
+    // — window / multi-grain analytics (capability beyond reference) —
+    "q34_running_total"  -> (Windows.runningTotal _),
+    "q35_day_over_day"   -> (Windows.dayOverDay _),
+    "q36_rollup_grains"  -> (Windows.rollupGrains _),
+    "q37_embed_dup"      -> (Similarity.embedDupPairs _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -279,5 +284,35 @@ object SparkEntry {
     "q33_salted_rollup" ->
       s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
           COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    "q34_running_total" ->
+      """SELECT user_id, day, CAST(v AS DOUBLE) AS day_value,
+         CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+         FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS v
+               FROM events GROUP BY 1, 2)
+         ORDER BY user_id, day""",
+    "q35_day_over_day" ->
+      """SELECT user_id, day, v AS day_value,
+         lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_v,
+         v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS delta
+         FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+               FROM events GROUP BY 1, 2)
+         ORDER BY user_id, day""",
+    "q36_rollup_grains" ->
+      s"""SELECT COALESCE(day, DATE '1900-01-01') AS day,
+          COALESCE(event_type, 'ALL') AS event_type, n, total_value
+          FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+                       ${dsum("value")} AS total_value
+                FROM events GROUP BY ROLLUP(1, 2))
+          ORDER BY day, event_type""",
+    "q37_embed_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+         FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY sim DESC, a_id, b_id LIMIT 20""",
   )
 }

@@ -65,6 +65,23 @@ object Similarity {
     topK(pairs, 5)
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup flavor of the
+    * similarity op): top-20 most similar same-label pairs — at scale the
+    * label/cell blocking bounds the pair space exactly like the text
+    * dedup's blocking key. Exactly oracled (cosine is bit-identical to
+    * DuckDB on DOUBLE[]). */
+  def embedDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = withVec(emb, "a_id", "qe")
+    val b = withVec(emb, "b_id", "ce")
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
   /** True IVF (inverted-file) ANN: build nlist coarse centroids with
     * k-means, assign every vector to its nearest centroid, and search
     * only the query's cell (nprobe=1). The index build is a separate,
