@@ -24,14 +24,20 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Typed (id, label, double-vector, norm) frame. The norm is computed
+    * once per vector, not once per candidate pair — the higher-order
+    * fold is interpreted, so per-pair norm recomputation dominated the
+    * pairwise stages (the resulting doubles are identical: same fold,
+    * same order). */
   private def withVec(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs), col("label"),
               expr("transform(embedding, x -> cast(x as double))").as(vecAs))
+      .withColumn(s"${vecAs}_norm",
+        sqrt(expr(s"aggregate(transform($vecAs, x -> x * x), 0D, (acc, x) -> acc + x)")))
 
   private val cosine: org.apache.spark.sql.Column =
     (expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (sqrt(expr("aggregate(transform(qe, x -> x * x), 0D, (acc, x) -> acc + x)")) *
-       sqrt(expr("aggregate(transform(ce, x -> x * x), 0D, (acc, x) -> acc + x)"))))
+      (col("qe_norm") * col("ce_norm")))
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -99,10 +105,14 @@ object Similarity {
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("prediction").as("cell"),
               expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x)")))
     val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("cell"), col("e").as("qe"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+              col("e").as("qe"), col("nrm").as("qe_norm"))
     val c = assigned
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("e").as("ce"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+              col("e").as("ce"), col("nrm").as("ce_norm"))
     val pairs = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine)
