@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_day_over_day"   -> (Windows.dayOverDay _),
     "q36_rollup_grains"  -> (Windows.rollupGrains _),
     "q37_embed_dup"      -> (Similarity.embedDupPairs _),
+    "q38_dedup_keep"     -> (Dedup.exactKeep _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -314,5 +315,11 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b
          ON a.label = b.label AND a.vec_id < b.vec_id
          ORDER BY sim DESC, a_id, b_id LIMIT 20""",
+    "q38_dedup_keep" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
   )
 }

@@ -31,6 +31,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy("fp")
 
+  /** The materializing form: the corpus with duplicates dropped, keeping
+    * the lowest doc_id per content hash (what a pretraining pipeline
+    * actually emits). Window-dedup, not dropDuplicates, so the keeper
+    * is deterministic. */
+  def exactKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word-trigram shingle set per document, as an array column
     * (built from [[shingleRows]] — see that method for why the
     * HOF-expression formulation is avoided). */

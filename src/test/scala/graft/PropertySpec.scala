@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generated properties for the engine's core invariants
+  * (SURVEY §5.2): the algebra that makes rollups, salting, and CDC
+  * collapse safe at scale must hold for arbitrary inputs, not just the
+  * fixtures. (Generators sampled with fixed seeds — the scalatest
+  * bridge artifact is not in the offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val doubles: Gen[List[Double]] =
+    Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))
+
+  test("property: decimal-routed sum is partition-count invariant") {
+    for ((xs, parts) <- samples(Gen.zip(doubles, Gen.chooseNum(1, 12)), 8)
+         if xs.nonEmpty) {
+      val df = xs.toDF("x")
+      val a = df.repartition(parts).agg(graft.ops.Fns.dsum($"x")).head.getDouble(0)
+      val b = df.coalesce(1).agg(graft.ops.Fns.dsum($"x")).head.getDouble(0)
+      assert(a == b, s"parts=$parts") // plain double sums would drift
+    }
+  }
+
+  test("property: A6 — two-level reaggregation equals direct aggregation") {
+    val rows = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 3L),
+              Gen.chooseNum(-1e4, 1e4).map(v => math.rint(v * 100) / 100)))
+    for (xs <- samples(rows, 6) if xs.nonEmpty) {
+      val df = xs.toDF("k1", "k2", "v")
+      val direct = df.groupBy($"k1")
+        .agg(sum($"v".cast("decimal(38,6)")).cast("double").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val twoLevel = df.groupBy($"k1", $"k2")
+        .agg(sum($"v".cast("decimal(38,6)")).as("p"))
+        .groupBy($"k1").agg(sum($"p").cast("double").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(direct == twoLevel)
+    }
+  }
+
+  test("property: collapse matches the keep-last model for any changelog order") {
+    val rows = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L), Gen.oneOf(1, -1)))
+    for (xs <- samples(rows, 6)) {
+      // distinct (key, version): version ties make keep-last ambiguous
+      val uniq = xs.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      if (uniq.nonEmpty) {
+        val df = uniq.toDF("k", "_version", "_sign")
+        val got = graft.ops.Collapse.collapse(df.orderBy(rand(1)), Seq("k"))
+          .select("k", "_version").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val model = uniq.groupBy(_._1).flatMap { case (k, g) =>
+          val last = g.maxBy(_._2)
+          if (last._3 == 1) Some((k, last._2)) else None
+        }.toSet
+        assert(got == model)
+      }
+    }
+  }
+
+  test("property: histogram buckets partition any input exactly") {
+    for (xs <- samples(doubles, 8) if xs.nonEmpty) {
+      val bucketed = xs.toDF("value").withColumn("b",
+        when($"value" < 25, "small").when($"value" < 100, "medium")
+          .when($"value" < 500, "large").otherwise("whale"))
+        .groupBy($"b").count()
+      assert(bucketed.agg(sum($"count")).head.getLong(0) == xs.length)
+    }
+  }
+}
