@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format breadth (S-class) and window-shape breadth (T2+):
+  * the engine is format-agnostic through the DataFrame boundary, and
+  * supports sliding/session windows beyond the reference's tumbling
+  * buckets. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("JSON and CSV roundtrips preserve the events table") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    ev.write.mode("overwrite").json(s"$dir/ev_json")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/ev_csv")
+    val fromJson = spark.read.schema(ev.schema).json(s"$dir/ev_json")
+    val fromCsv = spark.read.schema(ev.schema)
+      .option("header", "true").csv(s"$dir/ev_csv")
+    val key = Seq("event_id")
+    assert(fromJson.count() == ev.count())
+    assert(fromCsv.count() == ev.count())
+    assert(fromJson.except(ev).isEmpty && ev.except(fromJson).isEmpty)
+    assert(fromCsv.except(ev).isEmpty && ev.except(fromCsv).isEmpty)
+  }
+
+  test("sliding windows: each event lands in windowMinutes/slideMinutes windows") {
+    val n = Tables.events(spark, sf).count()
+    val windowed = Tables.events(spark, sf)
+      .groupBy(window($"ts", "60 minutes", "15 minutes"))
+      .agg(count(lit(1)).as("c"))
+    // 60/15 = 4 overlapping windows contain every event
+    assert(windowed.agg(sum($"c")).head.getLong(0) == 4 * n)
+  }
+
+  test("session windows: gap-based sessions per user partition all events") {
+    val n = Tables.events(spark, sf).count()
+    val sessions = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+    assert(sessions.agg(sum($"c")).head.getLong(0) == n)
+    // sessions are disjoint per user and longer than a single point
+    val bad = sessions.filter($"session_window.end" <= $"session_window.start").count()
+    assert(bad == 0)
+  }
+}
