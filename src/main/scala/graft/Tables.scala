@@ -33,6 +33,10 @@ object Tables {
     * `ts DIV 1000` — which is bit-identical to DuckDB's own ns→µs
     * truncation (verified against epoch_us on the fixture). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // self-defending: the caller's session may not carry the conf (e.g.
+    // a harness-owned session running SparkEntry.entry); it is a
+    // runtime-settable SQLConf, so pin it before planning the scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
