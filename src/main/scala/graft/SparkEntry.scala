@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_rollup_grains"  -> (Windows.rollupGrains _),
     "q37_embed_dup"      -> (Similarity.embedDupPairs _),
     "q38_dedup_keep"     -> (Dedup.exactKeep _),
+    "q39_len_quantiles"  -> (TextOps.lengthQuantiles _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -321,5 +322,11 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "q39_len_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+         quantile_cont(n_chars, 0.9) AS p90,
+         quantile_cont(n_chars, 0.99) AS p99,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY lang""",
   )
 }

@@ -72,6 +72,20 @@ object TextOps {
               md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"))
       .orderBy("doc_id")
 
+  /** Document-length distribution per language — exact interpolated
+    * percentiles (Spark `percentile` is arithmetic-identical to DuckDB
+    * `quantile_cont`, verified bit-exact on the fixture). The exact
+    * variant is the correctness baseline; at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable partial states). */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5D)").as("p50"),
+           expr("percentile(n_chars, 0.9D)").as("p90"),
+           expr("percentile(n_chars, 0.99D)").as("p99"),
+           count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   /** Diagnostic rollup using the custom codegen'd Catalyst expression
     * [[graft.expr.FormatReadableSize]] (C7, `sql/monitoring.sql:24`
     * analog). Un-oracled: the formatter has no DuckDB twin. */

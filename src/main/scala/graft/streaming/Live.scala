@@ -139,4 +139,32 @@ object Live {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /** Multi-batch variant over an arbitrary events directory (e.g. the
+    * month-partitioned lake): one file per trigger, so each partition
+    * arrives as its own micro-batch and the rollup accumulates partial
+    * states across several appends — the closest Spark shape to the
+    * reference's per-insert-block MV triggers (`sql/analytics.sql`,
+    * one partial-state block per replicated insert). */
+  def maintainDailyRollupPerFile(spark: SparkSession, eventsDir: String,
+                                 rollupDir: String): Int = {
+    val rawSchema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(eventsDir)
+    val ev =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    var batches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = ev.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        appendDailyPartials(batch, rollupDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    batches
+  }
 }

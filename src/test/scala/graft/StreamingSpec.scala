@@ -25,6 +25,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batch)
   }
 
+  test("T5: per-file micro-batches accumulate partials that merge to batch truth") {
+    // multi-file ingest dir → one micro-batch per file (sf0.001 spans a
+    // single month, so split by file count rather than partition key)
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake3").toString
+    Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(lake)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val nBatches = Live.maintainDailyRollupPerFile(spark, lake, s"$dir/rollup")
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    val merged = Live.readDailyRollup(spark, s"$dir/rollup")
+      .withColumn("day", $"day".cast("date"))
+      .collect().map(r => (r.get(0).toString, r.get(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.ops.Rollups.daily(spark, sf)
+      .select($"day", $"user_id", $"total_value", $"tx_count")
+      .collect().map(r => (r.get(0).toString, r.get(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(merged == batch)
+  }
+
   test("A3/T5: mergeable HLL uniq states reaggregate to the whole-table sketch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_uniq").toString
     Live.maintainUniqRollup(spark, sf, s"$dir/rollup")
