@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_embed_dup"      -> (Similarity.embedDupPairs _),
     "q38_dedup_keep"     -> (Dedup.exactKeep _),
     "q39_len_quantiles"  -> (TextOps.lengthQuantiles _),
+    "q40_asof_join"      -> (AsOf.purchaseAttribution _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -328,5 +329,12 @@ object SparkEntry {
          quantile_cont(n_chars, 0.99) AS p99,
          COUNT(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "q40_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS last_view_ts,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY p.event_id""",
   )
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (most-recent-match) join — an operator Spark SQL lacks
+  * natively (capability addition; the reference has no joins at all,
+  * SURVEY §2.3).
+  *
+  * Built by composition, per the preference order (a) in SURVEY §7.3:
+  * tag both inputs, union them, and take a running `last(...,
+  * ignoreNulls)` of the right-side payload over a (key, ts, side)
+  * window. One shuffle on the key, one sort within partitions, no
+  * per-row range probe and no pair explosion — each row is touched
+  * once, so the plan scales like any windowed aggregation (key
+  * cardinality × in-key time series). Right rows order before left rows
+  * at equal timestamps, giving the inclusive `right.ts <= left.ts`
+  * match DuckDB's native ASOF JOIN uses — which is the oracle.
+  */
+object AsOf {
+
+  /** Left rows + `__asof` struct holding the most recent right row
+    * (by `rightTs <= leftTs`) per key; null when no prior right row. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__src"),
+        struct(right.columns.map(col): _*).as("__match")): _*)
+    val matchType = r.schema("__match").dataType
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__src"),
+        lit(null).cast(matchType).as("__match"),
+        struct(left.columns.map(col): _*).as("__left")): _*)
+    val unioned = l.unionByName(r.withColumn("__left",
+      lit(null).cast(l.schema("__left").dataType)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof",
+        last(when(col("__src") === 0, col("__match")), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(col("__left.*"), col("__asof"))
+  }
+
+  /** Attribution query: each purchase matched to the same user's most
+    * recent prior view, with the microsecond gap (null = organic). */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              col("__asof.ts").as("last_view_ts"),
+              (unix_micros(col("ts")) - unix_micros(col("__asof.ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+}

@@ -97,6 +97,16 @@ class EngineSpec extends AnyFunSuite {
       back("value_cents") === orig("cents")).count() == orig.count())
   }
 
+  test("as-of join preserves every left row and matches are never later") {
+    val out = ops.AsOf.purchaseAttribution(spark, sf)
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == purchases) // left-join semantics
+    assert(out.filter($"last_view_ts" > $"purchase_ts").count() == 0)
+    assert(out.filter($"gap_us" < 0).count() == 0)
+    assert(out.filter($"last_view_ts".isNotNull).count() > 0)
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Rollups.topUsers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
