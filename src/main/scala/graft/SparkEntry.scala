@@ -63,6 +63,8 @@ object SparkEntry {
     "q38_dedup_keep"     -> (Dedup.exactKeep _),
     "q39_len_quantiles"  -> (TextOps.lengthQuantiles _),
     "q40_asof_join"      -> (AsOf.purchaseAttribution _),
+    "q41_topk_per_group" -> (Windows.topDaysPerUser _),
+    "q42_pivot_types"    -> (Windows.pivotEventTypes _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -336,5 +338,22 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
+    "q41_topk_per_group" ->
+      """SELECT user_id, day, day_value, rnk FROM (
+           SELECT user_id, day, day_value,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY day_value DESC, day) AS INT) AS rnk
+           FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+                 FROM events GROUP BY 1, 2))
+         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "q42_pivot_types" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) FILTER (event_type = 'click') AS click,
+         COUNT(*) FILTER (event_type = 'error') AS error,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS signup,
+         COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY day""",
   )
 }

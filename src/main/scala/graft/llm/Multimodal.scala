@@ -63,6 +63,34 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation would hand the decoded frame to
+    * an image library; the deterministic fake rescales the metadata.
+    * The pipeline shape (typed Dataset in/out, pure per-row transform,
+    * no shuffle) is the real part. */
+  def resizeStub(m: MediaMeta, maxDim: Int): MediaMeta = {
+    val scale = maxDim.toDouble / math.max(m.width, m.height).max(1)
+    if (scale >= 1.0) m
+    else m.copy(width = math.max(1, (m.width * scale).toInt),
+                height = math.max(1, (m.height * scale).toInt))
+  }
+
+  /** STUB frame sampling: pick every k-th frame index — a real decoder
+    * would seek those frames; the index arithmetic and the exploded
+    * (doc_id, frame_idx) output shape are the real plumbing. */
+  def sampleFrames(spark: SparkSession, sfDir: String, everyK: Int = 10): Dataset[(Long, Int)] = {
+    import spark.implicits._
+    decodeAll(spark, sfDir).flatMap { m =>
+      (0 until m.n_frames by everyK).map(i => (m.doc_id, i))
+    }
+  }
+
+  /** Resize pass over the whole corpus (decode → resize, one fused
+    * partition-local stage). */
+  def resizeAll(spark: SparkSession, sfDir: String, maxDim: Int = 256): Dataset[MediaMeta] = {
+    import spark.implicits._
+    decodeAll(spark, sfDir).mapPartitions(_.map(m => resizeStub(m, maxDim)))
+  }
+
   /** Oracle-facing query: the decode-stub fields that are pure
     * arithmetic on byte length (width/height/frames), so DuckDB can
     * compute them from octet_length without the stub. channel_mean is

@@ -44,6 +44,31 @@ object Windows {
       .orderBy("user_id", "day")
   }
 
+  /** Top-3 spending days per user — per-group top-k via window rank
+    * (the grouped variant of O1; `TakeOrderedAndProject` covers global
+    * top-k, rank-filter covers per-key). */
+  def topDaysPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("day_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("day_value").desc, col("day"))
+    daily.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .orderBy("user_id", "rnk")
+  }
+
+  /** Wide pivot: one column per event type (explicit value list — a
+    * dynamic pivot would need an extra distinct pass and yields a
+    * nondeterministic schema). */
+  def pivotEventTypes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   /** Multi-grain totals with ROLLUP(day, event_type): per (day,type),
     * per day, and grand total in one aggregate. Grouping nulls are
     * coalesced to sentinels ('1900-01-01' / 'ALL') so the output is

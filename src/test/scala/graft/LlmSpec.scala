@@ -81,6 +81,16 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall { case (q, _, n, s) => q != n && s >= -1.0001 && s <= 1.0001 })
   }
 
+  test("multimodal resize/frame-sample stubs: bounds and shapes hold") {
+    val resized = Multimodal.resizeAll(spark, sf, maxDim = 100).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(m => m.width <= 100 && m.height <= 100 && m.width >= 1))
+    val frames = Multimodal.sampleFrames(spark, sf, everyK = 1).collect()
+    val totalFrames = Multimodal.decodeAll(spark, sf).collect().map(_.n_frames).sum
+    assert(frames.length == totalFrames) // everyK=1 keeps every frame
+    assert(frames.forall(_._2 >= 0))
+  }
+
   test("multimodal decode stub: deterministic, channel_mean in byte range") {
     val metas = Multimodal.decodeAll(spark, sf).collect()
     assert(metas.length == Tables.documents(spark, sf).count())
