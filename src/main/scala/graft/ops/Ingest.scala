@@ -62,9 +62,15 @@ object Ingest {
 
   /** Encode→decode→aggregate roundtrip query: volume per sender address.
     * Oracled against the same aggregate computed directly from the
-    * un-encoded columns in DuckDB. */
+    * un-encoded columns in DuckDB. The decode stage (regex re-check +
+    * big-integer parse per row) is spread across cores first — the
+    * fixture scan yields one row-group, and per-row decode cost far
+    * outweighs one small shuffle (at ingest scale the source arrives
+    * pre-partitioned and the repartition is a near-no-op). */
   def evmRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeTransfers(synthesizeLogs(spark, sfDir))
+    decodeTransfers(
+      synthesizeLogs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
       .groupBy(col("from_address"))
       .agg(count(lit(1)).as("n_transfers"),
            sum(col("value_cents")).cast("long").as("total_cents"))
