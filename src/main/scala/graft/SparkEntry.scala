@@ -76,10 +76,9 @@ object SparkEntry {
     "q95_readable_size"  -> (TextOps.readableSizes _),
   )
 
-  // Shared SQL fragments (must mirror ops/Fns.scala exactly).
-  private def dsum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
-  private def davg(c: String) =
-    s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($c) AS DOUBLE)"
+  // Shared SQL fragments — single source of truth with the DataFrame side.
+  private def dsum(c: String) = ops.Fns.dsumSql(c)
+  private def davg(c: String) = ops.Fns.davgSql(c)
 
   def oracleSql: Map[String, String] = Map(
     "q01_daily_rollup" ->

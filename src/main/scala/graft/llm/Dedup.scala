@@ -21,7 +21,6 @@ import graft.Tables
   */
 object Dedup {
 
-  private val toks = TextOps.toksExpr
 
   /** Exact duplicate groups by content hash (md5 of raw text).
     * One groupBy over a fingerprint — the canonical first dedup pass. */
