@@ -65,6 +65,11 @@ object SparkEntry {
     "q40_asof_join"      -> (AsOf.purchaseAttribution _),
     "q41_topk_per_group" -> (Windows.topDaysPerUser _),
     "q42_pivot_types"    -> (Windows.pivotEventTypes _),
+    "q43_cube_grains"    -> (Windows.cubeGrains _),
+    "q44_range_join"     -> (StarJoins.priceBandJoin _),
+    "q45_gap_fill"       -> (Windows.gapFillDaily _),
+    "q46_set_cohorts"    -> (Pivots.setCohorts _),
+    "q47_sessionize"     -> (Windows.sessionize _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -354,5 +359,64 @@ object SparkEntry {
          COUNT(*) FILTER (event_type = 'signup') AS signup,
          COUNT(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY day""",
+    "q43_cube_grains" ->
+      s"""SELECT COALESCE(event_type, 'ALL') AS event_type,
+          COALESCE(size_bucket, 'ALL') AS size_bucket, n, total_value
+          FROM (SELECT event_type,
+                       CASE WHEN value < 100 THEN 'small' ELSE 'large' END AS size_bucket,
+                       COUNT(*) AS n, ${dsum("value")} AS total_value
+                FROM events GROUP BY CUBE(1, 2))
+          ORDER BY event_type, size_bucket""",
+    "q44_range_join" ->
+      s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
+          FROM lineitem JOIN (VALUES
+            ('p0_under_10k', 0.0, 10000.0),
+            ('p1_10k_30k', 10000.0, 30000.0),
+            ('p2_30k_60k', 30000.0, 60000.0),
+            ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+          GROUP BY band ORDER BY band""",
+    "q45_gap_fill" ->
+      s"""WITH base AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   ${dsum("value")} AS total_value
+            FROM events WHERE user_id < 5 AND event_type = 'purchase'
+            GROUP BY 1, 2),
+          spine AS (
+            SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                   CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+            FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base)),
+          users AS (SELECT DISTINCT user_id FROM base)
+          SELECT u.user_id, s.day, COALESCE(b.n, 0) AS n,
+                 COALESCE(b.total_value, 0.0) AS total_value
+          FROM users u CROSS JOIN spine s
+          LEFT JOIN base b ON b.user_id = u.user_id AND b.day = s.day
+          ORDER BY u.user_id, s.day""",
+    "q46_set_cohorts" ->
+      """SELECT 'click_and_purchase' AS cohort, user_id FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT 'view_no_purchase', user_id FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+           EXCEPT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         ORDER BY cohort, user_id""",
+    "q47_sessionize" ->
+      s"""WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM g)
+          SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                 COUNT(*) AS n_events, ${dsum("value")} AS total_value
+          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
   )
 }

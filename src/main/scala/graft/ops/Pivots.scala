@@ -47,4 +47,23 @@ object Pivots {
       .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("total_value"))
       .orderBy("store")
   }
+
+  /** INTERSECT / EXCEPT cohorts (set ops beyond the reference's UNION
+    * ALL): users who both clicked and purchased, and users who viewed
+    * but never purchased. Each branch is a distinct projection of one
+    * column, so the set ops run over deduplicated key sets — Spark plans
+    * them as left-semi / left-anti aggregates on the hashed key, never
+    * materializing a cross product. */
+  def setCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def usersOf(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val both = usersOf("click").intersect(usersOf("purchase"))
+      .withColumn("cohort", lit("click_and_purchase"))
+    val viewOnly = usersOf("view").except(usersOf("purchase"))
+      .withColumn("cohort", lit("view_no_purchase"))
+    both.unionByName(viewOnly)
+      .select(col("cohort"), col("user_id"))
+      .orderBy("cohort", "user_id")
+  }
 }

@@ -82,6 +82,29 @@ object StarJoins {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Range (band) join: classify every lineitem price into an irregular
+    * price band by inequality join against a literal band table, then
+    * aggregate per band. Spark plans this as a BroadcastNestedLoopJoin —
+    * the right choice when one side is a handful of rows: every executor
+    * gets the 4-row band table and the fact side never shuffles. With a
+    * *large* range side this would degrade to cartesian work; the scale
+    * path is then a coarse equi-bucket key (floor(price/grain)) joined
+    * hash-style and refined by the range predicate. */
+  def priceBandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("p0_under_10k", 0.0, 10000.0),
+      ("p1_10k_30k", 10000.0, 30000.0),
+      ("p2_30k_60k", 30000.0, 60000.0),
+      ("p3_over_60k", 60000.0, 1e12)).toDF("band", "lo", "hi")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(bands),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("band")
+  }
+
   /** Geography rollup: supplier ⋈ nation ⋈ region — an all-broadcast
     * snowflake chain (two map-side joins, single tiny aggregate). */
   def supplierGeo(spark: SparkSession, sfDir: String): DataFrame = {

@@ -82,4 +82,68 @@ object Windows {
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("total_value"))
       .orderBy("day", "event_type")
+
+  /** All four grains of (event_type, size_bucket) with CUBE — the full
+    * grouping-set lattice in one pass. Like ROLLUP this is a single
+    * aggregate with grouping-set expansion: each input row feeds every
+    * grain's partial state map-side, so the shuffle carries rollup-sized
+    * data ×4 grains, never the raw table twice. */
+  def cubeGrains(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("size_bucket", when(col("value") < 100, "small").otherwise("large"))
+      .cube(col("event_type"), col("size_bucket"))
+      .agg(count(lit(1)).as("n"), Fns.dsum(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("size_bucket"), lit("ALL")).as("size_bucket"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "size_bucket")
+
+  /** Dense time-series gap fill: per-user daily purchase counts with
+    * missing days zero-filled from a generated day spine
+    * (`sequence` + `explode`). The spine and the user list are rollup-
+    * sized (days × users, not events), so both cross-join inputs are
+    * tiny and broadcast; the heavy table is touched once by the
+    * pre-aggregation. The left join's null slots become explicit zeros —
+    * the shape chart/forecast consumers need. */
+  def gapFillDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 5 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), Fns.dsum(col("value")).as("total_value"))
+    val spine = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val users = base.select(col("user_id")).distinct()
+    users.crossJoin(broadcast(spine))
+      .join(base, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+              coalesce(col("n"), lit(0L)).as("n"),
+              coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Per-user sessionization (30-minute inactivity gap): lag() marks
+    * session starts, a running sum numbers them, then one aggregate per
+    * (user, session). Batch twin of the streaming session window. Both
+    * window passes partition by user_id — high cardinality at scale, so
+    * per-partition state stays small and the two window operators plus
+    * the final aggregate reuse one hash-partitioning of user_id (a
+    * single shuffle). Ties on ts are broken by event_id so session
+    * assignment is deterministic across engines. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+             unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+           count(lit(1)).as("n_events"), Fns.dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
 }

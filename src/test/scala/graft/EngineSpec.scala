@@ -118,4 +118,64 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") &&
       (plan.contains("EqualTo(user_id,7)") || plan.contains("user_id")))
   }
+
+  test("CUBE grains: every grain re-aggregates to the grand total") {
+    val cube = Windows.cubeGrains(spark, sf).collect()
+    val grand = cube.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    val total = grand.head.getLong(2)
+    // each of the other three grain families partitions the same total
+    def grainSum(p: Row => Boolean) = cube.filter(p).map(_.getLong(2)).sum
+    assert(grainSum(r => r.getString(0) != "ALL" && r.getString(1) == "ALL") == total)
+    assert(grainSum(r => r.getString(0) == "ALL" && r.getString(1) != "ALL") == total)
+    assert(grainSum(r => r.getString(0) != "ALL" && r.getString(1) != "ALL") == total)
+  }
+
+  test("range join: bands partition lineitem and broadcast the band side") {
+    val out = StarJoins.priceBandJoin(spark, sf)
+    val banded = out.agg(sum($"n_lines")).head.getLong(0)
+    assert(banded == Tables.lineitem(spark, sf).count()) // bands cover + don't overlap
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("gap fill: spine is dense per user and zero rows are genuine gaps") {
+    val out = Windows.gapFillDaily(spark, sf).collect()
+    val users = out.map(_.getLong(0)).distinct.length
+    val days = out.map(_.getDate(1)).distinct.length
+    assert(out.length == users * days) // dense cross spine
+    assert(out.forall(r => r.getLong(2) > 0 || r.getDouble(3) == 0.0))
+  }
+
+  test("set cohorts: intersect and except are disjoint against purchasers") {
+    val ev = Tables.events(spark, sf)
+    val purchasers = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().as[Long].collect().toSet
+    val out = Pivots.setCohorts(spark, sf).collect()
+    out.foreach { r =>
+      val u = r.getLong(1)
+      if (r.getString(0) == "click_and_purchase") assert(purchasers.contains(u))
+      else assert(!purchasers.contains(u))
+    }
+  }
+
+  test("sessionize: session bounds nest and gaps between sessions exceed 30min") {
+    val sess = Windows.sessionize(spark, sf)
+      .select($"user_id", $"session_id", unix_micros($"start_ts").as("s"),
+              unix_micros($"end_ts").as("e"), $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    val gapUs = 1800L * 1000000L
+    sess.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, _, s, e, n) => assert(s <= e && n >= 1) }
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, e1, _), (_, _, s2, _, _)) => assert(s2 - e1 > gapUs)
+        case _ =>
+      }
+    }
+    // total events conserved
+    val n = Windows.sessionize(spark, sf).agg(sum($"n_events")).head.getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
 }
