@@ -70,6 +70,7 @@ object SparkEntry {
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
+    "q48_topk_native"    -> (Windows.topDaysPerUserNative _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -343,6 +344,17 @@ object SparkEntry {
          ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
     "q41_topk_per_group" ->
+      """SELECT user_id, day, day_value, rnk FROM (
+           SELECT user_id, day, day_value,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY day_value DESC, day) AS INT) AS rnk
+           FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+                 FROM events GROUP BY 1, 2))
+         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    // identical to q41: the native bounded-heap top-k operator must agree
+    // with the window-rank composition row-for-row (incl. tie-breaking)
+    "q48_topk_native" ->
       """SELECT user_id, day, day_value, rnk FROM (
            SELECT user_id, day, day_value,
                   CAST(row_number() OVER (PARTITION BY user_id

@@ -58,6 +58,20 @@ object Windows {
       .orderBy("user_id", "rnk")
   }
 
+  /** q41's plan, re-executed through the native bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]]): Exchange → one-pass heaps instead of
+    * Exchange → full Sort → Window → Filter. Same rows, same rank
+    * tie-breaking (day_value DESC, day ASC), no per-group sort of losers
+    * — the shape that survives a 100× scale-up of days-per-user. */
+  def topDaysPerUserNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("day_value"))
+    graft.plans.TopKPerGroup.topK(
+        daily, Seq("user_id"), Seq("day_value" -> false, "day" -> true), k = 3)
+      .orderBy("user_id", "rnk")
+  }
+
   /** Wide pivot: one column per event type (explicit value list — a
     * dynamic pivot would need an extra distinct pass and yields a
     * nondeterministic schema). */

@@ -154,6 +154,8 @@ object RollupRouting {
 /** `SparkSessionExtensions` hook:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => new RollupRouting.RuleImpl(session))
+    e.injectPlannerStrategy(_ => TopKPerGroup.Strategy)
+  }
 }

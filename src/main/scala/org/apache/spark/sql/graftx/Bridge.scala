@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftx
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge into Spark's `private[sql]` surface.
@@ -19,6 +20,13 @@ object Bridge {
 
   /** Unwrap a Column to its catalyst Expression (classic sessions). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic sessions) — the
+    * entry point for whole-operator extensions (custom node + strategy +
+    * physical exec, SURVEY §7.3 ladder rung (c)). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   /** Register a native expression as a temp SQL function. */
   def registerFunction(spark: SparkSession, name: String,
