@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
     "q48_topk_native"    -> (Windows.topDaysPerUserNative _),
+    "q49_grouping_sets"  -> (Windows.groupingSetsGrains _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -80,6 +81,8 @@ object SparkEntry {
     "q93_simhash"        -> (Dedup.simhashBuckets _),
     "q94_lsh_buckets"    -> (Similarity.lshBuckets _),
     "q95_readable_size"  -> (TextOps.readableSizes _),
+    "q96_stream_sessions" -> ((s, d) =>
+      graft.streaming.Live.streamingSessionize(s, s"$d/events.parquet")),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -363,6 +366,13 @@ object SparkEntry {
                         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                  FROM events GROUP BY 1, 2))
          WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "q49_grouping_sets" ->
+      s"""SELECT COALESCE(day, DATE '1900-01-01') AS day,
+          COALESCE(event_type, 'ALL') AS event_type, n, total_value
+          FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+                       ${dsum("value")} AS total_value
+                FROM events GROUP BY GROUPING SETS ((day), (event_type)))
+          ORDER BY day, event_type""",
     "q42_pivot_types" ->
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(*) FILTER (event_type = 'click') AS click,

@@ -48,13 +48,35 @@ object Pivots {
       .orderBy("store")
   }
 
-  /** INTERSECT / EXCEPT cohorts (set ops beyond the reference's UNION
-    * ALL): users who both clicked and purchased, and users who viewed
-    * but never purchased. Each branch is a distinct projection of one
-    * column, so the set ops run over deduplicated key sets — Spark plans
-    * them as left-semi / left-anti aggregates on the hashed key, never
-    * materializing a cross product. */
+  /** Set cohorts — INTERSECT/EXCEPT semantics (beyond the reference's
+    * UNION ALL): users who both clicked and purchased, and users who
+    * viewed but never purchased.
+    *
+    * Scale shape: the literal `intersect`/`except` composition (see
+    * [[setCohortsViaSetOps]]) cannot share work — Catalyst pushes each
+    * branch's `event_type =` filter below any shared distinct, so the
+    * fact table is scanned and shuffled once PER SET-OP INPUT (4× here).
+    * The equivalent one-pass form is a per-user boolean-flags aggregate:
+    * one scan, one shuffle on user_id, and both cohorts are filters over
+    * the same reused exchange. The spec asserts both forms agree. */
   def setCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    def saw(t: String) = max(when(col("event_type") === t, 1).otherwise(0))
+    val flags = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase", "view"))
+      .groupBy(col("user_id"))
+      .agg(saw("click").as("c"), saw("purchase").as("p"), saw("view").as("v"))
+    val both = flags.filter(col("c") === 1 && col("p") === 1)
+      .select(lit("click_and_purchase").as("cohort"), col("user_id"))
+    val viewOnly = flags.filter(col("v") === 1 && col("p") === 0)
+      .select(lit("view_no_purchase").as("cohort"), col("user_id"))
+    both.unionByName(viewOnly).orderBy("cohort", "user_id")
+  }
+
+  /** The same cohorts via Spark's native INTERSECT / EXCEPT (planned as
+    * left-semi / left-anti hash joins over distinct key sets — no cross
+    * product). Kept as the set-op capability demo; `setCohorts` is the
+    * shape to run at 100 TB. */
+  def setCohortsViaSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     def usersOf(t: String) =
       ev.filter(col("event_type") === t).select(col("user_id")).distinct()

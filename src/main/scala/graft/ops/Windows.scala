@@ -113,6 +113,25 @@ object Windows {
         col("n"), col("total_value"))
       .orderBy("event_type", "size_bucket")
 
+  /** Arbitrary grain list with GROUPING SETS — the general form of
+    * ROLLUP/CUBE: exactly the (day) and (event_type) marginals, no
+    * combined grain, one pass. Same single-aggregate expansion: each
+    * input row feeds both grains' partial states map-side. */
+  def groupingSetsGrains(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      // pre-project: set members must be EXACTLY the grouping columns
+      // (an alias mismatch silently yields all-NULL grouping output)
+      .withColumn("day", to_date(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("day")), Seq(col("event_type"))),
+        col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Fns.dsum(col("value")).as("total_value"))
+      .select(
+        coalesce(col("day"), lit("1900-01-01").cast("date")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+
   /** Dense time-series gap fill: per-user daily purchase counts with
     * missing days zero-filled from a generated day spine
     * (`sequence` + `explode`). The spine and the user list are rollup-

@@ -140,6 +140,96 @@ object Live {
     q.awaitTermination()
   }
 
+  // ——— custom streaming state: incremental sessionization ———
+
+  /** One maintained session: [start,end] micros, event count, exact
+    * decimal value sum (order-independent across merges). */
+  case class Sess(start_us: Long, end_us: Long, n: Long, v: BigDecimal)
+  case class SessState(version: Long, sessions: List[Sess])
+  case class SessUpdate(user_id: Long, version: Long, start_us: Long,
+                        end_us: Long, n_events: Long, total_value: BigDecimal)
+
+  /** T5 for non-decomposable state — incremental sessionization with
+    * `flatMapGroupsWithState` (the `KeyValueGroupedDataset` custom-state
+    * path): per user, the state is the session list; every micro-batch's
+    * events arrive as singleton [ts,ts] intervals and are gap-merged into
+    * it. Merging intervals (not points) makes the operator insensitive to
+    * how events split across micro-batches — a batch that bridges two
+    * previously-separate sessions collapses them, so out-of-order arrival
+    * ACROSS batches needs no watermark coordination. Each invocation
+    * re-emits the user's full session list stamped with a state version;
+    * readers keep the max version per user (the memory/update sink
+    * appends rather than upserts). State size is sessions-per-user —
+    * rollup-, not event-, sized at 100 TB; a production deployment would
+    * add an event-time timeout that expires users idle past the horizon. */
+  def sessionizeBatchFn(gapUs: Long)(
+      uid: Long, evs: Iterator[(Long, Long, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessUpdate] = {
+    val incoming = evs.map { case (_, ts, v) =>
+      Sess(ts, ts, 1L, BigDecimal(v))
+    }.toList
+    val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+    val merged = (prior ++ incoming).sortBy(s => (s.start_us, s.end_us))
+      .foldLeft(List.empty[Sess]) {
+        case (acc @ (cur :: rest), s) if s.start_us - cur.end_us <= gapUs =>
+          Sess(cur.start_us, math.max(cur.end_us, s.end_us), cur.n + s.n, cur.v + s.v) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    val version = state.getOption.map(_.version + 1).getOrElse(1L)
+    state.update(SessState(version, merged))
+    merged.iterator.map(s => SessUpdate(uid, version, s.start_us, s.end_us, s.n, s.v))
+  }
+
+  /** Drive incremental sessionization over a directory, one file per
+    * micro-batch, and return the final per-user session lists in the
+    * batch [[graft.ops.Windows.sessionize]] output shape. */
+  def streamingSessionize(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val rawSchema = spark.read.parquet(eventsDir).schema
+    // file-stream sources need a directory (single-file fixture → parent
+    // dir + glob, as in eventStream)
+    val f = new java.io.File(eventsDir)
+    val raw =
+      if (f.isDirectory)
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(eventsDir)
+      else
+        spark.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    val ev =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val updates = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        sessionizeBatchFn(1800L * 1000000L))
+    val name = "graft_stream_sessions"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = updates.toDF().writeStream.outputMode("update").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // keep each user's max-version rows (window, not a self-join — the
+    // memory-sink view cannot self-join: attribute dedup fails on it)
+    val all = spark.table(name)
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    all.withColumn("maxv", max(col("version")).over(wv))
+      .filter(col("version") === col("maxv"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"),
+              timestamp_micros(col("start_us")).as("start_ts"),
+              timestamp_micros(col("end_us")).as("end_ts"),
+              col("n_events"),
+              col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Multi-batch variant over an arbitrary events directory (e.g. the
     * month-partitioned lake): one file per trigger, so each partition
     * arrives as its own micro-batch and the rollup accumulates partial

@@ -157,6 +157,9 @@ class EngineSpec extends AnyFunSuite {
       if (r.getString(0) == "click_and_purchase") assert(purchasers.contains(u))
       else assert(!purchasers.contains(u))
     }
+    // the one-pass flags aggregate must equal the literal INTERSECT/EXCEPT
+    val viaSetOps = Pivots.setCohortsViaSetOps(spark, sf).collect()
+    assert(out.map(_.toSeq) sameElements viaSetOps.map(_.toSeq))
   }
 
   test("sessionize: session bounds nest and gaps between sessions exceed 30min") {

@@ -88,6 +88,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(complete.count() == total)
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch sessionize") {
+    // shuffled 4-file split → events arrive out of order across
+    // micro-batches; the interval-merge state must still converge
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake4").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(lake)
+    val streamed = Live.streamingSessionize(spark, lake)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+         r.getLong(4), math.round(r.getDouble(5) * 1e6))
+      }.toSet
+    val batch = graft.ops.Windows.sessionize(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+         r.getLong(4), math.round(r.getDouble(5) * 1e6))
+      }.toSet
+    assert(streamed == batch)
+  }
+
   test("P1: month-partition pruning reaches the file scan") {
     val lake = java.nio.file.Files.createTempDirectory("graft_lake2").toString
     Lifecycle.writePartitionedLake(spark, sf, lake)
