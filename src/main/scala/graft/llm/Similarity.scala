@@ -4,15 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expr.DotProduct
 
 /** Similarity search over the `embeddings` table (north-star, SURVEY
   * §7.5): brute-force cosine top-k as the exact baseline, and a
   * partition-pruned (IVF-style) variant as the scale path.
   *
-  * Cosine is computed with codegen'd higher-order functions
-  * (`zip_with` + sequential `aggregate` fold in double space) — no UDF,
-  * and the fold order is bit-identical to DuckDB's
-  * list_cosine_similarity on DOUBLE[], so the oracle matches exactly.
+  * Cosine is computed with the native codegen'd [[graft.expr.DotProduct]]
+  * expression — one fused loop per pair, no intermediate arrays, raw
+  * float vectors widened element-wise (so the doubles are bit-identical
+  * to DuckDB's list_cosine_similarity on CAST(embedding AS DOUBLE[]);
+  * the earlier `zip_with`+`aggregate` HOF fold computed the same values
+  * interpreted, with a products-array allocation per candidate pair).
   *
   * Scale design: the query set is broadcast (tiny) against the
   * candidate corpus, so the scan is embarrassingly parallel and the
@@ -24,20 +27,14 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Typed (id, label, double-vector, norm) frame. The norm is computed
-    * once per vector, not once per candidate pair — the higher-order
-    * fold is interpreted, so per-pair norm recomputation dominated the
-    * pairwise stages (the resulting doubles are identical: same fold,
-    * same order). */
+  /** Typed (id, label, float-vector, norm) frame. The norm is computed
+    * once per vector, not once per candidate pair. */
   private def withVec(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), col("label"),
-              expr("transform(embedding, x -> cast(x as double))").as(vecAs))
-      .withColumn(s"${vecAs}_norm",
-        sqrt(expr(s"aggregate(transform($vecAs, x -> x * x), 0D, (acc, x) -> acc + x)")))
+    df.select(col("vec_id").as(idAs), col("label"), col("embedding").as(vecAs))
+      .withColumn(s"${vecAs}_norm", sqrt(DotProduct(col(vecAs), col(vecAs))))
 
   private val cosine: org.apache.spark.sql.Column =
-    (expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (col("qe_norm") * col("ce_norm")))
+    DotProduct(col("qe"), col("ce")) / (col("qe_norm") * col("ce_norm"))
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -103,10 +100,8 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(emb)
     val assigned = model.transform(emb)
-      .select(col("vec_id"), col("prediction").as("cell"),
-              expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      .select(col("vec_id"), col("prediction").as("cell"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(DotProduct(col("e"), col("e"))))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cell"),
               col("e").as("qe"), col("nrm").as("qe_norm"))
@@ -129,17 +124,11 @@ object Similarity {
     val planes: Seq[Array[Double]] =
       Seq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
     val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val bit = (p: Array[Double], i: Int) => {
-      val planeCol = array(p.map(lit): _*)
-      when(expr(s"aggregate(zip_with(e, plane$i, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
-        lit(1 << i)).otherwise(lit(0))
-    }
-    val withPlanes = planes.zipWithIndex.foldLeft(emb) { case (df, (p, i)) =>
-      df.withColumn(s"plane$i", array(p.map(lit): _*))
-    }
-    val bucket = (0 until 8).map(i => bit(planes(i), i)).reduce(_ + _)
-    withPlanes.withColumn("bucket", bucket)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(DotProduct(col("e"), array(p.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")
   }

@@ -45,4 +45,44 @@ class ExprSpec extends AnyFunSuite {
     assert(got.isNullAt(4)) // uint256 max has 78 digits > DECIMAL(38)
     assert(got.isNullAt(5)) // invalid hex → null, not an exception
   }
+
+  test("graft_dot is bit-identical to the sequential HOF fold") {
+    import graft.expr.DotProduct
+    val df = Tables.embeddings(spark, TestSpark.sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = df
+      .withColumn("d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("hof",
+        expr("aggregate(zip_with(d, d, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("native", DotProduct(col("embedding"), col("embedding")))
+      .select("hof", "native").collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("graft_dot handles float x double, length mismatch, and nulls") {
+    import graft.expr.DotProduct
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Some(Array(2.0, 0.5, 1.0))),
+      (Array(1.0f, 2.0f, 3.0f), Some(Array(10.0))),
+      (Array(1.0f), None)
+    ).toDF("f", "d")
+    val got = DotProduct.register(spark) match { case _ =>
+      df.selectExpr("graft_dot(f, d) AS x").collect()
+    }
+    assert(got(0).getDouble(0) == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+    assert(got(1).getDouble(0) == 10.0) // shorter side bounds the loop
+    assert(got(2).isNullAt(0))
+  }
+
+  test("graft_dot runs inside whole-stage codegen") {
+    import graft.expr.DotProduct
+    val plan = Tables.embeddings(spark, TestSpark.sf)
+      .select(DotProduct(col("embedding"), col("embedding")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(")) // WholeStageCodegen span covers the project
+  }
 }
