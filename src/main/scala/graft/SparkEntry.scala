@@ -72,6 +72,8 @@ object SparkEntry {
     "q47_sessionize"     -> (Windows.sessionize _),
     "q48_topk_native"    -> (Windows.topDaysPerUserNative _),
     "q49_grouping_sets"  -> (Windows.groupingSetsGrains _),
+    "q50_token_bpe"      -> (TextOps.bpeTokenCounts _),
+    "q51_quality_signals" -> (TextOps.qualitySignals _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -373,6 +375,26 @@ object SparkEntry {
                        ${dsum("value")} AS total_value
                 FROM events GROUP BY GROUPING SETS ((day), (event_type)))
           ORDER BY day, event_type""",
+    "q50_token_bpe" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)', 1))) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+          ${davg("len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)', 1))")} AS avg_bpe
+          FROM documents GROUP BY 1 ORDER BY lang""",
+    "q51_quality_signals" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+          ${davg("punct_ratio")} AS avg_punct, ${davg("stop_ratio")} AS avg_stop
+          FROM (SELECT lang,
+                  CASE WHEN len(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(text, '([^A-Za-z0-9 ])', 1)) AS DOUBLE)
+                            / CAST(len(text) AS DOUBLE) END AS punct_ratio,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE) END AS stop_ratio
+                FROM (SELECT lang, text,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                      FROM documents))
+          GROUP BY 1 ORDER BY lang""",
     "q42_pivot_types" ->
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(*) FILTER (event_type = 'click') AS click,

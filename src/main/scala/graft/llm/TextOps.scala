@@ -61,6 +61,55 @@ object TextOps {
       .orderBy("quality")
   }
 
+  /** BPE-ish regex tokenization (the subword-tokenizer proxy a
+    * pretraining pipeline uses for budget counting): letter runs, digit
+    * runs, and punctuation runs are separate tokens — the
+    * dialect-neutral core of the GPT-2 pattern (no lookahead, so Java
+    * and RE2 agree). Compared against whitespace tokens per language. */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bpe",
+        expr("""regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)', 1)"""))
+      .withColumn("ws", expr(toksExpr))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("bpe"))).cast("long").as("bpe_tokens"),
+           sum(size(col("ws"))).cast("long").as("ws_tokens"),
+           davg(size(col("bpe")).cast("double")).as("avg_bpe"))
+      .orderBy("lang")
+
+  /** Quality signals: per-document punctuation ratio (non-alnum chars /
+    * chars) and stopword ratio (stopword tokens / tokens), averaged per
+    * language — the composite cheap-filter score of a pretraining
+    * pipeline. Typed mapPartitions after an explicit repartition, like
+    * [[qualityBuckets]]: interpreted HOFs would otherwise be pushed onto
+    * the (single-row-group) scan partition. */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = QualityStopwords
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, String)]
+      .mapPartitions(_.map { case (lang, t) =>
+        val isAln = (c: Char) =>
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '
+        val punct = if (t.isEmpty) 0.0 else t.count(c => !isAln(c)).toDouble / t.length.toDouble
+        val w = t.split(' ').filter(_.nonEmpty)
+        val sw = if (w.isEmpty) 0.0 else w.count(stop).toDouble / w.length.toDouble
+        (lang, punct, sw)
+      })
+      .toDF("lang", "punct_ratio", "stop_ratio")
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("punct_ratio")).as("avg_punct"),
+           davg(col("stop_ratio")).as("avg_stop"))
+      .orderBy("lang")
+  }
+
+  /** Stopword list shared with the oracle SQL (keep in sync). */
+  val QualityStopwords: Set[String] = Set("the", "a", "of", "and", "to", "in", "is")
+
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content hash (the rolling-hash role; md5 because
     * both engines implement it identically). */
