@@ -85,6 +85,7 @@ object SparkEntry {
     "q95_readable_size"  -> (TextOps.readableSizes _),
     "q96_stream_sessions" -> ((s, d) =>
       graft.streaming.Live.streamingSessionize(s, s"$d/events.parquet")),
+    "q97_len_quantiles_approx" -> (TextOps.lengthQuantilesApprox _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -135,6 +135,24 @@ object TextOps {
            count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** The 100 TB form of [[lengthQuantiles]]: `approx_percentile`
+    * (t-digest-style mergeable partial states — constant memory per
+    * group, one shuffle of sketches, never a per-group sort of values).
+    * Un-oracled: the sketch is not bit-comparable to DuckDB
+    * (SURVEY §5.3); the exact twin q39 is the correctness baseline and
+    * LlmSpec bounds the approximation against it. */
+  def lengthQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("q"),
+           count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+              col("q").getItem(0).cast("double").as("p50"),
+              col("q").getItem(1).cast("double").as("p90"),
+              col("q").getItem(2).cast("double").as("p99"),
+              col("n_docs"))
+      .orderBy("lang")
+
   /** Diagnostic rollup using the custom codegen'd Catalyst expression
     * [[graft.expr.FormatReadableSize]] (C7, `sql/monitoring.sql:24`
     * analog). Un-oracled: the formatter has no DuckDB twin. */

@@ -46,4 +46,35 @@ object Lifecycle {
   /** U2 complete view: archive ∪ live as one multi-path scan. */
   def completeView(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.parquet(dirs: _*)
+
+  /** Small-file compaction — the maintenance job every streaming sink
+    * needs (each micro-batch append leaves one small file; ClickHouse's
+    * background part-merge plays this role for the reference's MVs).
+    * Rewrites a parquet dir into ~`targetBytes` files sized from the
+    * actual on-disk footprint, preserving the clustering sort. Writes to
+    * a fresh dir then swaps, so readers never see a half-compacted
+    * table. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val root = new java.io.File(dir)
+    val before = parquetFiles(root)
+    val nOut = math.max(1, math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)
+    val df0 = spark.read.parquet(dir).coalesce(nOut)
+    val df = if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*) else df0
+    val tmp = dir.stripSuffix("/") + ".compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    val bak = dir.stripSuffix("/") + ".old"
+    java.nio.file.Files.move(root.toPath, new java.io.File(bak).toPath)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, root.toPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(bak))
+    (before.size, parquetFiles(root).size)
+  }
 }

@@ -81,6 +81,19 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall { case (q, _, n, s) => q != n && s >= -1.0001 && s <= 1.0001 })
   }
 
+  test("approx length quantiles track the exact percentiles") {
+    val exact = TextOps.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = TextOps.lengthQuantilesApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50e, p90e) = exact(r.getString(0))
+      // interpolation-free sketch returns an observed value near the rank
+      assert(math.abs(r.getDouble(1) - p50e) <= math.max(2.0, p50e * 0.05))
+      assert(math.abs(r.getDouble(2) - p90e) <= math.max(2.0, p90e * 0.05))
+    }
+  }
+
   test("multimodal resize/frame-sample stubs: bounds and shapes hold") {
     val resized = Multimodal.resizeAll(spark, sf, maxDim = 100).collect()
     assert(resized.nonEmpty)

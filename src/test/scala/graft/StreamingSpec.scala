@@ -107,6 +107,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("compaction merges small files losslessly and atomically swaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    Tables.events(spark, sf).repartition(8).write.parquet(dir)
+    val before = Tables.events(spark, sf)
+      .agg(count(lit(1)), sum($"event_id")).head()
+    val (nBefore, nAfter) = Lifecycle.compact(spark, dir, targetBytes = 1L << 30,
+      sortCols = Seq("user_id", "ts"))
+    assert(nBefore == 8 && nAfter == 1)
+    val after = spark.read.parquet(dir).agg(count(lit(1)), sum($"event_id")).head()
+    assert(before == after)
+  }
+
   test("P1: month-partition pruning reaches the file scan") {
     val lake = java.nio.file.Files.createTempDirectory("graft_lake2").toString
     Lifecycle.writePartitionedLake(spark, sf, lake)
