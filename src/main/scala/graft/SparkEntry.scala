@@ -86,6 +86,7 @@ object SparkEntry {
     "q96_stream_sessions" -> ((s, d) =>
       graft.streaming.Live.streamingSessionize(s, s"$d/events.parquet")),
     "q97_len_quantiles_approx" -> (TextOps.lengthQuantilesApprox _),
+    "q98_chunk_dedup"    -> (Dedup.chunkDedupStats _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -199,4 +199,77 @@ object Dedup {
       .groupBy(col("n_docs")).agg(count(lit(1)).as("n_hashes"))
       .orderBy("n_docs")
   }
+
+  // ——— content-defined chunking (rolling hash) ———
+
+  /** Karp–Rabin chunk boundaries: a degree-`win` polynomial rolling hash
+    * over chars (wrap-around Long arithmetic); a boundary falls where the
+    * window hash has `maskBits` trailing zero bits, subject to min/max
+    * chunk lengths. Returns end offsets; the last chunk always ends at
+    * `text.length`. Boundaries depend only on the local `win` chars —
+    * the shift-invariance that makes chunk hashes survive prefix edits
+    * (rsync/CDC-style dedup), which whole-document hashing cannot. */
+  def chunkEnds(text: String, win: Int = 16, maskBits: Int = 6,
+                minLen: Int = 32, maxLen: Int = 512): Seq[Int] = {
+    val B = 1000003L
+    val bw = { var p = 1L; var i = 0; while (i < win) { p *= B; i += 1 }; p }
+    val mask = (1L << maskBits) - 1
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      h = h * B + text.charAt(i).toLong
+      if (i >= win) h -= text.charAt(i - win).toLong * bw
+      val len = i - start + 1
+      if ((i >= win - 1 && (h & mask) == 0 && len >= minLen) || len >= maxLen) {
+        ends += i + 1; start = i + 1
+      }
+      i += 1
+    }
+    if (start < text.length || text.isEmpty) ends += text.length
+    ends.toSeq
+  }
+
+  /** Per-document content-defined chunks: (doc_id, chunk_idx, chunk_len,
+    * chunk md5). Typed mapPartitions (per-doc char loop), repartitioned
+    * first so the scan's single row-group doesn't serialize the corpus
+    * onto one core. */
+  def contentChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          var from = 0
+          chunkEnds(t).zipWithIndex.map { case (end, idx) =>
+            val chunk = t.substring(from, end)
+            from = end
+            val hex = md.digest(chunk.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, idx, chunk.length, hex)
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+  }
+
+  /** Chunk-level dedup rollup: how many chunks are shared by how many
+    * documents — the rolling-hash fingerprint view of corpus redundancy
+    * (near-identical docs share all but their edited chunks). Shuffle
+    * carries (16-byte hash, id), never text. Un-oracled: the rolling
+    * boundary function has no SQL twin (spec covers reassembly and
+    * shift-invariance). */
+  def chunkDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    contentChunks(spark, sfDir)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"))
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("n_occurrences")).as("total_occurrences"))
+      .orderBy("n_docs")
 }

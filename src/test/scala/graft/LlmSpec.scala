@@ -81,6 +81,27 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall { case (q, _, n, s) => q != n && s >= -1.0001 && s <= 1.0001 })
   }
 
+  test("content-defined chunks reassemble and survive prefix edits") {
+    // reassembly over the corpus: per-doc chunk lengths sum to n_chars
+    val lens = Dedup.contentChunks(spark, sf)
+      .groupBy($"doc_id").agg(sum($"chunk_len").as("n"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val mismatch = lens.join(docs, "doc_id").filter($"n" =!= $"n_chars").count()
+    assert(mismatch == 0)
+    // shift-invariance: prefixing a doc leaves the tail chunks identical
+    val text = Tables.documents(spark, sf).select($"text")
+      .filter(length($"text") > 400).head().getString(0)
+    def chunks(t: String): Seq[String] = {
+      var from = 0
+      Dedup.chunkEnds(t).map { e => val c = t.substring(from, e); from = e; c }
+    }
+    val orig = chunks(text).toSet
+    val edited = chunks("EDITED PREFIX >>> " + text)
+    val shared = edited.count(orig.contains)
+    assert(shared >= edited.length - 3,
+      s"only $shared/${edited.length} chunks survived the prefix edit")
+  }
+
   test("approx length quantiles track the exact percentiles") {
     val exact = TextOps.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
