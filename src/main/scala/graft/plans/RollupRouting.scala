@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.DateType
   *  - grouping keys ⊆ {to_date(ts) → day, user_id} (any subset: coarser
   *    grains re-aggregate losslessly)
   *  - aggregates ∈ { SUM(value-with-casts) → SUM(v_partial),
-  *                   COUNT(*)/COUNT(lit)   → SUM(c_partial) }
+  *                   COUNT(*)/COUNT(lit)   → SUM(c_partial),
+  *                   MIN(value) → MIN(mn_partial),
+  *                   MAX(value) → MAX(mx_partial) }
+  *    (AVG is deliberately absent: decimal-partial division is not
+  *    bit-identical to a raw double average — rewrite only the lossless)
   *
   * Anything else — other columns, other aggregates, filters below the
   * aggregate — leaves the plan untouched. Output attribute ids are
@@ -105,6 +109,10 @@ object RollupRouting {
           case (Some(d), Some(u), Some(v), Some(c)) => (d, u, v, c)
           case _ => return None
         }
+      // optional min/max partials (older rollups may predate them; a
+      // Min/Max left unmapped then fails the references check below)
+      val mnPart = attr("mn_partial")
+      val mxPart = attr("mx_partial")
 
       val child = agg.child
       def keyOfResolved(e: Expression): Option[String] =
@@ -128,16 +136,24 @@ object RollupRouting {
           }
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
+          def isValueRef(se: Expression): Boolean = {
+            val r = resolveThroughProjects(stripCasts(se), child)
+            r.isInstanceOf[AttributeReference] &&
+              r.asInstanceOf[AttributeReference].name == "value"
+          }
           val rewritten = ne.transformUp {
             case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
-                if resolveThroughProjects(stripCasts(se), child)
-                     .isInstanceOf[AttributeReference] &&
-                   resolveThroughProjects(stripCasts(se), child)
-                     .asInstanceOf[AttributeReference].name == "value" =>
+                if isValueRef(se) =>
               ae.copy(aggregateFunction = Sum(vPart))
             case ae @ AggregateExpression(Count(children), _, false, None, _)
                 if children.forall(_.isInstanceOf[Literal]) =>
               ae.copy(aggregateFunction = Sum(cPart))
+            case ae @ AggregateExpression(Min(se), _, false, None, _)
+                if mnPart.isDefined && isValueRef(se) =>
+              ae.copy(aggregateFunction = Min(mnPart.get))
+            case ae @ AggregateExpression(Max(se), _, false, None, _)
+                if mxPart.isDefined && isValueRef(se) =>
+              ae.copy(aggregateFunction = Max(mxPart.get))
           }.asInstanceOf[NamedExpression]
           // bail if any raw-table reference survived (unknown aggregate)
           if (!rewritten.references.subsetOf(AttributeSet(rollup.output))) ok = false

@@ -82,7 +82,10 @@ object Live {
     batch
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))
       .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
-           count(lit(1)).as("c_partial"))
+           count(lit(1)).as("c_partial"),
+           // min/max partials re-aggregate losslessly too (A4 routing)
+           min(col("value")).as("mn_partial"),
+           max(col("value")).as("mx_partial"))
       .write.mode("append").parquet(rollupDir)
 
   /** T5 read side / A6: merge partial states at query time — the

@@ -46,6 +46,20 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max route through the rollup's min/max partials") {
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(min($"value").as("mn"), max($"value").as("mx"),
+           count(lit(1)).as("c"))
+      .orderBy("day")
+    val plain = q().collect().toSeq
+    withRouting {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("rollup"))
+      assert(routed.collect().toSeq == plain)
+    }
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
@@ -53,10 +67,11 @@ class RollupRoutingSpec extends AnyFunSuite {
         .filter($"event_type" === "purchase")
         .groupBy(to_date($"ts").as("day")).agg(sum($"value"))
       assert(!filtered.queryExecution.executedPlan.toString.contains("rollup"))
-      // unsupported aggregate (max) → must scan raw
-      val maxq = Tables.events(spark, sf)
-        .groupBy(to_date($"ts").as("day")).agg(max($"value"))
-      assert(!maxq.queryExecution.executedPlan.toString.contains("rollup"))
+      // unsupported aggregate (avg: not losslessly decomposable from
+      // decimal partials) → must scan raw
+      val avgq = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day")).agg(avg($"value"))
+      assert(!avgq.queryExecution.executedPlan.toString.contains("rollup"))
       // unsupported grouping column → must scan raw
       val byType = Tables.events(spark, sf)
         .groupBy($"event_type").agg(count(lit(1)))
