@@ -77,6 +77,7 @@ object SparkEntry {
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
+    "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     // — un-oracled scale-path variants (no DuckDB hash twin) —
     "q91_minhash_bands"  -> (Dedup.minhashBands _),
     "q92_minhash_pairs"  -> (Dedup.minhashPairs _),
@@ -397,6 +398,14 @@ object SparkEntry {
                              list_filter(string_split(text, ' '), x -> x <> '') AS toks
                       FROM documents))
           GROUP BY 1 ORDER BY lang""",
+    // stream-stream interval join must equal the batch interval join
+    "q52_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+         FROM events p JOIN events v
+         ON v.user_id = p.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         ORDER BY p_id, v_id""",
     "q42_pivot_types" ->
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(*) FILTER (event_type = 'click') AS click,

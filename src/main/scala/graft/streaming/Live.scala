@@ -143,6 +143,36 @@ object Live {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval self-join (T-class beyond the reference):
+    * purchases attributed to the views that preceded them by ≤30min,
+    * per user. Both sides carry watermarks, so at scale the join state
+    * retains only the interval's worth of views per user — Spark drops
+    * rows older than watermark − 30min; an unwatermarked stream join
+    * would grow state forever. Inner join in append mode emits each
+    * match exactly once. Drained with availableNow, the emitted pairs
+    * equal the batch interval join bit-for-bit (the DuckDB oracle). */
+  def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventStream(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      expr("""user_id = v_user AND
+              v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+      .select(col("user_id"), col("p_id"), col("v_id"))
+    val name = "graft_stream_join"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("p_id", "v_id")
+  }
+
   // ——— custom streaming state: incremental sessionization ———
 
   /** One maintained session: [start,end] micros, event count, exact

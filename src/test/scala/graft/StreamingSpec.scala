@@ -107,6 +107,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch join on one drain") {
+    val streamed = Live.streamingAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+      .join(ev.filter($"event_type" === "view")
+              .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id")),
+            expr("user_id = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+      .select($"user_id", $"p_id", $"v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    // exactly-once: no duplicate emissions; completeness on a single drain
+    assert(streamed.distinct.length == streamed.length)
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("compaction merges small files losslessly and atomically swaps") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
     Tables.events(spark, sf).repartition(8).write.parquet(dir)
