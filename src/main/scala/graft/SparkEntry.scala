@@ -67,6 +67,7 @@ object SparkEntry {
     "q42_pivot_types"    -> (Windows.pivotEventTypes _),
     "q43_cube_grains"    -> (Windows.cubeGrains _),
     "q44_range_join"     -> (StarJoins.priceBandJoin _),
+    "q53_range_bucketed" -> (StarJoins.priceBandJoinBucketed _),
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
@@ -423,6 +424,16 @@ object SparkEntry {
                 FROM events GROUP BY CUBE(1, 2))
           ORDER BY event_type, size_bucket""",
     "q44_range_join" ->
+      s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
+          FROM lineitem JOIN (VALUES
+            ('p0_under_10k', 0.0, 10000.0),
+            ('p1_10k_30k', 10000.0, 30000.0),
+            ('p2_30k_60k', 30000.0, 60000.0),
+            ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+          GROUP BY band ORDER BY band""",
+    // identical to q44: bucket+refine must be a lossless re-plan
+    "q53_range_bucketed" ->
       s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
           FROM lineitem JOIN (VALUES
             ('p0_under_10k', 0.0, 10000.0),

@@ -105,6 +105,41 @@ object StarJoins {
       .orderBy("band")
   }
 
+  /** The 100 TB form of [[priceBandJoin]]: quantize both sides to coarse
+    * buckets so the inequality join becomes a broadcast EQUI-join plus a
+    * residual filter. A pure inequality join plans as
+    * BroadcastNestedLoopJoin — every fact row tests every band, and a
+    * non-broadcastable band side would force a cartesian. Here each band
+    * explodes into the buckets it overlaps (clamped to the observed
+    * domain max, so open-ended bands stay finite) and each fact row
+    * computes one bucket key; the hash join probes exactly the
+    * overlapping bands and the `[lo,hi)` filter refines. Same oracle as
+    * q44. */
+  def priceBandJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val step = 5000.0
+    val bands = Seq(
+      ("p0_under_10k", 0.0, 10000.0),
+      ("p1_10k_30k", 10000.0, 30000.0),
+      ("p2_30k_60k", 30000.0, 60000.0),
+      ("p3_over_60k", 60000.0, 1e12)).toDF("band", "lo", "hi")
+    val li = Tables.lineitem(spark, sfDir)
+    // eager one-row "index build": clamp open-ended bands to the observed
+    // domain before exploding buckets (keeps the query plan equi-only)
+    val mx = li.agg(max(col("l_extendedprice"))).head.getDouble(0)
+    val bandBuckets = bands
+      .withColumn("hi_c", least(col("hi"), lit(mx + step)))
+      .select(col("band"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / step).cast("long"),
+                         floor(col("hi_c") / step).cast("long"))).as("bucket"))
+    li.withColumn("bucket", floor(col("l_extendedprice") / step).cast("long"))
+      .join(broadcast(bandBuckets), Seq("bucket"))
+      .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("band")
+  }
+
   /** Geography rollup: supplier ⋈ nation ⋈ region — an all-broadcast
     * snowflake chain (two map-side joins, single tiny aggregate). */
   def supplierGeo(spark: SparkSession, sfDir: String): DataFrame = {

@@ -139,6 +139,15 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed range join equi-plans and equals the inequality join") {
+    val nlj = StarJoins.priceBandJoin(spark, sf)
+    val bucketed = StarJoins.priceBandJoinBucketed(spark, sf)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected equi-join in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"unexpected NLJ in:\n$plan")
+    assert(nlj.collect().toSeq == bucketed.collect().toSeq)
+  }
+
   test("gap fill: spine is dense per user and zero rows are genuine gaps") {
     val out = Windows.gapFillDaily(spark, sf).collect()
     val users = out.map(_.getLong(0)).distinct.length
