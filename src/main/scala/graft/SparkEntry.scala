@@ -68,6 +68,7 @@ object SparkEntry {
     "q43_cube_grains"    -> (Windows.cubeGrains _),
     "q44_range_join"     -> (StarJoins.priceBandJoin _),
     "q53_range_bucketed" -> (StarJoins.priceBandJoinBucketed _),
+    "q54_promo_revenue"  -> (StarJoins.promoRevenue _),
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
@@ -432,6 +433,19 @@ object SparkEntry {
             ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
           GROUP BY band ORDER BY band""",
+    "q54_promo_revenue" ->
+      """SELECT p_brand,
+         CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1.0 - l_discount)
+                       ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS promo_rev,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_rev,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1.0 - l_discount)
+                       ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
     // identical to q44: bucket+refine must be a lossless re-plan
     "q53_range_bucketed" ->
       s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price

@@ -105,6 +105,27 @@ object StarJoins {
       .orderBy("band")
   }
 
+  /** TPC-H Q14-style promo-revenue ratio: lineitem ⋈ part on partkey,
+    * conditional revenue share per brand. Unlike the tiny dims, `part`
+    * grows with the catalog — at 100 TB this is the shuffle-join case
+    * (both sides hash-partition on partkey; AQE picks SMJ/SHJ by size),
+    * whereas the fixture-sized part still broadcasts. The conditional
+    * aggregate (sum FILTER-style promo revenue over total) is the
+    * map-side-decomposable way to compute a ratio — never two scans. */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("p_brand"))
+      .agg(dsum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+             .as("promo_rev"),
+           dsum(col("rev")).as("total_rev"),
+           count(lit(1)).as("n_lines"))
+      .withColumn("promo_share", col("promo_rev") / col("total_rev"))
+      .orderBy("p_brand")
+  }
+
   /** The 100 TB form of [[priceBandJoin]]: quantize both sides to coarse
     * buckets so the inequality join becomes a broadcast EQUI-join plus a
     * residual filter. A pure inequality join plans as
