@@ -69,6 +69,7 @@ object SparkEntry {
     "q44_range_join"     -> (StarJoins.priceBandJoin _),
     "q53_range_bucketed" -> (StarJoins.priceBandJoinBucketed _),
     "q54_promo_revenue"  -> (StarJoins.promoRevenue _),
+    "q55_props_json"     -> (Rollups.propsJson _),
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
@@ -433,6 +434,11 @@ object SparkEntry {
             ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
           GROUP BY band ORDER BY band""",
+    "q55_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY 1 ORDER BY k_mod""",
     "q54_promo_revenue" ->
       """SELECT p_brand,
          CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'

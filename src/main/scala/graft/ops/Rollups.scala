@@ -144,4 +144,15 @@ object Rollups {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"))
       .orderBy("k_mod")
+
+  /** The JSON-native twin of [[propsExtract]]: `get_json_object` path
+    * extraction instead of a regex (what a semi-structured props column
+    * needs once values stop being flat integers). Same rollup, oracled
+    * against DuckDB's json_extract_string. */
+  def propsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"))
+      .orderBy("k_mod")
 }
