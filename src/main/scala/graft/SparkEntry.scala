@@ -81,6 +81,7 @@ object SparkEntry {
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
+    "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
     // — un-oracled scale-path variants (no DuckDB hash twin) —
     "q91_minhash_bands"  -> (Dedup.minhashBands _),
     "q92_minhash_pairs"  -> (Dedup.minhashPairs _),
@@ -434,6 +435,10 @@ object SparkEntry {
             ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
           GROUP BY band ORDER BY band""",
+    // transformWithState running totals must equal the batch rollup
+    "q56_stateful_totals" ->
+      s"""SELECT user_id, COUNT(*) AS tx_count, ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY user_id""",
     "q55_props_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
          COUNT(*) AS n,

@@ -22,18 +22,19 @@ object Live {
 
   /** Raw → canonical stream: schema from a batch probe (file streams
     * need an explicit schema), nanos→µs conversion as in Tables. */
-  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private def eventStream(spark: SparkSession, sfDir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     // file-stream sources require a directory: if events.parquet is itself
     // a directory of part files, stream it directly; if it is a single
     // file (the driver fixtures), stream its parent with a glob filter
+    val reader0 = spark.readStream.schema(rawSchema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
     val raw =
-      if (new java.io.File(path).isDirectory)
-        spark.readStream.schema(rawSchema).parquet(path)
-      else
-        spark.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
@@ -261,6 +262,69 @@ object Live {
               col("n_events"),
               col("total_value").cast("double").as("total_value"))
       .orderBy("user_id", "session_id")
+  }
+
+  // ——— transformWithState (state API v2) ———
+
+  /** Per-user running (count, exact-decimal sum) with the Spark 4
+    * `transformWithState` API: explicit named ValueState, RocksDB-backed
+    * — the successor to flatMapGroupsWithState with typed state handles,
+    * TTL, and timers. Values are rounded to DECIMAL(38,6) per row before
+    * the exact decimal accumulation, so the emitted totals are
+    * bit-identical to the batch `dsum` rollup (and its DuckDB oracle)
+    * regardless of arrival order. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, BigDecimal)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, BigDecimal)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (c, s) = if (totals.exists()) totals.get() else (0L, BigDecimal(0))
+      rows.foreach { case (_, v) =>
+        c += 1
+        s += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      totals.update((c, s))
+      Iterator.single((user, c, s.toDouble))
+    }
+  }
+
+  /** Drive [[RunningTotalsProcessor]] over the events fixture and return
+    * per-user totals in the batch-rollup shape (q56's oracle is the
+    * plain GROUP BY user_id). */
+  def statefulUserTotals(spark: SparkSession, sfDir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventStream(spark, sfDir, maxFilesPerTrigger)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val name = "graft_stateful_totals"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val q = updates.toDF("user_id", "tx_count", "total_value")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // single-drain source → one (final) update row per user
+      spark.table(name).orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Multi-batch variant over an arbitrary events directory (e.g. the

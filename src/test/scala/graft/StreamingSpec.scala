@@ -124,6 +124,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet)
   }
 
+  test("transformWithState totals accumulate across micro-batches") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake5").toString
+    Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(s"$lake/events.parquet")
+    val updates = Live.statefulUserTotals(spark, lake, maxFilesPerTrigger = Some(1))
+    // several update rows per user (one per touching batch); the final
+    // one (max count) must equal the batch rollup exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tx_count".desc)
+    val finals = updates.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("c"), graft.ops.Fns.dsum($"value").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(finals == batch)
+  }
+
   test("compaction merges small files losslessly and atomically swaps") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
     Tables.events(spark, sf).repartition(8).write.parquet(dir)
