@@ -334,7 +334,8 @@ object Live {
     * reference's per-insert-block MV triggers (`sql/analytics.sql`,
     * one partial-state block per replicated insert). */
   def maintainDailyRollupPerFile(spark: SparkSession, eventsDir: String,
-                                 rollupDir: String): Int = {
+                                 rollupDir: String,
+                                 checkpointDir: Option[String] = None): Int = {
     val rawSchema = spark.read.parquet(eventsDir).schema
     val raw = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(eventsDir)
@@ -343,7 +344,10 @@ object Live {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
     var batches = 0
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // a persistent checkpoint makes re-runs resume (exactly-once source
+    // accounting survives restarts); the default stays run-scoped
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     val q = ev.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches += 1

@@ -124,6 +124,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet)
   }
 
+  test("checkpoint restart resumes exactly-once: no double-counted files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val (lake, rollup, ckpt) = (s"$root/lake", s"$root/rollup", s"$root/ckpt")
+    val ev = Tables.events(spark, sf)
+    // first run: one file
+    ev.filter($"user_id" < 8).coalesce(1).write.parquet(lake)
+    Live.maintainDailyRollupPerFile(spark, lake, rollup, Some(ckpt))
+    // restart on the same checkpoint after a second file lands: only the
+    // new file may be processed
+    ev.filter($"user_id" >= 8).coalesce(1)
+      .write.mode("append").parquet(lake)
+    Live.maintainDailyRollupPerFile(spark, lake, rollup, Some(ckpt))
+    val merged = Live.readDailyRollup(spark, rollup)
+      .agg(sum($"tx_count")).head.getLong(0)
+    assert(merged == ev.count(), "restart must not reprocess the first file")
+  }
+
   test("transformWithState totals accumulate across micro-batches") {
     val lake = java.nio.file.Files.createTempDirectory("graft_lake5").toString
     Tables.events(spark, sf).repartition(3)
