@@ -28,6 +28,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromCsv.except(ev).isEmpty && ev.except(fromCsv).isEmpty)
   }
 
+  test("ORC roundtrip preserves the full events table and pushes filters") {
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    ev.write.mode("overwrite").orc(s"$dir/ev_orc")
+    val fromOrc = spark.read.orc(s"$dir/ev_orc")
+    assert(fromOrc.except(ev).isEmpty && ev.except(fromOrc).isEmpty)
+    // the columnar reader keeps pushdown + pruning, same as parquet
+    val plan = fromOrc.filter($"user_id" === 3).select($"event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)"))
+  }
+
   test("sliding windows: each event lands in windowMinutes/slideMinutes windows") {
     val n = Tables.events(spark, sf).count()
     val windowed = Tables.events(spark, sf)
