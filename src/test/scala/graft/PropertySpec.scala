@@ -77,4 +77,26 @@ class PropertySpec extends AnyFunSuite {
       assert(bucketed.agg(sum($"count")).head.getLong(0) == xs.length)
     }
   }
+
+  test("property: native top-k equals window rank for arbitrary data") {
+    val rows = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 6L),                    // few groups → deep groups
+              Gen.chooseNum(-1e4, 1e4).map(v => math.rint(v * 100) / 100),
+              Gen.chooseNum(0, 9)))                     // narrow tiebreak domain
+    for ((xs, k) <- samples(Gen.zip(rows, Gen.chooseNum(1, 6)), 6) if xs.nonEmpty) {
+      val df = xs.toDF("g", "v", "t")
+      val native = graft.plans.TopKPerGroup
+        .topK(df, Seq("g"), Seq("v" -> false, "t" -> true, "g" -> true), k)
+        .orderBy("g", "rnk").collect().map(_.toSeq)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc, $"t", $"g")
+      val expected = df.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= k).orderBy("g", "rnk").collect().map(_.toSeq)
+      // ties among (v, t) within a group make rank assignment ambiguous;
+      // compare the sorted key-multisets instead of row identity
+      def keyOf(r: Seq[Any]) = s"${r(0)}|${r(1)}|${r(2)}"
+      assert(native.map(keyOf).sorted.toSeq == expected.map(keyOf).sorted.toSeq,
+        s"k=$k")
+    }
+  }
 }
