@@ -92,6 +92,7 @@ object SparkEntry {
       graft.streaming.Live.streamingSessionize(s, s"$d/events.parquet")),
     "q97_len_quantiles_approx" -> (TextOps.lengthQuantilesApprox _),
     "q98_chunk_dedup"    -> (Dedup.chunkDedupStats _),
+    "q99_langid_ngram"   -> (TextOps.langIdNgram _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

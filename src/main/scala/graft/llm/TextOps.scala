@@ -153,6 +153,54 @@ object TextOps {
               col("n_docs"))
       .orderBy("lang")
 
+  /** Language-ID by character-trigram profiles — the real n-gram
+    * approach (q26's marker words are its word-level collapse): build
+    * top-200 trigram profiles per language from the even-doc_id half,
+    * classify the odd-doc_id holdout by profile-hit argmax, and emit the
+    * confusion matrix. Scale shape: profiles are a few KB (langs × 200)
+    * and broadcast; trigram extraction is the typed mapPartitions path;
+    * the per-doc argmax is a window over doc_id — high cardinality, tiny
+    * state. Docs with zero profile hits drop from the matrix (inner
+    * join) — at 100 TB those route to a fallback classifier. Un-oracled
+    * (profile ranking has no SQL twin). NB the driver fixture's lang
+    * labels share one synthetic vocabulary, so its matrix shows chance
+    * by construction; LlmSpec proves the classifier on a planted
+    * separable corpus instead. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
+    langIdNgramOver(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+
+  /** Core of [[langIdNgram]] over any (doc_id, lang, text) frame. */
+  def langIdNgramOver(spark: SparkSession, docsIn: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn
+    def trigrams(set: DataFrame): DataFrame = set
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, t) =>
+        val s = t.toLowerCase
+        (0 to s.length - 3).iterator.map(i => (id, lang, s.substring(i, i + 3)))
+      }).toDF("doc_id", "lang", "tg")
+    val train = trigrams(docs.filter(col("doc_id") % 2 === 0))
+    val test = trigrams(docs.filter(col("doc_id") % 2 === 1))
+    val profiles = train.groupBy(col("lang").as("cand"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cand")).orderBy(col("cnt").desc, col("tg"))))
+      .filter(col("rnk") <= 200)
+      .select(col("cand"), col("tg"))
+    val scores = test.join(broadcast(profiles), Seq("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(count(lit(1)).as("hits"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand"))
+    scores.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Diagnostic rollup using the custom codegen'd Catalyst expression
     * [[graft.expr.FormatReadableSize]] (C7, `sql/monitoring.sql:24`
     * analog). Un-oracled: the formatter has no DuckDB twin. */

@@ -102,6 +102,32 @@ class LlmSpec extends AnyFunSuite {
       s"only $shared/${edited.length} chunks survived the prefix edit")
   }
 
+  test("trigram language-ID separates a planted multilingual corpus") {
+    // distinct char distributions per lang (the fixture's lang labels
+    // share one vocabulary, so separability must be planted)
+    val rnd = new scala.util.Random(7)
+    val vocab = Map(
+      "aa" -> Seq("alpha", "apple", "arrow", "altar"),
+      "bb" -> Seq("bubble", "bobbin", "byte", "brook"),
+      "cc" -> Seq("cycle", "citric", "cactus", "click"))
+    val rows = (0L until 120L).map { id =>
+      val lang = Seq("aa", "bb", "cc")((id % 3).toInt)
+      val words = Seq.fill(30)(vocab(lang)(rnd.nextInt(4)))
+      (id, lang, words.mkString(" "))
+    }
+    val planted = rows.toDF("doc_id", "lang", "text")
+    val cm = TextOps.langIdNgramOver(spark, planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = cm.map(_._3).sum
+    val correct = cm.filter(r => r._1 == r._2).map(_._3).sum
+    assert(total >= 50)
+    val acc = correct.toDouble / total
+    info(f"holdout accuracy $acc%.2f over $total docs")
+    assert(acc > 0.9, f"accuracy $acc%.2f")
+    // and the fixture matrix is produced (diagnostic; chance-level there)
+    assert(TextOps.langIdNgram(spark, sf).count() > 0)
+  }
+
   test("approx length quantiles track the exact percentiles") {
     val exact = TextOps.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
