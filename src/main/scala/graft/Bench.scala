@@ -30,7 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // informational split: streaming queries carry constant microbatch +
+    // state-store machinery that a continuous deployment amortizes
+    val streaming = Set("q32_stream_daily", "q52_stream_join",
+                        "q56_stateful_totals", "q96_stream_sessions")
+    val batchTotal = results.collect {
+      case (k, v) if !streaming.contains(k) => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","batch_value":$batchTotal,"n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -179,7 +179,9 @@ object TextOps {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, lang, t) =>
-        val s = t.toLowerCase
+        // a 400-char prefix carries the distributional signal; capping
+        // bounds the explode factor and de-skews long documents
+        val s = t.toLowerCase.take(400)
         (0 to s.length - 3).iterator.map(i => (id, lang, s.substring(i, i + 3)))
       }).toDF("doc_id", "lang", "tg")
     val train = trigrams(docs.filter(col("doc_id") % 2 === 0))

@@ -20,6 +20,18 @@ import graft.ops.Fns._
   */
 object Live {
 
+  /** Run `f` with the state/shuffle partition count pinned low for a
+    * bounded drain. Stateful operators create one state store per
+    * shuffle partition and the count is frozen into the checkpoint — in
+    * production you size it to peak key cardinality up front; for the
+    * fixture-scale drains 8 stores beat 32 empty ones. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Raw → canonical stream: schema from a batch probe (file streams
     * need an explicit schema), nanos→µs conversion as in Tables. */
   private def eventStream(spark: SparkSession, sfDir: String,
@@ -45,16 +57,18 @@ object Live {
     * keyspace is day×user, bounded). Must equal the batch rollup
     * bit-for-bit, so it shares q01's oracle. */
   def streamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventStream(spark, sfDir)
-      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
-      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
-    val name = "graft_stream_daily"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).orderBy("day", "user_id")
+    withStatePartitions(spark, 8) {
+      val agg = eventStream(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
+      val name = "graft_stream_daily"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_daily").orderBy("day", "user_id")
   }
 
   /** T3/S9: streaming dedup within a watermark — the
@@ -167,10 +181,12 @@ object Live {
       .select(col("user_id"), col("p_id"), col("v_id"))
     val name = "graft_stream_join"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("p_id", "v_id")
   }
 
@@ -243,10 +259,12 @@ object Live {
         sessionizeBatchFn(1800L * 1000000L))
     val name = "graft_stream_sessions"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = updates.toDF().writeStream.outputMode("update").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = updates.toDF().writeStream.outputMode("update").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // keep each user's max-version rows (window, not a self-join — the
     // memory-sink view cannot self-join: attribute dedup fails on it)
     val all = spark.table(name)
@@ -312,11 +330,13 @@ object Live {
           TimeMode.None(), OutputMode.Update())
       val name = "graft_stateful_totals"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-      val q = updates.toDF("user_id", "tx_count", "total_value")
-        .writeStream.outputMode("update").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val q = updates.toDF("user_id", "tx_count", "total_value")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // single-drain source → one (final) update row per user
       spark.table(name).orderBy("user_id")
     } finally {
