@@ -99,10 +99,31 @@ object SparkEntry {
   private def dsum(c: String) = ops.Fns.dsumSql(c)
   private def davg(c: String) = ops.Fns.davgSql(c)
 
+  // Whole-query oracles shared by re-plan twins (an edit must hit both).
+  private lazy val dailyRollupSql =
+    s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
+        COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id"""
+  private lazy val topkPerUserSql =
+    """SELECT user_id, day, day_value, rnk FROM (
+         SELECT user_id, day, day_value,
+                CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY day_value DESC, day) AS INT) AS rnk
+         FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+               FROM events GROUP BY 1, 2))
+       WHERE rnk <= 3 ORDER BY user_id, rnk"""
+  private lazy val bandJoinSql =
+    s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
+        FROM lineitem JOIN (VALUES
+          ('p0_under_10k', 0.0, 10000.0),
+          ('p1_10k_30k', 10000.0, 30000.0),
+          ('p2_30k_60k', 30000.0, 60000.0),
+          ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band ORDER BY band"""
+
   def oracleSql: Map[String, String] = Map(
-    "q01_daily_rollup" ->
-      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
-          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    "q01_daily_rollup" -> dailyRollupSql,
     "q02_daily_reagg" ->
       s"""SELECT day, ${dsum("v")} AS daily_volume, CAST(SUM(c) AS BIGINT) AS daily_txs
           FROM (SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS v,
@@ -300,13 +321,9 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY from_address""",
     // identical to q01 by the A6/T5 invariant: streaming availableNow
     // aggregation must equal the batch rollup exactly
-    "q32_stream_daily" ->
-      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
-          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    "q32_stream_daily" -> dailyRollupSql,
     // identical to q01: salted two-stage aggregation must be lossless
-    "q33_salted_rollup" ->
-      s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
-          COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id""",
+    "q33_salted_rollup" -> dailyRollupSql,
     "q34_running_total" ->
       """SELECT user_id, day, CAST(v AS DOUBLE) AS day_value,
          CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY day
@@ -356,26 +373,10 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
-    "q41_topk_per_group" ->
-      """SELECT user_id, day, day_value, rnk FROM (
-           SELECT user_id, day, day_value,
-                  CAST(row_number() OVER (PARTITION BY user_id
-                       ORDER BY day_value DESC, day) AS INT) AS rnk
-           FROM (SELECT user_id, CAST(ts AS DATE) AS day,
-                        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
-                 FROM events GROUP BY 1, 2))
-         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "q41_topk_per_group" -> topkPerUserSql,
     // identical to q41: the native bounded-heap top-k operator must agree
     // with the window-rank composition row-for-row (incl. tie-breaking)
-    "q48_topk_native" ->
-      """SELECT user_id, day, day_value, rnk FROM (
-           SELECT user_id, day, day_value,
-                  CAST(row_number() OVER (PARTITION BY user_id
-                       ORDER BY day_value DESC, day) AS INT) AS rnk
-           FROM (SELECT user_id, CAST(ts AS DATE) AS day,
-                        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
-                 FROM events GROUP BY 1, 2))
-         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "q48_topk_native" -> topkPerUserSql,
     "q49_grouping_sets" ->
       s"""SELECT COALESCE(day, DATE '1900-01-01') AS day,
           COALESCE(event_type, 'ALL') AS event_type, n, total_value
@@ -427,15 +428,7 @@ object SparkEntry {
                        COUNT(*) AS n, ${dsum("value")} AS total_value
                 FROM events GROUP BY CUBE(1, 2))
           ORDER BY event_type, size_bucket""",
-    "q44_range_join" ->
-      s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
-          FROM lineitem JOIN (VALUES
-            ('p0_under_10k', 0.0, 10000.0),
-            ('p1_10k_30k', 10000.0, 30000.0),
-            ('p2_30k_60k', 30000.0, 60000.0),
-            ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
-          ON l_extendedprice >= lo AND l_extendedprice < hi
-          GROUP BY band ORDER BY band""",
+    "q44_range_join" -> bandJoinSql,
     // transformWithState running totals must equal the batch rollup
     "q56_stateful_totals" ->
       s"""SELECT user_id, COUNT(*) AS tx_count, ${dsum("value")} AS total_value
@@ -459,15 +452,7 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand""",
     // identical to q44: bucket+refine must be a lossless re-plan
-    "q53_range_bucketed" ->
-      s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
-          FROM lineitem JOIN (VALUES
-            ('p0_under_10k', 0.0, 10000.0),
-            ('p1_10k_30k', 10000.0, 30000.0),
-            ('p2_30k_60k', 30000.0, 60000.0),
-            ('p3_over_60k', 60000.0, 1e12)) AS bands(band, lo, hi)
-          ON l_extendedprice >= lo AND l_extendedprice < hi
-          GROUP BY band ORDER BY band""",
+    "q53_range_bucketed" -> bandJoinSql,
     "q45_gap_fill" ->
       s"""WITH base AS (
             SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numerics: elements are widened to double and accumulated
   * left-to-right — bit-identical to the sequential HOF fold and to
   * DuckDB's list arithmetic on DOUBLE[], so oracle hash-parity is
-  * preserved. Arrays are assumed element-non-null (embedding vectors);
-  * the shorter length bounds the loop.
+  * preserved. Null ELEMENTS contribute 0 to the sum (deterministic in
+  * both the interpreted and generated paths — parquet array schemas
+  * declare containsNull even when vectors never hold nulls, so
+  * rejecting nullable element types would break the main input); the
+  * shorter length bounds the loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -49,9 +52,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
       i += 1
     }
     acc
@@ -67,7 +72,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left, i)} * ${get(b, right, i)};
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${get(a, left, i)} * ${get(b, right, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -52,8 +52,12 @@ object Lifecycle {
     * background part-merge plays this role for the reference's MVs).
     * Rewrites a parquet dir into ~`targetBytes` files sized from the
     * actual on-disk footprint, preserving the clustering sort. Writes to
-    * a fresh dir then swaps, so readers never see a half-compacted
-    * table. Returns (filesBefore, filesAfter). */
+    * a fresh dir first, so readers never observe partially-written
+    * output; the swap itself is two renames, between which the path is
+    * briefly absent (a crash there leaves the data intact at
+    * `<dir>.old`). True atomicity needs a table format/catalog commit —
+    * at production scale run this under the maintenance job's lock.
+    * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): (Int, Int) = {
     def parquetFiles(d: java.io.File): Seq[java.io.File] = {

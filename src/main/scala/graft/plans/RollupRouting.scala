@@ -141,6 +141,11 @@ object RollupRouting {
             r.isInstanceOf[AttributeReference] &&
               r.asInstanceOf[AttributeReference].name == "value"
           }
+          def isBareValueRef(se: Expression): Boolean = {
+            val r = resolveThroughProjects(se, child)
+            r.isInstanceOf[AttributeReference] &&
+              r.asInstanceOf[AttributeReference].name == "value"
+          }
           val rewritten = ne.transformUp {
             case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
                 if isValueRef(se) =>
@@ -148,11 +153,15 @@ object RollupRouting {
             case ae @ AggregateExpression(Count(children), _, false, None, _)
                 if children.forall(_.isInstanceOf[Literal]) =>
               ae.copy(aggregateFunction = Sum(cPart))
+            // MIN/MAX route only for a BARE value reference: a cast in
+            // between could reorder (e.g. string min) or change the
+            // output type under a preserved ExprId. SUM tolerates casts
+            // because the decimal partial subsumes them (dsum).
             case ae @ AggregateExpression(Min(se), _, false, None, _)
-                if mnPart.isDefined && isValueRef(se) =>
+                if mnPart.isDefined && isBareValueRef(se) =>
               ae.copy(aggregateFunction = Min(mnPart.get))
             case ae @ AggregateExpression(Max(se), _, false, None, _)
-                if mxPart.isDefined && isValueRef(se) =>
+                if mxPart.isDefined && isBareValueRef(se) =>
               ae.copy(aggregateFunction = Max(mxPart.get))
           }.asInstanceOf[NamedExpression]
           // bail if any raw-table reference survived (unknown aggregate)

@@ -116,6 +116,7 @@ object TopKPerGroup {
       val groupE = groupExprs
       val kk = k
       val ord = comparator(childOutput)
+      val rank = rankAttr // local copy — closures must not capture `this`
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(groupE, childOutput)
         // max-heap on the kept set: peek() = current worst survivor
@@ -134,7 +135,7 @@ object TopKPerGroup {
           }
         }
         val outProj = UnsafeProjection.create(
-          (childOutput :+ rankAttr).zipWithIndex.map { case (a, i) =>
+          (childOutput :+ rank).zipWithIndex.map { case (a, i) =>
             BoundReference(i, a.dataType, a.nullable)
           })
         val joined = new JoinedRow

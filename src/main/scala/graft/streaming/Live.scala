@@ -93,7 +93,17 @@ object Live {
     * to the rollup store — exactly SummingMergeTree's insert-trigger
     * economy (`sql/analytics.sql:10`): the sink receives one small
     * pre-aggregated block per batch, never raw rows. */
-  def appendDailyPartials(batch: DataFrame, rollupDir: String): Unit =
+  def appendDailyPartials(batch: DataFrame, rollupDir: String): Unit = {
+    // refuse to append the v2 (mn/mx) partial schema into a pre-upgrade
+    // rollup: mixed footers would make a routed MIN/MAX silently cover
+    // only post-upgrade batches (old rows read the columns as NULL).
+    // Schema upgrades require a rollup rebuild — fail loud, not wrong.
+    val dir = new java.io.File(rollupDir)
+    if (dir.exists()) {
+      val existing = batch.sparkSession.read.parquet(rollupDir).schema.fieldNames
+      require(existing.contains("mn_partial"),
+        s"$rollupDir holds pre-mn/mx partials; rebuild the rollup before appending")
+    }
     batch
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))
       .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
@@ -102,6 +112,7 @@ object Live {
            min(col("value")).as("mn_partial"),
            max(col("value")).as("mx_partial"))
       .write.mode("append").parquet(rollupDir)
+  }
 
   /** T5 read side / A6: merge partial states at query time — the
     * explicit final GROUP BY the reference's users write

@@ -76,6 +76,11 @@ class ExprSpec extends AnyFunSuite {
     assert(got(0).getDouble(0) == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
     assert(got(1).getDouble(0) == 10.0) // shorter side bounds the loop
     assert(got(2).isNullAt(0))
+    // a null ELEMENT contributes 0, identically in interpreted + codegen
+    val withNullElem = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE), 3.0D), " +
+      "array(2.0D, 5.0D, 4.0D)) AS x").collect()
+    assert(withNullElem(0).getDouble(0) == 1.0 * 2.0 + 3.0 * 4.0)
   }
 
   test("graft_dot runs inside whole-stage codegen") {
