@@ -78,6 +78,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunk boundaries are well-formed for arbitrary text") {
+    val texts = Gen.listOfN(40, Gen.chooseNum(0, 2000).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))))
+    for (ts <- samples(texts, 4); t <- ts) {
+      val ends = graft.llm.Dedup.chunkEnds(t)
+      assert(ends.lastOption.contains(t.length))
+      assert(ends == ends.sorted && ends.distinct == ends)
+      val lens = (0 +: ends).sliding(2).map { case Seq(a, b) => b - a }.toSeq
+      // every chunk ≤ maxLen; only the final chunk may undercut minLen
+      assert(lens.forall(_ <= 512))
+      assert(lens.dropRight(1).forall(_ >= 32), s"short non-final chunk in $lens")
+    }
+  }
+
   test("property: native top-k equals window rank for arbitrary data") {
     val rows = Gen.listOfN(80,
       Gen.zip(Gen.chooseNum(0L, 6L),                    // few groups → deep groups
