@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Curate, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,6 +70,7 @@ object SparkEntry {
     "q53_range_bucketed" -> (StarJoins.priceBandJoinBucketed _),
     "q54_promo_revenue"  -> (StarJoins.promoRevenue _),
     "q55_props_json"     -> (Rollups.propsJson _),
+    "q57_curate"         -> (Curate.curatedStats _),
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
@@ -433,6 +434,25 @@ object SparkEntry {
     "q56_stateful_totals" ->
       s"""SELECT user_id, COUNT(*) AS tx_count, ${dsum("value")} AS total_value
           FROM events GROUP BY 1 ORDER BY user_id""",
+    "q57_curate" ->
+      s"""WITH scored AS (
+            SELECT doc_id, lang, text, n_chars,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                   CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+                        THEN 0.0
+                        ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                             / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) END AS ratio
+            FROM documents),
+          gated AS (SELECT * FROM scored WHERE ratio >= 0.3 AND n_chars >= 100),
+          deduped AS (
+            SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn FROM gated)
+            WHERE rn = 1)
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 ${davg("ratio")} AS avg_ratio
+          FROM deduped GROUP BY 1 ORDER BY lang""",
     "q55_props_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
          COUNT(*) AS n,

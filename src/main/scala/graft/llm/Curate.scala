@@ -1,0 +1,40 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Fns._
+
+/** The end-to-end curation pipeline a pretraining corpus goes through,
+  * composed from the engine's own stages (north-star capstone): quality
+  * gate → exact dedup (keep lowest doc_id) → per-language corpus
+  * accounting. Every stage is declarative, so Catalyst fuses the gates
+  * into the scan and the only shuffles are the dedup window and the
+  * final rollup — the whole pipeline is two exchanges regardless of
+  * corpus size. The near-dup stage (MinHash) runs separately
+  * ([[Dedup.minhashPairs]]) because its candidates need human/threshold
+  * review before dropping; this query is the deterministic core. */
+object Curate {
+
+  def curatedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("ratio",
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))).cast("double") /
+                     size(col("toks")).cast("double")))
+      // quality gate: lexical diversity + minimum substance
+      .filter(col("ratio") >= 0.3 && col("n_chars") >= 100)
+      // exact dedup: keep the lowest doc_id per content hash
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("toks"))).cast("long").as("total_tokens"),
+           sum(col("n_chars")).cast("long").as("total_chars"),
+           davg(col("ratio")).as("avg_ratio"))
+      .orderBy("lang")
+  }
+}
