@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the executed plan (and optionally run) a named
   * SparkEntry query — `runMain graft.Explain q46_set_cohorts [sfDir]`. */

@@ -17,6 +17,7 @@ object Sessions {
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(s)
     s
   }
 }

@@ -83,6 +83,17 @@ class ExprSpec extends AnyFunSuite {
     assert(withNullElem(0).getDouble(0) == 1.0 * 2.0 + 3.0 * 4.0)
   }
 
+  test("Functions.registerAll exposes the full SQL surface") {
+    graft.Functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT format_readable_size(1536.0) AS a,
+         hex_to_decimal('ff') AS b,
+         graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS c""").head()
+    assert(r.getString(0) == "1.50 KiB")
+    assert(r.getDecimal(1).intValue == 255)
+    assert(r.getDouble(2) == 11.0)
+  }
+
   test("graft_dot runs inside whole-stage codegen") {
     import graft.expr.DotProduct
     val plan = Tables.embeddings(spark, TestSpark.sf)
