@@ -71,6 +71,7 @@ object SparkEntry {
     "q54_promo_revenue"  -> (StarJoins.promoRevenue _),
     "q55_props_json"     -> (Rollups.propsJson _),
     "q57_curate"         -> (Curate.curatedStats _),
+    "q58_unpivot"        -> (Windows.unpivotEventTypes _),
     "q45_gap_fill"       -> (Windows.gapFillDaily _),
     "q46_set_cohorts"    -> (Pivots.setCohorts _),
     "q47_sessionize"     -> (Windows.sessionize _),
@@ -434,6 +435,10 @@ object SparkEntry {
     "q56_stateful_totals" ->
       s"""SELECT user_id, COUNT(*) AS tx_count, ${dsum("value")} AS total_value
           FROM events GROUP BY 1 ORDER BY user_id""",
+    // melt(pivot(x)) with zero cells dropped == the plain two-key rollup
+    "q58_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q57_curate" ->
       s"""WITH scored AS (
             SELECT doc_id, lang, text, n_chars,

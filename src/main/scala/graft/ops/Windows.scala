@@ -83,6 +83,19 @@ object Windows {
       .na.fill(0L)
       .orderBy("day")
 
+  /** The inverse of [[pivotEventTypes]]: melt the wide per-type columns
+    * back to long form with Spark's native `unpivot` (no stack()
+    * string-templating). Zero-filled cells are dropped so the roundtrip
+    * equals the plain two-key rollup — which is exactly the oracle. */
+  def unpivotEventTypes(spark: SparkSession, sfDir: String): DataFrame =
+    pivotEventTypes(spark, sfDir)
+      .unpivot(Array(col("day")),
+               Array(col("click"), col("error"), col("purchase"),
+                     col("signup"), col("view")),
+               "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy("day", "event_type")
+
   /** Multi-grain totals with ROLLUP(day, event_type): per (day,type),
     * per day, and grand total in one aggregate. Grouping nulls are
     * coalesced to sentinels ('1900-01-01' / 'ALL') so the output is
