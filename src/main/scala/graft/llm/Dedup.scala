@@ -141,21 +141,31 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
-    * The scalable near-dedup: only band-colliding pairs are compared. */
+    * The scalable near-dedup: only band-colliding pairs are compared.
+    *
+    * One shingle pass, one doc_id shuffle: the same aggregate computes
+    * the 16 minhashes AND the shingle-hash set per doc (an earlier
+    * version shingled the corpus twice — the two object-lambda plans
+    * cannot exchange-reuse). Verification Jaccard runs over the 64-bit
+    * shingle hashes, not the strings: set sizes are identical up to
+    * ~2⁻⁶⁴ collisions and the exchange never carries text. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val sig = minhashSignature(docs, 16)
+    val perSh = shingleRows(Tables.documents(spark, sfDir))
+      .withColumn("h1", xxhash64(col("sh")))
+    val aggs: Seq[Column] = (0 until 16).map(i =>
+      min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) :+
+      collect_set(col("h1")).as("shingles")
+    val docSig = perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bands = (0 until 8).map(bi =>
       struct(lit(bi).as("band"), xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
-    val banded = sig.withColumn("bands", array(bands: _*))
+    val banded = docSig.withColumn("bands", array(bands: _*))
       .select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = shingleRows(docs)
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    val sh = docSig.select(col("doc_id"), col("shingles"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
