@@ -10,14 +10,19 @@ object Bench {
     spark.range(100).selectExpr("sum(id)").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink: full materialization of every output column — count()
+      // would let Catalyst prune aggregate values and eliminate sorts,
+      // under-measuring the actual query work.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole JSON line under ~2 kB so a
+    // tail-window capture of the sbt log still contains it intact.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // informational split: streaming queries carry constant microbatch +
@@ -27,7 +32,7 @@ object Bench {
     val batchTotal = results.collect {
       case (k, v) if !streaming.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","batch_value":$batchTotal,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal)},"n_queries":${results.size},"sink":"noop"}""")
     spark.stop()
   }
 }
