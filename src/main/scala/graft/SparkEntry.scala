@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
-import graft.llm.{Curate, Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,6 +79,17 @@ object SparkEntry {
     "q49_grouping_sets"  -> (Windows.groupingSetsGrains _),
     "q50_token_bpe"      -> (TextOps.bpeTokenCounts _),
     "q51_quality_signals" -> (TextOps.qualitySignals _),
+    // — deterministic sampling / curation (north-star) —
+    "q59_sample_hash"      -> (Sampling.bernoulliSample _),
+    "q60_split_train_test" -> (Sampling.trainTestSplit _),
+    "q61_stratified_sample" -> (Sampling.stratifiedEvents _),
+    "q62_pii_scrub"        -> (TextOps.piiScrub _),
+    "q63_cc_clusters"      -> (Dedup.connectedComponents _),
+    "q64_moving_avg"       -> (Windows.movingAvg7d _),
+    "q65_ntile_volume"     -> (Windows.ntileVolumes _),
+    "q66_first_last"       -> (Windows.firstLastDaily _),
+    "q67_tfidf_topterms"   -> (TextOps.tfidfTopTerms _),
+    "q68_reconcile"        -> (StarJoins.reconcileOrders _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -505,6 +516,132 @@ object SparkEntry {
            EXCEPT
            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
          ORDER BY cohort, user_id""",
+    "q59_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+         ORDER BY doc_id""",
+    "q60_split_train_test" ->
+      """SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train' ELSE 'test' END AS split,
+         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MIN(doc_id) AS first_id
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "q61_stratified_sample" ->
+      """SELECT event_type, COUNT(*) AS n_total,
+         COUNT(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+                 CASE event_type WHEN 'click' THEN '1a' WHEN 'view' THEN '0d'
+                      WHEN 'signup' THEN 'cd' WHEN 'purchase' THEN 'zz'
+                      WHEN 'error' THEN 'zz' ELSE '' END
+               THEN 1 END) AS n_sampled,
+         CAST(COUNT(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+                 CASE event_type WHEN 'click' THEN '1a' WHEN 'view' THEN '0d'
+                      WHEN 'signup' THEN 'cd' WHEN 'purchase' THEN 'zz'
+                      WHEN 'error' THEN 'zz' ELSE '' END
+               THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q62_pii_scrub" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         COUNT(CASE WHEN clean <> text THEN 1 END) AS docs_changed,
+         CAST(SUM(hits) AS BIGINT) AS pattern_hits,
+         CAST(SUM(len(text)) AS BIGINT) AS chars_in,
+         CAST(SUM(len(clean)) AS BIGINT) AS chars_out
+         FROM (SELECT lang, text,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+                   '[0-9][0-9][0-9]+', '<NUM>', 'g') AS clean,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                 + len(regexp_extract_all(text, '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]'))
+                 + len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS hits
+               FROM documents)
+         GROUP BY 1 ORDER BY lang""",
+    "q63_cc_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, lang, n_chars,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+           FROM (SELECT doc_id, lang, n_chars,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)),
+         e0 AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 50
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+         ed AS (SELECT a_id AS src, b_id AS dst FROM e0
+                UNION ALL
+                SELECT b_id, a_id FROM e0),
+         walk(node, lab) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN ed e ON e.src = w.node),
+         comp AS (SELECT node, MIN(lab) AS comp_id FROM walk GROUP BY node)
+         SELECT c.node AS doc_id, c.comp_id, s.comp_size
+         FROM comp c JOIN (SELECT comp_id, COUNT(*) AS comp_size
+                           FROM comp GROUP BY 1) s
+           ON c.comp_id = s.comp_id
+         ORDER BY doc_id""",
+    "q64_moving_avg" ->
+      """SELECT user_id, day, CAST(v AS DOUBLE) AS day_value,
+         CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(v) OVER w AS DOUBLE) AS ma7
+         FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS v
+               FROM events GROUP BY 1, 2)
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
+    "q65_ntile_volume" ->
+      """SELECT user_id, volume, CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pct_rank
+         FROM (SELECT user_id,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+               FROM events GROUP BY 1)
+         WINDOW w AS (ORDER BY volume DESC, user_id)
+         ORDER BY user_id""",
+    "q66_first_last" ->
+      """SELECT user_id, day, v AS day_value,
+         first_value(v) OVER w AS first_v, last_value(v) OVER w AS last_v
+         FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+               FROM events GROUP BY 1, 2)
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, day""",
+    "q67_tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         tfr AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         dfr AS (SELECT tok, COUNT(*) AS df FROM tfr GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT doc_id, rnk, tok, score FROM (
+           SELECT tfr.doc_id, tfr.tok AS tok,
+                  CAST(tfr.c * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+                  CAST(row_number() OVER (PARTITION BY tfr.doc_id
+                    ORDER BY CAST(tfr.c * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC,
+                             tfr.tok) AS INT) AS rnk
+           FROM tfr JOIN dfr ON tfr.tok = dfr.tok CROSS JOIN n)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q68_reconcile" ->
+      """SELECT status, COUNT(*) AS n_orders,
+         CAST(SUM(COALESCE(header_total, 0) - COALESCE(line_total, 0)) AS DOUBLE) AS total_drift
+         FROM (
+           SELECT CASE WHEN o.header_total IS NULL THEN 'lineitem_only'
+                       WHEN l.line_total IS NULL THEN 'order_only'
+                       ELSE 'matched' END AS status,
+                  o.header_total, l.line_total
+           FROM (SELECT o_orderkey AS orderkey,
+                        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS header_total
+                 FROM orders GROUP BY 1) o
+           FULL OUTER JOIN
+                (SELECT l_orderkey AS orderkey,
+                        SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS line_total
+                 FROM lineitem GROUP BY 1) l
+           ON o.orderkey = l.orderkey)
+         GROUP BY 1 ORDER BY status""",
     "q47_sessionize" ->
       s"""WITH g AS (
             SELECT user_id, ts, event_id, value,

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling / splitting for training-data curation
+  * (north-star extensions; the reference has no sampling surface — its
+  * closest analog is the block-range slicing in
+  * `usdc-transfers/src/main.ts:46-57`, which selects by key range, not
+  * probability).
+  *
+  * Every sample here is a pure predicate on a cryptographic hash of the
+  * row key — no RNG, no state:
+  *
+  *   keep(row) := substr(md5(cast(key as string)), 1, 2) < threshold
+  *
+  * The first two lowercase-hex chars of md5 are uniform over 256 values,
+  * and fixed-width lowercase hex compares lexicographically exactly as
+  * it compares numerically, so `< "1a"` keeps 26/256 ≈ 10.2% of keys.
+  * Properties that matter at 100 TB:
+  *
+  *  - *Engine-portable*: md5 + substr + string compare evaluate
+  *    identically in Spark and DuckDB (the oracle hash-matches the
+  *    exact sampled row set, not just its size).
+  *  - *Shuffle-free*: the predicate is a narrow map evaluated at the
+  *    scan; sampling 1% of 100 TB reads the key column and nothing
+  *    else until after the filter.
+  *  - *Stable under reprocessing*: a re-run, a backfill, or a second
+  *    pipeline stage selects the same rows — and train/test membership
+  *    never flips when data is added (per-row decision, no global sort).
+  *  - *Composable*: a 10% sample of a 50% split is itself deterministic
+  *    (thresholds on disjoint hash prefixes stay independent if keys
+  *    are salted per stage: md5(stage || key)).
+  */
+object Sampling {
+
+  /** First-two-hex-chars bucket of md5(key) — 256 uniform buckets. */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  /** Oracle-side twin of [[hashBucket]]. */
+  def hashBucketSql(key: String): String = s"substr(md5(CAST($key AS VARCHAR)), 1, 2)"
+
+  /** Deterministic ~10% Bernoulli sample of documents (26/256), keyed on
+    * doc_id. Materializing: proves the exact selected row set. */
+  def bernoulliSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(hashBucket(col("doc_id")) < lit("1a"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Deterministic 80/20 train/test split ('cd' = 205/256 ≈ 80.1%),
+    * keyed on doc_id, with per-(lang, split) counts proving both the
+    * assignment and that membership is a pure function of the key. */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(hashBucket(col("doc_id")) < lit("cd"), "train").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("total_chars"),
+           min(col("doc_id")).as("first_id"))
+      .orderBy("lang", "split")
+
+  /** Per-class sampling rates for stratified event curation: keep every
+    * rare positive (purchase, error), downsample the high-volume classes.
+    * Thresholds are on [[hashBucket]] of event_id. */
+  val strataThresholds: Seq[(String, String)] = Seq(
+    "click" -> "1a",  //  26/256 ≈ 10.2%
+    "view"  -> "0d",  //  13/256 ≈  5.1%
+    "signup" -> "cd", // 205/256 ≈ 80.1%
+    "purchase" -> "zz", // keep all ('zz' > any hex pair)
+    "error" -> "zz")  // keep all
+
+  /** Stratified sample of events: one pass, per-class keep-predicate,
+    * reporting achieved vs nominal rate per class. The keep decision is
+    * evaluated at the scan; only survivors reach the aggregate. */
+  def stratifiedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = hashBucket(col("event_id"))
+    val kept = strataThresholds.foldLeft(lit(false)) { case (acc, (cls, thr)) =>
+      when(col("event_type") === cls, b < lit(thr)).otherwise(acc)
+    }
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(kept, lit(1))).as("n_sampled"))
+      .withColumn("rate", col("n_sampled").cast("double") / col("n_total").cast("double"))
+      .orderBy("event_type")
+  }
+}

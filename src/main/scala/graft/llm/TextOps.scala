@@ -232,4 +232,70 @@ object TextOps {
            sum(col("score_det")).cast("long").as("det_total"),
            sum(col("score_dom")).cast("long").as("dom_total"))
       .orderBy("lang", "predicted")
+
+  /** PII redaction rules, applied in order (emails before phones before
+    * bare digit runs, so a phone inside an email-like token is consumed
+    * once). Patterns avoid backreferences/lookaround so Java regex and
+    * DuckDB's RE2 agree exactly. */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]" -> "<PHONE>",
+    "[0-9][0-9][0-9]+" -> "<NUM>")
+
+  /** PII scrub: redact email-, phone-, and long-digit-run-shaped spans,
+    * reporting per-language how much was removed. One narrow map (three
+    * chained regexp_replace, all codegen'd) + one hash aggregate — the
+    * scan-shaped pass a 100 TB scrub needs; raw text never shuffles.
+    * The digit-run rule guarantees matches on this corpus, so the oracle
+    * exercises real replacement, not a no-op. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrubbed = piiRules.foldLeft(col("text")) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    // per-pattern hits counted on the ORIGINAL text (the oracle does the
+    // same), so a span consumed by an earlier rule still counts here
+    val matches = piiRules.map { case (re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    }.reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .withColumn("clean", scrubbed)
+      .withColumn("n_hits", matches)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("clean") =!= col("text"), lit(1))).as("docs_changed"),
+           sum(col("n_hits")).cast("long").as("pattern_hits"),
+           sum(length(col("text"))).cast("long").as("chars_in"),
+           sum(length(col("clean"))).cast("long").as("chars_out"))
+      .orderBy("lang")
+  }
+
+  /** Top-3 characteristic terms per document by a rarity-weighted score
+    * — TF-IDF with the idf log dropped (`tf * N / df` is order-identical
+    * to `tf * log(N/df)` per term and keeps the oracle exact: IEEE
+    * division matches across engines, libm log need not).
+    *
+    * Shape at scale: tokenize (narrow) → (doc, term) counts (one
+    * shuffle) → term document-frequency (second, much smaller shuffle)
+    * → broadcast-join df back → per-doc top-k. The df table is bounded
+    * by vocabulary size, not corpus size, so the join stays broadcast at
+    * any corpus scale. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }

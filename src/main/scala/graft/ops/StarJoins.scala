@@ -173,4 +173,34 @@ object StarJoins {
       .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
       .orderBy("r_name", "n_name")
   }
+
+  /** Ledger reconciliation: FULL OUTER join of the order header total
+    * against the recomputed lineitem revenue, classifying every key as
+    * matched / order_only / lineitem_only and summing the money drift
+    * per class. The fact-fact full-outer is a shuffle hash/sort-merge
+    * join on the order key — both sides pre-aggregate to one row per
+    * key first, so the join input is the small side of each table, and
+    * the diff never materializes per-line. The decimal difference is
+    * computed BEFORE the final double cast so the drift sum is exact. */
+  def reconcileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,6)"
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey").as("orderkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("header_total"))
+    val l = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(dec)).as("line_total"))
+    o.join(l, Seq("orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("header_total").isNull, "lineitem_only")
+          .when(col("line_total").isNull, "order_only")
+          .otherwise("matched"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(coalesce(col("header_total"), lit(0).cast(dec)) -
+               coalesce(col("line_total"), lit(0).cast(dec)))
+             .cast("double").as("total_drift"))
+      .orderBy("status")
+  }
 }

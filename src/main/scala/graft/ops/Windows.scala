@@ -192,4 +192,57 @@ object Windows {
            count(lit(1)).as("n_events"), Fns.dsum(col("value")).as("total_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** 7-day trailing moving average of daily volume per user (ROWS
+    * 6 PRECEDING). The frame sum runs over the DECIMAL day-aggregates —
+    * engines disagree on sliding-sum evaluation order (retraction vs
+    * segment trees), so only an exact, associative state hash-matches;
+    * the double division happens once per row at the end. */
+  def movingAvg7d(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7",
+        sum(col("v")).over(w).cast("double") /
+          count(col("v")).over(w).cast("double"))
+      .select(col("user_id"), col("day"), col("v").cast("double").as("day_value"),
+              col("ma7"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Quartile + percentile position of every user by total volume:
+    * ntile(4) and percent_rank over one global ordering. A single-
+    * partition window is deliberate here — its input is the already-
+    * aggregated user table (one row per user), orders of magnitude
+    * smaller than the fact scan that produced it. */
+  def ntileVolumes(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(Fns.dsum(col("value")).as("volume"))
+    val w = Window.orderBy(col("volume").desc, col("user_id"))
+    perUser
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("user_id")
+  }
+
+  /** First and last daily value per user alongside each day's value —
+    * first_value / last_value with explicit frames (last_value needs the
+    * full-partition frame or it degenerates to the current row). */
+  def firstLastDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("v"))
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("first_v", first(col("v")).over(wAll))
+      .withColumn("last_v", last(col("v")).over(wAll))
+      .select(col("user_id"), col("day"), col("v").as("day_value"),
+              col("first_v"), col("last_v"))
+      .orderBy("user_id", "day")
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Sampling, TextOps}
+import graft.ops.{StarJoins, Windows}
+
+/** Invariants for the round-2 curation operators: deterministic
+  * sampling/splitting, PII scrubbing, near-dup connected components,
+  * window frames, TF-IDF, reconciliation. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("hash sampling is deterministic and approximately at rate") {
+    val a = Sampling.bernoulliSample(spark, sf).select("doc_id").as[Long].collect()
+    val b = Sampling.bernoulliSample(spark, sf).select("doc_id").as[Long].collect()
+    assert(a.sameElements(b)) // pure function of the key: re-runs identical
+    val total = Tables.documents(spark, sf).count().toDouble
+    val rate = a.length / total // nominal 26/256 ≈ 10.2%
+    assert(rate > 0.04 && rate < 0.20)
+  }
+
+  test("train/test split partitions the corpus exactly") {
+    val split = Sampling.trainTestSplit(spark, sf)
+    val n = split.agg(sum($"n_docs")).head.getLong(0)
+    assert(n == Tables.documents(spark, sf).count())
+    // both splits non-empty, and the split is per-key so re-aggregation
+    // over lang must reproduce the same totals
+    val bySplit = split.groupBy($"split").agg(sum($"n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "test") && bySplit.values.forall(_ > 0))
+  }
+
+  test("stratified sample keeps every purchase/error and downsamples views") {
+    val r = Sampling.stratifiedEvents(spark, sf)
+      .select($"event_type", $"n_total", $"n_sampled").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("purchase")._1 == r("purchase")._2) // keep-all strata
+    assert(r("error")._1 == r("error")._2)
+    assert(r("view")._2 < r("view")._1 / 4) // nominal 5.1% of views
+  }
+
+  test("pii scrub redacts planted emails, phones and digit runs") {
+    val planted = Seq((1L, "contact bob.smith+x@corp.example.org or 555-867-5309 ref 123456"))
+      .toDF("doc_id", "text")
+    val clean = TextOps.piiRules.foldLeft(col("text")) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    val out = planted.select(clean.as("clean")).head.getString(0)
+    assert(out == "contact <EMAIL> or <PHONE> ref <NUM>")
+  }
+
+  test("connected components propagate labels across chains") {
+    // chain 1-2-3-4 (needs multi-round propagation) + disjoint pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = Dedup.componentsOf(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => comps(n) == (1L, 4L)))
+    assert(Seq(10L, 11L).forall(n => comps(n) == (10L, 2L)))
+  }
+
+  test("near-dup clusters have size >= 2 and canonical = min member") {
+    val df = Dedup.connectedComponents(spark, sf)
+    val rows = df.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty) // the corpus has planted near-dups
+    assert(rows.forall(_._3 >= 2)) // singletons excluded by construction
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp) // label = min reachable id
+      assert(members.length == members.head._3)
+    }
+  }
+
+  test("7-day moving average starts at the day value and stays in range") {
+    val rows = Windows.movingAvg7d(spark, sf)
+      .groupBy($"user_id").agg(
+        first($"ma7").as("first_ma"), first($"day_value").as("first_v"))
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (_, firstMa, firstV) =>
+      assert(math.abs(firstMa - firstV) < 1e-9) // frame of size 1 on day 1
+    }
+  }
+
+  test("ntile quartiles are balanced and percent_rank is in [0,1]") {
+    val rows = Windows.ntileVolumes(spark, sf)
+      .select($"quartile", $"pct_rank").as[(Int, Double)].collect()
+    val sizes = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("first/last value match the min/max-day rows per user") {
+    val df = Windows.firstLastDaily(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val bad = df
+      .withColumn("minday_v", first($"day_value")
+        .over(w.orderBy($"day"))) // recompute independently
+      .filter($"first_v" =!= $"minday_v")
+    assert(bad.count() == 0)
+    val lastBad = df.groupBy($"user_id")
+      .agg(max($"day").as("maxday"), first($"last_v").as("lv"))
+      .join(df, Seq("user_id"))
+      .filter($"day" === $"maxday" && $"day_value" =!= $"lv")
+    assert(lastBad.count() == 0)
+  }
+
+  test("tfidf emits at most 3 ranked terms per doc with positive scores") {
+    val rows = TextOps.tfidfTopTerms(spark, sf)
+      .select($"doc_id", $"rnk", $"score").as[(Long, Int, Double)].collect()
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 3 && r._3 > 0.0))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+    }
+  }
+
+  test("reconciliation covers every order key exactly once") {
+    val recon = StarJoins.reconcileOrders(spark, sf)
+    val covered = recon.agg(sum($"n_orders")).head.getLong(0)
+    val keys = Tables.orders(spark, sf).select($"o_orderkey".as("k"))
+      .union(Tables.lineitem(spark, sf).select($"l_orderkey".as("k")))
+      .distinct().count()
+    assert(covered == keys)
+  }
+}
