@@ -90,6 +90,7 @@ object SparkEntry {
     "q66_first_last"       -> (Windows.firstLastDaily _),
     "q67_tfidf_topterms"   -> (TextOps.tfidfTopTerms _),
     "q68_reconcile"        -> (StarJoins.reconcileOrders _),
+    "q69_session_native"   -> (Windows.sessionizeNative _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -642,6 +643,21 @@ object SparkEntry {
                  FROM lineitem GROUP BY 1) l
            ON o.orderkey = l.orderkey)
          GROUP BY 1 ORDER BY status""",
+    "q69_session_native" ->
+      s"""WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g)
+          SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                 COUNT(*) AS n_events, ${dsum("value")} AS total_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
     "q47_sessionize" ->
       s"""WITH g AS (
             SELECT user_id, ts, event_id, value,

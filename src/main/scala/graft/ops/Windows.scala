@@ -193,6 +193,23 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** [[sessionize]] via Spark's native `session_window` operator — the
+    * same 30-minute-gap sessions computed by the dedicated
+    * SessionWindowing physical node (sort-merge within partitions, no
+    * full-partition window state) instead of two window passes. Note the
+    * boundary difference: session_window's half-open [ts, ts+gap)
+    * windows start a new session at gap ≥ 30 min, the lag() formulation
+    * at gap > 30 min; the oracle uses the ≥ rule. Streaming-ready: the
+    * identical expression works under readStream with a watermark. */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+           count(lit(1)).as("n_events"), Fns.dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("first_ts"), col("last_ts"),
+              col("n_events"), col("total_value"))
+      .orderBy("user_id", "first_ts")
+
   /** 7-day trailing moving average of daily volume per user (ROWS
     * 6 PRECEDING). The frame sum runs over the DECIMAL day-aggregates —
     * engines disagree on sliding-sum evaluation order (retraction vs

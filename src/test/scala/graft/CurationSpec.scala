@@ -116,6 +116,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window sessions partition events with >=30min separation") {
+    val s = Windows.sessionizeNative(spark, sf)
+    // no event lost or duplicated across sessions
+    assert(s.agg(sum($"n_events")).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+    // consecutive sessions of a user are separated by at least the gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"first_ts")
+    val tooClose = s
+      .withColumn("prev_end", lag($"last_ts", 1).over(w))
+      .filter($"prev_end".isNotNull &&
+        unix_micros($"first_ts") - unix_micros($"prev_end") < 1800L * 1000000L)
+    assert(tooClose.count() == 0)
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
