@@ -37,6 +37,7 @@ object SparkEntry {
     "q15_props_extract"  -> (Rollups.propsExtract _),
     // — approx variant (reference `uniq()` true semantics; un-oracled) —
     "q90_uniq_approx"    -> (Rollups.uniqUsersApprox _),
+    "q89_topk_sketch"    -> (Rollups.topUsersSketch _),
     // — star-schema joins (added capability, SURVEY §2.3) —
     "q16_revenue_segment" -> (StarJoins.revenueBySegment _),
     "q17_top_customers"   -> (StarJoins.topCustomers _),

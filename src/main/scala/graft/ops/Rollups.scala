@@ -97,6 +97,23 @@ object Rollups {
       .orderBy(col("volume").desc, col("user_id"))
       .limit(10)
 
+  /** Sketch-based frequent-items top-k — the ClickHouse `topK()` true
+    * analog (the reference's LIMIT-k queries are exact; `topK` is what
+    * ClickHouse offers when exact is too expensive). Spark 4's
+    * `approx_top_k` family carries a MERGEABLE sketch state
+    * (accumulate → combine → estimate), so partial sketches roll up
+    * across partitions, days, or incremental-MV batches exactly like
+    * the HLL uniq states in `Live.appendUniqPartials` — constant-size
+    * state per group at any fact cardinality. Un-oracled (DuckDB has no
+    * twin); the spec asserts exactness vs q08 at test cardinalities and
+    * that the merge path equals the one-shot path. */
+  def topUsersSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(expr("approx_top_k(user_id, 10)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast("int").as("rank"),
+              col("e.item").as("user_id"), col("e.count").as("est_count"))
+
   /** intDiv block-bucketing (C1, `sql/analytics.sql:19,31`): integer
     * division bucket — `event_id DIV 100` plays `intDiv(block, 7200)`. */
   def idBuckets(spark: SparkSession, sfDir: String): DataFrame =

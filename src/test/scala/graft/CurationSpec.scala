@@ -131,6 +131,39 @@ class CurationSpec extends AnyFunSuite {
     assert(tooClose.count() == 0)
   }
 
+  test("topK sketch is exact below capacity and its merge path agrees") {
+    // at test cardinality (#users << sketch width) the frequent-items
+    // sketch must be exact: same items, same counts as the exact top-k
+    val sketch = ops.Rollups.topUsersSketch(spark, sf)
+      .select($"user_id", $"est_count").as[(Long, Long)].collect().toMap
+    // exact FREQUENCY top-10 (q08 ranks by volume, the sketch by count)
+    val exact = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"user_id").limit(10)
+      .as[(Long, Long)].collect().toMap
+    assert(sketch == exact)
+    // mergeable state: per-partition accumulate + combine == one-shot
+    val merged = Tables.events(spark, sf)
+      .groupBy(expr("user_id % 4").as("p"))
+      .agg(expr("approx_top_k_accumulate(user_id, 10)").as("s"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(s), 10)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as[Long], $"e.count".as[Long]).collect().toMap
+    assert(merged == sketch)
+  }
+
+  test("sql surface: a registered view runs the daily rollup as plain SQL") {
+    Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val sqlRes = spark.sql(
+      """SELECT CAST(ts AS DATE) AS day, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+         COUNT(*) AS tx_count
+         FROM events_v GROUP BY 1, 2""")
+    val api = ops.Rollups.daily(spark, sf)
+    assert(sqlRes.count() == api.count())
+    assert(sqlRes.exceptAll(api.select(sqlRes.columns.map(col): _*)).count() == 0)
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
