@@ -10,5 +10,6 @@ object Functions {
     expr.FormatReadableSize.register(spark)
     expr.HexToDecimal.register(spark)
     expr.DotProduct.register(spark)
+    expr.ZValue.register(spark)
   }
 }
