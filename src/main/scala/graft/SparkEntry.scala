@@ -92,6 +92,8 @@ object SparkEntry {
     "q67_tfidf_topterms"   -> (TextOps.tfidfTopTerms _),
     "q68_reconcile"        -> (StarJoins.reconcileOrders _),
     "q69_session_native"   -> (Windows.sessionizeNative _),
+    "q70_group_array"      -> (Rollups.groupUniqArray _),
+    "q71_props_variant"    -> (Rollups.propsVariant _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -127,6 +129,11 @@ object SparkEntry {
                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                FROM events GROUP BY 1, 2))
        WHERE rnk <= 3 ORDER BY user_id, rnk"""
+  private lazy val propsJsonSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY 1 ORDER BY k_mod"""
   private lazy val bandJoinSql =
     s"""SELECT band, COUNT(*) AS n_lines, ${dsum("l_extendedprice")} AS total_price
         FROM lineitem JOIN (VALUES
@@ -471,11 +478,14 @@ object SparkEntry {
                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                  ${davg("ratio")} AS avg_ratio
           FROM deduped GROUP BY 1 ORDER BY lang""",
-    "q55_props_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
-         COUNT(*) AS n,
-         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
-         FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q55_props_json" -> propsJsonSql,
+    // VARIANT-typed extraction must be invisible vs string-path JSON
+    "q71_props_variant" -> propsJsonSql,
+    "q70_group_array" ->
+      """SELECT event_type,
+         array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users,
+         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q54_promo_revenue" ->
       """SELECT p_brand,
          CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'

@@ -172,4 +172,33 @@ object Rollups {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"))
       .orderBy("k_mod")
+
+  /** [[propsJson]] through Spark 4's VARIANT type: parse once into the
+    * binary semi-structured encoding, then typed `variant_get` path
+    * extraction — the open-format analog of ClickHouse's JSON/Object
+    * column (and the layout a 100 TB pipeline should persist props in:
+    * parse at ingest, shred at read, no per-query string parsing). Same
+    * oracle as q55 — the representation change must be invisible. */
+  def propsVariant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"))
+      .orderBy("k_mod")
+
+  /** ClickHouse `groupUniqArray()` analog: the sorted distinct member
+    * list per group, rendered to a canonical csv so the oracle compares
+    * bit-for-bit (`array_sort` before join — collect_set order is
+    * partition-dependent). Bounded state: distinct users per type, not
+    * rows. */
+  def groupUniqArray(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        array_join(expr("transform(sort_array(collect_set(user_id)), x -> cast(x as string))"), ",")
+          .as("users"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
 }

@@ -164,6 +164,21 @@ class CurationSpec extends AnyFunSuite {
     assert(sqlRes.exceptAll(api.select(sqlRes.columns.map(col): _*)).count() == 0)
   }
 
+  test("variant props extraction is invisible vs string-path json") {
+    val v = ops.Rollups.propsVariant(spark, sf)
+    val j = ops.Rollups.propsJson(spark, sf)
+    assert(v.exceptAll(j).count() == 0 && j.exceptAll(v).count() == 0)
+  }
+
+  test("groupUniqArray csv length matches its distinct count") {
+    val rows = ops.Rollups.groupUniqArray(spark, sf)
+      .select($"users", $"n_users").as[(String, Long)].collect()
+    rows.foreach { case (csv, n) =>
+      assert(csv.split(",").length.toLong == n)
+      assert(csv.split(",").map(_.toLong).sorted.sameElements(csv.split(",").map(_.toLong)))
+    }
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
