@@ -94,6 +94,7 @@ object SparkEntry {
     "q69_session_native"   -> (Windows.sessionizeNative _),
     "q70_group_array"      -> (Rollups.groupUniqArray _),
     "q71_props_variant"    -> (Rollups.propsVariant _),
+    "q72_curate_full"      -> (Curate.curateFull _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -479,6 +480,34 @@ object SparkEntry {
                  ${davg("ratio")} AS avg_ratio
           FROM deduped GROUP BY 1 ORDER BY lang""",
     "q55_props_json" -> propsJsonSql,
+    "q72_curate_full" ->
+      s"""WITH scored AS (
+            SELECT doc_id, lang, text, n_chars,
+                   CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+                        THEN 0.0
+                        ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                             / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) END AS ratio
+            FROM documents),
+          gated AS (SELECT * FROM scored WHERE ratio >= 0.3 AND n_chars >= 100),
+          scrubbed AS (
+            SELECT *, regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+                   '[0-9][0-9][0-9]+', '<NUM>', 'g') AS clean
+            FROM gated),
+          deduped AS (
+            SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(clean)
+                                 ORDER BY doc_id) AS rn FROM scrubbed)
+            WHERE rn = 1),
+          split_t AS (
+            SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                           THEN 'train' ELSE 'test' END AS split
+            FROM deduped)
+          SELECT lang, split, COUNT(*) AS n_docs,
+                 CAST(SUM(len(list_filter(string_split(clean, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                 CAST(SUM(len(clean)) AS BIGINT) AS total_chars,
+                 ${davg("ratio")} AS avg_ratio
+          FROM split_t GROUP BY 1, 2 ORDER BY lang, split""",
     // VARIANT-typed extraction must be invisible vs string-path JSON
     "q71_props_variant" -> propsJsonSql,
     "q70_group_array" ->

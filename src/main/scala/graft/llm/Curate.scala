@@ -37,4 +37,41 @@ object Curate {
            davg(col("ratio")).as("avg_ratio"))
       .orderBy("lang")
   }
+
+  /** The full curation pipeline in one plan: quality gate → PII scrub →
+    * exact dedup (on the SCRUBBED text — two raw docs differing only in
+    * redacted spans are duplicates) → deterministic train/test split →
+    * per-(lang, split) accounting of what ships to training.
+    *
+    * Still scan-shaped at 100 TB: the gate and scrub are narrow maps
+    * fused into the scan, the dedup is one fingerprint window, the
+    * split is a pure hash predicate — two exchanges total, same as the
+    * simple capstone. */
+  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = TextOps.piiRules.foldLeft(col("text")) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("ratio",
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(array_distinct(col("toks"))).cast("double") /
+                     size(col("toks")).cast("double")))
+      .filter(col("ratio") >= 0.3 && col("n_chars") >= 100)
+      .withColumn("clean", clean)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("split",
+        when(Sampling.hashBucket(col("doc_id")) < lit("cd"), "train")
+          .otherwise("test"))
+      .withColumn("clean_toks", expr("filter(split(clean, ' '), x -> x != '')"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("clean_toks"))).cast("long").as("total_tokens"),
+           sum(length(col("clean"))).cast("long").as("total_chars"),
+           davg(col("ratio")).as("avg_ratio"))
+      .orderBy("lang", "split")
+  }
 }

@@ -179,6 +179,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("full curation pipeline never keeps more than the simple capstone") {
+    // q72 dedups on SCRUBBED text: redaction is many-to-one, so it can
+    // only merge more duplicates than the raw-text dedup in q57
+    val full = llm.Curate.curateFull(spark, sf)
+      .groupBy($"lang").agg(sum($"n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val simple = llm.Curate.curatedStats(spark, sf)
+      .select($"lang", $"n_docs").as[(String, Long)].collect().toMap
+    simple.foreach { case (lang, n) =>
+      assert(full.getOrElse(lang, 0L) <= n)
+      assert(full.getOrElse(lang, 0L) > 0)
+    }
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
