@@ -47,13 +47,15 @@ object Curate {
     * fused into the scan, the dedup is one fingerprint window, the
     * split is a pure hash predicate — two exchanges total, same as the
     * simple capstone. */
-  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The stateless prefix of the pipeline — quality gate + PII scrub as
+    * one narrow projection. Streaming-safe: no window, no state, so the
+    * identical stage runs under readStream for continuous-ingest
+    * curation (spec asserts batch/stream parity). */
+  def gateAndScrub(docs: DataFrame): DataFrame = {
     val clean = TextOps.piiRules.foldLeft(col("text")) { case (c, (re, repl)) =>
       regexp_replace(c, re, repl)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
-    Tables.documents(spark, sfDir)
+    docs
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("ratio",
         when(size(col("toks")) === 0, lit(0.0))
@@ -61,6 +63,12 @@ object Curate {
                      size(col("toks")).cast("double")))
       .filter(col("ratio") >= 0.3 && col("n_chars") >= 100)
       .withColumn("clean", clean)
+  }
+
+  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
+    gateAndScrub(Tables.documents(spark, sfDir))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("split",

@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * ranges. */
 object Layouts {
 
+  /** Rank-normalize a column to dense [0, buckets) via ntile — the
+    * ZValue precondition when raw dims have skewed or incomparable
+    * ranges. One single-partition window over the DISTINCT values (not
+    * the fact rows), joined back broadcast: cheap at any fact scale
+    * while per-value ties stay deterministic. */
+  def rankNormalize(df: DataFrame, dim: String, buckets: Int,
+                    outCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(dim))
+    val ranks = df.select(col(dim)).distinct()
+      .withColumn(outCol, (ntile(buckets).over(w) - 1).cast("long"))
+    df.join(broadcast(ranks), dim)
+  }
+
   /** Write `df` Z-clustered on (dimA, dimB) into `nFiles` range-
     * partitioned, internally sorted parquet files. */
   def writeZClustered(df: DataFrame, dimA: String, dimB: String,

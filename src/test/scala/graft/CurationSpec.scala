@@ -193,6 +193,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("gate+scrub runs identically under structured streaming") {
+    val schema = Tables.documents(spark, sf).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = llm.Curate.gateAndScrub(streamIn)
+      .select($"doc_id", $"clean")
+      .writeStream.format("memory").queryName("scrub_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("scrub_stream")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batch = llm.Curate.gateAndScrub(Tables.documents(spark, sf))
+      .select($"doc_id", $"clean")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)

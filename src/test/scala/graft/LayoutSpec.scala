@@ -26,6 +26,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_zval(3, 0) AS z").head.getLong(0) == 5L)
   }
 
+  test("rank normalization densifies a skewed dim into balanced buckets") {
+    val skewed = Tables.events(spark, sf)
+      .select(floor(col("value")).cast("long").as("d")) // heavy low-value skew
+    val n = Layouts.rankNormalize(skewed, "d", 16, "rk")
+    val stats = n.groupBy($"rk").count()
+      .agg(min($"count"), max($"count"), countDistinct($"rk"))
+      .head()
+    assert(stats.getLong(2) == 16) // all buckets used
+    assert(n.agg(max($"rk")).head.getLong(0) == 15L)
+  }
+
   test("z-clustering prunes both dimensions, linear sort only one") {
     // comparable-range dims (the ZValue normalization precondition):
     // d1 ~ [0, 250], d2 ~ [0, 330] at sf0.001
