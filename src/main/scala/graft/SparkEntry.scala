@@ -95,6 +95,7 @@ object SparkEntry {
     "q70_group_array"      -> (Rollups.groupUniqArray _),
     "q71_props_variant"    -> (Rollups.propsVariant _),
     "q72_curate_full"      -> (Curate.curateFull _),
+    "q73_above_cust_avg"   -> (Windows.aboveCustomerAvg _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -698,6 +699,15 @@ object SparkEntry {
           SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
                  COUNT(*) AS n_events, ${dsum("value")} AS total_value
           FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
+    "q73_above_cust_avg" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_above,
+          ${dsum("o_totalprice")} AS total_above,
+          COUNT(DISTINCT o_custkey) AS n_custs
+          FROM (SELECT *, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                          / CAST(COUNT(*) OVER w AS DOUBLE) AS cust_avg
+                FROM orders WINDOW w AS (PARTITION BY o_custkey))
+          WHERE o_totalprice > cust_avg
+          GROUP BY 1 ORDER BY o_orderpriority""",
     "q47_sessionize" ->
       s"""WITH g AS (
             SELECT user_id, ts, event_id, value,

@@ -210,6 +210,27 @@ object Windows {
               col("n_events"), col("total_value"))
       .orderBy("user_id", "first_ts")
 
+  /** Orders above their own customer's average order value — the
+    * correlated-scalar-subquery shape (`WHERE price > (SELECT AVG ...
+    * same customer)`) decorrelated into one full-partition window pass:
+    * no self-join, one shuffle on the correlation key. The average is
+    * decimal-sum / count in double space so both engines compute the
+    * identical threshold (a plain windowed AVG over doubles is
+    * evaluation-order-dependent). */
+  def aboveCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+           Fns.dsum(col("o_totalprice")).as("total_above"),
+           countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy("o_orderpriority")
+  }
+
   /** 7-day trailing moving average of daily volume per user (ROWS
     * 6 PRECEDING). The frame sum runs over the DECIMAL day-aggregates —
     * engines disagree on sliding-sum evaluation order (retraction vs

@@ -21,6 +21,30 @@ class PropertySpec extends AnyFunSuite {
   private val doubles: Gen[List[Double]] =
     Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))
 
+  test("property: morton interleave is a bijection on 32-bit pairs") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      var i = 0
+      while (i < 32) {
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (a, b)
+    }
+    val pairs: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL))
+    for ((a, b) <- samples(pairs, 200)) {
+      assert(deinterleave(graft.expr.ZValue.interleave(a, b)) == ((a, b)))
+    }
+    // order preservation within a fixed other-dimension
+    for ((a, b) <- samples(pairs, 50)) {
+      val a2 = a / 2
+      assert((graft.expr.ZValue.interleave(a2, b) <=
+              graft.expr.ZValue.interleave(a, b)) == (a2 <= a))
+    }
+  }
+
   test("property: decimal-routed sum is partition-count invariant") {
     for ((xs, parts) <- samples(Gen.zip(doubles, Gen.chooseNum(1, 12)), 8)
          if xs.nonEmpty) {
