@@ -102,6 +102,7 @@ object SparkEntry {
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
     // — un-oracled scale-path variants (no DuckDB hash twin) —
+    "q88_cc_minhash"     -> (Dedup.minhashComponents _),
     "q91_minhash_bands"  -> (Dedup.minhashBands _),
     "q92_minhash_pairs"  -> (Dedup.minhashPairs _),
     "q93_simhash"        -> (Dedup.simhashBuckets _),

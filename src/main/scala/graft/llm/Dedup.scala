@@ -275,6 +275,18 @@ object Dedup {
     finally sigs.unpersist(blocking = false)
   }
 
+  /** The 100 TB near-dup clustering path: connected components over the
+    * MinHash-LSH candidate pairs instead of the blocked exact-Jaccard
+    * edges — no pairwise stage anywhere (band collisions generate the
+    * edges), so the same clustering runs where q63's exact edge
+    * derivation could not. Verified pairs with jaccard ≥ 0.7 become
+    * edges. Un-oracled (xxhash64 has no DuckDB twin); q63 oracles the
+    * component algebra itself. */
+  def minhashComponents(spark: SparkSession, sfDir: String): DataFrame =
+    componentsOf(
+      minhashPairs(spark, sfDir).filter(col("jaccard") >= 0.7)
+        .select(col("a_id"), col("b_id")))
+
   /** Min-label propagation over an (a_id, b_id) edge list. */
   def componentsOf(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))

@@ -73,6 +73,16 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash-LSH components obey the same cluster algebra") {
+    val rows = Dedup.minhashComponents(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty) // planted near-dups collide in bands
+    assert(rows.forall(_._3 >= 2))
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp)
+    }
+  }
+
   test("7-day moving average starts at the day value and stays in range") {
     val rows = Windows.movingAvg7d(spark, sf)
       .groupBy($"user_id").agg(
