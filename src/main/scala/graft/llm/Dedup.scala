@@ -289,9 +289,11 @@ object Dedup {
 
   /** Min-label propagation over an (a_id, b_id) edge list. */
   def componentsOf(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+    // checkpoint BEFORE the symmetrization union: its two branches would
+    // otherwise each re-derive the (expensive) upstream edge pipeline
+    val e = edges.localCheckpoint()
+    val und = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
