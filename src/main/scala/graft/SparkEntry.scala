@@ -96,6 +96,7 @@ object SparkEntry {
     "q71_props_variant"    -> (Rollups.propsVariant _),
     "q72_curate_full"      -> (Curate.curateFull _),
     "q73_above_cust_avg"   -> (Windows.aboveCustomerAvg _),
+    "q74_salted_join"      -> ((s, d) => Skew.saltedTopCustomers(s, d)),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -132,6 +133,11 @@ object SparkEntry {
                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                FROM events GROUP BY 1, 2))
        WHERE rnk <= 3 ORDER BY user_id, rnk"""
+  private lazy val topCustomersSql =
+    s"""SELECT c_custkey, c_name, ${dsum("o_totalprice")} AS volume,
+        COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY volume DESC, c_custkey LIMIT 10"""
   private lazy val propsJsonSql =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
        COUNT(*) AS n,
@@ -225,11 +231,9 @@ object SparkEntry {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           GROUP BY 1 ORDER BY c_mktsegment""",
-    "q17_top_customers" ->
-      s"""SELECT c_custkey, c_name, ${dsum("o_totalprice")} AS volume,
-          COUNT(*) AS n_orders
-          FROM orders JOIN customer ON o_custkey = c_custkey
-          GROUP BY 1, 2 ORDER BY volume DESC, c_custkey LIMIT 10""",
+    "q17_top_customers" -> topCustomersSql,
+    // identical to q17: the salted-join skew rewrite must be lossless
+    "q74_salted_join" -> topCustomersSql,
     "q18_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

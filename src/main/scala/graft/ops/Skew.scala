@@ -34,4 +34,45 @@ object Skew {
       .agg(sum(col("v")).cast("double").as("total_value"),
            sum(col("c")).as("tx_count"))
       .orderBy("day", "user_id")
+
+  /** Salted shuffle join: the manual fix when ONE join key drowns its
+    * reducer and AQE's skew split cannot apply (e.g. the skewed side
+    * feeds a co-partitioned downstream op, or stats miss the skew).
+    *
+    * The probe (skewed) side gets a random-ish salt in [0, buckets);
+    * the build side is replicated `buckets` times with every salt
+    * value. The join key becomes (key, salt): a hot key's rows now land
+    * on `buckets` distinct reducers instead of one. Row-for-row
+    * equivalent to the unsalted join — every probe row still meets
+    * exactly one copy of each matching build row.
+    *
+    * Cost model at 100 TB: build-side bytes × buckets extra shuffle
+    * write — worth it when the hot reducer is the wall-clock tail;
+    * prefer `broadcast()` when the build side fits, AQE skew-join when
+    * stats surface the skew. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int = 8): DataFrame = {
+    val salted = probe
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val replicated = build
+      .withColumn("__salt", explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** [[StarJoins.topCustomers]] through [[saltedJoin]] — shares q17's
+    * oracle: the skew rewrite must be invisible in results. (With a
+    * dim this small Spark will still broadcast; the salting pattern is
+    * exercised and verified, the shuffle path engages when the build
+    * side outgrows the broadcast threshold.) */
+  def saltedTopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("custkey", col("o_custkey"))
+    val customer = Tables.customer(spark, sfDir)
+      .withColumn("custkey", col("c_custkey"))
+    saltedJoin(orders, customer, "custkey")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("volume"), count(lit(1)).as("n_orders"))
+      .orderBy(col("volume").desc, col("c_custkey"))
+      .limit(10)
+  }
 }

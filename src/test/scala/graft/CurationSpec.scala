@@ -221,6 +221,18 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("salted join is row-equivalent to the plain join under a hot key") {
+    val probe = ((1 to 500).map(_ => (7L, "hot")) ++
+      (1 to 50).map(i => (i.toLong % 5, "cold"))).toDF("k", "side")
+    // duplicate build keys: multiplicity must be preserved exactly
+    val build = Seq((7L, "a"), (7L, "b"), (2L, "c"), (9L, "d")).toDF("k", "tag")
+    val plain = probe.join(build, "k")
+      .select($"k", $"side", $"tag").as[(Long, String, String)].collect().sorted
+    val salted = ops.Skew.saltedJoin(probe, build, "k", buckets = 4)
+      .select($"k", $"side", $"tag").as[(Long, String, String)].collect().sorted
+    assert(salted.sameElements(plain))
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
