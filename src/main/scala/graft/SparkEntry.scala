@@ -713,20 +713,25 @@ object SparkEntry {
                 FROM orders WINDOW w AS (PARTITION BY o_custkey))
           WHERE o_totalprice > cust_avg
           GROUP BY 1 ORDER BY o_orderpriority""",
-    "q47_sessionize" ->
-      s"""WITH g AS (
-            SELECT user_id, ts, event_id, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          s AS (
-            SELECT user_id, ts, value,
-                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-            FROM g)
-          SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-                 COUNT(*) AS n_events, ${dsum("value")} AS total_value
-          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "q47_sessionize" -> sessionizeSql,
+    // the incremental flatMapGroupsWithState sessionization quantizes
+    // its state to DECIMAL(38,6) like the batch dsum — bit-equal to q47
+    "q96_stream_sessions" -> sessionizeSql,
   )
+
+  private lazy val sessionizeSql =
+    s"""WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               COUNT(*) AS n_events, ${dsum("value")} AS total_value
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""
 }

@@ -227,7 +227,10 @@ object Live {
       uid: Long, evs: Iterator[(Long, Long, Double)],
       state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessUpdate] = {
     val incoming = evs.map { case (_, ts, v) =>
-      Sess(ts, ts, 1L, BigDecimal(v))
+      // quantize to DECIMAL(38,6) semantics (HALF_UP, like Spark's
+      // double→decimal cast): the streaming state then sums the exact
+      // same decimals as the batch dsum and the totals are bit-equal
+      Sess(ts, ts, 1L, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
     }.toList
     val prior = state.getOption.map(_.sessions).getOrElse(Nil)
     val merged = (prior ++ incoming).sortBy(s => (s.start_us, s.end_us))
