@@ -97,6 +97,7 @@ object SparkEntry {
     "q72_curate_full"      -> (Curate.curateFull _),
     "q73_above_cust_avg"   -> (Windows.aboveCustomerAvg _),
     "q74_salted_join"      -> ((s, d) => Skew.saltedTopCustomers(s, d)),
+    "q75_weighted_sample"  -> (Sampling.weightedSample _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -704,6 +705,22 @@ object SparkEntry {
           SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
                  COUNT(*) AS n_events, ${dsum("value")} AS total_value
           FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
+    "q75_weighted_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+          COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  lpad(lower(to_hex(CAST(least(floor(ratio * 65536), 65535) AS BIGINT))), 4, '0')
+                THEN 1 END) AS n_kept,
+          ${davg("ratio")} AS avg_ratio,
+          CAST(COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  lpad(lower(to_hex(CAST(least(floor(ratio * 65536), 65535) AS BIGINT))), 4, '0')
+                THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+          FROM (SELECT doc_id, lang,
+                  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+                       THEN 0.0
+                       ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                            / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) END AS ratio
+                FROM documents)
+          GROUP BY 1 ORDER BY lang""",
     "q73_above_cust_avg" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_above,
           ${dsum("o_totalprice")} AS total_above,

@@ -62,6 +62,35 @@ object Sampling {
            min(col("doc_id")).as("first_id"))
       .orderBy("lang", "split")
 
+  /** Weighted (quality-proportional) sampling: each document is kept
+    * with probability equal to its lexical-diversity ratio — keep-if
+    * `substr(md5(key),1,4) < lpad(hex(floor(ratio·2¹⁶)),4,'0')`. The
+    * 4-hex-char prefix is uniform over 2¹⁶; comparing it against the
+    * per-row threshold rendered as FIXED-WIDTH lowercase hex turns the
+    * lexicographic compare into a numeric one, so the keep decision is
+    * still a pure deterministic row predicate — no RNG — with per-row
+    * probability. (Clamped to 65535/65536: a ratio of exactly 1.0 keeps
+    * all but one hash slot.) Achieved per-language rate ≈ mean ratio. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratio = {
+      val toks = expr(graft.llm.TextOps.toksExpr)
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(size(array_distinct(toks)).cast("double") /
+                   size(toks).cast("double"))
+    }
+    val threshold = lpad(lower(hex(
+      least(floor(col("ratio") * 65536), lit(65535)).cast("long"))), 4, "0")
+    val kept = substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    Tables.documents(spark, sfDir)
+      .withColumn("ratio", ratio)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(kept, lit(1))).as("n_kept"),
+           graft.ops.Fns.davg(col("ratio")).as("avg_ratio"))
+      .withColumn("rate", col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy("lang")
+  }
+
   /** Per-class sampling rates for stratified event curation: keep every
     * rare positive (purchase, error), downsample the high-volume classes.
     * Thresholds are on [[hashBucket]] of event_id. */

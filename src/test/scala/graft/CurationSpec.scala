@@ -42,6 +42,18 @@ class CurationSpec extends AnyFunSuite {
     assert(r("view")._2 < r("view")._1 / 4) // nominal 5.1% of views
   }
 
+  test("weighted sampling rate tracks the mean quality weight") {
+    val rows = Sampling.weightedSample(spark, sf)
+      .select($"n_docs", $"n_kept", $"avg_ratio", $"rate")
+      .as[(Long, Long, Double, Double)].collect()
+    val (n, kept) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val meanRatio = rows.map(r => r._3 * r._1).sum / n
+    assert(kept > 0 && kept < n)
+    // keep-probability equals the per-doc weight, so the corpus-level
+    // rate concentrates near the mean ratio
+    assert(math.abs(kept.toDouble / n - meanRatio) < 0.15)
+  }
+
   test("pii scrub redacts planted emails, phones and digit runs") {
     val planted = Seq((1L, "contact bob.smith+x@corp.example.org or 555-867-5309 ref 123456"))
       .toDF("doc_id", "text")
