@@ -245,6 +245,18 @@ class CurationSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("observation metrics meter the scan that does the work") {
+    val (df, obs) = ops.Monitoring.observedDaily(spark, sf)
+    val out = df.collect() // the action that materializes the metrics
+    val m = obs.get
+    val ev = Tables.events(spark, sf)
+    assert(m("rows_scanned") == ev.count())
+    assert(m("null_users") == 0L)
+    val direct = ev.agg(ops.Fns.dsum($"value")).head.getDouble(0)
+    assert(m("value_total") == direct) // exact decimal routing, bit-equal
+    assert(out.nonEmpty)
+  }
+
   test("reconciliation covers every order key exactly once") {
     val recon = StarJoins.reconcileOrders(spark, sf)
     val covered = recon.agg(sum($"n_orders")).head.getLong(0)
