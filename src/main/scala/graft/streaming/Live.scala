@@ -157,6 +157,44 @@ object Live {
     q.awaitTermination()
   }
 
+  /** The frequent-items twin of [[appendUniqPartials]] — ClickHouse's
+    * `topK()` inside an incrementally-maintained MV. Each micro-batch
+    * appends one `approx_top_k_accumulate` sketch per day; readers
+    * `approx_top_k_combine` then estimate. Same partial→final algebra
+    * as the HLL states: constant-size appends at any fact volume. */
+  def appendTopKPartials(batch: DataFrame, rollupDir: String): Unit =
+    batch
+      .groupBy(to_date(col("ts")).as("day"))
+      // NB the argument is maxItemsTracked (sketch CAPACITY), not k —
+      // size it well above the per-group key cardinality or the
+      // space-saving sketch overestimates and drops items
+      .agg(expr("approx_top_k_accumulate(user_id, 1024)").as("topk_state"),
+           count(lit(1)).as("c_partial"))
+      .write.mode("append").parquet(rollupDir)
+
+  /** Merge per-batch sketches to per-day top-k (rank, user, est count). */
+  def readTopKRollup(spark: SparkSession, rollupDir: String): DataFrame =
+    spark.read.parquet(rollupDir)
+      .groupBy(col("day"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(topk_state), 10)").as("tk"),
+           sum(col("c_partial")).as("tx_count"))
+      .select(col("day"), posexplode(col("tk")).as(Seq("rank0", "e")),
+              col("tx_count"))
+      .select(col("day"), (col("rank0") + 1).cast("int").as("rank"),
+              col("e.item").as("user_id"), col("e.count").as("est_count"),
+              col("tx_count"))
+      .orderBy("day", "rank")
+
+  /** Drive the topK-state rollup with availableNow micro-batches. */
+  def maintainTopKRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = eventStream(spark, sfDir).writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => appendTopKPartials(batch, rollupDir))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental-maintenance pipeline end-to-end with
     * availableNow micro-batches (driven by maxFilesPerTrigger when the
     * source has multiple files). */

@@ -167,11 +167,30 @@ class CurationSpec extends AnyFunSuite {
     // mergeable state: per-partition accumulate + combine == one-shot
     val merged = Tables.events(spark, sf)
       .groupBy(expr("user_id % 4").as("p"))
-      .agg(expr("approx_top_k_accumulate(user_id, 10)").as("s"))
+      .agg(expr("approx_top_k_accumulate(user_id, 1024)").as("s"))
       .agg(expr("approx_top_k_estimate(approx_top_k_combine(s), 10)").as("tk"))
       .select(explode($"tk").as("e"))
       .select($"e.item".as[Long], $"e.count".as[Long]).collect().toMap
     assert(merged == sketch)
+  }
+
+  test("streamed topK sketch partials merge to the batch per-day top users") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    graft.streaming.Live.maintainTopKRollup(spark, sf, s"$dir/rollup")
+    val merged = graft.streaming.Live.readTopKRollup(spark, s"$dir/rollup")
+      .select($"day".cast("string"), $"user_id", $"est_count")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // exact at fixture cardinality: per-day counts from the batch path
+    val batch = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").cast("string").as("day"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(merged.nonEmpty)
+    merged.foreach { case (day, topk) =>
+      topk.foreach { case (user, est) => assert(batch(day)(user) == est) }
+    }
   }
 
   test("sql surface: a registered view runs the daily rollup as plain SQL") {
