@@ -65,7 +65,10 @@ object Curate {
       .withColumn("clean", clean)
   }
 
-  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The curated corpus as rows: gate → scrub → dedup-on-clean →
+    * split. The materialization point both the stats query and the
+    * publish path share. */
+  def curatedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
     gateAndScrub(Tables.documents(spark, sfDir))
@@ -74,6 +77,24 @@ object Curate {
       .withColumn("split",
         when(Sampling.hashBucket(col("doc_id")) < lit("cd"), "train")
           .otherwise("test"))
+  }
+
+  /** Publish the curated corpus as a training-ready lake: partitioned
+    * by split (so a trainer's `split = 'train'` scan prunes at the
+    * directory level) and clustered within partitions by (lang,
+    * n_chars) — length-bucketed batching and per-language slicing then
+    * prune on row-group stats. This is the write shape for the 100 TB
+    * output: one pass, partition count pinned before the sort. */
+  def publish(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    curatedDocs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("split"), col("n_chars"),
+              col("ratio"), col("clean"))
+      .repartition(col("split"))
+      .sortWithinPartitions(col("lang"), col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+    curatedDocs(spark, sfDir)
       .withColumn("clean_toks", expr("filter(split(clean, ' '), x -> x != '')"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

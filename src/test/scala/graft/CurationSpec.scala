@@ -220,6 +220,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("published corpus lake prunes on split and matches the stats query") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    llm.Curate.publish(spark, sf, out)
+    val lake = spark.read.parquet(out)
+    // readback totals match the oracled stats query exactly
+    val fromLake = lake.groupBy($"lang", $"split").count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val fromStats = llm.Curate.curateFull(spark, sf)
+      .select($"lang", $"split", $"n_docs").as[(String, String, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(fromLake == fromStats)
+    // split predicate prunes at the partition level, not the row level
+    val plan = lake.filter($"split" === "train").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"))
+  }
+
   test("full curation pipeline never keeps more than the simple capstone") {
     // q72 dedups on SCRUBBED text: redaction is many-to-one, so it can
     // only merge more duplicates than the raw-text dedup in q57
