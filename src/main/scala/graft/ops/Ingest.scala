@@ -75,4 +75,24 @@ object Ingest {
       .agg(count(lit(1)).as("n_transfers"),
            sum(col("value_cents")).cast("long").as("total_cents"))
       .orderBy("from_address")
+
+  /** Defensive semi-structured ingest (the F2 posture applied to JSON
+    * payloads): parse a JSON string column against an explicit schema
+    * in PERMISSIVE mode with a corrupt-record catch-all, so malformed
+    * rows are COUNTED AND QUARANTINED instead of failing the job or
+    * silently nulling — the ingest contract a 100 TB pipeline needs
+    * when a fraction of upstream payloads is always broken. Returns
+    * (parsed-good-rows, quarantined-raw-rows). */
+  def robustJsonIngest(payloads: DataFrame, jsonCol: String,
+                       schemaDDL: String): (DataFrame, DataFrame) = {
+    val parsed = payloads.withColumn("__p",
+      from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(
+        schemaDDL + ", _corrupt_record STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val good = parsed.filter(col("__p._corrupt_record").isNull)
+      .select(col("*"), col("__p.*")).drop("__p", "_corrupt_record", jsonCol)
+    val quarantined = parsed.filter(col("__p._corrupt_record").isNotNull)
+      .drop("__p")
+    (good, quarantined)
+  }
 }

@@ -281,6 +281,20 @@ class CurationSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("robust json ingest quarantines corrupt rows without losing any") {
+    val payloads = Seq(
+      (1L, """{"k": 5, "tag": "a"}"""),
+      (2L, """{"k": 7, "tag": "b"}"""),
+      (3L, """{"k": BROKEN"""),
+      (4L, """not json at all""")).toDF("id", "payload")
+    val (good, bad) = ops.Ingest.robustJsonIngest(payloads, "payload", "k INT, tag STRING")
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.select(sum($"k")).head.getLong(0) == 12L)
+    // quarantine keeps the raw payload for replay
+    assert(bad.columns.contains("payload"))
+    assert(good.count() + bad.count() == payloads.count())
+  }
+
   test("observation metrics meter the scan that does the work") {
     val (df, obs) = ops.Monitoring.observedDaily(spark, sf)
     val out = df.collect() // the action that materializes the metrics
