@@ -8,6 +8,7 @@ object Bench {
     // the first timed query isn't charged for process startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(100).selectExpr("sum(id)").count()
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column — count()
@@ -15,6 +16,7 @@ object Bench {
       // under-measuring the actual query work.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -24,15 +26,19 @@ object Bench {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // totals cover SUCCESSFUL queries only — a failure's elapsed time is
+    // not work done; the failed list makes partial runs machine-visible
+    val ok = results.filter { case (k, _) => !failed.contains(k) }
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // informational split: streaming queries carry constant microbatch +
     // state-store machinery that a continuous deployment amortizes
     val streaming = Set("q32_stream_daily", "q52_stream_join",
                         "q56_stateful_totals", "q96_stream_sessions")
-    val batchTotal = results.collect {
+    val batchTotal = ok.collect {
       case (k, v) if !streaming.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal)},"n_queries":${results.size},"sink":"noop"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sink":"noop"}""")
     spark.stop()
   }
 }

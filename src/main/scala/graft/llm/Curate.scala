@@ -21,10 +21,7 @@ object Curate {
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     Tables.documents(spark, sfDir)
       .withColumn("toks", expr(TextOps.toksExpr))
-      .withColumn("ratio",
-        when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(size(array_distinct(col("toks"))).cast("double") /
-                     size(col("toks")).cast("double")))
+      .withColumn("ratio", TextOps.lexicalRatioOf(col("toks")))
       // quality gate: lexical diversity + minimum substance
       .filter(col("ratio") >= 0.3 && col("n_chars") >= 100)
       // exact dedup: keep the lowest doc_id per content hash
@@ -38,15 +35,6 @@ object Curate {
       .orderBy("lang")
   }
 
-  /** The full curation pipeline in one plan: quality gate → PII scrub →
-    * exact dedup (on the SCRUBBED text — two raw docs differing only in
-    * redacted spans are duplicates) → deterministic train/test split →
-    * per-(lang, split) accounting of what ships to training.
-    *
-    * Still scan-shaped at 100 TB: the gate and scrub are narrow maps
-    * fused into the scan, the dedup is one fingerprint window, the
-    * split is a pure hash predicate — two exchanges total, same as the
-    * simple capstone. */
   /** The stateless prefix of the pipeline — quality gate + PII scrub as
     * one narrow projection. Streaming-safe: no window, no state, so the
     * identical stage runs under readStream for continuous-ingest
@@ -57,10 +45,7 @@ object Curate {
     }
     docs
       .withColumn("toks", expr(TextOps.toksExpr))
-      .withColumn("ratio",
-        when(size(col("toks")) === 0, lit(0.0))
-          .otherwise(size(array_distinct(col("toks"))).cast("double") /
-                     size(col("toks")).cast("double")))
+      .withColumn("ratio", TextOps.lexicalRatioOf(col("toks")))
       .filter(col("ratio") >= 0.3 && col("n_chars") >= 100)
       .withColumn("clean", clean)
   }
@@ -89,10 +74,23 @@ object Curate {
     curatedDocs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("split"), col("n_chars"),
               col("ratio"), col("clean"))
-      .repartition(col("split"))
+      // range-partition on the FULL clustering key: hashing only the
+      // 2-valued split would funnel the corpus into two tasks; ranging
+      // on (split, lang, length) keeps every write task busy AND makes
+      // files contiguous in the clustering order
+      .repartitionByRange(col("split"), col("lang"), col("n_chars"), col("doc_id"))
       .sortWithinPartitions(col("lang"), col("n_chars"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** The full curation pipeline in one plan: quality gate → PII scrub →
+    * exact dedup (on the SCRUBBED text — two raw docs differing only in
+    * redacted spans are duplicates) → deterministic train/test split →
+    * per-(lang, split) accounting of what ships to training.
+    *
+    * Still scan-shaped at 100 TB: the gate and scrub are narrow maps
+    * fused into the scan, the dedup is one fingerprint window, the
+    * split is a pure hash predicate — two exchanges total, same as the
+    * simple capstone. */
   def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
     curatedDocs(spark, sfDir)
       .withColumn("clean_toks", expr("filter(split(clean, ' '), x -> x != '')"))

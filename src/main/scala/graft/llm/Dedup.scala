@@ -63,14 +63,24 @@ object Dedup {
     * so downstream per-doc aggregations reuse the partitioning without
     * a new exchange. Entries live for the session (bounded: one per
     * corpus dir). */
+  // keyed by SESSION OBJECT IDENTITY (not a hash that could collide
+  // across a stopped and a live session and serve stale plans); entries
+  // for dead sessions are inert and bounded by dirs × sessions per JVM
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
 
   def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    indexCache.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir),
-      _ => shingled(Tables.documents(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    indexCache.synchronized {
+      var perSession = indexCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        indexCache.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate(sfDir,
+        shingled(Tables.documents(spark, sfDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Exploded (doc_id, sh) rows served FROM the index: explode of the
     * cached arrays, no re-tokenization; partitioning by doc_id is
@@ -176,7 +186,15 @@ object Dedup {
     * cannot exchange-reuse). Verification Jaccard runs over the 64-bit
     * shingle hashes, not the strings: set sizes are identical up to
     * ~2⁻⁶⁴ collisions and the exchange never carries text. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashVerifiedPairs(spark, sfDir)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+
+  /** The FULL verified pair stream (no presentation limit) — what the
+    * clustering path consumes; [[minhashPairs]] is its top-50 display
+    * tail. */
+  def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val perSh = shingleRowsCached(spark, sfDir)
       .withColumn("h1", xxhash64(col("sh")))
     val aggs: Seq[Column] = (0 until 16).map(i =>
@@ -200,8 +218,6 @@ object Dedup {
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
   }
 
   /** Exploded (doc_id, token) stream — typed flatMap for the same
@@ -307,7 +323,7 @@ object Dedup {
     * component algebra itself. */
   def minhashComponents(spark: SparkSession, sfDir: String): DataFrame =
     componentsOf(
-      minhashPairs(spark, sfDir).filter(col("jaccard") >= 0.7)
+      minhashVerifiedPairs(spark, sfDir).filter(col("jaccard") >= 0.7)
         .select(col("a_id"), col("b_id")))
 
   /** Min-label propagation over an (a_id, b_id) edge list. */
@@ -329,7 +345,8 @@ object Dedup {
     var lastSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxRounds = 64
+    while (!converged && iter < maxRounds) {
       val msgs = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("comp"))
       val next = labels.union(msgs)
@@ -341,6 +358,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent wrong answers are worse than failure: a label set that has
+    // not reached fixpoint assigns multiple comp_ids to one component
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsOf did not converge in $maxRounds rounds — graph diameter " +
+        "exceeds the propagation budget; use the large-star/small-star " +
+        "O(log n)-round variant for adversarial chain graphs")
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp").as("comp_id"), col("comp_size"))

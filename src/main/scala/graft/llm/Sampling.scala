@@ -72,12 +72,7 @@ object Sampling {
     * probability. (Clamped to 65535/65536: a ratio of exactly 1.0 keeps
     * all but one hash slot.) Achieved per-language rate ≈ mean ratio. */
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val ratio = {
-      val toks = expr(graft.llm.TextOps.toksExpr)
-      when(size(toks) === 0, lit(0.0))
-        .otherwise(size(array_distinct(toks)).cast("double") /
-                   size(toks).cast("double"))
-    }
+    val ratio = graft.llm.TextOps.lexicalRatio
     val threshold = lpad(lower(hex(
       least(floor(col("ratio") * 65536), lit(65535)).cast("long"))), 4, "0")
     val kept = substring(md5(col("doc_id").cast("string")), 1, 4) < threshold

@@ -22,6 +22,17 @@ object TextOps {
   /** Tokens column: non-empty whitespace tokens. */
   val toksExpr = "filter(split(text, ' '), x -> x != '')"
 
+  /** Lexical-diversity ratio (distinct tokens / total tokens, 0 for
+    * empty docs) — THE quality weight, shared by the curation gate
+    * (q57/q72), the weighted sampler (q75) and the quality buckets so
+    * a tweak here cannot desynchronize them. */
+  def lexicalRatioOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") /
+                 size(toks).cast("double"))
+
+  def lexicalRatio: org.apache.spark.sql.Column = lexicalRatioOf(expr(toksExpr))
+
   /** Per-language corpus stats: doc counts, token counts (BPE-ish
     * proxy = whitespace tokens), char totals. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -281,7 +292,9 @@ object TextOps {
     * any corpus scale. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.count()
+    // lazy one-row corpus count, cross-joined broadcast — an eager
+    // .count() here would run a full scan at plan-construction time
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
     val tf = docs
       .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -291,8 +304,9 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+        (col("tf") * col("n_corpus")).cast("double") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("tok"), col("score"))

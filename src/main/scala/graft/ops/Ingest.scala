@@ -89,9 +89,15 @@ object Ingest {
       from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(
         schemaDDL + ", _corrupt_record STRING"),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
-    val good = parsed.filter(col("__p._corrupt_record").isNull)
+    // NULL payloads quarantine too: from_json(NULL) is a NULL struct
+    // with a null corrupt-record marker, which would otherwise pass as
+    // an all-null "good" row — the exact silent-nulling this exists to
+    // prevent
+    val good = parsed
+      .filter(col(jsonCol).isNotNull && col("__p._corrupt_record").isNull)
       .select(col("*"), col("__p.*")).drop("__p", "_corrupt_record", jsonCol)
-    val quarantined = parsed.filter(col("__p._corrupt_record").isNotNull)
+    val quarantined = parsed
+      .filter(col(jsonCol).isNull || col("__p._corrupt_record").isNotNull)
       .drop("__p")
     (good, quarantined)
   }

@@ -31,7 +31,10 @@ object Layouts {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(dim))
     val ranks = df.select(col(dim)).distinct()
       .withColumn(outCol, (ntile(buckets).over(w) - 1).cast("long"))
-    df.join(broadcast(ranks), dim)
+    // left join + sentinel: an inner equi-join would silently DROP rows
+    // whose dim is NULL (NULL never equi-joins); they get bucket 0
+    df.join(broadcast(ranks), Seq(dim), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
   }
 
   /** Write `df` Z-clustered on (dimA, dimB) into `nFiles` range-

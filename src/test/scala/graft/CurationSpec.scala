@@ -286,9 +286,11 @@ class CurationSpec extends AnyFunSuite {
       (1L, """{"k": 5, "tag": "a"}"""),
       (2L, """{"k": 7, "tag": "b"}"""),
       (3L, """{"k": BROKEN"""),
-      (4L, """not json at all""")).toDF("id", "payload")
+      (4L, """not json at all"""),
+      (5L, null.asInstanceOf[String])).toDF("id", "payload")
     val (good, bad) = ops.Ingest.robustJsonIngest(payloads, "payload", "k INT, tag STRING")
-    assert(good.count() == 2 && bad.count() == 2)
+    // NULL payloads quarantine — they must not pass as all-null "good"
+    assert(good.count() == 2 && bad.count() == 3)
     assert(good.select(sum($"k")).head.getLong(0) == 12L)
     // quarantine keeps the raw payload for replay
     assert(bad.columns.contains("payload"))
