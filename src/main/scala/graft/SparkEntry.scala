@@ -98,6 +98,7 @@ object SparkEntry {
     "q73_above_cust_avg"   -> (Windows.aboveCustomerAvg _),
     "q74_salted_join"      -> ((s, d) => Skew.saltedTopCustomers(s, d)),
     "q75_weighted_sample"  -> (Sampling.weightedSample _),
+    "q76_share_of_total"   -> (Windows.shareOfTotal _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
@@ -721,6 +722,14 @@ object SparkEntry {
                             / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) END AS ratio
                 FROM documents)
           GROUP BY 1 ORDER BY lang""",
+    "q76_share_of_total" ->
+      s"""SELECT user_id, volume,
+          volume / CAST(SUM(CAST(volume AS DECIMAL(38,6))) OVER
+                        (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS DOUBLE) AS share
+          FROM (SELECT user_id, ${dsum("value")} AS volume
+                FROM events GROUP BY 1)
+          ORDER BY user_id""",
     "q73_above_cust_avg" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_above,
           ${dsum("o_totalprice")} AS total_above,

@@ -231,6 +231,23 @@ object Windows {
       .orderBy("o_orderpriority")
   }
 
+  /** Share-of-total (ratio-to-report): each user's fraction of global
+    * volume via an unpartitioned window over the PRE-AGGREGATED user
+    * table (15 rows here, |users| at scale — the single-partition
+    * window reads the small aggregate, never the facts). The total runs
+    * over decimal so both engines divide by the identical denominator. */
+  def shareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(Fns.dsum(col("value")).as("volume"))
+      .withColumn("share",
+        col("volume") /
+          sum(col("volume").cast("decimal(38,6)")).over(w).cast("double"))
+      .orderBy("user_id")
+  }
+
   /** 7-day trailing moving average of daily volume per user (ROWS
     * 6 PRECEDING). The frame sum runs over the DECIMAL day-aggregates —
     * engines disagree on sliding-sum evaluation order (retraction vs

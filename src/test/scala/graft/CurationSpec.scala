@@ -269,6 +269,13 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("shares of total sum to one") {
+    val shares = ops.Windows.shareOfTotal(spark, sf)
+      .select($"share").as[Double].collect()
+    assert(shares.forall(s => s > 0.0 && s < 1.0))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
   test("salted join is row-equivalent to the plain join under a hot key") {
     val probe = ((1 to 500).map(_ => (7L, "hot")) ++
       (1 to 50).map(i => (i.toLong % 5, "cold"))).toDF("k", "side")
