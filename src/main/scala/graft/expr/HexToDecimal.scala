@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * fallback would break the surrounding WholeStageCodegen stage into
   * interpreted per-row evaluation for the whole projection — measured
   * ~2× slower on the decode benchmark query.
+  *
+  * The parse works directly on the UTF8String bytes: nibbles accumulate
+  * into a 128-bit (hi, lo) pair, and values that fit a signed long take
+  * the compact-Decimal path with zero intermediate allocation. The
+  * String → BigInteger(s, 16) → BigDecimal chain this replaces allocated
+  * three objects and re-scanned the text per row — on the always-on
+  * ingest decode path that is the difference between scan-bound and
+  * alloc-bound at 100 TB.
   */
 case class HexToDecimal(child: Expression) extends UnaryExpression {
 
@@ -43,18 +51,61 @@ case class HexToDecimal(child: Expression) extends UnaryExpression {
 }
 
 object HexToDecimal {
+
+  // 10^38 - 1 (the DECIMAL(38,0) magnitude ceiling) as unsigned 128-bit
+  // halves; computed once so the range check is two long compares.
+  private val Max38 = new java.math.BigInteger("9" * 38)
+  private val Max38Hi = Max38.shiftRight(64).longValue()
+  private val Max38Lo = Max38.longValue()
+
   /** Shared parse used by both the interpreted and generated paths.
-    * Null for invalid hex or >38-digit magnitude. */
+    * Null for invalid hex or >38-digit magnitude. Accepts an optional
+    * 0x/0X prefix and surrounding ASCII whitespace (the tolerance the
+    * previous String.trim-based parse had); a sign is NOT valid hex for
+    * a uint word. */
   def parse(input: UTF8String): Decimal = {
-    val s0 = input.toString.trim
-    val s = if (s0.startsWith("0x") || s0.startsWith("0X")) s0.substring(2) else s0
-    if (s.isEmpty) null
-    else
-      try {
-        val bi = new java.math.BigInteger(s, 16)
-        val d = Decimal(new java.math.BigDecimal(bi))
-        if (d.changePrecision(38, 0)) d else null
-      } catch { case _: NumberFormatException => null }
+    var i = 0
+    var end = input.numBytes
+    // String.trim semantics: strip leading/trailing chars <= U+0020
+    while (i < end && (input.getByte(i) & 0xFF) <= 0x20) i += 1
+    while (end > i && (input.getByte(end - 1) & 0xFF) <= 0x20) end -= 1
+    if (end - i >= 2 && input.getByte(i) == '0' &&
+        (input.getByte(i + 1) == 'x' || input.getByte(i + 1) == 'X')) i += 2
+    if (i >= end) return null
+    while (i < end && input.getByte(i) == '0') i += 1
+    // > 32 significant nibbles > 2^128 - 1 > 10^38 - 1: overflow
+    if (end - i > 32) return null
+    var hi = 0L
+    var lo = 0L
+    while (i < end) {
+      val b = input.getByte(i)
+      val d: Int =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else if (b >= 'A' && b <= 'F') b - 'A' + 10
+        else return null
+      hi = (hi << 4) | (lo >>> 60)
+      lo = (lo << 4) | d
+      i += 1
+    }
+    val cmpHi = java.lang.Long.compareUnsigned(hi, Max38Hi)
+    if (cmpHi > 0 || (cmpHi == 0 && java.lang.Long.compareUnsigned(lo, Max38Lo) > 0))
+      return null
+    if (hi == 0L && lo >= 0L) {
+      // fits a signed long → compact Decimal, no heap numerics
+      val d = Decimal(lo)
+      if (d.changePrecision(38, 0)) d else null
+    } else {
+      val bytes = new Array[Byte](16)
+      var j = 0
+      while (j < 8) {
+        bytes(j) = (hi >>> (56 - 8 * j)).toByte
+        bytes(8 + j) = (lo >>> (56 - 8 * j)).toByte
+        j += 1
+      }
+      val d = Decimal(new java.math.BigDecimal(new java.math.BigInteger(1, bytes)))
+      if (d.changePrecision(38, 0)) d else null
+    }
   }
 
   /** Column-API entry point. */

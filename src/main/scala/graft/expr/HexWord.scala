@@ -1,0 +1,56 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structural well-formedness check for a 0x-prefixed 32-byte hex word —
+  * the defensive re-check the reference's handler applies to every log
+  * before decoding (`usdc-transfers/src/main.ts:83-84`).
+  *
+  * Semantically identical to `rlike("^0x[0-9a-f]{64}$")` but a direct
+  * byte scan instead of a java.util.regex Matcher: no Matcher allocation
+  * per row, no backtracking machinery, early exit on the first bad byte.
+  * On the always-on ingest path (two topic words per log) the regex pair
+  * was the top row-level cost after the uint256 parse.
+  */
+case class IsHexWord(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_hex_word"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IsHexWord.check(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.IsHexWord.check($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IsHexWord =
+    copy(child = newChild)
+}
+
+object IsHexWord {
+  /** True iff the value is exactly "0x" + 64 lowercase hex chars. */
+  def check(s: UTF8String): Boolean = {
+    if (s.numBytes != 66) return false
+    if (s.getByte(0) != '0' || s.getByte(1) != 'x') return false
+    var i = 2
+    while (i < 66) {
+      val b = s.getByte(i)
+      if (!((b >= '0' && b <= '9') || (b >= 'a' && b <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Column-API entry point. */
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      IsHexWord(org.apache.spark.sql.graftx.Bridge.expression(c)))
+
+  /** Register as a SQL function on a session: `is_hex_word(s)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftx.Bridge.registerFunction(spark,
+      "is_hex_word", exprs => IsHexWord(exprs.head))
+}

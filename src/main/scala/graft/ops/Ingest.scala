@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.expr.HexToDecimal
+import graft.expr.{HexToDecimal, IsHexWord}
 
 /** Decode-projection ingest operators (SURVEY §2.2 F1/F2, §2.7 C8/C9).
   *
@@ -45,10 +45,11 @@ object Ingest {
   /** Defensive equality re-check of the pushed filter (F2,
     * `src/main.ts:83-84`): drop any log whose topic words are not
     * well-formed 0x+64-hex — the belt-and-braces predicate the handler
-    * applies even though the gateway already filtered. */
+    * applies even though the gateway already filtered. [[IsHexWord]] is
+    * the codegen'd byte-scan equivalent of `rlike("^0x[0-9a-f]{64}$")`
+    * without the per-row regex Matcher. */
   def defensiveFilter(logs: DataFrame): DataFrame =
-    logs.filter(col("topic1").rlike("^0x[0-9a-f]{64}$") &&
-                col("topic2").rlike("^0x[0-9a-f]{64}$"))
+    logs.filter(IsHexWord(col("topic1")) && IsHexWord(col("topic2")))
 
   /** Decode logs back to a typed transfer frame (F1). */
   def decodeTransfers(logs0: DataFrame): DataFrame = {
