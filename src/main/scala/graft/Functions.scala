@@ -9,6 +9,7 @@ object Functions {
   def registerAll(spark: SparkSession): Unit = {
     expr.FormatReadableSize.register(spark)
     expr.HexToDecimal.register(spark)
+    expr.IsHexWord.register(spark)
     expr.DotProduct.register(spark)
     expr.ZValue.register(spark)
   }

@@ -101,6 +101,8 @@ object SparkEntry {
     "q76_share_of_total"   -> (Windows.shareOfTotal _),
     // — ingest decode (F1/C8) + streaming (T1/T2/T5) —
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
+    "q77_approval_roundtrip" -> (Ingest.approvalRoundtrip _),
+    "q78_abi_event_mix"  -> (Ingest.abiEventMix _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -116,6 +118,7 @@ object SparkEntry {
     "q97_len_quantiles_approx" -> (TextOps.lengthQuantilesApprox _),
     "q98_chunk_dedup"    -> (Dedup.chunkDedupStats _),
     "q99_langid_ngram"   -> (TextOps.langIdNgram _),
+    "q100_table_footprint" -> (Monitoring.tableFootprint _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -350,6 +353,20 @@ object SparkEntry {
          COUNT(*) AS n_transfers,
          CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY 1 ORDER BY from_address""",
+    // decoded Approval path ≡ the signup slice of the original columns
+    "q77_approval_roundtrip" ->
+      """SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS owner_address,
+         COUNT(*) AS n_approvals,
+         CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_allowance_cents
+         FROM events WHERE event_type = 'signup'
+         GROUP BY 1 ORDER BY owner_address""",
+    // router mix ≡ CASE routing on the original event_type
+    "q78_abi_event_mix" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'Approval'
+                     ELSE 'Transfer' END AS event,
+         COUNT(*) AS n_logs,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY 1 ORDER BY event""",
     // identical to q01 by the A6/T5 invariant: streaming availableNow
     // aggregation must equal the batch rollup exactly
     "q32_stream_daily" -> dailyRollupSql,

@@ -48,7 +48,7 @@ object TextOps {
   /** Quality scoring: lexical-diversity ratio (distinct/total tokens)
     * bucketed into quality bands — the stopword/repetition heuristic a
     * pretraining filter would run per document. The per-doc ratio is a
-    * typed map (same rationale as Dedup.shingleRows: interpreted HOFs
+    * typed map (same rationale as Dedup.shingled: interpreted HOFs
     * get pushed onto the scan partition); the bucket/rollup stays
     * declarative. */
   def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {

@@ -77,6 +77,77 @@ object Ingest {
            sum(col("value_cents")).cast("long").as("total_cents"))
       .orderBy("from_address")
 
+  // ——— multi-event ABI surface (C8 breadth) ———
+  //
+  // The reference ABI declares Transfer(from indexed, to indexed, value)
+  // AND Approval(owner indexed, spender indexed, value) with identical
+  // word layouts (`usdc-transfers/src/abi/usdc.ts:20-23`): topic1/topic2
+  // carry the two indexed addresses, data carries the uint256. The
+  // synthetic signature words stand in for the keccak topic0 constants
+  // (no keccak in this container; the router only needs distinct
+  // well-formed words).
+
+  /** Synthetic topic0 for Transfer-shaped logs. */
+  val TransferSig: String = "0x" + "0" * 63 + "1"
+  /** Synthetic topic0 for Approval-shaped logs. */
+  val ApprovalSig: String = "0x" + "0" * 63 + "2"
+
+  /** events → a MIXED log stream: `signup` events encode as Approval,
+    * everything else as Transfer — the mixed-topic wire shape a real
+    * contract emits into one log stream. */
+  def synthesizeMixedLogs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      when(col("event_type") === "signup", lit(ApprovalSig))
+        .otherwise(lit(TransferSig)).as("topic0"),
+      topicFromId(col("user_id")).as("topic1"),
+      topicFromId(col("user_id") + 1000000L).as("topic2"),
+      lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0").as("data"))
+
+  /** ABI router + decoder (the handler's `events.X.decode` dispatch,
+    * `usdc-transfers/src/main.ts:85-86`, widened to the declared event
+    * set): well-formedness re-check on every word, route on topic0, and
+    * decode to one typed frame with the per-event role names collapsed
+    * to (event, addr1, addr2, amount). Logs with an undeclared topic0
+    * are DROPPED — exactly what a typed ABI handler does with events it
+    * has no decoder for. */
+  def decodeAbi(logs0: DataFrame): DataFrame =
+    defensiveFilter(logs0)
+      .filter(col("topic0").isin(TransferSig, ApprovalSig))
+      .select(
+        col("event_id"),
+        when(col("topic0") === lit(ApprovalSig), lit("Approval"))
+          .otherwise(lit("Transfer")).as("event"),
+        addressFromTopic(col("topic1")).as("addr1"),
+        addressFromTopic(col("topic2")).as("addr2"),
+        uint256(col("data")).as("amount_cents"))
+
+  /** Approval-path roundtrip: per-owner approval count + max allowance
+    * from the DECODED mixed stream. Oracled against the same aggregate
+    * computed from the un-encoded columns (owner = the synthesized
+    * address of user_id, rows where event_type = 'signup'). */
+  def approvalRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAbi(
+      synthesizeMixedLogs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .filter(col("event") === "Approval")
+      .groupBy(col("addr1").as("owner_address"))
+      .agg(count(lit(1)).as("n_approvals"),
+           max(col("amount_cents")).cast("long").as("max_allowance_cents"))
+      .orderBy("owner_address")
+
+  /** Router visibility: decoded event mix (count + volume per declared
+    * event shape) — proves both decoders ran over one stream. Oracled
+    * with the equivalent CASE routing on the original columns. */
+  def abiEventMix(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAbi(
+      synthesizeMixedLogs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .groupBy(col("event"))
+      .agg(count(lit(1)).as("n_logs"),
+           sum(col("amount_cents")).cast("long").as("total_cents"))
+      .orderBy("event")
+
   /** Defensive semi-structured ingest (the F2 posture applied to JSON
     * payloads): parse a JSON string column against an explicit schema
     * in PERMISSIVE mode with a corrupt-record catch-all, so malformed

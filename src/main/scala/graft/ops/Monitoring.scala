@@ -29,4 +29,47 @@ object Monitoring {
       .orderBy("day", "user_id")
     (df, obs)
   }
+
+  /** Storage-footprint report — the reference's table-size monitoring
+    * query (`usdc-transfers/sql/monitoring.sql:20-29`: per-table bytes,
+    * part counts, `formatReadableSize` over `system.parts`) re-expressed
+    * for a lake: per registered table, file count, total/avg bytes, and
+    * the human-readable rendering via the native
+    * [[graft.expr.FormatReadableSize]] expression.
+    *
+    * The file listing is driver-side filesystem METADATA — the direct
+    * analog of reading `system.parts`, which ClickHouse also serves
+    * from memory rather than by scanning data. Cost is O(files) name
+    * ops against the namenode/listing API, not O(bytes); at 100 TB
+    * (~10⁵ files) this is milliseconds, and the aggregation itself
+    * still runs as a (tiny) Spark plan so the readable-size rendering
+    * exercises the same codegen'd expression the big queries use. */
+  def tableFootprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[(String, String, Long)] = Tables.names.flatMap { t =>
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) Seq.empty
+      else {
+        val it = fs.listFiles(path, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          // _SUCCESS markers and checksums are bookkeeping, not storage
+          if (st.isFile && !st.getPath.getName.startsWith("_"))
+            buf += ((t, st.getPath.getName, st.getLen))
+        }
+        buf.toSeq
+      }
+    }
+    files.toDF("table_name", "file", "bytes")
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("bytes")).as("total_bytes"),
+           avg(col("bytes")).as("avg_file_bytes"))
+      .withColumn("readable",
+        graft.expr.FormatReadableSize(col("total_bytes").cast("double")))
+      .orderBy(col("total_bytes").desc, col("table_name"))
+  }
 }

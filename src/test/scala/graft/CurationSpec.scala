@@ -73,6 +73,38 @@ class CurationSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(n => comps(n) == (10L, 2L)))
   }
 
+  test("1000-node chain converges via the large-star/small-star fallback") {
+    // diameter 999 >> any propagation budget: plain min-label would need
+    // 999 rounds; the star fallback must finish in O(log² n). The small
+    // budget only makes the fallback trigger sooner — the fallback path
+    // is identical at the default budget.
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comps = Dedup.componentsOf(edges, propagationBudget = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(comps.length == 1000)
+    assert(comps.forall { case (_, comp, size) => comp == 0L && size == 1000L })
+  }
+
+  test("star labels equal propagation labels on a mixed random graph") {
+    val rnd = new scala.util.Random(42)
+    // forest of cliques + a few chains — the realistic near-dup shapes
+    val edges = (
+      (0 until 40).flatMap { c => // cliques of 3 on ids [c*10, c*10+2]
+        val base = c * 10L
+        Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+      } ++
+      (0 until 200).map { _ => // random extra edges merging some cliques
+        val a = rnd.nextInt(400).toLong; val b = rnd.nextInt(400).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+    ).toDF("a_id", "b_id")
+    val viaProp = Dedup.componentsOf(edges, propagationBudget = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaStar = Dedup.componentsOf(edges, propagationBudget = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaProp == viaStar)
+  }
+
   test("near-dup clusters have size >= 2 and canonical = min member") {
     val df = Dedup.connectedComponents(spark, sf)
     val rows = df.as[(Long, Long, Long)].collect()
@@ -314,6 +346,24 @@ class CurationSpec extends AnyFunSuite {
     val direct = ev.agg(ops.Fns.dsum($"value")).head.getDouble(0)
     assert(m("value_total") == direct) // exact decimal routing, bit-equal
     assert(out.nonEmpty)
+  }
+
+  test("table footprint reports every registered table with true byte totals") {
+    val rows = ops.Monitoring.tableFootprint(spark, sf)
+      .as[(String, Long, Long, Double, String)].collect()
+    // every registered table exists in the fixture dir and reports files
+    assert(rows.map(_._1).sorted.toSeq == Tables.names.sorted)
+    assert(rows.forall { case (_, nFiles, bytes, avgB, _) =>
+      nFiles >= 1 && bytes > 0 && avgB > 0 })
+    // byte totals are the filesystem truth, not an estimate
+    val lineitemBytes = rows.find(_._1 == "lineitem").get._3
+    assert(lineitemBytes ==
+      new java.io.File(s"$sf/lineitem.parquet").length())
+    // rendering is the same codegen'd expression the SQL surface exposes
+    val r = rows.find(_._1 == "lineitem").get._5
+    assert(r == graft.expr.FormatReadableSize.format(lineitemBytes.toDouble))
+    // ordered by size desc — the monitoring report contract
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
   }
 
   test("reconciliation covers every order key exactly once") {

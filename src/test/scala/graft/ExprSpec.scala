@@ -46,6 +46,63 @@ class ExprSpec extends AnyFunSuite {
     assert(got.isNullAt(5)) // invalid hex → null, not an exception
   }
 
+  test("hex_to_decimal boundaries: 38-digit ceiling, 128-bit branch, signs") {
+    HexToDecimal.register(spark)
+    val one = java.math.BigInteger.ONE
+    val max38 = new java.math.BigInteger("9" * 38) // 10^38 - 1
+    val p63 = one.shiftLeft(63)                    // 2^63: > Long.MaxValue
+    val p64 = one.shiftLeft(64)                    // 2^64: hi word nonzero
+    val got = spark.sql(s"""SELECT
+        hex_to_decimal('${max38.toString(16)}'),
+        hex_to_decimal('${max38.add(one).toString(16)}'),
+        hex_to_decimal('${p63.toString(16)}'),
+        hex_to_decimal('${p64.toString(16)}'),
+        hex_to_decimal('1${"0" * 32}'),
+        hex_to_decimal('-ff'),
+        hex_to_decimal('+ff')""").head
+    assert(got.getDecimal(0).toBigInteger == max38) // ceiling accepted
+    assert(got.isNullAt(1))                         // 10^38 overflows
+    assert(got.getDecimal(2).toBigInteger == p63)   // beyond compact-long
+    assert(got.getDecimal(3).toBigInteger == p64)   // 128-bit hi ≠ 0
+    assert(got.isNullAt(4))                         // 33 significant nibbles
+    // a sign is not valid hex for a uint word — pinned contract (the old
+    // BigInteger(s, 16) parse accepted '-ff' as -255)
+    assert(got.isNullAt(5))
+    assert(got.isNullAt(6))
+  }
+
+  test("is_hex_word: exact 0x+64-lowercase-hex byte scan") {
+    import graft.expr.IsHexWord
+    val word = "0x" + "0" * 24 + "a" * 40
+    val cases = Seq(
+      word            -> true,
+      word.toUpperCase.replace("0X", "0x") -> false, // uppercase hex
+      ("0X" + "a" * 64) -> false,                    // uppercase prefix
+      (word + "\n")   -> false,                      // trailing newline
+      word.dropRight(1) -> false,                    // 65 bytes
+      (word + "a")    -> false,                      // 67 bytes
+      ("0x" + "g" * 64) -> false,                    // non-hex byte
+      ("0x" + "é" * 32) -> false,                    // non-ASCII (64 chars)
+      ""              -> false)
+    cases.foreach { case (s, want) =>
+      assert(IsHexWord.check(org.apache.spark.unsafe.types.UTF8String.fromString(s)) == want,
+             s"IsHexWord($s)")
+    }
+    // null-intolerant UnaryExpression: null in → null out (drops in filters)
+    val viaDf = Seq(Some(word), None).toDF("w")
+      .select(IsHexWord(col("w")).as("ok")).collect()
+    assert(viaDf(0).getBoolean(0) && viaDf(1).isNullAt(0))
+  }
+
+  test("is_hex_word runs inside whole-stage codegen") {
+    import graft.expr.IsHexWord
+    val df = spark.range(1, 4)
+      .select(IsHexWord(concat(lit("0x"), lpad(lower(hex(col("id"))), 64, "0"))).as("ok"))
+    assert(df.as[Boolean].collect().forall(identity))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("is_hex_word"))
+  }
+
   test("graft_dot is bit-identical to the sequential HOF fold") {
     import graft.expr.DotProduct
     val df = Tables.embeddings(spark, TestSpark.sf).limit(50)
