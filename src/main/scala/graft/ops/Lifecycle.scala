@@ -43,9 +43,87 @@ object Lifecycle {
     write(lake.filter(col("month") >= cutoffMonth), liveDir)
   }
 
-  /** U2 complete view: archive ∪ live as one multi-path scan. */
-  def completeView(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    spark.read.parquet(dirs: _*)
+  /** Automated periodic archive — the reference's `archive_old_transfers`
+    * plpgsql function (`usdc-transfers/sql/archive-strategy.sql:47-72`:
+    * derive a threshold from the CURRENT hot maximum, move everything
+    * below it to the archive table, report the moved count), replayed
+    * partition-granularly: keep the newest `keepParts` month partitions
+    * hot, move the rest. The plpgsql row-level INSERT+DELETE becomes a
+    * cold-partition copy into the archive root plus a partition-directory
+    * drop — hot partition files are never rewritten, so at 100 TB the job
+    * cost scales with the cold slice, not the table.
+    *
+    * Always returns the dry-run-style report (one row per partition:
+    * month, n_rows, action ∈ archive|keep) so an operator can inspect
+    * exactly what a live run would move; with `dryRun = true` nothing
+    * else happens, with `dryRun = false` the move is executed and the
+    * report reflects what moved. Threshold semantics mirror the plpgsql
+    * (`max - window`): cold = all but the `keepParts` NEWEST distinct
+    * months, so a re-run after new data arrives rolls the window
+    * forward idempotently. */
+  def archiveKeepLastN(spark: SparkSession, liveDir: String, archiveDir: String,
+                       keepParts: Int, dryRun: Boolean = true): DataFrame = {
+    val live = spark.read.parquet(liveDir)
+    // partition values: metadata-scale (one value per partition dir)
+    val months = live.select(col("month")).distinct()
+      .collect().map(_.get(0).toString.toInt).sorted
+    val cold = months.dropRight(keepParts).toSet
+    val report = live.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("action",
+        when(col("month").isin(cold.toSeq: _*), lit("archive")).otherwise(lit("keep")))
+      .orderBy("month")
+      // eager: the report must capture the PRE-move state — returned
+      // lazily it would re-scan the live root after the partition drop
+      .localCheckpoint()
+    if (!dryRun && cold.nonEmpty) {
+      // copy the cold partitions into the archive root (idempotent:
+      // dynamic partition overwrite re-runs cleanly) ...
+      live.filter(col("month").isin(cold.toSeq: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month").parquet(archiveDir)
+      // ... then drop exactly those partition directories from the
+      // live root — a metadata-level partition drop, no row deletes
+      val conf = spark.sparkContext.hadoopConfiguration
+      cold.foreach { m =>
+        val p = new org.apache.hadoop.fs.Path(s"$liveDir/month=$m")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    report
+  }
+
+  /** U2 complete view: archive ∪ live (the reference's
+    * `usdc_transfer_complete` view, `sql/archive-strategy.sql:41-44`).
+    * Loads each root separately and unions by name — a single
+    * multi-path scan of two PARTITIONED roots trips Spark's partition
+    * discovery ([CONFLICTING_DIRECTORY_STRUCTURES]: no common
+    * basePath), and per-root loads keep partition pruning working
+    * under each root independently. */
+  def completeView(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    // a root with no data files yet (e.g. a fresh live table right
+    // after everything archived) contributes nothing — and would fail
+    // schema inference if passed to the reader
+    val conf = spark.sparkContext.hadoopConfiguration
+    def hasData(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val st = it.next()
+          found = st.isFile && !st.getPath.getName.startsWith("_")
+        }
+        found
+      }
+    }
+    val loaded = dirs.filter(hasData).map(spark.read.parquet(_))
+    require(loaded.nonEmpty, s"completeView: no data under any of $dirs")
+    loaded.reduce(_.unionByName(_))
+  }
 
   /** Small-file compaction — the maintenance job every streaming sink
     * needs (each micro-batch append leaves one small file; ClickHouse's

@@ -112,6 +112,27 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("id-bucket rollup plans partial+final agg over a single shuffle") {
+    // pins the canonical q12 shape so a plan regression (extra exchange,
+    // lost map-side combine) can never hide behind bench noise
+    val plan = Rollups.idBuckets(spark, sf).queryExecution.executedPlan.toString
+    def n(needle: String) = needle.r.findAllIn(plan).length
+    assert(n("Exchange hashpartitioning") == 1, s"one shuffle expected in:\n$plan")
+    assert(n("Exchange rangepartitioning") == 1) // only the output ORDER BY
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+           n("HashAggregate") == 2, s"partial+final agg expected in:\n$plan")
+  }
+
+  test("uniq-users rollup plans the two-phase distinct, nothing more") {
+    // countDistinct's canonical shape: dedup aggregate over (hour, user)
+    // + final aggregate over hour = exactly two shuffles
+    val plan = Rollups.uniqUsersHourly(spark, sf).queryExecution.executedPlan.toString
+    def n(needle: String) = needle.r.findAllIn(plan).length
+    assert(n("Exchange hashpartitioning") == 2, s"two shuffles expected in:\n$plan")
+    assert(n("Exchange rangepartitioning") == 1)
+    assert(n("HashAggregate") == 4, s"4-stage distinct agg expected in:\n$plan")
+  }
+
   test("point lookup pushes filters into the parquet scan") {
     val plan = Rollups.pointLookup(spark, sf)
       .queryExecution.executedPlan.toString

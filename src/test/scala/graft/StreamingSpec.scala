@@ -78,14 +78,72 @@ class StreamingSpec extends AnyFunSuite {
     val lake = java.nio.file.Files.createTempDirectory("graft_lake").toString
     val arch = java.nio.file.Files.createTempDirectory("graft_arch").toString
     val live = java.nio.file.Files.createTempDirectory("graft_live").toString
-    Lifecycle.writePartitionedLake(spark, sf, lake)
+    // multi-month lake so BOTH sides of the split are non-empty (the
+    // sf0.001 fixture spans one month, which left the live side — and
+    // the two-root completeView — untested)
+    spark.range(800)
+      .select($"id", (lit(202401) + ($"id" % 4)).cast("int").as("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(lake)
     val total = spark.read.parquet(lake).count()
-    Lifecycle.archiveBefore(spark, lake, 202401 + 1, arch, live)
+    Lifecycle.archiveBefore(spark, lake, 202403, arch, live)
     val archived = spark.read.parquet(arch)
-    assert(archived.select(max($"month")).head.getInt(0) < 202402)
+    assert(archived.select(max($"month")).head.getInt(0) < 202403)
+    assert(spark.read.parquet(live).select(min($"month")).head.getInt(0) == 202403)
     // complete view = archive ∪ live, no loss, partition column intact
     val complete = Lifecycle.completeView(spark, Seq(arch, live))
     assert(complete.count() == total)
+    // degenerate-but-real shape: every partition archived, live empty
+    val arch2 = java.nio.file.Files.createTempDirectory("graft_arch2").toString
+    val live2 = java.nio.file.Files.createTempDirectory("graft_live2").toString
+    Lifecycle.archiveBefore(spark, lake, 202499, arch2, live2)
+    assert(Lifecycle.completeView(spark, Seq(arch2, live2)).count() == total)
+  }
+
+  test("S11: keep-last-N archive moves exactly the cold partitions") {
+    val live = java.nio.file.Files.createTempDirectory("graft_liveN").toString
+    val arch = java.nio.file.Files.createTempDirectory("graft_archN").toString
+    // the sf0.001 fixture spans one month — synthesize a 4-month lake
+    spark.range(1000)
+      .select($"id", ($"id" * 3).as("v"),
+              (lit(202401) + ($"id" % 4)).cast("int").as("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(live)
+    val months = spark.read.parquet(live).select($"month")
+      .distinct().as[Int].collect().sorted
+    assert(months.length == 4)
+    val total = spark.read.parquet(live).count()
+    val keep = 2
+    // dry run: full report, nothing moves
+    val dry = Lifecycle.archiveKeepLastN(spark, live, arch, keep, dryRun = true)
+      .as[(Int, Long, String)].collect()
+    assert(dry.map(_._1).toSeq == months.toSeq)
+    assert(dry.filter(_._3 == "keep").map(_._1).toSeq == months.takeRight(keep).toSeq)
+    assert(!new java.io.File(arch).listFiles().exists(_.getName.startsWith("month=")))
+    assert(spark.read.parquet(live).count() == total)
+    // live run: cold partitions move, hot files are untouched in place
+    val hotFiles = months.takeRight(keep).flatMap { m =>
+      new java.io.File(s"$live/month=$m").listFiles().map(f => f.getName -> f.lastModified())
+    }.toSet
+    val report = Lifecycle.archiveKeepLastN(spark, live, arch, keep, dryRun = false)
+      .as[(Int, Long, String)].collect()
+    assert(report.toSeq == dry.toSeq) // report captures the pre-move state
+    val liveMonths = spark.read.parquet(live).select($"month").distinct()
+      .as[Int].collect().sorted
+    assert(liveMonths.toSeq == months.takeRight(keep).toSeq)
+    val archMonths = spark.read.parquet(arch).select($"month").distinct()
+      .as[Int].collect().sorted
+    assert(archMonths.toSeq == months.dropRight(keep).toSeq)
+    // complete view is lossless across the split
+    assert(Lifecycle.completeView(spark, Seq(arch, live)).count() == total)
+    // hot partitions: same files, same mtimes — never rewritten
+    val hotAfter = months.takeRight(keep).flatMap { m =>
+      new java.io.File(s"$live/month=$m").listFiles().map(f => f.getName -> f.lastModified())
+    }.toSet
+    assert(hotAfter == hotFiles)
+    // idempotent re-run: window already satisfied, nothing else moves
+    val again = Lifecycle.archiveKeepLastN(spark, live, arch, keep, dryRun = false)
+      .as[(Int, Long, String)].collect()
+    assert(again.forall(_._3 == "keep"))
+    assert(Lifecycle.completeView(spark, Seq(arch, live)).count() == total)
   }
 
   test("flatMapGroupsWithState sessionization equals the batch sessionize") {
