@@ -103,6 +103,7 @@ object SparkEntry {
     "q31_evm_roundtrip"  -> (Ingest.evmRoundtrip _),
     "q77_approval_roundtrip" -> (Ingest.approvalRoundtrip _),
     "q78_abi_event_mix"  -> (Ingest.abiEventMix _),
+    "q79_decontaminate"  -> (Dedup.decontaminate _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -360,6 +361,22 @@ object SparkEntry {
          CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_allowance_cents
          FROM events WHERE event_type = 'signup'
          GROUP BY 1 ORDER BY owner_address""",
+    // contamination = distinct word-trigrams shared with the benchmark
+    // slice, trigrams built exactly as in q27's shingle CTE
+    "q79_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+           FROM (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)),
+         bench AS (SELECT DISTINCT unnest(s) AS sh FROM sh WHERE doc_id % 97 = 0),
+         corpus AS (SELECT doc_id, unnest(s) AS sh FROM sh WHERE doc_id % 97 <> 0)
+         SELECT doc_id, COUNT(*) AS n_shared
+         FROM corpus JOIN bench USING (sh)
+         GROUP BY doc_id
+         ORDER BY n_shared DESC, doc_id LIMIT 50""",
     // router mix ≡ CASE routing on the original event_type
     "q78_abi_event_mix" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'Approval'

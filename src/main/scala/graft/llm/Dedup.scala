@@ -256,6 +256,44 @@ object Dedup {
       .orderBy("n_docs")
   }
 
+  // ——— benchmark decontamination ———
+
+  /** Benchmark decontamination — the test-set contamination check every
+    * pretraining pipeline runs before shipping a corpus: flag corpus
+    * documents sharing any VERBATIM word-trigram with a held-out
+    * benchmark/eval set, with the count of distinct shared trigrams as
+    * the contamination score. The benchmark here is the deterministic
+    * `doc_id % 97 == 0` slice (the fixtures carry no separate eval
+    * table); production passes a real eval table through the same
+    * [[decontaminateAgainst]] shape.
+    *
+    * Scale shape: the benchmark's distinct shingles are a small
+    * broadcast relation (eval sets are 10⁴–10⁶ n-grams even against a
+    * 100 TB corpus) hash-joined against the exploded corpus shingles —
+    * the corpus side never shuffles for the join, and the per-doc count
+    * aggregates on the doc_id partitioning the shingle index already
+    * has. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateAgainst(shingleIndex(spark, sfDir), col("doc_id") % 97 === 0)
+
+  /** The generic form: split `idx` (rows carrying `doc_id` +
+    * `shingles`) into benchmark (`benchPred`) and corpus, and score
+    * corpus docs by distinct shingles shared with ANY benchmark doc.
+    * Top-50 by score — the review queue a curation run inspects. */
+  def decontaminateAgainst(idx: DataFrame, benchPred: Column): DataFrame = {
+    val bench = idx.filter(benchPred)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val corpus = idx.filter(!benchPred)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // shingle arrays are distinct per doc, so the count after the join
+    // IS the distinct shared-trigram count
+    corpus.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .limit(50)
+  }
+
   // ——— near-duplicate clustering (connected components) ———
 
   /** Candidate near-duplicate edges: same-language pairs within ±50

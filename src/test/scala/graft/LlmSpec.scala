@@ -31,6 +31,19 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("decontamination flags exactly the docs quoting the benchmark") {
+    val idx = Seq(
+      (0L, Seq("a b c", "b c d", "c d e")), // benchmark doc
+      (1L, Seq("b c d", "c d e", "x y z")), // quotes two benchmark trigrams
+      (2L, Seq("b c d", "p q r")),          // quotes one
+      (3L, Seq("p q r", "x y z"))           // clean
+    ).toDF("doc_id", "shingles")
+    val out = Dedup.decontaminateAgainst(idx, col("doc_id") === 0L)
+      .as[(Long, Long)].collect().toSeq
+    // scored by distinct shared trigrams, clean docs absent
+    assert(out == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("minhash LSH recalls a planted near-duplicate") {
     // plant: doc 9001 = doc with one word changed → near-identical shingles
     val base = Tables.documents(spark, sf).filter($"doc_id" === 0)
