@@ -8,30 +8,47 @@ object Bench {
     // the first timed query isn't charged for process startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(100).selectExpr("sum(id)").count()
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // median over N runs: single-run timings on a shared VM carry ±40%
     // interleaving noise (measured across rounds), and run 1 pays
     // one-time costs (codegen, the shared shingle index) that a
     // long-lived deployment amortizes — the median reports the
     // steady-state per-query cost a cluster would see.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // per-(query, run) outcome: a transient single-run failure must not
+    // mark a query failed (its median over the successful runs is still
+    // the steady-state cost) — `failed` means zero successful runs, and
+    // partially-failed queries are surfaced separately as `flaky`.
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { _ =>
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output column —
         // count() would let Catalyst prune aggregate values and
         // eliminate sorts, under-measuring the actual query work.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
-    val results: Seq[(String, Double)] = samples.head.map(_._1).map { name =>
-      val ts = samples.map(_.find(_._1 == name).get._2).sorted
-      name -> ts(ts.length / 2)
+    val names = samples.head.map(_._1)
+    val perQuery: Seq[(String, Seq[Double])] = names.map { name =>
+      name -> samples.flatMap(_.find(_._1 == name).get._2)
+    }
+    val failed = names.filter(n => perQuery.find(_._1 == n).get._2.isEmpty)
+    val flaky = names.filter { n =>
+      val ts = perQuery.find(_._1 == n).get._2
+      ts.nonEmpty && ts.length < runs
+    }
+    val results: Seq[(String, Double)] = perQuery.map { case (name, ts0) =>
+      // a query with zero successes keeps a 0.0 placeholder in the map
+      // (and sits in `failed`, excluded from every total)
+      val ts = ts0.sorted
+      name -> (if (ts.isEmpty) 0.0 else ts(ts.length / 2))
     }
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
@@ -47,10 +64,11 @@ object Bench {
       case (k, v) if !streaming.contains(k) => v
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(keyOf: String => String, dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sink":"noop"}"""
+      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}"""
     }
     // Full-precision, full-name report for humans and diffing.
     val fullJson = line(identity, 3)

@@ -317,7 +317,8 @@ object SparkEntry {
                       len(a.s) AS asz, len(b.s) AS bsz
                FROM sh a JOIN sh b
                ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-               AND a.doc_id < b.doc_id)
+               AND a.doc_id < b.doc_id
+               AND len(a.s) > 0 AND len(b.s) > 0)
          ORDER BY jaccard DESC, a_id, b_id LIMIT 20""",
     "q28_knn_brute" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (

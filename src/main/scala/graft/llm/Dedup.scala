@@ -123,7 +123,11 @@ object Dedup {
     * (lang, source, n_chars DIV 50); top-20 most similar pairs.
     * Jaccard over distinct word-trigram shingle sets. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // docs under 3 tokens have an empty shingle set: no content to
+    // match, and 0/0 Jaccard is NaN — which Spark sorts ABOVE every
+    // real similarity, so they'd fill the top-k with bogus pairs
     val base = shingleIndex(spark, sfDir)
+      .filter(size(col("shingles")) > 0)
       .withColumn("len_bucket", expr("n_chars DIV 50"))
       .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"), col("shingles"))
     val a = base.select(col("doc_id").as("a_id"), col("lang"), col("source"),
@@ -305,7 +309,11 @@ object Dedup {
     * corpus), so it prunes the quadratic language block to near-linear
     * BEFORE any array intersection runs — the intersect only executes
     * for pairs surviving the cheap band predicate inside the join. */
-  private def nearDupEdges(base: DataFrame): DataFrame = {
+  private def nearDupEdges(base0: DataFrame): DataFrame = {
+    // empty shingle sets (docs under 3 tokens) would make the verify
+    // ratio 0/0 = NaN, and NaN >= threshold is TRUE in Spark ordering
+    // semantics — every pair of short docs would become an edge
+    val base = base0.filter(size(col("shingles")) > 0)
     // Stage 1 — SKINNY pairing: self-join only (doc_id, lang, n_chars);
     // the quadratic lang-block is walked over 20-byte rows and pruned by
     // the scalar predicates before any shingle array exists in the plan.
@@ -383,9 +391,13 @@ object Dedup {
     * which converges in O(log² n) rounds regardless of diameter — the
     * earlier hard-fail here meant a deep-chain graph aborted at scale. */
   def componentsOf(edges: DataFrame, propagationBudget: Int = 16): DataFrame = {
+    // self-loops dropped up front: a (v, v) edge is not a duplication
+    // relation, and keeping it only on the propagation path would make
+    // the two internal algorithms return different node sets (the star
+    // contraction strips self-loops by construction).
     // checkpoint BEFORE the symmetrization union: its two branches would
     // otherwise each re-derive the (expensive) upstream edge pipeline
-    val e = edges.localCheckpoint()
+    val e = edges.filter(col("a_id") =!= col("b_id")).localCheckpoint()
     val und = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = und.groupBy(col("src"))

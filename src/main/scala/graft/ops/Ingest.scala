@@ -43,13 +43,19 @@ object Ingest {
       lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0").as("data"))
 
   /** Defensive equality re-check of the pushed filter (F2,
-    * `src/main.ts:83-84`): drop any log whose topic words are not
-    * well-formed 0x+64-hex — the belt-and-braces predicate the handler
-    * applies even though the gateway already filtered. [[IsHexWord]] is
-    * the codegen'd byte-scan equivalent of `rlike("^0x[0-9a-f]{64}$")`
-    * without the per-row regex Matcher. */
+    * `src/main.ts:83-84`): drop any log whose topic OR data words are
+    * not well-formed 0x+64-hex — the belt-and-braces predicate the
+    * handler applies even though the gateway already filtered. The data
+    * word is checked too: a malformed amount would otherwise survive
+    * the filter and decode to a silent null (count and sum would
+    * disagree downstream) instead of the row being dropped like every
+    * other malformed word. [[IsHexWord]] is the codegen'd byte-scan
+    * equivalent of `rlike("^0x[0-9a-f]{64}$")` without the per-row
+    * regex Matcher; the data word omits the 0x prefix in this wire
+    * shape, so it gets the bare-word check. */
   def defensiveFilter(logs: DataFrame): DataFrame =
-    logs.filter(IsHexWord(col("topic1")) && IsHexWord(col("topic2")))
+    logs.filter(IsHexWord(col("topic1")) && IsHexWord(col("topic2")) &&
+                IsHexWord(concat(lit("0x"), col("data"))))
 
   /** Decode logs back to a typed transfer frame (F1). */
   def decodeTransfers(logs0: DataFrame): DataFrame = {

@@ -63,19 +63,25 @@ object Lifecycle {
     * forward idempotently. */
   def archiveKeepLastN(spark: SparkSession, liveDir: String, archiveDir: String,
                        keepParts: Int, dryRun: Boolean = true): DataFrame = {
+    // dropRight(0 or negative) would return EVERY month — i.e. a typo
+    // would archive the whole hot table
+    require(keepParts > 0, s"keepParts must be >= 1, got $keepParts")
     val live = spark.read.parquet(liveDir)
-    // partition values: metadata-scale (one value per partition dir)
-    val months = live.select(col("month")).distinct()
-      .collect().map(_.get(0).toString.toInt).sorted
-    val cold = months.dropRight(keepParts).toSet
-    val report = live.groupBy(col("month"))
+    // one pass: the per-partition counts are one row per partition dir
+    // (driver-small at any scale), and the month list + cold set derive
+    // from them locally — no second scan job for the distinct months
+    val counts = live.groupBy(col("month"))
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("action",
-        when(col("month").isin(cold.toSeq: _*), lit("archive")).otherwise(lit("keep")))
-      .orderBy("month")
-      // eager: the report must capture the PRE-move state — returned
-      // lazily it would re-scan the live root after the partition drop
-      .localCheckpoint()
+      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1)))
+      .sortBy(_._1)
+    val months = counts.map(_._1)
+    val cold = months.dropRight(keepParts).toSet
+    // report built from the already-collected rows: trivially captures
+    // the PRE-move state, no lazy re-scan after the partition drop
+    import spark.implicits._
+    val report = counts.toSeq
+      .map { case (m, n) => (m, n, if (cold(m)) "archive" else "keep") }
+      .toDF("month", "n_rows", "action")
     if (!dryRun && cold.nonEmpty) {
       // copy the cold partitions into the archive root (idempotent:
       // dynamic partition overwrite re-runs cleanly) ...
@@ -107,20 +113,7 @@ object Lifecycle {
     // after everything archived) contributes nothing — and would fail
     // schema inference if passed to the reader
     val conf = spark.sparkContext.hadoopConfiguration
-    def hasData(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      fs.exists(p) && {
-        val it = fs.listFiles(p, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val st = it.next()
-          found = st.isFile && !st.getPath.getName.startsWith("_")
-        }
-        found
-      }
-    }
-    val loaded = dirs.filter(hasData).map(spark.read.parquet(_))
+    val loaded = dirs.filter(LakeFiles.hasData(conf, _)).map(spark.read.parquet(_))
     require(loaded.nonEmpty, s"completeView: no data under any of $dirs")
     loaded.reduce(_.unionByName(_))
   }

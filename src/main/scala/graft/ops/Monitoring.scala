@@ -48,20 +48,8 @@ object Monitoring {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val files: Seq[(String, String, Long)] = Tables.names.flatMap { t =>
-      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) Seq.empty
-      else {
-        val it = fs.listFiles(path, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        while (it.hasNext) {
-          val st = it.next()
-          // _SUCCESS markers and checksums are bookkeeping, not storage
-          if (st.isFile && !st.getPath.getName.startsWith("_"))
-            buf += ((t, st.getPath.getName, st.getLen))
-        }
-        buf.toSeq
-      }
+      LakeFiles.dataFiles(conf, s"$sfDir/$t.parquet")
+        .map { case (name, len) => (t, name, len) }
     }
     files.toDF("table_name", "file", "bytes")
       .groupBy(col("table_name"))

@@ -73,6 +73,18 @@ class CurationSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(n => comps(n) == (10L, 2L)))
   }
 
+  test("self-loops are ignored identically on both clustering paths") {
+    // a (v, v) edge is not a duplication relation: node 7 must be
+    // absent from the output whichever internal algorithm runs
+    val edges = Seq((7L, 7L), (1L, 2L)).toDF("a_id", "b_id")
+    val viaProp = Dedup.componentsOf(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaStar = Dedup.componentsOf(edges, propagationBudget = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaProp == Set((1L, 1L, 2L), (2L, 1L, 2L)))
+    assert(viaStar == viaProp)
+  }
+
   test("1000-node chain converges via the large-star/small-star fallback") {
     // diameter 999 >> any propagation budget: plain min-label would need
     // 999 rounds; the star fallback must finish in O(log² n). The small

@@ -31,6 +31,29 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("sub-3-token docs form no NaN near-dup pairs or edges") {
+    // 0/0 jaccard is NaN, and NaN sorts above every real similarity —
+    // without the empty-shingle guard the two one-word docs would top
+    // ngramJaccard and cluster together in connectedComponents
+    val dir = java.nio.file.Files.createTempDirectory("graft_nan").toString
+    val long1 = "the quick brown fox jumps over the lazy dog again and again"
+    val long2 = "the quick brown fox jumps over the lazy dog again and once"
+    Seq(
+      (1L, "hi", "en", "web", 2L),
+      (2L, "yo", "en", "web", 2L),
+      (3L, long1, "en", "web", long1.length.toLong),
+      (4L, long2, "en", "web", long2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => !p._3.isNaN))
+    assert(pairs.forall(p => p._1 > 2L && p._2 > 2L)) // short docs pair with nothing
+    val comps = Dedup.connectedComponents(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(comps.map(_._1).toSet == Set(3L, 4L)) // only the true near-dups cluster
+  }
+
   test("decontamination flags exactly the docs quoting the benchmark") {
     val idx = Seq(
       (0L, Seq("a b c", "b c d", "c d e")), // benchmark doc
