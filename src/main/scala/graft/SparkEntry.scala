@@ -104,6 +104,7 @@ object SparkEntry {
     "q77_approval_roundtrip" -> (Ingest.approvalRoundtrip _),
     "q78_abi_event_mix"  -> (Ingest.abiEventMix _),
     "q79_decontaminate"  -> (Dedup.decontaminate _),
+    "q80_repetition"     -> (TextOps.repetitionSignals _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -378,6 +379,34 @@ object SparkEntry {
          FROM corpus JOIN bench USING (sh)
          GROUP BY doc_id
          ORDER BY n_shared DESC, doc_id LIMIT 50""",
+    // Gopher-style repetition rules: per-doc top/duplicate 2-gram
+    // fractions (0 for docs under 2 tokens), decimal-routed averages
+    "q80_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> concat_ws(' ', w[i], w[i+1]))) AS g
+           FROM toks WHERE len(w) >= 2),
+         gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id,
+                  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top2,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(c) AS DOUBLE) AS dup2
+           FROM gc GROUP BY 1),
+         per2 AS (
+           SELECT t.lang, coalesce(p.top2, 0.0) AS top2,
+                  coalesce(p.dup2, 0.0) AS dup2
+           FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(top2 AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(top2) AS DOUBLE) AS avg_top2_frac,
+           CAST(SUM(CAST(dup2 AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(dup2) AS DOUBLE) AS avg_dup2_frac
+         FROM per2 GROUP BY lang ORDER BY lang""",
     // router mix ≡ CASE routing on the original event_type
     "q78_abi_event_mix" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'Approval'

@@ -298,6 +298,45 @@ object Dedup {
       .limit(50)
   }
 
+  /** The benchmark's distinct shingles as a driver-side set — the
+    * static side of [[contaminationFlags]]. Eval benchmarks are
+    * 10⁴–10⁶ n-grams regardless of corpus scale, so collecting and
+    * broadcasting them is the intended shape (same posture as any
+    * broadcast dim table). */
+  def benchShingleSet(spark: SparkSession, sfDir: String): Set[String] =
+    shingleIndex(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Streaming-ingest decontamination: flag each document against a
+    * STATIC benchmark shingle set. Stateless per-document map (shingle
+    * in-task, probe the broadcast set, no explode/join/aggregate), so
+    * it runs IDENTICALLY under `readStream` — the production shape
+    * where ingest drops contaminated docs in-flight while the batch
+    * twin [[decontaminateAgainst]] serves the ranked review queue. */
+  def contaminationFlags(docs: DataFrame, bench: Set[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bench)
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, t) =>
+          val w = t.split(' ').filter(_.nonEmpty)
+          var hit = false
+          var i = 0
+          while (!hit && i + 3 <= w.length) {
+            hit = set.contains(w(i) + " " + w(i + 1) + " " + w(i + 2))
+            i += 1
+          }
+          (id, hit)
+        }
+      }
+      .toDF("doc_id", "contaminated")
+  }
+
   // ——— near-duplicate clustering (connected components) ———
 
   /** Candidate near-duplicate edges: same-language pairs within ±50

@@ -226,6 +226,53 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Per-document repetition metrics over overlapping word 2-grams —
+    * the repetition-removal rules of quality filtering (a document
+    * dominated by one repeated phrase, or mostly made of repeated
+    * phrases, is boilerplate/spam): (top-gram fraction, duplicate-gram
+    * fraction). Pure per-doc function so the metric itself is
+    * unit-testable; (0, 0) for docs under 2 tokens. */
+  def repetitionOf(t: String): (Double, Double) = {
+    val w = t.split(' ').filter(_.nonEmpty)
+    if (w.length < 2) (0.0, 0.0)
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < w.length - 1) {
+        val g = w(i) + " " + w(i + 1)
+        counts.update(g, counts.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      val n = (w.length - 1).toDouble
+      val mx = counts.valuesIterator.max.toDouble
+      val dup = counts.valuesIterator.filter(_ > 1).sum.toDouble
+      (mx / n, dup / n)
+    }
+  }
+
+  /** Repetition signals rolled up per language: average top-2-gram
+    * fraction and duplicate-2-gram fraction (Gopher-style repetition
+    * rules). Typed mapPartitions after an explicit repartition like
+    * [[qualitySignals]]; the rollup stays declarative, averages
+    * decimal-routed for oracle parity. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, String)]
+      .mapPartitions(_.map { case (lang, t) =>
+        val (top2, dup2) = repetitionOf(t)
+        (lang, top2, dup2)
+      })
+      .toDF("lang", "top2", "dup2")
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("top2")).as("avg_top2_frac"),
+           davg(col("dup2")).as("avg_dup2_frac"))
+      .orderBy("lang")
+  }
+
   /** Language-ID heuristic: marker-token scoring (the n-gram-profile
     * approach collapsed to its word-level core), cross-tabbed against
     * the labeled lang for accuracy inspection. */

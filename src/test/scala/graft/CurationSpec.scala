@@ -313,6 +313,34 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("contamination flags stream identically and agree with the ranked queue") {
+    val bench = Dedup.benchShingleSet(spark, sf)
+    assert(bench.nonEmpty)
+    // batch flags
+    val batchFlags = Dedup.contaminationFlags(Tables.documents(spark, sf), bench)
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    // identical under structured streaming (stateless per-doc map)
+    val schema = Tables.documents(spark, sf).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = Dedup.contaminationFlags(streamIn, bench)
+      .writeStream.format("memory").queryName("contam_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("contam_stream")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batchFlags))
+    // every doc the ranked queue (q79) reports as contaminated is flagged,
+    // and benchmark docs themselves trivially self-flag
+    val flagged = batchFlags.filter(_._2).map(_._1).toSet
+    val queue = Dedup.decontaminate(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(queue.forall { case (id, n) => n > 0 && flagged.contains(id) })
+    val benchDocs = batchFlags.filter(_._1 % 97 == 0)
+    assert(benchDocs.forall(_._2)) // benchmark docs contain their own shingles
+  }
+
   test("shares of total sum to one") {
     val shares = ops.Windows.shareOfTotal(spark, sf)
       .select($"share").as[Double].collect()

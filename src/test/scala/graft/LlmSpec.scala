@@ -31,6 +31,18 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("repetition metrics: spam scores 1.0, varied text scores low") {
+    // pure-phrase spam: every 2-gram is "spam spam" → top = dup = 1.0
+    assert(TextOps.repetitionOf("spam spam spam spam spam") == (1.0, 1.0))
+    // all-distinct 2-grams: top fraction floors at 1/n, no duplicates
+    assert(TextOps.repetitionOf("one two three four five") == (0.25, 0.0))
+    // under 2 tokens: no 2-grams, defined as zero
+    assert(TextOps.repetitionOf("solo") == (0.0, 0.0))
+    assert(TextOps.repetitionOf("") == (0.0, 0.0))
+    // "a b a b a": grams = (a b, b a, a b, b a) → top 2/4, dup 4/4
+    assert(TextOps.repetitionOf("a b a b a") == (0.5, 1.0))
+  }
+
   test("sub-3-token docs form no NaN near-dup pairs or edges") {
     // 0/0 jaccard is NaN, and NaN sorts above every real similarity —
     // without the empty-shingle guard the two one-word docs would top
