@@ -105,6 +105,7 @@ object SparkEntry {
     "q78_abi_event_mix"  -> (Ingest.abiEventMix _),
     "q79_decontaminate"  -> (Dedup.decontaminate _),
     "q80_repetition"     -> (TextOps.repetitionSignals _),
+    "q81_rebalance"      -> (Sampling.rebalanceLanguages _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q98_chunk_dedup"    -> (Dedup.chunkDedupStats _),
     "q99_langid_ngram"   -> (TextOps.langIdNgram _),
     "q100_table_footprint" -> (Monitoring.tableFootprint _),
+    "q101_pack_sequences" -> ((s, d) => graft.llm.Packing.packingStats(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -379,6 +381,24 @@ object SparkEntry {
          FROM corpus JOIN bench USING (sh)
          GROUP BY doc_id
          ORDER BY n_shared DESC, doc_id LIMIT 50""",
+    // data mixing: per-language downsample rates toward a uniform
+    // share, applied as the same md5-prefix predicate both engines
+    // evaluate identically; division nesting mirrors the Spark plan
+    "q81_rebalance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY 1),
+         r AS (SELECT lang, n_before,
+                 least(1.0, (CAST(SUM(n_before) OVER () AS DOUBLE)
+                             / CAST(COUNT(*) OVER () AS DOUBLE))
+                            / CAST(n_before AS DOUBLE)) AS rate
+               FROM c)
+         SELECT d.lang, r.n_before AS n_before,
+           COUNT(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+             lpad(lower(to_hex(CAST(least(floor(r.rate * 65536), 65535) AS BIGINT))), 4, '0')
+             THEN 1 END) AS n_after,
+           r.rate AS rate
+         FROM documents d JOIN r ON d.lang = r.lang
+         GROUP BY d.lang, r.n_before, r.rate
+         ORDER BY d.lang""",
     // Gopher-style repetition rules: per-doc top/duplicate 2-gram
     // fractions (0 for docs under 2 tokens), decimal-routed averages
     "q80_repetition" ->

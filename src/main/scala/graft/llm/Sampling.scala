@@ -86,6 +86,40 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Language rebalancing — the DATA-MIXING step of corpus assembly:
+    * downsample over-represented languages toward a uniform per-language
+    * share (target = corpus_total / n_langs docs each; under-represented
+    * languages keep everything — sampling cannot create rows, so
+    * up-weighting belongs to the training loader's epoch weights, not
+    * the corpus). The per-language rate becomes a per-row deterministic
+    * hash predicate exactly like [[weightedSample]], so the mix is
+    * stable under reprocessing and shuffle-free at the scan.
+    *
+    * Scale shape: the rate table is one row per language (broadcast
+    * join); the fact side evaluates one md5 + compare per row. Reports
+    * per-language before/after counts and the nominal rate. */
+  def rebalanceLanguages(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("target",
+        sum(col("n_before")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .withColumn("rate",
+        least(lit(1.0), col("target") / col("n_before").cast("double")))
+      .select(col("lang"), col("n_before"), col("rate"))
+    val threshold = lpad(lower(hex(
+      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
+    val kept = substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    docs.join(broadcast(rates), "lang")
+      .groupBy(col("lang"))
+      .agg(first(col("n_before")).as("n_before"),
+           count(when(kept, lit(1))).as("n_after"),
+           first(col("rate")).as("rate"))
+      .orderBy("lang")
+  }
+
   /** Per-class sampling rates for stratified event curation: keep every
     * rare positive (purchase, error), downsample the high-volume classes.
     * Thresholds are on [[hashBucket]] of event_id. */

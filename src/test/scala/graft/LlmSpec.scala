@@ -31,6 +31,29 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("sequence packing: exact cover, budget respected, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 2048L
+    val packed = Packing.packSequences(docs, budget)
+      .as[(String, Long, Long)].collect()
+    // exact cover: every doc packed exactly once
+    val allIds = docs.select($"doc_id").as[Long].collect().sorted
+    assert(packed.map(_._2).sorted.sameElements(allIds))
+    // every sequence within budget unless it's a single-doc overflow
+    packed.groupBy(_._1).foreach { case (seqId, members) =>
+      val filled = members.map(_._3).sum
+      assert(filled <= budget || members.length == 1, s"$seqId over budget")
+    }
+    // deterministic: a second run reproduces the identical assignment
+    val again = Packing.packSequences(docs, budget)
+      .as[(String, Long, Long)].collect()
+    assert(packed.sortBy(_._2).sameElements(again.sortBy(_._2)))
+    // packing is tight: ~300-char docs into 2048 → high average fill
+    val stats = Packing.packingStats(spark, sf, budget).head()
+    assert(stats.getAs[Double]("avg_fill") > 0.5)
+    assert(stats.getAs[Long]("n_docs") == allIds.length)
+  }
+
   test("repetition metrics: spam scores 1.0, varied text scores low") {
     // pure-phrase spam: every 2-gram is "spam spam" → top = dup = 1.0
     assert(TextOps.repetitionOf("spam spam spam spam spam") == (1.0, 1.0))
