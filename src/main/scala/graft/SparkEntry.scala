@@ -106,6 +106,7 @@ object SparkEntry {
     "q79_decontaminate"  -> (Dedup.decontaminate _),
     "q80_repetition"     -> (TextOps.repetitionSignals _),
     "q81_rebalance"      -> (Sampling.rebalanceLanguages _),
+    "q82_asof_native"    -> (AsOf.signupAttribution _),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -381,6 +382,15 @@ object SparkEntry {
          FROM corpus JOIN bench USING (sh)
          GROUP BY doc_id
          ORDER BY n_shared DESC, doc_id LIMIT 50""",
+    // native broadcast as-of join ≡ DuckDB's native ASOF (inclusive
+    // right.ts <= left.ts), same shape as q40's oracle
+    "q82_asof_native" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
+         epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND s.ts <= p.ts
+         ORDER BY p.event_id""",
     // data mixing: per-language downsample rates toward a uniform
     // share, applied as the same md5-prefix predicate both engines
     // evaluate identically; division nesting mirrors the Spark plan

@@ -47,6 +47,26 @@ object AsOf {
       .select(col("__left.*"), col("__asof"))
   }
 
+  /** Account-state attribution on the NATIVE broadcast as-of join
+    * ([[graft.plans.BroadcastAsOf]]): each purchase matched to the same
+    * user's most recent prior signup (account age at purchase). The
+    * signup stream is the small, slowly-changing side — the broadcast
+    * build — so the purchase side joins with NO shuffle anywhere in the
+    * plan; the composed [[asofJoin]] stays the fact-fact path. */
+  def signupAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.plans.BroadcastAsOf.join(purchases, signups, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              col("__asof.ts").as("signup_ts"),
+              (unix_micros(col("ts")) - unix_micros(col("__asof.ts"))).as("account_age_us"))
+      .orderBy("event_id")
+  }
+
   /** Attribution query: each purchase matched to the same user's most
     * recent prior view, with the microsecond gap (null = organic). */
   def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
