@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one unified memory pool across 32 task threads;
+  // 8g left ~140 MB execution memory per task and made long multi-query
+  // runs GC-bound once persisted indexes + checkpoint blocks accumulate.
+  // The box has 128 GiB — give the driver-executor real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// forked `run` inherits stdout directly: Bench's one-line JSON must
+// reach the caller bare, not wrapped in sbt's "[info] " log prefix
+// (which breaks line-oriented JSON parsing downstream)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -15,12 +15,25 @@ object Bench {
     // steady-state per-query cost a cluster would see.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // local iteration aid: comma-separated query-name (or qNN prefix)
+    // filter — lets a single hot query be re-timed without the full batch
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(s => s.contains(name) || s.exists(name.startsWith))
+    }
     // per-(query, run) outcome: a transient single-run failure must not
     // mark a query failed (its median over the successful runs is still
     // the steady-state cost) — `failed` means zero successful runs, and
     // partially-failed queries are surfaced separately as `flaky`.
-    val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { _ =>
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // every (run, query, sec) sample lands in a JSONL side file so a
+    // cross-run drift (e.g. memory-pressure inflation in later runs)
+    // is visible, not hidden behind the median
+    val samplesPath = java.nio.file.Paths.get("target/bench_samples.jsonl")
+    java.nio.file.Files.createDirectories(samplesPath.getParent)
+    val samplesOut = java.nio.file.Files.newBufferedWriter(samplesPath)
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { run =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output column —
         // count() would let Catalyst prune aggregate values and
@@ -32,9 +45,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        samplesOut.write(
+          s"""{"run":$run,"query":"$name","sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sec)},"ok":$ok}\n""")
+        samplesOut.flush()
+        name -> (if (ok) Some(sec) else None)
       }
     }
+    samplesOut.close()
     val names = samples.head.map(_._1)
     val perQuery: Seq[(String, Seq[Double])] = names.map { name =>
       name -> samples.flatMap(_.find(_._1 == name).get._2)

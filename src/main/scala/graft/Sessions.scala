@@ -15,6 +15,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled",
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // long multi-query runs accumulate localCheckpoint blocks that are
+      // only reclaimed after a GC proves them unreachable; with a large
+      // heap a full GC may never happen inside a 15-minute batch, so ask
+      // the ContextCleaner to force one periodically
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Functions.registerAll(s)

@@ -402,7 +402,8 @@ object SparkEntry {
                             / CAST(n_before AS DOUBLE)) AS rate
                FROM c)
          SELECT d.lang, r.n_before AS n_before,
-           COUNT(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+           COUNT(CASE WHEN r.rate >= 1.0
+             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
              lpad(lower(to_hex(CAST(least(floor(r.rate * 65536), 65535) AS BIGINT))), 4, '0')
              THEN 1 END) AS n_after,
            r.rate AS rate

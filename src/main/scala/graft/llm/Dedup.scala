@@ -437,8 +437,15 @@ object Dedup {
     // checkpoint BEFORE the symmetrization union: its two branches would
     // otherwise each re-derive the (expensive) upstream edge pipeline
     val e = edges.filter(col("a_id") =!= col("b_id")).localCheckpoint()
+    // the undirected edge set is probed by dst EVERY round — hash it
+    // onto dst once and checkpoint, so each round's join reuses the
+    // stored partitioning and only the (small) label side shuffles; a
+    // Dataset.localCheckpoint preserves outputPartitioning, making the
+    // per-round exchange on the edge side a no-op
     val und = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
     var labels = und.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("node"), least(col("src"), col("nmin")).as("comp"))

@@ -9,35 +9,52 @@ import graft.ops.Fns
   * fixed-budget training sequences (context windows) so the trainer
   * wastes no tokens on padding.
   *
-  * Layout first, then pack: documents are range-partitioned and sorted
-  * by doc_id (a deterministic, reproducible layout), and each partition
-  * greedily fills sequences up to the budget. Packing is inherently
-  * sequential WITHIN a sequence, so the per-partition imperative loop is
-  * the honest implementation; the partition is the parallelism unit —
-  * at 100 TB every partition packs independently and sequence ids are
-  * (partition, ordinal), so there is no global coordination, no shuffle
-  * after the layout exchange, and a re-run reproduces the exact same
-  * packing. A document longer than the budget becomes its own overflow
-  * sequence (splitting it belongs to the tokenizer/chunking stage —
-  * see [[Dedup.contentChunks]]). */
+  * Layout first, then pack: documents are partitioned into EXPLICIT
+  * contiguous doc_id ranges (bucket = doc_id·P / (max_id+1) — derived
+  * from the data, not from RangePartitioner's reservoir sample, whose
+  * run-dependent boundaries would shift sequence ids between runs once
+  * the corpus outgrows the sample) and sorted by doc_id, then each
+  * partition greedily fills sequences up to the budget. Packing is
+  * inherently sequential WITHIN a sequence, so the per-partition
+  * imperative loop is the honest implementation; the partition is the
+  * parallelism unit — at 100 TB every partition packs independently and
+  * sequence ids are (bucket, ordinal), so there is no global
+  * coordination, no shuffle after the layout exchange, and a re-run
+  * over the same corpus reproduces the exact same packing. A document
+  * longer than the budget becomes its own overflow sequence (splitting
+  * it belongs to the tokenizer/chunking stage — see
+  * [[Dedup.contentChunks]]). */
 object Packing {
 
   /** Per-document sequence assignment: (seq_id, doc_id, n_chars). */
   def packSequences(docs: DataFrame, budgetChars: Long = 2048): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    // one tiny driver-side aggregate pins the bucket width; boundaries
+    // are then a pure function of (doc_id, max_id, P) — reproducible
+    val maxId = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     docs.select(col("doc_id"), col("n_chars"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+      .withColumn("bucket",
+        (col("doc_id") * p / lit(maxId + 1)).cast("int"))
+      .repartition(p, col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .select(col("bucket"), col("doc_id"), col("n_chars"))
+      .as[(Int, Long, Long)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curBucket = Int.MinValue
         var seq = 0
         var fill = 0L
-        it.map { case (id, n) =>
+        it.map { case (bucket, id, n) =>
+          // hash repartition can co-locate several buckets in one task;
+          // seq ids key on the BUCKET so placement never leaks into ids
+          if (bucket != curBucket) { curBucket = bucket; seq = 0; fill = 0L }
           if (fill > 0L && fill + n > budgetChars) { seq += 1; fill = 0L }
           fill += n
-          (s"$pid-$seq", id, n)
+          (s"$bucket-$seq", id, n)
         }
       }
       .toDF("seq_id", "doc_id", "n_chars")

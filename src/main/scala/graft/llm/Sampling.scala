@@ -111,7 +111,12 @@ object Sampling {
       .select(col("lang"), col("n_before"), col("rate"))
     val threshold = lpad(lower(hex(
       least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
-    val kept = substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    // rate 1.0 keeps UNCONDITIONALLY: the 16-bit threshold clamps to
+    // 0xffff, which would drop the ~1/65536 of docs whose hash prefix is
+    // "ffff" — violating the "under-represented languages keep
+    // everything" contract this operator documents
+    val kept = col("rate") >= 1.0 ||
+      substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
     docs.join(broadcast(rates), "lang")
       .groupBy(col("lang"))
       .agg(first(col("n_before")).as("n_before"),

@@ -72,7 +72,18 @@ object Lifecycle {
     // from them locally — no second scan job for the distinct months
     val counts = live.groupBy(col("month"))
       .agg(count(lit(1)).as("n_rows"))
-      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1)))
+      .collect().map { r =>
+        // partition values come back as whatever the discovery inferred;
+        // a non-integer month (bad dir name, schema drift) must fail
+        // with the offending value, not an opaque NumberFormatException
+        val raw = r.get(0)
+        val m = try raw.toString.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"archiveKeepLastN: month partition value '$raw' " +
+              s"(${if (raw == null) "null" else raw.getClass.getSimpleName}) is not an integer month")
+        }
+        (m, r.getLong(1))
+      }
       .sortBy(_._1)
     val months = counts.map(_._1)
     val cold = months.dropRight(keepParts).toSet
@@ -107,15 +118,33 @@ object Lifecycle {
     * multi-path scan of two PARTITIONED roots trips Spark's partition
     * discovery ([CONFLICTING_DIRECTORY_STRUCTURES]: no common
     * basePath), and per-root loads keep partition pruning working
-    * under each root independently. */
-  def completeView(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    * under each root independently.
+    *
+    * The reference's plpgsql archive does INSERT+DELETE in one
+    * transaction; [[archiveKeepLastN]] on a plain file lake cannot — a
+    * crash between the archive copy and the live partition drop leaves
+    * those months in BOTH roots until the (idempotent) job re-runs.
+    * `preferFirstOn` heals that window at read time: name the partition
+    * column and any partition value already served by an earlier root
+    * (list the archive first) is dropped from later roots, so the view
+    * never double-counts a half-moved month. The overlap set is
+    * partition values — driver-small at any scale — and the anti-join
+    * side broadcasts. */
+  def completeView(spark: SparkSession, dirs: Seq[String],
+                   preferFirstOn: Option[String] = None): DataFrame = {
     // a root with no data files yet (e.g. a fresh live table right
     // after everything archived) contributes nothing — and would fail
     // schema inference if passed to the reader
     val conf = spark.sparkContext.hadoopConfiguration
     val loaded = dirs.filter(LakeFiles.hasData(conf, _)).map(spark.read.parquet(_))
     require(loaded.nonEmpty, s"completeView: no data under any of $dirs")
-    loaded.reduce(_.unionByName(_))
+    preferFirstOn match {
+      case None => loaded.reduce(_.unionByName(_))
+      case Some(c) => loaded.reduce { (acc, next) =>
+        acc.unionByName(
+          next.join(broadcast(acc.select(col(c)).distinct()), Seq(c), "left_anti"))
+      }
+    }
   }
 
   /** Small-file compaction — the maintenance job every streaming sink

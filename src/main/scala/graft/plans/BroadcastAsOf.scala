@@ -191,6 +191,26 @@ object BroadcastAsOf {
     def resolve(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    // hard type guards: the probe's UnsafeRow hash lookup and the
+    // long-domain ts compare are both silently wrong across types — an
+    // int-vs-long key never matches (all-null __asof), and DateType
+    // (days) probed against TimestampType (micros) compares different
+    // units. Fail loudly instead.
+    keys.foreach { k =>
+      val (lt, rt) = (resolve(lPlan, k).dataType, resolve(rPlan, k).dataType)
+      require(lt == rt,
+        s"as-of key '$k' type mismatch: left $lt vs right $rt — cast one side first")
+    }
+    val tsFamily: DataType => Int = {
+      case TimestampType | TimestampNTZType | LongType => 0 // micros/long domain
+      case IntegerType | DateType => 1                      // days/int domain
+      case other => throw new IllegalArgumentException(
+        s"unsupported as-of timestamp type $other")
+    }
+    val (ltsT, rtsT) = (resolve(lPlan, leftTs).dataType, resolve(rPlan, rightTs).dataType)
+    require(tsFamily(ltsT) == tsFamily(rtsT),
+      s"as-of timestamp type mismatch: left $ltsT vs right $rtsT compare in " +
+        "different units — cast one side first")
     val asofAttr = AttributeReference("__asof",
       StructType(rPlan.output.map(a =>
         StructField(a.name, a.dataType, a.nullable, a.metadata))),

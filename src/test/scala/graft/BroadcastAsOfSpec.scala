@@ -41,6 +41,25 @@ class BroadcastAsOfSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("native as-of rejects mismatched key and timestamp types loudly") {
+    // int-vs-long key: the UnsafeRow hash probe would miss every row
+    // (silent all-null __asof) — must throw instead
+    val l = Seq((1, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "x")).toDF("k", "t", "tag")
+    val eKey = intercept[IllegalArgumentException] {
+      BroadcastAsOf.join(l, r, Seq("k"), "t", "t")
+    }
+    assert(eKey.getMessage.contains("key 'k' type mismatch"))
+    // date-vs-timestamp ts: days would compare against micros — throw
+    val ld = Seq((1L, java.sql.Date.valueOf("2024-01-02"))).toDF("k", "d")
+    val rt = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("k", "t", "tag")
+    val eTs = intercept[IllegalArgumentException] {
+      BroadcastAsOf.join(ld, rt, Seq("k"), "d", "t")
+    }
+    assert(eTs.getMessage.contains("timestamp type mismatch"))
+  }
+
   test("native as-of edge semantics: equal ts matches, future rows do not") {
     val left = Seq((1L, 100L), (2L, 50L), (3L, 10L)).toDF("id", "t")
     val right = Seq((7L, 50L, "a"), (7L, 90L, "b")).toDF("k", "t", "tag")

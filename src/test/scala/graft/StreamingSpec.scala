@@ -144,6 +144,29 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, Long, String)].collect()
     assert(again.forall(_._3 == "keep"))
     assert(Lifecycle.completeView(spark, Seq(arch, live)).count() == total)
+    // crash-window healing: re-create a half-moved state (month copied
+    // to the archive, live partition drop never ran) — the plain union
+    // double-counts it, the prefer-first view does not
+    val dupMonth = months.takeRight(keep).head
+    spark.read.parquet(live).filter($"month" === dupMonth)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").parquet(arch)
+    val dupRows = spark.read.parquet(live)
+      .filter($"month" === dupMonth).count()
+    assert(Lifecycle.completeView(spark, Seq(arch, live)).count() == total + dupRows)
+    assert(Lifecycle.completeView(spark, Seq(arch, live),
+      preferFirstOn = Some("month")).count() == total)
+  }
+
+  test("S11: keep-last-N rejects a non-integer month partition value") {
+    val live = java.nio.file.Files.createTempDirectory("graft_liveBad").toString
+    spark.range(10)
+      .select($"id", concat(lit("m"), ($"id" % 2).cast("string")).as("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(live)
+    val e = intercept[IllegalArgumentException] {
+      Lifecycle.archiveKeepLastN(spark, live, live + ".arch", 1)
+    }
+    assert(e.getMessage.contains("not an integer month"))
   }
 
   test("flatMapGroupsWithState sessionization equals the batch sessionize") {
