@@ -107,6 +107,8 @@ object SparkEntry {
     "q80_repetition"     -> (TextOps.repetitionSignals _),
     "q81_rebalance"      -> (Sampling.rebalanceLanguages _),
     "q82_asof_native"    -> (AsOf.signupAttribution _),
+    "q83_source_pref"    -> (Dedup.sourcePreference _),
+    "q84_training_order" -> ((s, d) => graft.llm.Packing.trainingOrder(s, d)),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -391,6 +393,32 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
          ON p.user_id = s.user_id AND s.ts <= p.ts
          ORDER BY p.event_id""",
+    // cross-source exact dedup with source preference: keeper = lowest
+    // source-rank copy of each content hash, tie-broken by doc_id
+    "q83_source_pref" ->
+      """WITH d AS (SELECT doc_id, source,
+                      CAST(substr(source, 4) AS INT) AS prio,
+                      md5(text) AS fp
+               FROM documents),
+         r AS (SELECT source,
+                 row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+               FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN rn <> 1 THEN 1 END) AS n_lost
+         FROM r GROUP BY 1 ORDER BY source""",
+    // deterministic training order: md5(doc_id) is a fixed permutation;
+    // shard = floor((ord-1)*S/n) is rank-contiguous. The oracle's
+    // single-partition window IS the semantic spec the distributed
+    // GlobalRank must reproduce bit-for-bit
+    "q84_training_order" ->
+      """WITH r AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord,
+               COUNT(*) OVER () AS n
+             FROM documents)
+         SELECT doc_id, ord,
+           CAST(FLOOR((ord - 1) * 8 / CAST(n AS DOUBLE)) AS INT) AS shard
+         FROM r ORDER BY ord""",
     // data mixing: per-language downsample rates toward a uniform
     // share, applied as the same md5-prefix predicate both engines
     // evaluate identically; division nesting mirrors the Spark plan

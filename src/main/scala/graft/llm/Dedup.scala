@@ -44,6 +44,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source exact dedup with SOURCE PREFERENCE — corpus assembly
+    * merges many feeds (curated > licensed > crawled), and the same
+    * text routinely arrives from several; the keeper should come from
+    * the most-preferred feed, not whichever id happens to be lowest.
+    * Priority here is the source's numeric suffix (stand-in for a real
+    * feed ranking), tie-broken by doc_id so the keeper is
+    * deterministic. The window shuffle carries only (fp, prio, source,
+    * doc_id) — never text. Rolled up per source: docs seen, kept, and
+    * yielded to a better-ranked copy. */
+  def sourcePreferenceOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("prio"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+              substring(col("source"), 4, 10).cast("int").as("prio"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("__rn") === 1, lit(1))).as("n_kept"),
+           count(when(col("__rn") =!= 1, lit(1))).as("n_lost"))
+      .orderBy("source")
+  }
+
+  def sourcePreference(spark: SparkSession, sfDir: String): DataFrame =
+    sourcePreferenceOf(Tables.documents(spark, sfDir))
+
   /** Distinct word-trigram shingle set per document, as an array column.
     *
     * Built in ONE typed mapPartitions pass: tokenize, shingle, and

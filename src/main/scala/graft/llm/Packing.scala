@@ -60,6 +60,32 @@ object Packing {
       .toDF("seq_id", "doc_id", "n_chars")
   }
 
+  /** Deterministic global TRAINING ORDER with contiguous shard
+    * assignment — the trainer wants the corpus in a reproducible
+    * pseudo-random order, split into S equal output shards. The order
+    * key is md5 of the doc id: a fixed permutation of the corpus,
+    * independent of file layout, partitioning, or run — and the global
+    * position comes from [[graft.ops.GlobalRank]]'s range-partitioned
+    * two-pass rank, so no stage funnels the corpus through a single
+    * task the way an unpartitioned `row_number` window would. Shards
+    * are rank-contiguous (`floor((ord-1)·S / n)`), so shard sizes
+    * differ by at most one and a shard maps 1:1 to an output file. */
+  def trainingOrderOf(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 1, s"shard count must be >= 1, got $shards")
+    val keyed = docs.select(
+      col("doc_id"), md5(col("doc_id").cast("string")).as("__key"))
+    val (ranked, n) = graft.ops.GlobalRank.withRank(
+      keyed, Seq(col("__key"), col("doc_id")), "ord")
+    ranked
+      .withColumn("shard",
+        floor(((col("ord") - 1) * shards) / lit(n.toDouble)).cast("int"))
+      .select(col("doc_id"), col("ord"), col("shard"))
+      .orderBy("ord")
+  }
+
+  def trainingOrder(spark: SparkSession, sfDir: String): DataFrame =
+    trainingOrderOf(Tables.documents(spark, sfDir), shards = 8)
+
   /** Corpus-level packing report (rows-only: seq ids depend on the
     * session's parallelism, which a SQL oracle cannot see): sequence
     * and document totals, average fill ratio, and how many oversize

@@ -100,12 +100,16 @@ object Sampling {
     * per-language before/after counts and the nominal rate. */
   def rebalanceLanguages(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val rates = docs.groupBy(col("lang"))
+    val perLang = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_before"))
+    // corpus total + language count via a one-row broadcast aggregate,
+    // not an unpartitioned window: same number, no single-task stage
+    val totals = perLang.agg(sum(col("n_before")).as("__total"),
+                             count(lit(1)).as("__langs"))
+    val rates = perLang
+      .crossJoin(broadcast(totals))
       .withColumn("target",
-        sum(col("n_before")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
+        col("__total").cast("double") / col("__langs").cast("double"))
       .withColumn("rate",
         least(lit(1.0), col("target") / col("n_before").cast("double")))
       .select(col("lang"), col("n_before"), col("rate"))

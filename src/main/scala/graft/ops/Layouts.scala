@@ -23,14 +23,19 @@ object Layouts {
 
   /** Rank-normalize a column to dense [0, buckets) via ntile — the
     * ZValue precondition when raw dims have skewed or incomparable
-    * ranges. One single-partition window over the DISTINCT values (not
-    * the fact rows), joined back broadcast: cheap at any fact scale
-    * while per-value ties stay deterministic. */
+    * ranges. Ranks run over the DISTINCT values (not the fact rows)
+    * through [[GlobalRank]] — a distinct dim can itself be huge (every
+    * user_id at 100 TB), so the rank must stay partition-parallel, not
+    * an unpartitioned-window single task — then joined back broadcast;
+    * per-value ties stay deterministic. */
   def rankNormalize(df: DataFrame, dim: String, buckets: Int,
                     outCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(dim))
-    val ranks = df.select(col(dim)).distinct()
-      .withColumn(outCol, (ntile(buckets).over(w) - 1).cast("long"))
+    val distinctDims = df.select(col(dim)).distinct()
+    val (ranked, n) = GlobalRank.withRank(distinctDims, Seq(col(dim)), "__rank")
+    val ranks = ranked
+      .withColumn(outCol,
+        (GlobalRank.ntileFromRank(col("__rank"), n, buckets) - 1).cast("long"))
+      .drop("__rank")
     // left join + sentinel: an inner equi-join would silently DROP rows
     // whose dim is NULL (NULL never equi-joins); they get bucket 0
     df.join(broadcast(ranks), Seq(dim), "left")

@@ -232,19 +232,21 @@ object Windows {
   }
 
   /** Share-of-total (ratio-to-report): each user's fraction of global
-    * volume via an unpartitioned window over the PRE-AGGREGATED user
-    * table (15 rows here, |users| at scale — the single-partition
-    * window reads the small aggregate, never the facts). The total runs
-    * over decimal so both engines divide by the identical denominator. */
+    * volume. The denominator is a ONE-ROW aggregate broadcast back over
+    * the per-user table — not an unpartitioned window, which would drag
+    * all |users| rows (unbounded at 100 TB) into a single task just to
+    * read one number. The total runs over decimal so both engines
+    * divide by the identical denominator. */
   def shareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.events(spark, sfDir)
+    val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(Fns.dsum(col("value")).as("volume"))
-      .withColumn("share",
-        col("volume") /
-          sum(col("volume").cast("decimal(38,6)")).over(w).cast("double"))
+    val total = perUser.agg(
+      sum(col("volume").cast("decimal(38,6)")).as("__total"))
+    perUser
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("volume") / col("__total").cast("double"))
+      .drop("__total")
       .orderBy("user_id")
   }
 
@@ -269,18 +271,26 @@ object Windows {
   }
 
   /** Quartile + percentile position of every user by total volume:
-    * ntile(4) and percent_rank over one global ordering. A single-
-    * partition window is deliberate here — its input is the already-
-    * aggregated user table (one row per user), orders of magnitude
-    * smaller than the fact scan that produced it. */
+    * ntile(4) and percent_rank over one global ordering — computed via
+    * [[GlobalRank]] rather than an unpartitioned window. The input is
+    * the per-user aggregate, but |users| itself is unbounded at scale
+    * (billions of rows at 100 TB), so "small after aggregation" is not
+    * a safe assumption the way it is for a per-language table; the
+    * distributed rank keeps every stage partition-parallel. The ntile /
+    * percent_rank reconstruction from the exact rank hash-matches
+    * DuckDB's native window verbatim (q65's oracle). */
   def ntileVolumes(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(Fns.dsum(col("value")).as("volume"))
-    val w = Window.orderBy(col("volume").desc, col("user_id"))
-    perUser
-      .withColumn("quartile", ntile(4).over(w).cast("int"))
-      .withColumn("pct_rank", percent_rank().over(w))
+    val (ranked, n) = GlobalRank.withRank(
+      perUser, Seq(col("volume").desc, col("user_id")), "__rank")
+    ranked
+      .withColumn("quartile",
+        GlobalRank.ntileFromRank(col("__rank"), n, 4).cast("int"))
+      .withColumn("pct_rank",
+        GlobalRank.percentRankFromRank(col("__rank"), n))
+      .select(col("user_id"), col("volume"), col("quartile"), col("pct_rank"))
       .orderBy("user_id")
   }
 

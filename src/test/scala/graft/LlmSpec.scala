@@ -230,4 +230,43 @@ class LlmSpec extends AnyFunSuite {
     assert(m.n_bytes == 3 && m.width == 4 && m.height == 4 && m.n_frames == 1)
     assert(m.channel_mean == ('a' + 'b' + 'c').toDouble / 3)
   }
+
+  test("source preference keeps the best-ranked copy of planted dups") {
+    import spark.implicits._
+    // "same text" lands in src7, src2, and src9 — the keeper must be
+    // the src2 copy (lowest numeric rank), regardless of doc_id order
+    val docs = Seq(
+      (1L, "same text", "en", "src7", 9L),
+      (2L, "same text", "en", "src2", 9L),
+      (3L, "same text", "en", "src9", 9L),
+      (4L, "unique a", "en", "src7", 8L),
+      (5L, "unique b", "en", "src9", 8L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.sourcePreferenceOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("src2") == ((1L, 1L, 0L))) // the dup's keeper
+    assert(out("src7") == ((2L, 1L, 1L))) // lost the dup, kept its unique
+    assert(out("src9") == ((2L, 1L, 1L)))
+    // conservation: docs seen = input rows; kept = distinct content
+    assert(out.values.map(_._1).sum == 5L && out.values.map(_._2).sum == 3L)
+  }
+
+  test("training order is a balanced, deterministic permutation") {
+    val docs = Tables.documents(spark, sf)
+    val a = graft.llm.Packing.trainingOrderOf(docs, shards = 8).collect()
+    val n = docs.count()
+    assert(a.length == n)
+    // ord is exactly 1..n
+    assert(a.map(_.getLong(1)).sorted.sameElements(1L to n))
+    // rank-contiguous shards balanced to ±1 row
+    val sizes = a.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // a re-run reproduces the identical assignment (fixed permutation)
+    val b = graft.llm.Packing.trainingOrderOf(docs, shards = 8).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+           b.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+    // and it is not the identity layout: the md5 key actually shuffles
+    assert(a.map(_.getLong(0)).take(50).toSeq != a.map(_.getLong(0)).take(50).sorted.toSeq)
+  }
 }
