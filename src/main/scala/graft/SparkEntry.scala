@@ -109,6 +109,8 @@ object SparkEntry {
     "q82_asof_native"    -> (AsOf.signupAttribution _),
     "q83_source_pref"    -> (Dedup.sourcePreference _),
     "q84_training_order" -> ((s, d) => graft.llm.Packing.trainingOrder(s, d)),
+    "q85_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q86_shard_manifest" -> ((s, d) => graft.llm.Packing.publishManifest(s, d)),
     "q32_stream_daily"   -> (graft.streaming.Live.streamingDaily _),
     "q52_stream_join"    -> (graft.streaming.Live.streamingAttribution _),
     "q56_stateful_totals" -> ((s, d) => graft.streaming.Live.statefulUserTotals(s, d)),
@@ -419,6 +421,33 @@ object SparkEntry {
          SELECT doc_id, ord,
            CAST(FLOOR((ord - 1) * 8 / CAST(n AS DOUBLE)) AS INT) AS shard
          FROM r ORDER BY ord""",
+    // continuous-ingest dedup: batch (doc_id%10=0) probed against the
+    // standing corpus's hash index; corpus dup outranks in-batch dup
+    "q85_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, lang, md5(text) AS fp
+               FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT DISTINCT md5(text) AS fp
+               FROM documents WHERE doc_id % 10 <> 0),
+         f AS (SELECT b.lang, (c.fp IS NOT NULL) AS dupc,
+                 row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+               FROM b LEFT JOIN c ON b.fp = c.fp)
+         SELECT lang, COUNT(*) AS n_batch,
+           COUNT(CASE WHEN NOT dupc AND rn = 1 THEN 1 END) AS n_admitted,
+           COUNT(CASE WHEN dupc THEN 1 END) AS n_dup_corpus,
+           COUNT(CASE WHEN NOT dupc AND rn > 1 THEN 1 END) AS n_dup_batch
+         FROM f GROUP BY 1 ORDER BY lang""",
+    // training-lake delivery receipt: the SQL twin recomputes the
+    // manifest from the SOURCE table, so the published lake's write +
+    // read-back must preserve every (doc_id, ord, shard) to hash-match
+    "q86_shard_manifest" ->
+      s"""WITH r AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord,
+               COUNT(*) OVER () AS n
+             FROM documents)
+          SELECT CAST(FLOOR((ord - 1) * 8 / CAST(n AS DOUBLE)) AS INT) AS shard,
+            COUNT(*) AS n_docs, MIN(ord) AS ord_min, MAX(ord) AS ord_max,
+            ${dsum("CAST(ord AS DOUBLE) * CAST(doc_id AS DOUBLE)")} AS checksum
+          FROM r GROUP BY 1 ORDER BY shard""",
     // data mixing: per-language downsample rates toward a uniform
     // share, applied as the same md5-prefix predicate both engines
     // evaluate identically; division nesting mirrors the Spark plan

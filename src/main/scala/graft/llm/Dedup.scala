@@ -70,6 +70,45 @@ object Dedup {
   def sourcePreference(spark: SparkSession, sfDir: String): DataFrame =
     sourcePreferenceOf(Tables.documents(spark, sfDir))
 
+  /** Incremental ingest dedup — the CONTINUOUS-corpus path: a new batch
+    * is admitted only where its content hash misses both the existing
+    * corpus's hash index and earlier docs of the same batch
+    * (first-wins). This is the realistic production shape: the corpus
+    * is never re-deduped wholesale; each delivery dedups against a
+    * persisted skinny (fp) index and appends.
+    *
+    * Scale shape: both sides of the probe carry (fp, ids) only — text
+    * never shuffles; the left join hash-partitions on fp exactly like
+    * the full-corpus pass. A batch row duplicated in BOTH places counts
+    * as a corpus dup (the index predates the batch). */
+  def incrementalDedupOf(docs: DataFrame, isNew: Column): DataFrame = {
+    val corpusFps = docs.filter(!isNew)
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("__in_corpus", lit(1))
+    val batch = docs.filter(isNew)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch
+      .withColumn("__rn", row_number().over(wb))
+      .join(corpusFps, Seq("fp"), "left")
+      .withColumn("__dupc", col("__in_corpus").isNotNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+           count(when(!col("__dupc") && col("__rn") === 1, lit(1)))
+             .as("n_admitted"),
+           count(when(col("__dupc"), lit(1))).as("n_dup_corpus"),
+           count(when(!col("__dupc") && col("__rn") > 1, lit(1)))
+             .as("n_dup_batch"))
+      .orderBy("lang")
+  }
+
+  /** Driver entry: every tenth doc_id plays the newly-delivered batch,
+    * the rest the standing corpus. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, sfDir),
+                       col("doc_id") % 10 === 0)
+
   /** Distinct word-trigram shingle set per document, as an array column.
     *
     * Built in ONE typed mapPartitions pass: tokenize, shingle, and

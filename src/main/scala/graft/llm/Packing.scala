@@ -86,6 +86,43 @@ object Packing {
   def trainingOrder(spark: SparkSession, sfDir: String): DataFrame =
     trainingOrderOf(Tables.documents(spark, sfDir), shards = 8)
 
+  /** Publish the corpus as a TRAINING-READY sharded lake: one hive
+    * partition per shard, rows inside each file in training order. The
+    * trainer streams shard directories sequentially — no further
+    * shuffle, no sampling at load time. One exchange total (the
+    * hash-repartition on shard; [[trainingOrderOf]]'s rank layout is
+    * reused by the join's shuffle on doc_id). */
+  def publishShards(docs: DataFrame, outDir: String, shards: Int): Unit =
+    docs.join(trainingOrderOf(docs, shards), "doc_id")
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Per-shard manifest read back FROM THE PUBLISHED LAKE — the
+    * delivery receipt a training job validates before reading: doc
+    * count, the contiguous [ord_min, ord_max] rank range, and an
+    * order-weighted checksum (decimal-routed so both engines sum
+    * exactly). Oracled end-to-end: the SQL twin recomputes the manifest
+    * from the SOURCE table, so the lake write + read-back must preserve
+    * every (doc_id, ord, shard) triple bit-for-bit to hash-match. */
+  def shardManifest(spark: SparkSession, lakeDir: String): DataFrame =
+    spark.read.parquet(lakeDir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("ord")).as("ord_min"),
+           max(col("ord")).as("ord_max"),
+           Fns.dsum(col("ord").cast("double") * col("doc_id").cast("double"))
+             .as("checksum"))
+      .orderBy("shard")
+
+  /** Driver entry: publish documents to a scratch lake, then manifest. */
+  def publishManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_train_shards").getAbsolutePath
+    publishShards(Tables.documents(spark, sfDir), outDir, shards = 8)
+    shardManifest(spark, outDir)
+  }
+
   /** Corpus-level packing report (rows-only: seq ids depend on the
     * session's parallelism, which a SQL oracle cannot see): sequence
     * and document totals, average fill ratio, and how many oversize

@@ -251,6 +251,46 @@ class LlmSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == 5L && out.values.map(_._2).sum == 3L)
   }
 
+  test("incremental dedup classifies corpus dups, batch dups, and fresh docs") {
+    import spark.implicits._
+    // corpus: docs 1,3,5 — batch (even ids): 10 dups corpus text "aa";
+    // 20+30 share new text "bb" (first-wins in batch); 40 is fresh
+    val docs = Seq(
+      (1L, "aa", "en", "src0", 2L), (3L, "cc", "en", "src0", 2L),
+      (5L, "dd", "en", "src0", 2L),
+      (10L, "aa", "en", "src1", 2L), (20L, "bb", "en", "src1", 2L),
+      (30L, "bb", "en", "src1", 2L), (40L, "ee", "en", "src1", 2L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalDedupOf(docs, col("doc_id") % 10 === 0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 2L, 1L, 1L))) // batch=4: admitted 20+40, corpus-dup 10, batch-dup 30
+  }
+
+  test("published shard lake carries contiguous ranks and a faithful manifest") {
+    val docs = Tables.documents(spark, sf)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_shard_spec").getAbsolutePath
+    graft.llm.Packing.publishShards(docs, dir, shards = 4)
+    val n = docs.count()
+    val manifest = graft.llm.Packing.shardManifest(spark, dir).collect()
+    assert(manifest.length == 4)
+    // each shard's [ord_min, ord_max] range is gapless and the ranges
+    // tile 1..n in shard order
+    var next = 1L
+    manifest.sortBy(_.getInt(0)).foreach { r =>
+      val (cnt, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo == next && hi - lo + 1 == cnt, s"shard ${r.getInt(0)}")
+      next = hi + 1
+    }
+    assert(next == n + 1)
+    // the lake rows themselves join back 1:1 to the corpus
+    val lake = spark.read.parquet(dir)
+    assert(lake.count() == n)
+    assert(lake.join(docs, "doc_id").count() == n)
+  }
+
   test("training order is a balanced, deterministic permutation") {
     val docs = Tables.documents(spark, sf)
     val a = graft.llm.Packing.trainingOrderOf(docs, shards = 8).collect()
