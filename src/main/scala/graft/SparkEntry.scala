@@ -128,6 +128,11 @@ object SparkEntry {
     "q99_langid_ngram"   -> (TextOps.langIdNgram _),
     "q100_table_footprint" -> (Monitoring.tableFootprint _),
     "q101_pack_sequences" -> ((s, d) => graft.llm.Packing.packingStats(s, d)),
+    // — round 5: corpus versioning, curation accounting, budget mixing —
+    "q87_snapshot_diff"  -> (graft.llm.Versioning.snapshotDiff _),
+    "q102_filter_funnel" -> (Curate.filterFunnel _),
+    "q103_source_quota"  -> ((s, d) => Sampling.sourceQuota(s, d)),
+    "q104_token_budget"  -> ((s, d) => Curate.tokenBudgetSelect(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -895,6 +900,78 @@ object SparkEntry {
     // the incremental flatMapGroupsWithState sessionization quantizes
     // its state to DECIMAL(38,6) like the batch dsum — bit-equal to q47
     "q96_stream_sessions" -> sessionizeSql,
+    "q87_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, md5(text) AS fp
+                     FROM documents WHERE doc_id % 11 <> 3),
+           v2 AS (SELECT doc_id, lang,
+                         md5(CASE WHEN doc_id % 17 = 0 THEN 'v2 ' || text
+                                  ELSE text END) AS fp
+                  FROM documents WHERE doc_id % 13 <> 5)
+         SELECT COALESCE(v2.lang, v1.lang) AS lang,
+                CASE WHEN v1.fp IS NULL THEN 'added'
+                     WHEN v2.fp IS NULL THEN 'removed'
+                     WHEN v1.fp = v2.fp THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                COUNT(*) AS n_docs,
+                CAST(SUM(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT) AS id_checksum
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         GROUP BY 1, 2 ORDER BY lang, status""",
+    "q102_filter_funnel" ->
+      """WITH flagged AS (
+           SELECT doc_id,
+                  n_chars >= 100 AS s1,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20 AS s2,
+                  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+                       THEN 0.0
+                       ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                            / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) END >= 0.3 AS s3,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS s4
+           FROM documents),
+         agg AS (
+           SELECT COUNT(*) AS c0,
+                  COUNT(CASE WHEN s1 THEN 1 END) AS c1,
+                  COUNT(CASE WHEN s1 AND s2 THEN 1 END) AS c2,
+                  COUNT(CASE WHEN s1 AND s2 AND s3 THEN 1 END) AS c3,
+                  COUNT(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 END) AS c4
+           FROM flagged)
+         SELECT * FROM (
+           SELECT 1 AS stage_idx, 'min_chars_100' AS stage, c0 AS n_in, c1 AS n_out, c0 - c1 AS n_dropped FROM agg
+           UNION ALL SELECT 2, 'min_tokens_20', c1, c2, c1 - c2 FROM agg
+           UNION ALL SELECT 3, 'lexical_0.3', c2, c3, c2 - c3 FROM agg
+           UNION ALL SELECT 4, 'dedup_exact', c3, c4, c3 - c4 FROM agg)
+         ORDER BY stage_idx""",
+    "q103_source_quota" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                COUNT(CASE WHEN rn <= 100 THEN 1 END) AS n_kept,
+                CAST(SUM(CASE WHEN rn <= 100 THEN doc_id END) AS BIGINT) AS kept_id_checksum
+         FROM (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY ratio DESC, doc_id) AS rn
+               FROM (SELECT doc_id, source,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE) END AS ratio
+                     FROM (SELECT doc_id, source,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                           FROM documents)))
+         GROUP BY 1 ORDER BY source""",
+    "q104_token_budget" ->
+      """WITH scored AS (
+           SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE) END AS ratio
+           FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)),
+         cum AS (
+           SELECT *, SUM(n_toks) OVER (ORDER BY ratio DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_toks
+           FROM scored)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM cum WHERE cum_toks <= 20000 GROUP BY 1 ORDER BY lang""",
   )
 
   private lazy val sessionizeSql =

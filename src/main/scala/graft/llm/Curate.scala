@@ -82,6 +82,73 @@ object Curate {
       .sortWithinPartitions(col("lang"), col("n_chars"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Quality-filter FUNNEL — the drop-accounting report every curation
+    * run publishes alongside its output: how many documents survive
+    * each rule of the cascade, in order. Rules here are the pipeline's
+    * own gates (substance → diversity → dedup); the funnel shape
+    * (cumulative conjunction, one row per stage) is the operator.
+    *
+    * One scan: every stage flag is a narrow projection, the cumulative
+    * counts are conditional aggregates over the SAME pass, and only the
+    * dedup stage adds its fingerprint window exchange. A 100 TB funnel
+    * costs the same as the pipeline it audits. */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val flagged = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("s1", col("n_chars") >= 100)
+      .withColumn("s2", size(col("toks")) >= 20)
+      .withColumn("s3", TextOps.lexicalRatioOf(col("toks")) >= 0.3)
+      // dedup keeps the lowest doc_id per fingerprint — over the FULL
+      // corpus (rule order puts dedup last, but the keeper choice must
+      // not depend on which copies the earlier gates dropped, or adding
+      // a gate would silently change which duplicate ships)
+      .withColumn("s4", row_number().over(w) === 1)
+    val agg = flagged.agg(
+      count(lit(1)).as("c0"),
+      count(when(col("s1"), 1)).as("c1"),
+      count(when(col("s1") && col("s2"), 1)).as("c2"),
+      count(when(col("s1") && col("s2") && col("s3"), 1)).as("c3"),
+      count(when(col("s1") && col("s2") && col("s3") && col("s4"), 1)).as("c4"))
+    agg.selectExpr(
+      """stack(4,
+           1, 'min_chars_100',    c0, c1,
+           2, 'min_tokens_20',    c1, c2,
+           3, 'lexical_0.3',      c2, c3,
+           4, 'dedup_exact',      c3, c4)
+         AS (stage_idx, stage, n_in, n_out)""")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .orderBy("stage_idx")
+  }
+
+  /** TOKEN-BUDGET selection — "ship the best B tokens": rank the corpus
+    * by quality (lexical ratio desc, doc_id tiebreak) and admit
+    * documents while the running token total stays within the budget.
+    * This is the final corpus-sizing step of data mixing: a target
+    * token count, filled greedily from the top of the quality order.
+    *
+    * The running total is [[graft.ops.GlobalRank.withRunningTotal]] —
+    * a range layout + per-partition prefix offsets — so no stage
+    * funnels the corpus through one task the way the naive
+    * `sum() OVER (ORDER BY …)` window would. Reports the admitted set
+    * per language (counts, tokens, id checksum). */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String,
+                        budgetTokens: Long = 20000): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("n_toks", size(expr(TextOps.toksExpr)).cast("long"))
+      .withColumn("ratio", TextOps.lexicalRatio)
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("ratio"))
+    val cum = graft.ops.GlobalRank.withRunningTotal(
+      scored, Seq(col("ratio").desc, col("doc_id")), col("n_toks"), "cum_toks")
+    cum.filter(col("cum_toks") <= budgetTokens)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).cast("long").as("total_tokens"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** The full curation pipeline in one plan: quality gate → PII scrub →
     * exact dedup (on the SCRUBBED text — two raw docs differing only in
     * redacted spans are duplicates) → deterministic train/test split →

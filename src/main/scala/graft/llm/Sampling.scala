@@ -129,6 +129,31 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Per-source QUOTA cap — corpus assembly rule "no feed contributes
+    * more than N documents, keep its best": rank each source's docs by
+    * quality (lexical ratio desc, doc_id tiebreak) and keep the top N.
+    * The window partitions by source, so the shuffle is the per-source
+    * hash exchange of skinny (source, ratio, doc_id, n_chars) rows —
+    * never text — and each source ranks independently (a skewed mega
+    * feed is exactly what the cap exists to bound; its partition ranks
+    * in one pass and emits N rows). Reports per-source before/after
+    * with the kept-id checksum. */
+  def sourceQuota(spark: SparkSession, sfDir: String, cap: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("ratio").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("ratio", graft.llm.TextOps.lexicalRatio)
+      .select(col("doc_id"), col("source"), col("ratio"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("rn") <= cap, 1)).as("n_kept"),
+           sum(when(col("rn") <= cap, col("doc_id"))).cast("long")
+             .as("kept_id_checksum"))
+      .orderBy("source")
+  }
+
   /** Per-class sampling rates for stratified event curation: keep every
     * rare positive (purchase, error), downsample the high-volume classes.
     * Thresholds are on [[hashBucket]] of event_id. */

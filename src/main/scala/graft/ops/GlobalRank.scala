@@ -66,6 +66,54 @@ object GlobalRank {
     (ranked, total)
   }
 
+  /** Appends the global RUNNING TOTAL of `value` over `order` as
+    * `outCol` — the distributed form of
+    * `sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`, which
+    * as a plain window would funnel every row through one task. Same
+    * two-pass shape as [[withRank]]: range-layout once, collect the
+    * per-partition SUMS (bounded by partition count), and add each
+    * partition's prefix offset to its local cumulative frame.
+    *
+    * `value` is summed as DECIMAL(38,6) — exact and associative, so the
+    * distributed total is bit-equal to the single-task window whatever
+    * the partition boundaries (see [[Fns.dsum]]). Returned column is
+    * DECIMAL(38,6); cast at the call site. */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
+                       outCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val money = org.apache.spark.sql.types.DecimalType(38, 6)
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .withColumn("__v", value.cast(money))
+      .repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+                                else r.getDecimal(1)))
+      .sortBy(_._1)
+    // offsets travel as STRINGS and cast to decimal on the far side:
+    // tuple reflection would infer DECIMAL(38,18), whose 20 integer
+    // digits overflow before money's 32 at extreme totals
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+      .map { case (p, o) => (p, o.toPlainString) }
+      .toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+      .withColumn("__off", col("__off").cast(money))
+    val frame = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__local", sum(col("__v")).over(frame))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(outCol, (col("__off") + col("__local")).cast(money))
+      .drop("__pid", "__local", "__off", "__v")
+  }
+
   /** SQL `ntile(k)` reconstructed from a global rank: with q = n/k and
     * r = n mod k, the first r tiles hold q+1 rows and the rest q.
     * Double-precision floor is exact here (operands < 2^53). */

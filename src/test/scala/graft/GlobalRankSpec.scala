@@ -51,4 +51,26 @@ class GlobalRankSpec extends AnyFunSuite {
     val (ranked, n) = GlobalRank.withRank(df, Seq(col("id")), "rnk")
     assert(n == 0L && ranked.count() == 0)
   }
+
+  test("withRunningTotal equals the unpartitioned cumulative window") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("v", pmod(col("id") * 37, lit(50)))
+      .withColumn("toks", pmod(col("id") * 7919, lit(400)) + 1)
+      .repartition(13)
+    val cum = GlobalRank.withRunningTotal(
+      df, Seq(col("v").desc, col("id")), col("toks"), "cum", partitions = 7)
+    val w = Window.orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("exp",
+      sum(col("toks").cast("decimal(38,6)")).over(w))
+    val joined = cum.join(expected, Seq("id", "v", "toks"))
+    assert(joined.count() == 2000)
+    assert(joined.filter(col("cum") =!= col("exp")).count() == 0)
+  }
+
+  test("withRunningTotal on empty input returns an empty frame") {
+    val df = spark.range(0).toDF("id").withColumn("toks", lit(1L))
+    val cum = GlobalRank.withRunningTotal(df, Seq(col("id")), col("toks"), "cum")
+    assert(cum.count() == 0)
+  }
 }

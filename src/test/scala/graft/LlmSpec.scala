@@ -309,4 +309,77 @@ class LlmSpec extends AnyFunSuite {
     // and it is not the identity layout: the md5 key actually shuffles
     assert(a.map(_.getLong(0)).take(50).toSeq != a.map(_.getLong(0)).take(50).sorted.toSeq)
   }
+
+  test("snapshot diff classifies a planted add/remove/change/keep fixture") {
+    val v1 = Seq(
+      (1L, "en", "alpha"), (2L, "en", "beta"), (3L, "de", "gamma"),
+      (4L, "de", "delta")).toDF("doc_id", "lang", "text")
+    val v2 = Seq(
+      (1L, "en", "alpha"),            // unchanged
+      (2L, "en", "beta EDITED"),      // changed
+      (4L, "de", "delta"),            // unchanged (3 removed)
+      (5L, "fr", "epsilon")           // added
+    ).toDF("doc_id", "lang", "text")
+    val got = Versioning.snapshotDiffOf(v1, v2)
+      .select($"lang", $"status", $"n_docs", $"id_checksum")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("de", "removed", 1L, 3L), ("de", "unchanged", 1L, 4L),
+      ("en", "changed", 1L, 2L), ("en", "unchanged", 1L, 1L),
+      ("fr", "added", 1L, 5L)))
+  }
+
+  test("filter funnel stages chain: each n_in is the previous n_out") {
+    val rows = Curate.filterFunnel(spark, sf)
+      .select($"stage_idx", $"n_in", $"n_out", $"n_dropped")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    assert(rows.head._2 == Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._2 == prev._3, s"stage ${next._1} n_in != prior n_out")
+    }
+    rows.foreach { case (_, in, out, dropped) =>
+      assert(out <= in && dropped == in - out)
+    }
+  }
+
+  test("source quota caps every feed at N and keeps its highest-ratio docs") {
+    val cap = 5
+    val perSource = Sampling.sourceQuota(spark, sf, cap)
+      .select($"source", $"n_docs", $"n_kept")
+      .as[(String, Long, Long)].collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (s, n, kept) =>
+      assert(kept == math.min(n, cap.toLong), s"source $s kept $kept of $n")
+    }
+    // the kept set IS the ratio-ranked head: recompute one source brute-force
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ratio", TextOps.lexicalRatio)
+      .filter($"source" === perSource.head._1)
+      .select($"doc_id", $"ratio").as[(Long, Double)].collect()
+      .sortBy { case (id, r) => (-r, id) }
+    val expectedChecksum = docs.take(cap).map(_._1).sum
+    val gotChecksum = Sampling.sourceQuota(spark, sf, cap)
+      .filter($"source" === perSource.head._1)
+      .select($"kept_id_checksum").as[Long].head()
+    assert(gotChecksum == expectedChecksum)
+  }
+
+  test("token budget admits the greedy quality prefix and never overruns") {
+    val budget = 5000L
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_toks", size(expr(TextOps.toksExpr)).cast("long"))
+      .withColumn("ratio", TextOps.lexicalRatio)
+      .select($"doc_id", $"n_toks", $"ratio").as[(Long, Long, Double)]
+      .collect().sortBy { case (id, _, r) => (-r, id) }
+    // brute-force greedy admit on the driver
+    var cum = 0L
+    val admitted = docs.takeWhile { case (_, n, _) => { cum += n; cum <= budget } }
+    val got = Curate.tokenBudgetSelect(spark, sf, budget)
+      .agg(sum($"n_docs"), sum($"total_tokens"), sum($"id_checksum"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 == admitted.length.toLong)
+    assert(got._2 == admitted.map(_._2).sum && got._2 <= budget)
+    assert(got._3 == admitted.map(_._1).sum)
+  }
 }
