@@ -77,7 +77,8 @@ object Bench {
     // informational split: streaming queries carry constant microbatch +
     // state-store machinery that a continuous deployment amortizes
     val streaming = Set("q32_stream_daily", "q52_stream_join",
-                        "q56_stateful_totals", "q96_stream_sessions")
+                        "q56_stateful_totals", "q96_stream_sessions",
+                        "q106_stream_ingest_dedup")
     val batchTotal = ok.collect {
       case (k, v) if !streaming.contains(k) => v
     }.sum

@@ -133,6 +133,8 @@ object SparkEntry {
     "q102_filter_funnel" -> (Curate.filterFunnel _),
     "q103_source_quota"  -> ((s, d) => Sampling.sourceQuota(s, d)),
     "q104_token_budget"  -> ((s, d) => Curate.tokenBudgetSelect(s, d)),
+    "q105_embed_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
+    "q106_stream_ingest_dedup" -> (graft.streaming.Live.streamingIngestDedup _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -972,6 +974,40 @@ object SparkEntry {
                 CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          FROM cum WHERE cum_toks <= 20000 GROUP BY 1 ORDER BY lang""",
+    // same reachability oracle shape as q63, over embedding-cosine edges
+    "q105_embed_clusters" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.35),
+         ed AS (SELECT a_id AS src, b_id AS dst FROM e0
+                UNION ALL
+                SELECT b_id, a_id FROM e0),
+         walk(node, lab) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN ed e ON e.src = w.node),
+         comp AS (SELECT node, MIN(lab) AS comp_id FROM walk GROUP BY node)
+         SELECT c.node AS vec_id, c.comp_id, s.comp_size
+         FROM comp c JOIN (SELECT comp_id, COUNT(*) AS comp_size
+                           FROM comp GROUP BY 1) s
+           ON c.comp_id = s.comp_id
+         ORDER BY vec_id""",
+    // stream-static anti-join + stateful fp collapse ≡ the batch
+    // admission rule: fresh fingerprint, min-doc_id copy wins
+    "q106_stream_ingest_dedup" ->
+      """WITH batch AS (SELECT doc_id, lang, md5(text) AS fp
+                        FROM documents WHERE doc_id % 10 = 0),
+         corpus AS (SELECT DISTINCT md5(text) AS fp
+                    FROM documents WHERE doc_id % 10 <> 0),
+         fresh AS (SELECT * FROM batch
+                   WHERE fp NOT IN (SELECT fp FROM corpus)),
+         keep AS (SELECT fp, MIN(doc_id) AS kid FROM fresh GROUP BY 1)
+         SELECT f.lang, COUNT(*) AS n_admitted
+         FROM fresh f JOIN keep k ON f.doc_id = k.kid
+         GROUP BY 1 ORDER BY lang""",
   )
 
   private lazy val sessionizeSql =

@@ -135,9 +135,12 @@ object Curate {
     * per language (counts, tokens, id checksum). */
   def tokenBudgetSelect(spark: SparkSession, sfDir: String,
                         budgetTokens: Long = 20000): DataFrame = {
+    // tokenize ONCE: n_toks and ratio both derive from the same split
+    // (two independent toksExpr copies would re-split every document)
     val scored = Tables.documents(spark, sfDir)
-      .withColumn("n_toks", size(expr(TextOps.toksExpr)).cast("long"))
-      .withColumn("ratio", TextOps.lexicalRatio)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("ratio", TextOps.lexicalRatioOf(col("toks")))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("ratio"))
     val cum = graft.ops.GlobalRank.withRunningTotal(
       scored, Seq(col("ratio").desc, col("doc_id")), col("n_toks"), "cum_toks")

@@ -85,6 +85,29 @@ object Similarity {
       .limit(20)
   }
 
+  /** SEMANTIC dedup clusters — the embedding-space flavor of near-dup
+    * clustering: connected components over same-label pairs whose
+    * cosine clears the near-dup threshold. Composes [[embedDupPairs]]'s
+    * edge shape (label-blocked, bounded pair space) with
+    * [[Dedup.componentsOf]]'s distributed clustering, exactly as the
+    * text path composes MinHash edges with the same operator — one
+    * clustering engine, two edge generators. At scale the label/cell
+    * blocking bounds the quadratic stage and the component labels
+    * become the semantic-dedup keeper assignment. */
+  def semanticClusters(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = withVec(emb, "a_id", "qe")
+    val b = withVec(emb, "b_id", "ce")
+    val edges = a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.componentsOf(edges)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** True IVF (inverted-file) ANN: build nlist coarse centroids with
     * k-means, assign every vector to its nearest centroid, and search
     * only the query's cell (nprobe=1). The index build is a separate,

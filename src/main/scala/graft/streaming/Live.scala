@@ -430,4 +430,53 @@ object Live {
     q.awaitTermination()
     batches
   }
+
+  /** Raw → canonical DOCUMENT stream (same recipe as [[eventStream]]:
+    * schema from a batch probe, glob for the single-file fixture). */
+  private def documentStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(rawSchema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
+
+  /** STREAMING ingest dedup — [[graft.llm.Dedup.incrementalDedup]]'s
+    * production shape: newly-delivered documents arrive as a stream,
+    * are probed against the standing corpus's fingerprint index with a
+    * stream-static LEFT ANTI join (the static side is the persisted
+    * skinny (fp) index; the stream side never blocks on it), and
+    * in-flight duplicates collapse in streaming state keyed on fp,
+    * keeping the min-doc_id copy — the same deterministic keeper as the
+    * batch window. Per-language admitted counts are rolled up at read
+    * (chained stateful aggregations are not streamable; the second
+    * level is exactly the merge-at-read the MV sinks already do).
+    *
+    * State is bounded by the batch's DISTINCT fingerprints; a
+    * continuous deployment ages it with a watermark horizon the same
+    * way [[streamingDedup]] does. Oracled: q106 shares the batch
+    * admission semantics (fresh fp, min doc_id wins). */
+  def streamingIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusFps = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    withStatePartitions(spark, 8) {
+      val admitted = documentStream(spark, sfDir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+        .join(corpusFps, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+      val name = "graft_stream_ingest_dedup"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val q = admitted.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table("graft_stream_ingest_dedup")
+      .groupBy(col("keep.lang").as("lang"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .orderBy("lang")
+  }
 }

@@ -365,6 +365,25 @@ class LlmSpec extends AnyFunSuite {
     assert(gotChecksum == expectedChecksum)
   }
 
+  test("semantic clusters: sizes >= 2, canonical min labels, label-pure") {
+    val clusters = Similarity.semanticClusters(spark, sf)
+      .select($"vec_id", $"comp_id", $"comp_size")
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.nonEmpty)
+    val byComp = clusters.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      // singletons are excluded and the label is the min member id
+      assert(members.length >= 2 && members.length == members.head._3)
+      assert(comp == members.map(_._1).min)
+    }
+    // edges are label-blocked, so no cluster may span two labels
+    val labelOf = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    byComp.values.foreach { members =>
+      assert(members.map(m => labelOf(m._1)).distinct.length == 1)
+    }
+  }
+
   test("token budget admits the greedy quality prefix and never overruns") {
     val budget = 5000L
     val docs = Tables.documents(spark, sf)

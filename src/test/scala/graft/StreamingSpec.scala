@@ -253,4 +253,15 @@ class StreamingSpec extends AnyFunSuite {
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("month"))
   }
+
+  test("streaming ingest dedup admits exactly the batch incremental-dedup set") {
+    val stream = graft.streaming.Live.streamingIngestDedup(spark, sf)
+      .select($"lang", $"n_admitted").as[(String, Long)].collect().toMap
+    val batch = graft.llm.Dedup.incrementalDedup(spark, sf)
+      .select($"lang", $"n_admitted").as[(String, Long)].collect().toMap
+    // the batch report lists every language (0-admitted rows included);
+    // the stream emits only admitted rows — compare on the nonzero set
+    assert(stream == batch.filter(_._2 > 0))
+    assert(stream.values.sum == batch.values.sum)
+  }
 }
