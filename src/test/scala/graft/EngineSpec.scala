@@ -211,4 +211,15 @@ class EngineSpec extends AnyFunSuite {
     val n = Windows.sessionize(spark, sf).agg(sum($"n_events")).head.getLong(0)
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("global-rank consumers plan no single-partition exchange or window") {
+    // the scale guarantee behind q65/q84/q104: no operator may funnel
+    // every row through one task — a regression to an unpartitioned
+    // window or a SinglePartition exchange must fail loudly here
+    for (q <- Seq("q65_ntile_volume", "q84_training_order", "q104_token_budget")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$q plans SinglePartition")
+    }
+  }
 }
