@@ -135,6 +135,7 @@ object SparkEntry {
     "q104_token_budget"  -> ((s, d) => Curate.tokenBudgetSelect(s, d)),
     "q105_embed_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "q106_stream_ingest_dedup" -> (graft.streaming.Live.streamingIngestDedup _),
+    "q107_neardup_keep"  -> (Dedup.nearDupKeep _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

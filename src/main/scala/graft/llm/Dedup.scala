@@ -479,6 +479,31 @@ object Dedup {
       minhashVerifiedPairs(spark, sfDir).filter(col("jaccard") >= 0.7)
         .select(col("a_id"), col("b_id")))
 
+  /** Materializing near-dup dedup — the decision step after clustering:
+    * drop every clustered document except its cluster's canonical
+    * keeper (the min-doc_id member = the component label), keep all
+    * singletons, and report the surviving corpus per language. This is
+    * the fuzzy analog of [[exactKeep]] and the operator a pretraining
+    * pipeline actually executes once the near-dup review threshold is
+    * signed off.
+    *
+    * Scale shape: the drop list is (clustered docs minus keepers) —
+    * FAR smaller than the corpus (dup clusters are the exception) — so
+    * the anti-join broadcasts it against the unshuffled corpus scan.
+    * Un-oracled (inherits xxhash64 from the LSH path); the spec ties
+    * kept + dropped to the cluster algebra exactly. */
+  def nearDupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = minhashComponents(spark, sfDir)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Connected components over an (a_id, b_id) edge list.
     *
     * Fast path: min-label propagation, with the FIRST round folded into

@@ -384,6 +384,18 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup keep drops exactly the non-canonical cluster members") {
+    val total = Tables.documents(spark, sf).count()
+    val comps = Dedup.minhashComponents(spark, sf)
+      .select($"doc_id", $"comp_id").as[(Long, Long)].collect()
+    val expectDropped = comps.count { case (id, comp) => id != comp }
+    val kept = Dedup.nearDupKeep(spark, sf).agg(sum($"n_kept")).head.getLong(0)
+    assert(kept == total - expectDropped)
+    // keepers themselves survive: one doc per cluster remains
+    assert(comps.map(_._2).distinct.length ==
+      comps.length - expectDropped)
+  }
+
   test("token budget admits the greedy quality prefix and never overruns") {
     val budget = 5000L
     val docs = Tables.documents(spark, sf)
