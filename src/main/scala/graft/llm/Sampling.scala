@@ -132,26 +132,29 @@ object Sampling {
   /** Per-source QUOTA cap — corpus assembly rule "no feed contributes
     * more than N documents, keep its best": rank each source's docs by
     * quality (lexical ratio desc, doc_id tiebreak) and keep the top N.
-    * The window partitions by source, so the shuffle is the per-source
-    * hash exchange of skinny (source, ratio, doc_id, n_chars) rows —
-    * never text — and each source ranks independently (a skewed mega
-    * feed is exactly what the cap exists to bound; its partition ranks
-    * in one pass and emits N rows). Reports per-source before/after
-    * with the kept-id checksum. */
+    *
+    * The ranking runs on the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator, not a row_number window: a
+    * handful of mega-feeds is exactly the skew this cap exists to
+    * bound, and the window form would FULL-SORT each feed's billions of
+    * rows inside one task to keep N of them. The heap pass is
+    * O(n log cap) with O(cap) memory per feed and drops losers as they
+    * stream in (q48 proves the operator row-identical to the window).
+    * Totals come from a separate partial-aggregable count (map-side
+    * combined), joined per-source — both sides are one row per feed.
+    * Only skinny (doc_id, source, ratio) rows shuffle — never text. */
   def sourceQuota(spark: SparkSession, sfDir: String, cap: Int = 100): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("ratio").desc, col("doc_id"))
-    Tables.documents(spark, sfDir)
+    val skinny = Tables.documents(spark, sfDir)
       .withColumn("ratio", graft.llm.TextOps.lexicalRatio)
       .select(col("doc_id"), col("source"), col("ratio"))
-      .withColumn("rn", row_number().over(w))
+    val totals = skinny.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val kept = graft.plans.TopKPerGroup.topK(
+        skinny, Seq("source"), Seq("ratio" -> false, "doc_id" -> true), cap)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-           count(when(col("rn") <= cap, 1)).as("n_kept"),
-           sum(when(col("rn") <= cap, col("doc_id"))).cast("long")
-             .as("kept_id_checksum"))
-      .orderBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("doc_id")).cast("long").as("kept_id_checksum"))
+    totals.join(kept, Seq("source")).orderBy("source")
   }
 
   /** Per-class sampling rates for stratified event curation: keep every
