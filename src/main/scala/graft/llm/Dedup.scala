@@ -487,9 +487,13 @@ object Dedup {
     * pipeline actually executes once the near-dup review threshold is
     * signed off.
     *
-    * Scale shape: the drop list is (clustered docs minus keepers) —
-    * FAR smaller than the corpus (dup clusters are the exception) — so
-    * the anti-join broadcasts it against the unshuffled corpus scan.
+    * Scale shape: the drop list is (clustered docs minus keepers). On a
+    * lightly-duplicated corpus it is small and AQE broadcasts the
+    * anti-join by its runtime stats; on a heavily-duplicated web crawl
+    * (20-50% dups — billions of ids at 100 TB) it is NOT broadcastable,
+    * so the join is deliberately unhinted and falls back to a shuffled
+    * anti-join on doc_id — a forced broadcast() here would hit the 8 GB
+    * broadcast ceiling exactly when the operator matters most.
     * Un-oracled (inherits xxhash64 from the LSH path); the spec ties
     * kept + dropped to the cluster algebra exactly. */
   def nearDupKeep(spark: SparkSession, sfDir: String): DataFrame = {
@@ -497,7 +501,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id"))
     Tables.documents(spark, sfDir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
            sum(col("n_chars")).cast("long").as("kept_chars"))

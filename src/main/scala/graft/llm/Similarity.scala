@@ -68,22 +68,27 @@ object Similarity {
     topK(pairs, 5)
   }
 
-  /** Embedding-cosine near-duplicate pairs (the dedup flavor of the
-    * similarity op): top-20 most similar same-label pairs — at scale the
+  /** All same-label candidate pairs (a_id < b_id) with their cosine —
+    * the one blocked pair frame [[embedDupPairs]] (top-20 tail) and
+    * [[semanticClusters]] (threshold edges) both consume; at scale the
     * label/cell blocking bounds the pair space exactly like the text
-    * dedup's blocking key. Exactly oracled (cosine is bit-identical to
-    * DuckDB on DOUBLE[]). */
-  def embedDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    * dedup's blocking key. */
+  private def sameLabelPairs(emb: DataFrame): DataFrame = {
     val a = withVec(emb, "a_id", "qe")
     val b = withVec(emb, "b_id", "ce")
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosine)
       .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the dedup flavor of the
+    * similarity op): top-20 most similar same-label pairs. Exactly
+    * oracled (cosine is bit-identical to DuckDB on DOUBLE[]). */
+  def embedDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    sameLabelPairs(Tables.embeddings(spark, sfDir))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
-  }
 
   /** SEMANTIC dedup clusters — the embedding-space flavor of near-dup
     * clustering: connected components over same-label pairs whose
@@ -96,12 +101,8 @@ object Similarity {
     * become the semantic-dedup keeper assignment. */
   def semanticClusters(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.35): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val a = withVec(emb, "a_id", "qe")
-    val b = withVec(emb, "b_id", "ce")
-    val edges = a.join(b, Seq("label"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(cosine >= threshold)
+    val edges = sameLabelPairs(Tables.embeddings(spark, sfDir))
+      .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"))
     Dedup.componentsOf(edges)
       .withColumnRenamed("doc_id", "vec_id")

@@ -31,6 +31,42 @@ import org.apache.spark.sql.functions._
   * aggregate, never a fact scan. */
 object GlobalRank {
 
+  private val Money = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** Shared two-pass scaffolding: freeze a range layout over `order`
+    * (the sampler re-draws per execution, and both passes must see the
+    * same boundaries), collect ONE per-partition aggregate as an exact
+    * decimal, and return the laid-out frame, the broadcastable
+    * (__pid, __off) prefix-offset frame, and the grand total. Offsets
+    * travel as STRINGS and cast to decimal on the far side: tuple
+    * reflection would infer DECIMAL(38,18), whose 20 integer digits
+    * overflow before money's 32 at extreme totals. */
+  private def rangeLayoutWithOffsets(df: DataFrame, order: Seq[Column],
+      partitions: Int, stat: Column): (DataFrame, DataFrame, java.math.BigDecimal) = {
+    val spark = df.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = parted.groupBy(col("__pid")).agg(stat.cast(Money).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+                                else r.getDecimal(1)))
+      .sortBy(_._1)
+    val total = stats.map(_._2)
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val offsets = stats.map(_._1)
+      .zip(stats.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+      .map { case (p, o) => (p, o.toPlainString) }
+      .toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+      .withColumn("__off", col("__off").cast(Money))
+    (parted, offDf, total)
+  }
+
   /** Appends 1-based global rank over `order` as `rankCol` (LongType).
     * Returns the ranked frame and the total row count (free — it is the
     * sum of the per-partition counts already on the driver).
@@ -40,39 +76,25 @@ object GlobalRank {
     * nondeterministically. */
   def withRank(df: DataFrame, order: Seq[Column], rankCol: String,
                partitions: Int = 0): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val nPart =
-      if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = parted.groupBy(col("__pid")).count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    val (parted, offDf, total) =
+      rangeLayoutWithOffsets(df, order, partitions, count(lit(1)))
     val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val ranked = parted
       .withColumn("__local", row_number().over(local))
       .join(broadcast(offDf), "__pid")
       .withColumn(rankCol, (col("__off") + col("__local")).cast("long"))
       .drop("__pid", "__local", "__off")
-    (ranked, total)
+    (ranked, total.longValueExact)
   }
 
   /** Appends the global RUNNING TOTAL of `value` over `order` as
     * `outCol` — the distributed form of
     * `sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`, which
     * as a plain window would funnel every row through one task. Same
-    * two-pass shape as [[withRank]]: range-layout once, collect the
-    * per-partition SUMS (bounded by partition count), and add each
-    * partition's prefix offset to its local cumulative frame.
+    * two-pass shape as [[withRank]] (shared scaffolding): range-layout
+    * once, collect the per-partition SUMS (bounded by partition count),
+    * and add each partition's prefix offset to its local cumulative
+    * frame.
     *
     * `value` is summed as DECIMAL(38,6) — exact and associative, so the
     * distributed total is bit-equal to the single-task window whatever
@@ -80,37 +102,15 @@ object GlobalRank {
     * DECIMAL(38,6); cast at the call site. */
   def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
                        outCol: String, partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val money = org.apache.spark.sql.types.DecimalType(38, 6)
-    val nPart =
-      if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .withColumn("__v", value.cast(money))
-      .repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val sums = parted.groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) java.math.BigDecimal.ZERO
-                                else r.getDecimal(1)))
-      .sortBy(_._1)
-    // offsets travel as STRINGS and cast to decimal on the far side:
-    // tuple reflection would infer DECIMAL(38,18), whose 20 integer
-    // digits overflow before money's 32 at extreme totals
-    val offsets = sums.map(_._1)
-      .zip(sums.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_.add(_)))
-      .map { case (p, o) => (p, o.toPlainString) }
-      .toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
-      .withColumn("__off", col("__off").cast(money))
+    val (parted, offDf, _) = rangeLayoutWithOffsets(
+      df.withColumn("__v", value.cast(Money)), order, partitions,
+      sum(col("__v")))
     val frame = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
       .withColumn("__local", sum(col("__v")).over(frame))
       .join(broadcast(offDf), "__pid")
-      .withColumn(outCol, (col("__off") + col("__local")).cast(money))
+      .withColumn(outCol, (col("__off") + col("__local")).cast(Money))
       .drop("__pid", "__local", "__off", "__v")
   }
 

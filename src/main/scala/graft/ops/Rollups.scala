@@ -57,16 +57,18 @@ object Rollups {
       .orderBy("hour")
 
   /** Approx-distinct variant — the reference's actual `uniq()` semantics
-    * (HLL++). rsd 0.016 ≈ 1.04/√4096: the 2¹²-register sketch ClickHouse
-    * uniqHLL12 uses — the fidelity the reference ships, at 1/16 the
-    * per-group sketch bytes of the earlier rsd 0.01 (p=14) setting,
-    * which tripled the runtime of a 720-group rollup for precision the
-    * source system never had. Not oracle-comparable (SURVEY §5.3),
-    * rows-only check. */
+    * (HLL++). rsd 0.0174 lands p = 12 under Spark's
+    * `p = ceil(2·log2(1.106/rsd))` sizing (1.106/0.0174 ≤ 64): the
+    * 2¹²-register sketch ClickHouse uniqHLL12 uses — the fidelity the
+    * reference ships, at 1/4 the per-group sketch bytes of the earlier
+    * rsd 0.01 (p=14) setting, which tripled the runtime of a 720-group
+    * rollup for precision the source system never had. (rsd 0.016
+    * would round UP to p=13 — the threshold is 1.106/64 ≈ 0.01729.)
+    * Not oracle-comparable (SURVEY §5.3), rows-only check. */
   def uniqUsersApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.0174).as("approx_users"))
       .orderBy("hour")
 
   /** Replication-health min/max/count (A4, `sql/monitoring.sql:31-38`). */

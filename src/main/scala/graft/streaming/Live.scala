@@ -32,21 +32,26 @@ object Live {
     try f finally spark.conf.set(key, prev)
   }
 
-  /** Raw → canonical stream: schema from a batch probe (file streams
-    * need an explicit schema), nanos→µs conversion as in Tables. */
-  private def eventStream(spark: SparkSession, sfDir: String,
-                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val path = s"$sfDir/events.parquet"
+  /** Raw file stream for a fixture table: schema from a batch probe
+    * (file streams need an explicit schema). File-stream sources
+    * require a directory: if `fileName` is itself a directory of part
+    * files, stream it directly; if it is a single file (the driver
+    * fixtures), stream its parent with a glob filter. */
+  private def fileStream(spark: SparkSession, sfDir: String, fileName: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val path = s"$sfDir/$fileName"
     val rawSchema = spark.read.parquet(path).schema
-    // file-stream sources require a directory: if events.parquet is itself
-    // a directory of part files, stream it directly; if it is a single
-    // file (the driver fixtures), stream its parent with a glob filter
     val reader0 = spark.readStream.schema(rawSchema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
-    val raw =
-      if (new java.io.File(path).isDirectory) reader.parquet(path)
-      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", fileName).parquet(sfDir)
+  }
+
+  /** Raw → canonical EVENT stream: nanos→µs conversion as in Tables. */
+  private def eventStream(spark: SparkSession, sfDir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val raw = fileStream(spark, sfDir, "events.parquet", maxFilesPerTrigger)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
@@ -431,16 +436,6 @@ object Live {
     batches
   }
 
-  /** Raw → canonical DOCUMENT stream (same recipe as [[eventStream]]:
-    * schema from a batch probe, glob for the single-file fixture). */
-  private def documentStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/documents.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val reader = spark.readStream.schema(rawSchema)
-    if (new java.io.File(path).isDirectory) reader.parquet(path)
-    else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-  }
-
   /** STREAMING ingest dedup — [[graft.llm.Dedup.incrementalDedup]]'s
     * production shape: newly-delivered documents arrive as a stream,
     * are probed against the standing corpus's fingerprint index with a
@@ -461,7 +456,7 @@ object Live {
       .filter(col("doc_id") % 10 =!= 0)
       .select(md5(col("text")).as("fp")).distinct()
     withStatePartitions(spark, 8) {
-      val admitted = documentStream(spark, sfDir)
+      val admitted = fileStream(spark, sfDir, "documents.parquet")
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
         .join(corpusFps, Seq("fp"), "left_anti")
