@@ -136,6 +136,7 @@ object SparkEntry {
     "q105_embed_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "q106_stream_ingest_dedup" -> (graft.streaming.Live.streamingIngestDedup _),
     "q107_neardup_keep"  -> (Dedup.nearDupKeep _),
+    "q108_fluency_buckets" -> (TextOps.fluencyBuckets _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1009,6 +1010,28 @@ object SparkEntry {
          SELECT f.lang, COUNT(*) AS n_admitted
          FROM fresh f JOIN keep k ON f.doc_id = k.kid
          GROUP BY 1 ORDER BY lang""",
+    // integer-only bucket compares: 50·Σdf < n_tok·N etc. — no float div
+    "q108_fluency_buckets" ->
+      """WITH occ AS (
+           SELECT doc_id, lang,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+         per_doc AS (
+           SELECT o.doc_id, o.lang,
+                  CAST(SUM(d.df) AS BIGINT) AS sum_df,
+                  COUNT(*) AS n_tok
+           FROM occ o JOIN dfr d ON o.tok = d.tok
+           GROUP BY 1, 2)
+         SELECT lang,
+                CASE WHEN sum_df * 50 < n_tok * n_corpus THEN 'rare'
+                     WHEN sum_df * 20 < n_tok * n_corpus THEN 'mixed'
+                     ELSE 'common' END AS bucket,
+                COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM per_doc CROSS JOIN n
+         GROUP BY 1, 2 ORDER BY lang, bucket""",
   )
 
   private lazy val sessionizeSql =

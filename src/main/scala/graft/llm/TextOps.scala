@@ -359,4 +359,50 @@ object TextOps {
       .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** Common-token FLUENCY histogram — the corpus-statistics quality
+    * filter (C4/Gopher family): a document made of tokens that are rare
+    * corpus-wide is noise/garble/OCR junk; one made of very common
+    * tokens is boilerplate. Each doc's mean token document-frequency
+    * fraction f = Σdf(tok) / (n_tok · N) buckets it rare / mixed /
+    * common, rolled up per language.
+    *
+    * Every comparison is INTEGER arithmetic (f < 1/50 ⇔ 50·Σdf <
+    * n_tok·N) — no floating-point division anywhere, so the oracle
+    * hash-matches by construction rather than by IEEE luck. Shape at
+    * scale: same as [[tfidfTopTerms]] — tokenize, two shuffles
+    * (occurrence counts, vocab-bounded df), broadcast df back, then a
+    * doc-id aggregate; docs under one token carry no signal and are
+    * excluded (reported by the funnel/min-token gates instead).
+    *
+    * On the driver fixture every doc shares one synthetic vocabulary
+    * (per-doc f ≈ 0.78 across the corpus), so the real-world 2%/5%
+    * cuts land everything in `common` — like the lang-ID matrix, the
+    * fixture rollup is a diagnostic; the planted-corpus spec proves
+    * the buckets separate garble / mixed / natural text. */
+  def fluencyBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    fluencyBucketsOver(Tables.documents(spark, sfDir))
+
+  /** Core of [[fluencyBuckets]] over any (doc_id, lang, text) frame. */
+  def fluencyBucketsOver(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val occ = docs.select(col("doc_id"), col("lang"),
+                          explode(expr(toksExpr)).as("tok"))
+    val df = occ.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perDoc = occ.join(broadcast(df), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(nDocs))
+    val denom = col("n_tok") * col("n_corpus")
+    perDoc
+      .withColumn("bucket",
+        when(col("sum_df") * 50 < denom, "rare")
+          .when(col("sum_df") * 20 < denom, "mixed")
+          .otherwise("common"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang", "bucket")
+  }
 }

@@ -384,6 +384,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("fluency buckets separate a planted garble/mixed/natural corpus") {
+    // N = 63. Natural docs share a tiny common vocabulary (f ≈ 0.85+);
+    // garble docs are all-unique tokens (f = 1/63 ≈ 0.016 < 2% → rare);
+    // the mixed doc pairs five unique tokens with 'zebra' (df = 10),
+    // f = 15/378 ≈ 0.040 ∈ [2%, 5%) → mixed.
+    val natural = (1L to 60L).map { i =>
+      val extra = if (i <= 9) " zebra" else ""
+      (i, "en", "the cat sat on the mat" + extra)
+    }
+    val garble = Seq(
+      (61L, "en", "qzx wvu jkl mnb poi asd"),
+      (62L, "en", "zzq yyw xxe ccr vvt bbn"))
+    val mixed = Seq((63L, "en", "zebra qqa wwb eec rrd uup"))
+    val docs = (natural ++ garble ++ mixed).toDF("doc_id", "lang", "text")
+    val got = TextOps.fluencyBucketsOver(docs)
+      .select($"bucket", $"n_docs", $"id_checksum")
+      .as[(String, Long, Long)].collect()
+      .map { case (b, n, c) => b -> ((n, c)) }.toMap
+    assert(got("common") == (60L, (1L to 60L).sum))
+    assert(got("rare") == (2L, 123L))
+    assert(got("mixed") == (1L, 63L))
+    // buckets partition the tokenized corpus
+    assert(got.values.map(_._1).sum == 63L)
+  }
+
   test("near-dup keep drops exactly the non-canonical cluster members") {
     val total = Tables.documents(spark, sf).count()
     val comps = Dedup.minhashComponents(spark, sf)
