@@ -310,6 +310,21 @@ class LlmSpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).take(50).toSeq != a.map(_.getLong(0)).take(50).sorted.toSeq)
   }
 
+  test("snapshot diff of a corpus against itself is all-unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val diff = Versioning.snapshotDiffOf(docs, docs)
+    assert(diff.filter($"status" =!= "unchanged").count() == 0)
+    assert(diff.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+  }
+
+  test("token budget edge cases: zero budget admits nothing, huge admits all") {
+    val zero = Curate.tokenBudgetSelect(spark, sf, 0L).count()
+    assert(zero == 0)
+    val all = Curate.tokenBudgetSelect(spark, sf, Long.MaxValue / 8)
+      .agg(sum($"n_docs")).head.getLong(0)
+    assert(all == Tables.documents(spark, sf).count())
+  }
+
   test("snapshot diff classifies a planted add/remove/change/keep fixture") {
     val v1 = Seq(
       (1L, "en", "alpha"), (2L, "en", "beta"), (3L, "de", "gamma"),
