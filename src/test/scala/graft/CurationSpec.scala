@@ -117,6 +117,40 @@ class CurationSpec extends AnyFunSuite {
     assert(viaProp == viaStar)
   }
 
+  test("clustering matches a driver-side union-find ground truth") {
+    // independent oracle: the two distributed algorithms agreeing can't
+    // hide a shared systematic bug — union-find on the driver can
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    val edgeList = (0 until 600)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    // union-by-min: the class root is always the minimum member id —
+    // exactly componentsOf's canonical-label contract
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edgeList.flatMap { case (a, b) => Seq(a.toInt, b.toInt) }.distinct
+    val byRoot = touched.groupBy(find)
+    val expected = byRoot.flatMap { case (root, members) =>
+      members.map(m => (m.toLong, root.toLong, members.length.toLong))
+    }.toSet
+    for (budget <- Seq(64, 0)) { // both internal algorithms vs the truth
+      val got = Dedup.componentsOf(edgeList.toDF("a_id", "b_id"), budget)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"mismatch at propagationBudget=$budget")
+    }
+  }
+
   test("near-dup clusters have size >= 2 and canonical = min member") {
     val df = Dedup.connectedComponents(spark, sf)
     val rows = df.as[(Long, Long, Long)].collect()
