@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide physical-plan lints — the plan classes that must never
+  * appear, checked across EVERY declared query so a regression in any
+  * operator (or a Catalyst behavior change on upgrade) fails loudly:
+  *
+  *  - `CartesianProduct`: an unbroadcast cross join is quadratic wall
+  *    time and shuffle at scale; every deliberate cross join in the
+  *    engine broadcasts a one-row/tiny side and must plan as
+  *    BroadcastNestedLoopJoin instead.
+  *
+  * Streaming queries are skipped (constructing them runs the stream to
+  * completion, and their batch twins are linted); q86 publishes a lake
+  * as a side effect and is likewise covered via its components (q84
+  * ranks, Packing specs cover the write). Planning alone is cheap —
+  * `executedPlan` does not run batch jobs — though GlobalRank-backed
+  * queries run their small driver-side count pass. */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private val skip = Set(
+    "q32_stream_daily", "q52_stream_join", "q56_stateful_totals",
+    "q96_stream_sessions", "q106_stream_ingest_dedup", // run streams
+    "q86_shard_manifest") // writes a lake as a side effect
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"CartesianProduct planned by: ${offenders.mkString(", ")}")
+  }
+}
