@@ -137,6 +137,8 @@ object SparkEntry {
     "q106_stream_ingest_dedup" -> (graft.streaming.Live.streamingIngestDedup _),
     "q107_neardup_keep"  -> (Dedup.nearDupKeep _),
     "q108_fluency_buckets" -> (TextOps.fluencyBuckets _),
+    // un-oracled (xxhash64 banding, SURVEY §5.3); planted-corpus spec
+    "q109_incr_neardup"  -> (Dedup.incrementalNearDup _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

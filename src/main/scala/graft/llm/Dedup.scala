@@ -292,6 +292,78 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Uncached form of the index build for ad-hoc frames (specs, batch
+    * probes): same one-pass shingling, no session cache entry. */
+  def shingleIndexOf(docs: DataFrame): DataFrame = shingled(docs)
+
+  /** Incremental NEAR-dup admission — the fuzzy twin of
+    * [[incrementalDedup]] and the hard production case: a new delivery
+    * must be rejected not only where its exact hash exists in the
+    * corpus, but where a *near*-duplicate does (re-crawls with edited
+    * boilerplate, trailing-timestamp variants). MinHash-banded, so the
+    * batch never compares pairwise against the corpus: both sides'
+    * signatures band-bucket, only cross-side band collisions become
+    * candidates, and only candidates pay the exact-Jaccard
+    * verification over 64-bit shingle hashes.
+    *
+    * Scale shape: identical to [[minhashVerifiedPairs]] — fixed-width
+    * signatures shuffle, band hash-join generates candidates, no text
+    * anywhere past the scan. The corpus side's signatures are the
+    * persisted artifact in production (built once per snapshot, like
+    * the fp index of the exact path). Un-oracled (xxhash64, SURVEY
+    * §5.3); the planted-corpus spec proves cross-boundary edited
+    * copies are caught and fresh docs admitted. */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalNearDupOver(shingleIndex(spark, sfDir),
+                           col("doc_id") % 10 === 0)
+
+  /** Core over any shingle-index frame (doc_id, lang, shingles + the
+    * `isNew` batch predicate). Returns per-language admission stats:
+    * batch size, near-dup rejections, admitted. */
+  def incrementalNearDupOver(idx: DataFrame, isNew: Column,
+                             threshold: Double = 0.7): DataFrame = {
+    val perSh = idx
+      .select(col("doc_id"), col("lang"), isNew.as("is_new"),
+              explode(col("shingles")).as("sh"))
+      .withColumn("h1", xxhash64(col("sh")))
+    val aggs: Seq[Column] = (0 until 16).map(i =>
+      min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) ++ Seq(
+      collect_set(col("h1")).as("hset"),
+      first(col("lang")).as("lang"),
+      first(col("is_new")).as("is_new"))
+    val docSig = perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until 8).map(bi =>
+      struct(lit(bi).as("band"),
+             xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
+    val banded = docSig
+      .withColumn("b", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("is_new"), col("hset"),
+              col("b.band").as("band"), col("b.bh").as("bh"))
+    // candidates strictly ACROSS the boundary: batch probe × corpus build
+    val cand = banded.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("hset").as("new_set"),
+              col("band"), col("bh"))
+      .join(banded.filter(!col("is_new"))
+              .select(col("doc_id").as("old_id"), col("hset").as("old_set"),
+                      col("band"), col("bh")),
+            Seq("band", "bh"))
+      .select(col("new_id"), col("new_set"), col("old_id"), col("old_set"))
+      .dropDuplicates("new_id", "old_id")
+    val rejected = cand
+      .withColumn("inter", size(array_intersect(col("new_set"), col("old_set"))))
+      .withColumn("uni", size(col("new_set")) + size(col("old_set")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("__rejected", lit(1))
+    docSig.filter(col("is_new"))
+      .join(rejected, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+           count(col("__rejected")).as("n_near_dup"),
+           count(when(col("__rejected").isNull, 1)).as("n_admitted"))
+      .orderBy("lang")
+  }
+
   /** Exploded (doc_id, token) stream — typed flatMap for the same
     * reasons as [[shingled]]; keeps duplicate tokens (term-frequency
     * weighting, standard for SimHash). */

@@ -424,6 +424,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 63L)
   }
 
+  test("incremental near-dup rejects edited cross-boundary copies, admits fresh") {
+    // corpus (even ids) holds originals; the batch (odd ids) delivers:
+    // 101 = a lightly-edited copy of 2 (must be REJECTED as near-dup),
+    // 103 = a fresh unrelated doc (must be ADMITTED),
+    // 105 = an edited copy of another BATCH doc (cross-boundary only:
+    //       in-batch near-dups are the clustering path's job — ADMITTED)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fresh = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val batchCopy = "red orange yellow green blue indigo violet cyan magenta teal " +
+      "maroon olive navy coral salmon khaki plum orchid sienna tan"
+    val docs = Seq(
+      (2L, "en", "src_1", base.length.toLong, base),
+      (4L, "en", "src_1", fresh.length.toLong, "unrelated corpus filler words " + base.reverse),
+      (101L, "en", "src_1", base.length.toLong, base + " edited"),
+      (103L, "en", "src_1", fresh.length.toLong, fresh),
+      (105L, "en", "src_1", batchCopy.length.toLong, batchCopy),
+      (107L, "en", "src_1", batchCopy.length.toLong, batchCopy + " tweaked")
+    ).toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = Dedup.incrementalNearDupOver(
+        Dedup.shingleIndexOf(docs), col("doc_id") % 2 === 1)
+      .select($"lang", $"n_batch", $"n_near_dup", $"n_admitted")
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("en", 4L, 1L, 3L)))
+  }
+
   test("near-dup keep drops exactly the non-canonical cluster members") {
     val total = Tables.documents(spark, sf).count()
     val comps = Dedup.minhashComponents(spark, sf)
