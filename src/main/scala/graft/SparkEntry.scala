@@ -139,6 +139,7 @@ object SparkEntry {
     "q108_fluency_buckets" -> (TextOps.fluencyBuckets _),
     // un-oracled (xxhash64 banding, SURVEY §5.3); planted-corpus spec
     "q109_incr_neardup"  -> (Dedup.incrementalNearDup _),
+    "q110_corpus_card"   -> (Curate.corpusCard _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1034,6 +1035,16 @@ object SparkEntry {
                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          FROM per_doc CROSS JOIN n
          GROUP BY 1, 2 ORDER BY lang, bucket""",
+    "q110_corpus_card" ->
+      """SELECT COUNT(*) AS n_docs,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(DISTINCT source) AS n_sources,
+                CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                COUNT(DISTINCT md5(text)) AS distinct_fps,
+                CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+         FROM documents""",
   )
 
   private lazy val sessionizeSql =

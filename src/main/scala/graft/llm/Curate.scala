@@ -152,6 +152,25 @@ object Curate {
       .orderBy("lang")
   }
 
+  /** CORPUS CARD — the one-row datasheet a published training corpus
+    * ships with (datasheets-for-datasets practice): volume (docs,
+    * tokens, chars), diversity (languages, sources), and redundancy
+    * (distinct content fingerprints, duplicate rate). One scan plus
+    * one fingerprint distinct-count; the duplicate rate is a single
+    * long/long division, so the card hash-matches exactly. */
+  def corpusCard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(col("source")).as("n_sources"),
+           sum(size(col("toks"))).cast("long").as("total_tokens"),
+           sum(col("n_chars")).cast("long").as("total_chars"),
+           countDistinct(md5(col("text"))).as("distinct_fps"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("distinct_fps")).cast("double") /
+          col("n_docs").cast("double"))
+
   /** The full curation pipeline in one plan: quality gate → PII scrub →
     * exact dedup (on the SCRUBBED text — two raw docs differing only in
     * redacted spans are duplicates) → deterministic train/test split →
