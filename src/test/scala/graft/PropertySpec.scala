@@ -137,4 +137,30 @@ class PropertySpec extends AnyFunSuite {
         s"k=$k")
     }
   }
+
+  test("property: distributed rank + running total equal the global window") {
+    val rows = Gen.listOfN(70,
+      Gen.zip(Gen.chooseNum(0L, 20L),                   // heavy order-key ties
+              Gen.chooseNum(1L, 500L)))                 // positive weights
+    for ((xs, parts) <- samples(Gen.zip(rows, Gen.chooseNum(2, 9)), 5) if xs.nonEmpty) {
+      // unique id tiebreaker makes the order total (the operator contract)
+      val df = xs.zipWithIndex
+        .map { case ((v, wt), i) => (i.toLong, v, wt) }
+        .toDF("id", "v", "wt").repartition(5)
+      val order = Seq($"v".desc, $"id")
+      val (ranked, n) = graft.ops.GlobalRank.withRank(df, order, "rnk", parts)
+      val cum = graft.ops.GlobalRank.withRunningTotal(df, order, $"wt", "cum", parts)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      val frame = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                                org.apache.spark.sql.expressions.Window.currentRow)
+      val exp = df
+        .withColumn("erk", row_number().over(w).cast("long"))
+        .withColumn("ecm", sum($"wt".cast("decimal(38,6)")).over(frame))
+      assert(n == xs.length.toLong)
+      assert(ranked.join(exp, Seq("id", "v", "wt"))
+        .filter($"rnk" =!= $"erk").count() == 0, s"rank mismatch parts=$parts")
+      assert(cum.join(exp, Seq("id", "v", "wt"))
+        .filter($"cum" =!= $"ecm").count() == 0, s"cumsum mismatch parts=$parts")
+    }
+  }
 }
