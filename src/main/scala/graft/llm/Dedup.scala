@@ -323,13 +323,12 @@ object Dedup {
   def incrementalNearDupOver(idx: DataFrame, isNew: Column,
                              threshold: Double = 0.7): DataFrame = {
     val perSh = idx
-      .select(col("doc_id"), col("lang"), isNew.as("is_new"),
+      .select(col("doc_id"), isNew.as("is_new"),
               explode(col("shingles")).as("sh"))
       .withColumn("h1", xxhash64(col("sh")))
     val aggs: Seq[Column] = (0 until 16).map(i =>
       min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) ++ Seq(
       collect_set(col("h1")).as("hset"),
-      first(col("lang")).as("lang"),
       first(col("is_new")).as("is_new"))
     val docSig = perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until 8).map(bi =>
@@ -355,7 +354,11 @@ object Dedup {
       .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("__rejected", lit(1))
-    docSig.filter(col("is_new"))
+    // report over the FULL batch from the index frame, not docSig: the
+    // signature build explodes shingles, so a doc under 3 tokens (empty
+    // shingle array) has no signature row — it can never be a near-dup
+    // and must still be counted and admitted, not silently dropped
+    idx.filter(isNew).select(col("doc_id"), col("lang"))
       .join(rejected, Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_batch"),

@@ -334,9 +334,14 @@ object TextOps {
     *
     * Shape at scale: tokenize (narrow) → (doc, term) counts (one
     * shuffle) → term document-frequency (second, much smaller shuffle)
-    * → broadcast-join df back → per-doc top-k. The df table is bounded
-    * by vocabulary size, not corpus size, so the join stays broadcast at
-    * any corpus scale. */
+    * → join df back → per-doc top-k. The df side is deliberately
+    * UNHINTED: real vocabularies grow with the corpus (heavy-tailed web
+    * text — URLs, typos, OCR garble mint new tokens forever), so a
+    * forced broadcast() would hit the 8 GB ceiling exactly when the
+    * operator matters; AQE broadcasts it from runtime stats while it
+    * fits and falls back to a shuffled hash join on `tok` when it
+    * doesn't — the same reasoning as [[Dedup.nearDupKeep]]'s anti-join.
+    * Only the one-row corpus count keeps its hint. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // lazy one-row corpus count, cross-joined broadcast — an eager
@@ -350,7 +355,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * col("n_corpus")).cast("double") / col("df").cast("double"))
@@ -371,9 +376,12 @@ object TextOps {
     * n_tok·N) — no floating-point division anywhere, so the oracle
     * hash-matches by construction rather than by IEEE luck. Shape at
     * scale: same as [[tfidfTopTerms]] — tokenize, two shuffles
-    * (occurrence counts, vocab-bounded df), broadcast df back, then a
-    * doc-id aggregate; docs under one token carry no signal and are
-    * excluded (reported by the funnel/min-token gates instead).
+    * (occurrence counts, df), an UNHINTED df join back (the garble this
+    * filter exists to catch is precisely what grows the vocabulary, so
+    * a forced broadcast would fail on the corpora that need the filter
+    * most; AQE picks broadcast while the df table fits), then a doc-id
+    * aggregate; docs under one token carry no signal and are excluded
+    * (reported by the funnel/min-token gates instead).
     *
     * On the driver fixture every doc shares one synthetic vocabulary
     * (per-doc f ≈ 0.78 across the corpus), so the real-world 2%/5%
@@ -390,7 +398,7 @@ object TextOps {
                           explode(expr(toksExpr)).as("tok"))
     val df = occ.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val perDoc = occ.join(broadcast(df), "tok")
+    val perDoc = occ.join(df, "tok")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_tok"))
       .crossJoin(broadcast(nDocs))

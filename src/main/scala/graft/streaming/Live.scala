@@ -32,6 +32,25 @@ object Live {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Run `f` with a fresh RUN-SCOPED checkpoint directory, deleted when
+    * the drain completes (each of these queries is created, drained with
+    * availableNow, and never resumed — without cleanup every invocation
+    * leaked a temp dir for the life of the host). Deletion is
+    * best-effort and skipped on failure so a crashed drain leaves its
+    * checkpoint for post-mortem. A production deployment passes a
+    * PERSISTENT location instead and never deletes it — that is what
+    * makes restarts exactly-once (see [[maintainDailyRollupPerFile]]'s
+    * `checkpointDir`). */
+  private def withRunCheckpoint[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val out = f(dir.toString)
+    // success path only: walk depth-first and remove
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
   /** Raw file stream for a fixture table: schema from a batch probe
     * (file streams need an explicit schema). File-stream sources
     * require a directory: if `fileName` is itself a directory of part
@@ -67,11 +86,12 @@ object Live {
         .groupBy(to_date(col("ts")).as("day"), col("user_id"))
         .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
       val name = "graft_stream_daily"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRunCheckpoint { ckpt =>
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     spark.table("graft_stream_daily").orderBy("day", "user_id")
   }
@@ -86,11 +106,12 @@ object Live {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val name = "graft_stream_dedup"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = deduped.writeStream.outputMode("complete").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withRunCheckpoint { ckpt =>
+      val q = deduped.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("day")
   }
 
@@ -153,14 +174,14 @@ object Live {
       .orderBy("day")
 
   /** Drive the uniq-state rollup with availableNow micro-batches. */
-  def maintainUniqRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = eventStream(spark, sfDir).writeStream
-      .foreachBatch((batch: DataFrame, _: Long) => appendUniqPartials(batch, rollupDir))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+  def maintainUniqRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit =
+    withRunCheckpoint { ckpt =>
+      val q = eventStream(spark, sfDir).writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => appendUniqPartials(batch, rollupDir))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
   /** The frequent-items twin of [[appendUniqPartials]] — ClickHouse's
     * `topK()` inside an incrementally-maintained MV. Each micro-batch
@@ -191,26 +212,26 @@ object Live {
       .orderBy("day", "rank")
 
   /** Drive the topK-state rollup with availableNow micro-batches. */
-  def maintainTopKRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = eventStream(spark, sfDir).writeStream
-      .foreachBatch((batch: DataFrame, _: Long) => appendTopKPartials(batch, rollupDir))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+  def maintainTopKRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit =
+    withRunCheckpoint { ckpt =>
+      val q = eventStream(spark, sfDir).writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => appendTopKPartials(batch, rollupDir))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
   /** Run the incremental-maintenance pipeline end-to-end with
     * availableNow micro-batches (driven by maxFilesPerTrigger when the
     * source has multiple files). */
-  def maintainDailyRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = eventStream(spark, sfDir).writeStream
-      .foreachBatch((batch: DataFrame, _: Long) => appendDailyPartials(batch, rollupDir))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+  def maintainDailyRollup(spark: SparkSession, sfDir: String, rollupDir: String): Unit =
+    withRunCheckpoint { ckpt =>
+      val q = eventStream(spark, sfDir).writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => appendDailyPartials(batch, rollupDir))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
   /** Stream-stream interval self-join (T-class beyond the reference):
     * purchases attributed to the views that preceded them by ≤30min,
@@ -234,12 +255,13 @@ object Live {
               v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
       .select(col("user_id"), col("p_id"), col("v_id"))
     val name = "graft_stream_join"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     withStatePartitions(spark, 8) {
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRunCheckpoint { ckpt =>
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     spark.table(name).orderBy("p_id", "v_id")
   }
@@ -315,12 +337,13 @@ object Live {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         sessionizeBatchFn(1800L * 1000000L))
     val name = "graft_stream_sessions"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     withStatePartitions(spark, 8) {
-      val q = updates.toDF().writeStream.outputMode("update").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRunCheckpoint { ckpt =>
+        val q = updates.toDF().writeStream.outputMode("update").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     // keep each user's max-version rows (window, not a self-join — the
     // memory-sink view cannot self-join: attribute dedup fails on it)
@@ -386,13 +409,14 @@ object Live {
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
       val name = "graft_stateful_totals"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       withStatePartitions(spark, 8) {
-        val q = updates.toDF("user_id", "tx_count", "total_value")
-          .writeStream.outputMode("update").format("memory")
-          .queryName(name).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withRunCheckpoint { ckpt =>
+          val q = updates.toDF("user_id", "tx_count", "total_value")
+            .writeStream.outputMode("update").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
       }
       // single-drain source → one (final) update row per user
       spark.table(name).orderBy("user_id")
@@ -422,17 +446,22 @@ object Live {
       else raw
     var batches = 0
     // a persistent checkpoint makes re-runs resume (exactly-once source
-    // accounting survives restarts); the default stays run-scoped
-    val ckpt = checkpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-    val q = ev.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
-        appendDailyPartials(batch, rollupDir)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // accounting survives restarts); the default stays run-scoped and
+    // is cleaned up with the run
+    def drain(ckpt: String): Unit = {
+      val q = ev.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batches += 1
+          appendDailyPartials(batch, rollupDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    checkpointDir match {
+      case Some(c) => drain(c)
+      case None    => withRunCheckpoint(drain)
+    }
     batches
   }
 
@@ -449,8 +478,14 @@ object Live {
     *
     * State is bounded by the batch's DISTINCT fingerprints; a
     * continuous deployment ages it with a watermark horizon the same
-    * way [[streamingDedup]] does. Oracled: q106 shares the batch
-    * admission semantics (fresh fp, min doc_id wins). */
+    * way [[streamingDedup]] does. The complete-mode MEMORY sink here is
+    * likewise fixture-scoped: it materializes one row per admitted
+    * fingerprint on the driver, fine for a delivery-sized drain but
+    * unbounded on an endless stream — production swaps it for the
+    * partial-state `foreachBatch` append ([[appendDailyPartials]]'
+    * shape) with update mode, which ships each batch's admissions off
+    * the driver. Oracled: q106 shares the batch admission semantics
+    * (fresh fp, min doc_id wins). */
   def streamingIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val corpusFps = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0)
@@ -463,11 +498,12 @@ object Live {
         .groupBy(col("fp"))
         .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
       val name = "graft_stream_ingest_dedup"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-      val q = admitted.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRunCheckpoint { ckpt =>
+        val q = admitted.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     spark.table("graft_stream_ingest_dedup")
       .groupBy(col("keep.lang").as("lang"))

@@ -424,12 +424,31 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 63L)
   }
 
+  test("unhinted vocabulary joins still broadcast via AQE at fixture scale") {
+    // the forced broadcast() on the document-frequency table is gone
+    // (vocabulary grows with the corpus — the hint was a 100×-scale
+    // trap); this pins the flip side: at small scale AQE must still
+    // pick a broadcast hash join from runtime stats, so dropping the
+    // hint cost nothing locally. BroadcastHashJoin can only be the
+    // tok-equi-join — the one-row nDocs hint plans as a nested-loop.
+    for (q <- Seq(TextOps.tfidfTopTerms(spark, sf),
+                  TextOps.fluencyBuckets(spark, sf))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected AQE to broadcast the df join in:\n$plan")
+    }
+  }
+
   test("incremental near-dup rejects edited cross-boundary copies, admits fresh") {
     // corpus (even ids) holds originals; the batch (odd ids) delivers:
     // 101 = a lightly-edited copy of 2 (must be REJECTED as near-dup),
     // 103 = a fresh unrelated doc (must be ADMITTED),
     // 105 = an edited copy of another BATCH doc (cross-boundary only:
     //       in-batch near-dups are the clustering path's job — ADMITTED)
+    // 109 = a SHORT doc (< 3 tokens → empty shingle set, no MinHash
+    //       signature): can never be a near-dup, must still be COUNTED
+    //       and admitted, not silently dropped from the report
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
     val fresh = "one two three four five six seven eight nine ten " +
@@ -442,13 +461,14 @@ class LlmSpec extends AnyFunSuite {
       (101L, "en", "src_1", base.length.toLong, base + " edited"),
       (103L, "en", "src_1", fresh.length.toLong, fresh),
       (105L, "en", "src_1", batchCopy.length.toLong, batchCopy),
-      (107L, "en", "src_1", batchCopy.length.toLong, batchCopy + " tweaked")
+      (107L, "en", "src_1", batchCopy.length.toLong, batchCopy + " tweaked"),
+      (109L, "en", "src_1", 6L, "ok bye")
     ).toDF("doc_id", "lang", "source", "n_chars", "text")
     val got = Dedup.incrementalNearDupOver(
         Dedup.shingleIndexOf(docs), col("doc_id") % 2 === 1)
       .select($"lang", $"n_batch", $"n_near_dup", $"n_admitted")
       .as[(String, Long, Long, Long)].head()
-    assert(got == (("en", 4L, 1L, 3L)))
+    assert(got == (("en", 5L, 1L, 4L)))
   }
 
   test("near-dup keep drops exactly the non-canonical cluster members") {

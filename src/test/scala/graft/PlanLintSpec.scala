@@ -26,6 +26,39 @@ class PlanLintSpec extends AnyFunSuite {
     "q96_stream_sessions", "q106_stream_ingest_dedup", // run streams
     "q86_shard_manifest") // writes a lake as a side effect
 
+  test("no query plans a Window with an empty partition spec") {
+    // the round-4 regression class: WindowExec with no PARTITION BY
+    // moves the entire input to one task ("No Partition Defined for
+    // Window operation" in the executor log) — a global sort + a
+    // single-threaded pass that cannot scale past one executor. The
+    // GlobalRank two-pass removed every instance; this keeps them out.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def emptyPartWindows(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(emptyPartWindows) ++
+        p.subqueries.flatMap(emptyPartWindows)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val hits = emptyPartWindows(
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+        if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty,
+      s"single-partition windows planned by: ${offenders.mkString("; ")}")
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
