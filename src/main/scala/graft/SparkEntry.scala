@@ -140,6 +140,10 @@ object SparkEntry {
     // un-oracled (xxhash64 banding, SURVEY §5.3); planted-corpus spec
     "q109_incr_neardup"  -> (Dedup.incrementalNearDup _),
     "q110_corpus_card"   -> (Curate.corpusCard _),
+    // — round 6: scale path for semantic dedup, one-topic ABI layout —
+    // un-oracled (engine-side hyperplanes); spec ties it to q105
+    "q111_lsh_clusters"  -> ((s, d) => Similarity.lshComponents(s, d)),
+    "q112_abi_blacklist" -> (Ingest.blacklistRoundtrip _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -507,13 +511,23 @@ object SparkEntry {
            CAST(SUM(CAST(dup2 AS DECIMAL(38,6))) AS DOUBLE)
              / CAST(COUNT(dup2) AS DOUBLE) AS avg_dup2_frac
          FROM per2 GROUP BY lang ORDER BY lang""",
-    // router mix ≡ CASE routing on the original event_type
+    // router mix ≡ CASE routing on the original event_type; the
+    // Blacklisted layout has no data word, so its total is NULL
     "q78_abi_event_mix" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'Approval'
+                     WHEN event_type = 'view' THEN 'Blacklisted'
                      ELSE 'Transfer' END AS event,
          COUNT(*) AS n_logs,
-         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         CAST(SUM(CASE WHEN event_type = 'view' THEN NULL
+                       ELSE CAST(floor(value * 100) AS BIGINT) END)
+              AS BIGINT) AS total_cents
          FROM events GROUP BY 1 ORDER BY event""",
+    // decoded one-topic Blacklisted path ≡ the view slice
+    "q112_abi_blacklist" ->
+      """SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS account_address,
+         COUNT(*) AS n_flags
+         FROM events WHERE event_type = 'view'
+         GROUP BY 1 ORDER BY account_address""",
     // identical to q01 by the A6/T5 invariant: streaming availableNow
     // aggregation must equal the batch rollup exactly
     "q32_stream_daily" -> dailyRollupSql,

@@ -75,23 +75,32 @@ object Dedup {
     * corpus's hash index and earlier docs of the same batch
     * (first-wins). This is the realistic production shape: the corpus
     * is never re-deduped wholesale; each delivery dedups against a
-    * persisted skinny (fp) index and appends.
+    * persisted skinny (fp) index and appends ([[writeFpIndex]] /
+    * [[loadFpIndex]] / [[incrementalDedupAgainstIndex]] are that
+    * persisted path; here the split is simulated in one frame).
     *
     * Scale shape: both sides of the probe carry (fp, ids) only — text
     * never shuffles; the left join hash-partitions on fp exactly like
     * the full-corpus pass. A batch row duplicated in BOTH places counts
     * as a corpus dup (the index predates the batch). */
-  def incrementalDedupOf(docs: DataFrame, isNew: Column): DataFrame = {
-    val corpusFps = docs.filter(!isNew)
-      .select(md5(col("text")).as("fp")).distinct()
+  def incrementalDedupOf(docs: DataFrame, isNew: Column): DataFrame =
+    exactAdmission(docs.filter(isNew),
+                   docs.filter(!isNew).select(md5(col("text")).as("fp")))
+
+  /** Probe a raw batch against a corpus fingerprint frame — the
+    * admission core shared by the single-frame fixture split above and
+    * the persisted-index path ([[incrementalDedupAgainstIndex]]). */
+  private def exactAdmission(batchDocs: DataFrame,
+                             corpusFps: DataFrame): DataFrame = {
+    val corpus = corpusFps.select(col("fp")).distinct()
       .withColumn("__in_corpus", lit(1))
-    val batch = docs.filter(isNew)
+    val batch = batchDocs
       .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     batch
       .withColumn("__rn", row_number().over(wb))
-      .join(corpusFps, Seq("fp"), "left")
+      .join(corpus, Seq("fp"), "left")
       .withColumn("__dupc", col("__in_corpus").isNotNull)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_batch"),
@@ -101,6 +110,57 @@ object Dedup {
            count(when(!col("__dupc") && col("__rn") > 1, lit(1)))
              .as("n_dup_batch"))
       .orderBy("lang")
+  }
+
+  // ——— persisted dedup indices (the production artifacts) ———
+  //
+  // A continuous corpus is never re-deduped wholesale: a SNAPSHOT JOB
+  // materializes the skinny index once (exact: distinct content
+  // fingerprints; near-dup: fixed-width MinHash signatures + shingle
+  // hash sets), and every delivery then pays only its own batch-sized
+  // build plus a probe join against the loaded artifact. Text is read
+  // exactly once per snapshot, never by the probes. Both indices are
+  // plain parquet — at scale, partitioned/bucketed on their join key so
+  // the probe co-locates instead of shuffling the (large) index side.
+
+  /** Materialize the exact-dedup fingerprint index for a corpus: one
+    * row per distinct content hash. The analog of the reference's
+    * insert-time dedup key set, persisted instead of in-memory. */
+  def writeFpIndex(docs: DataFrame, dir: String): Unit =
+    docs.select(md5(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  def loadFpIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Admission report for a raw delivery against a loaded [[writeFpIndex]]
+    * artifact — identical semantics to [[incrementalDedupOf]], corpus
+    * side served from the persisted index instead of recomputed. */
+  def incrementalDedupAgainstIndex(batchDocs: DataFrame,
+                                   fpIndex: DataFrame): DataFrame =
+    exactAdmission(batchDocs, fpIndex)
+
+  /** Materialize the near-dup signature index for a corpus: one
+    * fixed-width row (16 minhashes + the 64-bit shingle hash set) per
+    * shingled document. Built through the same one-pass shingler the
+    * session cache uses. */
+  def writeNearDupIndex(docs: DataFrame, dir: String): Unit =
+    signaturesOf(shingleIndexOf(docs))
+      .write.mode("overwrite").parquet(dir)
+
+  def loadNearDupIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Admission report for a raw delivery against a loaded
+    * [[writeNearDupIndex]] artifact — identical semantics to
+    * [[incrementalNearDupOver]], corpus side served from the persisted
+    * signatures: the delivery job shingles and signs only its own
+    * batch, then band-joins against index rows that never touch text. */
+  def incrementalNearDupAgainstIndex(batchDocs: DataFrame,
+                                     corpusSig: DataFrame,
+                                     threshold: Double = 0.7): DataFrame = {
+    val batchIdx = shingleIndexOf(batchDocs)
+    nearDupAdmission(batchIdx, signaturesOf(batchIdx), corpusSig, threshold)
   }
 
   /** Driver entry: every tenth doc_id plays the newly-delivered batch,
@@ -177,13 +237,6 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-  /** Exploded (doc_id, sh) rows served FROM the index: explode of the
-    * cached arrays, no re-tokenization; partitioning by doc_id is
-    * preserved through the Generate. */
-  private def shingleRowsCached(spark: SparkSession, sfDir: String): DataFrame =
-    shingleIndex(spark, sfDir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-
   /** N-gram Jaccard near-dedup with blocking: candidate pairs share
     * (lang, source, n_chars DIV 50); top-20 most similar pairs.
     * Jaccard over distinct word-trigram shingle sets. */
@@ -209,24 +262,62 @@ object Dedup {
       .limit(20)
   }
 
-  /** k minhash values per doc over word-trigram *shingles*.
+  /** 16 minhash values + the 64-bit shingle-hash set per doc, over
+    * word-trigram *shingles*.
     *
     * Shingles, not tokens: the shingle space is |vocab|³, so unrelated
     * documents share few elements and band collisions stay proportional
     * to true Jaccard (token-level minhash on a small vocabulary collides
     * for nearly every pair).
     *
-    * The k hash families re-hash one base string hash with the family
+    * The 16 hash families re-hash one base string hash with the family
     * index — the (expensive) string scan happens once per shingle and
     * each family is an xxhash64 over two longs inside codegen. (A
     * Kirsch–Mitzenmacher h1+i·h2 would be cheaper still, but Spark 4's
     * default ANSI mode turns the deliberate long overflow into an
-    * error.) */
-  private def minhashSignature(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val perSh = shingleRowsCached(spark, sfDir).withColumn("h1", xxhash64(col("sh")))
-    val aggs: Seq[Column] = (0 until k).map(i =>
-      min(xxhash64(col("h1"), lit(i))).as(s"mh$i"))
+    * error.) The same aggregate also collects the hash set the exact-
+    * Jaccard verification runs over — one shingle pass, one doc_id
+    * shuffle, serves both stages. Docs with an empty shingle set (< 3
+    * tokens) have no signature row: nothing to band, nothing to verify. */
+  private def signaturesOf(idx: DataFrame): DataFrame = {
+    val perSh = idx.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h1", xxhash64(col("sh")))
+    val aggs: Seq[Column] = (0 until 16).map(i =>
+      min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) :+
+      collect_set(col("h1")).as("hset")
     perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session-scoped MINHASH SIGNATURE INDEX — [[signaturesOf]] over the
+    * cached shingle index, built once per (session, corpus dir) and
+    * persisted, exactly like [[shingleIndex]] one derivation up. Four
+    * operators (banding stats, verified pairs, LSH clustering, near-dup
+    * keep) plus the incremental admission probe all consume the same
+    * fixed-width frame; in production it is the per-snapshot artifact
+    * the near-dup paths persist (see [[writeNearDupIndex]]), so the
+    * session cache is the local stand-in for that materialization. */
+  def signatureIndex(spark: SparkSession, sfDir: String): DataFrame =
+    indexCache.synchronized {
+      var perSession = indexCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        indexCache.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate("sig:" + sfDir,
+        signaturesOf(shingleIndex(spark, sfDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** (doc_id, band, bh) banded rows from a signature frame: 8 bands of
+    * 2 minhashes, band hash again xxhash64-fused in codegen. */
+  private def bandedOf(sig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val bands = (0 until 8).map(bi =>
+      struct(lit(bi).as("band"),
+             xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
+    sig.withColumn("bands", array(bands: _*))
+      .select(col("doc_id") +: explode(col("bands")).as("b") +: carry.map(col): _*)
+      .select(Seq(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")) ++
+        carry.map(col): _*)
   }
 
   /** MinHash-LSH banding stats: 16 minhashes → 8 bands of 2; documents
@@ -235,12 +326,7 @@ object Dedup {
     * itself is [[minhashPairs]]). Un-oracled: xxhash64 has no DuckDB
     * twin (SURVEY §5.3). */
   def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignature(spark, sfDir, 16)
-    val bands = (0 until 8).map(bi =>
-      struct(lit(bi).as("band"), xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
-    sig.withColumn("bands", array(bands: _*))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    bandedOf(signatureIndex(spark, sfDir))
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -265,27 +351,25 @@ object Dedup {
 
   /** The FULL verified pair stream (no presentation limit) — what the
     * clustering path consumes; [[minhashPairs]] is its top-50 display
-    * tail. */
-  def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSh = shingleRowsCached(spark, sfDir)
-      .withColumn("h1", xxhash64(col("sh")))
-    val aggs: Seq[Column] = (0 until 16).map(i =>
-      min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) :+
-      collect_set(col("h1")).as("shingles")
-    val docSig = perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bands = (0 until 8).map(bi =>
-      struct(lit(bi).as("band"), xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
-    val banded = docSig.withColumn("bands", array(bands: _*))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    * tail. Reads the session signature index, so the expensive
+    * signature build is paid once per corpus, not once per query. */
+  def minhashVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairsOf(signatureIndex(spark, sfDir))
+
+  /** Band-collide + exact-verify over any signature frame (doc_id,
+    * mh0..mh15, hset): only band-colliding pairs pay the Jaccard, and
+    * the Jaccard runs over 64-bit shingle hashes — set sizes identical
+    * up to ~2⁻⁶⁴ collisions and the exchange never carries text. */
+  private def verifiedPairsOf(docSig: DataFrame): DataFrame = {
+    val banded = bandedOf(docSig)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = docSig.select(col("doc_id"), col("shingles"))
+    val sh = docSig.select(col("doc_id"), col("hset"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("hset").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("hset").as("b_sh")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -309,40 +393,44 @@ object Dedup {
     * Scale shape: identical to [[minhashVerifiedPairs]] — fixed-width
     * signatures shuffle, band hash-join generates candidates, no text
     * anywhere past the scan. The corpus side's signatures are the
-    * persisted artifact in production (built once per snapshot, like
-    * the fp index of the exact path). Un-oracled (xxhash64, SURVEY
+    * persisted artifact in production — [[writeNearDupIndex]] /
+    * [[loadNearDupIndex]] / [[incrementalNearDupAgainstIndex]] are that
+    * path; here they come from the session [[signatureIndex]] (the
+    * local stand-in for the same materialization). Un-oracled (xxhash64, SURVEY
     * §5.3); the planted-corpus spec proves cross-boundary edited
     * copies are caught and fresh docs admitted. */
   def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    incrementalNearDupOver(shingleIndex(spark, sfDir),
+    incrementalNearDupCore(shingleIndex(spark, sfDir),
+                           signatureIndex(spark, sfDir),
                            col("doc_id") % 10 === 0)
 
   /** Core over any shingle-index frame (doc_id, lang, shingles + the
-    * `isNew` batch predicate). Returns per-language admission stats:
-    * batch size, near-dup rejections, admitted. */
+    * `isNew` batch predicate, which must be expressible over doc_id —
+    * it is applied to both the index and its signature frame). Returns
+    * per-language admission stats: batch size, near-dup rejections,
+    * admitted. */
   def incrementalNearDupOver(idx: DataFrame, isNew: Column,
-                             threshold: Double = 0.7): DataFrame = {
-    val perSh = idx
-      .select(col("doc_id"), isNew.as("is_new"),
-              explode(col("shingles")).as("sh"))
-      .withColumn("h1", xxhash64(col("sh")))
-    val aggs: Seq[Column] = (0 until 16).map(i =>
-      min(xxhash64(col("h1"), lit(i))).as(s"mh$i")) ++ Seq(
-      collect_set(col("h1")).as("hset"),
-      first(col("is_new")).as("is_new"))
-    val docSig = perSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until 8).map(bi =>
-      struct(lit(bi).as("band"),
-             xxhash64(col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("bh")))
-    val banded = docSig
-      .withColumn("b", explode(array(bandCols: _*)))
-      .select(col("doc_id"), col("is_new"), col("hset"),
-              col("b.band").as("band"), col("b.bh").as("bh"))
+                             threshold: Double = 0.7): DataFrame =
+    incrementalNearDupCore(idx, signaturesOf(idx), isNew, threshold)
+
+  private def incrementalNearDupCore(idx: DataFrame, sig: DataFrame,
+                                     isNew: Column,
+                                     threshold: Double = 0.7): DataFrame =
+    nearDupAdmission(idx.filter(isNew), sig.filter(isNew),
+                     sig.filter(!isNew), threshold)
+
+  /** Probe a BATCH (shingle index + signatures) against a CORPUS
+    * signature frame — the two-frame admission core shared by the
+    * single-frame fixture split above and the persisted-index
+    * production path ([[incrementalNearDupAgainstIndex]]). */
+  private def nearDupAdmission(batchIdx: DataFrame, batchSig: DataFrame,
+                               corpusSig: DataFrame,
+                               threshold: Double): DataFrame = {
     // candidates strictly ACROSS the boundary: batch probe × corpus build
-    val cand = banded.filter(col("is_new"))
+    val cand = bandedOf(batchSig, Seq("hset"))
       .select(col("doc_id").as("new_id"), col("hset").as("new_set"),
               col("band"), col("bh"))
-      .join(banded.filter(!col("is_new"))
+      .join(bandedOf(corpusSig, Seq("hset"))
               .select(col("doc_id").as("old_id"), col("hset").as("old_set"),
                       col("band"), col("bh")),
             Seq("band", "bh"))
@@ -354,11 +442,12 @@ object Dedup {
       .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("__rejected", lit(1))
-    // report over the FULL batch from the index frame, not docSig: the
-    // signature build explodes shingles, so a doc under 3 tokens (empty
-    // shingle array) has no signature row — it can never be a near-dup
-    // and must still be counted and admitted, not silently dropped
-    idx.filter(isNew).select(col("doc_id"), col("lang"))
+    // report over the FULL batch from the index frame, not the
+    // signatures: the signature build explodes shingles, so a doc under
+    // 3 tokens (empty shingle array) has no signature row — it can
+    // never be a near-dup and must still be counted and admitted, not
+    // silently dropped
+    batchIdx.select(col("doc_id"), col("lang"))
       .join(rejected, Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_batch"),

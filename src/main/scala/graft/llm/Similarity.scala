@@ -156,4 +156,76 @@ object Similarity {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")
   }
+
+  /** (vec_id, tbl, bkt) rows for `tables` independent hyperplane
+    * tables of `bits` sign-bits each — the embedding analog of the
+    * MinHash band explode: a vector lands in one bucket per table, and
+    * only same-(tbl, bkt) collisions ever become candidate pairs. */
+  private def lshTableRows(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val tableBuckets = (0 until tables).map { t =>
+      val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(DotProduct(col("qe"), array(p.map(lit): _*)) > 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bkt"))
+    }
+    emb.select(col("a_id").as("vec_id"),
+               explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** LSH-candidate embedding pairs with exact cosine — the SCALE edge
+    * generator for semantic dedup, mirroring the text path's
+    * [[Dedup.minhashVerifiedPairs]]: bucket collisions (any table)
+    * nominate candidates, and only candidates pay a dot product, so
+    * there is no all-pairs stage anywhere. Precision is exact (every
+    * returned sim is a true cosine); recall is the standard hyperplane
+    * bound per pair, 1 − (1 − p^bits)^tables with p = 1 − θ/π.
+    *
+    * Sizing at scale: `bits` bounds bucket occupancy (2^bits buckets
+    * per table — grow bits with log₂ of corpus size to hold the
+    * per-bucket candidate count flat), `tables` buys recall back at
+    * the chosen bits. The fixture defaults (4 bits × 8 tables over 500
+    * vectors) favor recall; a billion-vector corpus wants ~20+ bits
+    * and more tables, still the same plan shape. */
+  def lshCandidatePairs(spark: SparkSession, sfDir: String,
+                        tables: Int = 8, bits: Int = 4): DataFrame = {
+    val emb = withVec(Tables.embeddings(spark, sfDir), "a_id", "qe")
+    val rows = lshTableRows(emb, tables, bits)
+    val cand = rows.as("x")
+      .join(rows.as("y"), Seq("tbl", "bkt"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val va = emb.select(col("a_id"), col("qe"), col("qe_norm"))
+    val vb = emb.select(col("a_id").as("b_id"), col("qe").as("ce"),
+                        col("qe_norm").as("ce_norm"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** SEMANTIC dedup clusters at 100 TB — [[semanticClusters]] with the
+    * quadratic label-blocked edge stage replaced by LSH-candidate
+    * edges: bucket collisions → exact-cosine verification → the same
+    * [[Dedup.componentsOf]] clustering engine, exactly as the text
+    * path swaps [[Dedup.connectedComponents]]'s blocked edges for
+    * [[Dedup.minhashComponents]]'s banded ones. Label-free: a
+    * near-duplicate pair that straddles a label boundary (invisible to
+    * the label-blocked path) still collides and clusters here.
+    * Un-oracled (hyperplanes are engine-side constants); the spec ties
+    * its clusters to [[semanticClusters]]' on the fixture. */
+  def lshComponents(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.35,
+                    tables: Int = 8, bits: Int = 4): DataFrame = {
+    val edges = lshCandidatePairs(spark, sfDir, tables, bits)
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.componentsOf(edges)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
+  }
 }

@@ -85,48 +85,88 @@ object Ingest {
 
   // ——— multi-event ABI surface (C8 breadth) ———
   //
-  // The reference ABI declares Transfer(from indexed, to indexed, value)
-  // AND Approval(owner indexed, spender indexed, value) with identical
-  // word layouts (`usdc-transfers/src/abi/usdc.ts:20-23`): topic1/topic2
-  // carry the two indexed addresses, data carries the uint256. The
-  // synthetic signature words stand in for the keccak topic0 constants
-  // (no keccak in this container; the router only needs distinct
-  // well-formed words).
+  // The reference ABI declares 17 events (`usdc-transfers/src/abi/
+  // usdc.ts:5-23`) across three word layouts: two indexed addresses +
+  // a uint256 data word (Transfer :20, Approval :6, Mint :13), one
+  // indexed address and NO data word (Blacklisted :9, MinterRemoved
+  // :15, ...), and zero-topic markers (Pause :17). The router below
+  // declares one shape per layout class; adding a new event is one
+  // [[EventShape]] row. The synthetic signature words stand in for the
+  // keccak topic0 constants (no keccak in this container; the router
+  // only needs distinct well-formed words).
 
   /** Synthetic topic0 for Transfer-shaped logs. */
   val TransferSig: String = "0x" + "0" * 63 + "1"
   /** Synthetic topic0 for Approval-shaped logs. */
   val ApprovalSig: String = "0x" + "0" * 63 + "2"
+  /** Synthetic topic0 for Blacklisted-shaped logs (one indexed
+    * address, no second topic, no data — `usdc.ts:9`). */
+  val BlacklistedSig: String = "0x" + "0" * 63 + "3"
+
+  /** One declared ABI event: its topic0, decoded name, and word layout
+    * (whether a second indexed topic and a uint256 data word exist).
+    * The wire contract is positional: absent words are NULL columns in
+    * the log frame, never zero-filled. */
+  private case class EventShape(sig: String, name: String,
+                                hasTopic2: Boolean, hasData: Boolean)
+
+  private val declaredEvents = Seq(
+    EventShape(TransferSig, "Transfer", hasTopic2 = true, hasData = true),
+    EventShape(ApprovalSig, "Approval", hasTopic2 = true, hasData = true),
+    EventShape(BlacklistedSig, "Blacklisted", hasTopic2 = false, hasData = false))
 
   /** events → a MIXED log stream: `signup` events encode as Approval,
-    * everything else as Transfer — the mixed-topic wire shape a real
-    * contract emits into one log stream. */
-  def synthesizeMixedLogs(spark: SparkSession, sfDir: String): DataFrame =
+    * `view` events as Blacklisted (a one-topic layout: topic2 and data
+    * are absent → NULL), everything else as Transfer — the mixed-topic
+    * wire shape a real contract emits into one log stream. */
+  def synthesizeMixedLogs(spark: SparkSession, sfDir: String): DataFrame = {
+    val oneTopic = col("event_type") === "view"
     Tables.events(spark, sfDir).select(
       col("event_id"),
       when(col("event_type") === "signup", lit(ApprovalSig))
+        .when(oneTopic, lit(BlacklistedSig))
         .otherwise(lit(TransferSig)).as("topic0"),
       topicFromId(col("user_id")).as("topic1"),
-      topicFromId(col("user_id") + 1000000L).as("topic2"),
-      lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0").as("data"))
+      when(oneTopic, lit(null).cast("string"))
+        .otherwise(topicFromId(col("user_id") + 1000000L)).as("topic2"),
+      when(oneTopic, lit(null).cast("string"))
+        .otherwise(lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0"))
+        .as("data"))
+  }
 
   /** ABI router + decoder (the handler's `events.X.decode` dispatch,
     * `usdc-transfers/src/main.ts:85-86`, widened to the declared event
-    * set): well-formedness re-check on every word, route on topic0, and
-    * decode to one typed frame with the per-event role names collapsed
-    * to (event, addr1, addr2, amount). Logs with an undeclared topic0
-    * are DROPPED — exactly what a typed ABI handler does with events it
-    * has no decoder for. */
-  def decodeAbi(logs0: DataFrame): DataFrame =
-    defensiveFilter(logs0)
-      .filter(col("topic0").isin(TransferSig, ApprovalSig))
+    * set): shape-aware well-formedness re-check — every PRESENT word
+    * must be 0x+64-hex, every ABSENT word must be NULL (a zero-filled
+    * or stray word on a one-topic event is a malformed log, dropped
+    * like any other) — then route on topic0 and decode to one typed
+    * frame with per-event role names collapsed to (event, addr1,
+    * addr2, amount). Columns an event's layout lacks decode as NULL.
+    * Logs with an undeclared topic0 are DROPPED — exactly what a typed
+    * ABI handler does with events it has no decoder for. */
+  def decodeAbi(logs0: DataFrame): DataFrame = {
+    val wellFormed = declaredEvents.map { e =>
+      val t2 = if (e.hasTopic2) IsHexWord(col("topic2")) else col("topic2").isNull
+      val d = if (e.hasData) IsHexWord(concat(lit("0x"), col("data")))
+              else col("data").isNull
+      col("topic0") === lit(e.sig) && IsHexWord(col("topic1")) && t2 && d
+    }.reduce(_ || _)
+    val eventName = declaredEvents.foldLeft(lit(null).cast("string")) {
+      (acc, e) => when(col("topic0") === lit(e.sig), lit(e.name)).otherwise(acc)
+    }
+    val withTopic2 = declaredEvents.filter(_.hasTopic2).map(e => lit(e.sig))
+    val withData = declaredEvents.filter(_.hasData).map(e => lit(e.sig))
+    logs0
+      .filter(wellFormed)
       .select(
         col("event_id"),
-        when(col("topic0") === lit(ApprovalSig), lit("Approval"))
-          .otherwise(lit("Transfer")).as("event"),
+        eventName.as("event"),
         addressFromTopic(col("topic1")).as("addr1"),
-        addressFromTopic(col("topic2")).as("addr2"),
-        uint256(col("data")).as("amount_cents"))
+        when(col("topic0").isin(withTopic2: _*),
+             addressFromTopic(col("topic2"))).as("addr2"),
+        when(col("topic0").isin(withData: _*),
+             uint256(col("data"))).as("amount_cents"))
+  }
 
   /** Approval-path roundtrip: per-owner approval count + max allowance
     * from the DECODED mixed stream. Oracled against the same aggregate
@@ -153,6 +193,20 @@ object Ingest {
       .agg(count(lit(1)).as("n_logs"),
            sum(col("amount_cents")).cast("long").as("total_cents"))
       .orderBy("event")
+
+  /** One-topic-layout roundtrip: per-account flag count for decoded
+    * Blacklisted logs — proves the router decodes a layout with NO
+    * second topic and NO data word (addr2/amount_cents are NULL by
+    * shape, not by accident). Oracled against the `view` slice of the
+    * original columns. */
+  def blacklistRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAbi(
+      synthesizeMixedLogs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .filter(col("event") === "Blacklisted")
+      .groupBy(col("addr1").as("account_address"))
+      .agg(count(lit(1)).as("n_flags"))
+      .orderBy("account_address")
 
   /** Defensive semi-structured ingest (the F2 posture applied to JSON
     * payloads): parse a JSON string column against an explicit schema

@@ -97,6 +97,30 @@ class EngineSpec extends AnyFunSuite {
       back("value_cents") === orig("cents")).count() == orig.count())
   }
 
+  test("C8: router is shape-aware — absent words decode NULL, stray words drop") {
+    def topic(i: Int) = "0x" + "0" * 63 + i.toString
+    val dataWord = "0" * 62 + "2a" // uint256 42
+    val logs = Seq(
+      (1L, Ingest.BlacklistedSig, topic(1), null: String, null: String),
+      // a zero-FILLED topic2 is a well-formed word but malformed for
+      // the one-topic layout: dropped, not decoded as address 0x0
+      (2L, Ingest.BlacklistedSig, topic(1), "0x" + "0" * 64, null: String),
+      // Transfer missing its data word: malformed, dropped
+      (3L, Ingest.TransferSig, topic(3), topic(4), null: String),
+      (4L, Ingest.TransferSig, topic(3), topic(4), dataWord),
+      // undeclared topic0: no decoder, dropped
+      (5L, "0x" + "f" * 64, topic(1), topic(4), dataWord)
+    ).toDF("event_id", "topic0", "topic1", "topic2", "data")
+    val out = Ingest.decodeAbi(logs)
+      .select($"event_id", $"event", $"addr2", $"amount_cents".cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(1L)._1 == "Blacklisted" && out(1L)._2.isEmpty && out(1L)._3.isEmpty)
+    assert(out(4L)._1 == "Transfer" && out(4L)._2.nonEmpty &&
+      out(4L)._3.contains(42L))
+  }
+
   test("as-of join preserves every left row and matches are never later") {
     val out = ops.AsOf.purchaseAttribution(spark, sf)
     val purchases = Tables.events(spark, sf)

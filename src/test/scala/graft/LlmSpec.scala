@@ -399,6 +399,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH clusters recover the label-blocked semantic clusters' co-membership") {
+    def coPairs(m: Array[(Long, Long)]): Set[(Long, Long)] =
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val exact = Similarity.semanticClusters(spark, sf)
+      .select($"vec_id", $"comp_id").as[(Long, Long)].collect()
+    val lshRows = Similarity.lshComponents(spark, sf)
+      .select($"vec_id", $"comp_id").as[(Long, Long)].collect()
+    // recall: co-clustered pairs the exact label-blocked path finds
+    // that the label-free LSH path also co-clusters
+    val want = coPairs(exact)
+    val got = coPairs(lshRows)
+    val recall = (want & got).size.toDouble / want.size
+    info(f"LSH co-membership recall vs exact: $recall%.3f " +
+      s"(${(want & got).size}/${want.size})")
+    assert(recall >= 0.8, f"LSH cluster recall $recall%.3f < 0.8")
+    // same cluster algebra as every componentsOf consumer
+    val byComp = lshRows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.length >= 2 && members.map(_._1).min == comp)
+    }
+  }
+
   test("fluency buckets separate a planted garble/mixed/natural corpus") {
     // N = 63. Natural docs share a tiny common vocabulary (f ≈ 0.85+);
     // garble docs are all-unique tokens (f = 1/63 ≈ 0.016 < 2% → rare);
@@ -469,6 +494,43 @@ class LlmSpec extends AnyFunSuite {
       .select($"lang", $"n_batch", $"n_near_dup", $"n_admitted")
       .as[(String, Long, Long, Long)].head()
     assert(got == (("en", 5L, 1L, 4L)))
+  }
+
+  test("persisted dedup indices round-trip: build → write → load → probe ≡ in-memory") {
+    // the production shape the incremental scaladocs promise: the
+    // corpus index is a parquet artifact built once per snapshot, and a
+    // delivery probes the LOADED artifact — results must be identical
+    // to the single-frame in-memory split on the same corpus/batch.
+    val docs = Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 0
+    val corpus = docs.filter(!isNew)
+    val batch = docs.filter(isNew)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+
+    Dedup.writeFpIndex(corpus, s"$tmp/fp")
+    val exactGot = Dedup.incrementalDedupAgainstIndex(
+        batch, Dedup.loadFpIndex(spark, s"$tmp/fp"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val exactWant = Dedup.incrementalDedupOf(docs, isNew)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(exactGot == exactWant)
+    // the artifact is skinny: one distinct fp per corpus text, no text
+    val fps = spark.read.parquet(s"$tmp/fp")
+    assert(fps.columns.toSeq == Seq("fp"))
+    assert(fps.count() == corpus.select(md5($"text")).distinct().count())
+
+    Dedup.writeNearDupIndex(corpus, s"$tmp/sig")
+    val nearGot = Dedup.incrementalNearDupAgainstIndex(
+        batch, Dedup.loadNearDupIndex(spark, s"$tmp/sig"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val nearWant = Dedup.incrementalNearDup(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(nearGot == nearWant)
+    // fixed-width signature rows: 16 minhashes + hash set, one row per
+    // SHINGLED corpus doc, never text
+    val sig = spark.read.parquet(s"$tmp/sig")
+    assert(sig.columns.toSeq ==
+      (0 until 16).map(i => s"mh$i").+:("doc_id").:+("hset"))
   }
 
   test("near-dup keep drops exactly the non-canonical cluster members") {
