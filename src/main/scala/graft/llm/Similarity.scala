@@ -186,15 +186,25 @@ object Similarity {
     * bound per pair, 1 − (1 − p^bits)^tables with p = 1 − θ/π.
     *
     * Sizing at scale: `bits` bounds bucket occupancy (2^bits buckets
-    * per table — grow bits with log₂ of corpus size to hold the
-    * per-bucket candidate count flat), `tables` buys recall back at
-    * the chosen bits. The fixture defaults (4 bits × 8 tables over 500
-    * vectors) favor recall; a billion-vector corpus wants ~20+ bits
-    * and more tables, still the same plan shape. */
+    * per table), `tables` buys recall back at the chosen bits. The
+    * default `bits = 0` AUTO-SIZES to log₂(n/32) — ~32 vectors per
+    * bucket at any corpus size, so the per-bucket pair stage stays flat
+    * where a fixed bits would grow linearly with the corpus and turn
+    * quadratic (the same trap as label-blocking). The count it needs is
+    * one metadata-cheap job, amortized exactly like GlobalRank's count
+    * pass; a billion-vector corpus lands at ~25 bits and more tables,
+    * still the same plan shape. */
   def lshCandidatePairs(spark: SparkSession, sfDir: String,
-                        tables: Int = 8, bits: Int = 4): DataFrame = {
+                        tables: Int = 8, bits: Int = 0): DataFrame = {
     val emb = withVec(Tables.embeddings(spark, sfDir), "a_id", "qe")
-    val rows = lshTableRows(emb, tables, bits)
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = Tables.embeddings(spark, sfDir).count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(math.max(1L, n / 32L).toDouble) / math.log(2.0)).toInt))
+      }
+    val rows = lshTableRows(emb, tables, b)
     val cand = rows.as("x")
       .join(rows.as("y"), Seq("tbl", "bkt"))
       .filter(col("x.vec_id") < col("y.vec_id"))
@@ -220,11 +230,15 @@ object Similarity {
     * its clusters to [[semanticClusters]]' on the fixture. */
   def lshComponents(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.35,
-                    tables: Int = 8, bits: Int = 4): DataFrame = {
+                    tables: Int = 8, bits: Int = 0): DataFrame = {
     val edges = lshCandidatePairs(spark, sfDir, tables, bits)
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"))
-    Dedup.componentsOf(edges)
+    // a moderate-threshold similarity graph is NOT a dup forest: its
+    // diameter routinely exceeds any propagation budget (measured ~20
+    // on the fixture), so give min-label only a few confirming rounds
+    // before handing off to the O(log² n) star contraction
+    Dedup.componentsOf(edges, propagationBudget = 4)
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy("vec_id")
   }
