@@ -144,6 +144,8 @@ object SparkEntry {
     // un-oracled (engine-side hyperplanes); spec ties it to q105
     "q111_lsh_clusters"  -> ((s, d) => Similarity.lshComponents(s, d)),
     "q112_abi_blacklist" -> (Ingest.blacklistRoundtrip _),
+    // un-oracled (hyperplanes again); spec ties kept to cluster algebra
+    "q113_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -109,6 +109,27 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Materializing SEMANTIC dedup — the decision step after
+    * [[lshComponents]], mirroring [[Dedup.nearDupKeep]] exactly: drop
+    * every clustered vector except its cluster's canonical keeper (the
+    * min-vec_id member = the component label), keep all singletons,
+    * report the surviving corpus per label. The drop list is
+    * deliberately unhinted for the same reason as the text path's — on
+    * a heavily-duplicated corpus it is not broadcastable. Un-oracled
+    * (inherits the hyperplane constants); the spec ties kept + dropped
+    * to the cluster algebra exactly. */
+  def semanticKeep(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.35): DataFrame = {
+    val drop = lshComponents(spark, sfDir, threshold)
+      .filter(col("vec_id") =!= col("comp_id"))
+      .select(col("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .join(drop, Seq("vec_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** True IVF (inverted-file) ANN: build nlist coarse centroids with
     * k-means, assign every vector to its nearest centroid, and search
     * only the query's cell (nprobe=1). The index build is a separate,
@@ -132,6 +153,65 @@ object Similarity {
     val c = assigned
       .select(col("vec_id").as("neighbor_id"), col("cell"),
               col("e").as("ce"), col("nrm").as("ce_norm"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine)
+    topK(pairs, k)
+  }
+
+  /** Persist the IVF index — the ANN analog of the dedup snapshot
+    * artifacts ([[Dedup.writeNearDupIndex]]): the (amortized) k-means
+    * build runs once per corpus snapshot and writes two frames —
+    * `centroids` (nlist rows, the routing table every probe broadcasts)
+    * and `cells` (vec_id → cell), PARTITIONED BY cell so that
+    * nprobe-cell search is literal partition pruning at the scan,
+    * exactly the claim in [[ivfKnn]]'s scaladoc made physical. */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, dir: String,
+                    nlist: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(emb)
+    val sparkI = spark
+    import sparkI.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(emb)
+      .select(col("vec_id"), col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** IVF ANN against a LOADED [[writeIvfIndex]] artifact — the
+    * production probe: queries route through the broadcast nlist-row
+    * centroid table (nearest centroid by L2 ⇔ argmax 2q·c − |c|², two
+    * fused dot products), then search ONLY their cell's rows of the
+    * cell-partitioned assignment table. Same output contract as
+    * [[ivfKnn]]; the spec pins probe ≡ in-session build. */
+  def ivfKnnAgainstIndex(spark: SparkSession, sfDir: String, dir: String,
+                         k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val scored = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score",
+        DotProduct(col("qe"), col("centroid")) * 2 -
+          DotProduct(col("centroid"), col("centroid")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cell"))
+    val q = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cell"), col("qe"),
+              sqrt(DotProduct(col("qe"), col("qe"))).as("qe_norm"))
+    val c = spark.read.parquet(s"$dir/cells")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+              col("embedding").as("ce"),
+              sqrt(DotProduct(col("embedding"), col("embedding"))).as("ce_norm"))
     val pairs = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine)

@@ -465,6 +465,37 @@ object Live {
     batches
   }
 
+  /** STREAMING near-dup admission — the persisted-index probe
+    * ([[graft.llm.Dedup.incrementalNearDupAgainstIndex]]) deployed
+    * under micro-batches, composing the two production artifacts this
+    * engine maintains: deliveries arrive one file per trigger, each is
+    * shingled/signed at batch size and MinHash-banded against the
+    * LOADED corpus signature index, and each delivery's admission
+    * report appends to a report lake (re-aggregated at read, the same
+    * merge-at-read economy as the MV sinks). Per-doc verdicts depend
+    * only on (doc, corpus), so the report sum over any delivery
+    * partitioning equals the whole-batch probe — the spec pins that.
+    * Corpus text is never read here; only the delivery files are. */
+  def streamingNearDupAdmission(spark: SparkSession, deliveryDir: String,
+                                indexDir: String, reportDir: String): Unit = {
+    val corpusSig = graft.llm.Dedup.loadNearDupIndex(spark, indexDir)
+    val schema = spark.read.parquet(deliveryDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deliveryDir)
+    withRunCheckpoint { ckpt =>
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.llm.Dedup.incrementalNearDupAgainstIndex(batch, corpusSig)
+            .withColumn("delivery", lit(id))
+            .write.mode("append").parquet(reportDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** STREAMING ingest dedup — [[graft.llm.Dedup.incrementalDedup]]'s
     * production shape: newly-delivered documents arrive as a stream,
     * are probed against the standing corpus's fingerprint index with a

@@ -533,6 +533,32 @@ class LlmSpec extends AnyFunSuite {
       (0 until 16).map(i => s"mh$i").+:("doc_id").:+("hset"))
   }
 
+  test("semantic keep drops exactly the non-canonical LSH cluster members") {
+    val total = Tables.embeddings(spark, sf).count()
+    val comps = Similarity.lshComponents(spark, sf)
+      .select($"vec_id", $"comp_id").as[(Long, Long)].collect()
+    val expectDropped = comps.count { case (id, comp) => id != comp }
+    val kept = Similarity.semanticKeep(spark, sf)
+      .agg(sum($"n_kept")).head.getLong(0)
+    assert(kept == total - expectDropped)
+    // keepers themselves survive: one vector per cluster remains
+    assert(comps.map(_._2).distinct.length == comps.length - expectDropped)
+  }
+
+  test("persisted IVF index round-trip: probe ≡ in-session build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(spark, sf, dir)
+    val got = Similarity.ivfKnnAgainstIndex(spark, sf, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val want = Similarity.ivfKnn(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == want)
+    // the cell assignment is a physical partition key — nprobe search
+    // is partition pruning, not a filter over a monolithic file
+    assert(new java.io.File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
+
   test("near-dup keep drops exactly the non-canonical cluster members") {
     val total = Tables.documents(spark, sf).count()
     val comps = Dedup.minhashComponents(spark, sf)

@@ -264,4 +264,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch.filter(_._2 > 0))
     assert(stream.values.sum == batch.values.sum)
   }
+
+  test("streaming near-dup admission over the persisted index equals the batch probe") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    // snapshot job: persist the corpus signature index (text read once)
+    graft.llm.Dedup.writeNearDupIndex(docs.filter(!isNew), s"$tmp/idx")
+    // the delivery arrives as TWO files → two micro-batches
+    docs.filter(isNew).repartition(2).write.parquet(s"$tmp/delivery")
+    graft.streaming.Live.streamingNearDupAdmission(
+      spark, s"$tmp/delivery", s"$tmp/idx", s"$tmp/reports")
+    val reports = spark.read.parquet(s"$tmp/reports")
+    // two deliveries really ran
+    assert(reports.select($"delivery").distinct().count() == 2)
+    // merged-at-read report ≡ the whole-batch probe of the same index
+    val got = reports.groupBy($"lang")
+      .agg(fsum($"n_batch").as("b"), fsum($"n_near_dup").as("r"),
+           fsum($"n_admitted").as("a"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = graft.llm.Dedup.incrementalNearDupAgainstIndex(
+        docs.filter(isNew), graft.llm.Dedup.loadNearDupIndex(spark, s"$tmp/idx"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }
