@@ -146,6 +146,13 @@ object SparkEntry {
     "q112_abi_blacklist" -> (Ingest.blacklistRoundtrip _),
     // un-oracled (hyperplanes again); spec ties kept to cluster algebra
     "q113_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
+    "q114_dup_cap_keep"  -> ((s, d) => Dedup.dupCapKeep(s, d)),
+    "q115_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
+    "q116_dup_shingle_fraction" -> (Dedup.dupShingleFraction _),
+    "q117_temperature_mix" -> (Sampling.temperatureMix _),
+    // un-oracled (k-means, SURVEY §5.3); spec pins recall(nlist) = 1.0
+    "q118_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
+    "q119_cross_source_dups" -> (Dedup.crossSourceDups _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -786,32 +793,22 @@ object SparkEntry {
                FROM documents)
          GROUP BY 1 ORDER BY lang""",
     "q63_cc_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id, lang, n_chars,
-                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-           FROM (SELECT doc_id, lang, n_chars,
-                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
-                 FROM documents)),
-         e0 AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.doc_id < b.doc_id
-            AND abs(a.n_chars - b.n_chars) <= 50
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-         ed AS (SELECT a_id AS src, b_id AS dst FROM e0
-                UNION ALL
-                SELECT b_id, a_id FROM e0),
-         walk(node, lab) AS (
-           SELECT src, src FROM ed
-           UNION
-           SELECT e.dst, w.lab FROM walk w JOIN ed e ON e.src = w.node),
-         comp AS (SELECT node, MIN(lab) AS comp_id FROM walk GROUP BY node)
+      s"""$ccCompCte
          SELECT c.node AS doc_id, c.comp_id, s.comp_size
          FROM comp c JOIN (SELECT comp_id, COUNT(*) AS comp_size
                            FROM comp GROUP BY 1) s
            ON c.comp_id = s.comp_id
+         ORDER BY doc_id""",
+    "q114_dup_cap_keep" ->
+      s"""$ccCompCte,
+         labeled AS (
+           SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id, d.lang
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         ranked AS (
+           SELECT doc_id, comp_id, lang,
+                  row_number() OVER (PARTITION BY comp_id ORDER BY doc_id) AS rn
+           FROM labeled)
+         SELECT doc_id, comp_id, lang FROM ranked WHERE rn <= 2
          ORDER BY doc_id""",
     "q64_moving_avg" ->
       """SELECT user_id, day, CAST(v AS DOUBLE) AS day_value,
@@ -1051,6 +1048,69 @@ object SparkEntry {
                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          FROM per_doc CROSS JOIN n
          GROUP BY 1, 2 ORDER BY lang, bucket""",
+    "q115_centroid_outliers" ->
+      s"""WITH dims AS (
+           SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS v
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+         cent AS (
+           SELECT label, pos,
+                  ${davg("v")} AS c
+           FROM dims GROUP BY 1, 2),
+         carr AS (SELECT label, list(c ORDER BY pos) AS ce FROM cent GROUP BY 1),
+         scored AS (
+           SELECT e.label, e.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS sim
+           FROM embeddings e JOIN carr c ON e.label = c.label)
+         SELECT label, COUNT(*) AS n_vecs,
+                COUNT(CASE WHEN sim < 0.0 THEN 1 END) AS n_outliers,
+                CAST(SUM(CASE WHEN sim < 0.0 THEN vec_id ELSE 0 END) AS BIGINT)
+                  AS outlier_checksum,
+                ${davg("sim")} AS mean_sim
+         FROM scored GROUP BY 1 ORDER BY label""",
+    "q116_dup_shingle_fraction" ->
+      s"""WITH $shCte,
+         ds AS (SELECT doc_id, lang, unnest(s) AS shi FROM sh),
+         dfr AS (SELECT shi, COUNT(*) AS df FROM ds GROUP BY 1),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_sh,
+                  COUNT(CASE WHEN df > 1 THEN 1 END) AS n_dup
+           FROM ds JOIN dfr USING (shi) GROUP BY 1),
+         lab AS (
+           SELECT d.doc_id, d.lang,
+                  CASE WHEN p.n_sh IS NULL THEN 'none'
+                       WHEN p.n_dup * 4 >= p.n_sh * 3 THEN 'high'
+                       WHEN p.n_dup * 2 >= p.n_sh THEN 'mid'
+                       ELSE 'low' END AS bucket
+           FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id)
+         SELECT lang, bucket, COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM lab GROUP BY 1, 2 ORDER BY lang, bucket""",
+    "q117_temperature_mix" ->
+      """WITH per_src AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY 1),
+         mn AS (SELECT MIN(n_before) AS min_n FROM per_src),
+         rates AS (
+           SELECT source, n_before,
+                  sqrt(CAST(min_n AS DOUBLE) / CAST(n_before AS DOUBLE)) AS rate
+           FROM per_src CROSS JOIN mn)
+         SELECT d.source, r.n_before AS n_before,
+                COUNT(CASE WHEN r.rate >= 1.0 OR
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+                          lpad(lower(to_hex(CAST(least(floor(r.rate * 65536), 65535) AS BIGINT))), 4, '0')
+                      THEN 1 END) AS n_after,
+                r.rate AS rate
+         FROM documents d JOIN rates r ON d.source = r.source
+         GROUP BY 1, 2, 4 ORDER BY 1""",
+    "q119_cross_source_dups" ->
+      s"""WITH $edgeCte,
+         lab AS (
+           SELECT least(da.source, db.source) AS src_a,
+                  greatest(da.source, db.source) AS src_b,
+                  e.a_id, e.b_id
+           FROM e0 e JOIN documents da ON e.a_id = da.doc_id
+                     JOIN documents db ON e.b_id = db.doc_id)
+         SELECT src_a, src_b, COUNT(*) AS n_pairs,
+                CAST(SUM(a_id + b_id) AS BIGINT) AS pair_checksum
+         FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""",
     "q110_corpus_card" ->
       """SELECT COUNT(*) AS n_docs,
                 COUNT(DISTINCT lang) AS n_langs,
@@ -1062,6 +1122,43 @@ object SparkEntry {
                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate
          FROM documents""",
   )
+
+  /** Recursive-CTE derivation of the exact-Jaccard near-dup connected
+    * components — q63's oracle head, shared with q114's capped keep so
+    * an edit to the edge semantics hits both oracles. Ends at the
+    * `comp(node, comp_id)` CTE; consumers append their own SELECT (and
+    * further CTEs after a leading comma). */
+  /** The trigram-shingle CTE alone (q116 consumes it without edges). */
+  private lazy val shCte =
+    """sh AS (
+           SELECT doc_id, lang, n_chars,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+           FROM (SELECT doc_id, lang, n_chars,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents))"""
+
+  /** Shingles + the exact-Jaccard near-dup edge list (q119 stops here). */
+  private lazy val edgeCte =
+    s"""$shCte,
+         e0 AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 50
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)"""
+
+  private lazy val ccCompCte =
+    s"""WITH RECURSIVE $edgeCte,
+         ed AS (SELECT a_id AS src, b_id AS dst FROM e0
+                UNION ALL
+                SELECT b_id, a_id FROM e0),
+         walk(node, lab) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT e.dst, w.lab FROM walk w JOIN ed e ON e.src = w.node),
+         comp AS (SELECT node, MIN(lab) AS comp_id FROM walk GROUP BY node)"""
 
   private lazy val sessionizeSql =
     s"""WITH g AS (

@@ -672,6 +672,101 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Duplicate-CAP keep — the middle ground between [[nearDupKeep]]
+    * (cap = 1) and no dedup: keep at most `cap` copies per near-dup
+    * cluster, all singletons untouched. Pretraining recipes keep a few
+    * copies of naturally-recurring text (licenses, boilerplate with
+    * real variation) rather than exactly one — the cap bounds the
+    * over-represented tail without zeroing it.
+    *
+    * The per-cluster choice is the `cap` smallest doc_ids, ranked on
+    * the native bounded-heap [[graft.plans.TopKPerGroup]] operator
+    * rather than a row_number window: a viral boilerplate cluster with
+    * millions of members is exactly the skew the cap exists to bound,
+    * and the window form would full-sort that cluster in one task. The
+    * cluster join is deliberately unhinted — on a heavily-duplicated
+    * crawl the clustered-doc list is not broadcastable (same rationale
+    * as [[nearDupKeep]]'s anti-join); singletons synthesize their own
+    * comp_id (`coalesce` to doc_id) and never inflate the heap.
+    * Oracled: clusters come from the exact-Jaccard edge derivation
+    * (q63's recursive-CTE twin) plus a quota window over them. */
+  def dupCapKeep(spark: SparkSession, sfDir: String, cap: Int = 2): DataFrame = {
+    val comps = connectedComponents(spark, sfDir)
+      .select(col("doc_id"), col("comp_id"))
+    val labeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp_id", coalesce(col("comp_id"), col("doc_id")))
+    graft.plans.TopKPerGroup.topK(
+        labeled, Seq("comp_id"), Seq("doc_id" -> true), cap)
+      .select(col("doc_id"), col("comp_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-shingle fraction per document — the train-data-dedup
+    * diagnostic from Lee et al. ("Deduplicating Training Data Makes
+    * Language Models Better"): what share of a document's trigram
+    * shingles also occur in some OTHER document. A high fraction means
+    * the doc is mostly boilerplate/recurring text even when no single
+    * whole-document near-dup exists, which is exactly what substring-
+    * level dedup targets. Buckets are pure INTEGER comparisons
+    * (4·dup ≥ 3·n ⇔ ≥75%), so the oracle hash-matches by construction;
+    * sub-3-token docs have no shingles and report as `none`.
+    *
+    * Scale shape: one shuffle on the shingle for the document-frequency
+    * count, one shuffle back on doc_id for the per-doc fraction — the
+    * same two-exchange profile as TF-IDF. At 100 TB the shingle key
+    * would be its xxhash64 (the exchange never needs the string); the
+    * string key here keeps the DuckDB oracle exact. */
+  def dupShingleFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = shingleIndex(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("shingles"))
+    val ds = idx.select(col("doc_id"), col("lang"),
+                        explode(col("shingles")).as("sh"))
+    val sdf = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val perDoc = ds.join(sdf, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+           count(when(col("df") > 1, 1)).as("n_dup"))
+    idx.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        when(col("n_sh").isNull, "none")
+          .when(col("n_dup") * 4 >= col("n_sh") * 3, "high")
+          .when(col("n_dup") * 2 >= col("n_sh"), "mid")
+          .otherwise(lit("low")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Cross-source duplication matrix — which pairs of ingest sources
+    * re-serve each other's content (mirrors, scrapers, syndication).
+    * Rides the exact-Jaccard near-dup edge derivation (q63's oracled
+    * edge semantics), labels each edge with its endpoints' sources
+    * (unordered, `least`/`greatest`), and counts edges per source
+    * pair — the table a curation run consults before deciding which
+    * source to prefer in [[sourcePreference]]. The source join is a
+    * skinny (doc_id, source) broadcast/shuffle; text never moves. */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = nearDupEdges(
+      shingleIndex(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles")))
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    edges
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+              greatest(col("sa"), col("sb")).as("src_b"),
+              col("a_id"), col("b_id"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("a_id") + col("b_id")).cast("long").as("pair_checksum"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Connected components over an (a_id, b_id) edge list.
     *
     * Fast path: min-label propagation, with the FIRST round folded into

@@ -129,6 +129,44 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** TEMPERATURE-scaled source mixing — the multilingual-pretraining
+    * mixing rule (mT5/XLM-R style): sample source i proportionally to
+    * n_i^α with α = 1/2, flattening the head without going fully
+    * uniform. Sampling cannot create rows, so the realized mix keeps
+    * every doc of the SMALLEST source and downsamples source i at rate
+    * √(min_n / n_i) — the α = 1/2 rate normalized so the smallest
+    * source's rate is exactly 1. The root is `sqrt` (IEEE
+    * correctly-rounded, bit-identical across engines), NOT `pow`
+    * (libm-dependent, would break the oracle hash); the keep decision
+    * is the same deterministic md5-prefix predicate as
+    * [[weightedSample]], so the mix is stable under reprocessing.
+    *
+    * Scale shape: the rate table is one row per source, broadcast onto
+    * the corpus scan; one md5 + compare per row, shuffle-free until the
+    * per-source rollup. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"))
+    val minN = perSrc.agg(min(col("n_before")).as("__min_n"))
+    val rates = perSrc.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        sqrt(col("__min_n").cast("double") / col("n_before").cast("double")))
+      .select(col("source"), col("n_before"), col("rate"))
+    val threshold = lpad(lower(hex(
+      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
+    // rate 1.0 (the min source) keeps unconditionally — same 0xffff
+    // clamp rationale as rebalanceLanguages
+    val kept = col("rate") >= 1.0 ||
+      substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    docs.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(first(col("n_before")).as("n_before"),
+           count(when(kept, lit(1))).as("n_after"),
+           first(col("rate")).as("rate"))
+      .orderBy("source")
+  }
+
   /** Per-source QUOTA cap — corpus assembly rule "no feed contributes
     * more than N documents, keep its best": rank each source's docs by
     * quality (lexical ratio desc, doc_id tiebreak) and keep the top N.

@@ -130,6 +130,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding-space OUTLIER detection — the embedding flavor of the
+    * quality filters in [[TextOps]]: a vector far from its own label's
+    * centroid is mislabeled, noise, or out-of-distribution, and corpus
+    * curation drops or down-weights it. Per-label centroids are exact
+    * per-dimension means routed through DECIMAL (shuffle-order-proof,
+    * the [[graft.ops.Fns.davg]] dance), so the centroid doubles — and
+    * therefore every cosine — are bit-identical to the DuckDB oracle.
+    *
+    * Scale shape: the dimension explode is narrow (|corpus|·dim skinny
+    * rows, one shuffle on (label, pos)); the centroid table is nlabels
+    * rows and broadcasts back onto the corpus scan, so the scoring pass
+    * is shuffle-free. Reports per label: corpus size, outliers below
+    * the threshold, their id-checksum, and the mean centroid cosine. */
+  def centroidOutliers(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.0): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dims = emb.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg(graft.ops.Fns.davg(col("v").cast("double")).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+      .select(col("label"),
+        transform(array_sort(col("pc")), x => x.getField("c")).as("ce"))
+      .withColumn("ce_norm", sqrt(DotProduct(col("ce"), col("ce"))))
+    emb
+      .withColumn("ve_norm",
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
+      .join(broadcast(carr), Seq("label"))
+      .withColumn("sim",
+        DotProduct(col("embedding"), col("ce")) /
+          (col("ve_norm") * col("ce_norm")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           count(when(col("sim") < threshold, 1)).as("n_outliers"),
+           sum(when(col("sim") < threshold, col("vec_id"))
+             .otherwise(lit(0L))).cast("long").as("outlier_checksum"),
+           graft.ops.Fns.davg(col("sim")).as("mean_sim"))
+      .orderBy("label")
+  }
+
   /** True IVF (inverted-file) ANN: build nlist coarse centroids with
     * k-means, assign every vector to its nearest centroid, and search
     * only the query's cell (nprobe=1). The index build is a separate,
@@ -218,6 +259,74 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** ANN index-quality diagnostic — recall@k of the IVF probe against
+    * the exact brute-force neighbors, swept over nprobe. This is the
+    * measurement a production ANN deployment runs before trusting an
+    * index: how much of the true top-k does a 1-cell / 4-cell / all-cell
+    * probe surface? One k-means build and ONE candidate frame serve the
+    * whole sweep (a probe at nprobe=p is just `cell_rank <= p` over the
+    * widest probe's candidates), and the whole sweep aggregates in a
+    * single job — no per-probe driver loop. With nprobe = nlist the
+    * probe searches every cell and recall is exactly 1.0 (the spec pins
+    * this); un-oracled otherwise (k-means, SURVEY §5.3).
+    *
+    * Scale shape: queries × centroids is |q|·nlist tiny rows
+    * (broadcast); candidates bound by the probed cells exactly as
+    * [[ivfKnn]]; the truth side is the brute-force baseline you only
+    * ever run on an evaluation slice, never the full corpus. */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+                nlist: Int = 16,
+                probes: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("prediction").as("cell"),
+              col("embedding").as("e"))
+      .withColumn("nrm", sqrt(DotProduct(col("e"), col("e"))))
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      .toDF("cell", "centroid")
+    // rank every centroid per query: nearest by L2 ⇔ argmax 2q·c − |c|²
+    val ranked = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+              col("nrm").as("qe_norm"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score",
+        DotProduct(col("qe"), col("centroid")) * 2 -
+          DotProduct(col("centroid"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell"))))
+      .select(col("query_id"), col("cell"), col("cell_rank"),
+              col("qe"), col("qe_norm"))
+    val cand = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+              col("e").as("ce"), col("nrm").as("ce_norm"))
+      .join(broadcast(ranked), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine)
+    val truth = knnBrute(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    probes.distinct.sorted
+      .map(p => topK(cand.filter(col("cell_rank") <= p), k)
+        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id")))
+      .reduce(_ unionAll _)
+      .join(truth.withColumn("__hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"), count(col("__hit")).as("n_hits"))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+      .select(col("nprobe"), col("n_returned"), col("n_hits"), col("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Random-hyperplane LSH bucketing (the other ANN scale path):
     * 8 sign-bits from fixed pseudo-random hyperplanes → bucket id;
     * reports bucket occupancy. Un-oracled (hyperplanes are engine-side
@@ -298,6 +407,33 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Session-scoped LSH CANDIDATE-PAIR INDEX — [[lshCandidatePairs]]
+    * persisted once per (session, corpus dir, tables, bits), exactly
+    * the role [[Dedup.signatureIndex]] plays for the text path: the
+    * clustering ([[lshComponents]]) and materializing-keep
+    * ([[semanticKeep]]) stages both consume the same skinny
+    * (a_id, b_id, sim) frame, threshold applied downstream, so the
+    * bucket join and cosine verification run once per corpus snapshot
+    * rather than once per consumer. In production this is the
+    * per-snapshot verified-pair artifact next to the IVF index
+    * ([[writeIvfIndex]]); the session cache is the local stand-in. */
+  private val pairCache =
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  def lshPairIndex(spark: SparkSession, sfDir: String,
+                   tables: Int = 8, bits: Int = 0): DataFrame =
+    pairCache.synchronized {
+      var perSession = pairCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        pairCache.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate(s"$sfDir:$tables:$bits",
+        lshCandidatePairs(spark, sfDir, tables, bits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** SEMANTIC dedup clusters at 100 TB — [[semanticClusters]] with the
     * quadratic label-blocked edge stage replaced by LSH-candidate
     * edges: bucket collisions → exact-cosine verification → the same
@@ -311,7 +447,7 @@ object Similarity {
   def lshComponents(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.35,
                     tables: Int = 8, bits: Int = 0): DataFrame = {
-    val edges = lshCandidatePairs(spark, sfDir, tables, bits)
+    val edges = lshPairIndex(spark, sfDir, tables, bits)
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"))
     // a moderate-threshold similarity graph is NOT a dup forest: its

@@ -571,6 +571,122 @@ class LlmSpec extends AnyFunSuite {
       comps.length - expectDropped)
   }
 
+  test("dup-cap keep retains the cap smallest ids per cluster, singletons intact") {
+    val cap = 2
+    val total = Tables.documents(spark, sf).count()
+    val comps = Dedup.connectedComponents(spark, sf)
+      .select($"doc_id", $"comp_id").as[(Long, Long)].collect()
+    val byComp = comps.groupBy(_._2)
+    val kept = Dedup.dupCapKeep(spark, sf, cap)
+      .select($"doc_id", $"comp_id").as[(Long, Long)].collect()
+    val keptByComp = kept.groupBy(_._2)
+    // clustered: exactly min(cap, size) survivors, the smallest doc_ids
+    byComp.foreach { case (comp, members) =>
+      val want = members.map(_._1).sorted.take(cap).toSeq
+      assert(keptByComp(comp).map(_._1).sorted.toSeq == want)
+    }
+    // singletons never drop and synthesize comp_id = doc_id
+    val clustered = comps.map(_._1).toSet
+    val singles = kept.filter { case (id, _) => !clustered.contains(id) }
+    assert(singles.forall { case (id, comp) => comp == id })
+    assert(kept.length.toLong ==
+      byComp.valuesIterator.map(m => math.min(cap, m.length).toLong).sum +
+      (total - clustered.size))
+  }
+
+  test("lsh pair index is built once per (session, corpus)") {
+    val a = Similarity.lshPairIndex(spark, sf)
+    val b = Similarity.lshPairIndex(spark, sf)
+    assert(a eq b) // second consumer reuses the persisted frame
+  }
+
+  test("ann recall rises with nprobe and is exact at the full probe") {
+    val rows = Similarity.annRecall(spark, sf)
+      .select($"nprobe", $"n_returned", $"n_hits", $"recall")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 4, 16))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4) // more cells, never worse
+      case _           =>
+    }
+    // nprobe = nlist searches every cell ⇒ identical to brute force
+    val full = rows.last
+    assert(full._4 == 1.0 && full._2 == full._3)
+  }
+
+  test("centroid outliers conserve the corpus and the label algebra") {
+    val emb = Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val nLabels = emb.select($"label").distinct.count()
+    val rows = Similarity.centroidOutliers(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rows.length == nLabels && rows.map(_._2).sum == total)
+    assert(rows.forall(r => r._3 <= r._2 && r._5 >= -1.0 && r._5 <= 1.0))
+    // checksum is exactly the outlier ids: zero iff no outliers
+    assert(rows.filter(_._3 == 0).forall(_._4 == 0L))
+  }
+
+  test("temperature mix keeps every smallest source whole at the sqrt rate") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    val bySrc = docs.groupBy(_._2)
+    val minN = bySrc.valuesIterator.map(_.length).min
+    def hex4(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+    val want = bySrc.map { case (s, ds) =>
+      val rate = math.sqrt(minN.toDouble / ds.length.toDouble)
+      val thr = "%04x".format(math.min(math.floor(rate * 65536).toLong, 65535L))
+      val kept = if (rate >= 1.0) ds.length.toLong
+                 else ds.count { case (id, _) => hex4(id) < thr }.toLong
+      s -> ((ds.length.toLong, kept, rate))
+    }
+    val got = Sampling.temperatureMix(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    bySrc.filter(_._2.length == minN).keys.foreach { s =>
+      assert(got(s)._1 == got(s)._2) // rate-1.0 sources never downsample
+    }
+  }
+
+  test("dup-shingle fraction buckets boilerplate, fresh, and short docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupfrac").toString
+    val boiler = "terms of service apply to all users of this site"
+    val fresh = "completely original musings about rare topics written here"
+    Seq(
+      (1L, boiler, "en", "web", boiler.length.toLong),
+      (2L, boiler, "en", "web", boiler.length.toLong), // copy: every shingle shared
+      (3L, fresh, "en", "web", fresh.length.toLong),   // nothing shared
+      (4L, "too short", "en", "web", 9L))              // <3 tokens: no shingles
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dupShingleFraction(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("en", "high") -> ((2L, 3L)),
+      ("en", "low") -> ((1L, 3L)),
+      ("en", "none") -> ((1L, 4L))))
+  }
+
+  test("cross-source dup matrix counts edges by unordered source pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xsrc").toString
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy dog again and once"
+    val u = "unrelated prose about entirely different things with many words inside"
+    Seq(
+      (1L, t1, "en", "srcB", t1.length.toLong),
+      (2L, t2, "en", "srcA", t2.length.toLong),
+      (3L, u, "en", "srcA", u.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.crossSourceDups(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", "srcB", 1L, 3L)))
+  }
+
   test("token budget admits the greedy quality prefix and never overruns") {
     val budget = 5000L
     val docs = Tables.documents(spark, sf)
