@@ -153,6 +153,9 @@ object SparkEntry {
     // un-oracled (k-means, SURVEY §5.3); spec pins recall(nlist) = 1.0
     "q118_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
     "q119_cross_source_dups" -> (Dedup.crossSourceDups _),
+    "q120_abi_lifecycle" -> (Ingest.lifecycleRoundtrip _),
+    "q121_profile_docs"  -> (Monitoring.profileDocuments _),
+    "q122_forget_report" -> (graft.llm.Versioning.forgetReport _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -531,6 +534,34 @@ object SparkEntry {
                        ELSE CAST(floor(value * 100) AS BIGINT) END)
               AS BIGINT) AS total_cents
          FROM events GROUP BY 1 ORDER BY event""",
+    // decoded five-layout lifecycle stream ≡ CASE routing on raw columns
+    "q120_abi_lifecycle" ->
+      """SELECT CASE event_type WHEN 'signup' THEN 'Approval'
+                                WHEN 'purchase' THEN 'Mint'
+                                WHEN 'click' THEN 'Burn'
+                                WHEN 'view' THEN 'Blacklisted'
+                                ELSE 'Pause' END AS event,
+         COUNT(*) AS n_logs,
+         COUNT(DISTINCT CASE WHEN event_type <> 'error' THEN user_id END) AS n_addrs,
+         CAST(SUM(CASE WHEN event_type IN ('signup', 'purchase', 'click')
+                       THEN CAST(floor(value * 100) AS BIGINT) END)
+              AS BIGINT) AS amount_cents
+         FROM events GROUP BY 1 ORDER BY event""",
+    "q121_profile_docs" ->
+      Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_val,
+            CAST(MAX($c) AS VARCHAR) AS max_val FROM documents""")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"),
+    "q122_forget_report" ->
+      """SELECT lang, COUNT(*) AS n_before,
+         COUNT(CASE WHEN doc_id % 23 = 0 THEN 1 END) AS n_forgotten,
+         COUNT(CASE WHEN doc_id % 23 <> 0 THEN 1 END) AS n_after,
+         COUNT(DISTINCT md5(text)) AS n_fps_before,
+         COUNT(DISTINCT CASE WHEN doc_id % 23 <> 0 THEN md5(text) END) AS n_fps_after
+         FROM documents GROUP BY 1 ORDER BY lang""",
     // decoded one-topic Blacklisted path ≡ the view slice
     "q112_abi_blacklist" ->
       """SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS account_address,

@@ -626,10 +626,24 @@ object Dedup {
     * re-run the (expensive) edge derivation every time. */
   def connectedComponents(spark: SparkSession, sfDir: String): DataFrame =
     // the edge derivation reads the (persisted) shingle index on three
-    // plan branches: skinny pairing + two shingle attachments
-    componentsOf(nearDupEdges(
-      shingleIndex(spark, sfDir)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles"))))
+    // plan branches: skinny pairing + two shingle attachments. The
+    // component labels are session-cached like the shingle/signature
+    // indices one derivation down: the clustering (q63), the capped
+    // keep (q114), and any other consumer pay the iterative label
+    // propagation once per corpus snapshot — in production this frame
+    // is itself a persisted per-snapshot artifact.
+    indexCache.synchronized {
+      var perSession = indexCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        indexCache.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate("cc:" + sfDir,
+        componentsOf(nearDupEdges(
+          shingleIndex(spark, sfDir)
+            .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** The 100 TB near-dup clustering path: connected components over the
     * MinHash-LSH candidate pairs instead of the blocked exact-Jaccard

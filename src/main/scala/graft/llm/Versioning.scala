@@ -41,6 +41,72 @@ object Versioning {
       .orderBy("lang", "status")
   }
 
+  // ——— right-to-be-forgotten propagation ———————————————————————————
+  //
+  // A takedown/consent-revocation request must remove documents from
+  // the corpus AND from every derived artifact, or the next
+  // incremental delivery keeps rejecting re-submissions of content
+  // that officially no longer exists. Artifacts are immutable
+  // snapshots: each forget writes the NEXT generation to a new
+  // directory (never in-place — a parquet self-overwrite reads the
+  // files it is deleting), exactly the generation story of
+  // [[snapshotDiffOf]].
+
+  /** Refcounted exact-dedup fingerprint index — (fp, n_docs). The
+    * refcount is what makes forgetting O(|forget set|) instead of a
+    * full-corpus text rescan: removing a doc DECREMENTS its fp and the
+    * row drops only at zero, so an fp shared with surviving docs keeps
+    * blocking re-admission (summing-state semantics, the same
+    * mergeable-partial idea as the streaming MV sinks). */
+  def writeFpCountIndex(docs: DataFrame, dir: String): Unit =
+    docs.select(md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Next-generation fp index after forgetting `forgottenDocs`: only
+    * the forgotten docs are hashed (no corpus scan); counts decrement
+    * and zero-count rows drop. */
+  def forgetFromFpCountIndex(spark: SparkSession, indexDir: String,
+                             outDir: String, forgottenDocs: DataFrame): Unit = {
+    val dec = forgottenDocs.select(md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_forget"))
+    spark.read.parquet(indexDir)
+      .join(dec, Seq("fp"), "left")
+      .withColumn("n_docs", col("n_docs") - coalesce(col("n_forget"), lit(0L)))
+      .filter(col("n_docs") > 0)
+      .select(col("fp"), col("n_docs"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Next-generation near-dup signature index after forgetting the
+    * given doc_ids: a skinny anti-join on the index's own key — the
+    * signatures of surviving docs are reused byte-for-byte, no
+    * re-shingling of the corpus. */
+  def forgetFromNearDupIndex(spark: SparkSession, indexDir: String,
+                             outDir: String, forgetIds: DataFrame): Unit =
+    Dedup.loadNearDupIndex(spark, indexDir)
+      .join(forgetIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The forget-request AUDIT report (driver fixture: ids ≡ 0 mod 23
+    * are forgotten): per language, corpus and distinct-fingerprint
+    * counts before/after — the numbers a compliance log records with
+    * each generation bump. The fingerprint deltas are what prove
+    * content actually left the dedup surface (an fp survives iff a
+    * surviving doc still carries it). */
+  def forgetReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val f = col("doc_id") % 23 === 0
+    docs.withColumn("__f", f)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"),
+           count(when(col("__f"), 1)).as("n_forgotten"),
+           count(when(!col("__f"), 1)).as("n_after"),
+           countDistinct(md5(col("text"))).as("n_fps_before"),
+           countDistinct(when(!col("__f"), md5(col("text")))).as("n_fps_after"))
+      .orderBy("lang")
+  }
+
   /** Driver entry: two deterministic synthetic generations of the
     * documents table — v1 drops ids ≡ 3 (mod 11), v2 drops ids ≡ 5
     * (mod 13) and rewrites the text of ids ≡ 0 (mod 17) (an upstream

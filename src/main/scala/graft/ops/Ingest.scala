@@ -102,18 +102,42 @@ object Ingest {
   /** Synthetic topic0 for Blacklisted-shaped logs (one indexed
     * address, no second topic, no data — `usdc.ts:9`). */
   val BlacklistedSig: String = "0x" + "0" * 63 + "3"
+  /** Synthetic topic0 for Mint-shaped logs (two indexed addresses +
+    * uint256 amount — `usdc.ts:13`, the Transfer/Approval layout). */
+  val MintSig: String = "0x" + "0" * 63 + "4"
+  /** Synthetic topic0 for Burn-shaped logs (ONE indexed address +
+    * uint256 amount in data — `usdc.ts:11`; also MinterConfigured's
+    * layout, `usdc.ts:14`): a topic1+data word combination neither
+    * Transfer nor Blacklisted exercises. */
+  val BurnSig: String = "0x" + "0" * 63 + "5"
+  /** Synthetic topic0 for UnBlacklisted-shaped logs (one indexed
+    * address — `usdc.ts:21`, the Blacklisted layout). */
+  val UnBlacklistedSig: String = "0x" + "0" * 63 + "6"
+  /** Synthetic topic0 for Pause-shaped logs (NO indexed params, no
+    * data — `usdc.ts:17,22`: `Pause()`/`Unpause()` carry only their
+    * topic0). */
+  val PauseSig: String = "0x" + "0" * 63 + "7"
 
   /** One declared ABI event: its topic0, decoded name, and word layout
-    * (whether a second indexed topic and a uint256 data word exist).
+    * (which of the indexed topics and the uint256 data word exist).
     * The wire contract is positional: absent words are NULL columns in
-    * the log frame, never zero-filled. */
+    * the log frame, never zero-filled. The declared set covers the
+    * reference ABI's four distinct word layouts
+    * (`usdc-transfers/src/abi/usdc.ts:5-23`); a new event of any
+    * covered layout is one table row. */
   private case class EventShape(sig: String, name: String,
-                                hasTopic2: Boolean, hasData: Boolean)
+                                hasTopic2: Boolean, hasData: Boolean,
+                                hasTopic1: Boolean = true)
 
   private val declaredEvents = Seq(
     EventShape(TransferSig, "Transfer", hasTopic2 = true, hasData = true),
     EventShape(ApprovalSig, "Approval", hasTopic2 = true, hasData = true),
-    EventShape(BlacklistedSig, "Blacklisted", hasTopic2 = false, hasData = false))
+    EventShape(BlacklistedSig, "Blacklisted", hasTopic2 = false, hasData = false),
+    EventShape(MintSig, "Mint", hasTopic2 = true, hasData = true),
+    EventShape(BurnSig, "Burn", hasTopic2 = false, hasData = true),
+    EventShape(UnBlacklistedSig, "UnBlacklisted", hasTopic2 = false, hasData = false),
+    EventShape(PauseSig, "Pause", hasTopic2 = false, hasData = false,
+               hasTopic1 = false))
 
   /** events → a MIXED log stream: `signup` events encode as Approval,
     * `view` events as Blacklisted (a one-topic layout: topic2 and data
@@ -146,14 +170,16 @@ object Ingest {
     * ABI handler does with events it has no decoder for. */
   def decodeAbi(logs0: DataFrame): DataFrame = {
     val wellFormed = declaredEvents.map { e =>
+      val t1 = if (e.hasTopic1) IsHexWord(col("topic1")) else col("topic1").isNull
       val t2 = if (e.hasTopic2) IsHexWord(col("topic2")) else col("topic2").isNull
       val d = if (e.hasData) IsHexWord(concat(lit("0x"), col("data")))
               else col("data").isNull
-      col("topic0") === lit(e.sig) && IsHexWord(col("topic1")) && t2 && d
+      col("topic0") === lit(e.sig) && t1 && t2 && d
     }.reduce(_ || _)
     val eventName = declaredEvents.foldLeft(lit(null).cast("string")) {
       (acc, e) => when(col("topic0") === lit(e.sig), lit(e.name)).otherwise(acc)
     }
+    val withTopic1 = declaredEvents.filter(_.hasTopic1).map(e => lit(e.sig))
     val withTopic2 = declaredEvents.filter(_.hasTopic2).map(e => lit(e.sig))
     val withData = declaredEvents.filter(_.hasData).map(e => lit(e.sig))
     logs0
@@ -161,7 +187,8 @@ object Ingest {
       .select(
         col("event_id"),
         eventName.as("event"),
-        addressFromTopic(col("topic1")).as("addr1"),
+        when(col("topic0").isin(withTopic1: _*),
+             addressFromTopic(col("topic1"))).as("addr1"),
         when(col("topic0").isin(withTopic2: _*),
              addressFromTopic(col("topic2"))).as("addr2"),
         when(col("topic0").isin(withData: _*),
@@ -207,6 +234,48 @@ object Ingest {
       .groupBy(col("addr1").as("account_address"))
       .agg(count(lit(1)).as("n_flags"))
       .orderBy("account_address")
+
+  /** events → the FULL-lifecycle mixed log stream over all five
+    * declared layouts: `signup` encodes as Approval (two topics +
+    * data), `purchase` as Mint (same layout, distinct topic0), `click`
+    * as Burn (ONE topic + data), `view` as Blacklisted (one topic, no
+    * data), `error` as Pause (topic0 only — no topics, no data).
+    * Absent words are NULL, exactly the positional wire contract
+    * [[decodeAbi]] enforces. */
+  def synthesizeLifecycleLogs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("event_type")
+    val sig = when(t === "signup", lit(ApprovalSig))
+      .when(t === "purchase", lit(MintSig))
+      .when(t === "click", lit(BurnSig))
+      .when(t === "view", lit(BlacklistedSig))
+      .otherwise(lit(PauseSig)) // error
+    val hasT1 = t =!= "error"
+    val hasT2 = t.isin("signup", "purchase")
+    val hasD = t.isin("signup", "purchase", "click")
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      sig.as("topic0"),
+      when(hasT1, topicFromId(col("user_id"))).as("topic1"),
+      when(hasT2, topicFromId(col("user_id") + 1000000L)).as("topic2"),
+      when(hasD, lpad(lower(hex(floor(col("value") * 100).cast("long"))), 64, "0"))
+        .as("data"))
+  }
+
+  /** Full-lifecycle router roundtrip: decode the five-layout mixed
+    * stream and aggregate per event — count, distinct indexed
+    * addresses (0 for the topic-less Pause layout), and amount volume
+    * (NULL where the layout has no data word). One query proves every
+    * declared layout decodes through one router over one stream.
+    * Oracled with the equivalent CASE routing on the raw columns. */
+  def lifecycleRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAbi(
+      synthesizeLifecycleLogs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .groupBy(col("event"))
+      .agg(count(lit(1)).as("n_logs"),
+           countDistinct(col("addr1")).as("n_addrs"),
+           sum(col("amount_cents")).cast("long").as("amount_cents"))
+      .orderBy("event")
 
   /** Defensive semi-structured ingest (the F2 posture applied to JSON
     * payloads): parse a JSON string column against an explicit schema

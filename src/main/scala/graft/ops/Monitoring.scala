@@ -60,4 +60,38 @@ object Monitoring {
         graft.expr.FormatReadableSize(col("total_bytes").cast("double")))
       .orderBy(col("total_bytes").desc, col("table_name"))
   }
+
+  /** Column-level data-quality PROFILE — the per-column health report
+    * (null counts, cardinality, value range) a pipeline publishes with
+    * each snapshot, the lake answer to `DESCRIBE`-plus-system-stats
+    * probes. ONE scan computes every column's stats: the multi-column
+    * distinct counts expand the input (Spark's Expand operator, one row
+    * per distinct-aggregate per input row) and aggregate in a single
+    * exchange — no per-column passes; min/max render as strings so one
+    * long-format frame carries mixed column types. */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+             col("__n").as("n_rows"),
+             (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+             col(s"__nd_$c").as("n_distinct"),
+             col(s"__min_$c").as("min_val"),
+             col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** Driver entry: profile the documents table's full schema. */
+  def profileDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    profileOf(Tables.documents(spark, sfDir),
+              Seq("doc_id", "lang", "n_chars", "source", "text"))
 }

@@ -121,6 +121,44 @@ class EngineSpec extends AnyFunSuite {
       out(4L)._3.contains(42L))
   }
 
+  test("C8: Burn and Pause layouts enforce their word shapes") {
+    def topic(i: Int) = "0x" + "0" * 63 + i.toString
+    val dataWord = "0" * 62 + "2a" // uint256 42
+    val logs = Seq(
+      // Burn: one topic + data — well-formed
+      (1L, Ingest.BurnSig, topic(1), null: String, dataWord),
+      // Burn with a stray topic2: malformed for the layout, dropped
+      (2L, Ingest.BurnSig, topic(1), topic(2), dataWord),
+      // Pause: topic0 only — well-formed, addr1/addr2/amount all NULL
+      (3L, Ingest.PauseSig, null: String, null: String, null: String),
+      // Pause with a stray topic1: dropped, not decoded as an address
+      (4L, Ingest.PauseSig, topic(1), null: String, null: String),
+      // Mint rides the Transfer layout under its own topic0
+      (5L, Ingest.MintSig, topic(3), topic(4), dataWord)
+    ).toDF("event_id", "topic0", "topic1", "topic2", "data")
+    val out = Ingest.decodeAbi(logs)
+      .select($"event_id", $"event", $"addr1", $"addr2", $"amount_cents".cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L)._1 == "Burn" && out(1L)._2.nonEmpty &&
+      out(1L)._3.isEmpty && out(1L)._4.contains(42L))
+    assert(out(3L)._1 == "Pause" && out(3L)._2.isEmpty &&
+      out(3L)._3.isEmpty && out(3L)._4.isEmpty)
+    assert(out(5L)._1 == "Mint" && out(5L)._2.nonEmpty &&
+      out(5L)._3.nonEmpty && out(5L)._4.contains(42L))
+  }
+
+  test("profile counts nulls and distincts per column in one scan") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val got = ops.Monitoring.profileOf(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 0L, 3L, "1", "3")))
+    assert(got("s") == (("s", 3L, 1L, 1L, "a", "a"))) // distinct/minmax skip nulls
+  }
+
   test("as-of join preserves every left row and matches are never later") {
     val out = ops.AsOf.purchaseAttribution(spark, sf)
     val purchases = Tables.events(spark, sf)

@@ -687,6 +687,42 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L, 3L)))
   }
 
+  test("forgetting docs propagates through the persisted dedup artifacts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val docs = Tables.documents(spark, sf)
+    val isForgotten = $"doc_id" % 23 === 0
+    val forgotten = docs.filter(isForgotten)
+    val kept = docs.filter(!isForgotten)
+    Versioning.writeFpCountIndex(docs, s"$tmp/fp_g1")
+    Dedup.writeNearDupIndex(docs, s"$tmp/sig_g1")
+    Versioning.forgetFromFpCountIndex(spark, s"$tmp/fp_g1", s"$tmp/fp_g2", forgotten)
+    Versioning.forgetFromNearDupIndex(spark, s"$tmp/sig_g1", s"$tmp/sig_g2",
+      forgotten.select($"doc_id"))
+    // the O(|forget|) decrement ≡ a full rebuild over the survivors
+    Versioning.writeFpCountIndex(kept, s"$tmp/fp_rebuilt")
+    def fpRows(d: String) = spark.read.parquet(d)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(fpRows(s"$tmp/fp_g2") == fpRows(s"$tmp/fp_rebuilt"))
+    // sig index: forgotten ids gone, survivors untouched
+    def sigIds(d: String) = spark.read.parquet(d)
+      .select($"doc_id").as[Long].collect().toSet
+    val forgottenIds = forgotten.select($"doc_id").as[Long].collect().toSet
+    assert(sigIds(s"$tmp/sig_g2") == sigIds(s"$tmp/sig_g1") -- forgottenIds)
+    // re-delivery of the forgotten batch: content that left the corpus
+    // re-admits; content a survivor still carries stays blocked
+    val probe = Dedup.incrementalDedupAgainstIndex(
+      forgotten, spark.read.parquet(s"$tmp/fp_g2"))
+    val admitted = probe.agg(sum($"n_admitted")).head.getLong(0)
+    val blocked = probe.agg(sum($"n_dup_corpus")).head.getLong(0)
+    val keptFps = kept.select(md5($"text")).as[String].collect().toSet
+    val fBatch = forgotten.select($"doc_id", md5($"text"))
+      .as[(Long, String)].collect()
+    val expBlocked = fBatch.count { case (_, fp) => keptFps.contains(fp) }
+    val expAdmitted = fBatch.filterNot { case (_, fp) => keptFps.contains(fp) }
+      .map(_._2).distinct.length
+    assert(blocked == expBlocked.toLong && admitted == expAdmitted.toLong)
+  }
+
   test("token budget admits the greedy quality prefix and never overruns") {
     val budget = 5000L
     val docs = Tables.documents(spark, sf)
