@@ -156,6 +156,7 @@ object SparkEntry {
     "q120_abi_lifecycle" -> (Ingest.lifecycleRoundtrip _),
     "q121_profile_docs"  -> (Monitoring.profileDocuments _),
     "q122_forget_report" -> (graft.llm.Versioning.forgetReport _),
+    "q123_leak_safe_split" -> (Dedup.leakSafeSplit _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -830,6 +831,17 @@ object SparkEntry {
                            FROM comp GROUP BY 1) s
            ON c.comp_id = s.comp_id
          ORDER BY doc_id""",
+    "q123_leak_safe_split" ->
+      s"""$ccCompCte,
+         labeled AS (
+           SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id, d.lang
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT lang,
+                CASE WHEN substr(md5(CAST(comp_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train' ELSE 'test' END AS split,
+                COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM labeled GROUP BY 1, 2 ORDER BY lang, split""",
     "q114_dup_cap_keep" ->
       s"""$ccCompCte,
          labeled AS (

@@ -225,17 +225,24 @@ object Dedup {
     new java.util.IdentityHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
-  def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+  /** Build-once-per-(session, key) memoization behind every session
+    * index below: the first consumer builds and persists, every later
+    * consumer reuses the materialized frame — the local stand-in for
+    * the per-snapshot artifacts a production lake persists. */
+  private[llm] def sessionCached(spark: SparkSession, key: String)
+                                (build: => DataFrame): DataFrame =
     indexCache.synchronized {
       var perSession = indexCache.get(spark)
       if (perSession == null) {
         perSession = scala.collection.mutable.Map.empty[String, DataFrame]
         indexCache.put(spark, perSession)
       }
-      perSession.getOrElseUpdate(sfDir,
-        shingled(Tables.documents(spark, sfDir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      perSession.getOrElseUpdate(key,
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+
+  def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCached(spark, sfDir)(shingled(Tables.documents(spark, sfDir)))
 
   /** N-gram Jaccard near-dedup with blocking: candidate pairs share
     * (lang, source, n_chars DIV 50); top-20 most similar pairs.
@@ -297,16 +304,8 @@ object Dedup {
     * the near-dup paths persist (see [[writeNearDupIndex]]), so the
     * session cache is the local stand-in for that materialization. */
   def signatureIndex(spark: SparkSession, sfDir: String): DataFrame =
-    indexCache.synchronized {
-      var perSession = indexCache.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-        indexCache.put(spark, perSession)
-      }
-      perSession.getOrElseUpdate("sig:" + sfDir,
-        signaturesOf(shingleIndex(spark, sfDir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    sessionCached(spark, "sig:" + sfDir)(
+      signaturesOf(shingleIndex(spark, sfDir)))
 
   /** (doc_id, band, bh) banded rows from a signature frame: 8 bands of
     * 2 minhashes, band hash again xxhash64-fused in codegen. */
@@ -632,18 +631,18 @@ object Dedup {
     // keep (q114), and any other consumer pay the iterative label
     // propagation once per corpus snapshot — in production this frame
     // is itself a persisted per-snapshot artifact.
-    indexCache.synchronized {
-      var perSession = indexCache.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-        indexCache.put(spark, perSession)
-      }
-      perSession.getOrElseUpdate("cc:" + sfDir,
-        componentsOf(nearDupEdges(
-          shingleIndex(spark, sfDir)
-            .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles"))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    sessionCached(spark, "cc:" + sfDir)(
+      componentsOf(nearDupEdgeIndex(spark, sfDir)))
+
+  /** Session-scoped exact-Jaccard near-dup EDGE index — [[nearDupEdges]]
+    * built once per corpus snapshot; the clustering ([[connectedComponents]])
+    * and the cross-source matrix ([[crossSourceDups]]) both consume the
+    * same skinny (a_id, b_id) frame. */
+  def nearDupEdgeIndex(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCached(spark, "edges:" + sfDir)(
+      nearDupEdges(
+        shingleIndex(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles"))))
 
   /** The 100 TB near-dup clustering path: connected components over the
     * MinHash-LSH candidate pairs instead of the blocked exact-Jaccard
@@ -755,6 +754,32 @@ object Dedup {
       .orderBy("lang", "bucket")
   }
 
+  /** LEAKAGE-SAFE train/test split — the eval-contamination guard the
+    * plain hash split ([[Sampling]]'s q60 twin) cannot give: a document
+    * and its near-duplicates must land on the SAME side, or test-set
+    * answers leak into training through paraphrases the doc-level hash
+    * scatters. The split key is therefore the near-dup CLUSTER label
+    * (singletons: their own doc_id), hashed with the same deterministic
+    * md5-prefix rule — every cluster member inherits one coin flip.
+    * Composes the session component cache with the split predicate;
+    * reports per (lang, split) with an id-checksum. The spec pins the
+    * invariant directly: no component ever spans both sides. */
+  def leakSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = connectedComponents(spark, sfDir)
+      .select(col("doc_id"), col("comp_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp_id", coalesce(col("comp_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("comp_id").cast("string")), 1, 2) < "cd",
+             "train").otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang", "split")
+  }
+
   /** Cross-source duplication matrix — which pairs of ingest sources
     * re-serve each other's content (mirrors, scrapers, syndication).
     * Rides the exact-Jaccard near-dup edge derivation (q63's oracled
@@ -764,9 +789,7 @@ object Dedup {
     * source to prefer in [[sourcePreference]]. The source join is a
     * skinny (doc_id, source) broadcast/shuffle; text never moves. */
   def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = nearDupEdges(
-      shingleIndex(spark, sfDir)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("shingles")))
+    val edges = nearDupEdgeIndex(spark, sfDir)
     val src = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
     edges

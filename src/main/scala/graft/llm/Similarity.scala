@@ -446,16 +446,20 @@ object Similarity {
     * its clusters to [[semanticClusters]]' on the fixture. */
   def lshComponents(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.35,
-                    tables: Int = 8, bits: Int = 0): DataFrame = {
-    val edges = lshPairIndex(spark, sfDir, tables, bits)
-      .filter(col("sim") >= threshold)
-      .select(col("a_id"), col("b_id"))
-    // a moderate-threshold similarity graph is NOT a dup forest: its
-    // diameter routinely exceeds any propagation budget (measured ~20
-    // on the fixture), so give min-label only a few confirming rounds
-    // before handing off to the O(log² n) star contraction
-    Dedup.componentsOf(edges, propagationBudget = 4)
-      .withColumnRenamed("doc_id", "vec_id")
-      .orderBy("vec_id")
-  }
+                    tables: Int = 8, bits: Int = 0): DataFrame =
+    // cluster labels cached per (corpus, threshold, tables, bits) like
+    // the text path's component cache: the clustering (q111) and the
+    // materializing keep (q113) pay the iterative contraction once
+    Dedup.sessionCached(spark, s"lshcc:$sfDir:$threshold:$tables:$bits") {
+      val edges = lshPairIndex(spark, sfDir, tables, bits)
+        .filter(col("sim") >= threshold)
+        .select(col("a_id"), col("b_id"))
+      // a moderate-threshold similarity graph is NOT a dup forest: its
+      // diameter routinely exceeds any propagation budget (measured ~20
+      // on the fixture), so give min-label only a few confirming rounds
+      // before handing off to the O(log² n) star contraction
+      Dedup.componentsOf(edges, propagationBudget = 4)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    }
 }

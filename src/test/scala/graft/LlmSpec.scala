@@ -687,6 +687,28 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L, 3L)))
   }
 
+  test("leak-safe split assigns whole clusters, matching driver brute force") {
+    def h2(v: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+    def side(comp: Long) = if (h2(comp) < "cd") "train" else "test"
+    val compOf = Dedup.connectedComponents(spark, sf)
+      .select($"doc_id", $"comp_id").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .as[(Long, String)].collect()
+    // doc side == its CLUSTER's side (singletons: own id) — the whole
+    // cluster inherits one coin flip, so near-dups can never straddle
+    val want = docs
+      .groupBy { case (id, lang) => (lang, side(compOf.getOrElse(id, id))) }
+      .map { case (k, v) => k -> ((v.length.toLong, v.map(_._1).sum)) }
+    val got = Dedup.leakSafeSplit(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == want)
+    assert(got.keys.map(_._2).toSet == Set("train", "test"))
+  }
+
   test("forgetting docs propagates through the persisted dedup artifacts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_forget").toString
     val docs = Tables.documents(spark, sf)
