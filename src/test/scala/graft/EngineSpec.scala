@@ -149,6 +149,24 @@ class EngineSpec extends AnyFunSuite {
       out(5L)._3.nonEmpty && out(5L)._4.contains(42L))
   }
 
+  test("new-op plan shapes: tiny sides broadcast, profiler scans once") {
+    // q115: the nlabels-row centroid table must broadcast back onto the
+    // corpus scan — a shuffled join here would exchange every vector
+    val p115 = graft.llm.Similarity.centroidOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p115.contains("BroadcastHashJoin"))
+    // q117: the one-row-per-source rate table likewise
+    val p117 = graft.llm.Sampling.temperatureMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p117.contains("BroadcastHashJoin"))
+    // q121: every column's stats ride ONE scan (multi-distinct Expand),
+    // not a scan per column
+    val p121 = ops.Monitoring.profileDocuments(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p121.contains("Expand"))
+    assert("FileScan parquet".r.findAllIn(p121).length == 1)
+  }
+
   test("profile counts nulls and distincts per column in one scan") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
       .toDF("id", "s")
