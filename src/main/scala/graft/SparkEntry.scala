@@ -157,6 +157,8 @@ object SparkEntry {
     "q121_profile_docs"  -> (Monitoring.profileDocuments _),
     "q122_forget_report" -> (graft.llm.Versioning.forgetReport _),
     "q123_leak_safe_split" -> (Dedup.leakSafeSplit _),
+    "q124_cluster_sizes"  -> (Dedup.clusterSizeHistogram _),
+    "q125_normalize"      -> (TextOps.normalizeStats _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -831,6 +833,33 @@ object SparkEntry {
                            FROM comp GROUP BY 1) s
            ON c.comp_id = s.comp_id
          ORDER BY doc_id""",
+    "q124_cluster_sizes" ->
+      s"""$ccCompCte,
+         sizes AS (SELECT comp_id, COUNT(*) AS sz FROM comp GROUP BY 1),
+         lab AS (
+           SELECT comp_id, sz,
+                  CASE WHEN sz <= 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+                       WHEN sz <= 8 THEN '5-8' ELSE '9+' END AS bucket
+           FROM sizes)
+         SELECT bucket, COUNT(*) AS n_clusters,
+                CAST(SUM(sz) AS BIGINT) AS n_docs,
+                CAST(SUM(comp_id) AS BIGINT) AS comp_checksum
+         FROM lab GROUP BY 1 ORDER BY bucket""",
+    "q125_normalize" ->
+      """WITH m AS (
+           SELECT lang, doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                       WHEN doc_id % 5 = 0 THEN '  ' || regexp_replace(text, ' ', '  ', 'g') || ' '
+                       ELSE text END AS messy
+           FROM documents),
+         n AS (SELECT lang, messy,
+                      trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS norm
+               FROM m)
+         SELECT lang, COUNT(*) AS n_docs,
+                COUNT(CASE WHEN messy <> norm THEN 1 END) AS n_perturbed,
+                COUNT(DISTINCT md5(messy)) AS n_distinct_raw,
+                COUNT(DISTINCT md5(norm)) AS n_distinct_norm
+         FROM n GROUP BY 1 ORDER BY lang""",
     "q123_leak_safe_split" ->
       s"""$ccCompCte,
          labeled AS (

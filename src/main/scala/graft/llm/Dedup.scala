@@ -754,6 +754,26 @@ object Dedup {
       .orderBy("lang", "bucket")
   }
 
+  /** Near-dup cluster SIZE distribution — the dedup-health dashboard:
+    * how much of the duplicated corpus sits in simple pairs vs viral
+    * mega-clusters (the skew that decides between [[nearDupKeep]] and
+    * [[dupCapKeep]], and whether the clustering needs the star
+    * contraction at all). Integer bucket edges, rides the session
+    * component cache — zero extra heavy stages. */
+  def clusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(spark, sfDir)
+      .groupBy(col("comp_id")).agg(count(lit(1)).as("sz"))
+      .withColumn("bucket",
+        when(col("sz") <= 2, "2")
+          .when(col("sz") <= 4, "3-4")
+          .when(col("sz") <= 8, "5-8")
+          .otherwise(lit("9+")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("sz")).cast("long").as("n_docs"),
+           sum(col("comp_id")).cast("long").as("comp_checksum"))
+      .orderBy("bucket")
+
   /** LEAKAGE-SAFE train/test split — the eval-contamination guard the
     * plain hash split ([[Sampling]]'s q60 twin) cannot give: a document
     * and its near-duplicates must land on the SAME side, or test-set

@@ -171,6 +171,35 @@ object Similarity {
       .orderBy("label")
   }
 
+  private val modelCache =
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.ml.clustering.KMeansModel]]()
+
+  /** One IVF coarse-quantizer (k-means) build per (session, corpus,
+    * nlist) — the amortized index-build step every consumer shares:
+    * the in-session probe ([[ivfKnn]]), the recall sweep
+    * ([[annRecall]]), and the persisted-index writer
+    * ([[writeIvfIndex]]) all route through the same fitted model,
+    * exactly as one production snapshot job builds one index. */
+  private def ivfModel(spark: SparkSession, sfDir: String,
+                       nlist: Int): org.apache.spark.ml.clustering.KMeansModel =
+    modelCache.synchronized {
+      var perSession = modelCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[
+          String, org.apache.spark.ml.clustering.KMeansModel]
+        modelCache.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate(s"$sfDir:$nlist", {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("features")
+          .fit(Tables.embeddings(spark, sfDir)
+            .withColumn("features", array_to_vector(col("embedding"))))
+      })
+    }
+
   /** True IVF (inverted-file) ANN: build nlist coarse centroids with
     * k-means, assign every vector to its nearest centroid, and search
     * only the query's cell (nprobe=1). The index build is a separate,
@@ -179,12 +208,10 @@ object Similarity {
     * top-k per query among same-cell candidates. Un-oracled: k-means is
     * not SQL-expressible (invariants covered in IvfSpec). */
   def ivfKnn(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(emb)
+    val model = ivfModel(spark, sfDir, nlist)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("prediction").as("cell"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(DotProduct(col("e"), col("e"))))
@@ -209,12 +236,10 @@ object Similarity {
     * exactly the claim in [[ivfKnn]]'s scaladoc made physical. */
   def writeIvfIndex(spark: SparkSession, sfDir: String, dir: String,
                     nlist: Int = 16): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(emb)
+    val model = ivfModel(spark, sfDir, nlist)
     val sparkI = spark
     import sparkI.implicits._
     model.clusterCenters.zipWithIndex
@@ -277,12 +302,10 @@ object Similarity {
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 5,
                 nlist: Int = 16,
                 probes: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(emb)
+    val model = ivfModel(spark, sfDir, nlist)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("prediction").as("cell"),
               col("embedding").as("e"))

@@ -365,6 +365,33 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Canonical TEXT NORMALIZATION — lowercase, collapse whitespace
+    * runs, trim: the preprocessing pass in front of every
+    * fingerprint/shingle stage, where case and spacing variants of one
+    * document must hash identically or every downstream dedup
+    * undercounts. The driver fixture is already canonical, so the
+    * entry PERTURBS it deterministically (uppercase every 3rd doc,
+    * whitespace-mangle every 5th) and proves normalization recovers
+    * the original fingerprint surface exactly: distinct normalized fps
+    * per language equal the clean corpus's. Pure codegen'd string
+    * expressions — no UDF, narrow until the per-language rollup. */
+  def normalizeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val messy = when(col("doc_id") % 3 === 0, upper(col("text")))
+      .when(col("doc_id") % 5 === 0,
+            concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")))
+      .otherwise(col("text"))
+    val norm = trim(regexp_replace(lower(col("messy")), "\\s+", " "))
+    Tables.documents(spark, sfDir)
+      .withColumn("messy", messy)
+      .withColumn("norm", norm)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("messy") =!= col("norm"), 1)).as("n_perturbed"),
+           countDistinct(md5(col("messy"))).as("n_distinct_raw"),
+           countDistinct(md5(col("norm"))).as("n_distinct_norm"))
+      .orderBy("lang")
+  }
+
   /** Common-token FLUENCY histogram — the corpus-statistics quality
     * filter (C4/Gopher family): a document made of tokens that are rare
     * corpus-wide is noise/garble/OCR junk; one made of very common

@@ -687,6 +687,19 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L, 3L)))
   }
 
+  test("normalization recovers the clean fingerprint surface per language") {
+    val clean = Tables.documents(spark, sf).select($"lang", md5($"text"))
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (l, v) => l -> v.map(_._2).distinct.length.toLong }
+    val got = TextOps.normalizeStats(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, nPerturbed, _, nNorm) =>
+      assert(nNorm == clean(lang)) // case/space variants re-collapse exactly
+      assert(nPerturbed > 0 && nPerturbed < n) // the perturbation really hit
+    }
+  }
+
   test("leak-safe split assigns whole clusters, matching driver brute force") {
     def h2(v: Long): String =
       java.security.MessageDigest.getInstance("MD5")
