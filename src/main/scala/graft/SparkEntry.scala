@@ -159,6 +159,8 @@ object SparkEntry {
     "q123_leak_safe_split" -> (Dedup.leakSafeSplit _),
     "q124_cluster_sizes"  -> (Dedup.clusterSizeHistogram _),
     "q125_normalize"      -> (TextOps.normalizeStats _),
+    // un-oracled (HLL binary, SURVEY §5.3); spec merges ≡ batch profile
+    "q126_stream_profile" -> (graft.streaming.Live.streamingProfileDocuments _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

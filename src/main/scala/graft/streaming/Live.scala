@@ -496,6 +496,96 @@ object Live {
     }
   }
 
+  /** Per-micro-batch PARTIAL column profile —
+    * [[graft.ops.Monitoring.profileOf]]'s ingest-time shape. Every
+    * partial field is MERGEABLE: counts add, min/min and max/max
+    * compose, distinct carries a Datasketches HLL binary (union-able) —
+    * the same partial→final invariant as the MV sinks, so the merged
+    * profile equals a batch profile of everything ingested (exact for
+    * every field except the approximate distinct, which the spec bounds
+    * against the exact count). Numeric and string columns keep their
+    * min/max in TYPED partial fields (a string-rendered numeric min
+    * would merge lexicographically — "10" < "9"); the read side renders
+    * after merging. */
+  def appendProfilePartials(batch: DataFrame, cols: Seq[String],
+                            dir: String): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    val isNum = cols.map { c =>
+      c -> (batch.schema(c).dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+    }.toMap
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+          expr(s"hll_sketch_agg(CAST($c AS STRING))").as(s"__hll_$c"),
+          min(col(c)).as(s"__mn_$c"),
+          max(col(c)).as(s"__mx_$c"))
+    }
+    val one = batch.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      val (mnN, mxN, mnS, mxS) =
+        if (isNum(c))
+          (col(s"__mn_$c").cast("double"), col(s"__mx_$c").cast("double"),
+           lit(null).cast("string"), lit(null).cast("string"))
+        else
+          (lit(null).cast("double"), lit(null).cast("double"),
+           col(s"__mn_$c").cast("string"), col(s"__mx_$c").cast("string"))
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+             (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+             col(s"__hll_$c").as("hll"),
+             mnN.as("min_num"), mxN.as("max_num"),
+             mnS.as("min_str"), mxS.as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Merge profile partials at read: counts sum, min/max compose in
+    * their native type, HLL sketches union then estimate. */
+  def readProfile(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+           sum(col("n_nulls")).as("n_nulls"),
+           expr("hll_sketch_estimate(hll_union_agg(hll))").as("n_distinct_approx"),
+           min(col("min_num")).as("__mn_n"), max(col("max_num")).as("__mx_n"),
+           min(col("min_str")).as("__mn_s"), max(col("max_str")).as("__mx_s"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct_approx"),
+              coalesce(col("__mn_s"), col("__mn_n").cast("string")).as("min_val"),
+              coalesce(col("__mx_s"), col("__mx_n").cast("string")).as("max_val"))
+      .orderBy("col_name")
+
+  /** Ingest-time data-quality monitoring over any streamed parquet
+    * table: drain micro-batches, append one partial-profile row set per
+    * batch, merge at read. The partials directory is the (small,
+    * per-batch × per-column) monitoring artifact a deployment keeps
+    * next to the data. */
+  def streamingProfile(spark: SparkSession, dataDir: String, fileName: String,
+                       cols: Seq[String],
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_profile").toString
+    withRunCheckpoint { ckpt =>
+      val q = fileStream(spark, dataDir, fileName, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          appendProfilePartials(b, cols, s"$dir/partials")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    readProfile(spark, s"$dir/partials")
+  }
+
+  /** Driver entry: streamed profile of the documents fixture. */
+  def streamingProfileDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    streamingProfile(spark, sfDir, "documents.parquet",
+                     Seq("doc_id", "lang", "n_chars", "source", "text"))
+
   /** STREAMING ingest dedup — [[graft.llm.Dedup.incrementalDedup]]'s
     * production shape: newly-delivered documents arrive as a stream,
     * are probed against the standing corpus's fingerprint index with a

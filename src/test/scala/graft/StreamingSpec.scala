@@ -289,4 +289,31 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("streamed profile partials merge to the batch profile") {
+    val docs = Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sprof").toString
+    // the corpus arrives as THREE files → three partial-profile appends
+    docs.repartition(3).write.parquet(s"$tmp/delivery")
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val got = Live.streamingProfile(spark, tmp, "delivery", cols,
+        maxFilesPerTrigger = Some(1))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = graft.ops.Monitoring.profileOf(docs, cols)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == want.keySet)
+    cols.foreach { c =>
+      val (g, w) = (got(c), want(c))
+      assert(g._2 == w._2 && g._3 == w._3) // counts/nulls merge exactly
+      // HLL distinct within 5% of exact
+      assert(math.abs(g._4 - w._4) <= math.max(1L, (0.05 * w._4).toLong))
+      // min/max compose in native type: numerically equal for numerics,
+      // string-equal otherwise (the merged side renders via double)
+      if (c == "doc_id" || c == "n_chars")
+        assert(g._5.toDouble == w._5.toDouble && g._6.toDouble == w._6.toDouble)
+      else assert(g._5 == w._5 && g._6 == w._6)
+    }
+  }
 }
