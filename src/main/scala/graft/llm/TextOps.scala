@@ -375,12 +375,17 @@ object TextOps {
     * the original fingerprint surface exactly: distinct normalized fps
     * per language equal the clean corpus's. Pure codegen'd string
     * expressions — no UDF, narrow until the per-language rollup. */
+  /** The canonical normal form: lowercase, collapse whitespace runs,
+    * trim. Idempotent and case/spacing-invariant (PropertySpec). */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
   def normalizeStats(spark: SparkSession, sfDir: String): DataFrame = {
     val messy = when(col("doc_id") % 3 === 0, upper(col("text")))
       .when(col("doc_id") % 5 === 0,
             concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")))
       .otherwise(col("text"))
-    val norm = trim(regexp_replace(lower(col("messy")), "\\s+", " "))
+    val norm = normalizeText(col("messy"))
     Tables.documents(spark, sfDir)
       .withColumn("messy", messy)
       .withColumn("norm", norm)

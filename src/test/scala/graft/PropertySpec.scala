@@ -163,4 +163,24 @@ class PropertySpec extends AnyFunSuite {
         .filter($"cum" =!= $"ecm").count() == 0, s"cumsum mismatch parts=$parts")
     }
   }
+
+  test("property: normalization is idempotent and case/space-invariant") {
+    import graft.llm.TextOps.normalizeText
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val ws = Gen.oneOf(" ", "  ", "\t", " \t ", "   ")
+    val text = Gen.listOfN(8, Gen.zip(word, ws))
+      .map(_.map { case (w, s) => w + s }.mkString)
+    val rows = samples(text, 50).toDF("t")
+      .withColumn("n1", normalizeText($"t"))
+      // every spacing/case variant of a doc must land on one normal form
+      .withColumn("n2", normalizeText(upper($"t")))
+      .withColumn("n3",
+        normalizeText(concat(lit("  "), regexp_replace($"t", " ", "  "))))
+      .withColumn("nn", normalizeText($"n1")) // idempotence
+      .as[(String, String, String, String, String)].collect()
+    rows.foreach { case (t, n1, n2, n3, nn) =>
+      assert(n1 == n2 && n1 == n3 && n1 == nn, s"input=<$t>")
+      assert(!n1.contains("  ") && n1 == n1.trim && n1 == n1.toLowerCase)
+    }
+  }
 }
