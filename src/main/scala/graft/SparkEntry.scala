@@ -161,6 +161,7 @@ object SparkEntry {
     "q125_normalize"      -> (TextOps.normalizeStats _),
     // un-oracled (HLL binary, SURVEY §5.3); spec merges ≡ batch profile
     "q126_stream_profile" -> (graft.streaming.Live.streamingProfileDocuments _),
+    "q127_curate_train"   -> (Curate.curateTrain _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -835,6 +836,45 @@ object SparkEntry {
                            FROM comp GROUP BY 1) s
            ON c.comp_id = s.comp_id
          ORDER BY doc_id""",
+    "q127_curate_train" ->
+      s"""$ccCompCte,
+         nrm AS (
+           SELECT doc_id, lang, source,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp
+           FROM documents),
+         kept1 AS (
+           SELECT doc_id, lang, source FROM (
+             SELECT doc_id, lang, source,
+                    row_number() OVER (PARTITION BY nfp ORDER BY doc_id) AS rn
+             FROM nrm) WHERE rn = 1),
+         train AS (
+           SELECT k.doc_id, k.lang, k.source
+           FROM kept1 k LEFT JOIN comp c ON k.doc_id = c.node
+           WHERE substr(md5(CAST(COALESCE(c.comp_id, k.doc_id) AS VARCHAR)), 1, 2) < 'cd'),
+         persrc AS (SELECT source, COUNT(*) AS n_before FROM train GROUP BY 1),
+         mnsrc AS (SELECT MIN(n_before) AS min_n FROM persrc),
+         rates AS (
+           SELECT source,
+                  sqrt(CAST(min_n AS DOUBLE) / CAST(n_before AS DOUBLE)) AS rate
+           FROM persrc CROSS JOIN mnsrc),
+         fin AS (
+           SELECT t.doc_id, t.lang
+           FROM train t JOIN rates r ON t.source = r.source
+           WHERE r.rate >= 1.0 OR
+                 substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+                   lpad(lower(to_hex(CAST(least(floor(r.rate * 65536), 65535) AS BIGINT))), 4, '0'))
+         SELECT r.lang, r.n_raw,
+                COALESCE(d.n_dedup, 0) AS n_dedup,
+                COALESCE(t.n_train, 0) AS n_train,
+                COALESCE(f.n_final, 0) AS n_final,
+                COALESCE(f.id_checksum, 0) AS id_checksum
+         FROM (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1) r
+         LEFT JOIN (SELECT lang, COUNT(*) AS n_dedup FROM kept1 GROUP BY 1) d USING (lang)
+         LEFT JOIN (SELECT lang, COUNT(*) AS n_train FROM train GROUP BY 1) t USING (lang)
+         LEFT JOIN (SELECT lang, COUNT(*) AS n_final,
+                           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+                    FROM fin GROUP BY 1) f USING (lang)
+         ORDER BY lang""",
     "q124_cluster_sizes" ->
       s"""$ccCompCte,
          sizes AS (SELECT comp_id, COUNT(*) AS sz FROM comp GROUP BY 1),

@@ -180,6 +180,62 @@ object Curate {
     * fused into the scan, the dedup is one fingerprint window, the
     * split is a pure hash predicate — two exchanges total, same as the
     * simple capstone. */
+  /** Round-6 CAPSTONE — the training-corpus assembly line composed
+    * from this round's stages, every one of them individually oracled,
+    * and the composition oracled END-TO-END as one SQL pipeline:
+    *
+    *   1. canonical normalization ([[TextOps.normalizeText]]) → exact
+    *      dedup on the NORMALIZED fingerprint (case/spacing variants
+    *      collapse; keeper = min doc_id on the bounded-heap
+    *      [[graft.plans.TopKPerGroup]]);
+    *   2. leakage-safe TRAIN selection ([[Dedup.leakSafeSplit]]'s
+    *      cluster-keyed coin flip — near-dup paraphrases never straddle
+    *      the eval boundary);
+    *   3. temperature-scaled source mixing ([[Sampling.temperatureMix]]'s
+    *      √(min/n) rates over the surviving train corpus).
+    *
+    * Reports the per-language funnel (raw → deduped → train → mixed)
+    * with an id-checksum of the final corpus. Shuffle profile: the
+    * dedup heap exchange, the (cached) component join, and two
+    * broadcast joins — text leaves the scan only to be hashed. */
+  def curateTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val norm = docs
+      .withColumn("nfp", md5(TextOps.normalizeText(col("text"))))
+      .drop("text")
+    val kept1 = graft.plans.TopKPerGroup
+      .topK(norm, Seq("nfp"), Seq("doc_id" -> true), 1)
+      .drop("rnk")
+    val comps = Dedup.connectedComponents(spark, sfDir)
+      .select(col("doc_id"), col("comp_id"))
+    val train = kept1.join(comps, Seq("doc_id"), "left")
+      .withColumn("comp_id", coalesce(col("comp_id"), col("doc_id")))
+      .filter(substring(md5(col("comp_id").cast("string")), 1, 2) < "cd")
+    val perSrc = train.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+    val minN = perSrc.agg(min(col("n_before")).as("__min_n"))
+    val rates = perSrc.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        sqrt(col("__min_n").cast("double") / col("n_before").cast("double")))
+      .select(col("source"), col("rate"))
+    val thr = lpad(lower(hex(
+      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
+    val fin = train.join(broadcast(rates), "source")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      .join(kept1.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
+            Seq("lang"), "left")
+      .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_train")),
+            Seq("lang"), "left")
+      .join(fin.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_final"),
+                   sum(col("doc_id")).cast("long").as("id_checksum")),
+            Seq("lang"), "left")
+      .na.fill(0L, Seq("n_dedup", "n_train", "n_final", "id_checksum"))
+      .orderBy("lang")
+  }
+
   def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
     curatedDocs(spark, sfDir)
       .withColumn("clean_toks", expr("filter(split(clean, ' '), x -> x != '')"))

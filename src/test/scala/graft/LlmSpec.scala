@@ -687,6 +687,17 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L, 3L)))
   }
 
+  test("curate-train funnel is monotone and conserves the corpus") {
+    val rows = Curate.curateTrain(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, raw, dedup, train, fin, _) =>
+      assert(raw >= dedup && dedup >= train && train >= fin && fin >= 0)
+    }
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    assert(rows.map(_._5).sum > 0) // the pipeline ships a corpus
+  }
+
   test("normalization recovers the clean fingerprint surface per language") {
     val clean = Tables.documents(spark, sf).select($"lang", md5($"text"))
       .as[(String, String)].collect().groupBy(_._1)
