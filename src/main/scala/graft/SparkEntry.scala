@@ -162,6 +162,7 @@ object SparkEntry {
     // un-oracled (HLL binary, SURVEY §5.3); spec merges ≡ batch profile
     "q126_stream_profile" -> (graft.streaming.Live.streamingProfileDocuments _),
     "q127_curate_train"   -> (Curate.curateTrain _),
+    "q128_calldata"       -> (Ingest.calldataRoundtrip _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -568,6 +569,20 @@ object SparkEntry {
          COUNT(DISTINCT md5(text)) AS n_fps_before,
          COUNT(DISTINCT CASE WHEN doc_id % 23 <> 0 THEN md5(text) END) AS n_fps_after
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // decoded five-selector calldata stream ≡ CASE routing on raw columns
+    "q128_calldata" ->
+      """SELECT CASE event_type WHEN 'purchase' THEN 'transfer'
+                                WHEN 'signup' THEN 'approve'
+                                WHEN 'click' THEN 'burn'
+                                WHEN 'view' THEN 'balanceOf'
+                                ELSE 'pause' END AS fn,
+         COUNT(*) AS n_calls,
+         COUNT(DISTINCT CASE WHEN event_type IN ('purchase', 'signup', 'view')
+                             THEN user_id END) AS n_addrs,
+         CAST(SUM(CASE WHEN event_type IN ('purchase', 'signup', 'click')
+                       THEN CAST(floor(value * 100) AS BIGINT) END)
+              AS BIGINT) AS amount_cents
+         FROM events GROUP BY 1 ORDER BY fn""",
     // decoded one-topic Blacklisted path ≡ the view slice
     "q112_abi_blacklist" ->
       """SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS account_address,

@@ -277,6 +277,93 @@ object Ingest {
            sum(col("amount_cents")).cast("long").as("amount_cents"))
       .orderBy("event")
 
+  /** One declared ABI FUNCTION: 4-byte selector, name, and word layout
+    * of its calldata (address arg first, then an optional uint256).
+    * The function half of the reference ABI
+    * (`usdc-transfers/src/abi/usdc.ts:26-76` declares ~50 selectors);
+    * the four layouts here cover transfer/approve (addr+amount), burn
+    * (amount only), balanceOf (addr only), pause (no args) — selectors
+    * are the real public keccak prefixes from that table. */
+  private case class FnShape(selector: String, name: String,
+                             hasAddr: Boolean, hasAmount: Boolean)
+
+  private val declaredFns = Seq(
+    FnShape("a9059cbb", "transfer", hasAddr = true, hasAmount = true),
+    FnShape("095ea7b3", "approve", hasAddr = true, hasAmount = true),
+    FnShape("42966c68", "burn", hasAddr = false, hasAmount = true),
+    FnShape("70a08231", "balanceOf", hasAddr = true, hasAmount = false),
+    FnShape("8456cb59", "pause", hasAddr = false, hasAmount = false))
+
+  private def word(i: Int): Column =
+    substring(col("input"), 11 + 64 * i, 64)
+
+  /** events → synthetic CALLDATA: one packed `0x` + selector + 32-byte
+    * words string per event — the transaction-input wire shape, vs the
+    * event router's separate topic columns. `purchase` encodes as
+    * transfer(to, value), `signup` as approve(spender, value), `click`
+    * as burn(value), `view` as balanceOf(account), `error` as pause(). */
+  def synthesizeCalldata(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("event_type")
+    def w(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val addrW = w(col("user_id") + 1000000L)
+    val selfW = w(col("user_id"))
+    val amtW = w(floor(col("value") * 100).cast("long"))
+    val input = when(t === "purchase", concat(lit("0xa9059cbb"), addrW, amtW))
+      .when(t === "signup", concat(lit("0x095ea7b3"), addrW, amtW))
+      .when(t === "click", concat(lit("0x42966c68"), amtW))
+      .when(t === "view", concat(lit("0x70a08231"), selfW))
+      .otherwise(lit("0x8456cb59")) // error → pause()
+    Tables.events(spark, sfDir).select(col("event_id"), input.as("input"))
+  }
+
+  /** Selector-routed CALLDATA decoder — the function-side twin of
+    * [[decodeAbi]]: route on the 4-byte selector, enforce the declared
+    * layout EXACTLY (total length must match the word count — a
+    * truncated word or a stray extra word is a malformed call, dropped;
+    * every present word must be hex), and extract typed args by
+    * position. Undeclared selectors drop like undeclared topic0s. */
+  def decodeCalldata(calls: DataFrame): DataFrame = {
+    val sel = substring(col("input"), 3, 8)
+    val wellFormed = declaredFns.map { f =>
+      val nWords = (if (f.hasAddr) 1 else 0) + (if (f.hasAmount) 1 else 0)
+      val lenOk = length(col("input")) === lit(10 + 64 * nWords)
+      val wordsOk = (0 until nWords)
+        .map(i => IsHexWord(concat(lit("0x"), word(i))))
+        .foldLeft(lit(true))(_ && _)
+      sel === lit(f.selector) && lenOk && wordsOk
+    }.reduce(_ || _)
+    val fnName = declaredFns.foldLeft(lit(null).cast("string")) {
+      (acc, f) => when(sel === lit(f.selector), lit(f.name)).otherwise(acc)
+    }
+    val withAddr = declaredFns.filter(_.hasAddr).map(f => lit(f.selector))
+    val amountIdx = declaredFns.filter(_.hasAmount).map { f =>
+      (f.selector, if (f.hasAddr) 1 else 0)
+    }
+    val amount = amountIdx.foldLeft(lit(null).cast("decimal(38,0)")) {
+      case (acc, (s, i)) => when(sel === lit(s), uint256(word(i))).otherwise(acc)
+    }
+    calls.filter(wellFormed)
+      .select(
+        col("event_id"),
+        fnName.as("fn"),
+        when(sel.isin(withAddr: _*),
+             addressFromTopic(concat(lit("0x"), word(0)))).as("addr_arg"),
+        amount.as("amount_cents"))
+  }
+
+  /** Calldata roundtrip: decode the five-selector mixed call stream and
+    * aggregate per function — the q120 shape for the packed-string wire
+    * format. Oracled with the equivalent CASE routing on raw columns. */
+  def calldataRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeCalldata(
+      synthesizeCalldata(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .groupBy(col("fn"))
+      .agg(count(lit(1)).as("n_calls"),
+           countDistinct(col("addr_arg")).as("n_addrs"),
+           sum(col("amount_cents")).cast("long").as("amount_cents"))
+      .orderBy("fn")
+
   /** Defensive semi-structured ingest (the F2 posture applied to JSON
     * payloads): parse a JSON string column against an explicit schema
     * in PERMISSIVE mode with a corrupt-record catch-all, so malformed

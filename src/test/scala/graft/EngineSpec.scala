@@ -149,6 +149,30 @@ class EngineSpec extends AnyFunSuite {
       out(5L)._3.nonEmpty && out(5L)._4.contains(42L))
   }
 
+  test("C8: calldata router enforces selector layouts exactly") {
+    val addr = "0" * 24 + "a" * 40 // one 32-byte word: 12 pad + 20 addr bytes
+    val amt = "0" * 62 + "2a"      // uint256 42
+    val calls = Seq(
+      (1L, s"0xa9059cbb$addr$amt"),      // transfer(to, 42): well-formed
+      (2L, s"0xa9059cbb$addr"),          // transfer missing amount: dropped
+      (3L, s"0x42966c68$amt"),           // burn(42): amount-only layout
+      (4L, s"0x42966c68$addr$amt"),      // burn with a stray word: dropped
+      (5L, "0x8456cb59"),                // pause(): selector only
+      (6L, s"0x8456cb59$amt"),           // pause with a stray word: dropped
+      (7L, s"0xdeadbeef$addr$amt"),      // undeclared selector: dropped
+      (8L, s"0x70a08231${"z" * 64}")     // balanceOf with non-hex word: dropped
+    ).toDF("event_id", "input")
+    val out = Ingest.decodeCalldata(calls)
+      .select($"event_id", $"fn", $"addr_arg", $"amount_cents".cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L)._1 == "transfer" &&
+      out(1L)._2.contains("0x" + "a" * 40) && out(1L)._3.contains(42L))
+    assert(out(3L)._1 == "burn" && out(3L)._2.isEmpty && out(3L)._3.contains(42L))
+    assert(out(5L)._1 == "pause" && out(5L)._2.isEmpty && out(5L)._3.isEmpty)
+  }
+
   test("new-op plan shapes: tiny sides broadcast, profiler scans once") {
     // q115: the nlabels-row centroid table must broadcast back onto the
     // corpus scan — a shuffled join here would exchange every vector
