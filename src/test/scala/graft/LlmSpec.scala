@@ -594,6 +594,22 @@ class LlmSpec extends AnyFunSuite {
       (total - clustered.size))
   }
 
+  test("dup-cap keep with a cap above every cluster size keeps everything") {
+    val total = Tables.documents(spark, sf).count()
+    assert(Dedup.dupCapKeep(spark, sf, cap = 1000).count() == total)
+  }
+
+  test("temperature mix over a single source is the identity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onesrc").toString
+    Tables.documents(spark, sf).withColumn("source", lit("only"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Sampling.temperatureMix(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(row.length == 1)
+    val (_, before, after, rate) = row.head
+    assert(rate == 1.0 && after == before) // nothing to flatten, keep all
+  }
+
   test("lsh pair index is built once per (session, corpus)") {
     val a = Similarity.lshPairIndex(spark, sf)
     val b = Similarity.lshPairIndex(spark, sf)
