@@ -163,6 +163,10 @@ object SparkEntry {
     "q126_stream_profile" -> (graft.streaming.Live.streamingProfileDocuments _),
     "q127_curate_train"   -> (Curate.curateTrain _),
     "q128_calldata"       -> (Ingest.calldataRoundtrip _),
+    "q129_sliding_uniq"   -> (Rollups.slidingUniqueUsers _),
+    // un-oracled (HLL binary); spec bounds every anchor vs q129
+    "q130_sliding_uniq_sketch" -> (Rollups.slidingUniqueUsersSketch _),
+    "q131_retention"      -> (Rollups.weeklyRetention _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -220,6 +224,21 @@ object SparkEntry {
     "q05_minmax_type" ->
       """SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "q129_sliding_uniq" ->
+      """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+         hours AS (SELECT DISTINCT h FROM hu)
+         SELECT a.h AS anchor, COUNT(DISTINCT u.user_id) AS uniq_24h
+         FROM hours a JOIN hu u
+           ON u.h BETWEEN a.h - INTERVAL 23 HOUR AND a.h
+         GROUP BY 1 ORDER BY anchor""",
+    "q131_retention" ->
+      """WITH wu AS (SELECT DISTINCT date_trunc('week', ts) AS w, user_id FROM events)
+         SELECT a.w AS week, COUNT(*) AS n_active,
+                COUNT(b.user_id) AS n_retained,
+                CAST(COUNT(b.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+         FROM wu a LEFT JOIN wu b
+           ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+         GROUP BY 1 ORDER BY week""",
     "q06_histogram" ->
       s"""SELECT CASE WHEN value < 25 THEN 'small' WHEN value < 100 THEN 'medium'
                  WHEN value < 500 THEN 'large' ELSE 'whale' END AS size_bucket,

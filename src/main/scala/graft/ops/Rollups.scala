@@ -208,4 +208,79 @@ object Rollups {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** Per-hour (hour, user) distinct pairs plus the observed-anchor
+    * frame — shared by the exact and sketch sliding-unique paths. */
+  private def hourlyUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+
+  /** SLIDING 24-hour distinct users per observed hour — the DAU-style
+    * rolling engagement number, EXACT form. No range join: each
+    * (hour, user) row explodes into the ≤24 anchors it contributes to
+    * (a fixed 24× fan-out of skinny rows), an anchor-existence semi
+    * join against the tiny observed-hour frame drops phantom anchors,
+    * and one distinct-aggregate exchange finishes — wall cost scales
+    * with active (hour, user) pairs, never |hours|×|rows|. The exact
+    * form is the CORRECTNESS baseline; [[slidingUniqueUsersSketch]] is
+    * what runs at 100 TB. */
+  def slidingUniqueUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val hu = hourlyUsers(spark, sfDir)
+    val anchors = hu.select(col("h").as("anchor")).distinct()
+    hu.withColumn("anchor",
+        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
+                         expr("INTERVAL 1 HOUR"))))
+      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("uniq_24h"))
+      .orderBy("anchor")
+  }
+
+  /** The 100 TB sliding-unique path: per-hour MERGEABLE HLL sketches
+    * (one row per hour regardless of corpus size), slid by exploding
+    * each hour's sketch into its ≤24 anchors and UNIONING sketches —
+    * the raw table is scanned once ever; every window after that
+    * merges 24 sketch binaries. This is the DAU/WAU/MAU-from-rollup
+    * design rule ("store mergeable states, not numbers") applied to a
+    * sliding frame. Un-oracled (HLL binary); the spec bounds every
+    * anchor against [[slidingUniqueUsers]]. */
+  def slidingUniqueUsersSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val anchors = hourly.select(col("h").as("anchor")).distinct()
+    hourly.withColumn("anchor",
+        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
+                         expr("INTERVAL 1 HOUR"))))
+      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+      .groupBy(col("anchor"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("uniq_24h_approx"))
+      .orderBy("anchor")
+  }
+
+  /** WEEKLY cohort retention — of the users active in week w, the
+    * share also active in week w+1 (the engagement KPI every analytics
+    * deployment of the reference's shape serves). Both sides reduce to
+    * distinct (week, user) before the self-join, so the exchange
+    * carries two skinny columns; the division is one IEEE double op on
+    * exact longs (identical across engines). The final (open) week
+    * reports retention against a week that hasn't happened — its rate
+    * is a lower bound, reported as-is. */
+  def weeklyRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Tables.events(spark, sfDir)
+      .select(date_trunc("week", col("ts")).as("w"), col("user_id"))
+      .distinct()
+    wu.as("a")
+      .join(wu.as("b"),
+            col("b.user_id") === col("a.user_id") &&
+              col("b.w") === col("a.w") + expr("INTERVAL 7 DAYS"),
+            "left")
+      .groupBy(col("a.w").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+           count(col("b.user_id")).as("n_retained"))
+      .withColumn("retention",
+        col("n_retained").cast("double") / col("n_active").cast("double"))
+      .orderBy("week")
+  }
 }

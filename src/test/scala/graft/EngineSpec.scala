@@ -173,6 +173,19 @@ class EngineSpec extends AnyFunSuite {
     assert(out(5L)._1 == "pause" && out(5L)._2.isEmpty && out(5L)._3.isEmpty)
   }
 
+  test("sliding sketch uniques track the exact rolling distinct within 5%") {
+    val exact = Rollups.slidingUniqueUsers(spark, sf)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val approx = Rollups.slidingUniqueUsersSketch(spark, sf)
+      .as[(java.sql.Timestamp, Long)].collect()
+    assert(approx.length == exact.size) // same observed anchors
+    approx.foreach { case (h, a) =>
+      val e = exact(h)
+      assert(math.abs(a - e) <= math.max(2L, (0.05 * e).toLong),
+        s"anchor=$h approx=$a exact=$e")
+    }
+  }
+
   test("new-op plan shapes: tiny sides broadcast, profiler scans once") {
     // q115: the nlabels-row centroid table must broadcast back onto the
     // corpus scan — a shuffled join here would exchange every vector
