@@ -167,6 +167,7 @@ object SparkEntry {
     // un-oracled (HLL binary); spec bounds every anchor vs q129
     "q130_sliding_uniq_sketch" -> (Rollups.slidingUniqueUsersSketch _),
     "q131_retention"      -> (Rollups.weeklyRetention _),
+    "q132_funnel"         -> ((s, d) => Windows.conversionFunnel(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -231,6 +232,41 @@ object SparkEntry {
          FROM hours a JOIN hu u
            ON u.h BETWEEN a.h - INTERVAL 23 HOUR AND a.h
          GROUP BY 1 ORDER BY anchor""",
+    "q132_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, t1.t1, MIN(e.ts) AS t2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'view' AND e.ts > t1.t1
+             AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+           GROUP BY 1, 2),
+         t3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+             AND e.ts <= t2.t1 + INTERVAL 72 HOUR
+           GROUP BY 1),
+         c AS (SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n0,
+                      (SELECT COUNT(*) FROM t1) AS n1,
+                      (SELECT COUNT(*) FROM t2) AS n2,
+                      (SELECT COUNT(*) FROM t3) AS n3)
+         SELECT 1 AS depth, 'signup' AS step, n1 AS n_users,
+                CASE WHEN n0 = 0 THEN 0.0
+                     ELSE CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS conversion
+         FROM c
+         UNION ALL
+         SELECT 2, 'view_after_signup', n2,
+                CASE WHEN n1 = 0 THEN 0.0
+                     ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+         FROM c
+         UNION ALL
+         SELECT 3, 'purchase_after_view', n3,
+                CASE WHEN n2 = 0 THEN 0.0
+                     ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END
+         FROM c
+         ORDER BY depth""",
     "q131_retention" ->
       """WITH wu AS (SELECT DISTINCT date_trunc('week', ts) AS w, user_id FROM events)
          SELECT a.w AS week, COUNT(*) AS n_active,

@@ -297,6 +297,56 @@ object Windows {
   /** First and last daily value per user alongside each day's value —
     * first_value / last_value with explicit frames (last_value needs the
     * full-partition frame or it degenerates to the current row). */
+  /** Conversion FUNNEL with a time bound — the `windowFunnel` role
+    * from the reference's ecosystem (ClickHouse's parameterized
+    * sequence aggregate), re-expressed as deterministic relational
+    * algebra: chain signup → view → purchase from each user's EARLIEST
+    * signup, each later step the MIN matching timestamp after the
+    * previous step and within `withinHours` of the chain start.
+    * Anchoring on the earliest start (rather than "any chain exists")
+    * makes the semantics order-free and SQL-expressible, so the oracle
+    * hash-matches instead of trusting an engine-specific greedy scan.
+    *
+    * Scale shape: three skinny per-user MIN aggregations chained by
+    * broadcast-or-shuffle joins on user_id — no per-user event-list
+    * materialization, no sort; each step's frame is one row per
+    * surviving user. Reports users reaching each depth. */
+  def conversionFunnel(spark: SparkSession, sfDir: String,
+                       withinHours: Int = 72): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val horizon = expr(s"INTERVAL $withinHours HOURS")
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "view")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + horizon)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    // one plan: four one-row aggregates cross-joined (all broadcast),
+    // exploded into the depth table — no driver-side count loop
+    val counts = e.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n0"))
+      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n1"))))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n3"))))
+    def conv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, 0.0).otherwise(num.cast("double") / den.cast("double"))
+    counts.select(explode(array(
+        struct(lit(1).as("depth"), lit("signup").as("step"),
+               col("n1").as("n_users"), conv(col("n1"), col("n0")).as("conversion")),
+        struct(lit(2).as("depth"), lit("view_after_signup").as("step"),
+               col("n2").as("n_users"), conv(col("n2"), col("n1")).as("conversion")),
+        struct(lit(3).as("depth"), lit("purchase_after_view").as("step"),
+               col("n3").as("n_users"), conv(col("n3"), col("n2")).as("conversion"))))
+        .as("r"))
+      .select(col("r.*"))
+      .orderBy("depth")
+  }
+
   def firstLastDaily(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))

@@ -173,6 +173,33 @@ class EngineSpec extends AnyFunSuite {
     assert(out(5L)._1 == "pause" && out(5L)._2.isEmpty && out(5L)._3.isEmpty)
   }
 
+  test("conversion funnel matches a driver brute force of earliest chains") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts)").as("t"), $"event_type")
+      .as[(Long, Long, String)].collect()
+    val horizon = 72L * 3600 * 1000000L
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val signups = rows.filter(_._3 == "signup").map(_._2)
+      if (signups.nonEmpty) {
+        n1 += 1
+        val t1 = signups.min
+        val views = rows.filter(_._3 == "view").map(_._2)
+          .filter(t => t > t1 && t <= t1 + horizon)
+        if (views.nonEmpty) {
+          n2 += 1
+          val t2 = views.min
+          if (rows.exists(r => r._3 == "purchase" &&
+              r._2 > t2 && r._2 <= t1 + horizon)) n3 += 1
+        }
+      }
+    }
+    val got = Windows.conversionFunnel(spark, sf)
+      .select($"depth", $"n_users").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> n1, 2 -> n2, 3 -> n3))
+    assert(n1 > 0 && n2 > 0) // the fixture exercises the chain
+  }
+
   test("sliding sketch uniques track the exact rolling distinct within 5%") {
     val exact = Rollups.slidingUniqueUsers(spark, sf)
       .as[(java.sql.Timestamp, Long)].collect().toMap
