@@ -168,6 +168,7 @@ object SparkEntry {
     "q130_sliding_uniq_sketch" -> (Rollups.slidingUniqueUsersSketch _),
     "q131_retention"      -> (Rollups.weeklyRetention _),
     "q132_funnel"         -> ((s, d) => Windows.conversionFunnel(s, d)),
+    "q133_arg_extremes"   -> (Rollups.argExtremes _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -232,6 +233,13 @@ object SparkEntry {
          FROM hours a JOIN hu u
            ON u.h BETWEEN a.h - INTERVAL 23 HOUR AND a.h
          GROUP BY 1 ORDER BY anchor""",
+    "q133_arg_extremes" ->
+      s"""SELECT event_type,
+          (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u
+            AS top_value_user,
+          (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
+          ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY event_type""",
     "q132_funnel" ->
       """WITH t1 AS (
            SELECT user_id, MIN(ts) AS t1 FROM events

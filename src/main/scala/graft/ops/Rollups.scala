@@ -209,6 +209,22 @@ object Rollups {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** ClickHouse `argMax`/`argMin` analog — "the key that attains the
+    * extreme", via Spark's native `max_by`/`min_by`: per event type,
+    * the user holding the largest single-event value and the earliest
+    * event's user. Ties broken deterministically by pairing the value
+    * with the key (struct max orders lexicographically), so the oracle
+    * hash-matches instead of depending on scan order. */
+  def argExtremes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("value").cast("decimal(38,6)").as("v"),
+                      col("user_id").as("u"))).getField("u").as("top_value_user"),
+           min(struct(col("ts"), col("event_id"))).getField("event_id")
+             .as("first_event_id"),
+           Fns.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
   /** Per-hour (hour, user) distinct pairs plus the observed-anchor
     * frame — shared by the exact and sketch sliding-unique paths. */
   private def hourlyUsers(spark: SparkSession, sfDir: String): DataFrame =
