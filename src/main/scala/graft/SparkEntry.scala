@@ -1315,11 +1315,6 @@ object SparkEntry {
          FROM documents""",
   )
 
-  /** Recursive-CTE derivation of the exact-Jaccard near-dup connected
-    * components — q63's oracle head, shared with q114's capped keep so
-    * an edit to the edge semantics hits both oracles. Ends at the
-    * `comp(node, comp_id)` CTE; consumers append their own SELECT (and
-    * further CTEs after a leading comma). */
   /** The trigram-shingle CTE alone (q116 consumes it without edges). */
   private lazy val shCte =
     """sh AS (
@@ -1341,6 +1336,11 @@ object SparkEntry {
            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)"""
 
+  /** Recursive-CTE derivation of the exact-Jaccard near-dup connected
+    * components — q63's oracle head, shared with q114/q123/q124/q127
+    * so an edit to the edge semantics hits every consumer. Ends at the
+    * `comp(node, comp_id)` CTE; consumers append their own SELECT (and
+    * further CTEs after a leading comma). */
   private lazy val ccCompCte =
     s"""WITH RECURSIVE $edgeCte,
          ed AS (SELECT a_id AS src, b_id AS dst FROM e0

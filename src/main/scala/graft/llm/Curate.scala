@@ -171,15 +171,6 @@ object Curate {
         (col("n_docs") - col("distinct_fps")).cast("double") /
           col("n_docs").cast("double"))
 
-  /** The full curation pipeline in one plan: quality gate → PII scrub →
-    * exact dedup (on the SCRUBBED text — two raw docs differing only in
-    * redacted spans are duplicates) → deterministic train/test split →
-    * per-(lang, split) accounting of what ships to training.
-    *
-    * Still scan-shaped at 100 TB: the gate and scrub are narrow maps
-    * fused into the scan, the dedup is one fingerprint window, the
-    * split is a pure hash predicate — two exchanges total, same as the
-    * simple capstone. */
   /** Round-6 CAPSTONE — the training-corpus assembly line composed
     * from this round's stages, every one of them individually oracled,
     * and the composition oracled END-TO-END as one SQL pipeline:
@@ -211,18 +202,11 @@ object Curate {
       .select(col("doc_id"), col("comp_id"))
     val train = kept1.join(comps, Seq("doc_id"), "left")
       .withColumn("comp_id", coalesce(col("comp_id"), col("doc_id")))
-      .filter(substring(md5(col("comp_id").cast("string")), 1, 2) < "cd")
-    val perSrc = train.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
-    val minN = perSrc.agg(min(col("n_before")).as("__min_n"))
-    val rates = perSrc.crossJoin(broadcast(minN))
-      .withColumn("rate",
-        sqrt(col("__min_n").cast("double") / col("n_before").cast("double")))
-      .select(col("source"), col("rate"))
-    val thr = lpad(lower(hex(
-      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
-    val fin = train.join(broadcast(rates), "source")
-      .filter(col("rate") >= 1.0 ||
-        substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+      .filter(Sampling.hashBucket(col("comp_id")) < "cd")
+    val rates = Sampling.sqrtMixRates(
+      train.groupBy(col("source")).agg(count(lit(1)).as("n_before")), "source")
+    val fin = train.join(broadcast(rates.drop("n_before")), "source")
+      .filter(Sampling.rateKeep(col("doc_id"), col("rate")))
     docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
       .join(kept1.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
             Seq("lang"), "left")
@@ -236,6 +220,15 @@ object Curate {
       .orderBy("lang")
   }
 
+  /** The full curation pipeline in one plan: quality gate → PII scrub →
+    * exact dedup (on the SCRUBBED text — two raw docs differing only in
+    * redacted spans are duplicates) → deterministic train/test split →
+    * per-(lang, split) accounting of what ships to training.
+    *
+    * Still scan-shaped at 100 TB: the gate and scrub are narrow maps
+    * fused into the scan, the dedup is one fingerprint window, the
+    * split is a pure hash predicate — two exchanges total, same as the
+    * simple capstone. */
   def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
     curatedDocs(spark, sfDir)
       .withColumn("clean_toks", expr("filter(split(clean, ' '), x -> x != '')"))

@@ -230,16 +230,29 @@ object Dedup {
     * consumer reuses the materialized frame — the local stand-in for
     * the per-snapshot artifacts a production lake persists. */
   private[llm] def sessionCached(spark: SparkSession, key: String)
-                                (build: => DataFrame): DataFrame =
-    indexCache.synchronized {
-      var perSession = indexCache.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-        indexCache.put(spark, perSession)
+                                (build: => DataFrame): DataFrame = {
+    val perSession = indexCache.synchronized {
+      var m = indexCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        indexCache.put(spark, m)
       }
-      perSession.getOrElseUpdate(key,
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      m
     }
+    perSession.synchronized(perSession.get(key)) match {
+      case Some(df) => df
+      case None =>
+        // build OUTSIDE the lock: some builds (the component
+        // contraction) run eager Spark jobs, and holding the map lock
+        // through them would stall every cache hit on every other key
+        val built = build
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val winner = perSession.synchronized(
+          perSession.getOrElseUpdate(key, built))
+        if (!(winner eq built)) built.unpersist() // lost a benign race
+        winner
+    }
+  }
 
   def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
     sessionCached(spark, sfDir)(shingled(Tables.documents(spark, sfDir)))
@@ -792,8 +805,8 @@ object Dedup {
       .join(comps, Seq("doc_id"), "left")
       .withColumn("comp_id", coalesce(col("comp_id"), col("doc_id")))
       .withColumn("split",
-        when(substring(md5(col("comp_id").cast("string")), 1, 2) < "cd",
-             "train").otherwise(lit("test")))
+        when(Sampling.hashBucket(col("comp_id")) < "cd", "train")
+          .otherwise(lit("test")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("doc_id")).cast("long").as("id_checksum"))

@@ -41,6 +41,31 @@ object Sampling {
   /** Oracle-side twin of [[hashBucket]]. */
   def hashBucketSql(key: String): String = s"substr(md5(CAST($key AS VARCHAR)), 1, 2)"
 
+  /** The deterministic per-row keep decision at `rate`: md5-prefix of
+    * the id against the 16-bit threshold, with rate ≥ 1.0 keeping
+    * UNCONDITIONALLY (the 0xffff clamp would otherwise drop the
+    * ~1/65536 of rows whose hash prefix is "ffff" — violating the
+    * "under-represented groups keep everything" contract). ONE
+    * definition, shared by rebalancing, temperature mixing, and the
+    * curate-train capstone, so the clamp rule cannot diverge between
+    * an individually-oracled stage and a composition that claims it. */
+  private[llm] def rateKeep(idCol: Column, rate: Column): Column = {
+    val threshold = lpad(lower(hex(
+      least(floor(rate * 65536), lit(65535)).cast("long"))), 4, "0")
+    rate >= 1.0 || substring(md5(idCol.cast("string")), 1, 4) < threshold
+  }
+
+  /** √(min_n / n) temperature rates (α = 1/2, normalized so the
+    * smallest group's rate is exactly 1) over a (key, n_before) count
+    * frame — the rate derivation [[temperatureMix]] and
+    * [[Curate.curateTrain]] share. */
+  private[llm] def sqrtMixRates(perKey: DataFrame, keyCol: String): DataFrame =
+    perKey
+      .crossJoin(broadcast(perKey.agg(min(col("n_before")).as("__min_n"))))
+      .withColumn("rate",
+        sqrt(col("__min_n").cast("double") / col("n_before").cast("double")))
+      .select(col(keyCol), col("n_before"), col("rate"))
+
   /** Deterministic ~10% Bernoulli sample of documents (26/256), keyed on
     * doc_id. Materializing: proves the exact selected row set. */
   def bernoulliSample(spark: SparkSession, sfDir: String): DataFrame =
@@ -113,14 +138,7 @@ object Sampling {
       .withColumn("rate",
         least(lit(1.0), col("target") / col("n_before").cast("double")))
       .select(col("lang"), col("n_before"), col("rate"))
-    val threshold = lpad(lower(hex(
-      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
-    // rate 1.0 keeps UNCONDITIONALLY: the 16-bit threshold clamps to
-    // 0xffff, which would drop the ~1/65536 of docs whose hash prefix is
-    // "ffff" — violating the "under-represented languages keep
-    // everything" contract this operator documents
-    val kept = col("rate") >= 1.0 ||
-      substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    val kept = rateKeep(col("doc_id"), col("rate"))
     docs.join(broadcast(rates), "lang")
       .groupBy(col("lang"))
       .agg(first(col("n_before")).as("n_before"),
@@ -146,19 +164,9 @@ object Sampling {
     * per-source rollup. */
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val perSrc = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_before"))
-    val minN = perSrc.agg(min(col("n_before")).as("__min_n"))
-    val rates = perSrc.crossJoin(broadcast(minN))
-      .withColumn("rate",
-        sqrt(col("__min_n").cast("double") / col("n_before").cast("double")))
-      .select(col("source"), col("n_before"), col("rate"))
-    val threshold = lpad(lower(hex(
-      least(floor(col("rate") * 65536), lit(65535)).cast("long"))), 4, "0")
-    // rate 1.0 (the min source) keeps unconditionally — same 0xffff
-    // clamp rationale as rebalanceLanguages
-    val kept = col("rate") >= 1.0 ||
-      substring(md5(col("doc_id").cast("string")), 1, 4) < threshold
+    val rates = sqrtMixRates(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_before")), "source")
+    val kept = rateKeep(col("doc_id"), col("rate"))
     docs.join(broadcast(rates), "source")
       .groupBy(col("source"))
       .agg(first(col("n_before")).as("n_before"),

@@ -332,7 +332,16 @@ object Similarity {
       .join(broadcast(ranked), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine)
-    val truth = knnBrute(spark, sfDir)
+    // truth at the SAME k as the probe (knnBrute is fixed at 5 — a
+    // probe at another k against a 5-NN baseline would measure a
+    // different metric than the name promises)
+    val rawEmb = Tables.embeddings(spark, sfDir)
+    val q = withVec(rawEmb.filter(col("vec_id") < 10), "query_id", "qe").drop("label")
+    val c = withVec(rawEmb, "neighbor_id", "ce").drop("label")
+    val truth = topK(
+        c.crossJoin(broadcast(q))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", cosine), k)
       .select(col("query_id"), col("neighbor_id"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     probes.distinct.sorted
@@ -440,22 +449,10 @@ object Similarity {
     * rather than once per consumer. In production this is the
     * per-snapshot verified-pair artifact next to the IVF index
     * ([[writeIvfIndex]]); the session cache is the local stand-in. */
-  private val pairCache =
-    new java.util.IdentityHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-
   def lshPairIndex(spark: SparkSession, sfDir: String,
                    tables: Int = 8, bits: Int = 0): DataFrame =
-    pairCache.synchronized {
-      var perSession = pairCache.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-        pairCache.put(spark, perSession)
-      }
-      perSession.getOrElseUpdate(s"$sfDir:$tables:$bits",
-        lshCandidatePairs(spark, sfDir, tables, bits)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    Dedup.sessionCached(spark, s"lshpairs:$sfDir:$tables:$bits")(
+      lshCandidatePairs(spark, sfDir, tables, bits))
 
   /** SEMANTIC dedup clusters at 100 TB — [[semanticClusters]] with the
     * quadratic label-blocked edge stage replaced by LSH-candidate

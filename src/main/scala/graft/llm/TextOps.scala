@@ -365,21 +365,21 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
-  /** Canonical TEXT NORMALIZATION — lowercase, collapse whitespace
-    * runs, trim: the preprocessing pass in front of every
-    * fingerprint/shingle stage, where case and spacing variants of one
-    * document must hash identically or every downstream dedup
-    * undercounts. The driver fixture is already canonical, so the
-    * entry PERTURBS it deterministically (uppercase every 3rd doc,
-    * whitespace-mangle every 5th) and proves normalization recovers
-    * the original fingerprint surface exactly: distinct normalized fps
-    * per language equal the clean corpus's. Pure codegen'd string
-    * expressions — no UDF, narrow until the per-language rollup. */
   /** The canonical normal form: lowercase, collapse whitespace runs,
     * trim. Idempotent and case/spacing-invariant (PropertySpec). */
   def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Canonical TEXT NORMALIZATION — [[normalizeText]] as the
+    * preprocessing pass in front of every fingerprint/shingle stage,
+    * where case and spacing variants of one document must hash
+    * identically or every downstream dedup undercounts. The driver
+    * fixture is already canonical, so the entry PERTURBS it
+    * deterministically (uppercase every 3rd doc, whitespace-mangle
+    * every 5th) and proves normalization recovers the original
+    * fingerprint surface exactly: distinct normalized fps per language
+    * equal the clean corpus's. Pure codegen'd string expressions — no
+    * UDF, narrow until the per-language rollup. */
   def normalizeStats(spark: SparkSession, sfDir: String): DataFrame = {
     val messy = when(col("doc_id") % 3 === 0, upper(col("text")))
       .when(col("doc_id") % 5 === 0,

@@ -248,8 +248,12 @@ object Ingest {
       .when(t === "purchase", lit(MintSig))
       .when(t === "click", lit(BurnSig))
       .when(t === "view", lit(BlacklistedSig))
-      .otherwise(lit(PauseSig)) // error
-    val hasT1 = t =!= "error"
+      .otherwise(lit(PauseSig)) // error (and any future type) → Pause
+    // the complement of the sig chain's Pause fallback, NOT a single
+    // type test: an unlisted event_type must encode a WELL-FORMED
+    // topic-less Pause (a stray topic1 would make decodeAbi drop it
+    // while the oracle's ELSE branch still counts it)
+    val hasT1 = t.isin("signup", "purchase", "click", "view")
     val hasT2 = t.isin("signup", "purchase")
     val hasD = t.isin("signup", "purchase", "click")
     Tables.events(spark, sfDir).select(
@@ -324,7 +328,11 @@ object Ingest {
     * position. Undeclared selectors drop like undeclared topic0s. */
   def decodeCalldata(calls: DataFrame): DataFrame = {
     val sel = substring(col("input"), 3, 8)
-    val wellFormed = declaredFns.map { f =>
+    // the selector compare alone would accept any two junk characters
+    // where "0x" belongs (the event router compares the FULL topic0
+    // string; the packed form must check its prefix explicitly)
+    val prefixed = substring(col("input"), 1, 2) === "0x"
+    val wellFormed = prefixed && declaredFns.map { f =>
       val nWords = (if (f.hasAddr) 1 else 0) + (if (f.hasAmount) 1 else 0)
       val lenOk = length(col("input")) === lit(10 + 64 * nWords)
       val wordsOk = (0 until nWords)

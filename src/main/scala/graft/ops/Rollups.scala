@@ -225,12 +225,25 @@ object Rollups {
            Fns.dsum(col("value")).as("total_value"))
       .orderBy("event_type")
 
-  /** Per-hour (hour, user) distinct pairs plus the observed-anchor
-    * frame — shared by the exact and sketch sliding-unique paths. */
+  /** Per-hour (hour, user) distinct pairs — shared by the exact and
+    * sketch sliding-unique paths (HLL insertion is idempotent, so the
+    * sketch over distinct pairs equals the sketch over raw events). */
   private def hourlyUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
       .distinct()
+
+  /** The sliding scaffold both paths share: explode each hour row into
+    * its ≤24 anchors and drop anchors no event ever observed — ONE
+    * definition of the window, so the spec that bounds the sketch
+    * against the exact form can never drift on window semantics. */
+  private def slideToAnchors(hourly: DataFrame): DataFrame = {
+    val anchors = hourly.select(col("h").as("anchor")).distinct()
+    hourly.withColumn("anchor",
+        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
+                         expr("INTERVAL 1 HOUR"))))
+      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+  }
 
   /** SLIDING 24-hour distinct users per observed hour — the DAU-style
     * rolling engagement number, EXACT form. No range join: each
@@ -241,17 +254,11 @@ object Rollups {
     * with active (hour, user) pairs, never |hours|×|rows|. The exact
     * form is the CORRECTNESS baseline; [[slidingUniqueUsersSketch]] is
     * what runs at 100 TB. */
-  def slidingUniqueUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    val hu = hourlyUsers(spark, sfDir)
-    val anchors = hu.select(col("h").as("anchor")).distinct()
-    hu.withColumn("anchor",
-        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
-                         expr("INTERVAL 1 HOUR"))))
-      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+  def slidingUniqueUsers(spark: SparkSession, sfDir: String): DataFrame =
+    slideToAnchors(hourlyUsers(spark, sfDir))
       .groupBy(col("anchor"))
       .agg(countDistinct(col("user_id")).as("uniq_24h"))
       .orderBy("anchor")
-  }
 
   /** The 100 TB sliding-unique path: per-hour MERGEABLE HLL sketches
     * (one row per hour regardless of corpus size), slid by exploding
@@ -261,19 +268,14 @@ object Rollups {
     * design rule ("store mergeable states, not numbers") applied to a
     * sliding frame. Un-oracled (HLL binary); the spec bounds every
     * anchor against [[slidingUniqueUsers]]. */
-  def slidingUniqueUsersSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-    val anchors = hourly.select(col("h").as("anchor")).distinct()
-    hourly.withColumn("anchor",
-        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
-                         expr("INTERVAL 1 HOUR"))))
-      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+  def slidingUniqueUsersSketch(spark: SparkSession, sfDir: String): DataFrame =
+    slideToAnchors(
+        hourlyUsers(spark, sfDir)
+          .groupBy(col("h"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk")))
       .groupBy(col("anchor"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("uniq_24h_approx"))
       .orderBy("anchor")
-  }
 
   /** WEEKLY cohort retention — of the users active in week w, the
     * share also active in week w+1 (the engagement KPI every analytics

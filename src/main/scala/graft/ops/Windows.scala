@@ -294,9 +294,6 @@ object Windows {
       .orderBy("user_id")
   }
 
-  /** First and last daily value per user alongside each day's value —
-    * first_value / last_value with explicit frames (last_value needs the
-    * full-partition frame or it degenerates to the current row). */
   /** Conversion FUNNEL with a time bound — the `windowFunnel` role
     * from the reference's ecosystem (ClickHouse's parameterized
     * sequence aggregate), re-expressed as deterministic relational
@@ -347,6 +344,9 @@ object Windows {
       .orderBy("depth")
   }
 
+  /** First and last daily value per user alongside each day's value —
+    * first_value / last_value with explicit frames (last_value needs the
+    * full-partition frame or it degenerates to the current row). */
   def firstLastDaily(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))

@@ -509,11 +509,20 @@ object Live {
     * after merging. */
   def appendProfilePartials(batch: DataFrame, cols: Seq[String],
                             dir: String): Unit = {
-    import org.apache.spark.sql.types.NumericType
-    val isNum = cols.map { c =>
+    import org.apache.spark.sql.types._
+    // three TYPED min/max partial slots: integral (DECIMAL(38,0) —
+    // exact for any long, where a double slot would corrupt ids above
+    // 2^53 and render "1" as "1.0"), fractional (double min/max of
+    // doubles is exact), string
+    sealed trait Slot
+    case object I extends Slot; case object F extends Slot; case object S extends Slot
+    val slot: Map[String, Slot] = cols.map { c =>
       c -> (batch.schema(c).dataType match {
-        case _: NumericType => true
-        case _ => false
+        case ByteType | ShortType | IntegerType | LongType => I
+        case FloatType | DoubleType => F
+        case d: DecimalType if d.scale == 0 => I
+        case _: NumericType => F
+        case _ => S
       })
     }.toMap
     val aggs = cols.flatMap { c =>
@@ -523,18 +532,24 @@ object Live {
           max(col(c)).as(s"__mx_$c"))
     }
     val one = batch.agg(count(lit(1)).as("__n"), aggs: _*)
+    val nul = (t: String) => lit(null).cast(t)
     val rows = cols.map { c =>
-      val (mnN, mxN, mnS, mxS) =
-        if (isNum(c))
-          (col(s"__mn_$c").cast("double"), col(s"__mx_$c").cast("double"),
-           lit(null).cast("string"), lit(null).cast("string"))
-        else
-          (lit(null).cast("double"), lit(null).cast("double"),
-           col(s"__mn_$c").cast("string"), col(s"__mx_$c").cast("string"))
+      val (mnI, mxI, mnF, mxF, mnS, mxS) = slot(c) match {
+        case I => (col(s"__mn_$c").cast("decimal(38,0)"),
+                   col(s"__mx_$c").cast("decimal(38,0)"),
+                   nul("double"), nul("double"), nul("string"), nul("string"))
+        case F => (nul("decimal(38,0)"), nul("decimal(38,0)"),
+                   col(s"__mn_$c").cast("double"), col(s"__mx_$c").cast("double"),
+                   nul("string"), nul("string"))
+        case S => (nul("decimal(38,0)"), nul("decimal(38,0)"),
+                   nul("double"), nul("double"),
+                   col(s"__mn_$c").cast("string"), col(s"__mx_$c").cast("string"))
+      }
       struct(lit(c).as("col_name"), col("__n").as("n_rows"),
              (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
              col(s"__hll_$c").as("hll"),
-             mnN.as("min_num"), mxN.as("max_num"),
+             mnI.as("min_int"), mxI.as("max_int"),
+             mnF.as("min_dbl"), mxF.as("max_dbl"),
              mnS.as("min_str"), mxS.as("max_str"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
@@ -542,19 +557,24 @@ object Live {
   }
 
   /** Merge profile partials at read: counts sum, min/max compose in
-    * their native type, HLL sketches union then estimate. */
+    * their native typed slot (integral slots render without a ".0",
+    * matching the batch profiler's string form), HLL sketches union
+    * then estimate. */
   def readProfile(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("col_name"))
       .agg(sum(col("n_rows")).as("n_rows"),
            sum(col("n_nulls")).as("n_nulls"),
            expr("hll_sketch_estimate(hll_union_agg(hll))").as("n_distinct_approx"),
-           min(col("min_num")).as("__mn_n"), max(col("max_num")).as("__mx_n"),
+           min(col("min_int")).as("__mn_i"), max(col("max_int")).as("__mx_i"),
+           min(col("min_dbl")).as("__mn_d"), max(col("max_dbl")).as("__mx_d"),
            min(col("min_str")).as("__mn_s"), max(col("max_str")).as("__mx_s"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
               col("n_distinct_approx"),
-              coalesce(col("__mn_s"), col("__mn_n").cast("string")).as("min_val"),
-              coalesce(col("__mx_s"), col("__mx_n").cast("string")).as("max_val"))
+              coalesce(col("__mn_s"), col("__mn_i").cast("string"),
+                       col("__mn_d").cast("string")).as("min_val"),
+              coalesce(col("__mx_s"), col("__mx_i").cast("string"),
+                       col("__mx_d").cast("string")).as("max_val"))
       .orderBy("col_name")
 
   /** Ingest-time data-quality monitoring over any streamed parquet

@@ -160,7 +160,8 @@ class EngineSpec extends AnyFunSuite {
       (5L, "0x8456cb59"),                // pause(): selector only
       (6L, s"0x8456cb59$amt"),           // pause with a stray word: dropped
       (7L, s"0xdeadbeef$addr$amt"),      // undeclared selector: dropped
-      (8L, s"0x70a08231${"z" * 64}")     // balanceOf with non-hex word: dropped
+      (8L, s"0x70a08231${"z" * 64}"),    // balanceOf with non-hex word: dropped
+      (9L, s"zza9059cbb$addr$amt")       // junk where "0x" belongs: dropped
     ).toDF("event_id", "input")
     val out = Ingest.decodeCalldata(calls)
       .select($"event_id", $"fn", $"addr_arg", $"amount_cents".cast("long"))

@@ -309,11 +309,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(g._2 == w._2 && g._3 == w._3) // counts/nulls merge exactly
       // HLL distinct within 5% of exact
       assert(math.abs(g._4 - w._4) <= math.max(1L, (0.05 * w._4).toLong))
-      // min/max compose in native type: numerically equal for numerics,
-      // string-equal otherwise (the merged side renders via double)
-      if (c == "doc_id" || c == "n_chars")
-        assert(g._5.toDouble == w._5.toDouble && g._6.toDouble == w._6.toDouble)
-      else assert(g._5 == w._5 && g._6 == w._6)
+      // min/max compose in their typed slots and render EXACTLY as the
+      // batch profiler does (integral slots carry DECIMAL(38,0), so
+      // "1" stays "1" — no double round-trip)
+      assert(g._5 == w._5 && g._6 == w._6, s"col=$c ${g._5}/${w._5}")
     }
   }
 }
