@@ -169,6 +169,8 @@ object SparkEntry {
     "q131_retention"      -> (Rollups.weeklyRetention _),
     "q132_funnel"         -> ((s, d) => Windows.conversionFunnel(s, d)),
     "q133_arg_extremes"   -> (Rollups.argExtremes _),
+    "q134_combinators"    -> ((s, d) => Rollups.combinatorRollup(s, d)),
+    "q135_weighted_median" -> (Rollups.weightedMedianLength _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -240,6 +242,25 @@ object SparkEntry {
           (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
           ${dsum("value")} AS total_value
           FROM events GROUP BY 1 ORDER BY event_type""",
+    "q134_combinators" ->
+      s"""SELECT event_type,
+          COUNT(CASE WHEN value > 1.0 THEN 1 END) AS n_over_1,
+          ${dsum("CASE WHEN value > 1.0 THEN value END")} AS sum_over_1,
+          least(COUNT(DISTINCT user_id), 11) AS uniq_upto,
+          COUNT(*) AS n_events
+          FROM events GROUP BY 1 ORDER BY event_type""",
+    "q135_weighted_median" ->
+      """WITH c AS (
+           SELECT lang, doc_id, n_chars,
+                  SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+                  SUM(n_chars) OVER (PARTITION BY lang) AS total_w,
+                  COUNT(*) OVER (PARTITION BY lang) AS n_docs
+           FROM documents)
+         SELECT lang, MIN(n_chars) AS weighted_median_len,
+                CAST(MIN(n_docs) AS BIGINT) AS n_docs
+         FROM c WHERE cum_w * 2 >= total_w
+         GROUP BY 1 ORDER BY lang""",
     "q132_funnel" ->
       """WITH t1 AS (
            SELECT user_id, MIN(ts) AS t1 FROM events

@@ -225,6 +225,48 @@ object Rollups {
            Fns.dsum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  /** ClickHouse aggregate-COMBINATOR analogs in one rollup — the `-If`
+    * family as conditional aggregates (`count(when)`, decimal-routed
+    * `sum(when)`) and `uniqUpTo(N)` as `least(countDistinct, N+1)`:
+    * exact distinct counts up to N, then the single sentinel N+1
+    * ("more than N") — the bounded-cardinality probe dashboards use
+    * where the exact tail is irrelevant. */
+  def combinatorRollup(spark: SparkSession, sfDir: String,
+                       upTo: Int = 10): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("value") > 1.0, 1)).as("n_over_1"),
+           Fns.dsum(when(col("value") > 1.0, col("value"))).as("sum_over_1"),
+           least(countDistinct(col("user_id")), lit(upTo + 1).cast("long"))
+             .as("uniq_upto"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** `quantileExactWeighted` analog — the weighted median of document
+    * length per language, each doc weighted by its own n_chars (the
+    * "median byte lives in a doc of this length" statistic): smallest
+    * x with cumulative weight ≥ half the total. One partitioned window
+    * per language (high key cardinality, no single-task stage) + a
+    * broadcast one-row-per-lang total. */
+  def weightedMedianLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("total_w"), count(lit(1)).as("n_docs"))
+    docs
+      .withColumn("cum_w", sum(col("n_chars")).over(w))
+      .join(broadcast(totals), "lang")
+      .filter(col("cum_w") * 2 >= col("total_w"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("weighted_median_len"),
+           first(col("n_docs")).as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Per-hour (hour, user) distinct pairs — shared by the exact and
     * sketch sliding-unique paths (HLL insertion is idempotent, so the
     * sketch over distinct pairs equals the sketch over raw events). */

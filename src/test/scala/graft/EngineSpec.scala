@@ -201,6 +201,34 @@ class EngineSpec extends AnyFunSuite {
     assert(n1 > 0 && n2 > 0) // the fixture exercises the chain
   }
 
+  test("uniqUpTo caps at N+1 and is exact below the cap") {
+    val exact = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(countDistinct($"user_id")).as[(String, Long)].collect().toMap
+    val capped = Rollups.combinatorRollup(spark, sf, upTo = 10)
+      .select($"event_type", $"uniq_upto").as[(String, Long)].collect().toMap
+    capped.foreach { case (t, u) => assert(u == math.min(exact(t), 11L)) }
+    // a cap above every true cardinality reports the exact counts
+    val uncapped = Rollups.combinatorRollup(spark, sf, upTo = 1000000)
+      .select($"event_type", $"uniq_upto").as[(String, Long)].collect().toMap
+    assert(uncapped == exact)
+  }
+
+  test("weighted median matches a driver cumulative-weight scan") {
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    val want = docs.groupBy(_._1).map { case (l, v) =>
+      val sorted = v.sortBy(r => (r._3, r._2))
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      l -> sorted.find { r => cum += r._3; cum * 2 >= total }.get._3
+    }
+    val got = Rollups.weightedMedianLength(spark, sf)
+      .select($"lang", $"weighted_median_len")
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("sliding sketch uniques track the exact rolling distinct within 5%") {
     val exact = Rollups.slidingUniqueUsers(spark, sf)
       .as[(java.sql.Timestamp, Long)].collect().toMap
