@@ -52,7 +52,7 @@ object SparkEntry {
     "q25_fingerprint"    -> (TextOps.fingerprints _),
     "q26_lang_markers"   -> (TextOps.langMarkers _),
     "q27_ngram_jaccard"  -> (Dedup.ngramJaccard _),
-    "q28_knn_brute"      -> (Similarity.knnBrute _),
+    "q28_knn_brute"      -> ((s, d) => Similarity.knnBrute(s, d)),
     "q29_knn_label"      -> (Similarity.knnWithinLabel _),
     "q30_media_meta"     -> (Multimodal.mediaMeta _),
     "q33_salted_rollup"  -> ((s, d) => Skew.saltedDaily(s, d)),

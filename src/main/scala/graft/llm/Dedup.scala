@@ -247,10 +247,12 @@ object Dedup {
         // through them would stall every cache hit on every other key
         val built = build
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val winner = perSession.synchronized(
-          perSession.getOrElseUpdate(key, built))
-        if (!(winner eq built)) built.unpersist() // lost a benign race
-        winner
+        // on a lost same-key race, do NOT unpersist the loser: Spark's
+        // CacheManager keys on the canonicalized plan, so the loser's
+        // persist was a no-op against the winner's entry and an
+        // unpersist here would evict the SHARED cache entry — every
+        // later consumer would silently recompute the index
+        perSession.synchronized(perSession.getOrElseUpdate(key, built))
     }
   }
 

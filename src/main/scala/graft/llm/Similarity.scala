@@ -45,15 +45,17 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Exact brute-force cosine top-5 for query vectors vec_id < 10. */
-  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact brute-force cosine top-k for query vectors vec_id < 10 —
+    * the ground truth every ANN path ([[ivfKnn]], [[annRecall]])
+    * measures against; one definition so the baseline cannot drift. */
+  def knnBrute(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val q = withVec(emb.filter(col("vec_id") < 10), "query_id", "qe").drop("label")
     val c = withVec(emb, "neighbor_id", "ce").drop("label")
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine)
-    topK(pairs, 5)
+    topK(pairs, k)
   }
 
   /** IVF-style ANN: candidates pruned to the query's coarse cluster
@@ -332,16 +334,10 @@ object Similarity {
       .join(broadcast(ranked), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine)
-    // truth at the SAME k as the probe (knnBrute is fixed at 5 — a
-    // probe at another k against a 5-NN baseline would measure a
-    // different metric than the name promises)
-    val rawEmb = Tables.embeddings(spark, sfDir)
-    val q = withVec(rawEmb.filter(col("vec_id") < 10), "query_id", "qe").drop("label")
-    val c = withVec(rawEmb, "neighbor_id", "ce").drop("label")
-    val truth = topK(
-        c.crossJoin(broadcast(q))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("sim", cosine), k)
+    // truth at the SAME k as the probe — a probe at another k against
+    // a fixed 5-NN baseline would measure a different metric than the
+    // name promises
+    val truth = knnBrute(spark, sfDir, k)
       .select(col("query_id"), col("neighbor_id"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     probes.distinct.sorted

@@ -514,12 +514,18 @@ object Live {
     // exact for any long, where a double slot would corrupt ids above
     // 2^53 and render "1" as "1.0"), fractional (double min/max of
     // doubles is exact), string
+    // partial schema v2: each min/max carries a TYPED sort slot (an
+    // order-correct comparison key — integrals widen to DECIMAL(38,0),
+    // exact above 2^53; floats/decimals widen to double, order-
+    // preserving; everything else compares as its string form) PLUS the
+    // NATIVE-rendERED string, so the merge orders on the slot and then
+    // reports the winning partial's own rendering — "1" never becomes
+    // "1.0" and a float min renders exactly as the batch profiler's.
     sealed trait Slot
     case object I extends Slot; case object F extends Slot; case object S extends Slot
     val slot: Map[String, Slot] = cols.map { c =>
       c -> (batch.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => I
-        case FloatType | DoubleType => F
         case d: DecimalType if d.scale == 0 => I
         case _: NumericType => F
         case _ => S
@@ -550,31 +556,37 @@ object Live {
              col(s"__hll_$c").as("hll"),
              mnI.as("min_int"), mxI.as("max_int"),
              mnF.as("min_dbl"), mxF.as("max_dbl"),
-             mnS.as("min_str"), mxS.as("max_str"))
+             mnS.as("min_str"), mxS.as("max_str"),
+             col(s"__mn_$c").cast("string").as("min_render"),
+             col(s"__mx_$c").cast("string").as("max_render"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
       .write.mode("append").parquet(dir)
   }
 
-  /** Merge profile partials at read: counts sum, min/max compose in
-    * their native typed slot (integral slots render without a ".0",
-    * matching the batch profiler's string form), HLL sketches union
-    * then estimate. */
+  /** Merge profile partials at read: counts sum, min/max order on
+    * their typed slot with `min_by`/`max_by` carrying the winning
+    * partial's NATIVE rendering (the global extreme always comes from
+    * some batch's partial, whose render is exact), HLL sketches union
+    * then estimate. Reads the v2 partial schema written by
+    * [[appendProfilePartials]] — partials from an older writer need a
+    * rebuild, not a schema merge. */
   def readProfile(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("col_name"))
       .agg(sum(col("n_rows")).as("n_rows"),
            sum(col("n_nulls")).as("n_nulls"),
            expr("hll_sketch_estimate(hll_union_agg(hll))").as("n_distinct_approx"),
-           min(col("min_int")).as("__mn_i"), max(col("max_int")).as("__mx_i"),
-           min(col("min_dbl")).as("__mn_d"), max(col("max_dbl")).as("__mx_d"),
-           min(col("min_str")).as("__mn_s"), max(col("max_str")).as("__mx_s"))
+           min_by(col("min_render"), col("min_int")).as("__mn_i"),
+           max_by(col("max_render"), col("max_int")).as("__mx_i"),
+           min_by(col("min_render"), col("min_dbl")).as("__mn_d"),
+           max_by(col("max_render"), col("max_dbl")).as("__mx_d"),
+           min_by(col("min_render"), col("min_str")).as("__mn_s"),
+           max_by(col("max_render"), col("max_str")).as("__mx_s"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
               col("n_distinct_approx"),
-              coalesce(col("__mn_s"), col("__mn_i").cast("string"),
-                       col("__mn_d").cast("string")).as("min_val"),
-              coalesce(col("__mx_s"), col("__mx_i").cast("string"),
-                       col("__mx_d").cast("string")).as("max_val"))
+              coalesce(col("__mn_s"), col("__mn_i"), col("__mn_d")).as("min_val"),
+              coalesce(col("__mx_s"), col("__mx_i"), col("__mx_d")).as("max_val"))
       .orderBy("col_name")
 
   /** Ingest-time data-quality monitoring over any streamed parquet

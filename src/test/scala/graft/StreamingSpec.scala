@@ -290,6 +290,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("profile partials merge typed slots with native rendering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pslot").toString
+    // long ids straddle a lexicographic trap ("9" > "10"); floats must
+    // render natively ("0.1", not the widened "0.10000000149011612")
+    val b1 = Seq((1L, 0.1f, "a"), (2L, 9.5f, "b")).toDF("id", "f", "s")
+    val b2 = Seq((10L, 0.25f, "c")).toDF("id", "f", "s")
+    Live.appendProfilePartials(b1, Seq("id", "f", "s"), dir)
+    Live.appendProfilePartials(b2, Seq("id", "f", "s"), dir)
+    val got = Live.readProfile(spark, dir)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = graft.ops.Monitoring.profileOf(b1.union(b2), Seq("id", "f", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == want) // tiny set: even the HLL distinct is exact
+  }
+
   test("streamed profile partials merge to the batch profile") {
     val docs = Tables.documents(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sprof").toString
