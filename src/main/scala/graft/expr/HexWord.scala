@@ -30,6 +30,53 @@ case class IsHexWord(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whole-payload well-formedness for PACKED calldata — "0x" + 8-hex
+  * selector + `words` × 64-hex argument words, validated in ONE byte
+  * scan over the original string. The per-word alternative
+  * (`IsHexWord(concat(lit("0x"), substring(...)))` per argument per
+  * candidate shape) allocates two UTF8Strings per check; a five-shape
+  * router evaluates up to eight of those per row. Checking the selector
+  * bytes for hexness too is strictly tighter and free: a non-hex
+  * selector can never equal a declared selector literal, so no row
+  * changes routing.
+  */
+case class IsHexCalldata(child: Expression, words: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_hex_calldata"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IsHexCalldata.check(input.asInstanceOf[UTF8String], words)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.IsHexCalldata.check($c, $words)")
+
+  override protected def withNewChildInternal(newChild: Expression): IsHexCalldata =
+    copy(child = newChild)
+}
+
+object IsHexCalldata {
+  /** True iff the value is exactly "0x" + (8 + 64*words) lowercase hex. */
+  def check(s: UTF8String, words: Int): Boolean = {
+    val n = 10 + 64 * words
+    if (s.numBytes != n) return false
+    if (s.getByte(0) != '0' || s.getByte(1) != 'x') return false
+    var i = 2
+    while (i < n) {
+      val b = s.getByte(i)
+      if (!((b >= '0' && b <= '9') || (b >= 'a' && b <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Column-API entry point. */
+  def apply(c: org.apache.spark.sql.Column, words: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      IsHexCalldata(org.apache.spark.sql.graftx.Bridge.expression(c), words))
+}
+
 object IsHexWord {
   /** True iff the value is exactly "0x" + 64 lowercase hex chars. */
   def check(s: UTF8String): Boolean = {

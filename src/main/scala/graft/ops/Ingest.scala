@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.expr.{HexToDecimal, IsHexWord}
+import graft.expr.{HexToDecimal, IsHexCalldata, IsHexWord}
 
 /** Decode-projection ingest operators (SURVEY §2.2 F1/F2, §2.7 C8/C9).
   *
@@ -33,10 +33,23 @@ object Ingest {
   /** uint256 hex word → DECIMAL(38,0) via the custom expression. */
   def uint256(data: Column): Column = HexToDecimal(data)
 
+  /** The events source spread across cores BEFORE wire-format
+    * synthesis. The fixture parquet is a single row-group (one scan
+    * task), so the string concat + decode chain would otherwise run on
+    * one core; the exchange here carries only the SKINNY typed source
+    * columns (ids + a double), never the ~140–330-char packed strings
+    * the old plan shuffled post-synthesis — at 100 TB the source
+    * arrives in many splits and this is a near-no-op, and in either
+    * case no wire payload ever crosses an exchange (decode-before-
+    * shuffle, the q120-vs-q128 lesson from round 6). */
+  private def parallelEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** events → synthetic Transfer logs: topic1=from, topic2=to (sender
     * shifted into a disjoint id space), data=value in integer cents. */
   def synthesizeLogs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+    parallelEvents(spark, sfDir).select(
       col("event_id"),
       topicFromId(col("user_id")).as("topic1"),
       topicFromId(col("user_id") + 1000000L).as("topic2"),
@@ -70,14 +83,11 @@ object Ingest {
   /** Encode→decode→aggregate roundtrip query: volume per sender address.
     * Oracled against the same aggregate computed directly from the
     * un-encoded columns in DuckDB. The decode stage (regex re-check +
-    * big-integer parse per row) is spread across cores first — the
-    * fixture scan yields one row-group, and per-row decode cost far
-    * outweighs one small shuffle (at ingest scale the source arrives
-    * pre-partitioned and the repartition is a near-no-op). */
+    * big-integer parse per row) is spread across cores by
+    * [[parallelEvents]] — the exchange happens on the skinny source
+    * columns upstream of the string concat, never on wire strings. */
   def evmRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeTransfers(
-      synthesizeLogs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeTransfers(synthesizeLogs(spark, sfDir))
       .groupBy(col("from_address"))
       .agg(count(lit(1)).as("n_transfers"),
            sum(col("value_cents")).cast("long").as("total_cents"))
@@ -145,7 +155,7 @@ object Ingest {
     * wire shape a real contract emits into one log stream. */
   def synthesizeMixedLogs(spark: SparkSession, sfDir: String): DataFrame = {
     val oneTopic = col("event_type") === "view"
-    Tables.events(spark, sfDir).select(
+    parallelEvents(spark, sfDir).select(
       col("event_id"),
       when(col("event_type") === "signup", lit(ApprovalSig))
         .when(oneTopic, lit(BlacklistedSig))
@@ -200,9 +210,7 @@ object Ingest {
     * computed from the un-encoded columns (owner = the synthesized
     * address of user_id, rows where event_type = 'signup'). */
   def approvalRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeAbi(
-      synthesizeMixedLogs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeAbi(synthesizeMixedLogs(spark, sfDir))
       .filter(col("event") === "Approval")
       .groupBy(col("addr1").as("owner_address"))
       .agg(count(lit(1)).as("n_approvals"),
@@ -213,9 +221,7 @@ object Ingest {
     * event shape) — proves both decoders ran over one stream. Oracled
     * with the equivalent CASE routing on the original columns. */
   def abiEventMix(spark: SparkSession, sfDir: String): DataFrame =
-    decodeAbi(
-      synthesizeMixedLogs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeAbi(synthesizeMixedLogs(spark, sfDir))
       .groupBy(col("event"))
       .agg(count(lit(1)).as("n_logs"),
            sum(col("amount_cents")).cast("long").as("total_cents"))
@@ -227,9 +233,7 @@ object Ingest {
     * shape, not by accident). Oracled against the `view` slice of the
     * original columns. */
   def blacklistRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeAbi(
-      synthesizeMixedLogs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeAbi(synthesizeMixedLogs(spark, sfDir))
       .filter(col("event") === "Blacklisted")
       .groupBy(col("addr1").as("account_address"))
       .agg(count(lit(1)).as("n_flags"))
@@ -256,7 +260,7 @@ object Ingest {
     val hasT1 = t.isin("signup", "purchase", "click", "view")
     val hasT2 = t.isin("signup", "purchase")
     val hasD = t.isin("signup", "purchase", "click")
-    Tables.events(spark, sfDir).select(
+    parallelEvents(spark, sfDir).select(
       col("event_id"),
       sig.as("topic0"),
       when(hasT1, topicFromId(col("user_id"))).as("topic1"),
@@ -272,9 +276,7 @@ object Ingest {
     * declared layout decodes through one router over one stream.
     * Oracled with the equivalent CASE routing on the raw columns. */
   def lifecycleRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeAbi(
-      synthesizeLifecycleLogs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeAbi(synthesizeLifecycleLogs(spark, sfDir))
       .groupBy(col("event"))
       .agg(count(lit(1)).as("n_logs"),
            countDistinct(col("addr1")).as("n_addrs"),
@@ -317,7 +319,7 @@ object Ingest {
       .when(t === "click", concat(lit("0x42966c68"), amtW))
       .when(t === "view", concat(lit("0x70a08231"), selfW))
       .otherwise(lit("0x8456cb59")) // error → pause()
-    Tables.events(spark, sfDir).select(col("event_id"), input.as("input"))
+    parallelEvents(spark, sfDir).select(col("event_id"), input.as("input"))
   }
 
   /** Selector-routed CALLDATA decoder — the function-side twin of
@@ -328,17 +330,13 @@ object Ingest {
     * position. Undeclared selectors drop like undeclared topic0s. */
   def decodeCalldata(calls: DataFrame): DataFrame = {
     val sel = substring(col("input"), 3, 8)
-    // the selector compare alone would accept any two junk characters
-    // where "0x" belongs (the event router compares the FULL topic0
-    // string; the packed form must check its prefix explicitly)
-    val prefixed = substring(col("input"), 1, 2) === "0x"
-    val wellFormed = prefixed && declaredFns.map { f =>
+    // one whole-payload byte scan per candidate word count (the 0x
+    // prefix, total length, and every word's hexness in a single pass —
+    // [[graft.expr.IsHexCalldata]]); distinct word counts collapse to
+    // at most three scans and Spark CSE dedups the repeats
+    val wellFormed = declaredFns.map { f =>
       val nWords = (if (f.hasAddr) 1 else 0) + (if (f.hasAmount) 1 else 0)
-      val lenOk = length(col("input")) === lit(10 + 64 * nWords)
-      val wordsOk = (0 until nWords)
-        .map(i => IsHexWord(concat(lit("0x"), word(i))))
-        .foldLeft(lit(true))(_ && _)
-      sel === lit(f.selector) && lenOk && wordsOk
+      sel === lit(f.selector) && IsHexCalldata(col("input"), nWords)
     }.reduce(_ || _)
     val fnName = declaredFns.foldLeft(lit(null).cast("string")) {
       (acc, f) => when(sel === lit(f.selector), lit(f.name)).otherwise(acc)
@@ -363,9 +361,7 @@ object Ingest {
     * aggregate per function — the q120 shape for the packed-string wire
     * format. Oracled with the equivalent CASE routing on raw columns. */
   def calldataRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
-    decodeCalldata(
-      synthesizeCalldata(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    decodeCalldata(synthesizeCalldata(spark, sfDir))
       .groupBy(col("fn"))
       .agg(count(lit(1)).as("n_calls"),
            countDistinct(col("addr_arg")).as("n_addrs"),
