@@ -38,10 +38,12 @@ object Ingest {
     * task), so the string concat + decode chain would otherwise run on
     * one core; the exchange here carries only the SKINNY typed source
     * columns (ids + a double), never the ~140–330-char packed strings
-    * the old plan shuffled post-synthesis — at 100 TB the source
-    * arrives in many splits and this is a near-no-op, and in either
-    * case no wire payload ever crosses an exchange (decode-before-
-    * shuffle, the q120-vs-q128 lesson from round 6). */
+    * the old plan shuffled post-synthesis. An explicit repartition(n)
+    * always shuffles every source row — at 100 TB this is a real
+    * exchange, just a cheap one (skinny columns, round-robin, no sort)
+    * relative to the decode it parallelizes — and in either case no
+    * wire payload ever crosses an exchange (decode-before-shuffle, the
+    * q120-vs-q128 lesson from round 6, pinned by PlanLintSpec). */
   private def parallelEvents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)

@@ -94,6 +94,44 @@ class ExprSpec extends AnyFunSuite {
     assert(viaDf(0).getBoolean(0) && viaDf(1).isNullAt(0))
   }
 
+  test("is_hex_calldata: exact 0x + selector + n-word byte scan") {
+    import graft.expr.IsHexCalldata
+    import org.apache.spark.unsafe.types.UTF8String
+    def chk(s: String, words: Int) =
+      IsHexCalldata.check(UTF8String.fromString(s), words)
+    val sel = "0xa9059cbb"
+    val w = "0" * 24 + "a" * 40
+    // words = 0: selector-only payload (pause())
+    assert(chk(sel, 0))
+    assert(!chk(sel, 1))            // declared 1 word, got none
+    assert(!chk(sel + w, 0))        // declared 0 words, got one
+    // exact length is the contract: off-by-one either way fails
+    assert(chk(sel + w + w, 2))
+    assert(!chk(sel + w + w.dropRight(1), 2)) // truncated last word
+    assert(!chk(sel + w + w + "a", 2))        // stray trailing nibble
+    // casing and prefix
+    assert(!chk(("0x" + "A9059CBB"), 0))      // uppercase hex
+    assert(!chk("0X" + sel.drop(2), 0))       // uppercase prefix
+    assert(!chk("00" + sel.drop(2), 0))       // missing 0x
+    assert(!chk(sel.dropRight(1) + "g", 0))   // non-hex byte in selector
+    assert(!chk(sel + w.dropRight(1) + "g", 1)) // non-hex byte in word
+    assert(!chk("", 0))
+    // null-intolerant: null in → null out (drops in filters)
+    val viaDf = Seq(Some(sel), None).toDF("c")
+      .select(IsHexCalldata(col("c"), 0).as("ok")).collect()
+    assert(viaDf(0).getBoolean(0) && viaDf(1).isNullAt(0))
+  }
+
+  test("is_hex_calldata runs inside whole-stage codegen") {
+    import graft.expr.IsHexCalldata
+    val df = spark.range(1, 4)
+      .select(IsHexCalldata(
+        concat(lit("0xa9059cbb"), lpad(lower(hex(col("id"))), 64, "0")), 1).as("ok"))
+    assert(df.as[Boolean].collect().forall(identity))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("is_hex_calldata"))
+  }
+
   test("is_hex_word runs inside whole-stage codegen") {
     import graft.expr.IsHexWord
     val df = spark.range(1, 4)

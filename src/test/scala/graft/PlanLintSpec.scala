@@ -60,6 +60,39 @@ class PlanLintSpec extends AnyFunSuite {
       s"single-partition windows planned by: ${offenders.mkString("; ")}")
   }
 
+  test("ABI routers: no wire-format payload column ever crosses an exchange") {
+    // the round-6→7 q128 regression, locked in CI: the parallelizing
+    // exchange must carry only the SKINNY typed source columns — the
+    // ~140–330-char packed wire strings (`input`, `topic0..2`, `data`)
+    // are synthesized and decoded on the same side of every shuffle.
+    // (Catalyst pushes the defensive well-formedness FILTER below the
+    // repartition, re-deriving the synthesis inline — that is fine: a
+    // filter ships no bytes; what regressed in round 6 was the payload
+    // PROJECTION crossing the exchange.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wireCols = Set("input", "topic0", "topic1", "topic2", "data")
+    def offenders(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case e: ShuffleExchangeLike =>
+          e.output.map(_.name).filter(wireCols).map(n => s"${e.nodeName}($n)")
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(offenders) ++ p.subqueries.flatMap(offenders)
+    }
+    for (df <- Seq(ops.Ingest.calldataRoundtrip(spark, sf),
+                   ops.Ingest.lifecycleRoundtrip(spark, sf),
+                   ops.Ingest.evmRoundtrip(spark, sf))) {
+      val hits = offenders(df.queryExecution.executedPlan)
+      assert(hits.isEmpty, s"wire payload crosses an exchange: ${hits.mkString(", ")}")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
