@@ -171,6 +171,12 @@ object SparkEntry {
     "q133_arg_extremes"   -> (Rollups.argExtremes _),
     "q134_combinators"    -> ((s, d) => Rollups.combinatorRollup(s, d)),
     "q135_weighted_median" -> (Rollups.weightedMedianLength _),
+    // — round 8: the persisted-index production probes, driver-checked —
+    "q136_fp_index_probe" -> (Dedup.fpIndexProbe _),
+    // un-oracled (xxhash64 banding); spec pins probe ≡ session admission
+    "q137_neardup_index_probe" -> (Dedup.nearDupIndexProbe _),
+    // un-oracled (k-means); spec pins probe ≡ in-session IVF build
+    "q138_ivf_index_probe" -> ((s, d) => Similarity.ivfIndexProbe(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -543,6 +549,23 @@ object SparkEntry {
     // continuous-ingest dedup: batch (doc_id%10=0) probed against the
     // standing corpus's hash index; corpus dup outranks in-batch dup
     "q85_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, lang, md5(text) AS fp
+               FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT DISTINCT md5(text) AS fp
+               FROM documents WHERE doc_id % 10 <> 0),
+         f AS (SELECT b.lang, (c.fp IS NOT NULL) AS dupc,
+                 row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+               FROM b LEFT JOIN c ON b.fp = c.fp)
+         SELECT lang, COUNT(*) AS n_batch,
+           COUNT(CASE WHEN NOT dupc AND rn = 1 THEN 1 END) AS n_admitted,
+           COUNT(CASE WHEN dupc THEN 1 END) AS n_dup_corpus,
+           COUNT(CASE WHEN NOT dupc AND rn > 1 THEN 1 END) AS n_dup_batch
+         FROM f GROUP BY 1 ORDER BY lang""",
+    // persisted-index probe: same admission semantics as q85, but the
+    // corpus side rides the written-then-loaded fp snapshot — the SQL
+    // twin recomputes it from source, so the parquet write + read-back
+    // must preserve every fingerprint to hash-match
+    "q136_fp_index_probe" ->
       """WITH b AS (SELECT doc_id, lang, md5(text) AS fp
                FROM documents WHERE doc_id % 10 = 0),
          c AS (SELECT DISTINCT md5(text) AS fp

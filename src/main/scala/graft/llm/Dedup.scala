@@ -169,6 +169,45 @@ object Dedup {
     incrementalDedupOf(Tables.documents(spark, sfDir),
                        col("doc_id") % 10 === 0)
 
+  /** Per-(sfDir, artifact) scratch dir for the persisted-index probe
+    * queries — stable across runs (the write is mode=overwrite) and
+    * disjoint across scale factors so a bench at sf0.1 never probes an
+    * sf0.01 snapshot. */
+  private[llm] def indexScratch(sfDir: String, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}").getAbsolutePath
+
+  /** Driver entry for the PERSISTED exact-dedup path (q136): snapshot
+    * the standing corpus's fingerprint index to parquet
+    * ([[writeFpIndex]]), then run the delivery probe against the LOADED
+    * artifact — identical semantics (and oracle) to
+    * [[incrementalDedup]], but the corpus side is served from the
+    * skinny persisted index: the probe reads (fp) rows only, never
+    * corpus text. This is the production claim made driver-checkable —
+    * write + read-back + probe in one query, like q86's lake publish. */
+  def fpIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = indexScratch(sfDir, "fp_index")
+    writeFpIndex(docs.filter(col("doc_id") % 10 =!= 0), dir)
+    incrementalDedupAgainstIndex(docs.filter(col("doc_id") % 10 === 0),
+                                 loadFpIndex(spark, dir))
+  }
+
+  /** Driver entry for the PERSISTED near-dup path (q137): snapshot the
+    * corpus MinHash-signature + shingle-hash index
+    * ([[writeNearDupIndex]]), then band-probe the delivery against the
+    * LOADED artifact — [[incrementalNearDup]]'s semantics with the
+    * corpus side served from the persisted signatures (text read only
+    * for the delivery). Un-oracled (xxhash64 banding, SURVEY §5.3);
+    * the planted-fixture spec pins probe ≡ session-index admission. */
+  def nearDupIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = indexScratch(sfDir, "neardup_index")
+    writeNearDupIndex(docs.filter(col("doc_id") % 10 =!= 0), dir)
+    incrementalNearDupAgainstIndex(docs.filter(col("doc_id") % 10 === 0),
+                                   loadNearDupIndex(spark, dir))
+  }
+
   /** Distinct word-trigram shingle set per document, as an array column.
     *
     * Built in ONE typed mapPartitions pass: tokenize, shingle, and

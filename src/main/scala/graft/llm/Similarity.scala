@@ -253,6 +253,18 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Driver entry for the PERSISTED IVF path (q138): write the
+    * centroid + cell-partitioned assignment artifact
+    * ([[writeIvfIndex]]), then run the production probe against the
+    * LOADED index — write + read-back + probe in one query, the ANN
+    * twin of [[Dedup.fpIndexProbe]]. Un-oracled (k-means, SURVEY
+    * §5.3); the spec pins probe ≡ in-session build. */
+  def ivfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Dedup.indexScratch(sfDir, "ivf_index")
+    writeIvfIndex(spark, sfDir, dir)
+    ivfKnnAgainstIndex(spark, sfDir, dir)
+  }
+
   /** IVF ANN against a LOADED [[writeIvfIndex]] artifact — the
     * production probe: queries route through the broadcast nlist-row
     * centroid table (nearest centroid by L2 ⇔ argmax 2q·c − |c|², two

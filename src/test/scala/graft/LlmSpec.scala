@@ -559,6 +559,19 @@ class LlmSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")))
   }
 
+  test("q136–q138 driver probe entries equal their session-index twins") {
+    // the declared queries compose write → load → probe through a
+    // per-(sf, artifact) scratch dir; each must reproduce the
+    // session-path twin bit-for-bit (semantics already pinned above —
+    // this pins the driver-entry wiring itself)
+    assert(Dedup.fpIndexProbe(spark, sf).collect().toSeq ==
+           Dedup.incrementalDedup(spark, sf).collect().toSeq)
+    assert(Dedup.nearDupIndexProbe(spark, sf).collect().toSeq ==
+           Dedup.incrementalNearDup(spark, sf).collect().toSeq)
+    assert(Similarity.ivfIndexProbe(spark, sf).collect().toSeq ==
+           Similarity.ivfKnn(spark, sf).collect().toSeq)
+  }
+
   test("near-dup keep drops exactly the non-canonical cluster members") {
     val total = Tables.documents(spark, sf).count()
     val comps = Dedup.minhashComponents(spark, sf)
