@@ -51,6 +51,46 @@ object Live {
     out
   }
 
+  /** Drain a streaming frame into a parquet RESULT LAKE via
+    * `foreachBatch` and read it back — the off-driver replacement for
+    * the earlier fixture `format("memory")` sinks, whose append-mode
+    * results were row-cardinality-shaped (a driver-resident copy of
+    * the output at production scale). Per mode: append appends each
+    * batch's emitted rows, update appends update rows (readers
+    * reconcile, e.g. keep-max-version), complete overwrites with the
+    * latest full result. Every batch lands as parquet straight from
+    * the executors; the driver never holds a result row. Each batch is
+    * stamped with `__batch` so update-mode readers can keep the last
+    * emission per key. The read-back pins the schema (a drain whose
+    * every batch was empty leaves no footer to infer from). */
+  private def drainToParquet(df: DataFrame, mode: String,
+                             statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
+      .resolve("out").toString
+    withStatePartitions(spark, statePartitions) {
+      withRunCheckpoint { ckpt =>
+        val q = df.writeStream.outputMode(mode)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val m = if (mode == "complete") "overwrite" else "append"
+            b.withColumn("__batch", lit(id)).write.mode(m).parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("__batch", LongType))
+    if (new java.io.File(outDir).exists())
+      spark.read.schema(schema).parquet(outDir)
+    else // zero batches: the sink dir was never created
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                            schema)
+  }
+
   /** Raw file stream for a fixture table: schema from a batch probe
     * (file streams need an explicit schema). File-stream sources
     * require a directory: if `fileName` is itself a directory of part
@@ -76,43 +116,35 @@ object Live {
     else raw
   }
 
-  /** T1+T2+T5: the daily rollup as a streaming aggregation, drained with
-    * availableNow into a memory sink (complete mode — the rollup
-    * keyspace is day×user, bounded). Must equal the batch rollup
-    * bit-for-bit, so it shares q01's oracle. */
+  /** T1+T2+T5: the daily rollup maintained END-TO-END through the MV
+    * pipeline — micro-batched ingest appends one partial-state block
+    * per batch ([[appendDailyPartials]], the SummingMergeTree insert-
+    * trigger economy) and the query merges partials at read
+    * ([[readDailyRollup]], the A6 invariant). No result row ever
+    * touches the driver: partials stream from executors to the rollup
+    * lake, and the read side is an ordinary distributed aggregation.
+    * Must equal the batch rollup bit-for-bit (partial decimal sums
+    * re-aggregate losslessly), so it shares q01's oracle. */
   def streamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    withStatePartitions(spark, 8) {
-      val agg = eventStream(spark, sfDir)
-        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
-        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
-      val name = "graft_stream_daily"
-      withRunCheckpoint { ckpt =>
-        val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName(name).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-    }
-    spark.table("graft_stream_daily").orderBy("day", "user_id")
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_daily_mv")
+      .resolve("rollup").toString
+    maintainDailyRollup(spark, sfDir, rollupDir)
+    readDailyRollup(spark, rollupDir)
   }
 
   /** T3/S9: streaming dedup within a watermark — the
     * ReplacingMergeTree/finality-horizon analog. Late duplicates beyond
-    * the watermark age out of state (bounded memory at scale). */
+    * the watermark age out of state (bounded memory at scale). The
+    * day-level rollup keyspace is bounded, so complete mode holds; the
+    * sink is a per-batch parquet overwrite, not a driver table. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val deduped = eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val name = "graft_stream_dedup"
-    withRunCheckpoint { ckpt =>
-      val q = deduped.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("day")
+    drainToParquet(deduped, "complete")
+      .select(col("day"), col("n")).orderBy("day")
   }
 
   /** T5 write side: per micro-batch, append *partial* aggregate states
@@ -254,16 +286,13 @@ object Live {
       expr("""user_id = v_user AND
               v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
       .select(col("user_id"), col("p_id"), col("v_id"))
-    val name = "graft_stream_join"
-    withStatePartitions(spark, 8) {
-      withRunCheckpoint { ckpt =>
-        val q = joined.writeStream.outputMode("append").format("memory")
-          .queryName(name).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-    }
-    spark.table(name).orderBy("p_id", "v_id")
+    // append mode emits each match exactly once; the parquet drain
+    // appends each batch's matches from the executors — the result is
+    // row-cardinality-shaped, which is exactly why it must not land in
+    // a driver-memory table
+    drainToParquet(joined, "append")
+      .select(col("user_id"), col("p_id"), col("v_id"))
+      .orderBy("p_id", "v_id")
   }
 
   // ——— custom streaming state: incremental sessionization ———
@@ -336,18 +365,10 @@ object Live {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         sessionizeBatchFn(1800L * 1000000L))
-    val name = "graft_stream_sessions"
-    withStatePartitions(spark, 8) {
-      withRunCheckpoint { ckpt =>
-        val q = updates.toDF().writeStream.outputMode("update").format("memory")
-          .queryName(name).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-    }
-    // keep each user's max-version rows (window, not a self-join — the
-    // memory-sink view cannot self-join: attribute dedup fails on it)
-    val all = spark.table(name)
+    // update-mode emissions append to the parquet drain; the read side
+    // keeps each user's max-version rows — the same reconcile-at-read
+    // the reference's replacing merges do
+    val all = drainToParquet(updates.toDF(), "update")
     val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
@@ -408,18 +429,17 @@ object Live {
         .groupByKey(_._1)
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
-      val name = "graft_stateful_totals"
-      withStatePartitions(spark, 8) {
-        withRunCheckpoint { ckpt =>
-          val q = updates.toDF("user_id", "tx_count", "total_value")
-            .writeStream.outputMode("update").format("memory")
-            .queryName(name).option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        }
-      }
-      // single-drain source → one (final) update row per user
-      spark.table(name).orderBy("user_id")
+      // each batch emits one RUNNING total per touched user; the read
+      // side keeps the latest emission per user (max __batch — the
+      // totals are cumulative), so a multi-batch drain reconciles to
+      // the same final row the single-batch fixture emits directly
+      val all = drainToParquet(updates.toDF("user_id", "tx_count", "total_value"),
+                               "update")
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      all.withColumn("__maxb", max(col("__batch")).over(wl))
+        .filter(col("__batch") === col("__maxb"))
+        .select(col("user_id"), col("tx_count"), col("total_value"))
+        .orderBy("user_id")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -631,34 +651,24 @@ object Live {
     *
     * State is bounded by the batch's DISTINCT fingerprints; a
     * continuous deployment ages it with a watermark horizon the same
-    * way [[streamingDedup]] does. The complete-mode MEMORY sink here is
-    * likewise fixture-scoped: it materializes one row per admitted
-    * fingerprint on the driver, fine for a delivery-sized drain but
-    * unbounded on an endless stream — production swaps it for the
-    * partial-state `foreachBatch` append ([[appendDailyPartials]]'
-    * shape) with update mode, which ships each batch's admissions off
-    * the driver. Oracled: q106 shares the batch admission semantics
-    * (fresh fp, min doc_id wins). */
+    * way [[streamingDedup]] does. The complete-mode drain re-emits the
+    * admitted keyspace each batch into a per-batch parquet overwrite
+    * (off the executors, never a driver table) — fine for a
+    * delivery-sized drain; an endless stream swaps complete for update
+    * mode so each batch appends only its own admissions. Oracled: q106
+    * shares the batch admission semantics (fresh fp, min doc_id
+    * wins). */
   def streamingIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val corpusFps = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0)
       .select(md5(col("text")).as("fp")).distinct()
-    withStatePartitions(spark, 8) {
-      val admitted = fileStream(spark, sfDir, "documents.parquet")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
-        .join(corpusFps, Seq("fp"), "left_anti")
-        .groupBy(col("fp"))
-        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
-      val name = "graft_stream_ingest_dedup"
-      withRunCheckpoint { ckpt =>
-        val q = admitted.writeStream.outputMode("complete").format("memory")
-          .queryName(name).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-    }
-    spark.table("graft_stream_ingest_dedup")
+    val admitted = fileStream(spark, sfDir, "documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+    drainToParquet(admitted, "complete")
       .groupBy(col("keep.lang").as("lang"))
       .agg(count(lit(1)).as("n_admitted"))
       .orderBy("lang")
