@@ -177,6 +177,7 @@ object SparkEntry {
     "q137_neardup_index_probe" -> (Dedup.nearDupIndexProbe _),
     // un-oracled (k-means); spec pins probe ≡ in-session IVF build
     "q138_ivf_index_probe" -> ((s, d) => Similarity.ivfIndexProbe(s, d)),
+    "q139_abi_catalog"    -> (Ingest.abiCatalogRoundtrip _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -578,6 +579,37 @@ object SparkEntry {
            COUNT(CASE WHEN dupc THEN 1 END) AS n_dup_corpus,
            COUNT(CASE WHEN NOT dupc AND rn > 1 THEN 1 END) AS n_dup_batch
          FROM f GROUP BY 1 ORDER BY lang""",
+    // whole-ABI-catalog router ≡ CASE routing on event_id % 17: the
+    // indices are declaration order (usdc.ts alphabetical); each
+    // aggregate is scoped to the indices whose layout carries the
+    // word — addr1 for every event but the topic-less Pause/Unpause
+    // (11, 16), an address topic2 or data-addr pair for
+    // Approval/Mint/OwnershipTransferred/Transfer (0, 7, 10, 14), a
+    // bytes32 nonce for the Authorization pair (1, 2), a uint256
+    // amount for Approval/Burn/Mint/MinterConfigured/Transfer
+    // (0, 5, 7, 8, 14)
+    "q139_abi_catalog" ->
+      """SELECT CASE event_id % 17
+           WHEN 0 THEN 'Approval' WHEN 1 THEN 'AuthorizationCanceled'
+           WHEN 2 THEN 'AuthorizationUsed' WHEN 3 THEN 'Blacklisted'
+           WHEN 4 THEN 'BlacklisterChanged' WHEN 5 THEN 'Burn'
+           WHEN 6 THEN 'MasterMinterChanged' WHEN 7 THEN 'Mint'
+           WHEN 8 THEN 'MinterConfigured' WHEN 9 THEN 'MinterRemoved'
+           WHEN 10 THEN 'OwnershipTransferred' WHEN 11 THEN 'Pause'
+           WHEN 12 THEN 'PauserChanged' WHEN 13 THEN 'RescuerChanged'
+           WHEN 14 THEN 'Transfer' WHEN 15 THEN 'UnBlacklisted'
+           ELSE 'Unpause' END AS event,
+         COUNT(*) AS n_logs,
+         COUNT(DISTINCT CASE WHEN event_id % 17 NOT IN (11, 16)
+                             THEN user_id END) AS n_addr1,
+         COUNT(DISTINCT CASE WHEN event_id % 17 IN (0, 7, 10, 14)
+                             THEN user_id END) AS n_addr2,
+         COUNT(DISTINCT CASE WHEN event_id % 17 IN (1, 2)
+                             THEN user_id END) AS n_words,
+         CAST(SUM(CASE WHEN event_id % 17 IN (0, 5, 7, 8, 14)
+                       THEN CAST(floor(value * 100) AS BIGINT) END)
+              AS BIGINT) AS amount_cents
+         FROM events GROUP BY 1 ORDER BY event""",
     // training-lake delivery receipt: the SQL twin recomputes the
     // manifest from the SOURCE table, so the published lake's write +
     // read-back must preserve every (doc_id, ord, shard) to hash-match

