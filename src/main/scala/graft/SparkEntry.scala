@@ -178,6 +178,7 @@ object SparkEntry {
     // un-oracled (k-means); spec pins probe ≡ in-session IVF build
     "q138_ivf_index_probe" -> ((s, d) => Similarity.ivfIndexProbe(s, d)),
     "q139_abi_catalog"    -> (Ingest.abiCatalogRoundtrip _),
+    "q140_fn_catalog"     -> (Ingest.fnCatalogRoundtrip _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -610,6 +611,27 @@ object SparkEntry {
                        THEN CAST(floor(value * 100) AS BIGINT) END)
               AS BIGINT) AS amount_cents
          FROM events GROUP BY 1 ORDER BY event""",
+    // whole-function-catalog router ≡ CASE routing on event_id % 48,
+    // generated from the SAME FnCall table the engine routes on (one
+    // source of truth for selector order and role positions)
+    "q140_fn_catalog" -> {
+      val cat = ops.Ingest.fnCatalog
+      val n = cat.size
+      val whens = cat.zipWithIndex
+        .map { case (f, i) => s"WHEN $i THEN '${f.name}'" }.mkString(" ")
+      def inSet(p: ops.Ingest.FnCall => Boolean): String =
+        cat.zipWithIndex.collect { case (f, i) if p(f) => i }.mkString(", ")
+      s"""SELECT CASE event_id % $n $whens END AS fn,
+         COUNT(*) AS n_calls,
+         COUNT(DISTINCT CASE WHEN event_id % $n IN (${inSet(_.addrIdx.isDefined)})
+                             THEN user_id END) AS n_addrs,
+         COUNT(DISTINCT CASE WHEN event_id % $n IN (${inSet(_.addr2Idx.isDefined)})
+                             THEN user_id END) AS n_addr2,
+         CAST(SUM(CASE WHEN event_id % $n IN (${inSet(_.amountIdx.isDefined)})
+                       THEN CAST(floor(value * 100) AS BIGINT) END)
+              AS BIGINT) AS amount_cents
+         FROM events GROUP BY 1 ORDER BY fn"""
+    },
     // training-lake delivery receipt: the SQL twin recomputes the
     // manifest from the SOURCE table, so the published lake's write +
     // read-back must preserve every (doc_id, ord, shard) to hash-match

@@ -77,6 +77,51 @@ object IsHexCalldata {
       IsHexCalldata(org.apache.spark.sql.graftx.Bridge.expression(c), words))
 }
 
+/** Shape-agnostic variant of [[IsHexCalldata]] for a CATALOG-wide
+  * router: true iff the value is "0x" + 8-hex selector + any whole
+  * number (≥0) of 64-hex words. Paired with a per-selector expected
+  * LENGTH check it gives the same exact-layout semantics as one
+  * [[IsHexCalldata]] per candidate shape, but the payload is scanned
+  * ONCE per row instead of once per declared selector — with ~50
+  * catalog entries the per-shape form also alias-substitutes ~50
+  * copies of the payload expression into the pushed scan filter,
+  * exploding the codegen'd task binary. */
+case class IsHexPayload(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_hex_payload"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IsHexPayload.check(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.IsHexPayload.check($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IsHexPayload =
+    copy(child = newChild)
+}
+
+object IsHexPayload {
+  /** True iff "0x" + 8 hex + k*64 hex for some k ≥ 0. */
+  def check(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    if (n < 10 || (n - 10) % 64 != 0) return false
+    if (s.getByte(0) != '0' || s.getByte(1) != 'x') return false
+    var i = 2
+    while (i < n) {
+      val b = s.getByte(i)
+      if (!((b >= '0' && b <= '9') || (b >= 'a' && b <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Column-API entry point. */
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      IsHexPayload(org.apache.spark.sql.graftx.Bridge.expression(c)))
+}
+
 object IsHexWord {
   /** True iff the value is exactly "0x" + 64 lowercase hex chars. */
   def check(s: UTF8String): Boolean = {

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.expr.{HexToDecimal, IsHexCalldata, IsHexWord}
+import graft.expr.{HexToDecimal, IsHexCalldata, IsHexPayload, IsHexWord}
 
 /** Decode-projection ingest operators (SURVEY §2.2 F1/F2, §2.7 C8/C9).
   *
@@ -32,6 +32,7 @@ object Ingest {
 
   /** uint256 hex word → DECIMAL(38,0) via the custom expression. */
   def uint256(data: Column): Column = HexToDecimal(data)
+
 
   /** The events source spread across cores BEFORE wire-format
     * synthesis. The fixture parquet is a single row-group (one scan
@@ -219,52 +220,62 @@ object Ingest {
     * addr2, amount). Columns an event's layout lacks decode as NULL.
     * Logs with an undeclared topic0 are DROPPED — exactly what a typed
     * ABI handler does with events it has no decoder for. */
+  /** The event catalog as a broadcastable DIMENSION — one row per
+    * declared event. Routing on catalog DATA (a broadcast hash join on
+    * topic0) instead of a generated per-event CASE keeps the physical
+    * plan and its codegen CONSTANT-SIZE in the catalog: a 500-event
+    * ABI routes through exactly the same operators as a 5-event one,
+    * and "adding an event is one table row" is literally true of the
+    * executed plan. (The per-event expression form was measured to
+    * blow past JIT method limits around the full-catalog size — the
+    * whole decode dropped to interpreted bytecode.) */
+  private def eventCatalogDf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(declaredEvents.zipWithIndex.map { case (e, i) =>
+      (i, e.sig, e.name, e.hasTopic1, e.hasTopic2, e.topic2IsWord,
+       e.dataWords, e.dataIsAddrs)
+    }).toDF("evt_idx", "sig", "evt_name", "has_t1", "has_t2",
+            "t2_is_word", "data_words", "data_is_addrs")
+
   def decodeAbi(logs0: DataFrame): DataFrame = {
     // i-th 32-byte word of the (prefix-less) data payload
     def dataWord(i: Int): Column = substring(col("data"), 1 + 64 * i, 64)
-    val wellFormed = declaredEvents.map { e =>
-      val t1 = if (e.hasTopic1) IsHexWord(col("topic1")) else col("topic1").isNull
-      val t2 = if (e.hasTopic2) IsHexWord(col("topic2")) else col("topic2").isNull
-      val d = e.dataWords match {
-        case 0 => col("data").isNull
-        case 1 => IsHexWord(concat(lit("0x"), col("data")))
+    val cat = eventCatalogDf(logs0.sparkSession)
+    // route on the catalog: inner join drops undeclared topic0s —
+    // exactly what a typed ABI handler does with unknown events
+    val routed = logs0.join(broadcast(cat), col("topic0") === col("sig"))
+    // layout enforcement driven by the joined catalog columns; the
+    // expression is one fixed shape regardless of catalog size
+    val wellFormed =
+      when(col("has_t1"), IsHexWord(col("topic1")))
+        .otherwise(col("topic1").isNull) &&
+      when(col("has_t2"), IsHexWord(col("topic2")))
+        .otherwise(col("topic2").isNull) &&
+      when(col("data_words") === 1, IsHexWord(concat(lit("0x"), col("data"))))
         // multi-word payload: exact total length (a truncated or stray
         // extra word is malformed) and every word-slice must be hex
-        case n => length(col("data")) === lit(64 * n) &&
-          (0 until n).map(i => IsHexWord(concat(lit("0x"), dataWord(i))))
-            .reduce(_ && _)
-      }
-      col("topic0") === lit(e.sig) && t1 && t2 && d
-    }.reduce(_ || _)
-    val eventName = declaredEvents.foldLeft(lit(null).cast("string")) {
-      (acc, e) => when(col("topic0") === lit(e.sig), lit(e.name)).otherwise(acc)
-    }
-    def sigsWhere(p: EventShape => Boolean): Seq[Column] =
-      declaredEvents.filter(p).map(e => lit(e.sig))
+        .when(col("data_words") === 2,
+          length(col("data")) === 128 &&
+            IsHexWord(concat(lit("0x"), dataWord(0))) &&
+            IsHexWord(concat(lit("0x"), dataWord(1))))
+        .otherwise(col("data").isNull)
     // first address: an indexed topic1 for most layouts, data word 0
     // for the non-indexed OwnershipTransferred layout
-    val addr1 = when(col("topic0").isin(sigsWhere(_.hasTopic1): _*),
-                     addressFromTopic(col("topic1")))
-      .when(col("topic0").isin(sigsWhere(_.dataIsAddrs): _*),
-            addressFromTopic(concat(lit("0x"), dataWord(0))))
+    val addr1 = when(col("has_t1"), addressFromTopic(col("topic1")))
+      .when(col("data_is_addrs"), addressFromTopic(concat(lit("0x"), dataWord(0))))
     // second address: an address-typed topic2, or data word 1
-    val addr2 = when(
-        col("topic0").isin(sigsWhere(e => e.hasTopic2 && !e.topic2IsWord): _*),
-        addressFromTopic(col("topic2")))
-      .when(col("topic0").isin(sigsWhere(_.dataIsAddrs): _*),
-            addressFromTopic(concat(lit("0x"), dataWord(1))))
+    val addr2 = when(col("has_t2") && !col("t2_is_word"),
+                     addressFromTopic(col("topic2")))
+      .when(col("data_is_addrs"), addressFromTopic(concat(lit("0x"), dataWord(1))))
     // bytes32-typed topic2 (the Authorization* nonce) decodes as the
     // FULL word — slicing 20 bytes out of a hash would corrupt it
-    val word2 = when(col("topic0").isin(sigsWhere(_.topic2IsWord): _*),
-                     col("topic2"))
-    val amount = when(
-        col("topic0").isin(sigsWhere(e => e.dataWords == 1 && !e.dataIsAddrs): _*),
-        uint256(col("data")))
-    logs0
+    val word2 = when(col("t2_is_word"), col("topic2"))
+    val amount = when(col("data_words") === 1 && !col("data_is_addrs"),
+                      uint256(col("data")))
+    routed
       .filter(wellFormed)
       .select(
         col("event_id"),
-        eventName.as("event"),
+        col("evt_name").as("event"),
         addr1.as("addr1"),
         addr2.as("addr2"),
         word2.as("word2"),
@@ -359,31 +370,25 @@ object Ingest {
     * packed into a 128-char data payload. Absent words are NULL —
     * the positional wire contract [[decodeAbi]] enforces. */
   def synthesizeCatalogLogs(spark: SparkSession, sfDir: String): DataFrame = {
-    val idx = pmod(col("event_id"), lit(declaredEvents.size))
     def w(c: Column): Column = lpad(lower(hex(c)), 64, "0")
     val amtW = w(floor(col("value") * 100).cast("long"))
-    def build(pick: EventShape => Option[Column]): Column =
-      declaredEvents.zipWithIndex.foldLeft(lit(null).cast("string")) {
-        case (acc, (e, i)) => pick(e) match {
-          case Some(c) => when(idx === i, c).otherwise(acc)
-          case None    => acc
-        }
-      }
-    val sig = build(e => Some(lit(e.sig)))
-    val topic1 = build(e =>
-      if (e.hasTopic1) Some(topicFromId(col("user_id"))) else None)
-    val topic2 = build(e =>
-      if (!e.hasTopic2) None
-      else if (e.topic2IsWord) Some(topicFromId(col("user_id") + 2000000L))
-      else Some(topicFromId(col("user_id") + 1000000L)))
-    val data = build(e => e.dataWords match {
-      case 0 => None
-      case 1 => Some(amtW)
-      case _ => Some(concat(w(col("user_id")), w(col("user_id") + 1000000L)))
-    })
-    parallelEvents(spark, sfDir).select(
-      col("event_id"), sig.as("topic0"), topic1.as("topic1"),
-      topic2.as("topic2"), data.as("data"))
+    // shape key → broadcast-join the catalog dimension; the encode
+    // expressions are one fixed shape driven by the layout columns
+    parallelEvents(spark, sfDir)
+      .withColumn("evt_idx",
+        pmod(col("event_id"), lit(declaredEvents.size)).cast("int"))
+      .join(broadcast(eventCatalogDf(spark)), "evt_idx")
+      .select(
+        col("event_id"),
+        col("sig").as("topic0"),
+        when(col("has_t1"), topicFromId(col("user_id"))).as("topic1"),
+        when(col("has_t2"),
+          when(col("t2_is_word"), topicFromId(col("user_id") + 2000000L))
+            .otherwise(topicFromId(col("user_id") + 1000000L))).as("topic2"),
+        when(col("data_words") === 1, amtW)
+          .when(col("data_words") === 2,
+            concat(w(col("user_id")), w(col("user_id") + 1000000L)))
+          .as("data"))
   }
 
   /** Whole-catalog router roundtrip: decode the 17-event mixed stream
@@ -485,6 +490,166 @@ object Ingest {
       .groupBy(col("fn"))
       .agg(count(lit(1)).as("n_calls"),
            countDistinct(col("addr_arg")).as("n_addrs"),
+           sum(col("amount_cents")).cast("long").as("amount_cents"))
+      .orderBy("fn")
+
+  // ——— full static-function catalog (C8 breadth, function half) ———
+
+  /** One declared static-layout ABI function: 4-byte selector, name,
+    * exact calldata word count, and the positional roles the unified
+    * decode extracts — first/second address arg and the value-uint256
+    * (other words — deadlines, nonces, signature v/r/s — are opaque
+    * filler to the roundtrip). One row per reference function
+    * (`usdc-transfers/src/abi/usdc.ts:26-76`), reference order. The
+    * two dynamic-layout functions (`initialize` :43, `initializeV2`
+    * :44 — string args use ABI head/tail offset encoding) are
+    * deliberately NOT declared: a static word router would decode
+    * them wrong, so their selectors drop like undeclared ones. */
+  private[graft] case class FnCall(selector: String, name: String,
+                                   nWords: Int,
+                                   addrIdx: Option[Int] = None,
+                                   addr2Idx: Option[Int] = None,
+                                   amountIdx: Option[Int] = None)
+
+  private[graft] val fnCatalog: Seq[FnCall] = Seq(
+    FnCall("d9169487", "CANCEL_AUTHORIZATION_TYPEHASH", 0),
+    FnCall("3644e515", "DOMAIN_SEPARATOR", 0),
+    FnCall("30adf81f", "PERMIT_TYPEHASH", 0),
+    FnCall("7f2eecc3", "RECEIVE_WITH_AUTHORIZATION_TYPEHASH", 0),
+    FnCall("a0cc6a68", "TRANSFER_WITH_AUTHORIZATION_TYPEHASH", 0),
+    FnCall("dd62ed3e", "allowance", 2, addrIdx = Some(0), addr2Idx = Some(1)),
+    FnCall("095ea7b3", "approve", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("e94a0102", "authorizationState", 2, addrIdx = Some(0)),
+    FnCall("70a08231", "balanceOf", 1, addrIdx = Some(0)),
+    FnCall("f9f92be4", "blacklist", 1, addrIdx = Some(0)),
+    FnCall("bd102430", "blacklister", 0),
+    FnCall("42966c68", "burn", 1, amountIdx = Some(0)),
+    FnCall("5a049a70", "cancelAuthorization", 5, addrIdx = Some(0)),
+    FnCall("4e44d956", "configureMinter", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("e5a6b10f", "currency", 0),
+    FnCall("313ce567", "decimals", 0),
+    FnCall("a457c2d7", "decreaseAllowance", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("39509351", "increaseAllowance", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("2fc81e09", "initializeV2_1", 1, addrIdx = Some(0)),
+    FnCall("fe575a87", "isBlacklisted", 1, addrIdx = Some(0)),
+    FnCall("aa271e1a", "isMinter", 1, addrIdx = Some(0)),
+    FnCall("35d99f35", "masterMinter", 0),
+    FnCall("40c10f19", "mint", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("8a6db9c3", "minterAllowance", 1, addrIdx = Some(0)),
+    FnCall("06fdde03", "name", 0),
+    FnCall("7ecebe00", "nonces", 1, addrIdx = Some(0)),
+    FnCall("8da5cb5b", "owner", 0),
+    FnCall("8456cb59", "pause", 0),
+    FnCall("5c975abb", "paused", 0),
+    FnCall("9fd0506d", "pauser", 0),
+    FnCall("d505accf", "permit", 7,
+           addrIdx = Some(0), addr2Idx = Some(1), amountIdx = Some(2)),
+    FnCall("ef55bec6", "receiveWithAuthorization", 9,
+           addrIdx = Some(0), addr2Idx = Some(1), amountIdx = Some(2)),
+    FnCall("3092afd5", "removeMinter", 1, addrIdx = Some(0)),
+    FnCall("b2118a8d", "rescueERC20", 3,
+           addrIdx = Some(0), addr2Idx = Some(1), amountIdx = Some(2)),
+    FnCall("38a63183", "rescuer", 0),
+    FnCall("95d89b41", "symbol", 0),
+    FnCall("18160ddd", "totalSupply", 0),
+    FnCall("a9059cbb", "transfer", 2, addrIdx = Some(0), amountIdx = Some(1)),
+    FnCall("23b872dd", "transferFrom", 3,
+           addrIdx = Some(0), addr2Idx = Some(1), amountIdx = Some(2)),
+    FnCall("f2fde38b", "transferOwnership", 1, addrIdx = Some(0)),
+    FnCall("e3ee160e", "transferWithAuthorization", 9,
+           addrIdx = Some(0), addr2Idx = Some(1), amountIdx = Some(2)),
+    FnCall("1a895266", "unBlacklist", 1, addrIdx = Some(0)),
+    FnCall("3f4ba83a", "unpause", 0),
+    FnCall("ad38bf22", "updateBlacklister", 1, addrIdx = Some(0)),
+    FnCall("aa20e1e4", "updateMasterMinter", 1, addrIdx = Some(0)),
+    FnCall("554bab3c", "updatePauser", 1, addrIdx = Some(0)),
+    FnCall("2ab60045", "updateRescuer", 1, addrIdx = Some(0)),
+    FnCall("54fd4d50", "version", 0))
+
+  /** events → a mixed calldata stream over the WHOLE static-function
+    * catalog: `event_id mod 48` picks the function; each call packs
+    * its exact declared word count — role words carry the address /
+    * amount payloads the roundtrip checks, non-role words (deadlines,
+    * nonces, sig components) are deterministic well-formed filler. */
+  /** The function catalog as a broadcastable dimension — same
+    * data-not-codegen routing rationale as [[eventCatalogDf]]. */
+  private def fnCatalogDf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(fnCatalog.zipWithIndex.map { case (f, i) =>
+      (i, f.selector, f.name, f.nWords, f.addrIdx, f.addr2Idx, f.amountIdx)
+    }).toDF("fn_idx", "selector", "fn_name", "n_words",
+            "addr_idx", "addr2_idx", "amount_idx")
+
+  def synthesizeFnCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    def w(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+    val amtW = w(floor(col("value") * 100).cast("long"))
+    val maxWords = fnCatalog.map(_.nWords).max
+    // one fixed-position encoder per possible word slot: the slot
+    // renders empty past the declared count, a role word where the
+    // catalog row declares one, opaque static filler otherwise
+    val words = (0 until maxWords).map { j =>
+      when(lit(j) < col("n_words"),
+        when(col("addr_idx") === j, w(col("user_id") + 1000000L))
+          .when(col("addr2_idx") === j, w(col("user_id")))
+          .when(col("amount_idx") === j, amtW)
+          .otherwise(w(col("user_id") + (3000000L + j))))
+        .otherwise(lit(""))
+    }
+    parallelEvents(spark, sfDir)
+      .withColumn("fn_idx", pmod(col("event_id"), lit(fnCatalog.size)).cast("int"))
+      .join(broadcast(fnCatalogDf(spark)), "fn_idx")
+      .select(col("event_id"),
+        concat((concat(lit("0x"), col("selector")) +: words): _*).as("input"))
+  }
+
+  /** Catalog-wide calldata decoder — [[decodeCalldata]] generalized to
+    * every declared static function: route on selector, enforce the
+    * declared word count exactly (one whole-payload byte scan,
+    * [[graft.expr.IsHexCalldata]]), extract the role args by their
+    * declared positions. Undeclared selectors — including the two
+    * dynamic-layout initializers — drop. */
+  def decodeFnCatalog(calls: DataFrame): DataFrame = {
+    // route on the catalog dimension: the inner join drops undeclared
+    // selectors — including the two dynamic-layout initializers
+    val routed = calls
+      .withColumn("sel", substring(col("input"), 3, 8))
+      .join(broadcast(fnCatalogDf(calls.sparkSession)),
+            col("sel") === col("selector"))
+    // exact-layout enforcement in TWO payload references — the
+    // catalog row's expected total length plus ONE whole-payload byte
+    // scan ([[graft.expr.IsHexPayload]]): the selector match pins the
+    // word count, hexness is global, so this equals the per-shape
+    // [[IsHexCalldata]] check with a constant-size expression
+    val wellFormed =
+      length(col("input")) === lit(10) + col("n_words") * 64 &&
+      IsHexPayload(col("input"))
+    // positional role extraction: the word offset comes from the
+    // catalog COLUMN, so one substr expression serves every layout
+    def roleWord(idxCol: Column): Column =
+      col("input").substr(lit(11) + idxCol * 64, lit(64))
+    def roleAddr(idxCol: Column): Column =
+      when(idxCol.isNotNull,
+        addressFromTopic(concat(lit("0x"), roleWord(idxCol))))
+    routed.filter(wellFormed)
+      .select(
+        col("event_id"),
+        col("fn_name").as("fn"),
+        roleAddr(col("addr_idx")).as("addr_arg"),
+        roleAddr(col("addr2_idx")).as("addr2_arg"),
+        when(col("amount_idx").isNotNull,
+          uint256(roleWord(col("amount_idx")))).as("amount_cents"))
+  }
+
+  /** Whole-function-catalog roundtrip: decode the 48-selector mixed
+    * call stream and aggregate per function — call count, distinct
+    * first/second address args, and value volume, NULL/0 exactly
+    * where the declared layout lacks the role. Oracled with the
+    * equivalent `event_id % 48` CASE routing on raw columns. */
+  def fnCatalogRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFnCatalog(synthesizeFnCatalog(spark, sfDir))
+      .groupBy(col("fn"))
+      .agg(count(lit(1)).as("n_calls"),
+           countDistinct(col("addr_arg")).as("n_addrs"),
+           countDistinct(col("addr2_arg")).as("n_addr2"),
            sum(col("amount_cents")).cast("long").as("amount_cents"))
       .orderBy("fn")
 

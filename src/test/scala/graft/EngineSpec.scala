@@ -182,6 +182,43 @@ class EngineSpec extends AnyFunSuite {
       out(3L)._4.isEmpty && out(3L)._5.isEmpty)
   }
 
+  test("C8: full fn catalog routes multi-word layouts, drops dynamic selectors") {
+    val addr1 = "0" * 24 + "a" * 40
+    val addr2 = "0" * 24 + "b" * 40
+    val amt = "0" * 62 + "2a" // uint256 42
+    val fill = "0" * 63 + "1"
+    val calls = Seq(
+      // transferFrom(from, to, 42): 3 words, both role addresses
+      (1L, s"0x23b872dd$addr1$addr2$amt"),
+      // permit: 7 words — value is word 2, the rest opaque filler
+      (2L, s"0xd505accf$addr1$addr2$amt$fill$fill$fill$fill"),
+      // permit truncated to 6 words: malformed, dropped
+      (3L, s"0xd505accf$addr1$addr2$amt$fill$fill$fill"),
+      // version(): selector-only view call
+      (4L, "0x54fd4d50"),
+      // initialize: declared in the reference ABI but DYNAMIC layout —
+      // deliberately undeclared here, so it drops
+      (5L, s"0x3357162b$addr1$addr2$amt"),
+      // transferWithAuthorization: 9 words, value at word 2
+      (6L, s"0xe3ee160e$addr1$addr2$amt$fill$fill$fill$fill$fill$fill")
+    ).toDF("event_id", "input")
+    val out = Ingest.decodeFnCatalog(calls)
+      .select($"event_id", $"fn", $"addr_arg", $"addr2_arg",
+        $"amount_cents".cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 6L))
+    for (id <- Seq(1L, 2L, 6L)) {
+      assert(out(id)._2.contains("0x" + "a" * 40))
+      assert(out(id)._3.contains("0x" + "b" * 40))
+      assert(out(id)._4.contains(42L))
+    }
+    assert(out(1L)._1 == "transferFrom" && out(2L)._1 == "permit" &&
+      out(6L)._1 == "transferWithAuthorization")
+    assert(out(4L)._1 == "version" && out(4L)._2.isEmpty &&
+      out(4L)._3.isEmpty && out(4L)._4.isEmpty)
+  }
+
   test("C8: calldata router enforces selector layouts exactly") {
     val addr = "0" * 24 + "a" * 40 // one 32-byte word: 12 pad + 20 addr bytes
     val amt = "0" * 62 + "2a"      // uint256 42

@@ -122,6 +122,35 @@ class ExprSpec extends AnyFunSuite {
     assert(viaDf(0).getBoolean(0) && viaDf(1).isNullAt(0))
   }
 
+  test("is_hex_payload: 0x + selector + any whole number of words") {
+    import graft.expr.IsHexPayload
+    import org.apache.spark.unsafe.types.UTF8String
+    def chk(s: String) = IsHexPayload.check(UTF8String.fromString(s))
+    val sel = "0xa9059cbb"
+    val w = "0" * 24 + "a" * 40
+    // any whole word count passes — the router's length CASE pins it
+    assert(chk(sel) && chk(sel + w) && chk(sel + w * 9))
+    // a non-whole word tail fails regardless of hexness
+    assert(!chk(sel + w.dropRight(1)))
+    assert(!chk(sel + w + "a"))
+    assert(!chk(sel.dropRight(1)))  // truncated selector
+    assert(!chk("0X" + sel.drop(2) + w)) // uppercase prefix
+    assert(!chk(sel.toUpperCase))        // uppercase hex
+    assert(!chk(sel + w.dropRight(1) + "g")) // non-hex byte
+    assert(!chk(""))
+    // null-intolerant: null in → null out (drops in filters)
+    val viaDf = Seq(Some(sel + w), None).toDF("c")
+      .select(IsHexPayload(col("c")).as("ok")).collect()
+    assert(viaDf(0).getBoolean(0) && viaDf(1).isNullAt(0))
+    // and it runs inside whole-stage codegen
+    val df = spark.range(1, 4)
+      .select(IsHexPayload(
+        concat(lit("0xa9059cbb"), lpad(lower(hex(col("id"))), 64, "0"))).as("ok"))
+    assert(df.as[Boolean].collect().forall(identity))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("is_hex_payload"))
+  }
+
   test("is_hex_calldata runs inside whole-stage codegen") {
     import graft.expr.IsHexCalldata
     val df = spark.range(1, 4)
