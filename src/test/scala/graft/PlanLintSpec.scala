@@ -87,7 +87,9 @@ class PlanLintSpec extends AnyFunSuite {
     }
     for (df <- Seq(ops.Ingest.calldataRoundtrip(spark, sf),
                    ops.Ingest.lifecycleRoundtrip(spark, sf),
-                   ops.Ingest.evmRoundtrip(spark, sf))) {
+                   ops.Ingest.evmRoundtrip(spark, sf),
+                   ops.Ingest.abiCatalogRoundtrip(spark, sf),
+                   ops.Ingest.fnCatalogRoundtrip(spark, sf))) {
       val hits = offenders(df.queryExecution.executedPlan)
       assert(hits.isEmpty, s"wire payload crosses an exchange: ${hits.mkString(", ")}")
     }
