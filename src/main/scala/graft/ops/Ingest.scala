@@ -410,11 +410,10 @@ object Ingest {
 
   /** One declared ABI FUNCTION: 4-byte selector, name, and word layout
     * of its calldata (address arg first, then an optional uint256).
-    * The function half of the reference ABI
-    * (`usdc-transfers/src/abi/usdc.ts:26-76` declares ~50 selectors);
-    * the four layouts here cover transfer/approve (addr+amount), burn
-    * (amount only), balanceOf (addr only), pause (no args) — selectors
-    * are the real public keccak prefixes from that table. */
+    * This five-selector router is the expression-form original kept
+    * for its pinned roundtrip (q128); the COMPLETE static-function
+    * catalog — all 48 selectors of `usdc-transfers/src/abi/usdc.ts:
+    * 26-76` — is [[fnCatalog]] below, routed catalog-as-data. */
   private case class FnShape(selector: String, name: String,
                              hasAddr: Boolean, hasAmount: Boolean)
 
