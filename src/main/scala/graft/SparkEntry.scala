@@ -179,6 +179,7 @@ object SparkEntry {
     "q138_ivf_index_probe" -> ((s, d) => Similarity.ivfIndexProbe(s, d)),
     "q139_abi_catalog"    -> (Ingest.abiCatalogRoundtrip _),
     "q140_fn_catalog"     -> (Ingest.fnCatalogRoundtrip _),
+    "q141_json_ingest"    -> (Ingest.jsonIngestReport _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -632,6 +633,17 @@ object SparkEntry {
               AS BIGINT) AS amount_cents
          FROM events GROUP BY 1 ORDER BY fn"""
     },
+    // defensive JSON ingest ≡ routing on the corruption predicate: the
+    // quarantine boundary must land exactly on the malformed slice
+    "q141_json_ingest" ->
+      """SELECT event_type AS tag, COUNT(*) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_k
+         FROM events WHERE event_id % 13 <> 0 GROUP BY 1
+         UNION ALL
+         SELECT '__quarantined' AS tag, COUNT(*) AS n_rows,
+           NULL AS sum_k
+         FROM events WHERE event_id % 13 = 0
+         ORDER BY tag""",
     // training-lake delivery receipt: the SQL twin recomputes the
     // manifest from the SOURCE table, so the published lake's write +
     // read-back must preserve every (doc_id, ord, shard) to hash-match

@@ -659,6 +659,33 @@ object Ingest {
     * silently nulling — the ingest contract a 100 TB pipeline needs
     * when a fraction of upstream payloads is always broken. Returns
     * (parsed-good-rows, quarantined-raw-rows). */
+  /** Driver-checked roundtrip for [[robustJsonIngest]]: synthesize a
+    * JSON payload per event with a DETERMINISTIC corrupt slice
+    * (`event_id % 13 == 0` renders truncated JSON — brace never
+    * closed), parse defensively, and report per-tag good-row counts
+    * and parsed-value sums plus one `__quarantined` line. The oracle
+    * routes on the same corruption predicate over the raw columns, so
+    * the quarantine boundary itself is hash-checked: a parser that
+    * silently nulls (or drops) malformed payloads cannot match. */
+  def jsonIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = parallelEvents(spark, sfDir).select(
+      col("event_id"),
+      when(pmod(col("event_id"), lit(13)) === 0,
+           concat(lit("{\"k\": "), col("user_id")))
+        .otherwise(concat(lit("{\"k\": "), col("user_id"),
+                          lit(", \"tag\": \""), col("event_type"), lit("\"}")))
+        .as("payload"))
+    val (good, quarantined) =
+      robustJsonIngest(payloads, "payload", "k BIGINT, tag STRING")
+    good.groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).cast("long").as("sum_k"))
+      .unionByName(quarantined
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("__quarantined").as("tag"), col("n_rows"),
+                lit(null).cast("long").as("sum_k")))
+      .orderBy("tag")
+  }
+
   def robustJsonIngest(payloads: DataFrame, jsonCol: String,
                        schemaDDL: String): (DataFrame, DataFrame) = {
     val parsed = payloads.withColumn("__p",
