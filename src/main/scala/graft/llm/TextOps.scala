@@ -169,9 +169,9 @@ object TextOps {
     * top-200 trigram profiles per language from the even-doc_id half,
     * classify the odd-doc_id holdout by profile-hit argmax, and emit the
     * confusion matrix. Scale shape: profiles are a few KB (langs × 200)
-    * and broadcast; trigram extraction is the typed mapPartitions path;
-    * the per-doc argmax is a window over doc_id — high cardinality, tiny
-    * state. Docs with zero profile hits drop from the matrix (inner
+    * and broadcast; trigram extraction is codegen'd position arithmetic
+    * (explode over an index sequence, no typed round-trip); the per-doc
+    * argmax is a window over doc_id — high cardinality, tiny state. Docs with zero profile hits drop from the matrix (inner
     * join) — at 100 TB those route to a fallback classifier. Un-oracled
     * (profile ranking has no SQL twin). NB the driver fixture's lang
     * labels share one synthetic vocabulary, so its matrix shows chance
@@ -188,13 +188,21 @@ object TextOps {
     val docs = docsIn
     def trigrams(set: DataFrame): DataFrame = set
       .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String, String)]
-      .mapPartitions(_.flatMap { case (id, lang, t) =>
-        // a 400-char prefix carries the distributional signal; capping
-        // bounds the explode factor and de-skews long documents
-        val s = t.toLowerCase.take(400)
-        (0 to s.length - 3).iterator.map(i => (id, lang, s.substring(i, i + 3)))
-      }).toDF("doc_id", "lang", "tg")
+      // a 400-char prefix carries the distributional signal; capping
+      // bounds the explode factor and de-skews long documents. The
+      // sliding window is pure position arithmetic, so it stays in
+      // codegen'd expressions (explode over an index sequence + one
+      // substr per position) — the earlier typed mapPartitions form
+      // paid tuple encode/decode on every exploded row, which at ~400
+      // trigrams per doc was the whole cost of the classifier
+      .select(col("doc_id"), col("lang"),
+              lower(substring(col("text"), 1, 400)).as("s"))
+      .select(col("doc_id"), col("lang"), col("s"),
+              explode(when(length(col("s")) >= 3,
+                           sequence(lit(1), length(col("s")) - 2))
+                .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"),
+              col("s").substr(col("i"), lit(3)).as("tg"))
     val train = trigrams(docs.filter(col("doc_id") % 2 === 0))
     val test = trigrams(docs.filter(col("doc_id") % 2 === 1))
     val profiles = train.groupBy(col("lang").as("cand"), col("tg"))
