@@ -60,6 +60,38 @@ class PlanLintSpec extends AnyFunSuite {
       s"single-partition windows planned by: ${offenders.mkString("; ")}")
   }
 
+  test("ABI catalog routers plan broadcast joins, never a shuffle join") {
+    // the catalog-as-data contract: routing on the 17-event / 48-fn
+    // dimension must plan as a broadcast hash join — if Catalyst ever
+    // picks a sort-merge or shuffled-hash join for the catalog side,
+    // every log row pays an exchange keyed on topic0/selector (massive
+    // skew: one hot key per declared entry) instead of a map-side probe
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def shuffleJoins(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case j: SortMergeJoinExec => Seq(j.nodeName)
+        case j: ShuffledHashJoinExec => Seq(j.nodeName)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(shuffleJoins) ++ p.subqueries.flatMap(shuffleJoins)
+    }
+    for ((name, df) <- Seq(
+        "q139" -> ops.Ingest.abiCatalogRoundtrip(spark, sf),
+        "q140" -> ops.Ingest.fnCatalogRoundtrip(spark, sf))) {
+      val hits = shuffleJoins(df.queryExecution.executedPlan)
+      assert(hits.isEmpty, s"$name plans a shuffle join: ${hits.mkString(", ")}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast catalog join")
+    }
+  }
+
   test("ABI routers: no wire-format payload column ever crosses an exchange") {
     // the round-6→7 q128 regression, locked in CI: the parallelizing
     // exchange must carry only the SKINNY typed source columns — the
