@@ -180,6 +180,7 @@ object SparkEntry {
     "q139_abi_catalog"    -> (Ingest.abiCatalogRoundtrip _),
     "q140_fn_catalog"     -> (Ingest.fnCatalogRoundtrip _),
     "q141_json_ingest"    -> (Ingest.jsonIngestReport _),
+    "q142_balances"       -> (Ingest.balancesFromTransfers _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -633,6 +634,23 @@ object SparkEntry {
               AS BIGINT) AS amount_cents
          FROM events GROUP BY 1 ORDER BY fn"""
     },
+    // reconstructed balances ≡ the same ledger union computed from the
+    // un-encoded columns (sender = user_id address space, receiver =
+    // the +1e6 space; deltas in integer cents)
+    "q142_balances" ->
+      """WITH led AS (
+           SELECT '0x' || lpad(lower(to_hex(user_id)), 40, '0') AS address,
+                  -CAST(floor(value * 100) AS BIGINT) AS delta,
+                  1 AS n_out, 0 AS n_in
+           FROM events
+           UNION ALL
+           SELECT '0x' || lpad(lower(to_hex(user_id + 1000000)), 40, '0'),
+                  CAST(floor(value * 100) AS BIGINT), 0, 1
+           FROM events)
+         SELECT address, CAST(SUM(delta) AS BIGINT) AS balance_cents,
+                CAST(SUM(n_in) AS BIGINT) AS n_received,
+                CAST(SUM(n_out) AS BIGINT) AS n_sent
+         FROM led GROUP BY 1 ORDER BY address""",
     // defensive JSON ingest ≡ routing on the corruption predicate: the
     // quarantine boundary must land exactly on the malformed slice
     "q141_json_ingest" ->

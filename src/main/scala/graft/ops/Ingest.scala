@@ -492,6 +492,31 @@ object Ingest {
            sum(col("amount_cents")).cast("long").as("amount_cents"))
       .orderBy("fn")
 
+  /** Contract STATE reconstruction from the decoded event stream —
+    * the `balanceOf` point-read surface (`usdc-transfers/src/abi/
+    * usdc.ts:34`, the Contract eth_call wrappers) served the way an
+    * indexer serves it: as a balance TABLE derived from Transfer
+    * history (Σ received − Σ sent per address), not an RPC. The ledger
+    * union keeps the aggregation one hash-shuffle of (address, delta)
+    * pairs — the partial-state posture every rollup here uses, so the
+    * same frame maintains incrementally under streaming append or
+    * `_sign` retraction. Oracled from the un-encoded columns: both
+    * engines must agree on every address's exact cents. */
+  def balancesFromTransfers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = decodeTransfers(synthesizeLogs(spark, sfDir))
+    val ledger = t.select(col("from_address").as("address"),
+                          (-col("value_cents")).as("delta"),
+                          lit(1L).as("n_out"), lit(0L).as("n_in"))
+      .unionByName(t.select(col("to_address").as("address"),
+                            col("value_cents").as("delta"),
+                            lit(0L).as("n_out"), lit(1L).as("n_in")))
+    ledger.groupBy(col("address"))
+      .agg(sum(col("delta")).cast("long").as("balance_cents"),
+           sum(col("n_in")).as("n_received"),
+           sum(col("n_out")).as("n_sent"))
+      .orderBy("address")
+  }
+
   // ——— full static-function catalog (C8 breadth, function half) ———
 
   /** One declared static-layout ABI function: 4-byte selector, name,
