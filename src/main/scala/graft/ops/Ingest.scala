@@ -52,7 +52,15 @@ object Ingest {
   /** events → synthetic Transfer logs: topic1=from, topic2=to (sender
     * shifted into a disjoint id space), data=value in integer cents. */
   def synthesizeLogs(spark: SparkSession, sfDir: String): DataFrame =
-    parallelEvents(spark, sfDir).select(
+    synthesizeLogsFrame(parallelEvents(spark, sfDir))
+
+  /** Frame-level wire synthesis: same encoding applied to an events
+    * frame that is already in hand — a streaming micro-batch, a slice —
+    * so the batch and incremental decode paths share one definition of
+    * the wire format. Callers own the parallelism posture of `events`
+    * (the batch wrapper repartitions skinny columns first). */
+  def synthesizeLogsFrame(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
       topicFromId(col("user_id")).as("topic1"),
       topicFromId(col("user_id") + 1000000L).as("topic2"),
@@ -502,20 +510,30 @@ object Ingest {
     * same frame maintains incrementally under streaming append or
     * `_sign` retraction. Oracled from the un-encoded columns: both
     * engines must agree on every address's exact cents. */
-  def balancesFromTransfers(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = decodeTransfers(synthesizeLogs(spark, sfDir))
-    val ledger = t.select(col("from_address").as("address"),
-                          (-col("value_cents")).as("delta"),
-                          lit(1L).as("n_out"), lit(0L).as("n_in"))
+  def balancesFromTransfers(spark: SparkSession, sfDir: String): DataFrame =
+    sumLedger(balanceLedger(decodeTransfers(synthesizeLogs(spark, sfDir))))
+
+  /** Decoded transfers → (address, delta, n_out, n_in) ledger rows:
+    * each transfer contributes −value to the sender and +value to the
+    * receiver. Shared by the batch reconstruction and the streaming
+    * partial-append path so both sides aggregate the SAME associative
+    * algebra (decimal deltas sum losslessly in any grouping). */
+  def balanceLedger(t: DataFrame): DataFrame =
+    t.select(col("from_address").as("address"),
+             (-col("value_cents")).as("delta"),
+             lit(1L).as("n_out"), lit(0L).as("n_in"))
       .unionByName(t.select(col("to_address").as("address"),
                             col("value_cents").as("delta"),
                             lit(0L).as("n_out"), lit(1L).as("n_in")))
+
+  /** Final merge of ledger (or partial-ledger) rows to the balance
+    * table shape shared with the q142 oracle. */
+  def sumLedger(ledger: DataFrame): DataFrame =
     ledger.groupBy(col("address"))
       .agg(sum(col("delta")).cast("long").as("balance_cents"),
            sum(col("n_in")).as("n_received"),
            sum(col("n_out")).as("n_sent"))
       .orderBy("address")
-  }
 
   // ——— full static-function catalog (C8 breadth, function half) ———
 
