@@ -181,6 +181,10 @@ object SparkEntry {
     "q140_fn_catalog"     -> (Ingest.fnCatalogRoundtrip _),
     "q141_json_ingest"    -> (Ingest.jsonIngestReport _),
     "q142_balances"       -> (Ingest.balancesFromTransfers _),
+    // q16's MV route: same result served from the persisted
+    // (orderkey, segment) partial-state rollup — build + read-back +
+    // final agg, zero joins at read time; shares q16's oracle
+    "q143_revenue_segment_mv" -> (StarJoins.revenueSegmentViaRollup _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -191,6 +195,13 @@ object SparkEntry {
   private lazy val dailyRollupSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
         COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id"""
+  private lazy val revenueSegmentSql =
+    s"""SELECT c_mktsegment,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment"""
   private lazy val topkPerUserSql =
     """SELECT user_id, day, day_value, rnk FROM (
          SELECT user_id, day, day_value,
@@ -367,13 +378,9 @@ object SparkEntry {
          COUNT(*) AS n,
          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS k_sum
          FROM events GROUP BY 1 ORDER BY k_mod""",
-    "q16_revenue_segment" ->
-      s"""SELECT c_mktsegment,
-          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-          COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          GROUP BY 1 ORDER BY c_mktsegment""",
+    "q16_revenue_segment" -> revenueSegmentSql,
+    // identical oracle: the rollup route must be lossless vs the live join
+    "q143_revenue_segment_mv" -> revenueSegmentSql,
     "q17_top_customers" -> topCustomersSql,
     // identical to q17: the salted-join skew rewrite must be lossless
     "q74_salted_join" -> topCustomersSql,
@@ -654,8 +661,8 @@ object SparkEntry {
     // defensive JSON ingest ≡ routing on the corruption predicate: the
     // quarantine boundary must land exactly on the malformed slice
     "q141_json_ingest" ->
-      """SELECT event_type AS tag, COUNT(*) AS n_rows,
-           CAST(SUM(user_id) AS BIGINT) AS sum_k
+      """SELECT COALESCE(event_type, 'unknown') AS tag, COUNT(*) AS n_rows,
+           CAST(SUM(COALESCE(user_id, 0)) AS BIGINT) AS sum_k
          FROM events WHERE event_id % 13 <> 0 GROUP BY 1
          UNION ALL
          SELECT '__quarantined' AS tag, COUNT(*) AS n_rows,

@@ -26,23 +26,42 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). The session sets
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
-    * column arrives as LongType nanos, and we truncate to microseconds —
-    * `ts DIV 1000` — which is bit-identical to DuckDB's own ns→µs
-    * truncation (verified against epoch_us on the fixture). */
+  /** Normalize a raw `ts` column to session-zoned TimestampType whatever
+    * parquet encoding the fixture generator used — the loader-contract
+    * equivalent of the reference's datetime marshal codec
+    * (`usdc-transfers/src/model/generated/marshal.ts:89`), which likewise
+    * accepts any wire encoding and emits one canonical type:
+    *  - TIMESTAMP(NANOS): the vectorized reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]); with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
+    *    LongType nanos and we truncate to microseconds (`ts DIV 1000`),
+    *    bit-identical to DuckDB's own ns→µs truncation.
+    *  - TIMESTAMP micros without TZ annotation → TimestampNTZType: cast
+    *    to TimestampType. Every graft session pins the timezone to UTC
+    *    (Sessions.scala), so the cast re-labels the same instant — no
+    *    value shift — and downstream `unix_micros` / `withWatermark`
+    *    (which require the zoned type) work unchanged.
+    *  - TIMESTAMP micros UTC-adjusted → already TimestampType: pass.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Canonical events load: raw scan + [[normalizeTs]]. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // self-defending: the caller's session may not carry the conf (e.g.
     // a harness-owned session running SparkEntry.entry); it is a
     // runtime-settable SQLConf, so pin it before planning the scan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    normalizeTs(load(spark, sfDir, "events"))
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -21,6 +21,14 @@ object Fns {
   /** Exact, shuffle-order-independent sum of a double column → double. */
   def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
 
+  /** Partial-state twin of [[dsum]]: keeps the exact DECIMAL partial —
+    * additive, so persisted rollup partials re-aggregate losslessly with
+    * [[dsumFinal]] regardless of batch boundaries or merge order. */
+  def dsumPartial(c: Column): Column = sum(c.cast(Money))
+
+  /** Merge persisted [[dsumPartial]] partials to the [[dsum]] result. */
+  def dsumFinal(c: Column): Column = sum(c).cast(DoubleType)
+
   /** Exact average: decimal sum over long count, divided in double space
     * (both engines perform the identical IEEE division). */
   def davg(c: Column): Column =

@@ -218,16 +218,6 @@ object Ingest {
         .as("data"))
   }
 
-  /** ABI router + decoder (the handler's `events.X.decode` dispatch,
-    * `usdc-transfers/src/main.ts:85-86`, widened to the declared event
-    * set): shape-aware well-formedness re-check — every PRESENT word
-    * must be 0x+64-hex, every ABSENT word must be NULL (a zero-filled
-    * or stray word on a one-topic event is a malformed log, dropped
-    * like any other) — then route on topic0 and decode to one typed
-    * frame with per-event role names collapsed to (event, addr1,
-    * addr2, amount). Columns an event's layout lacks decode as NULL.
-    * Logs with an undeclared topic0 are DROPPED — exactly what a typed
-    * ABI handler does with events it has no decoder for. */
   /** The event catalog as a broadcastable DIMENSION — one row per
     * declared event. Routing on catalog DATA (a broadcast hash join on
     * topic0) instead of a generated per-event CASE keeps the physical
@@ -244,6 +234,16 @@ object Ingest {
     }).toDF("evt_idx", "sig", "evt_name", "has_t1", "has_t2",
             "t2_is_word", "data_words", "data_is_addrs")
 
+  /** ABI router + decoder (the handler's `events.X.decode` dispatch,
+    * `usdc-transfers/src/main.ts:85-86`, widened to the declared event
+    * set): shape-aware well-formedness re-check — every PRESENT word
+    * must be 0x+64-hex, every ABSENT word must be NULL (a zero-filled
+    * or stray word on a one-topic event is a malformed log, dropped
+    * like any other) — then route on topic0 and decode to one typed
+    * frame with per-event role names collapsed to (event, addr1,
+    * addr2, amount). Columns an event's layout lacks decode as NULL.
+    * Logs with an undeclared topic0 are DROPPED — exactly what a typed
+    * ABI handler does with events it has no decoder for. */
   def decodeAbi(logs0: DataFrame): DataFrame = {
     // i-th 32-byte word of the (prefix-less) data payload
     def dataWord(i: Int): Column = substring(col("data"), 1 + 64 * i, 64)
@@ -695,13 +695,6 @@ object Ingest {
            sum(col("amount_cents")).cast("long").as("amount_cents"))
       .orderBy("fn")
 
-  /** Defensive semi-structured ingest (the F2 posture applied to JSON
-    * payloads): parse a JSON string column against an explicit schema
-    * in PERMISSIVE mode with a corrupt-record catch-all, so malformed
-    * rows are COUNTED AND QUARANTINED instead of failing the job or
-    * silently nulling — the ingest contract a 100 TB pipeline needs
-    * when a fraction of upstream payloads is always broken. Returns
-    * (parsed-good-rows, quarantined-raw-rows). */
   /** Driver-checked roundtrip for [[robustJsonIngest]]: synthesize a
     * JSON payload per event with a DETERMINISTIC corrupt slice
     * (`event_id % 13 == 0` renders truncated JSON — brace never
@@ -711,12 +704,20 @@ object Ingest {
     * the quarantine boundary itself is hash-checked: a parser that
     * silently nulls (or drops) malformed payloads cannot match. */
   def jsonIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    // coalesce nullable fixture columns BEFORE synthesis: a NULL
+    // user_id/event_type would null the whole concat → the row would
+    // quarantine on the Spark side while the oracle (routing only on
+    // event_id % 13) still counts it as good. Pinning defaults on both
+    // sides keeps the quarantine boundary deterministic under fixture
+    // drift toward nullable columns.
+    val uid = coalesce(col("user_id"), lit(0L))
+    val tag = coalesce(col("event_type"), lit("unknown"))
     val payloads = parallelEvents(spark, sfDir).select(
       col("event_id"),
       when(pmod(col("event_id"), lit(13)) === 0,
-           concat(lit("{\"k\": "), col("user_id")))
-        .otherwise(concat(lit("{\"k\": "), col("user_id"),
-                          lit(", \"tag\": \""), col("event_type"), lit("\"}")))
+           concat(lit("{\"k\": "), uid))
+        .otherwise(concat(lit("{\"k\": "), uid,
+                          lit(", \"tag\": \""), tag, lit("\"}")))
         .as("payload"))
     val (good, quarantined) =
       robustJsonIngest(payloads, "payload", "k BIGINT, tag STRING")
@@ -729,6 +730,13 @@ object Ingest {
       .orderBy("tag")
   }
 
+  /** Defensive semi-structured ingest (the F2 posture applied to JSON
+    * payloads): parse a JSON string column against an explicit schema
+    * in PERMISSIVE mode with a corrupt-record catch-all, so malformed
+    * rows are COUNTED AND QUARANTINED instead of failing the job or
+    * silently nulling — the ingest contract a 100 TB pipeline needs
+    * when a fraction of upstream payloads is always broken. Returns
+    * (parsed-good-rows, quarantined-raw-rows). */
   def robustJsonIngest(payloads: DataFrame, jsonCol: String,
                        schemaDDL: String): (DataFrame, DataFrame) = {
     val parsed = payloads.withColumn("__p",

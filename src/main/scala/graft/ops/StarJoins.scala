@@ -36,6 +36,67 @@ object StarJoins {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-(sfDir, name) scratch dir for persisted rollup artifacts —
+    * stable across runs (writes are mode=overwrite) and disjoint across
+    * scale factors, same convention as the llm persisted indices. */
+  private def scratch(sfDir: String, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}").getAbsolutePath
+
+  /** The q16 join's partial state at (o_orderkey, c_mktsegment) grain —
+    * the MV pattern applied to the flagship star join (reference analog:
+    * the insert-maintained MVs its dashboards read,
+    * `usdc-transfers/README.md:66-71`, here keyed by a join-derived
+    * dimension attribute instead of a time bucket).
+    *
+    * Build pays the 3-table join ONCE: lineitem pre-aggregates per
+    * orderkey BEFORE the join (revenue as the exact DECIMAL partial,
+    * line count as a long), so the fact-fact exchange carries one row
+    * per order instead of one per line; dims attach by broadcast.
+    * Partials are additive — batches append like the daily rollup's
+    * partial blocks, no read-modify-write ([[graft.streaming.Live
+    * .appendDailyPartials]] economy; additivity proven in
+    * RollupRoutingSpec). Caveat: appends must respect the orderkey
+    * grain (all lines of an order in one batch — the natural delivery
+    * unit), else COUNT(*)-as-n_orders double-counts a split order. */
+  def revenueSegmentPartialsOf(li: DataFrame, o: DataFrame, c: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(dsumPartial(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("rev_partial"),
+           count(lit(1)).as("n_lines_partial"))
+      .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+              col("rev_partial"), col("n_lines_partial"))
+
+  /** Dashboard read over the persisted rollup: NO join, no lineitem
+    * scan — one skinny parquet scan + one aggregation. COUNT(DISTINCT
+    * o_orderkey) degenerates to COUNT(*) because the rollup grain IS
+    * the orderkey. At 100 TB this is the difference between scanning
+    * the fact table and scanning |orders| pre-joined rows. */
+  def readRevenueSegmentRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(dsumFinal(col("rev_partial")).as("revenue"),
+           count(lit(1)).as("n_orders"),
+           sum(col("n_lines_partial")).as("n_lines"))
+      .orderBy("c_mktsegment")
+
+  /** Driver entry (q16's MV twin, same oracle): build the persisted
+    * rollup, then answer revenue-by-segment FROM the rollup — write +
+    * read-back + final agg in one checked query, like the persisted
+    * dedup/ANN index probes. Hash must equal q16's. */
+  def revenueSegmentViaRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch(sfDir, "revseg_rollup")
+    revenueSegmentPartialsOf(Tables.lineitem(spark, sfDir),
+                             Tables.orders(spark, sfDir),
+                             Tables.customer(spark, sfDir))
+      .write.mode("overwrite").parquet(dir)
+    readRevenueSegmentRollup(spark, dir)
+  }
+
   /** Top-10 customers by revenue (top-k over a join, O1 shape). */
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)

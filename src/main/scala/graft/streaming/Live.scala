@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
+import graft.Tables
 import graft.ops.Fns._
 
 /** Structured-Streaming variants of the ingest/rollup pipeline
@@ -107,14 +108,11 @@ object Live {
     else reader.option("pathGlobFilter", fileName).parquet(sfDir)
   }
 
-  /** Raw → canonical EVENT stream: nanos→µs conversion as in Tables. */
+  /** Raw → canonical EVENT stream: `ts` encoding normalization as in
+    * [[graft.Tables.normalizeTs]] (nanos-long, micros-NTZ, micros-UTC). */
   private def eventStream(spark: SparkSession, sfDir: String,
-                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val raw = fileStream(spark, sfDir, "events.parquet", maxFilesPerTrigger)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
-  }
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    Tables.normalizeTs(fileStream(spark, sfDir, "events.parquet", maxFilesPerTrigger))
 
   /** T1+T2+T5: the daily rollup maintained END-TO-END through the MV
     * pipeline — micro-batched ingest appends one partial-state block
@@ -355,10 +353,7 @@ object Live {
       else
         spark.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
-    val ev =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val ev = Tables.normalizeTs(raw)
     val updates = ev
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[(Long, Long, Double)]
@@ -460,10 +455,7 @@ object Live {
     val rawSchema = spark.read.parquet(eventsDir).schema
     val raw = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(eventsDir)
-    val ev =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val ev = Tables.normalizeTs(raw)
     var batches = 0
     // a persistent checkpoint makes re-runs resume (exactly-once source
     // accounting survives restarts); the default stays run-scoped and

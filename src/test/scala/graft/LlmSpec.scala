@@ -16,6 +16,27 @@ class LlmSpec extends AnyFunSuite {
     assert(grouped == total)
   }
 
+  /** The round-9 Probe.scala diagnostics, pinned as invariants: the
+    * shingle index's per-doc counts are bounded by the doc's token
+    * count (distinct trigrams ≤ ntok − 2, zero below 3 tokens), and the
+    * distinct-shingle total never exceeds the row total. */
+  test("shingle index: per-doc counts bounded by token count, distinct <= total") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Dedup.shingleIndexOf(docs)
+      .select($"doc_id", size($"shingles").as("ns"))
+    val toks = docs.select($"doc_id",
+      size(filter(split($"text", " "), w => length(w) > 0)).as("ntok"))
+    val bad = idx.join(toks, "doc_id")
+      .filter(($"ntok" >= 3 && ($"ns" < 1 || $"ns" > $"ntok" - 2)) ||
+              ($"ntok" < 3 && $"ns" =!= 0))
+      .count()
+    assert(bad == 0)
+    val ex = Dedup.shingleIndexOf(docs).select(explode($"shingles").as("s"))
+    val total = ex.count()
+    val distinct = ex.distinct().count()
+    assert(distinct > 0 && distinct <= total)
+  }
+
   test("fingerprint is invariant under token-order permutation") {
     val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val b = Seq((1L, "gamma alpha beta beta")).toDF("doc_id", "text")

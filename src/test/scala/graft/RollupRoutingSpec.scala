@@ -60,6 +60,33 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** The q16/q143 MV pair: the persisted (orderkey, segment) rollup must
+    * answer revenue-by-segment exactly (same oracle as the live 3-table
+    * join), its read plan must be join-free, and its partials must be
+    * additive — batch-wise appends re-aggregate to the same answer, the
+    * insert-maintenance invariant. */
+  test("revenue-segment rollup: join-free read, exact, additive across batches") {
+    import graft.ops.StarJoins
+    val live = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    val viaRollup = StarJoins.revenueSegmentViaRollup(spark, sf)
+    // read side: one rollup scan, zero joins, no lineitem
+    val readPlan = viaRollup.queryExecution.executedPlan.toString
+    assert(readPlan.contains("revseg_rollup"), s"expected rollup scan in:\n$readPlan")
+    assert(!readPlan.toLowerCase.contains("join"), s"read plan must be join-free:\n$readPlan")
+    assert(!readPlan.contains("lineitem"), s"read plan must not scan the fact:\n$readPlan")
+    assert(viaRollup.collect().toSeq == live)
+    // additivity: build the same rollup in two appended halves → same answer
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_revseg_inc").toString
+    StarJoins.revenueSegmentPartialsOf(li.filter($"l_orderkey" % 2 === 0), o, c)
+      .write.mode("append").parquet(dir)
+    StarJoins.revenueSegmentPartialsOf(li.filter($"l_orderkey" % 2 =!= 0), o, c)
+      .write.mode("append").parquet(dir)
+    assert(StarJoins.readRevenueSegmentRollup(spark, dir).collect().toSeq == live)
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw

@@ -59,4 +59,52 @@ class SourcesSpec extends AnyFunSuite {
     val bad = sessions.filter($"session_window.end" <= $"session_window.start").count()
     assert(bad == 0)
   }
+
+  /** Loader contract (SURVEY §1.4): `ts` must surface as session-zoned
+    * TimestampType whatever parquet encoding the fixture generator
+    * happened to use — the fixture regeneration between rounds 8 and 9
+    * flipped events.ts from TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros and
+    * broke five queries downstream. This pins the contract at the loader
+    * so the NEXT encoding drift fails here, by name, not nine tests
+    * downstream. */
+  test("loader contract: Tables.events ts is TimestampType at every fixture sf") {
+    import org.apache.spark.sql.types.TimestampType
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/events.parquet").exists)
+    assert(dirs.nonEmpty)
+    for (d <- dirs) {
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType == TimestampType, s"$d surfaced ${ev.schema("ts").dataType}")
+      assert(ev.limit(1).count() == 1, s"$d events unreadable")
+    }
+  }
+
+  test("loader contract: normalizeTs maps nanos-long, micros-NTZ, and micros-UTC to the same instant") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // one known instant, written in each of the three wire encodings the
+    // fixture generator has produced so far
+    val us = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsenc").toString
+    val one = spark.range(1)
+    one.select(timestamp_micros(lit(us)).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/utc")
+    one.select(timestamp_micros(lit(us)).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // TIMESTAMP(NANOS) can't be written from Spark; a plain INT64 column
+    // reproduces exactly what the nanosAsLong reader surfaces for it
+    one.select(lit(us * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+    val expectedRaw = Map(
+      "utc" -> TimestampType, "ntz" -> TimestampNTZType, "nanos" -> LongType)
+    val instants = Seq("utc", "ntz", "nanos").map { enc =>
+      val raw = spark.read.parquet(s"$dir/$enc")
+      assert(raw.schema("ts").dataType == expectedRaw(enc),
+        s"$enc fixture did not round-trip as ${expectedRaw(enc)}")
+      val norm = Tables.normalizeTs(raw)
+      assert(norm.schema("ts").dataType == TimestampType, enc)
+      norm.select(unix_micros($"ts")).head.getLong(0)
+    }
+    assert(instants.toSet == Set(us), s"instants diverged: $instants")
+  }
 }
