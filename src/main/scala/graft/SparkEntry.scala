@@ -185,6 +185,9 @@ object SparkEntry {
     // (orderkey, segment) partial-state rollup — build + read-back +
     // final agg, zero joins at read time; shares q16's oracle
     "q143_revenue_segment_mv" -> (StarJoins.revenueSegmentViaRollup _),
+    // the same result via TRANSPARENT routing: the raw 3-table query is
+    // rewritten onto the registered rollup by the optimizer rule
+    "q144_revenue_segment_routed" -> (StarJoins.revenueSegmentRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -379,8 +382,9 @@ object SparkEntry {
          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS k_sum
          FROM events GROUP BY 1 ORDER BY k_mod""",
     "q16_revenue_segment" -> revenueSegmentSql,
-    // identical oracle: the rollup route must be lossless vs the live join
+    // identical oracle: the rollup routes must be lossless vs the live join
     "q143_revenue_segment_mv" -> revenueSegmentSql,
+    "q144_revenue_segment_routed" -> revenueSegmentSql,
     "q17_top_customers" -> topCustomersSql,
     // identical to q17: the salted-join skew rewrite must be lossless
     "q74_salted_join" -> topCustomersSql,

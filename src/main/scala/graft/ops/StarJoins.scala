@@ -88,13 +88,45 @@ object StarJoins {
     * rollup, then answer revenue-by-segment FROM the rollup — write +
     * read-back + final agg in one checked query, like the persisted
     * dedup/ANN index probes. Hash must equal q16's. */
+  /** Canonical location of the persisted revenue-segment rollup for a
+    * scale-factor dir (what [[revenueSegmentViaRollup]] writes and a
+    * `RollupRouting.JoinSpec` registration points at). */
+  def revenueSegmentRollupDir(sfDir: String): String = scratch(sfDir, "revseg_rollup")
+
   def revenueSegmentViaRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = scratch(sfDir, "revseg_rollup")
+    val dir = revenueSegmentRollupDir(sfDir)
     revenueSegmentPartialsOf(Tables.lineitem(spark, sfDir),
                              Tables.orders(spark, sfDir),
                              Tables.customer(spark, sfDir))
       .write.mode("overwrite").parquet(dir)
     readRevenueSegmentRollup(spark, dir)
+  }
+
+  /** Driver entry (q144, shares q16's oracle): transparent
+    * answering-queries-using-views end-to-end — build + register the
+    * join rollup, install the optimizer rule, and run the UNCHANGED
+    * raw 3-table query; `RollupRouting` rewrites it onto the rollup
+    * (join-free plan — shape asserted in RollupRoutingSpec, which also
+    * proves near-miss queries stay on the live join). The result is
+    * pinned via an eager localCheckpoint while the rule is installed,
+    * then the session's optimizer state is restored so no other query
+    * in the run is affected. */
+  def revenueSegmentRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = revenueSegmentRollupDir(sfDir)
+    revenueSegmentPartialsOf(Tables.lineitem(spark, sfDir),
+                             Tables.orders(spark, sfDir),
+                             Tables.customer(spark, sfDir))
+      .write.mode("overwrite").parquet(dir)
+    val prev = spark.experimental.extraOptimizations
+    RollupRouting.registerJoin(RollupRouting.JoinSpec(dir))
+    spark.experimental.extraOptimizations =
+      prev :+ new RollupRouting.RuleImpl(spark)
+    try revenueBySegment(spark, sfDir).localCheckpoint()
+    finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
   }
 
   /** Top-10 customers by revenue (top-k over a join, O1 shape). */

@@ -87,6 +87,51 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(StarJoins.readRevenueSegmentRollup(spark, dir).collect().toSeq == live)
   }
 
+  /** Transparent answering-queries-using-views over a JOIN: with the
+    * revenue-segment rollup registered, the RAW 3-table query is
+    * rewritten to a join-free rollup re-aggregation — and near-miss
+    * shapes (extra filter, different aggregate, different grouping) are
+    * left on the live join. */
+  test("aggregate-over-join routes to the registered join rollup; near-misses don't") {
+    import graft.ops.StarJoins
+    val plain = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    // build + register the join rollup
+    StarJoins.revenueSegmentViaRollup(spark, sf).collect()
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec(StarJoins.revenueSegmentRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.revenueBySegment(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("revseg_rollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // near-miss: a filter below the aggregate → live join stays
+      val filtered = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"c_mktsegment")
+        .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      assert(!filtered.queryExecution.executedPlan.toString.contains("revseg_rollup"))
+      // near-miss: different aggregate (avg) → live join stays
+      val avgq = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(avg($"l_quantity"))
+      assert(!avgq.queryExecution.executedPlan.toString.contains("revseg_rollup"))
+      // near-miss: grouping by another column → live join stays
+      val byPrio = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(!byPrio.queryExecution.executedPlan.toString.contains("revseg_rollup"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
