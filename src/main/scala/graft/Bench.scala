@@ -94,7 +94,8 @@ object Bench {
     // state-store machinery that a continuous deployment amortizes
     val streaming = Set("q32_stream_daily", "q52_stream_join",
                         "q56_stateful_totals", "q96_stream_sessions",
-                        "q106_stream_ingest_dedup")
+                        "q106_stream_ingest_dedup",
+                        "q145_revenue_segment_stream")
     val batchTotal = ok.collect {
       case (k, v) if !streaming.contains(k) => v
     }.sum

@@ -188,6 +188,9 @@ object SparkEntry {
     // the same result via TRANSPARENT routing: the raw 3-table query is
     // rewritten onto the registered rollup by the optimizer rule
     "q144_revenue_segment_routed" -> (StarJoins.revenueSegmentRouted _),
+    // and via streaming insert-maintenance: lineitem deliveries append
+    // partial blocks per micro-batch; the read re-aggregates join-free
+    "q145_revenue_segment_stream" -> (streaming.Live.streamingRevenueSegment _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -385,6 +388,7 @@ object SparkEntry {
     // identical oracle: the rollup routes must be lossless vs the live join
     "q143_revenue_segment_mv" -> revenueSegmentSql,
     "q144_revenue_segment_routed" -> revenueSegmentSql,
+    "q145_revenue_segment_stream" -> revenueSegmentSql,
     "q17_top_customers" -> topCustomersSql,
     // identical to q17: the salted-join skew rewrite must be lossless
     "q74_salted_join" -> topCustomersSql,

@@ -176,6 +176,7 @@ object RollupRouting {
     /** Answering-queries-using-views for the flagship join: an Aggregate
       * of exactly { SUM(l_extendedprice*(1−l_discount)-with-casts),
       * COUNT(*), COUNT(DISTINCT o_orderkey) } grouped by c_mktsegment
+      * (or globally — both grains re-aggregate losslessly)
       * over the pristine lineitem⋈orders⋈customer inner-join core is
       * rewritten onto the registered (orderkey, segment) rollup:
       * SUM → SUM(rev_partial) (decimal partials, bit-identical),
@@ -208,7 +209,11 @@ object RollupRouting {
         case a: AttributeReference => a.name == "c_mktsegment"
         case _ => false
       }
-      if (groupings.size != 1 || !isSegmentRef(groupings.head)) return None
+      // group by the segment, or a GLOBAL aggregate (no grouping) — the
+      // rollup re-aggregates losslessly to either grain
+      val global = groupings.isEmpty
+      if (!global && (groupings.size != 1 || !isSegmentRef(groupings.head)))
+        return None
       def isRevenueExpr(se: Expression): Boolean =
         stripCasts(resolved(se)) match {
           case Multiply(ep: AttributeReference,
@@ -241,7 +246,7 @@ object RollupRouting {
           rewritten
       }
       if (!ok) return None
-      Some(Aggregate(Seq(seg), newAggExprs, rollup))
+      Some(Aggregate(if (global) Nil else Seq(seg), newAggExprs, rollup))
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],

@@ -263,6 +263,36 @@ object Live {
       q.awaitTermination()
     }
 
+  /** T5 applied to the JOIN-derived MV (q145, shares q16's oracle):
+    * incremental insert-maintenance of the revenue-segment rollup —
+    * stream lineitem deliveries, and per micro-batch run the MV
+    * insert-trigger: pre-aggregate the batch per orderkey, attach the
+    * orders/customer dims (broadcast), and APPEND one small block of
+    * (orderkey, segment) decimal partials
+    * ([[graft.ops.StarJoins.revenueSegmentPartialsOf]]) — the sink
+    * never sees raw lines, and no rollup row is ever rewritten. The
+    * dashboard read re-aggregates the accumulated rollup join-free.
+    * Deliveries must be order-atomic (all lines of an order in one
+    * delivery — the natural shipment unit); the partials doc and
+    * RollupRoutingSpec cover the grain caveat. */
+  def streamingRevenueSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_revseg_mv")
+      .resolve("rollup").toString
+    val o = graft.Tables.orders(spark, sfDir)
+    val c = graft.Tables.customer(spark, sfDir)
+    withRunCheckpoint { ckpt =>
+      val q = fileStream(spark, sfDir, "lineitem.parquet", Some(1)).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.StarJoins.revenueSegmentPartialsOf(batch, o, c)
+            .write.mode("append").parquet(rollupDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.ops.StarJoins.readRevenueSegmentRollup(spark, rollupDir)
+  }
+
   /** Stream-stream interval self-join (T-class beyond the reference):
     * purchases attributed to the views that preceded them by ≤30min,
     * per user. Both sides carry watermarks, so at scale the join state

@@ -106,6 +106,18 @@ class RollupRoutingSpec extends AnyFunSuite {
       assert(plan.contains("revseg_rollup"), s"expected rollup scan in:\n$plan")
       assert(!plan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$plan")
       assert(routed.collect().toSeq == plain)
+      // global grain (no GROUP BY) also routes and re-aggregates exactly
+      val globalQ = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+             countDistinct($"o_orderkey").as("n_orders"),
+             count(lit(1)).as("n_lines"))
+      assert(globalQ.queryExecution.executedPlan.toString.contains("revseg_rollup"))
+      val globalRow = globalQ.collect().head
+      assert(globalRow.getLong(1) == plain.map(_.getLong(2)).sum) // n_orders
+      assert(globalRow.getLong(2) == plain.map(_.getLong(3)).sum) // n_lines
+      assert(math.abs(globalRow.getDouble(0) - plain.map(_.getDouble(1)).sum) < 1e-6)
       // near-miss: a filter below the aggregate → live join stays
       val filtered = Tables.lineitem(spark, sf)
         .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))

@@ -80,6 +80,52 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  /** Pin the as-read fixture schema so any future driver-side fixture
+    * drift (renamed column, widened type, re-encoded timestamp) fails
+    * HERE by name instead of as a scatter of downstream errors. The
+    * date-like columns on lineitem/orders may surface zoned or NTZ —
+    * every consumer uses them in NTZ-safe ways (datediff/comparisons);
+    * only events.ts carries the hard TimestampType contract (it feeds
+    * unix_micros arithmetic and watermarks). */
+  test("loader contract: fixture tables surface the pinned column names and types") {
+    import org.apache.spark.sql.types._
+    def fields(df: org.apache.spark.sql.DataFrame): Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val ev = fields(Tables.events(spark, sf))
+    assert(ev == Map(
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType), ev)
+    val docs = fields(Tables.documents(spark, sf))
+    assert(docs == Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType), docs)
+    val emb = fields(Tables.embeddings(spark, sf))
+    assert(emb == Map(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType), emb)
+    val li = fields(Tables.lineitem(spark, sf))
+    assert(Set[DataType](TimestampType, TimestampNTZType)
+             .contains(li("l_shipdate")), li("l_shipdate"))
+    assert(li - "l_shipdate" == Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+      "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+      "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+      "l_linestatus" -> StringType), li)
+    val o = fields(Tables.orders(spark, sf))
+    assert(Set[DataType](TimestampType, TimestampNTZType)
+             .contains(o("o_orderdate")), o("o_orderdate"))
+    assert(o - "o_orderdate" == Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderpriority" -> StringType), o)
+    val c = fields(Tables.customer(spark, sf))
+    assert(c == Map(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType), c)
+  }
+
   test("loader contract: normalizeTs maps nanos-long, micros-NTZ, and micros-UTC to the same instant") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // one known instant, written in each of the three wire encodings the

@@ -43,6 +43,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batch)
   }
 
+  test("T5: streaming insert-maintenance of the join MV equals the live 3-table join") {
+    val streamed = Live.streamingRevenueSegment(spark, sf).collect().toSeq
+    val batch = graft.ops.StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("A3/T5: mergeable HLL uniq states reaggregate to the whole-table sketch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_uniq").toString
     Live.maintainUniqRollup(spark, sf, s"$dir/rollup")
