@@ -191,6 +191,10 @@ object SparkEntry {
     // and via streaming insert-maintenance: lineitem deliveries append
     // partial blocks per micro-batch; the read re-aggregates join-free
     "q145_revenue_segment_stream" -> (streaming.Live.streamingRevenueSegment _),
+    // the STREAMING leg of the as-of trilogy (q40 composed, q82 native
+    // broadcast): retro-correcting transformWithState state converges
+    // to the exact batch join, so it shares q82's ASOF oracle
+    "q146_stream_asof" -> ((s, d) => streaming.Live.streamingAsOf(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -208,6 +212,13 @@ object SparkEntry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY c_mktsegment"""
+  private lazy val signupAsofSql =
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
+       epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+       ON p.user_id = s.user_id AND s.ts <= p.ts
+       ORDER BY p.event_id"""
   private lazy val topkPerUserSql =
     """SELECT user_id, day, day_value, rnk FROM (
          SELECT user_id, day, day_value,
@@ -532,13 +543,9 @@ object SparkEntry {
          ORDER BY n_shared DESC, doc_id LIMIT 50""",
     // native broadcast as-of join ≡ DuckDB's native ASOF (inclusive
     // right.ts <= left.ts), same shape as q40's oracle
-    "q82_asof_native" ->
-      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
-         epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-         ON p.user_id = s.user_id AND s.ts <= p.ts
-         ORDER BY p.event_id""",
+    "q82_asof_native" -> signupAsofSql,
+    // the streaming as-of leg must converge to the same batch join
+    "q146_stream_asof" -> signupAsofSql,
     // cross-source exact dedup with source preference: keeper = lowest
     // source-rank copy of each content hash, tie-broken by doc_id
     "q83_source_pref" ->

@@ -473,6 +473,107 @@ object Live {
     }
   }
 
+  // ——— streaming as-of join ———
+
+  /** One corrected as-of emission: the left row's current best match
+    * under `right.ts <= left.ts`, stamped with the key's state version
+    * (readers keep the max version per key). */
+  case class AsOfEmit(user_id: Long, version: Long, event_id: Long,
+                      left_us: Long, match_us: Option[Long])
+
+  /** Streaming AS-OF join state: per key, the right-side timestamp set
+    * and the left-side row set seen so far. Each micro-batch appends its
+    * rows and re-emits the key's lefts matched against the UPDATED right
+    * set — so a late right row arriving after a left was first emitted
+    * RETRO-CORRECTS that left's match in the next version, and the final
+    * version per key equals the batch [[graft.ops.AsOf.asofJoin]] no
+    * matter how arrival order splits across micro-batches (the same
+    * convergence contract as [[sessionizeBatchFn]]'s interval merge).
+    * State is both sides' rows per key — bounded in production by the
+    * watermark: once event time passes a left row's timestamp no
+    * earlier right row can still arrive, so its match is final and the
+    * row can be emitted once and dropped, and rights older than the
+    * oldest unfinalized left compact to their latest element; the
+    * fixture drive keeps the full sets so the spec can assert exact
+    * batch equality under adversarial (shuffled) file order. */
+  class StreamingAsOfProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Int, Long, Long), AsOfEmit] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var rights: ListState[Long] = _
+    @transient private var lefts: ListState[(Long, Long)] = _
+    @transient private var ver: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rights = getHandle.getListState[Long]("rights", Encoders.scalaLong, TTLConfig.NONE)
+      lefts = getHandle.getListState[(Long, Long)]("lefts",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Int, Long, Long)],
+                                 tv: TimerValues): Iterator[AsOfEmit] = {
+      rows.foreach { case (ts, src, id, _) =>
+        if (src == 0) rights.appendValue(ts) else lefts.appendValue((id, ts))
+      }
+      val sortedR = rights.get().toArray.sorted
+      val allL = lefts.get().toArray
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v)
+      allL.iterator.map { case (id, lts) =>
+        // greatest right ts <= lts: binary search for the upper bound
+        var lo = 0; var hi = sortedR.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sortedR(mid) <= lts) lo = mid + 1 else hi = mid
+        }
+        AsOfEmit(user, v, id, lts, if (lo > 0) Some(sortedR(lo - 1)) else None)
+      }
+    }
+  }
+
+  /** The STREAMING leg of the as-of trilogy (composed batch q40, native
+    * broadcast q82): signup attribution maintained incrementally —
+    * purchases are the left stream, signups the right, keyed by user,
+    * matched by most-recent-prior under [[StreamingAsOfProcessor]]'s
+    * retro-correcting state. Update emissions append to the parquet
+    * drain; the read keeps each user's max-version rows and shapes them
+    * to the batch attribution output, so the query shares q82's DuckDB
+    * ASOF-join oracle — the stream converges to the exact batch join. */
+  def streamingAsOf(spark: SparkSession, sfDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventStream(spark, sfDir, maxFilesPerTrigger)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(unix_micros(col("ts")).as("ts_us"),
+                when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("src"),
+                col("event_id"), col("user_id"))
+        .as[(Long, Int, Long, Long)]
+        .groupByKey(_._4)
+        .transformWithState(new StreamingAsOfProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val all = drainToParquet(updates.toDF(), "update")
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      all.withColumn("__maxv", max(col("version")).over(wu))
+        .filter(col("version") === col("__maxv"))
+        .select(col("event_id"), col("user_id"),
+                timestamp_micros(col("left_us")).as("purchase_ts"),
+                timestamp_micros(col("match_us")).as("signup_ts"),
+                (col("left_us") - col("match_us")).as("account_age_us"))
+        .orderBy("event_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Multi-batch variant over an arbitrary events directory (e.g. the
     * month-partitioned lake): one file per trigger, so each partition
     * arrives as its own micro-batch and the rollup accumulates partial

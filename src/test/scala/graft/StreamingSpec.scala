@@ -188,6 +188,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming as-of state converges to the batch as-of join under shuffled file order") {
+    // shuffled 4-file split → purchases and signups arrive out of order
+    // across micro-batches: a signup can land AFTER the purchase it
+    // should match, so the state must retro-correct earlier emissions
+    // and the max-version read must equal the batch join exactly
+    val lake = java.nio.file.Files.createTempDirectory("graft_lakeAsof").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(s"$lake/events.parquet")
+    val streamed = Live.streamingAsOf(spark, lake, maxFilesPerTrigger = Some(1))
+      .collect().toSeq
+    val batch = graft.ops.AsOf.signupAttribution(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join matches the batch join on one drain") {
     val streamed = Live.streamingAttribution(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
