@@ -195,6 +195,10 @@ object SparkEntry {
     // broadcast): retro-correcting transformWithState state converges
     // to the exact batch join, so it shares q82's ASOF oracle
     "q146_stream_asof" -> ((s, d) => streaming.Live.streamingAsOf(s, d)),
+    // selective fact-fact join under InjectRuntimeFilter: a bloom over
+    // the filtered build keys prunes the probe shuffle (PlanLint
+    // asserts might_contain reaches the lineitem side)
+    "q147_runtime_filter" -> (StarJoins.urgentRevenueRuntimeFiltered _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -546,6 +550,14 @@ object SparkEntry {
     "q82_asof_native" -> signupAsofSql,
     // the streaming as-of leg must converge to the same batch join
     "q146_stream_asof" -> signupAsofSql,
+    // runtime-filtered join must not change results — plain join oracle
+    "q147_runtime_filter" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY ship_month""",
     // cross-source exact dedup with source preference: keeper = lowest
     // source-rank copy of each content hash, tie-broken by doc_id
     "q83_source_pref" ->

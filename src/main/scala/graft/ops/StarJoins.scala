@@ -267,6 +267,52 @@ object StarJoins {
       .orderBy("r_name", "n_name")
   }
 
+  /** Urgent-order line revenue by ship month — the un-materialized
+    * plan for [[urgentRevenueRuntimeFiltered]]; callers own the conf
+    * scope. A selective dimension-side filter (one priority class,
+    * ~20% of orders) on a fact-fact join whose probe side (lineitem)
+    * is too large to broadcast the build against. */
+  def urgentRevenueOver(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"),
+              col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** RUNTIME-FILTER (bloom) pushdown on a selective fact-fact join —
+    * the 100 TB shuffle-reduction lever Spark's `InjectRuntimeFilter`
+    * provides: the optimizer builds a bloom filter over the FILTERED
+    * build side's join keys (urgent orders) as a scalar subquery and
+    * plants `might_contain(l_orderkey)` on the probe side BEFORE its
+    * shuffle, so ~80% of lineitem rows never enter the exchange. At
+    * cluster scale the injection triggers on the defaults (probe scan
+    * > 10 GB); at fixture scale the thresholds are lowered inside this
+    * query's conf scope — and because runtime-filter injection happens
+    * at optimization time of the ACTION, the aggregate is materialized
+    * (localCheckpoint of the few output rows) inside that scope rather
+    * than lazily after it closes. The broadcast threshold is pinned off
+    * to keep the join the SMJ it would be at scale; PlanLint asserts
+    * `might_contain` reaches the lineitem side of the executed plan. */
+  def urgentRevenueRuntimeFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try urgentRevenueOver(spark, sfDir).localCheckpoint(true).orderBy("ship_month")
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Ledger reconciliation: FULL OUTER join of the order header total
     * against the recomputed lineitem revenue, classifying every key as
     * matched / order_only / lineitem_only and summing the money drift

@@ -24,7 +24,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val skip = Set(
     "q32_stream_daily", "q52_stream_join", "q56_stateful_totals",
     "q96_stream_sessions", "q106_stream_ingest_dedup",
-    "q126_stream_profile", "q145_revenue_segment_stream", // run streams
+    "q126_stream_profile", "q145_revenue_segment_stream",
+    "q146_stream_asof", // run streams
     "q86_shard_manifest") // writes a lake as a side effect
 
   test("no query plans a Window with an empty partition spec") {
@@ -124,6 +125,36 @@ class PlanLintSpec extends AnyFunSuite {
                    ops.Ingest.fnCatalogRoundtrip(spark, sf))) {
       val hits = offenders(df.queryExecution.executedPlan)
       assert(hits.isEmpty, s"wire payload crosses an exchange: ${hits.mkString(", ")}")
+    }
+  }
+
+  test("q147: the runtime bloom filter reaches the lineitem probe side") {
+    // InjectRuntimeFilter must plant might_contain(bloom over the
+    // filtered orders keys) on the lineitem side before its shuffle —
+    // the shuffle-reduction lever q147 exists to demonstrate. Same conf
+    // scope the query entry uses; the assertion reads the AQE final
+    // plan after execution.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = ops.StarJoins.urgentRevenueOver(spark, sf)
+      val withFilter = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in the executed plan:\n$plan")
+      // pruning must not change the result: same rows with the
+      // injection disabled
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = ops.StarJoins.urgentRevenueOver(spark, sf).collect()
+      assert(withFilter.sortBy(_.getDate(0).toString).toSeq ==
+             without.sortBy(_.getDate(0).toString).toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
