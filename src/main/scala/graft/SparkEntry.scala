@@ -199,6 +199,10 @@ object SparkEntry {
     // the filtered build keys prunes the probe shuffle (PlanLint
     // asserts might_contain reaches the lineitem side)
     "q147_runtime_filter" -> (StarJoins.urgentRevenueRuntimeFiltered _),
+    // the watermark-FINALIZED as-of: emit-once, bounded state; emits
+    // exactly the purchases strictly below the final watermark, so its
+    // oracle is the ASOF twin with that cutoff as a WHERE clause
+    "q148_stream_asof_final" -> ((s, d) => streaming.Live.streamingAsOfFinal(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -550,6 +554,17 @@ object SparkEntry {
     "q82_asof_native" -> signupAsofSql,
     // the streaming as-of leg must converge to the same batch join
     "q146_stream_asof" -> signupAsofSql,
+    // the finalized form emits exactly the purchases strictly below the
+    // final watermark (= the max purchase/signup event time)
+    "q148_stream_asof_final" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
+         epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND s.ts <= p.ts
+         WHERE p.ts < (SELECT max(ts) FROM events
+                       WHERE event_type IN ('purchase', 'signup'))
+         ORDER BY p.event_id""",
     // runtime-filtered join must not change results — plain join oracle
     "q147_runtime_filter" ->
       s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,

@@ -574,6 +574,122 @@ object Live {
     }
   }
 
+  /** One FINALIZED as-of emission — no version: each left row is
+    * emitted exactly once, when the watermark proves its match can no
+    * longer change. */
+  case class AsOfFinal(user_id: Long, event_id: Long,
+                       left_us: Long, match_us: Option[Long])
+
+  /** The WATERMARK-FINALIZED streaming as-of — the bounded-state,
+    * emit-once complement to [[StreamingAsOfProcessor]]'s
+    * retro-correcting update form, and the shape a production deployment
+    * runs: once the event-time watermark passes a left row's timestamp,
+    * no admissible right row can still precede it (later arrivals below
+    * the watermark are dropped as late), so its match is FINAL — emit it
+    * once in append mode and drop it from state. Rights prune the same
+    * way: among rights below the watermark only the latest can ever be
+    * the most-recent-prior for a future left, so the buffer compacts to
+    * (rights ≥ watermark) + one. State is the watermark window, not the
+    * stream; event-time timers (fired by the engine's no-data batches)
+    * flush keys that stop receiving input. The trade-off vs the update
+    * form: rows later than the watermark are dropped rather than
+    * retro-matched — which is why the update form exists for
+    * adversarial arrival and this form for bounded state. */
+  class StreamingAsOfFinalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Int, Long, Long), AsOfFinal] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var rights: ListState[Long] = _
+    @transient private var pending: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rights = getHandle.getListState[Long]("rights", Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
+    // idempotent re-arm: the min-pending timer survives across batches
+    // until the watermark passes it, so guard against re-registration
+    private def armTimer(atMs: Long): Unit =
+      if (!getHandle.listTimers().contains(atMs)) getHandle.registerTimer(atMs)
+    private def finalizeUpTo(user: Long, wmUs: Long): Iterator[AsOfFinal] = {
+      val rs = rights.get().toArray.sorted
+      val (ready, rest) = pending.get().toArray.partition(_._2 < wmUs)
+      if (ready.isEmpty && rs.forall(_ >= wmUs)) {
+        if (rest.nonEmpty) armTimer(rest.map(_._2).min / 1000 + 1)
+        return Iterator.empty
+      }
+      // compact rights: everything at/above the watermark survives, plus
+      // the single latest below it (the only below-watermark element any
+      // future left can still select)
+      val keep = rs.filter(_ >= wmUs) ++ rs.filter(_ < wmUs).lastOption
+      rights.clear(); keep.foreach(rights.appendValue)
+      pending.clear(); rest.foreach(pending.appendValue)
+      if (rest.nonEmpty) armTimer(rest.map(_._2).min / 1000 + 1)
+      ready.sortBy(_._2).iterator.map { case (id, lts) =>
+        var lo = 0; var hi = rs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (rs(mid) <= lts) lo = mid + 1 else hi = mid
+        }
+        AsOfFinal(user, id, lts, if (lo > 0) Some(rs(lo - 1)) else None)
+      }
+    }
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(java.sql.Timestamp, Long, Int, Long, Long)],
+                                 tv: TimerValues): Iterator[AsOfFinal] = {
+      rows.foreach { case (_, ts, src, id, _) =>
+        if (src == 0) rights.appendValue(ts) else pending.appendValue((id, ts))
+      }
+      finalizeUpTo(user, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfFinal] =
+      finalizeUpTo(user, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** Drive [[StreamingAsOfFinalProcessor]] over the events fixture:
+    * signup attribution again, but emit-once/bounded-state. Emitted =
+    * exactly the purchases STRICTLY below the final watermark (the
+    * boundary row stays pending: an equal-timestamp signup would not
+    * yet be late), each matched as the batch join matches it — so the
+    * oracle is q82's ASOF twin with the watermark cutoff as its WHERE
+    * clause. Arrival must respect the watermark contract (in-order
+    * files; the fixture's single file trivially does): late rows are
+    * dropped, not retro-matched — [[streamingAsOf]] is the form that
+    * tolerates adversarial order. */
+  def streamingAsOfFinal(spark: SparkSession, sfDir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventStream(spark, sfDir, maxFilesPerTrigger)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), unix_micros(col("ts")).as("ts_us"),
+                when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("src"),
+                col("event_id"), col("user_id"))
+        .as[(java.sql.Timestamp, Long, Int, Long, Long)]
+        .groupByKey(_._5)
+        .transformWithState(new StreamingAsOfFinalProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val all = drainToParquet(updates.toDF(), "append")
+      all.select(col("event_id"), col("user_id"),
+                 timestamp_micros(col("left_us")).as("purchase_ts"),
+                 timestamp_micros(col("match_us")).as("signup_ts"),
+                 (col("left_us") - col("match_us")).as("account_age_us"))
+        .orderBy("event_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Multi-batch variant over an arbitrary events directory (e.g. the
     * month-partitioned lake): one file per trigger, so each partition
     * arrives as its own micro-batch and the rollup accumulates partial

@@ -203,6 +203,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("finalized streaming as-of emits each purchase exactly once below the final watermark") {
+    // time-ordered 4-file split (the watermark contract this form
+    // assumes): file i holds the i-th timestamp quartile, mod-times
+    // forced increasing so the file source replays them in order
+    val lake = java.nio.file.Files.createTempDirectory("graft_lakeAsofF").toString
+    val evDir = s"$lake/events.parquet"
+    val ev = Tables.events(spark, sf)
+    val tsCuts = ev.select(unix_micros($"ts").cast("double").as("us"))
+      .stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.0)
+    val byTs = Seq(
+      unix_micros($"ts") <= tsCuts(0),
+      unix_micros($"ts") > tsCuts(0) && unix_micros($"ts") <= tsCuts(1),
+      unix_micros($"ts") > tsCuts(1) && unix_micros($"ts") <= tsCuts(2),
+      unix_micros($"ts") > tsCuts(2))
+    byTs.foreach(p => ev.filter(p).coalesce(1).write.mode("append").parquet(evDir))
+    // force strictly increasing mod times in write order so the file
+    // source replays the quartiles oldest-first
+    val partFiles = new java.io.File(evDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.lastModified())
+    partFiles.zipWithIndex.foreach { case (f, i) => f.setLastModified((i + 1) * 100000000L) }
+    val streamed = Live.streamingAsOfFinal(spark, lake, maxFilesPerTrigger = Some(1))
+      .collect().toSeq
+    // exactly-once: event_id unique
+    assert(streamed.map(_.getLong(0)).distinct.size == streamed.size)
+    // completeness + correctness: exactly the batch join restricted to
+    // purchases strictly below the final watermark (= max event time
+    // over the purchase∪signup stream)
+    val cutoff = ev.filter($"event_type".isin("purchase", "signup"))
+      .agg(max($"ts")).head.getTimestamp(0)
+    val batch = graft.ops.AsOf.signupAttribution(spark, sf)
+      .filter($"purchase_ts" < lit(cutoff)).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join matches the batch join on one drain") {
     val streamed = Live.streamingAttribution(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
