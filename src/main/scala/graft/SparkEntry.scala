@@ -203,6 +203,9 @@ object SparkEntry {
     // exactly the purchases strictly below the final watermark, so its
     // oracle is the ASOF twin with that cutoff as a WHERE clause
     "q148_stream_asof_final" -> ((s, d) => streaming.Live.streamingAsOfFinal(s, d)),
+    // sweep-line exact sliding uniques: interval-merge + delta running
+    // sum — the high-density exact form; shares q129's oracle
+    "q149_sliding_uniq_sweep" -> (Rollups.slidingUniqueUsersSweep _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -220,6 +223,13 @@ object SparkEntry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY c_mktsegment"""
+  private lazy val slidingUniqSql =
+    """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+       hours AS (SELECT DISTINCT h FROM hu)
+       SELECT a.h AS anchor, COUNT(DISTINCT u.user_id) AS uniq_24h
+       FROM hours a JOIN hu u
+         ON u.h BETWEEN a.h - INTERVAL 23 HOUR AND a.h
+       GROUP BY 1 ORDER BY anchor"""
   private lazy val signupAsofSql =
     """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
        epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
@@ -274,13 +284,9 @@ object SparkEntry {
     "q05_minmax_type" ->
       """SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
-    "q129_sliding_uniq" ->
-      """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
-         hours AS (SELECT DISTINCT h FROM hu)
-         SELECT a.h AS anchor, COUNT(DISTINCT u.user_id) AS uniq_24h
-         FROM hours a JOIN hu u
-           ON u.h BETWEEN a.h - INTERVAL 23 HOUR AND a.h
-         GROUP BY 1 ORDER BY anchor""",
+    "q129_sliding_uniq" -> slidingUniqSql,
+    // the sweep-line exact form must produce the identical window
+    "q149_sliding_uniq_sweep" -> slidingUniqSql,
     "q133_arg_extremes" ->
       s"""SELECT event_type,
           (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u

@@ -302,6 +302,45 @@ object Rollups {
       .agg(countDistinct(col("user_id")).as("uniq_24h"))
       .orderBy("anchor")
 
+  /** SWEEP-LINE exact sliding uniques — the high-density exact form
+    * (same oracle as [[slidingUniqueUsers]], proven row-equal in spec).
+    * A user counts toward anchor `a` iff one of their active hours lies
+    * in (a-23h, a], i.e. iff `a` is covered by the union of that user's
+    * [h, h+23h] intervals — so per user, merge overlapping intervals
+    * (one lag + one cumulative flag over the user's DISTINCT hours),
+    * emit (+1 at start, -1 past end) deltas, and running-sum the deltas
+    * over the hour spine ([[GlobalRank.withRunningTotal]] — exact, no
+    * single-task window). The ×100 replica measured the explode form
+    * slightly superlinear (117× for 100× density: the exchange carries
+    * 24 anchor-copies of every distinct pair and spills); here the only
+    * pair-sized exchange is the lag's user shuffle — the anchor-side
+    * frames are interval- and spine-sized, invariant in row density. */
+  def slidingUniqueUsersSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hu = hourlyUsers(spark, sfDir)
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val intervals = hu
+      .withColumn("prev_h", lag(col("h"), 1).over(wUser))
+      .withColumn("new_iv",
+        when(col("prev_h").isNull ||
+             col("h") > col("prev_h") + expr("INTERVAL 23 HOURS"), 1L).otherwise(0L))
+      .withColumn("iv", sum(col("new_iv")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("iv"))
+      .agg(min(col("h")).as("s"),
+           (max(col("h")) + expr("INTERVAL 23 HOURS")).as("e"))
+    val spine = hu.select(col("h").as("anchor")).distinct()
+    val deltas = intervals.select(col("s").as("anchor"), lit(1L).as("d"))
+      .unionByName(intervals.select(
+        (col("e") + expr("INTERVAL 1 HOUR")).as("anchor"), lit(-1L).as("d")))
+      .unionByName(spine.select(col("anchor"), lit(0L).as("d")))
+      .groupBy(col("anchor")).agg(sum(col("d")).as("d"))
+    GlobalRank.withRunningTotal(deltas, Seq(col("anchor")), col("d"), "cum")
+      .join(broadcast(spine), Seq("anchor"), "left_semi")
+      .select(col("anchor"), col("cum").cast("long").as("uniq_24h"))
+      .orderBy("anchor")
+  }
+
   /** The 100 TB sliding-unique path: per-hour MERGEABLE HLL sketches
     * (one row per hour regardless of corpus size), slid by exploding
     * each hour's sketch into its ≤24 anchors and UNIONING sketches —

@@ -312,6 +312,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep-line sliding uniques equal the explode-exact form row-for-row") {
+    // the interval-merge + delta running-sum rewrite must reproduce the
+    // exact window on every observed anchor — including users whose
+    // hour sets merge into multi-hour coverage intervals and anchors
+    // where several intervals start/end at once
+    val explodeForm = Rollups.slidingUniqueUsers(spark, sf).collect().toSeq
+    val sweepForm = Rollups.slidingUniqueUsersSweep(spark, sf).collect().toSeq
+    assert(sweepForm.nonEmpty)
+    assert(sweepForm == explodeForm)
+  }
+
   test("new-op plan shapes: tiny sides broadcast, profiler scans once") {
     // q115: the nlabels-row centroid table must broadcast back onto the
     // corpus scan — a shuffled join here would exchange every vector
