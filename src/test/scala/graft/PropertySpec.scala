@@ -21,6 +21,40 @@ class PropertySpec extends AnyFunSuite {
   private val doubles: Gen[List[Double]] =
     Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))
 
+  test("property: as-of trilogy — composed, native broadcast, and model agree") {
+    // narrow key/ts domains force the edge semantics: equal-timestamp
+    // ties (the inclusive right.ts <= left.ts rule), keys with no right
+    // row (null match), several rights per instant, duplicate lefts
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L),
+                              Gen.chooseNum(0L, 999L))),
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L))))
+    for ((ls, rs) <- samples(gen, 5) if ls.nonEmpty) {
+      val left = ls.toDF("k", "t", "id")
+        .withColumn("ts", timestamp_micros($"t")).drop("t")
+      val right = rs.toDF("k", "t")
+        .withColumn("ts", timestamp_micros($"t")).drop("t")
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select($"id", $"k", unix_micros($"ts").as("lt"),
+                unix_micros($"__asof.ts").as("mt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue)))
+        .toSeq
+      val composed = shape(
+        graft.ops.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts"))
+      val native = shape(
+        graft.plans.BroadcastAsOf.join(left, right, Seq("k"), "ts", "ts"))
+      val byKey = rs.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+      val model = ls.map { case (k, t, id) =>
+        (id, k, t, byKey.getOrElse(k, Nil).takeWhile(_ <= t).lastOption)
+      }.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))).toSeq
+      assert(composed == model, "composed form diverges from the model")
+      assert(native == model, "native broadcast form diverges from the model")
+    }
+  }
+
   test("property: morton interleave is a bijection on 32-bit pairs") {
     def deinterleave(z: Long): (Long, Long) = {
       var a = 0L; var b = 0L
