@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * scale — the corpus decade is probed by the real 0.01→0.1 fixtures. */
 object MakeScale {
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val out = args(1)
-    val copies = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    build(spark, args(0), args(1),
+          if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
 
+  def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
 
@@ -67,6 +69,5 @@ object MakeScale {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     println(s"[makescale] wrote ${copies}x replica of $src to $out")
-    spark.stop()
   }
 }

@@ -153,4 +153,47 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(instants.toSet == Set(us), s"instants diverged: $instants")
   }
+
+  test("loader contract: legacy INT96 timestamps normalize to the same instant too") {
+    // the fourth real-world encoding: Hive / legacy-Spark writers emit
+    // INT96 timestamps; Spark's reader surfaces them as TimestampType,
+    // so normalizeTs must pass them through unchanged — pinned here so
+    // a fixture regenerated by an INT96 writer fails one named test
+    import org.apache.spark.sql.types.TimestampType
+    val us = 1700000000123456L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts96").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "INT96")
+    try spark.range(1).select(timestamp_micros(lit(us)).as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val norm = Tables.normalizeTs(spark.read.parquet(dir))
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.select(unix_micros($"ts")).head.getLong(0) == us)
+  }
+
+  test("MakeScale replica keeps referential structure and multiplies cardinality") {
+    // the scale-rehearsal tool must preserve the fixture's join
+    // structure: every replicated lineitem joins exactly one order,
+    // every order one customer, and key cardinalities multiply by N
+    val out = java.nio.file.Files.createTempDirectory("graft_mkscale").toString
+    graft.MakeScale.build(spark, sf, out, 3)
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    val oBase = Tables.orders(spark, sf)
+    assert(o.count() == 3 * oBase.count())
+    assert(o.select("o_orderkey").distinct().count() == o.count(),
+      "orderkeys must stay unique across copies")
+    // no orphans in either direction of the fact-fact edge
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count() == 0)
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() == 0)
+    // events ts normalizes after the replica round-trip as well
+    assert(Tables.events(spark, out).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
