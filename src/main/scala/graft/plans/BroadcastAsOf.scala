@@ -103,7 +103,21 @@ object BroadcastAsOf {
       val rTsType = rTsBound.dataType
       val grouped = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      right.executeCollect().foreach { row =>
+      val collected = right.executeCollect()
+      // misuse guard: the build side must be dimension-sized. Fail fast
+      // with a redirect BEFORE the broadcast multiplies a fact-sized
+      // build into every executor (BroadcastHashJoin draws the same
+      // line with its byte threshold; rows are the natural unit here
+      // because the build is re-grouped and sorted per key on the
+      // driver). The composed AsOf.asofJoin is the fact-fact path.
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.broadcastAsOf.maxBuildRows", "5000000").toLong
+      require(collected.length <= cap,
+        s"BroadcastAsOf build side has ${collected.length} rows (cap $cap): " +
+        "this operator broadcasts a dimension-sized build; use " +
+        "AsOf.asofJoin for fact-fact as-of joins, or raise " +
+        "spark.graft.broadcastAsOf.maxBuildRows")
+      collected.foreach { row =>
         val ts = rTsBound.eval(row)
         if (ts != null) { // a build row with no timestamp can never match
           val k = keyProj(row)

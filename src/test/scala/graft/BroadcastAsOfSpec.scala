@@ -73,4 +73,20 @@ class BroadcastAsOfSpec extends AnyFunSuite {
     // matches inclusively → a; id 3 (t=10): nothing prior → null
     assert(out == Seq((1L, Some("b")), (2L, Some("a")), (3L, None)))
   }
+
+  test("native as-of rejects a fact-sized build side with a redirect, not an OOM") {
+    val key = "spark.graft.broadcastAsOf.maxBuildRows"
+    spark.conf.set(key, "10")
+    try {
+      val left = Seq((1L, 5L)).toDF("k", "t")
+      val right = spark.range(100).select(($"id" % 3).as("k"), $"id".as("t"))
+      val e = intercept[Exception] {
+        BroadcastAsOf.join(left, right, Seq("k"), "t", "t").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("AsOf.asofJoin")),
+        s"expected the fact-fact redirect in: ${messages(e)}")
+    } finally spark.conf.unset(key)
+  }
 }
