@@ -163,6 +163,10 @@ object SparkEntry {
     "q126_stream_profile" -> (graft.streaming.Live.streamingProfileDocuments _),
     "q127_curate_train"   -> (Curate.curateTrain _),
     "q128_calldata"       -> (Ingest.calldataRoundtrip _),
+    // exact sliding uniques — since round 11 the DEFAULT is the
+    // sweep-line plan (the explode form measured superlinear at ×100
+    // density; it survives as the spec-only diagnostic the sweep is
+    // pinned against). Former q149 retired into this entry.
     "q129_sliding_uniq"   -> (Rollups.slidingUniqueUsers _),
     // un-oracled (HLL binary); spec bounds every anchor vs q129
     "q130_sliding_uniq_sketch" -> (Rollups.slidingUniqueUsersSketch _),
@@ -203,9 +207,17 @@ object SparkEntry {
     // exactly the purchases strictly below the final watermark, so its
     // oracle is the ASOF twin with that cutoff as a WHERE clause
     "q148_stream_asof_final" -> ((s, d) => streaming.Live.streamingAsOfFinal(s, d)),
-    // sweep-line exact sliding uniques: interval-merge + delta running
-    // sum — the high-density exact form; shares q129's oracle
-    "q149_sliding_uniq_sweep" -> (Rollups.slidingUniqueUsersSweep _),
+    // — round 11: the MV registry generalized —
+    // the SECOND registered join MV: with both join rollups registered,
+    // the UNCHANGED q17 top-customers query routes onto the
+    // per-customer volume rollup (registry selects by join core);
+    // shares q17's oracle
+    "q150_top_customers_routed" -> (StarJoins.topCustomersRouted _),
+    // predicate subsumption: the UNCHANGED raw day-windowed dashboard
+    // query routes onto the daily rollup — the whole-day bounds are
+    // provably lossless against the day grain and re-apply above the
+    // rollup scan (the events fact table is never read)
+    "q151_daily_window_routed" -> (Rollups.dailyVolumeWindowRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -284,9 +296,9 @@ object SparkEntry {
     "q05_minmax_type" ->
       """SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // since round 11 the declared query runs the sweep-line plan; the
+    // oracle is unchanged — the rewrite must reproduce the exact window
     "q129_sliding_uniq" -> slidingUniqSql,
-    // the sweep-line exact form must produce the identical window
-    "q149_sliding_uniq_sweep" -> slidingUniqSql,
     "q133_arg_extremes" ->
       s"""SELECT event_type,
           (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u
@@ -417,6 +429,18 @@ object SparkEntry {
     "q17_top_customers" -> topCustomersSql,
     // identical to q17: the salted-join skew rewrite must be lossless
     "q74_salted_join" -> topCustomersSql,
+    // identical to q17: the SECOND registered join MV (customer-volume)
+    // must route the unchanged top-customers query losslessly
+    "q150_top_customers_routed" -> topCustomersSql,
+    // predicate subsumption: the routed day-windowed read must equal
+    // the raw windowed aggregate exactly
+    "q151_daily_window_routed" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         ${dsum("value")} AS daily_volume, COUNT(*) AS daily_txs
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1 ORDER BY day""",
     "q18_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -561,15 +585,20 @@ object SparkEntry {
     // the streaming as-of leg must converge to the same batch join
     "q146_stream_asof" -> signupAsofSql,
     // the finalized form emits exactly the purchases strictly below the
-    // final watermark (= the max purchase/signup event time)
+    // final watermark (= the max purchase/signup event time, FLOORED to
+    // milliseconds: Spark tracks watermarks in ms, so the processor
+    // finalizes against floor(maxUs/1000)*1000 — the oracle cutoff must
+    // use the same granularity or a fixture whose max-millisecond bucket
+    // holds another purchase would disagree on the boundary rows)
     "q148_stream_asof_final" ->
       """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
          epoch_us(p.ts) - epoch_us(s.ts) AS account_age_us
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
          ON p.user_id = s.user_id AND s.ts <= p.ts
-         WHERE p.ts < (SELECT max(ts) FROM events
-                       WHERE event_type IN ('purchase', 'signup'))
+         WHERE epoch_us(p.ts) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
+                                 FROM events
+                                 WHERE event_type IN ('purchase', 'signup'))
          ORDER BY p.event_id""",
     // runtime-filtered join must not change results — plain join oracle
     "q147_runtime_filter" ->

@@ -40,6 +40,68 @@ object Rollups {
       .orderBy(col("daily_volume").desc, col("day"))
       .limit(7)
 
+  /** The daily rollup's PARTIAL-STATE block (day × user grain): the
+    * exact DECIMAL value partial, the row count, and the min/max
+    * partials — the one shared definition behind the streaming
+    * insert-maintenance sink ([[graft.streaming.Live
+    * .appendDailyPartials]]), the batch MV build
+    * ([[ensureDailyRollup]]), and what `RollupRouting.Spec` routes
+    * onto. All three re-aggregate losslessly by construction. */
+  def dailyPartialsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
+           count(lit(1)).as("c_partial"),
+           // min/max partials re-aggregate losslessly too (A4 routing)
+           min(col("value")).as("mn_partial"),
+           max(col("value")).as("mx_partial"))
+
+  /** Canonical persisted daily rollup for a scale-factor dir (what
+    * [[dailyVolumeWindowRouted]] registers), built once per session. */
+  def dailyRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "daily_rollup")
+  private def ensureDailyRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, dailyRollupDir(sfDir)) {
+      dailyPartialsOf(Tables.events(spark, sfDir))
+    }
+
+  /** The raw day-windowed dashboard query — the reference's own MV
+    * WHERE shape (`usdc-transfers/sql/analytics.sql:106`, a time-range
+    * read of the daily MV): one whole-day half-open window over the raw
+    * events, daily volume + count inside it. Written against the RAW
+    * table; [[dailyVolumeWindowRouted]] runs it UNCHANGED under the
+    * routing rule. */
+  def dailyVolumeWindowRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("daily_volume"), count(lit(1)).as("daily_txs"))
+      .orderBy("day")
+
+  /** Driver entry (q151): PREDICATE-SUBSUMPTION routing end-to-end —
+    * build + register the persisted daily rollup, install the routing
+    * rule, and run the UNCHANGED raw day-windowed query.
+    * `RollupRouting` proves the two midnight bounds lossless against
+    * the day grain (a whole-day cut never splits a rollup group),
+    * re-applies them over the rollup's `day` column, and routes — the
+    * events fact table is never scanned (plan asserted in
+    * RollupRoutingSpec). At 100 TB this is the reference's dashboard
+    * economy: a 7-day window reads 7 days of rollup rows, not the fact
+    * table. */
+  def dailyVolumeWindowRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureDailyRollup(spark, sfDir)
+    val prev = spark.experimental.extraOptimizations
+    RollupRouting.register(RollupRouting.Spec("events.parquet", dir))
+    spark.experimental.extraOptimizations =
+      prev :+ new RollupRouting.RuleImpl(spark)
+    try dailyVolumeWindowRaw(spark, sfDir).localCheckpoint()
+    finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   /** mv_usdc_hourly analog (`setup-analytics.sh:66-85`): hour × type. C4. */
   def hourly(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -288,15 +350,28 @@ object Rollups {
   }
 
   /** SLIDING 24-hour distinct users per observed hour — the DAU-style
-    * rolling engagement number, EXACT form. No range join: each
-    * (hour, user) row explodes into the ≤24 anchors it contributes to
-    * (a fixed 24× fan-out of skinny rows), an anchor-existence semi
-    * join against the tiny observed-hour frame drops phantom anchors,
-    * and one distinct-aggregate exchange finishes — wall cost scales
-    * with active (hour, user) pairs, never |hours|×|rows|. The exact
-    * form is the CORRECTNESS baseline; [[slidingUniqueUsersSketch]] is
-    * what runs at 100 TB. */
+    * rolling engagement number, EXACT form. The DEFAULT is the
+    * sweep-line plan ([[slidingUniqueUsersSweep]]): the ×100-density
+    * rehearsal (docs/SCALING.md) measured the older explode form 117×
+    * for 100× data (24 anchor-copies of every distinct pair through the
+    * distinct-agg exchange) vs 12× for the sweep, so the sweep is what
+    * a user gets; [[slidingUniqueUsersExplode]] stays as the
+    * independently-derived diagnostic the equivalence spec pins the
+    * sweep against, and [[slidingUniqueUsersSketch]] is the mergeable
+    * 100 TB path. */
   def slidingUniqueUsers(spark: SparkSession, sfDir: String): DataFrame =
+    slidingUniqueUsersSweep(spark, sfDir)
+
+  /** Explode-form exact sliding uniques — spec-only DIAGNOSTIC (the
+    * independent derivation [[slidingUniqueUsersSweep]] is checked
+    * against; superlinear at extreme density, so not the default). No
+    * range join: each (hour, user) row explodes into the ≤24 anchors it
+    * contributes to (a fixed 24× fan-out of skinny rows), an
+    * anchor-existence semi join against the tiny observed-hour frame
+    * drops phantom anchors, and one distinct-aggregate exchange
+    * finishes — wall cost scales with active (hour, user) pairs, never
+    * |hours|×|rows|. */
+  def slidingUniqueUsersExplode(spark: SparkSession, sfDir: String): DataFrame =
     slideToAnchors(hourlyUsers(spark, sfDir))
       .groupBy(col("anchor"))
       .agg(countDistinct(col("user_id")).as("uniq_24h"))

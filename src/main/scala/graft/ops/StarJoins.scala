@@ -39,7 +39,7 @@ object StarJoins {
   /** Per-(sfDir, name) scratch dir for persisted rollup artifacts —
     * stable across runs (writes are mode=overwrite) and disjoint across
     * scale factors, same convention as the llm persisted indices. */
-  private def scratch(sfDir: String, name: String): String =
+  private[graft] def scratch(sfDir: String, name: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}").getAbsolutePath
 
@@ -93,17 +93,17 @@ object StarJoins {
     * `RollupRouting.JoinSpec` registration points at). */
   def revenueSegmentRollupDir(sfDir: String): String = scratch(sfDir, "revseg_rollup")
 
-  // Build-once-per-(session, dir) memo for the persisted join rollup —
+  // Build-once-per-(session, dir) memo for the persisted join rollups —
   // the same session-artifact policy as the llm index caches
-  // (Dedup.sessionCached): the MV is maintained by its own pipeline
+  // (Dedup.sessionCached): each MV is maintained by its own pipeline
   // (q145's streaming insert-maintenance); dashboard reads pay the
   // build at most once per session, and the bench's warm pass absorbs
   // it like every other shared index build. Fixture inputs are
   // immutable within a session, so the memo can never serve stale data.
   private val builtRollups =
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
-  private def ensureRevenueSegmentRollup(spark: SparkSession, sfDir: String): String = {
-    val dir = revenueSegmentRollupDir(sfDir)
+  private[graft] def ensureRollup(spark: SparkSession, dir: String)
+                                 (build: => DataFrame): String = {
     val perSession = builtRollups.synchronized {
       var s = builtRollups.get(spark)
       if (s == null) {
@@ -112,39 +112,93 @@ object StarJoins {
       }
       s
     }
-    if (perSession.add(dir))
+    // memo AFTER the write succeeds (and hold the per-session lock
+    // across it): marking first would poison the memo on a failed
+    // write, leaving later reads pointed at a missing or partially-
+    // written rollup instead of rebuilding
+    perSession.synchronized {
+      if (!perSession.contains(dir)) {
+        build.write.mode("overwrite").parquet(dir)
+        perSession.add(dir)
+      }
+    }
+    dir
+  }
+  private def ensureRevenueSegmentRollup(spark: SparkSession, sfDir: String): String =
+    ensureRollup(spark, revenueSegmentRollupDir(sfDir)) {
       revenueSegmentPartialsOf(Tables.lineitem(spark, sfDir),
                                Tables.orders(spark, sfDir),
                                Tables.customer(spark, sfDir))
-        .write.mode("overwrite").parquet(dir)
-    dir
-  }
+    }
 
   def revenueSegmentViaRollup(spark: SparkSession, sfDir: String): DataFrame =
     readRevenueSegmentRollup(spark, ensureRevenueSegmentRollup(spark, sfDir))
 
-  /** Driver entry (q144, shares q16's oracle): transparent
-    * answering-queries-using-views end-to-end — build + register the
-    * join rollup, install the optimizer rule, and run the UNCHANGED
-    * raw 3-table query; `RollupRouting` rewrites it onto the rollup
-    * (join-free plan — shape asserted in RollupRoutingSpec, which also
-    * proves near-miss queries stay on the live join). The result is
-    * pinned via an eager localCheckpoint while the rule is installed,
-    * then the session's optimizer state is restored so no other query
-    * in the run is affected. */
-  def revenueSegmentRouted(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The second registered join MV ([[graft.plans.RollupRouting.JoinSpec
+    * .customerVolume]]): per-customer order volume at c_custkey grain —
+    * orders pre-aggregate per custkey BEFORE the dim join (exact
+    * DECIMAL volume partial + order count), the customer name attaches
+    * by broadcast. Answers the q17 top-customers shape join-free. */
+  def customerVolumePartialsOf(o: DataFrame, c: DataFrame): DataFrame =
+    o.groupBy(col("o_custkey"))
+      .agg(dsumPartial(col("o_totalprice")).as("vol_partial"),
+           count(lit(1)).as("n_orders_partial"))
+      .join(broadcast(c.select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+              col("vol_partial"), col("n_orders_partial"))
+
+  def customerVolumeRollupDir(sfDir: String): String = scratch(sfDir, "custvol_rollup")
+
+  private def ensureCustomerVolumeRollup(spark: SparkSession, sfDir: String): String =
+    ensureRollup(spark, customerVolumeRollupDir(sfDir)) {
+      customerVolumePartialsOf(Tables.orders(spark, sfDir),
+                               Tables.customer(spark, sfDir))
+    }
+
+  /** Run `f` with BOTH join MVs registered (the multi-MV registry in
+    * action — the reference maintains six MVs side by side,
+    * `usdc-transfers/sql/analytics.sql:9-94`) and the routing rule
+    * installed; the session's optimizer state is restored afterwards so
+    * no other query in the run is affected. */
+  private def withJoinRouting[A](spark: SparkSession, sfDir: String)(f: => A): A = {
     import graft.plans.RollupRouting
-    val dir = ensureRevenueSegmentRollup(spark, sfDir)
+    val revDir = ensureRevenueSegmentRollup(spark, sfDir)
+    val volDir = ensureCustomerVolumeRollup(spark, sfDir)
     val prev = spark.experimental.extraOptimizations
-    RollupRouting.registerJoin(RollupRouting.JoinSpec(dir))
+    RollupRouting.registerJoin(RollupRouting.JoinSpec.revenueSegment(revDir))
+    RollupRouting.registerJoin(RollupRouting.JoinSpec.customerVolume(volDir))
     spark.experimental.extraOptimizations =
       prev :+ new RollupRouting.RuleImpl(spark)
-    try revenueBySegment(spark, sfDir).localCheckpoint()
-    finally {
+    try f finally {
       spark.experimental.extraOptimizations = prev
       RollupRouting.clear()
     }
   }
+
+  /** Driver entry (q144, shares q16's oracle): transparent
+    * answering-queries-using-views end-to-end — build + register the
+    * join rollups, install the optimizer rule, and run the UNCHANGED
+    * raw 3-table query; `RollupRouting` picks the matching spec out of
+    * the registry and rewrites onto its rollup (join-free plan — shape
+    * asserted in RollupRoutingSpec, which also proves near-miss queries
+    * stay on the live join). The result is pinned via an eager
+    * localCheckpoint while the rule is installed. */
+  def revenueSegmentRouted(spark: SparkSession, sfDir: String): DataFrame =
+    withJoinRouting(spark, sfDir) {
+      revenueBySegment(spark, sfDir).localCheckpoint()
+    }
+
+  /** Driver entry (q150, shares q17's oracle): the SECOND registered
+    * join MV routing transparently — the UNCHANGED [[topCustomers]]
+    * query (orders⋈customer, different core than the revenue spec)
+    * rewrites onto the per-customer volume rollup while both specs are
+    * registered, proving the registry selects by join core rather than
+    * matching a single hardcoded shape. */
+  def topCustomersRouted(spark: SparkSession, sfDir: String): DataFrame =
+    withJoinRouting(spark, sfDir) {
+      topCustomers(spark, sfDir).localCheckpoint()
+    }
 
   /** Top-10 customers by revenue (top-k over a join, O1 shape). */
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -315,7 +369,17 @@ object StarJoins {
     * (localCheckpoint of the few output rows) inside that scope rather
     * than lazily after it closes. The broadcast threshold is pinned off
     * to keep the join the SMJ it would be at scale; PlanLint asserts
-    * `might_contain` reaches the lineitem side of the executed plan. */
+    * `might_contain` reaches the lineitem side of the executed plan.
+    *
+    * Conf scope caveat: the save/mutate/restore of session-global SQL
+    * confs assumes no CONCURRENT query shares this SparkSession (a
+    * query optimized inside the window would also see the lowered
+    * thresholds). The engine's drivers (Verify/Bench) run queries
+    * sequentially per session, which is the supported mode; a
+    * multi-tenant deployment should run this through its own
+    * `spark.newSession()` so the conf scope is private. The same
+    * assumption covers the streaming as-of drivers' state-store conf
+    * scope in [[graft.streaming.Live]]. */
   def urgentRevenueRuntimeFiltered(spark: SparkSession, sfDir: String): DataFrame = {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

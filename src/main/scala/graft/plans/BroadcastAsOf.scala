@@ -103,17 +103,22 @@ object BroadcastAsOf {
       val rTsType = rTsBound.dataType
       val grouped = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      val collected = right.executeCollect()
       // misuse guard: the build side must be dimension-sized. Fail fast
       // with a redirect BEFORE the broadcast multiplies a fact-sized
       // build into every executor (BroadcastHashJoin draws the same
       // line with its byte threshold; rows are the natural unit here
       // because the build is re-grouped and sorted per key on the
       // driver). The composed AsOf.asofJoin is the fact-fact path.
-      val cap = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.broadcastAsOf.maxBuildRows", "5000000").toLong
+      // Probe with executeTake(cap+1) rather than a full executeCollect:
+      // the take stops pulling partitions once cap+1 rows arrive, so a
+      // genuinely fact-sized build trips the guard without ever
+      // materializing on the driver; an under-cap take IS the collect.
+      val cap = math.min(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.broadcastAsOf.maxBuildRows", "5000000").toLong,
+        Int.MaxValue - 1L).toInt
+      val collected = right.executeTake(cap + 1)
       require(collected.length <= cap,
-        s"BroadcastAsOf build side has ${collected.length} rows (cap $cap): " +
+        s"BroadcastAsOf build side exceeds $cap rows (cap): " +
         "this operator broadcasts a dimension-sized build; use " +
         "AsOf.asofJoin for fact-fact as-of joins, or raise " +
         "spark.graft.broadcastAsOf.maxBuildRows")

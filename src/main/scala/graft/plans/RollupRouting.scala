@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Transparent materialized-rollup routing (SURVEY §4 / §7.3 stretch).
   *
@@ -27,17 +27,32 @@ import org.apache.spark.sql.types.DateType
   *                   MAX(value) → MAX(mx_partial) }
   *    (AVG is deliberately absent: decimal-partial division is not
   *    bit-identical to a raw double average — rewrite only the lossless)
-  *
-  * Anything else — other columns, other aggregates, filters below the
-  * aggregate — leaves the plan untouched. Output attribute ids are
-  * preserved so parent operators (sort, limit, project) re-bind cleanly.
+  *  - PREDICATE SUBSUMPTION (round 11): a Filter between the aggregate
+  *    and the scan no longer always blocks routing — a conjunct whose
+  *    every scan-side term is itself a rollup KEY expression (a
+  *    day-grained term over `ts`, any term over `user_id`) partitions
+  *    rows exactly along rollup-group boundaries, so it is lossless to
+  *    re-apply the same predicate over the rollup's key columns and
+  *    route. Whole-day half-open `ts` ranges (`ts >= midnight`,
+  *    `ts < midnight` — the reference's own dashboard WHERE shape,
+  *    `usdc-transfers/sql/analytics.sql:106`) rewrite to the equivalent
+  *    `day` bounds. One conjunct outside the lossless set (an
+  *    `event_type` filter, a mid-day cut) → the whole query stays live.
   *
   * A second matcher ([[RollupRouting.JoinSpec]]) extends the same idea
-  * across a JOIN: the revenue-by-segment aggregate over the pristine
-  * lineitem⋈orders⋈customer inner-join core is rewritten onto the
-  * persisted (orderkey, segment) partial rollup
-  * ([[graft.ops.StarJoins.revenueSegmentPartialsOf]]) — the join is
-  * paid once at build, and the routed read is join-free.
+  * across a JOIN — and since round 11 it is a REGISTRY, not a single
+  * hardcoded shape: each spec carries its join core (base-table set +
+  * equi-join key pairs), its grouping-column map, and its
+  * aggregate→partial-column mappings; the rule tries every registered
+  * spec and routes onto the first whose core and aggregate set match
+  * (the reference maintains SIX MVs side by side,
+  * `usdc-transfers/sql/analytics.sql:9-94` — a user of this engine can
+  * likewise register several join rollups). Shipped specs:
+  * [[JoinSpec.revenueSegment]] (lineitem⋈orders⋈customer →
+  * (orderkey, segment) partials, built by
+  * [[graft.ops.StarJoins.revenueSegmentPartialsOf]]) and
+  * [[JoinSpec.customerVolume]] (orders⋈customer → per-customer volume
+  * partials, [[graft.ops.StarJoins.customerVolumePartialsOf]]).
   *
   * At scale this turns a full fact-table scan + shuffle into a scan of a
   * rollup that is orders of magnitude smaller — the same reason the
@@ -49,11 +64,89 @@ object RollupRouting {
     * [[graft.streaming.Live.appendDailyPartials]]). */
   case class Spec(sourceSuffix: String, rollupPath: String)
 
-  /** A registered JOIN-DERIVED rollup (written by
-    * [[graft.ops.StarJoins.revenueSegmentPartialsOf]]): answers the
-    * revenue-by-segment aggregate over the lineitem⋈orders⋈customer
-    * join from the persisted (orderkey, segment) partial state. */
-  case class JoinSpec(rollupPath: String)
+  // ——— join-MV registry vocabulary ———
+
+  /** Pattern over the CAST-STRIPPED, project-resolved source expression
+    * inside an aggregate — what the spec's partial column is a partial
+    * OF. Kept as a tiny closed AST (not a function) so a spec is data:
+    * printable, comparable, and serializable into docs/tests. */
+  sealed trait SrcPat {
+    def matches(e: Expression): Boolean
+  }
+  /** A bare source-column reference, e.g. SUM(o_totalprice). */
+  case class ColRef(name: String) extends SrcPat {
+    def matches(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == name
+      case _ => false
+    }
+  }
+  /** The net-of-discount revenue shape `a * (1 - b)`. */
+  case class OneMinusProduct(a: String, b: String) extends SrcPat {
+    def matches(e: Expression): Boolean = e match {
+      case Multiply(x: AttributeReference,
+                    Subtract(Literal(one, _), y: AttributeReference, _), _) =>
+        x.name == a && y.name == b && one == 1.0d
+      case _ => false
+    }
+  }
+
+  /** How one aggregate over the raw join rewrites onto the rollup. */
+  sealed trait AggMap
+  /** `SUM(expr-with-casts)` → `SUM(partial)` — lossless because the
+    * partial is the exact DECIMAL partial of the same expression
+    * ([[graft.ops.Fns.dsumPartial]]); the query's own outer casts are
+    * preserved above the rewritten Sum. */
+  case class SumOf(pat: SrcPat, partial: String) extends AggMap
+  /** `COUNT(*)` / `COUNT(lit)` → `SUM(partial)` of the per-group row
+    * count. */
+  case class CountStarTo(partial: String) extends AggMap
+  /** `COUNT(DISTINCT grainCol)` → `COUNT(*)` over the rollup — valid
+    * exactly because `grainCol` IS the rollup's grain (one rollup row
+    * per distinct value). */
+  case class CountDistinctGrain(grainCol: String) extends AggMap
+
+  /** A registered JOIN-DERIVED rollup: `tables` + `joinKeys` pin the
+    * join core the rollup pre-paid (base-table name set and the sorted
+    * equi-join column pairs), `groupings` maps each source grouping
+    * column the rollup preserves to its rollup column, and `aggs` lists
+    * the aggregate rewrites the partial columns support. A query routes
+    * onto the spec iff its join core matches EXACTLY, every grouping is
+    * a preserved column (or the aggregate is global — coarser grains
+    * re-aggregate losslessly), and every aggregate has a mapping. */
+  case class JoinSpec(
+      rollupPath: String,
+      tables: Set[String],
+      joinKeys: Set[(String, String)],
+      groupings: Map[String, String],
+      aggs: Seq[AggMap])
+
+  object JoinSpec {
+    /** The flagship revenue-by-segment MV over
+      * lineitem⋈orders⋈customer (build:
+      * [[graft.ops.StarJoins.revenueSegmentPartialsOf]], grain =
+      * o_orderkey). */
+    def revenueSegment(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        SumOf(OneMinusProduct("l_extendedprice", "l_discount"), "rev_partial"),
+        CountStarTo("n_lines_partial"),
+        CountDistinctGrain("o_orderkey")))
+
+    /** The per-customer order-volume MV over orders⋈customer (build:
+      * [[graft.ops.StarJoins.customerVolumePartialsOf]], grain =
+      * c_custkey) — answers the q17 top-customers shape join-free. */
+    def customerVolume(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("orders", "customer"),
+      joinKeys = Set(("c_custkey", "o_custkey")),
+      groupings = Map("c_custkey" -> "c_custkey", "c_name" -> "c_name"),
+      aggs = Seq(
+        SumOf(ColRef("o_totalprice"), "vol_partial"),
+        CountStarTo("n_orders_partial")))
+  }
 
   private var specs: List[Spec] = Nil
   private var joinSpecs: List[JoinSpec] = Nil
@@ -61,12 +154,23 @@ object RollupRouting {
   def registerJoin(spec: JoinSpec): Unit = synchronized { joinSpecs = spec :: joinSpecs }
   def clear(): Unit = synchronized { specs = Nil; joinSpecs = Nil }
   def registered: List[Spec] = specs
+  def registeredJoins: List[JoinSpec] = joinSpecs
 
   class RuleImpl(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
-    private def stripCasts(e: Expression): Expression = e match {
-      case c: Cast => stripCasts(c.child)
-      case other => other
+    /** The exact shape every decimal partial is built from
+      * ([[graft.ops.Fns.dsumPartial]]): `cast(<source expr> as
+      * decimal(38,6))` with `inner` matching the source expression.
+      * Routing a SUM requires this exact cast — the partial column IS
+      * `sum(cast(expr as decimal(38,6)))` per group, so only that
+      * aggregate re-aggregates bit-identically (a bare double sum has
+      * different type and rounding; a different-precision cast is a
+      * different number). */
+    private def isExactPartialCast(e: Expression,
+                                   inner: Expression => Boolean): Boolean = e match {
+      case Cast(x, dt: org.apache.spark.sql.types.DecimalType, _, _) =>
+        dt.precision == 38 && dt.scale == 6 && inner(x)
+      case _ => false
     }
 
     /** Substitute attributes through the Project chain below the
@@ -76,7 +180,7 @@ object RollupRouting {
       * cast — resolve back to source-column terms before matching. */
     private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = {
       val aliasMap: Map[ExprId, Expression] = plan.collect {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        case p: Project =>
           p.projectList.collect { case a @ Alias(child, _) => a.exprId -> child }
       }.flatten.toMap
       def subst(x: Expression): Expression = x.transformUp {
@@ -85,11 +189,27 @@ object RollupRouting {
       subst(e)
     }
 
+    /** The canonical normalized-ts expression: the raw `ts` column
+      * through (only) the loader-contract normalization wrappers
+      * ([[graft.Tables.normalizeTs]]) — the NTZ→TZ cast relabel or the
+      * nanos-long `timestamp_micros(ts DIV 1000)` truncation. A SHIFTED
+      * or otherwise derived timestamp (`ts + INTERVAL …`) deliberately
+      * does not match: `to_date` of it is not the rollup's day, and a
+      * midnight bound on it does not cut along day-group boundaries
+      * (round 11 tightening — the earlier any-DateType-expr-of-ts match
+      * would have routed those shapes wrongly). */
+    private def isNormTs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == "ts"
+      case Cast(c, TimestampType, _, _) => isNormTs(c)
+      case MicrosToTimestamp(IntegralDivide(c, Literal(v, _), _))
+          if v == 1000 || v == 1000L => isNormTs(c)
+      case _ => false
+    }
+
     /** Which rollup key a grouping expression computes, if any. */
     private def keyOf(e: Expression): Option[String] = e match {
       case a: AttributeReference if a.name == "user_id" => Some("user_id")
-      case e if e.dataType == DateType &&
-        e.references.size == 1 && e.references.head.name == "ts" => Some("day")
+      case Cast(c, DateType, _, _) if isNormTs(c) => Some("day")
       case _ => None
     }
 
@@ -100,67 +220,60 @@ object RollupRouting {
           specs.find(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix))).get
       }
 
-    /** The child between Aggregate and the scan must be pure projection —
-      * a Filter would make the rollup answer wrong. */
-    private def projectionOnly(plan: LogicalPlan): Boolean = plan match {
-      case _: LogicalRelation => true
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project => projectionOnly(p.child)
-      case _ => false
-    }
-
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _)
-          if scanOf(child).isDefined && projectionOnly(child) =>
-        val spec = scanOf(child).get
-        rewrite(agg, groupings, aggExprs, spec).getOrElse(agg)
+          if specs.nonEmpty && scanOf(child).isDefined =>
+        rewrite(agg, groupings, aggExprs, scanOf(child).get).getOrElse(agg)
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]) =>
-        rewriteJoin(agg, groupings, aggExprs, joinSpecs.head).getOrElse(agg)
+        joinSpecs.view
+          .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s))
+          .headOption.getOrElse(agg)
     }
 
-    // ——— join-derived rollup: the revenue-by-segment shape ———
-
-    private val revSegJoinKeys =
-      Set("l_orderkey", "o_orderkey", "o_custkey", "c_custkey")
+    // ——— join-derived rollups: registry-driven matching ———
 
     /** Strip pruning Projects and the IsNotNull-only Filters that
       * InferFiltersFromConstraints plants on inner-join keys by rule-run
       * time — both are row-set no-ops relative to the rollup (the build
       * ran the same inner joins, which drop null keys anyway). Any other
       * Filter leaves the plan unmatched. */
-    private def stripToCore(p: LogicalPlan): LogicalPlan = p match {
-      case pr: Project => stripToCore(pr.child)
+    private def stripToCore(p: LogicalPlan, joinKeyCols: Set[String]): LogicalPlan = p match {
+      case pr: Project => stripToCore(pr.child, joinKeyCols)
       case f: Filter
           if splitConjunctivePredicates(f.condition).forall {
-            case IsNotNull(a: AttributeReference) => revSegJoinKeys.contains(a.name)
+            case IsNotNull(a: AttributeReference) => joinKeyCols.contains(a.name)
             case _ => false
-          } => stripToCore(f.child)
+          } => stripToCore(f.child, joinKeyCols)
       case other => other
     }
 
-    private def baseTableName(stripped: LogicalPlan): Option[String] =
+    private def baseTableName(stripped: LogicalPlan, tables: Set[String]): Option[String] =
       stripped match {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           fs.location.rootPaths.map(_.toString).collectFirst {
-            case rp if rp.endsWith("lineitem.parquet") => "lineitem"
-            case rp if rp.endsWith("orders.parquet") => "orders"
-            case rp if rp.endsWith("customer.parquet") => "customer"
+            Function.unlift { rp: String =>
+              tables.find(t => rp.endsWith(s"$t.parquet"))
+            }
           }
         case _ => None
       }
 
     /** Flatten an inner-join tree to its base tables + equi-conditions;
       * None as soon as anything but Project/IsNotNull-Filter/Inner-Join
-      * over the three expected scans appears. */
-    private def flattenRevSegJoin(p: LogicalPlan)
-        : Option[(Set[String], Seq[Expression])] = stripToCore(p) match {
-      case Join(l, r, Inner, Some(cond), _) =>
-        for {
-          (lt, lc) <- flattenRevSegJoin(l)
-          (rt, rc) <- flattenRevSegJoin(r)
-        } yield (lt ++ rt, lc ++ rc ++ splitConjunctivePredicates(cond))
-      case other =>
-        baseTableName(other).map(n => (Set(n), Seq.empty[Expression]))
+      * over the spec's expected scans appears. */
+    private def flattenJoin(p: LogicalPlan, spec: JoinSpec)
+        : Option[(Set[String], Seq[Expression])] = {
+      val keyCols = spec.joinKeys.flatMap(p => Set(p._1, p._2))
+      stripToCore(p, keyCols) match {
+        case Join(l, r, Inner, Some(cond), _) =>
+          for {
+            (lt, lc) <- flattenJoin(l, spec)
+            (rt, rc) <- flattenJoin(r, spec)
+          } yield (lt ++ rt, lc ++ rc ++ splitConjunctivePredicates(cond))
+        case other =>
+          baseTableName(other, spec.tables).map(n => (Set(n), Seq.empty[Expression]))
+      }
     }
 
     private def condPairs(conds: Seq[Expression]): Option[Set[(String, String)]] = {
@@ -173,80 +286,142 @@ object RollupRouting {
       if (pairs.forall(_.isDefined)) Some(pairs.flatten.toSet) else None
     }
 
-    /** Answering-queries-using-views for the flagship join: an Aggregate
-      * of exactly { SUM(l_extendedprice*(1−l_discount)-with-casts),
-      * COUNT(*), COUNT(DISTINCT o_orderkey) } grouped by c_mktsegment
-      * (or globally — both grains re-aggregate losslessly)
-      * over the pristine lineitem⋈orders⋈customer inner-join core is
-      * rewritten onto the registered (orderkey, segment) rollup:
-      * SUM → SUM(rev_partial) (decimal partials, bit-identical),
-      * COUNT(*) → SUM(n_lines_partial), and COUNT(DISTINCT o_orderkey)
-      * degenerates to COUNT(*) because the rollup grain IS the orderkey.
-      * Everything else — extra tables, filters, other aggregates or
-      * groupings — leaves the plan untouched. Output ExprIds are
-      * preserved so parent sorts/projects re-bind. */
+    /** Answering-queries-using-views for a registered join MV: an
+      * Aggregate whose join core matches `spec` exactly, whose groupings
+      * are preserved columns (or global — both grains re-aggregate
+      * losslessly), and whose every aggregate has a mapping in
+      * `spec.aggs`, is rewritten onto the rollup scan. Anything else —
+      * extra tables, filters, unmapped aggregates or groupings — leaves
+      * the plan untouched. Output ExprIds are preserved so parent
+      * sorts/limits/projects re-bind. */
     private def rewriteJoin(agg: Aggregate, groupings: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
                             spec: JoinSpec): Option[LogicalPlan] = {
-      flattenRevSegJoin(agg.child) match {
+      flattenJoin(agg.child, spec) match {
         case Some((tables, conds))
-            if tables == Set("lineitem", "orders", "customer") &&
-               condPairs(conds).contains(
-                 Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey"))) => ()
+            if tables == spec.tables &&
+               condPairs(conds).contains(spec.joinKeys) => ()
         case _ => return None
       }
       val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
                    catch { case _: Throwable => return None }
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
-      val (seg, rev, nl) =
-        (attr("c_mktsegment"), attr("rev_partial"), attr("n_lines_partial")) match {
-          case (Some(s), Some(r), Some(n)) => (s, r, n)
-          case _ => return None
-        }
       val child = agg.child
       def resolved(e: Expression): Expression = resolveThroughProjects(e, child)
-      def isSegmentRef(e: Expression): Boolean = resolved(e) match {
-        case a: AttributeReference => a.name == "c_mktsegment"
-        case _ => false
+      /** A grouping column preserved by the rollup → its rollup attr. */
+      def groupingAttr(e: Expression): Option[Attribute] = resolved(e) match {
+        case a: AttributeReference => spec.groupings.get(a.name).flatMap(attr)
+        case _ => None
       }
-      // group by the segment, or a GLOBAL aggregate (no grouping) — the
-      // rollup re-aggregates losslessly to either grain
-      val global = groupings.isEmpty
-      if (!global && (groupings.size != 1 || !isSegmentRef(groupings.head)))
-        return None
-      def isRevenueExpr(se: Expression): Boolean =
-        stripCasts(resolved(se)) match {
-          case Multiply(ep: AttributeReference,
-                        Subtract(Literal(one, _), d: AttributeReference, _), _) =>
-            ep.name == "l_extendedprice" && d.name == "l_discount" &&
-              one == 1.0d
-          case _ => false
+      val keyMap: Map[Expression, Attribute] = groupings.map { g =>
+        groupingAttr(g) match {
+          case Some(target) => g -> target
+          case None => return None
         }
-      def isOrderKeyRef(se: Expression): Boolean = resolved(se) match {
-        case a: AttributeReference => a.name == "o_orderkey"
-        case _ => false
-      }
+      }.toMap
+      def mapAgg(ae: AggregateExpression): Option[Expression] =
+        spec.aggs.view.flatMap { m =>
+          (m, ae.aggregateFunction) match {
+            // the Sum's child must be the EXACT dsum shape the partial
+            // was built from — `cast(expr as decimal(38,6))` — not any
+            // cast chain: a bare double sum routed onto decimal
+            // partials would change the result type and its rounding
+            // under a preserved ExprId (round-11 tightening, caught by
+            // the routing PropertySpec)
+            case (SumOf(pat, partial), Sum(se, _))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolved(se), pat.matches) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Sum(p)))
+            // COUNT is non-nullable and 0 on empty input; SUM of the
+            // partial is nullable and null on empty — coalesce restores
+            // the exact contract (schema AND the empty-group value)
+            case (CountStarTo(partial), Count(children))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   children.forall(_.isInstanceOf[Literal]) =>
+              attr(partial).map(p => Coalesce(Seq(
+                ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
+            case (CountDistinctGrain(grain), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty && (resolved(se) match {
+                  case a: AttributeReference => a.name == grain
+                  case _ => false
+                }) =>
+              Some(ae.copy(aggregateFunction = Count(Seq(Literal(1))),
+                           isDistinct = false))
+            case _ => None
+          }
+        }.headOption
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
-        case ne if isSegmentRef(ne match { case Alias(c, _) => c; case x => x }) =>
-          Alias(seg, ne.name)(exprId = ne.exprId)
+        case ne if groupingAttr(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
+          val target = groupingAttr(ne match { case Alias(c, _) => c; case x => x }).get
+          Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
           val rewritten = ne.transformUp {
-            case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
-                if isRevenueExpr(se) =>
-              ae.copy(aggregateFunction = Sum(rev))
-            case ae @ AggregateExpression(Count(children), _, false, None, _)
-                if children.forall(_.isInstanceOf[Literal]) =>
-              ae.copy(aggregateFunction = Sum(nl))
-            case ae @ AggregateExpression(Count(Seq(se)), _, true, None, _)
-                if isOrderKeyRef(se) =>
-              ae.copy(aggregateFunction = Count(Seq(Literal(1))), isDistinct = false)
+            case ae: AggregateExpression => mapAgg(ae).getOrElse(ae)
           }.asInstanceOf[NamedExpression]
           if (!rewritten.references.subsetOf(AttributeSet(rollup.output))) ok = false
           rewritten
       }
       if (!ok) return None
-      Some(Aggregate(if (global) Nil else Seq(seg), newAggExprs, rollup))
+      Some(Aggregate(groupings.map(keyMap), newAggExprs, rollup))
+    }
+
+    // ——— single-table daily rollup, with predicate subsumption ———
+
+    /** Collect the Filter conjuncts between the Aggregate and the scan
+      * (Project/Filter shape only — anything else bails). */
+    private def filterConjuncts(plan: LogicalPlan): Option[Seq[Expression]] = plan match {
+      case _: LogicalRelation => Some(Nil)
+      case p: Project => filterConjuncts(p.child)
+      case f: Filter =>
+        filterConjuncts(f.child).map(splitConjunctivePredicates(f.condition) ++ _)
+      case _ => None
+    }
+
+    private val MicrosPerDay = 86400000000L
+
+    /** Rewrite one raw-side filter conjunct into an equivalent predicate
+      * over the rollup's key columns — or None if it is not provably
+      * lossless. Lossless forms:
+      *  - any subterm that IS a key expression (day-grained `ts` term,
+      *    `user_id`) substitutes to the rollup key; if afterwards every
+      *    reference is a rollup column the predicate cuts exactly along
+      *    group boundaries
+      *  - `IsNotNull(ts)` ⟺ `IsNotNull(day)` (to_date preserves
+      *    null-ness), same for user_id — the shape
+      *    InferFiltersFromConstraints plants
+      *  - half-open whole-day `ts` bounds (`ts >= midnight`,
+      *    `ts < midnight`, and their commuted forms) ⟺ the same bound
+      *    on `day` — day d's rows all lie in [d, d+1), so a midnight
+      *    cut never splits a group. A mid-day literal does, and bails. */
+    private def subsumeConjunct(c: Expression, day: Attribute,
+                                userId: Attribute): Option[Expression] = {
+      def dayLit(us: Long): Literal = Literal((us / MicrosPerDay).toInt, DateType)
+      // a whole-day boundary literal, in either timestamp flavor: the
+      // session pins UTC, so an NTZ literal (the shape
+      // UnwrapCastInBinaryComparison leaves after pushing a comparison
+      // through the loader's NTZ→TZ relabel cast) holds the same micros
+      object Midnight {
+        def unapply(e: Expression): Option[Long] = e match {
+          case Literal(us: Long, TimestampType | TimestampNTZType)
+              if us % MicrosPerDay == 0 => Some(us)
+          case _ => None
+        }
+      }
+      val rewritten = c.transformDown {
+        case e if keyOf(e).isDefined =>
+          keyOf(e).get match { case "day" => day; case _ => userId }
+        case IsNotNull(t) if isNormTs(t) => IsNotNull(day)
+        case GreaterThanOrEqual(t, Midnight(us)) if isNormTs(t) =>
+          GreaterThanOrEqual(day, dayLit(us))
+        case LessThan(t, Midnight(us)) if isNormTs(t) => LessThan(day, dayLit(us))
+        case LessThanOrEqual(Midnight(us), t) if isNormTs(t) =>
+          GreaterThanOrEqual(day, dayLit(us))
+        case GreaterThan(Midnight(us), t) if isNormTs(t) => LessThan(day, dayLit(us))
+      }
+      if (rewritten.references.subsetOf(AttributeSet(Seq(day, userId))))
+        Some(rewritten)
+      else None
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
@@ -268,6 +443,18 @@ object RollupRouting {
       def keyOfResolved(e: Expression): Option[String] =
         keyOf(resolveThroughProjects(e, child))
 
+      // every filter conjunct between aggregate and scan must be
+      // provably lossless against the rollup grain — else stay live
+      val routedFilters: Seq[Expression] = filterConjuncts(child) match {
+        case None => return None // non-Project/Filter shape below the agg
+        case Some(conjuncts) => conjuncts.map { c =>
+          subsumeConjunct(resolveThroughProjects(c, child), day, userId) match {
+            case Some(r) => r
+            case None => return None
+          }
+        }
+      }
+
       // every grouping must map onto a rollup key
       val keyMap: Map[Expression, Attribute] = groupings.map { g =>
         keyOfResolved(g) match {
@@ -286,23 +473,26 @@ object RollupRouting {
           }
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
-          def isValueRef(se: Expression): Boolean = {
-            val r = resolveThroughProjects(stripCasts(se), child)
-            r.isInstanceOf[AttributeReference] &&
-              r.asInstanceOf[AttributeReference].name == "value"
-          }
           def isBareValueRef(se: Expression): Boolean = {
             val r = resolveThroughProjects(se, child)
             r.isInstanceOf[AttributeReference] &&
               r.asInstanceOf[AttributeReference].name == "value"
           }
+          // SUM routes only for the exact dsum shape the v_partial was
+          // built from (cast to decimal(38,6)) — a bare double sum or a
+          // different-precision cast is a different number/type and
+          // stays live (round-11 tightening)
+          def isValueDecimalSum(se: Expression): Boolean =
+            isExactPartialCast(resolveThroughProjects(se, child), isBareValueRef)
           val rewritten = ne.transformUp {
             case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
-                if isValueRef(se) =>
+                if isValueDecimalSum(se) =>
               ae.copy(aggregateFunction = Sum(vPart))
+            // COUNT → coalesce(SUM(partial), 0): preserves COUNT's
+            // non-nullable type and its 0-on-empty-input value
             case ae @ AggregateExpression(Count(children), _, false, None, _)
                 if children.forall(_.isInstanceOf[Literal]) =>
-              ae.copy(aggregateFunction = Sum(cPart))
+              Coalesce(Seq(ae.copy(aggregateFunction = Sum(cPart)), Literal(0L)))
             // MIN/MAX route only for a BARE value reference: a cast in
             // between could reorder (e.g. string min) or change the
             // output type under a preserved ExprId. SUM tolerates casts
@@ -320,8 +510,8 @@ object RollupRouting {
       }
       if (!ok) return None
 
-      val newGroupings = groupings.map(keyMap)
-      Some(Aggregate(newGroupings, newAggExprs, rollup))
+      val newChild = routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
     }
   }
 }

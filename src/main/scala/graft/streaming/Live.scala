@@ -80,6 +80,21 @@ object Live {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // opt-in scale-rehearsal probe (SPARK_GRAFT_STATE_LOG=<file>):
+        // append one JSON line per micro-batch with the state-store row
+        // and byte totals — the number a 100 TB deployment sizes
+        // executors against (see docs/SCALING.md streaming decade).
+        // Env-gated so declared runs stay untouched.
+        sys.env.get("SPARK_GRAFT_STATE_LOG").foreach { path =>
+          val lines = q.recentProgress.toSeq.map { p =>
+            val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+            s"""{"batch":${p.batchId},"inputRows":${p.numInputRows},"stateRows":[${ops.map(_.numRowsTotal).mkString(",")}],"stateBytes":[${ops.map(_.memoryUsedBytes).mkString(",")}]}"""
+          }
+          java.nio.file.Files.write(java.nio.file.Paths.get(path),
+            (lines.mkString("", "\n", "\n")).getBytes,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
       }
     }
     val schema = org.apache.spark.sql.types.StructType(
@@ -160,13 +175,7 @@ object Live {
       require(existing.contains("mn_partial"),
         s"$rollupDir holds pre-mn/mx partials; rebuild the rollup before appending")
     }
-    batch
-      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
-      .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
-           count(lit(1)).as("c_partial"),
-           // min/max partials re-aggregate losslessly too (A4 routing)
-           min(col("value")).as("mn_partial"),
-           max(col("value")).as("mx_partial"))
+    graft.ops.Rollups.dailyPartialsOf(batch)
       .write.mode("append").parquet(rollupDir)
   }
 

@@ -317,7 +317,7 @@ class EngineSpec extends AnyFunSuite {
     // exact window on every observed anchor — including users whose
     // hour sets merge into multi-hour coverage intervals and anchors
     // where several intervals start/end at once
-    val explodeForm = Rollups.slidingUniqueUsers(spark, sf).collect().toSeq
+    val explodeForm = Rollups.slidingUniqueUsersExplode(spark, sf).collect().toSeq
     val sweepForm = Rollups.slidingUniqueUsersSweep(spark, sf).collect().toSeq
     assert(sweepForm.nonEmpty)
     assert(sweepForm == explodeForm)

@@ -98,7 +98,7 @@ class RollupRoutingSpec extends AnyFunSuite {
     // build + register the join rollup
     StarJoins.revenueSegmentViaRollup(spark, sf).collect()
     RollupRouting.registerJoin(
-      RollupRouting.JoinSpec(StarJoins.revenueSegmentRollupDir(sf)))
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
       val routed = StarJoins.revenueBySegment(spark, sf)
@@ -141,6 +141,107 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
+    }
+  }
+
+  /** Round 11: the JoinSpec REGISTRY — with two join MVs registered at
+    * once, each query routes onto the spec whose join core matches, and
+    * a third (unregistered) join shape stays on the live plan. */
+  test("multi-MV registry: second join MV routes by core; unregistered shape stays live") {
+    import graft.ops.StarJoins
+    val plainTop = StarJoins.topCustomers(spark, sf).collect().toSeq
+    val plainRev = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    // the q150/q144 drivers register BOTH specs and run the unchanged
+    // queries (their results are checkpoint-pinned; values must match)
+    assert(StarJoins.topCustomersRouted(spark, sf).collect().toSeq == plainTop)
+    assert(StarJoins.revenueSegmentRouted(spark, sf).collect().toSeq == plainRev)
+    // plan assertions: register both specs manually (the drivers pin
+    // results through a localCheckpoint, which hides the plan)
+    StarJoins.revenueSegmentViaRollup(spark, sf).collect() // ensure rollup exists
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.customerVolume(StarJoins.customerVolumeRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val topPlan = StarJoins.topCustomers(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(topPlan.contains("custvol_rollup"), s"expected volume-rollup scan in:\n$topPlan")
+      assert(!topPlan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$topPlan")
+      assert(!topPlan.contains("orders.parquet"), s"must not scan the fact:\n$topPlan")
+      // ...and the revenue query still routes onto ITS spec, same session
+      val revPlan = StarJoins.revenueBySegment(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(revPlan.contains("revseg_rollup"), s"expected revenue-rollup scan in:\n$revPlan")
+      // a third join shape (lineitem⋈part promo revenue) matches neither
+      // registered core → live plan
+      val promoPlan = StarJoins.promoRevenue(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!promoPlan.contains("_rollup"), s"unregistered join shape must stay live:\n$promoPlan")
+      // and a grouping either spec does NOT preserve (o_orderpriority)
+      // over a registered core stays live too
+      val byPrio = Tables.orders(spark, sf)
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(!byPrio.queryExecution.executedPlan.toString.contains("_rollup"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 11: PREDICATE SUBSUMPTION — whole-day bounds route onto the
+    * daily rollup with the filter re-applied above the rollup scan;
+    * boundaries that can split a day group stay on the raw scan. */
+  test("day-windowed query routes with the filter; mid-day cut stays live") {
+    val plain = graft.ops.Rollups.dailyVolumeWindowRaw(spark, sf).collect().toSeq
+    // the q151 driver pins its result via localCheckpoint; values first
+    assert(graft.ops.Rollups.dailyVolumeWindowRouted(spark, sf).collect().toSeq == plain)
+    // plan assertions under a manual registration of the same rollup
+    RollupRouting.register(RollupRouting.Spec("events.parquet",
+      graft.ops.Rollups.dailyRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val plan = graft.ops.Rollups.dailyVolumeWindowRaw(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("daily_rollup"), s"expected daily-rollup scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact table must not be scanned:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    val byUserQ = () => Tables.events(spark, sf)
+      .filter($"user_id" % 10 === 3)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val byUserRaw = byUserQ().collect().toSeq
+    withRouting {
+      // user_id predicates reference a group key → route with filter
+      val byUser = byUserQ()
+      assert(byUser.queryExecution.executedPlan.toString.contains("rollup"))
+      assert(byUser.collect().toSeq == byUserRaw)
+      // near-miss: a MID-DAY timestamp cut splits a day group → live
+      val midday = Tables.events(spark, sf)
+        .filter($"ts" >= lit("2024-01-08 12:00:00").cast("timestamp"))
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      assert(!midday.queryExecution.executedPlan.toString.contains("rollup"),
+        "a mid-day boundary must NOT route")
+      // near-miss: a non-key column in the predicate → live
+      val byType = Tables.events(spark, sf)
+        .filter($"event_type" === "purchase" && $"ts" >= lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      assert(!byType.queryExecution.executedPlan.toString.contains("rollup"),
+        "an event_type conjunct must NOT route")
+      // near-miss: a SHIFTED timestamp is not the day key (round-11
+      // tightening) → live
+      val shifted = Tables.events(spark, sf)
+        .groupBy(to_date($"ts" + expr("INTERVAL 1 HOUR")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      assert(!shifted.queryExecution.executedPlan.toString.contains("rollup"),
+        "to_date(ts + 1h) is not the rollup day and must NOT route")
     }
   }
 
