@@ -218,6 +218,13 @@ object SparkEntry {
     // provably lossless against the day grain and re-apply above the
     // rollup scan (the events fact table is never read)
     "q151_daily_window_routed" -> (Rollups.dailyVolumeWindowRouted _),
+    // predicate subsumption across the JOIN path: the raw 3-table
+    // revenue query WITH a segment WHERE clause routes onto the
+    // revenue-segment rollup (c_mktsegment is a preserved grouping
+    // column, so the pushed-down dim filter re-applies losslessly
+    // above the rollup scan); near-misses stay live per
+    // RollupRoutingSpec
+    "q152_segment_filter_routed" -> (StarJoins.revenueSegmentFilteredRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -441,6 +448,16 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <  TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY 1 ORDER BY day""",
+    // q16's query + a segment WHERE: the routed read must equal the
+    // raw filtered join exactly (join-path predicate subsumption)
+    "q152_segment_filter_routed" ->
+      s"""SELECT c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "q18_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

@@ -21,13 +21,20 @@ import Fns._
 object StarJoins {
 
   /** Revenue by market segment: customer ⋈ orders ⋈ lineitem.
-    * Fact-fact sort-merge on orderkey, dim broadcast on custkey. */
-  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    * Fact-fact sort-merge on orderkey, dim broadcast on custkey.
+    * `segments` restricts to a segment subset — the reference's
+    * dashboard WHERE shape over its MVs
+    * (`usdc-transfers/sql/analytics.sql:106`) applied to the join;
+    * with routing installed the filter subsumes onto the rollup
+    * (q152) because c_mktsegment is a preserved grouping column. */
+  private def revenueBySegmentPlan(spark: SparkSession, sfDir: String,
+                                   segments: Option[Seq[String]]): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    segments.fold(joined)(ss => joined.filter(col("c_mktsegment").isin(ss: _*)))
       .withColumn("rev", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
       .groupBy(col("c_mktsegment"))
       .agg(dsum(col("rev")).as("revenue"),
@@ -35,6 +42,9 @@ object StarJoins {
            count(lit(1)).as("n_lines"))
       .orderBy("c_mktsegment")
   }
+
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame =
+    revenueBySegmentPlan(spark, sfDir, None)
 
   /** Per-(sfDir, name) scratch dir for persisted rollup artifacts —
     * stable across runs (writes are mode=overwrite) and disjoint across
@@ -199,6 +209,26 @@ object StarJoins {
     withJoinRouting(spark, sfDir) {
       topCustomers(spark, sfDir).localCheckpoint()
     }
+
+  /** The two filter segments q152 pins (also used by its spec). */
+  val Q152Segments: Seq[String] = Seq("AUTOMOBILE", "BUILDING")
+
+  /** Driver entry (q152): JOIN-path predicate subsumption — the raw
+    * 3-table revenue query WITH a segment WHERE clause routes onto the
+    * revenue rollup because `c_mktsegment` is a preserved grouping
+    * column, so the pushed-down dimension filter re-applies losslessly
+    * above the rollup scan (near-misses — a fact-side or unpreserved
+    * dim predicate — stay live; RollupRoutingSpec). Oracle: q16's SQL
+    * plus the WHERE. */
+  def revenueSegmentFilteredRouted(spark: SparkSession, sfDir: String): DataFrame =
+    withJoinRouting(spark, sfDir) {
+      revenueBySegmentPlan(spark, sfDir, Some(Q152Segments)).localCheckpoint()
+    }
+
+  /** Spec access: the filtered raw query without routing installed. */
+  private[graft] def revenueBySegmentFiltered(spark: SparkSession, sfDir: String,
+                                              segments: Seq[String]): DataFrame =
+    revenueBySegmentPlan(spark, sfDir, Some(segments))
 
   /** Top-10 customers by revenue (top-k over a join, O1 shape). */
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {

@@ -47,7 +47,14 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * spec and routes onto the first whose core and aggregate set match
   * (the reference maintains SIX MVs side by side,
   * `usdc-transfers/sql/analytics.sql:9-94` — a user of this engine can
-  * likewise register several join rollups). Shipped specs:
+  * likewise register several join rollups). The join path gets its own
+  * predicate subsumption (round 11): a residual filter conjunct found
+  * anywhere in the join tree whose every reference is a PRESERVED
+  * grouping column (group-constant by construction — the rollup stores
+  * it per row) commutes with the partial aggregation and re-applies
+  * above the rollup scan, so `WHERE c_mktsegment IN (…)` dashboards
+  * route; a conjunct touching a fact-side measure or an unpreserved
+  * dim column keeps the query on the live join. Shipped specs:
   * [[JoinSpec.revenueSegment]] (lineitem⋈orders⋈customer →
   * (orderkey, segment) partials, built by
   * [[graft.ops.StarJoins.revenueSegmentPartialsOf]]) and
@@ -118,7 +125,23 @@ object RollupRouting {
       tables: Set[String],
       joinKeys: Set[(String, String)],
       groupings: Map[String, String],
-      aggs: Seq[AggMap])
+      aggs: Seq[AggMap],
+      grainCols: Map[String, String] = Map.empty) {
+    /** Source columns a residual filter may reference → the rollup
+      * column carrying the same per-row value: the preserved groupings
+      * and the grain columns (both group-constant by construction),
+      * CLOSED over the join-key equivalences — the optimizer propagates
+      * a predicate on `c_custkey` to the other side as `o_custkey < …`
+      * (inner equi-join ⟹ equal values), so a join-key alias of a
+      * preserved column is just another spelling of it. */
+    lazy val filterCols: Map[String, String] = {
+      val base = groupings ++ grainCols
+      val viaEquiv = joinKeys.toSeq.flatMap { case (a, b) =>
+        base.get(a).map(b -> _).toSeq ++ base.get(b).map(a -> _).toSeq
+      }.toMap
+      viaEquiv ++ base // a direct mapping wins over an equivalence hop
+    }
+  }
 
   object JoinSpec {
     /** The flagship revenue-by-segment MV over
@@ -133,7 +156,8 @@ object RollupRouting {
       aggs = Seq(
         SumOf(OneMinusProduct("l_extendedprice", "l_discount"), "rev_partial"),
         CountStarTo("n_lines_partial"),
-        CountDistinctGrain("o_orderkey")))
+        CountDistinctGrain("o_orderkey")),
+      grainCols = Map("o_orderkey" -> "o_orderkey"))
 
     /** The per-customer order-volume MV over orders⋈customer (build:
       * [[graft.ops.StarJoins.customerVolumePartialsOf]], grain =
@@ -233,19 +257,26 @@ object RollupRouting {
 
     // ——— join-derived rollups: registry-driven matching ———
 
-    /** Strip pruning Projects and the IsNotNull-only Filters that
+    /** Strip pruning Projects, drop the IsNotNull Filters that
       * InferFiltersFromConstraints plants on inner-join keys by rule-run
-      * time — both are row-set no-ops relative to the rollup (the build
-      * ran the same inner joins, which drop null keys anyway). Any other
-      * Filter leaves the plan unmatched. */
-    private def stripToCore(p: LogicalPlan, joinKeyCols: Set[String]): LogicalPlan = p match {
-      case pr: Project => stripToCore(pr.child, joinKeyCols)
-      case f: Filter
-          if splitConjunctivePredicates(f.condition).forall {
-            case IsNotNull(a: AttributeReference) => joinKeyCols.contains(a.name)
-            case _ => false
-          } => stripToCore(f.child, joinKeyCols)
-      case other => other
+      * time (row-set no-ops relative to the rollup — the build ran the
+      * same inner joins, which drop null keys anyway), and COLLECT every
+      * other Filter conjunct for the caller to prove lossless (predicate
+      * subsumption) or abandon the rewrite. By rule-run time the
+      * optimizer has pushed a dimension predicate below the join onto
+      * its scan, so conjuncts are gathered from every level of the
+      * tree, not just above the topmost join. */
+    private def stripCollect(p: LogicalPlan, joinKeyCols: Set[String])
+        : (LogicalPlan, Seq[Expression]) = p match {
+      case pr: Project => stripCollect(pr.child, joinKeyCols)
+      case f: Filter =>
+        val (core, below) = stripCollect(f.child, joinKeyCols)
+        val kept = splitConjunctivePredicates(f.condition).filterNot {
+          case IsNotNull(a: AttributeReference) => joinKeyCols.contains(a.name)
+          case _ => false
+        }
+        (core, kept ++ below)
+      case other => (other, Nil)
     }
 
     private def baseTableName(stripped: LogicalPlan, tables: Set[String]): Option[String] =
@@ -259,20 +290,24 @@ object RollupRouting {
         case _ => None
       }
 
-    /** Flatten an inner-join tree to its base tables + equi-conditions;
-      * None as soon as anything but Project/IsNotNull-Filter/Inner-Join
-      * over the spec's expected scans appears. */
+    /** Flatten an inner-join tree to its base tables + equi-conditions +
+      * the residual filter conjuncts found anywhere in the tree; None as
+      * soon as anything but Project/Filter/Inner-Join over the spec's
+      * expected scans appears. */
     private def flattenJoin(p: LogicalPlan, spec: JoinSpec)
-        : Option[(Set[String], Seq[Expression])] = {
+        : Option[(Set[String], Seq[Expression], Seq[Expression])] = {
       val keyCols = spec.joinKeys.flatMap(p => Set(p._1, p._2))
-      stripToCore(p, keyCols) match {
+      val (core, kept) = stripCollect(p, keyCols)
+      core match {
         case Join(l, r, Inner, Some(cond), _) =>
           for {
-            (lt, lc) <- flattenJoin(l, spec)
-            (rt, rc) <- flattenJoin(r, spec)
-          } yield (lt ++ rt, lc ++ rc ++ splitConjunctivePredicates(cond))
+            (lt, lc, lf) <- flattenJoin(l, spec)
+            (rt, rc, rf) <- flattenJoin(r, spec)
+          } yield (lt ++ rt, lc ++ rc ++ splitConjunctivePredicates(cond),
+                   kept ++ lf ++ rf)
         case other =>
-          baseTableName(other, spec.tables).map(n => (Set(n), Seq.empty[Expression]))
+          baseTableName(other, spec.tables)
+            .map(n => (Set(n), Seq.empty[Expression], kept))
       }
     }
 
@@ -289,18 +324,20 @@ object RollupRouting {
     /** Answering-queries-using-views for a registered join MV: an
       * Aggregate whose join core matches `spec` exactly, whose groupings
       * are preserved columns (or global — both grains re-aggregate
-      * losslessly), and whose every aggregate has a mapping in
-      * `spec.aggs`, is rewritten onto the rollup scan. Anything else —
-      * extra tables, filters, unmapped aggregates or groupings — leaves
-      * the plan untouched. Output ExprIds are preserved so parent
-      * sorts/limits/projects re-bind. */
+      * losslessly), whose every aggregate has a mapping in `spec.aggs`,
+      * and whose residual filters are all subsumable (references ⊆
+      * preserved grouping columns), is rewritten onto the rollup scan
+      * with the filters re-applied above it. Anything else — extra
+      * tables, non-subsumable filters, unmapped aggregates or
+      * groupings — leaves the plan untouched. Output ExprIds are
+      * preserved so parent sorts/limits/projects re-bind. */
     private def rewriteJoin(agg: Aggregate, groupings: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
                             spec: JoinSpec): Option[LogicalPlan] = {
-      flattenJoin(agg.child, spec) match {
-        case Some((tables, conds))
+      val residualFilters: Seq[Expression] = flattenJoin(agg.child, spec) match {
+        case Some((tables, conds, filters))
             if tables == spec.tables &&
-               condPairs(conds).contains(spec.joinKeys) => ()
+               condPairs(conds).contains(spec.joinKeys) => filters
         case _ => return None
       }
       val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
@@ -308,6 +345,24 @@ object RollupRouting {
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
       val child = agg.child
       def resolved(e: Expression): Expression = resolveThroughProjects(e, child)
+      // PREDICATE SUBSUMPTION across the join: a conjunct whose every
+      // reference is group-constant against the rollup — a preserved
+      // grouping column, a grain column, or a join-key alias of either
+      // (spec.filterCols; the optimizer propagates predicates across
+      // inner equi-join keys, so both spellings arrive here) — commutes
+      // with the partial aggregation and re-applies losslessly above
+      // the rollup scan. Any reference outside that set (a fact-side
+      // measure, an unpreserved dim attribute) keeps the whole query
+      // on the live join.
+      val routedFilters: Seq[Expression] = residualFilters.map { c =>
+        val r = resolved(c).transformUp {
+          case a: AttributeReference if spec.filterCols.contains(a.name) &&
+              attr(spec.filterCols(a.name)).isDefined =>
+            attr(spec.filterCols(a.name)).get
+        }
+        if (r.references.subsetOf(AttributeSet(rollup.output))) r
+        else return None
+      }
       /** A grouping column preserved by the rollup → its rollup attr. */
       def groupingAttr(e: Expression): Option[Attribute] = resolved(e) match {
         case a: AttributeReference => spec.groupings.get(a.name).flatMap(attr)
@@ -363,7 +418,9 @@ object RollupRouting {
           rewritten
       }
       if (!ok) return None
-      Some(Aggregate(groupings.map(keyMap), newAggExprs, rollup))
+      val newChild = routedFilters.reduceOption(And)
+        .map(Filter(_, rollup)).getOrElse(rollup)
+      Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
     }
 
     // ——— single-table daily rollup, with predicate subsumption ———

@@ -315,4 +315,100 @@ class PropertySpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** Round 11: same property for the JOIN-MV path, including its
+    * predicate subsumption — over generated (grouping subset × aggregate
+    * subset × filter form) shapes against a registered customer-volume
+    * spec, the rule never changes an answer, and exactly the lossless
+    * set routes: mapped aggregates under no filter or a preserved-column
+    * (or join-key-alias) predicate route; unmapped aggregates and
+    * fact-side predicates stay on the live join. */
+  test("property: join-MV routing with subsumption routes exactly the lossless set") {
+    import graft.ops.Fns.{dsum, dsumPartial}
+    import graft.plans.RollupRouting
+    import graft.plans.RollupRouting.{JoinSpec, SumOf, ColRef, CountStarTo}
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_jroute").toString
+    // synthetic orders (with a fact-side flag column) and customers
+    val ordGen = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(0L, 49L), Gen.chooseNum(-1e5, 1e5).map(v => math.rint(v * 100) / 100),
+      Gen.oneOf("u", "n")))
+    val os = samples(ordGen, 1).head.zipWithIndex
+      .map { case ((ck, tp, fl), i) => (i.toLong, ck, tp, fl) }
+    os.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_flag")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0L to 49L).map(k => (k, s"cust#$k")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def orders = spark.read.parquet(s"$dir/orders.parquet")
+    def customer = spark.read.parquet(s"$dir/customer.parquet")
+    // the rollup: per-customer volume partials (same shape StarJoins
+    // builds), over the synthetic tables
+    orders.groupBy($"o_custkey")
+      .agg(dsumPartial($"o_totalprice").as("vol_partial"),
+           count(lit(1)).as("n_orders_partial"))
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"vol_partial", $"n_orders_partial")
+      .write.mode("overwrite").parquet(s"$dir/rollup")
+
+    case class Shape(gCust: Boolean, gName: Boolean, aggs: List[Int], filter: Int)
+    val shapeGen = for {
+      gCust <- Gen.oneOf(true, false)
+      gName <- Gen.oneOf(true, false)
+      aggs <- Gen.frequency(
+        1 -> Gen.someOf(0, 1).suchThat(_.nonEmpty),
+        1 -> Gen.someOf(0, 1, 2, 3).suchThat(_.nonEmpty))
+      filter <- Gen.chooseNum(0, 4)
+    } yield Shape(gCust, gName, aggs.toList.sorted, filter)
+    def build(s: Shape): org.apache.spark.sql.DataFrame = {
+      val j = orders.join(customer, $"o_custkey" === $"c_custkey")
+      val f = s.filter match {
+        case 0 => j
+        case 1 => j.filter($"c_custkey" < 25)          // preserved grouping col
+        case 2 => j.filter($"c_name".startsWith("cust#1")) // preserved col, string op
+        case 3 => j.filter($"o_totalprice" > 0)        // fact-side measure — live
+        case 4 => j.filter($"o_flag" === "u")          // unpreserved fact col — live
+      }
+      val keys = (if (s.gCust) Seq($"c_custkey") else Nil) ++
+                 (if (s.gName) Seq($"c_name") else Nil)
+      val aggCols = s.aggs.map {
+        case 0 => dsum($"o_totalprice").as("v")
+        case 1 => count(lit(1)).as("c")
+        case 2 => avg($"o_totalprice").as("av")  // unmapped — live
+        case 3 => sum($"o_totalprice").as("ps")  // plain double sum — live
+      }
+      val g = if (keys.isEmpty) f.groupBy() else f.groupBy(keys: _*)
+      g.agg(aggCols.head, aggCols.tail: _*)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): (String, Seq[String]) =
+      (df.schema.treeString, df.collect().map(_.toString).sorted.toSeq)
+
+    val shapes = samples(shapeGen, 220).distinct.take(100)
+    assert(shapes.size >= 60, s"only ${shapes.size} generated shapes")
+    RollupRouting.registerJoin(JoinSpec(
+      s"$dir/rollup",
+      tables = Set("orders", "customer"),
+      joinKeys = Set(("c_custkey", "o_custkey")),
+      groupings = Map("c_custkey" -> "c_custkey", "c_name" -> "c_name"),
+      aggs = Seq(SumOf(ColRef("o_totalprice"), "vol_partial"),
+                 CountStarTo("n_orders_partial"))))
+    try {
+      var routedCount = 0
+      shapes.foreach { s =>
+        spark.experimental.extraOptimizations = Nil
+        val raw = canon(build(s))
+        spark.experimental.extraOptimizations =
+          Seq(new RollupRouting.RuleImpl(spark))
+        val routedDf = build(s)
+        val routed = canon(routedDf)
+        assert(routed == raw, s"rule changed the answer for $s")
+        val didRoute = routedDf.queryExecution.executedPlan.toString.contains("/rollup")
+        val expectRoute = s.aggs.forall(_ <= 1) && s.filter <= 2
+        assert(didRoute == expectRoute, s"$s: routed=$didRoute expected=$expectRoute")
+        if (didRoute) routedCount += 1
+      }
+      assert(routedCount > 10 && routedCount < shapes.size)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }

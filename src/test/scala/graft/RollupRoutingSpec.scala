@@ -190,6 +190,82 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 11: JOIN-path predicate subsumption — a dimension filter on a
+    * PRESERVED grouping column (group-constant, stored per rollup row)
+    * re-applies above the rollup scan; a fact-side or unpreserved-dim
+    * predicate keeps the query on the live join. */
+  test("join MV: preserved-column filter subsumes; fact-side filter stays live") {
+    import graft.ops.StarJoins
+    val segs = StarJoins.Q152Segments
+    val plain = StarJoins.revenueBySegmentFiltered(spark, sf, segs).collect().toSeq
+    // driver path first (checkpoint-pinned values)
+    assert(StarJoins.revenueSegmentFilteredRouted(spark, sf).collect().toSeq == plain)
+    // plan assertions under manual registration
+    StarJoins.revenueSegmentViaRollup(spark, sf).collect() // ensure rollup exists
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.customerVolume(StarJoins.customerVolumeRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.revenueBySegmentFiltered(spark, sf, segs)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("revseg_rollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$plan")
+      assert(!plan.contains("lineitem"), s"must not scan the fact:\n$plan")
+      // the subsumed dim filter must reach the ROLLUP scan's pushdown
+      assert(plan.contains("PushedFilters: [In(c_mktsegment"),
+        s"subsumed filter must push into the rollup scan:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // same for the second spec: a c_custkey range over orders⋈customer
+      val volQ = () => Tables.orders(spark, sf)
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .filter($"c_custkey" < 500)
+        .groupBy($"c_custkey", $"c_name")
+        .agg(graft.ops.Fns.dsum($"o_totalprice").as("volume"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_custkey")
+      val volPlan = volQ().queryExecution.executedPlan.toString
+      assert(volPlan.contains("custvol_rollup"), s"expected volume-rollup scan in:\n$volPlan")
+      // near-miss: fact-side measure predicate (o_totalprice) → live
+      val factSide = Tables.orders(spark, sf)
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .filter($"o_totalprice" > 100000)
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count(lit(1)).as("n_orders"))
+      assert(!factSide.queryExecution.executedPlan.toString.contains("_rollup"),
+        "a fact-side predicate must NOT route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // value check for the c_custkey-range routed shape, outside the
+    // registration so the reference run is live
+    val volPlain = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .filter($"c_custkey" < 500)
+      .groupBy($"c_custkey", $"c_name")
+      .agg(graft.ops.Fns.dsum($"o_totalprice").as("volume"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_custkey").collect().toSeq
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.customerVolume(StarJoins.customerVolumeRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val volRouted = Tables.orders(spark, sf)
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .filter($"c_custkey" < 500)
+        .groupBy($"c_custkey", $"c_name")
+        .agg(graft.ops.Fns.dsum($"o_totalprice").as("volume"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_custkey")
+      assert(volRouted.collect().toSeq == volPlain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 11: PREDICATE SUBSUMPTION — whole-day bounds route onto the
     * daily rollup with the filter re-applied above the rollup scan;
     * boundaries that can split a day group stay on the raw scan. */
