@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: write a key-shifted N× replica of a fixture dir for scale
   * rehearsals past the largest driver fixture (docs/SCALING.md).
-  * Usage: `runMain graft.MakeScale <srcSfDir> <outDir> [copies=10]`.
+  * Usage: `runMain graft.MakeScale <srcSfDir> <outDir> [copies=10] [corpus]`.
   *
   * Each copy shifts every entity key by copy × (max+1) so the replica
   * keeps the fixture's referential structure (every lineitem still
@@ -15,19 +15,34 @@ import org.apache.spark.sql.functions._
   * unchanged: event density per time unit grows ×N, the window span
   * doesn't (the fixture's own 0.01→0.1 step grows the span instead;
   * both regimes occur in production). The tiny dims (nation/region)
-  * and the text corpus (documents/embeddings) are copied ×1: nation
-  * keys are FK targets kept stable, and replicating TEXT would measure
-  * duplicate-pathology (every doc in a 10-way near-dup clique), not
-  * scale — the corpus decade is probed by the real 0.01→0.1 fixtures. */
+  * are copied ×1 (FK targets kept stable).
+  *
+  * The text corpus (documents/embeddings) is copied ×1 by default:
+  * naive replication would measure duplicate-pathology (every doc in an
+  * N-way near-dup clique), not scale. The optional `corpus` mode scales
+  * it honestly instead:
+  *  - documents: a per-copy marker is fused onto every 3rd word, so
+  *    every word-TRIGRAM shingle (the unit `llm/Dedup` signs) differs
+  *    across copies — no cross-copy near-dup edges — while WITHIN a
+  *    copy both exact- and near-dup structure is preserved exactly
+  *    (the same transformation is applied to both sides of any pair);
+  *    `n_chars` is recomputed to stay consistent with the text.
+  *  - embeddings: a per-copy seeded SIGN FLIP of the dimensions.
+  *    diag(±1) is orthogonal, so within-copy norms, dot products, and
+  *    cosines are bit-exact (planted kNN/near-dup structure survives
+  *    untouched) while cross-copy similarity is scrambled — corpus
+  *    growth without N-way clone clusters. Copy 0 keeps the originals. */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     build(spark, args(0), args(1),
-          if (args.length > 2) args(2).toInt else 10)
+          if (args.length > 2) args(2).toInt else 10,
+          corpusToo = args.length > 3 && args(3) == "corpus")
     spark.stop()
   }
 
-  def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def build(spark: SparkSession, src: String, out: String, copies: Int,
+            corpusToo: Boolean = false): Unit = {
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
 
@@ -65,9 +80,48 @@ object MakeScale {
     write(replicate(parts, Map("p_partkey" -> pMax)), "part")
     write(replicate(supps, Map("s_suppkey" -> sMax)), "supplier")
     write(replicate(events, Map("event_id" -> eMax, "user_id" -> uMax)), "events")
-    for (t <- Seq("nation", "region", "documents", "embeddings"))
+    val copyAsIs = if (corpusToo) Seq("nation", "region")
+                   else Seq("nation", "region", "documents", "embeddings")
+    for (t <- copyAsIs)
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    println(s"[makescale] wrote ${copies}x replica of $src to $out")
+    if (corpusToo) buildCorpus(spark, src, out, copies)
+    println(s"[makescale] wrote ${copies}x replica of $src to $out" +
+            (if (corpusToo) " (corpus scaled)" else ""))
+  }
+
+  /** Honest N× corpus growth — see the object doc for the invariants. */
+  def buildCorpus(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val dMax = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val vMax = embs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+
+    docs.withColumn("__i", explode(sequence(lit(0L), lit(copies - 1L))))
+      .withColumn("doc_id", col("doc_id") + col("__i") * dMax)
+      .withColumn("text", when(col("__i") === 0, col("text")).otherwise(
+        array_join(
+          transform(split(col("text"), " "),
+            (w, j) => when(j % 3 === 2, concat(w, lit("⁐c"), col("__i")))
+              .otherwise(w)),
+          " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__i")
+      .repartition(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val rng = new scala.util.Random(42)
+    val signs = (0 until copies).map { i =>
+      (i.toLong, if (i == 0) Array.fill(dim)(1.0f)
+                 else Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+    }.toDF("__i", "__sign")
+    embs.withColumn("__i", explode(sequence(lit(0L), lit(copies - 1L))))
+      .join(broadcast(signs), Seq("__i"))
+      .withColumn("vec_id", col("vec_id") + col("__i") * vMax)
+      .withColumn("embedding",
+        zip_with(col("embedding"), col("__sign"), (x, s) => x * s))
+      .drop("__i", "__sign")
+      .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 }
