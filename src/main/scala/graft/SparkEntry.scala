@@ -225,6 +225,16 @@ object SparkEntry {
     // above the rollup scan); near-misses stay live per
     // RollupRoutingSpec
     "q152_segment_filter_routed" -> (StarJoins.revenueSegmentFilteredRouted _),
+    // retraction-aware summing MV (CollapsingMergeTree feeding a
+    // summing MV — ClickHouse's canonical mutation pattern): signed
+    // daily partials over a synthesized cancel-pair changelog; the
+    // oracle recomputes the GROUND TRUTH from the live state, so the
+    // hash match proves retraction maintenance == full recompute
+    "q153_cdc_summing_mv" -> (Collapse.cdcSummingMv _),
+    // the same MV maintained incrementally per micro-batch (stateless
+    // changelog derivation + signed partial-block appends); shares
+    // q153's oracle
+    "q154_cdc_summing_stream" -> (graft.streaming.Live.streamingCdcSummingMv _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -265,6 +275,13 @@ object SparkEntry {
                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                FROM events GROUP BY 1, 2))
        WHERE rnk <= 3 ORDER BY user_id, rnk"""
+  private lazy val cdcSummingSql =
+    """SELECT CAST(ts AS DATE) AS day, user_id,
+       CAST(SUM(CAST(CASE WHEN event_id % 7 = 0 THEN value * 1.1 ELSE value END
+                     AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       COUNT(*) AS tx_count
+       FROM events WHERE event_id % 21 <> 0
+       GROUP BY 1, 2 ORDER BY day, user_id"""
   private lazy val topCustomersSql =
     s"""SELECT c_custkey, c_name, ${dsum("o_totalprice")} AS volume,
         COUNT(*) AS n_orders
@@ -448,6 +465,13 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <  TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY 1 ORDER BY day""",
+    // ground truth for the retraction-aware summing MV, computed from
+    // the LIVE STATE directly (not by re-summing signed rows): pure
+    // deletes (id%21=0) excluded, mutated rows (id%7=0) at their
+    // corrected value — equality proves signed-partial maintenance
+    // reproduces a full recompute
+    "q153_cdc_summing_mv" -> cdcSummingSql,
+    "q154_cdc_summing_stream" -> cdcSummingSql,
     // q16's query + a segment WHERE: the routed read must equal the
     // raw filtered join exactly (join-path predicate subsumption)
     "q152_segment_filter_routed" ->

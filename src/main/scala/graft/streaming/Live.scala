@@ -302,6 +302,36 @@ object Live {
     graft.ops.StarJoins.readRevenueSegmentRollup(spark, rollupDir)
   }
 
+  /** T4+T5 composed (q154, shares q153's oracle): RETRACTION-AWARE
+    * incremental MV maintenance — the CollapsingMergeTree-feeds-a-
+    * summing-MV pattern. Per micro-batch, the ingest derives the
+    * cancel-pair changelog from its own rows (stateless — each event's
+    * insert/cancel/re-insert triple derives from that event alone) and
+    * appends one small SIGNED partial block
+    * ([[graft.ops.Collapse.signedDailyPartialsOf]]); a mutation nets to
+    * its corrected row and a delete nets to zero ACROSS blocks, because
+    * signed partials are additive row-wise — no rollup row is ever
+    * rewritten and no cross-batch coordination exists. The read merges
+    * blocks and drops net-zero groups. State is the rollup itself;
+    * there is no stream state store to grow. */
+  def streamingCdcSummingMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_cdc_mv")
+      .resolve("rollup").toString
+    withRunCheckpoint { ckpt =>
+      val q = eventStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Collapse.signedDailyPartialsOf(
+              graft.ops.Collapse.cancelPairChangelogOf(batch))
+            .write.mode("append").parquet(rollupDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.ops.Collapse.readSignedDailyRollup(spark.read.parquet(rollupDir))
+  }
+
   /** Stream-stream interval self-join (T-class beyond the reference):
     * purchases attributed to the views that preceded them by ≤30min,
     * per user. Both sides carry watermarks, so at scale the join state

@@ -58,6 +58,35 @@ class EngineSpec extends AnyFunSuite {
     assert(shuffled.select("_version").head.getLong(0) == 3L)
   }
 
+  /** T4+T5 composed: the retraction-aware summing MV. Signed partials
+    * must (a) cancel a fully-deleted input to exact zero — an EMPTY
+    * read, no decimal residue; (b) be additive under ANY batch split,
+    * including one that separates a cancel from its base insert and
+    * delivers it first (out-of-order retraction). */
+  test("T4+T5: signed summing MV — exact cancellation and split/order invariance") {
+    val ev = Tables.events(spark, sf).limit(2000)
+    // (a) a changelog of pure cancel pairs nets to nothing
+    val allCancelled = Collapse.cancelPairChangelogOf(ev)
+      .filter($"event_id" % 21 === 0) // pure deletes: +1 insert and its -1 cancel
+    assert(Collapse.readSignedDailyRollup(
+      Collapse.signedDailyPartialsOf(allCancelled)).count() == 0,
+      "fully-cancelled input must read back empty (exact decimal residue)")
+    // (b) arbitrary split + reordered delivery appends to the same rollup
+    val changelog = Collapse.cancelPairChangelogOf(ev)
+    val whole = Collapse.readSignedDailyRollup(
+      Collapse.signedDailyPartialsOf(changelog)).collect().toSeq
+    val cancelsFirst = changelog.filter($"_sign" === -1)   // retractions arrive first
+    val insertsA = changelog.filter($"_sign" === 1 && $"event_id" % 2 === 0)
+    val insertsB = changelog.filter($"_sign" === 1 && $"event_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_signed_mv").toString
+    Seq(cancelsFirst, insertsA, insertsB).foreach { b =>
+      Collapse.signedDailyPartialsOf(b).write.mode("append").parquet(dir)
+    }
+    val merged = Collapse.readSignedDailyRollup(
+      spark.read.parquet(dir)).collect().toSeq
+    assert(merged == whole, "split/ordered appends must merge to the whole answer")
+  }
+
   test("U1: union pivot preserves each role's total volume") {
     val pivot = Pivots.unionPivot(spark, sf)
     val buyers = pivot.filter($"address_type" === "buyer")

@@ -25,7 +25,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q32_stream_daily", "q52_stream_join", "q56_stateful_totals",
     "q96_stream_sessions", "q106_stream_ingest_dedup",
     "q126_stream_profile", "q145_revenue_segment_stream",
-    "q146_stream_asof", "q148_stream_asof_final", // run streams
+    "q146_stream_asof", "q148_stream_asof_final",
+    "q154_cdc_summing_stream", // run streams
     "q86_shard_manifest") // writes a lake as a side effect
 
   test("no query plans a Window with an empty partition spec") {

@@ -49,6 +49,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("T4+T5: streaming retraction-aware summing MV equals the batch signed MV") {
+    val streamed = Live.streamingCdcSummingMv(spark, sf).collect().toSeq
+    val batch = graft.ops.Collapse.cdcSummingMv(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("A3/T5: mergeable HLL uniq states reaggregate to the whole-table sketch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_uniq").toString
     Live.maintainUniqRollup(spark, sf, s"$dir/rollup")
