@@ -235,6 +235,23 @@ object SparkEntry {
     // changelog derivation + signed partial-block appends); shares
     // q153's oracle
     "q154_cdc_summing_stream" -> (graft.streaming.Live.streamingCdcSummingMv _),
+    // GRAIN-HIERARCHY routing (roll-up matching): q151's unchanged
+    // day-windowed query answered from the HOURLY rollup — the router
+    // derives day = to_date(hour) and re-aggregates 24 hourly partial
+    // rows per day; shares q151's oracle. With BOTH rollups registered
+    // the day query prefers the ~24×-smaller daily one
+    // (RollupRoutingSpec cost-choice test)
+    "q155_daily_from_hourly_routed" -> (Rollups.dailyWindowHourlyRouted _),
+    // hour-grain routing: an hour-windowed query with WHOLE-HOUR
+    // (non-midnight) bounds routes onto the hourly rollup — a grain a
+    // daily rollup can never answer; mid-hour cuts stay live
+    "q156_hourly_window_routed" -> (Rollups.hourlyVolumeWindowRouted _),
+    // partition-level incremental MV refresh: late rows for two days
+    // arrive after the rollup was built; only those two day-partitions
+    // are recomputed (dynamic partition overwrite — untouched
+    // partitions pinned byte-identical in spec); shares q01's oracle,
+    // so the hash proves targeted refresh == full rebuild
+    "q157_rollup_refresh" -> (Rollups.refreshedDailyRollup _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -275,6 +292,13 @@ object SparkEntry {
                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                FROM events GROUP BY 1, 2))
        WHERE rnk <= 3 ORDER BY user_id, rnk"""
+  private lazy val dailyWindowSql =
+    s"""SELECT CAST(ts AS DATE) AS day,
+       ${dsum("value")} AS daily_volume, COUNT(*) AS daily_txs
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+       GROUP BY 1 ORDER BY day"""
   private lazy val cdcSummingSql =
     """SELECT CAST(ts AS DATE) AS day, user_id,
        CAST(SUM(CAST(CASE WHEN event_id % 7 = 0 THEN value * 1.1 ELSE value END
@@ -458,13 +482,20 @@ object SparkEntry {
     "q150_top_customers_routed" -> topCustomersSql,
     // predicate subsumption: the routed day-windowed read must equal
     // the raw windowed aggregate exactly
-    "q151_daily_window_routed" ->
-      s"""SELECT CAST(ts AS DATE) AS day,
-         ${dsum("value")} AS daily_volume, COUNT(*) AS daily_txs
+    "q151_daily_window_routed" -> dailyWindowSql,
+    // grain hierarchy: the same day-windowed query answered from the
+    // HOURLY rollup must still match the raw aggregate bit-for-bit
+    "q155_daily_from_hourly_routed" -> dailyWindowSql,
+    // partition-level refresh must reproduce the full recompute
+    "q157_rollup_refresh" -> dailyRollupSql,
+    // hour-grain routing with whole-hour (non-midnight) bounds
+    "q156_hourly_window_routed" ->
+      s"""SELECT date_trunc('hour', ts) AS hour,
+         ${dsum("value")} AS hourly_volume, COUNT(*) AS hourly_txs
          FROM events
-         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-         GROUP BY 1 ORDER BY day""",
+         WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+           AND ts <  TIMESTAMP '2024-01-12 18:00:00'
+         GROUP BY 1 ORDER BY hour""",
     // ground truth for the retraction-aware summing MV, computed from
     // the LIVE STATE directly (not by re-summing signed rows): pure
     // deletes (id%21=0) excluded, mutated rows (id%7=0) at their

@@ -91,15 +91,157 @@ object Rollups {
   def dailyVolumeWindowRouted(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.plans.RollupRouting
     val dir = ensureDailyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      dailyVolumeWindowRaw(spark, sfDir)
+    }
+  }
+
+  /** The HOURLY rollup's partial-state block (hour × user grain) — the
+    * finer sibling of [[dailyPartialsOf]] in the grain hierarchy, with
+    * the same four mergeable partials. An hourly rollup answers
+    * hour-grain queries directly AND day-grain queries by
+    * re-aggregation (roll-up matching: to_date(hour) ≡ to_date(ts)),
+    * at ~24× the daily rollup's row count — which is why the router
+    * prefers the daily one when both can answer. */
+  def hourlyPartialsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
+           count(lit(1)).as("c_partial"),
+           min(col("value")).as("mn_partial"),
+           max(col("value")).as("mx_partial"))
+
+  def hourlyRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "hourly_rollup")
+  private def ensureHourlyRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, hourlyRollupDir(sfDir)) {
+      hourlyPartialsOf(Tables.events(spark, sfDir))
+    }
+
+  /** Install the routing rule with the given specs registered, run
+    * `q`, and snapshot the result before restoring the session. */
+  private def withRoutingSpecs[A](spark: SparkSession,
+                                  specs: Seq[graft.plans.RollupRouting.Spec])
+                                 (q: => DataFrame): DataFrame = {
+    import graft.plans.RollupRouting
     val prev = spark.experimental.extraOptimizations
-    RollupRouting.register(RollupRouting.Spec("events.parquet", dir))
+    specs.foreach(RollupRouting.register)
     spark.experimental.extraOptimizations =
       prev :+ new RollupRouting.RuleImpl(spark)
-    try dailyVolumeWindowRaw(spark, sfDir).localCheckpoint()
+    try q.localCheckpoint()
     finally {
       spark.experimental.extraOptimizations = prev
       RollupRouting.clear()
     }
+  }
+
+  /** Driver entry (q155, shares q151's oracle): GRAIN-HIERARCHY
+    * routing — the UNCHANGED day-windowed dashboard query
+    * ([[dailyVolumeWindowRaw]]) with only the HOURLY rollup
+    * registered. The router derives the day grain from the hour key
+    * (to_date(hour)), re-applies the midnight bounds (every midnight
+    * is a whole-hour boundary), and re-aggregates 24 hourly partial
+    * rows per day — classic roll-up matching in
+    * answering-queries-using-views. The hash match against q151's
+    * oracle proves the derivation lossless; RollupRoutingSpec pins
+    * that with BOTH rollups registered the day query picks the
+    * ~24×-smaller DAILY one instead (cost choice). */
+  def dailyWindowHourlyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureHourlyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir, "hour"))) {
+      dailyVolumeWindowRaw(spark, sfDir)
+    }
+  }
+
+  /** The raw hour-windowed query: a half-open WHOLE-HOUR (deliberately
+    * non-midnight) window over raw events, hourly volume + count
+    * inside it. A daily rollup can never answer this — the grain is
+    * finer and the 06:00/18:00 cuts split day groups — so it isolates
+    * exactly what the hourly rollup adds to the hierarchy. */
+  def hourlyVolumeWindowRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-10 06:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-12 18:00:00").cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(dsum(col("value")).as("hourly_volume"), count(lit(1)).as("hourly_txs"))
+      .orderBy("hour")
+
+  /** Driver entry (q156): hour-grain routing end-to-end — the raw
+    * hour-windowed query run unchanged with the hourly rollup
+    * registered; the whole-hour bounds subsume onto the `hour` key and
+    * the query reads rollup rows only (plan asserted in
+    * RollupRoutingSpec, which also pins the near-miss: a MID-hour cut
+    * stays on the live scan). */
+  def hourlyVolumeWindowRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureHourlyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir, "hour"))) {
+      hourlyVolumeWindowRaw(spark, sfDir)
+    }
+  }
+
+  /** The daily rollup stored PARTITIONED BY its day key — the layout
+    * that makes partition-level refresh ([[refreshStaleDays]])
+    * possible: each day's partials live in their own directory, so a
+    * late-data correction rewrites one directory, not the MV. */
+  def writePartitionedDailyRollup(events: DataFrame, dir: String): Unit =
+    dailyPartialsOf(events)
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+  /** PARTITION-LEVEL INCREMENTAL REFRESH (T5 at scale): late or
+    * corrected rows arrived for some days — recompute ONLY those days'
+    * partials from the updated base table and dynamic-partition-
+    * overwrite them; every other rollup partition is untouched (the
+    * spec pins this by file listing). The stale-day set is derived
+    * from the late batch itself and collected to the driver — bounded
+    * by the number of affected DAYS, not rows (a late feed touches
+    * hours-to-days of event time, not years). At 100 TB the rebuild
+    * cost is `days_affected × one-day scan` with the day predicate
+    * pushed into the fact scan (partition-pruned in a date-partitioned
+    * lake), versus a full MV rebuild. Append-only summing MVs don't
+    * need this (signed/partial blocks merge at read —
+    * [[graft.streaming.Live.appendDailyPartials]]); refresh is for
+    * CORRECTIONS: reprocessed upstream data, backfills, GDPR erasure,
+    * where the day must be recomputed, not appended to. */
+  def refreshStaleDays(spark: SparkSession, updatedBase: DataFrame,
+                       lateBatch: DataFrame, rollupDir: String): Seq[java.sql.Date] = {
+    val staleDays = lateBatch.select(to_date(col("ts")).as("day"))
+      .distinct().collect().map(_.getDate(0)).toSeq
+    if (staleDays.nonEmpty)
+      dailyPartialsOf(updatedBase.filter(to_date(col("ts")).isInCollection(staleDays)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(rollupDir)
+    staleDays
+  }
+
+  /** Merge-at-read over the partitioned rollup (same contract as
+    * [[graft.streaming.Live.readDailyRollup]]; `day` returns as the
+    * inferred DATE partition column). */
+  def readPartitionedDailyRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("v_partial")).cast("double").as("total_value"),
+           sum(col("c_partial")).as("tx_count"))
+      .orderBy("day", "user_id")
+
+  /** Driver entry (q157, shares q01's oracle): the refresh lifecycle
+    * end-to-end — build the partitioned rollup from an on-time subset
+    * (a deterministic third of two mid-range days held back), deliver
+    * the late rows, refresh exactly the affected partitions from the
+    * updated base, read. The hash match against the plain full
+    * recompute proves targeted refresh ≡ full rebuild; the spec
+    * additionally proves untouched partitions were not rewritten. */
+  def refreshedDailyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val isLate = to_date(col("ts"))
+      .between(lit("2024-01-10").cast("date"), lit("2024-01-11").cast("date")) &&
+      col("event_id") % 3 === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh")
+      .resolve("rollup").toString
+    writePartitionedDailyRollup(ev.filter(!isLate), dir)
+    refreshStaleDays(spark, ev, ev.filter(isLate), dir)
+    readPartitionedDailyRollup(spark, dir)
   }
 
   /** mv_usdc_hourly analog (`setup-analytics.sh:66-85`): hour × type. C4. */

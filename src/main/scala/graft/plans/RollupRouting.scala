@@ -38,6 +38,16 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   *    `usdc-transfers/sql/analytics.sql:106`) rewrite to the equivalent
   *    `day` bounds. One conjunct outside the lossless set (an
   *    `event_type` filter, a mid-day cut) → the whole query stays live.
+  *  - GRAIN HIERARCHY (round 11): single-table rollups carry a time
+  *    grain (`day` or `hour`). A rollup answers queries at its own
+  *    grain or coarser — a day-grain query re-aggregates the hourly
+  *    rollup through day = to_date(hour) (roll-up matching), and
+  *    subsumption generalizes to whole-GRAIN boundary cuts (any
+  *    whole-hour literal against the hourly rollup; midnights only
+  *    against the daily). It never answers a finer grain. When several
+  *    registered rollups can answer, the COARSEST wins — fewest rows
+  *    scanned (the classic view-selection cost choice; pinned by
+  *    RollupRoutingSpec and the routing PropertySpec).
   *
   * A second matcher ([[RollupRouting.JoinSpec]]) extends the same idea
   * across a JOIN — and since round 11 it is a REGISTRY, not a single
@@ -67,9 +77,18 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   */
 object RollupRouting {
 
-  /** A registered daily rollup (written by
-    * [[graft.streaming.Live.appendDailyPartials]]). */
-  case class Spec(sourceSuffix: String, rollupPath: String)
+  /** A registered single-table rollup (written by
+    * [[graft.streaming.Live.appendDailyPartials]] /
+    * [[graft.ops.Rollups.hourlyPartialsOf]]). `grain` names the
+    * rollup's time grain — `"day"` (a `day: DATE` key) or `"hour"`
+    * (an `hour: TIMESTAMP` key, `date_trunc('hour', ts)`). A rollup
+    * answers queries AT its grain or COARSER (a day-grain query
+    * re-aggregates 24 hourly rows per day — partial states are
+    * additive, so roll-up matching is lossless); it can never answer a
+    * finer grain. When several registered rollups match, the rule
+    * routes onto the COARSEST one — fewest rows scanned (classic
+    * view-selection cost choice; the spec pins it). */
+  case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day")
 
   // ——— join-MV registry vocabulary ———
 
@@ -230,24 +249,40 @@ object RollupRouting {
       case _ => false
     }
 
-    /** Which rollup key a grouping expression computes, if any. */
+    /** Which rollup key a grouping expression computes, if any.
+      * `"day"` and `"hour"` are the time-grain keys; a grain key maps
+      * onto a rollup at the SAME grain directly, or derives from a
+      * FINER-grain rollup's key (to_date(hour) ≡ to_date(ts) because
+      * hour = date_trunc('hour', ts) — roll-up matching). */
     private def keyOf(e: Expression): Option[String] = e match {
       case a: AttributeReference if a.name == "user_id" => Some("user_id")
       case Cast(c, DateType, _, _) if isNormTs(c) => Some("day")
+      case TruncTimestamp(Literal(fmt, _), c, _)
+          if fmt != null && fmt.toString.equalsIgnoreCase("hour") && isNormTs(c) =>
+        Some("hour")
       case _ => None
     }
 
-    private def scanOf(plan: LogicalPlan): Option[Spec] =
-      plan.collectFirst {
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
-            if specs.exists(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix))) =>
-          specs.find(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix))).get
-      }
+    /** All registered rollups over the scanned source, COARSEST grain
+      * first: a day-grain rollup is ~24× smaller than the hourly one,
+      * so when both can answer (the query is at day grain or global)
+      * the day rollup wins; the hourly rollup catches what the daily
+      * can't (hour-grain queries). First successful rewrite in this
+      * order IS the cost choice. */
+    private def specsOf(plan: LogicalPlan): Seq[Spec] = {
+      val matching = plan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          specs.filter(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix)))
+      }.flatten
+      matching.distinct.sortBy(s => if (s.grain == "day") 0 else 1)
+    }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _)
-          if specs.nonEmpty && scanOf(child).isDefined =>
-        rewrite(agg, groupings, aggExprs, scanOf(child).get).getOrElse(agg)
+          if specs.nonEmpty && specsOf(child).nonEmpty =>
+        specsOf(child).view
+          .flatMap(s => rewrite(agg, groupings, aggExprs, s))
+          .headOption.getOrElse(agg)
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]) =>
         joinSpecs.view
@@ -436,47 +471,59 @@ object RollupRouting {
     }
 
     private val MicrosPerDay = 86400000000L
+    private val MicrosPerHour = 3600000000L
 
     /** Rewrite one raw-side filter conjunct into an equivalent predicate
       * over the rollup's key columns — or None if it is not provably
-      * lossless. Lossless forms:
-      *  - any subterm that IS a key expression (day-grained `ts` term,
-      *    `user_id`) substitutes to the rollup key; if afterwards every
-      *    reference is a rollup column the predicate cuts exactly along
-      *    group boundaries
-      *  - `IsNotNull(ts)` ⟺ `IsNotNull(day)` (to_date preserves
-      *    null-ness), same for user_id — the shape
+      * lossless. Lossless forms (parameterized by the rollup's grain):
+      *  - any subterm that IS a key expression at a grain the rollup
+      *    can express (`user_id`; the rollup's own grain; a COARSER
+      *    grain derived from it — to_date(hour) for an hourly rollup)
+      *    substitutes to the rollup-side expression; if afterwards
+      *    every reference is a rollup column the predicate cuts exactly
+      *    along group boundaries. A FINER-grain subterm (an hour term
+      *    against a daily rollup) has no rollup-side expression, so the
+      *    raw `ts` reference survives and the subset check bails.
+      *  - `IsNotNull(ts)` ⟺ `IsNotNull(<time key>)` (to_date and
+      *    date_trunc both preserve null-ness) — the shape
       *    InferFiltersFromConstraints plants
-      *  - half-open whole-day `ts` bounds (`ts >= midnight`,
-      *    `ts < midnight`, and their commuted forms) ⟺ the same bound
-      *    on `day` — day d's rows all lie in [d, d+1), so a midnight
-      *    cut never splits a group. A mid-day literal does, and bails. */
-    private def subsumeConjunct(c: Expression, day: Attribute,
-                                userId: Attribute): Option[Expression] = {
-      def dayLit(us: Long): Literal = Literal((us / MicrosPerDay).toInt, DateType)
-      // a whole-day boundary literal, in either timestamp flavor: the
+      *  - half-open whole-GRAIN `ts` bounds (`ts >= boundary`,
+      *    `ts < boundary`, and their commuted forms) ⟺ the same bound
+      *    on the time key — a grain-g group's rows all lie in
+      *    [g, g+grain), so a boundary cut never splits a group. For an
+      *    hourly rollup any whole-hour literal qualifies (midnights
+      *    included); for a daily rollup only midnights do; a mid-grain
+      *    literal splits a group, and bails. */
+    private def subsumeConjunct(c: Expression, spec: Spec,
+                                timeKey: Attribute, userId: Attribute,
+                                grainExpr: Map[String, Expression]): Option[Expression] = {
+      val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
+      def timeLit(us: Long): Expression =
+        if (spec.grain == "hour") Literal(us, TimestampType)
+        else Literal((us / MicrosPerDay).toInt, DateType)
+      // a whole-grain boundary literal, in either timestamp flavor: the
       // session pins UTC, so an NTZ literal (the shape
       // UnwrapCastInBinaryComparison leaves after pushing a comparison
       // through the loader's NTZ→TZ relabel cast) holds the same micros
-      object Midnight {
+      object Boundary {
         def unapply(e: Expression): Option[Long] = e match {
           case Literal(us: Long, TimestampType | TimestampNTZType)
-              if us % MicrosPerDay == 0 => Some(us)
+              if us % grainMicros == 0 => Some(us)
           case _ => None
         }
       }
       val rewritten = c.transformDown {
-        case e if keyOf(e).isDefined =>
-          keyOf(e).get match { case "day" => day; case _ => userId }
-        case IsNotNull(t) if isNormTs(t) => IsNotNull(day)
-        case GreaterThanOrEqual(t, Midnight(us)) if isNormTs(t) =>
-          GreaterThanOrEqual(day, dayLit(us))
-        case LessThan(t, Midnight(us)) if isNormTs(t) => LessThan(day, dayLit(us))
-        case LessThanOrEqual(Midnight(us), t) if isNormTs(t) =>
-          GreaterThanOrEqual(day, dayLit(us))
-        case GreaterThan(Midnight(us), t) if isNormTs(t) => LessThan(day, dayLit(us))
+        case e if keyOf(e).exists(k => k == "user_id" || grainExpr.contains(k)) =>
+          keyOf(e).get match { case "user_id" => userId; case k => grainExpr(k) }
+        case IsNotNull(t) if isNormTs(t) => IsNotNull(timeKey)
+        case GreaterThanOrEqual(t, Boundary(us)) if isNormTs(t) =>
+          GreaterThanOrEqual(timeKey, timeLit(us))
+        case LessThan(t, Boundary(us)) if isNormTs(t) => LessThan(timeKey, timeLit(us))
+        case LessThanOrEqual(Boundary(us), t) if isNormTs(t) =>
+          GreaterThanOrEqual(timeKey, timeLit(us))
+        case GreaterThan(Boundary(us), t) if isNormTs(t) => LessThan(timeKey, timeLit(us))
       }
-      if (rewritten.references.subsetOf(AttributeSet(Seq(day, userId))))
+      if (rewritten.references.subsetOf(AttributeSet(Seq(timeKey, userId))))
         Some(rewritten)
       else None
     }
@@ -486,11 +533,23 @@ object RollupRouting {
       val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
                    catch { case _: Throwable => return None }
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
-      val (day, userId, vPart, cPart) =
-        (attr("day"), attr("user_id"), attr("v_partial"), attr("c_partial")) match {
+      val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+      val (timeKey, userId, vPart, cPart) =
+        (attr(timeKeyName), attr("user_id"), attr("v_partial"), attr("c_partial")) match {
           case (Some(d), Some(u), Some(v), Some(c)) => (d, u, v, c)
           case _ => return None
         }
+      // the rollup-side expression for each query grain this rollup can
+      // answer: its own grain directly; for an hourly rollup also the
+      // coarser day grain, derived (to_date(hour) ≡ to_date(ts) since
+      // hour = date_trunc('hour', ts) — roll-up matching). A grain
+      // absent here (finer than the rollup) cannot route.
+      val grainExpr: Map[String, Expression] =
+        if (spec.grain == "hour")
+          Map("hour" -> timeKey,
+              "day" -> Cast(timeKey, DateType,
+                            Some(spark.sessionState.conf.sessionLocalTimeZone)))
+        else Map("day" -> timeKey)
       // optional min/max partials (older rollups may predate them; a
       // Min/Max left unmapped then fails the references check below)
       val mnPart = attr("mn_partial")
@@ -505,29 +564,33 @@ object RollupRouting {
       val routedFilters: Seq[Expression] = filterConjuncts(child) match {
         case None => return None // non-Project/Filter shape below the agg
         case Some(conjuncts) => conjuncts.map { c =>
-          subsumeConjunct(resolveThroughProjects(c, child), day, userId) match {
+          subsumeConjunct(resolveThroughProjects(c, child), spec,
+                          timeKey, userId, grainExpr) match {
             case Some(r) => r
             case None => return None
           }
         }
       }
 
-      // every grouping must map onto a rollup key
-      val keyMap: Map[Expression, Attribute] = groupings.map { g =>
-        keyOfResolved(g) match {
-          case Some("day") => g -> day
-          case Some("user_id") => g -> userId
-          case _ => return None
+      // every grouping must map onto a rollup-expressible key: user_id,
+      // the rollup's own grain, or a coarser grain derived from it; a
+      // FINER grain than the rollup (hour over a daily rollup) bails
+      def keyTarget(k: String): Option[Expression] = k match {
+        case "user_id" => Some(userId)
+        case g => grainExpr.get(g)
+      }
+      val keyMap: Map[Expression, Expression] = groupings.map { g =>
+        keyOfResolved(g).flatMap(keyTarget) match {
+          case Some(target) => g -> target
+          case None => return None
         }
       }.toMap
 
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
         case ne if keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
-          val target = keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).get match {
-            case "day" => day
-            case _ => userId
-          }
+          val k = keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).get
+          val target = keyTarget(k).getOrElse(return None)
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
           def isBareValueRef(se: Expression): Boolean = {

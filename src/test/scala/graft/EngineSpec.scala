@@ -87,6 +87,42 @@ class EngineSpec extends AnyFunSuite {
     assert(merged == whole, "split/ordered appends must merge to the whole answer")
   }
 
+  /** T5: partition-level incremental refresh. Late rows for two days
+    * must trigger a recompute of EXACTLY those two day-partitions:
+    * untouched partitions keep their files byte-for-byte (same paths,
+    * same mtimes), stale ones are rewritten, and the merged read
+    * equals the full recompute. */
+  test("T5: partition refresh rewrites only the stale day partitions") {
+    import graft.ops.Rollups
+    val ev = Tables.events(spark, sf)
+    val isLate = to_date($"ts").between(
+        lit("2024-01-10").cast("date"), lit("2024-01-11").cast("date")) &&
+      $"event_id" % 3 === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh_spec")
+      .resolve("rollup").toString
+    Rollups.writePartitionedDailyRollup(ev.filter(!isLate), dir)
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing()
+    val stale = Rollups.refreshStaleDays(spark, ev, ev.filter(isLate), dir)
+    assert(stale.map(_.toString).sorted == Seq("2024-01-10", "2024-01-11"))
+    val after = listing()
+    def untouched(m: Map[String, Long]) =
+      m.filterNot { case (p, _) => stale.exists(d => p.contains(s"day=$d")) }
+    assert(untouched(after) == untouched(before),
+      "non-stale partitions must not be rewritten")
+    assert(after.filter(_._1.contains("day=2024-01-10")) !=
+           before.filter(_._1.contains("day=2024-01-10")),
+      "the stale partition must have been rewritten")
+    assert(Rollups.readPartitionedDailyRollup(spark, dir).collect().toSeq ==
+           Rollups.daily(spark, sf).collect().toSeq,
+      "targeted refresh must equal the full recompute")
+  }
+
   test("U1: union pivot preserves each role's total volume") {
     val pivot = Pivots.unionPivot(spark, sf)
     val buyers = pivot.filter($"address_type" === "buyer")

@@ -246,10 +246,15 @@ class PropertySpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     graft.ops.Rollups.dailyPartialsOf(ev)
-      .write.mode("overwrite").parquet(s"$dir/rollup")
+      .write.mode("overwrite").parquet(s"$dir/day_rollup")
+    graft.ops.Rollups.hourlyPartialsOf(ev)
+      .write.mode("overwrite").parquet(s"$dir/hour_rollup")
 
-    // the generated query-shape space
-    case class Shape(gDay: Boolean, gUser: Boolean, aggs: List[Int], filter: Int)
+    // the generated query-shape space: time grain (none/day/hour) ×
+    // user grouping × aggregate subset × filter form × REGISTRY
+    // (daily-only / hourly-only / both — the round-11 grain hierarchy)
+    case class Shape(gTime: Int, gUser: Boolean, aggs: List[Int],
+                     filter: Int, reg: Int)
     // half the draws stay inside the candidate-lossless aggregate set so
     // the routed side of the property is exercised densely, not just the
     // reject side (an unbiased subset of 6 leaves ~1/4 lossless)
@@ -257,11 +262,12 @@ class PropertySpec extends AnyFunSuite {
       1 -> Gen.someOf(0, 1, 2, 3).suchThat(_.nonEmpty),
       1 -> Gen.someOf(0, 1, 2, 3, 4, 5).suchThat(_.nonEmpty))
     val shapeGen = for {
-      gDay <- Gen.oneOf(true, false)
+      gTime <- Gen.chooseNum(0, 2)
       gUser <- Gen.oneOf(true, false)
       aggs <- aggsGen
-      filter <- Gen.chooseNum(0, 5)
-    } yield Shape(gDay, gUser, aggs.toList.sorted, filter)
+      filter <- Gen.chooseNum(0, 6)
+      reg <- Gen.chooseNum(0, 2)
+    } yield Shape(gTime, gUser, aggs.toList.sorted, filter, reg)
     def build(s: Shape): org.apache.spark.sql.DataFrame = {
       val src = spark.read.parquet(s"$dir/events.parquet")
       val f = s.filter match {
@@ -270,10 +276,15 @@ class PropertySpec extends AnyFunSuite {
         case 2 => src.filter($"ts" >= lit("2024-01-02 00:00:00").cast("timestamp") &&
                              $"ts" < lit("2024-01-05 00:00:00").cast("timestamp"))
         case 3 => src.filter($"user_id" % 3 === 1)
-        case 4 => src.filter($"ts" >= lit("2024-01-03 11:00:00").cast("timestamp")) // mid-day
+        case 4 => src.filter($"ts" >= lit("2024-01-03 11:00:00").cast("timestamp")) // whole-hour, mid-day
         case 5 => src.filter($"event_type" === "a") // non-key column
+        case 6 => src.filter($"ts" < lit("2024-01-04 11:30:00").cast("timestamp")) // mid-hour
       }
-      val keys = (if (s.gDay) Seq(to_date($"ts").as("day")) else Nil) ++
+      val keys = (s.gTime match {
+                    case 1 => Seq(to_date($"ts").as("day"))
+                    case 2 => Seq(date_trunc("hour", $"ts").as("hour"))
+                    case _ => Nil
+                  }) ++
                  (if (s.gUser) Seq($"user_id") else Nil)
       val aggCols = s.aggs.map {
         case 0 => dsum($"value").as("s")
@@ -289,27 +300,53 @@ class PropertySpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame): (String, Seq[String]) =
       (df.schema.treeString, df.collect().map(_.toString).sorted.toSeq)
 
-    val shapes = samples(shapeGen, 250).distinct.take(120)
+    val shapes = samples(shapeGen, 400).distinct.take(150)
     assert(shapes.size >= 100, s"only ${shapes.size} generated shapes")
-    RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/rollup"))
     try {
-      var routedCount = 0
+      var routedDay = 0
+      var routedHour = 0
       shapes.foreach { s =>
         spark.experimental.extraOptimizations = Nil
+        RollupRouting.clear()
         val raw = canon(build(s))
+        if (s.reg != 1)
+          RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/day_rollup"))
+        if (s.reg != 0)
+          RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/hour_rollup", "hour"))
         spark.experimental.extraOptimizations =
           Seq(new RollupRouting.RuleImpl(spark))
         val routedDf = build(s)
         val routed = canon(routedDf)
         assert(routed == raw, s"rule changed the answer for $s")
-        val didRoute = routedDf.queryExecution.executedPlan.toString.contains("/rollup")
-        val expectRoute = s.aggs.forall(_ <= 3) && s.filter != 4 && s.filter != 5
-        assert(didRoute == expectRoute,
-          s"$s: routed=$didRoute expected=$expectRoute")
-        if (didRoute) routedCount += 1
+        val plan = routedDf.queryExecution.executedPlan.toString
+        // a rollup at grain g answers iff every query term is at grain
+        // g or coarser: groupings (hour grouping needs the hourly
+        // rollup) and filter cuts (midnight = whole-hour too; an 11:00
+        // cut only the hourly; 11:30 and non-key columns neither)
+        def grainAnswers(hourly: Boolean): Boolean = {
+          val timeOk = s.gTime != 2 || hourly
+          val filterOk = s.filter match {
+            case 0 | 1 | 2 | 3 => true
+            case 4 => hourly
+            case _ => false
+          }
+          timeOk && filterOk
+        }
+        val aggsOk = s.aggs.forall(_ <= 3)
+        val expectDay = s.reg != 1 && aggsOk && grainAnswers(hourly = false)
+        val expectHour = !expectDay && s.reg != 0 && aggsOk && grainAnswers(hourly = true)
+        val dayHit = plan.contains("/day_rollup")
+        val hourHit = plan.contains("/hour_rollup")
+        // exactly the lossless set routes, AND the cost choice is
+        // pinned: when both rollups answer, the coarser (daily) wins
+        assert(dayHit == expectDay && hourHit == expectHour,
+          s"$s: day=$dayHit/$expectDay hour=$hourHit/$expectHour")
+        if (dayHit) routedDay += 1
+        if (hourHit) routedHour += 1
       }
-      // the lossless set must actually be exercised from both sides
-      assert(routedCount > 10 && routedCount < shapes.size)
+      // the lossless set must be exercised from both sides, on both grains
+      assert(routedDay > 10 && routedHour > 5 &&
+             routedDay + routedHour < shapes.size)
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()

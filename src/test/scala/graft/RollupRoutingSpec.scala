@@ -321,6 +321,73 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Grain hierarchy (round 11): an HOURLY rollup answers hour-grain
+    * queries directly and day-grain queries by re-aggregation
+    * (roll-up matching — to_date(hour) ≡ to_date(ts)); a daily rollup
+    * can never answer the finer hour grain; and when BOTH can answer a
+    * day query, the router picks the coarser (~24×-smaller) daily one. */
+  test("grain hierarchy: hourly rollup answers day+hour grains; cost picks the coarser") {
+    import graft.ops.Rollups
+    val dayRaw = Rollups.dailyVolumeWindowRaw(spark, sf).collect().toSeq
+    val hourRaw = Rollups.hourlyVolumeWindowRaw(spark, sf).collect().toSeq
+    // driver entries: routed results equal raw (values first — drivers checkpoint)
+    assert(Rollups.dailyWindowHourlyRouted(spark, sf).collect().toSeq == dayRaw)
+    assert(Rollups.hourlyVolumeWindowRouted(spark, sf).collect().toSeq == hourRaw)
+    // manual registrations against temp-dir rollups for plan assertions
+    val ev = Tables.events(spark, sf)
+    val hourDir = java.nio.file.Files.createTempDirectory("graft_gh").toString + "/hourly_rollup"
+    val dayDir = java.nio.file.Files.createTempDirectory("graft_gd").toString + "/daily_rollup"
+    Rollups.hourlyPartialsOf(ev).write.parquet(hourDir)
+    Rollups.dailyPartialsOf(ev).write.parquet(dayDir)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // (1) hourly-only registry: the day grain ROUTES (rolls up), the
+    // hour grain routes, a mid-hour cut does not
+    RollupRouting.register(RollupRouting.Spec("events.parquet", hourDir, "hour"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val day = Rollups.dailyVolumeWindowRaw(spark, sf)
+      assert(plan(day).contains("hourly_rollup"),
+        s"day grain must roll up from the hourly rollup:\n${plan(day)}")
+      assert(!plan(day).contains("events.parquet"))
+      assert(day.collect().toSeq == dayRaw)
+      val hour = Rollups.hourlyVolumeWindowRaw(spark, sf)
+      assert(plan(hour).contains("hourly_rollup"))
+      assert(!plan(hour).contains("events.parquet"))
+      assert(hour.collect().toSeq == hourRaw)
+      val midHour = ev.filter($"ts" >= lit("2024-01-10 06:30:00").cast("timestamp"))
+        .groupBy(date_trunc("hour", $"ts").as("hour")).agg(count(lit(1)).as("c"))
+      assert(!plan(midHour).contains("hourly_rollup"),
+        "a mid-hour boundary splits an hour group and must NOT route")
+    } finally { spark.experimental.extraOptimizations = Nil; RollupRouting.clear() }
+
+    // (2) daily-only registry: the hour grain is FINER than the rollup
+    // and must stay on the live scan
+    RollupRouting.register(RollupRouting.Spec("events.parquet", dayDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hour = Rollups.hourlyVolumeWindowRaw(spark, sf)
+      assert(!plan(hour).contains("daily_rollup"),
+        "hour grain cannot be answered by a daily rollup")
+    } finally { spark.experimental.extraOptimizations = Nil; RollupRouting.clear() }
+
+    // (3) both registered: the day query picks the coarser DAILY
+    // rollup (cost choice); the hour query falls to the hourly one
+    RollupRouting.register(RollupRouting.Spec("events.parquet", hourDir, "hour"))
+    RollupRouting.register(RollupRouting.Spec("events.parquet", dayDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val day = Rollups.dailyVolumeWindowRaw(spark, sf)
+      assert(plan(day).contains("daily_rollup") && !plan(day).contains("hourly_rollup"),
+        s"cost choice must pick the coarser rollup:\n${plan(day)}")
+      assert(day.collect().toSeq == dayRaw)
+      val hour = Rollups.hourlyVolumeWindowRaw(spark, sf)
+      assert(plan(hour).contains("hourly_rollup"))
+      assert(hour.collect().toSeq == hourRaw)
+    } finally { spark.experimental.extraOptimizations = Nil; RollupRouting.clear() }
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
