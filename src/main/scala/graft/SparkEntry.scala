@@ -252,6 +252,12 @@ object SparkEntry {
     // partitions pinned byte-identical in spec); shares q01's oracle,
     // so the hash proves targeted refresh == full rebuild
     "q157_rollup_refresh" -> (Rollups.refreshedDailyRollup _),
+    // HYBRID MV + live-tail routing: the rollup covers only history
+    // (coverage watermark stamped in a sidecar); the unchanged window
+    // query crossing the cutoff is answered as rollup partials UNION
+    // live-tail partials (fact scanned only for ts >= watermark) under
+    // the final aggregate — the MV-plus-recent-data dashboard read
+    "q158_hybrid_tail_routed" -> (Rollups.dailyWindowHybridRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -488,6 +494,14 @@ object SparkEntry {
     "q155_daily_from_hourly_routed" -> dailyWindowSql,
     // partition-level refresh must reproduce the full recompute
     "q157_rollup_refresh" -> dailyRollupSql,
+    // the hybrid rollup∪tail read must equal the raw window aggregate
+    "q158_hybrid_tail_routed" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         ${dsum("value")} AS daily_volume, COUNT(*) AS daily_txs
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-28 00:00:00'
+         GROUP BY 1 ORDER BY day""",
     // hour-grain routing with whole-hour (non-midnight) bounds
     "q156_hourly_window_routed" ->
       s"""SELECT date_trunc('hour', ts) AS hour,

@@ -180,6 +180,69 @@ object Rollups {
     }
   }
 
+  /** The hybrid-read cutoff used by the q158 fixtures: the rollup
+    * covers [min, 2024-01-24); the last ~7 days of events stay raw. */
+  val HybridCutoffUs: Long =
+    java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli * 1000L
+
+  /** A STALE-BY-CONTRACT daily rollup: partials of exactly the rows
+    * with `ts < coveredUpToUs`, stamped with the coverage watermark
+    * sidecar ([[graft.plans.RollupRouting.CoverageSidecar]]). The
+    * router answers queries over this rollup as rollup ∪ live-tail
+    * (ts ≥ watermark) — the MV-plus-recent-data dashboard read. In
+    * production the ingest stamps the watermark atomically with each
+    * append; here build and stamp are one call, which is the same
+    * contract. */
+  def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit = {
+    dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs))))
+      .write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.plans.RollupRouting.CoverageSidecar),
+      coveredUpToUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def hybridRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "hybrid_rollup")
+  private def ensureHybridRollup(spark: SparkSession, sfDir: String): String = {
+    val dir = StarJoins.ensureRollup(spark, hybridRollupDir(sfDir)) {
+      dailyPartialsOf(Tables.events(spark, sfDir)
+        .filter(col("ts") < timestamp_micros(lit(HybridCutoffUs))))
+    }
+    // stamp (idempotent; ensureRollup's overwrite clears the dir first)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.plans.RollupRouting.CoverageSidecar),
+      HybridCutoffUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir
+  }
+
+  /** The raw dashboard window that CROSSES the hybrid cutoff: four
+    * covered days answered by the rollup, four uncovered ones by the
+    * live tail. */
+  def hybridWindowRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-28 00:00:00").cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("daily_volume"), count(lit(1)).as("daily_txs"))
+      .orderBy("day")
+
+  /** Driver entry (q158): HYBRID MV + live-tail routing end-to-end —
+    * the rollup deliberately covers only history (ts < 2024-01-24),
+    * the unchanged raw window query crosses that cutoff, and the
+    * router answers it as `rollup partials ∪ tail partials(ts ≥
+    * cutoff)` under the final aggregate, with the window re-applied on
+    * BOTH sides (subsumed form over the rollup's day key, raw form on
+    * the tail scan). The hash match against the raw aggregate proves
+    * the split lossless. At 100 TB this is the real dashboard economy:
+    * the fact scan is bounded by the REFRESH LAG (hours of raw rows),
+    * not the query window — history is rollup-sized. */
+  def dailyWindowHybridRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureHybridRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      hybridWindowRaw(spark, sfDir)
+    }
+  }
+
   /** The daily rollup stored PARTITIONED BY its day key — the layout
     * that makes partition-level refresh ([[refreshStaleDays]])
     * possible: each day's partials live in their own directory, so a

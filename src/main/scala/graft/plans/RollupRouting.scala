@@ -5,10 +5,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, TimestampType}
 
 /** Transparent materialized-rollup routing (SURVEY §4 / §7.3 stretch).
   *
@@ -89,6 +89,17 @@ object RollupRouting {
     * routes onto the COARSEST one — fewest rows scanned (classic
     * view-selection cost choice; the spec pins it). */
   case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day")
+
+  /** Sidecar file a HYBRID rollup writer stamps inside the rollup dir:
+    * the exclusive upper bound (epoch micros) of the event time the
+    * rollup covers. When present, the router answers queries as
+    * `rollup partials ∪ live-tail partials(ts ≥ watermark)` under the
+    * final aggregate — the MV-plus-recent-data dashboard read. The
+    * WRITER's contract makes it lossless: the rollup holds partials of
+    * exactly the rows with ts < watermark
+    * ([[graft.ops.Rollups.writeDailyRollupUpTo]] stamps it
+    * transactionally with the build). */
+  val CoverageSidecar = "_graft_covered_up_to"
 
   // ——— join-MV registry vocabulary ———
 
@@ -277,9 +288,25 @@ object RollupRouting {
       matching.distinct.sortBy(s => if (s.grain == "day") 0 else 1)
     }
 
+    /** Idempotency guards: extraOptimizations run to a FIXED POINT, so
+      * the rule re-visits its own output. A routed aggregate's child
+      * contains a registered rollup scan ([[alreadyRouted]]), and the
+      * hybrid tail it plants is itself an Aggregate over the raw scan
+      * whose output is the partial block ([[isPartialBlock]]) — both
+      * must be left alone or the plan grows a union level per
+      * iteration until the optimizer's iteration cap. */
+    private def alreadyRouted(plan: LogicalPlan): Boolean = plan.exists {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        specs.exists(s => fs.location.rootPaths.exists(_.toString.endsWith(s.rollupPath)))
+      case _ => false
+    }
+    private def isPartialBlock(aggExprs: Seq[NamedExpression]): Boolean =
+      aggExprs.exists(_.name == "v_partial")
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _)
-          if specs.nonEmpty && specsOf(child).nonEmpty =>
+          if specs.nonEmpty && specsOf(child).nonEmpty &&
+             !alreadyRouted(child) && !isPartialBlock(aggExprs) =>
         specsOf(child).view
           .flatMap(s => rewrite(agg, groupings, aggExprs, s))
           .headOption.getOrElse(agg)
@@ -561,14 +588,14 @@ object RollupRouting {
 
       // every filter conjunct between aggregate and scan must be
       // provably lossless against the rollup grain — else stay live
-      val routedFilters: Seq[Expression] = filterConjuncts(child) match {
+      val resolvedConjuncts: Seq[Expression] = filterConjuncts(child) match {
         case None => return None // non-Project/Filter shape below the agg
-        case Some(conjuncts) => conjuncts.map { c =>
-          subsumeConjunct(resolveThroughProjects(c, child), spec,
-                          timeKey, userId, grainExpr) match {
-            case Some(r) => r
-            case None => return None
-          }
+        case Some(conjuncts) => conjuncts.map(resolveThroughProjects(_, child))
+      }
+      val routedFilters: Seq[Expression] = resolvedConjuncts.map { c =>
+        subsumeConjunct(c, spec, timeKey, userId, grainExpr) match {
+          case Some(r) => r
+          case None => return None
         }
       }
 
@@ -630,8 +657,86 @@ object RollupRouting {
       }
       if (!ok) return None
 
-      val newChild = routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      val rollupSide =
+        routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      // HYBRID read (round 11): a rollup stamped with a coverage
+      // watermark doesn't hold the freshest rows — union its partials
+      // with a live-tail partial aggregate over only ts ≥ watermark.
+      // Mergeability does the rest: a group's partials may split
+      // across the two sides and the final aggregate re-merges them
+      // exactly (sum/count/min/max — the only aggregates the router
+      // maps — are fully mergeable). If no provable tail can be built
+      // the whole query stays live: a stale rollup must never answer
+      // alone.
+      val newChild: LogicalPlan = coveredUpTo(spec) match {
+        case None => rollupSide
+        case Some(wm) =>
+          hybridTail(spec, child, rollup,
+                     groupings.map(resolveThroughProjects(_, child)) ++ resolvedConjuncts,
+                     resolvedConjuncts, wm) match {
+            case Some(tail) => Union(Seq(rollupSide, tail))
+            case None => return None
+          }
+      }
       Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
+    }
+
+    /** The coverage watermark a hybrid rollup writer stamped (exclusive
+      * upper bound, epoch micros), if any. */
+    private def coveredUpTo(spec: Spec): Option[Long] = {
+      val f = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
+      if (!f.exists()) None
+      else scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+    }
+
+    /** Build the LIVE-TAIL partial aggregate for a hybrid read: the
+      * same partial block the rollup stores, computed over only the raw
+      * rows at or past the coverage watermark, column-aligned with the
+      * rollup schema so the Union merges under the final aggregate.
+      * Needs (a) the source scan below the aggregate, (b) a
+      * normalized-ts term somewhere in the query to rebuild the grain
+      * key over the scan (any dashboard's time grouping or window
+      * provides one — a query with no time term at all stays live), and
+      * (c) bare `user_id`/`value` columns at the scan. The query's own
+      * subsumable conjuncts re-apply to the tail in their raw form, so
+      * both sides see the same predicate. */
+    private def hybridTail(spec: Spec, child: LogicalPlan, rollup: LogicalPlan,
+                           normTsCandidates: Seq[Expression],
+                           resolvedConjuncts: Seq[Expression],
+                           wm: Long): Option[LogicalPlan] = {
+      val scanRel = child.collectFirst {
+        case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if fs.location.rootPaths.exists(_.toString.endsWith(spec.sourceSuffix)) => lr
+      }.getOrElse(return None)
+      def findNormTs(e: Expression): Option[Expression] =
+        if (isNormTs(e) && e.references.nonEmpty &&
+            e.references.subsetOf(scanRel.outputSet)) Some(e)
+        else e.children.view.flatMap(findNormTs).headOption
+      val normTsE = normTsCandidates.view.flatMap(findNormTs).headOption
+        .getOrElse(return None)
+      def scanAttr(n: String): Option[Attribute] = scanRel.output.find(_.name == n)
+      val userAttr = scanAttr("user_id").getOrElse(return None)
+      val valueAttr = scanAttr("value").getOrElse(return None)
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val grainKey: Expression =
+        if (spec.grain == "hour") TruncTimestamp(Literal("hour"), normTsE, tz)
+        else Cast(normTsE, DateType, tz)
+      val tailCond = (GreaterThanOrEqual(normTsE, Literal(wm, TimestampType)) +:
+        resolvedConjuncts).reduce(And)
+      val aggExprs: Seq[NamedExpression] = rollup.output.map(_.name).map {
+        case n @ ("day" | "hour") => Alias(grainKey, n)()
+        case "user_id" => userAttr
+        case "v_partial" => Alias(
+          Sum(Cast(valueAttr, DecimalType(38, 6))).toAggregateExpression(), "v_partial")()
+        case "c_partial" => Alias(
+          Count(Seq(Literal(1))).toAggregateExpression(), "c_partial")()
+        case "mn_partial" => Alias(Min(valueAttr).toAggregateExpression(), "mn_partial")()
+        case "mx_partial" => Alias(Max(valueAttr).toAggregateExpression(), "mx_partial")()
+        case _ => return None // a rollup column the tail can't rebuild
+      }
+      Some(Aggregate(Seq(grainKey, userAttr), aggExprs, Filter(tailCond, scanRel)))
     }
   }
 }

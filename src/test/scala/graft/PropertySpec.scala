@@ -249,10 +249,16 @@ class PropertySpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/day_rollup")
     graft.ops.Rollups.hourlyPartialsOf(ev)
       .write.mode("overwrite").parquet(s"$dir/hour_rollup")
+    // a STALE daily rollup covering only the first three days, stamped
+    // with its coverage watermark — the hybrid rollup∪tail read
+    val hybridWmUs =
+      java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000L
+    graft.ops.Rollups.writeDailyRollupUpTo(ev, s"$dir/hyb_rollup", hybridWmUs)
 
     // the generated query-shape space: time grain (none/day/hour) ×
     // user grouping × aggregate subset × filter form × REGISTRY
-    // (daily-only / hourly-only / both — the round-11 grain hierarchy)
+    // (daily-only / hourly-only / both / stale-hybrid-daily — the
+    // round-11 grain hierarchy and MV+tail read)
     case class Shape(gTime: Int, gUser: Boolean, aggs: List[Int],
                      filter: Int, reg: Int)
     // half the draws stay inside the candidate-lossless aggregate set so
@@ -266,7 +272,7 @@ class PropertySpec extends AnyFunSuite {
       gUser <- Gen.oneOf(true, false)
       aggs <- aggsGen
       filter <- Gen.chooseNum(0, 6)
-      reg <- Gen.chooseNum(0, 2)
+      reg <- Gen.chooseNum(0, 3)
     } yield Shape(gTime, gUser, aggs.toList.sorted, filter, reg)
     def build(s: Shape): org.apache.spark.sql.DataFrame = {
       val src = spark.read.parquet(s"$dir/events.parquet")
@@ -305,14 +311,17 @@ class PropertySpec extends AnyFunSuite {
     try {
       var routedDay = 0
       var routedHour = 0
+      var routedHybrid = 0
       shapes.foreach { s =>
         spark.experimental.extraOptimizations = Nil
         RollupRouting.clear()
         val raw = canon(build(s))
-        if (s.reg != 1)
+        if (s.reg == 0 || s.reg == 2)
           RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/day_rollup"))
-        if (s.reg != 0)
+        if (s.reg == 1 || s.reg == 2)
           RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/hour_rollup", "hour"))
+        if (s.reg == 3)
+          RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/hyb_rollup"))
         spark.experimental.extraOptimizations =
           Seq(new RollupRouting.RuleImpl(spark))
         val routedDf = build(s)
@@ -333,20 +342,33 @@ class PropertySpec extends AnyFunSuite {
           timeOk && filterOk
         }
         val aggsOk = s.aggs.forall(_ <= 3)
-        val expectDay = s.reg != 1 && aggsOk && grainAnswers(hourly = false)
-        val expectHour = !expectDay && s.reg != 0 && aggsOk && grainAnswers(hourly = true)
+        val expectDay = (s.reg == 0 || s.reg == 2) && aggsOk && grainAnswers(hourly = false)
+        val expectHour = !expectDay && (s.reg == 1 || s.reg == 2) && aggsOk &&
+          grainAnswers(hourly = true)
+        // the STALE hybrid rollup additionally needs a normalized-ts
+        // term in the query to rebuild the tail's grain key — without
+        // one it must never answer (a stale MV alone is wrong)
+        val hasTsTerm = s.gTime == 1 || s.filter == 1 || s.filter == 2
+        val expectHybrid = s.reg == 3 && aggsOk && grainAnswers(hourly = false) && hasTsTerm
         val dayHit = plan.contains("/day_rollup")
         val hourHit = plan.contains("/hour_rollup")
+        val hybridHit = plan.contains("/hyb_rollup")
         // exactly the lossless set routes, AND the cost choice is
         // pinned: when both rollups answer, the coarser (daily) wins
-        assert(dayHit == expectDay && hourHit == expectHour,
-          s"$s: day=$dayHit/$expectDay hour=$hourHit/$expectHour")
+        assert(dayHit == expectDay && hourHit == expectHour && hybridHit == expectHybrid,
+          s"$s: day=$dayHit/$expectDay hour=$hourHit/$expectHour hybrid=$hybridHit/$expectHybrid")
+        // a hybrid answer must also SCAN THE TAIL: both sides present
+        if (hybridHit)
+          assert(plan.contains("events.parquet"),
+            s"$s: hybrid answered without the live tail")
         if (dayHit) routedDay += 1
         if (hourHit) routedHour += 1
+        if (hybridHit) routedHybrid += 1
       }
-      // the lossless set must be exercised from both sides, on both grains
-      assert(routedDay > 10 && routedHour > 5 &&
-             routedDay + routedHour < shapes.size)
+      // the lossless set must be exercised from both sides, on all paths
+      assert(routedDay > 10 && routedHour > 5 && routedHybrid > 3,
+        s"day=$routedDay hour=$routedHour hybrid=$routedHybrid")
+      assert(routedDay + routedHour + routedHybrid < shapes.size)
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()

@@ -388,6 +388,51 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally { spark.experimental.extraOptimizations = Nil; RollupRouting.clear() }
   }
 
+  /** Hybrid MV + live-tail routing (round 11): a rollup stamped with a
+    * coverage watermark answers as rollup ∪ tail — BOTH scans in the
+    * plan, the result bit-equal to raw, and a query that can't rebuild
+    * the grain key over the scan (no time term anywhere) stays live
+    * rather than reading the stale rollup alone. */
+  test("hybrid rollup routes as rollup ∪ live tail; stale rollup never answers alone") {
+    import graft.ops.Rollups
+    val raw = Rollups.hybridWindowRaw(spark, sf).collect().toSeq
+    assert(raw.nonEmpty)
+    // driver entry: values first
+    assert(Rollups.dailyWindowHybridRouted(spark, sf).collect().toSeq == raw)
+    // manual registration for plan assertions
+    val dir = java.nio.file.Files.createTempDirectory("graft_hy").toString + "/hybrid_rollup"
+    Rollups.writeDailyRollupUpTo(Tables.events(spark, sf), dir, Rollups.HybridCutoffUs)
+    RollupRouting.register(RollupRouting.Spec("events.parquet", dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.hybridWindowRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("hybrid_rollup"), s"rollup side missing:\n$plan")
+      assert(plan.contains("events.parquet"), s"live-tail scan missing:\n$plan")
+      assert(routed.collect().toSeq == raw)
+      // the full-range (no window) query also routes hybrid and matches
+      val fullQ = () => Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+        .orderBy("day")
+      spark.experimental.extraOptimizations = Nil
+      val fullRaw = fullQ().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val fullRouted = fullQ()
+      assert(fullRouted.queryExecution.executedPlan.toString.contains("hybrid_rollup"))
+      assert(fullRouted.collect().toSeq == fullRaw)
+      // near-miss: no time term anywhere → the tail's grain key can't
+      // be rebuilt → live (a stale rollup must never answer alone)
+      val noTs = Tables.events(spark, sf)
+        .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      assert(!noTs.queryExecution.executedPlan.toString.contains("hybrid_rollup"),
+        "a stale rollup answered a query it cannot cover")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
