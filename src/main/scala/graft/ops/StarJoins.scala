@@ -81,6 +81,30 @@ object StarJoins {
       .select(col("o_orderkey"), col("c_mktsegment"),
               col("rev_partial"), col("n_lines_partial"))
 
+  /** One micro-batch's partial block with RUNTIME KEY-RANGE PRUNING of
+    * the dimension side — the q147 runtime-filter idea applied to MV
+    * maintenance. The batch's min/max orderkey (one tiny
+    * columnar-stats aggregate) bounds the orders scan, so parquet
+    * row-group statistics skip every dim row no batch key can reach;
+    * the inner join would have dropped those rows anyway, so pruning
+    * is lossless for ANY batch (spec-pinned equal to the unpruned
+    * form). Incremental ingest is key-localized — a micro-batch of
+    * lineitems references RECENT orders — so at scale each batch reads
+    * and shuffles a sliver of the dimension instead of all of it.
+    * Chosen over a broadcast (a file-sized availableNow batch makes
+    * either build side broadcast-hostile) and over a cached
+    * co-partitioned dim (its one-time build only amortizes over many
+    * batches); the ×100 rehearsal measured all three
+    * (docs/SCALING.md r11 note). */
+  def revenueSegmentPartialsOfPruned(batch: DataFrame, o: DataFrame,
+                                     c: DataFrame): DataFrame = {
+    val mm = batch.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+    val oPruned =
+      if (mm.isNullAt(0)) o // empty batch: nothing to prune against
+      else o.filter(col("o_orderkey").between(mm.getLong(0), mm.getLong(1)))
+    revenueSegmentPartialsOf(batch, oPruned, c)
+  }
+
   /** Dashboard read over the persisted rollup: NO join, no lineitem
     * scan — one skinny parquet scan + one aggregation. COUNT(DISTINCT
     * o_orderkey) degenerates to COUNT(*) because the rollup grain IS

@@ -287,12 +287,17 @@ object Live {
   def streamingRevenueSegment(spark: SparkSession, sfDir: String): DataFrame = {
     val rollupDir = java.nio.file.Files.createTempDirectory("graft_revseg_mv")
       .resolve("rollup").toString
+    // per batch, the dim side is RUNTIME KEY-RANGE PRUNED from the
+    // batch's own min/max orderkey before the join — incremental
+    // batches are key-localized, so each joins against a sliver of
+    // orders, not all of it (the r10 ×100 rehearsal's 17× was that
+    // per-batch full-dim cost)
     val o = graft.Tables.orders(spark, sfDir)
     val c = graft.Tables.customer(spark, sfDir)
     withRunCheckpoint { ckpt =>
       val q = fileStream(spark, sfDir, "lineitem.parquet", Some(1)).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.ops.StarJoins.revenueSegmentPartialsOf(batch, o, c)
+          graft.ops.StarJoins.revenueSegmentPartialsOfPruned(batch, o, c)
             .write.mode("append").parquet(rollupDir)
         }
         .option("checkpointLocation", ckpt)

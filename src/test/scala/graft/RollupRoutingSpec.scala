@@ -433,6 +433,32 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Incremental MV maintenance prunes the dimension at runtime: the
+    * batch's min/max orderkey bounds the orders scan (PushedFilters →
+    * row-group skipping), and the pruned block equals the unpruned one
+    * for ANY batch — the inner join drops out-of-range dim rows
+    * anyway. */
+  test("incremental MV batch join range-prunes the dim from the batch keys") {
+    import graft.ops.StarJoins
+    // a key-localized batch, like an incremental ingest slice
+    val batch = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 100 && $"l_orderkey" <= 400)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val pruned = StarJoins.revenueSegmentPartialsOfPruned(batch, o, c)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderkey") &&
+           plan.contains("LessThanOrEqual(o_orderkey"),
+      s"batch key range must reach the orders scan as pushed filters:\n$plan")
+    val full = StarJoins.revenueSegmentPartialsOf(batch, o, c)
+    assert(pruned.collect().toSeq.sortBy(_.getLong(0)) ==
+           full.collect().toSeq.sortBy(_.getLong(0)),
+      "pruned partial block must equal the full-join form")
+    // an empty batch is a no-op, not a crash
+    assert(StarJoins.revenueSegmentPartialsOfPruned(
+      batch.filter(lit(false)), o, c).count() == 0)
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
