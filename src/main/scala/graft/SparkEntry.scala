@@ -258,6 +258,12 @@ object SparkEntry {
     // live-tail partials (fact scanned only for ts >= watermark) under
     // the final aggregate — the MV-plus-recent-data dashboard read
     "q158_hybrid_tail_routed" -> (Rollups.dailyWindowHybridRouted _),
+    // FORWARD as-of (the family's fifth plan): each purchase matched
+    // to the same user's NEXT view at-or-after it — the windowed
+    // composition with the frame reversed; oracle is a correlated
+    // min-subquery, pinning the direction independently of any
+    // engine's ASOF defaults
+    "q159_asof_forward" -> (AsOf.nextViewAttribution _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1004,6 +1010,18 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY p.event_id""",
+    // forward as-of: next view AT OR AFTER each purchase, per user —
+    // correlated min-subquery oracle (direction pinned explicitly)
+    "q159_asof_forward" ->
+      """SELECT event_id, user_id, purchase_ts, next_view_ts,
+         epoch_us(next_view_ts) - epoch_us(purchase_ts) AS gap_us
+         FROM (
+           SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                  (SELECT min(v.ts) FROM events v
+                   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                     AND v.ts >= p.ts) AS next_view_ts
+           FROM events p WHERE p.event_type = 'purchase')
+         ORDER BY event_id""",
     "q41_topk_per_group" -> topkPerUserSql,
     // identical to q41: the native bounded-heap top-k operator must agree
     // with the window-rank composition row-for-row (incl. tie-breaking)

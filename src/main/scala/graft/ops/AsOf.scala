@@ -82,4 +82,57 @@ object AsOf {
               (unix_micros(col("ts")) - unix_micros(col("__asof.ts"))).as("gap_us"))
       .orderBy("event_id")
   }
+
+  /** FORWARD as-of: the EARLIEST right row at-or-after each left row —
+    * the mirror direction ("next event": first quote after an order,
+    * next page-view after a purchase). Same single-shuffle windowed
+    * composition as [[asofJoin]] with the frame reversed: a running
+    * `first(..., ignoreNulls)` over [current row, +∞), ordered so left
+    * rows sort BEFORE right rows at equal timestamps — which makes the
+    * match inclusive (`right.ts >= left.ts`), mirroring the backward
+    * form's `<=`. One shuffle on the key, each row touched once. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String): DataFrame = {
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__src"),
+        struct(right.columns.map(col): _*).as("__match")): _*)
+    val matchType = r.schema("__match").dataType
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__src"),
+        lit(null).cast(matchType).as("__match"),
+        struct(left.columns.map(col): _*).as("__left")): _*)
+    val unioned = l.unionByName(r.withColumn("__left",
+      lit(null).cast(l.schema("__left").dataType)))
+    // __src desc ⟹ left (1) before right (0) at equal __ts, so a
+    // same-timestamp right row IS inside the forward frame (inclusive)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__asof",
+        first(when(col("__src") === 0, col("__match")), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(col("__left.*"), col("__asof"))
+  }
+
+  /** Forward-attribution query (q159): each purchase matched to the
+    * same user's NEXT view at-or-after it — post-purchase engagement
+    * (null = the user never came back). Oracle is a correlated
+    * min-subquery, not DuckDB's ASOF, so the direction semantics are
+    * pinned independently of any engine's ASOF defaults. */
+  def nextViewAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    asofJoinForward(purchases, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              col("__asof.ts").as("next_view_ts"),
+              (unix_micros(col("__asof.ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
 }

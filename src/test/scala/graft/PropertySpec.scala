@@ -52,6 +52,14 @@ class PropertySpec extends AnyFunSuite {
       }.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))).toSeq
       assert(composed == model, "composed form diverges from the model")
       assert(native == model, "native broadcast form diverges from the model")
+      // FORWARD direction (round 11): earliest right at-or-after,
+      // inclusive at equal timestamps — the mirror reference model
+      val forward = shape(
+        graft.ops.AsOf.asofJoinForward(left, right, Seq("k"), "ts", "ts"))
+      val fwdModel = ls.map { case (k, t, id) =>
+        (id, k, t, byKey.getOrElse(k, Nil).dropWhile(_ < t).headOption)
+      }.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))).toSeq
+      assert(forward == fwdModel, "forward form diverges from the model")
     }
   }
 

@@ -431,6 +431,36 @@ class RollupRoutingSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+    // the hybrid read composes with the grain hierarchy: a stale
+    // HOURLY rollup answers an hour-grain query as rollup ∪ tail too
+    val hrDir = java.nio.file.Files.createTempDirectory("graft_hyh").toString + "/hyh_rollup"
+    Rollups.hourlyPartialsOf(
+        Tables.events(spark, sf).filter($"ts" < timestamp_micros(lit(Rollups.HybridCutoffUs))))
+      .write.parquet(hrDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(hrDir, RollupRouting.CoverageSidecar),
+      Rollups.HybridCutoffUs.toString.getBytes)
+    RollupRouting.register(RollupRouting.Spec("events.parquet", hrDir, "hour"))
+    // an hour-window CROSSING the cutoff, so both sides contribute rows
+    val crossQ = () => Tables.events(spark, sf)
+      .filter($"ts" >= lit("2024-01-23 06:00:00").cast("timestamp") &&
+              $"ts" < lit("2024-01-25 18:00:00").cast("timestamp"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("hour")
+    spark.experimental.extraOptimizations = Nil
+    val hourRaw = crossQ().collect().toSeq
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = crossQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("hyh_rollup") && plan.contains("events.parquet"),
+        s"hour-grain hybrid must read both sides:\n$plan")
+      assert(routed.collect().toSeq == hourRaw)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 
   /** Incremental MV maintenance prunes the dimension at runtime: the
