@@ -264,6 +264,15 @@ object SparkEntry {
     // min-subquery, pinning the direction independently of any
     // engine's ASOF defaults
     "q159_asof_forward" -> (AsOf.nextViewAttribution _),
+    // TTL AGGREGATION on expiry (ClickHouse `TTL ... GROUP BY`): raw
+    // days older than the cutoff age out of the day-partitioned lake
+    // INTO the partial rollup (append partials -> advance the
+    // coverage-watermark sidecar -> drop raw dirs, each step
+    // crash-safe); the unchanged raw daily query then reads expired
+    // history from the rollup and the surviving tail from the lake
+    // via the hybrid router; shares q01's oracle, proving no row lost
+    // or doubled across the expiry boundary
+    "q160_ttl_aggregate" -> (Lifecycle.ttlAggregatedDaily _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -500,6 +509,9 @@ object SparkEntry {
     "q155_daily_from_hourly_routed" -> dailyWindowSql,
     // partition-level refresh must reproduce the full recompute
     "q157_rollup_refresh" -> dailyRollupSql,
+    // TTL-expired lake + rollup read back as one hybrid view must
+    // reproduce the full recompute over the original events
+    "q160_ttl_aggregate" -> dailyRollupSql,
     // the hybrid rollup∪tail read must equal the raw window aggregate
     "q158_hybrid_tail_routed" ->
       s"""SELECT CAST(ts AS DATE) AS day,

@@ -29,6 +29,113 @@ object Lifecycle {
       .sortWithinPartitions("user_id", "ts")
       .write.mode("overwrite").partitionBy("month").parquet(outDir)
 
+  /** Events laid out day-partitioned — the grain [[expireIntoRollup]]
+    * ages out at. */
+  def writeDayPartitionedLake(events: DataFrame, outDir: String): Unit =
+    events.withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .sortWithinPartitions("user_id", "ts")
+      .write.mode("overwrite").partitionBy("day").parquet(outDir)
+
+  /** TTL AGGREGATION on expiry — ClickHouse's `TTL … GROUP BY` idea:
+    * raw rows older than the cutoff age OUT of the lake INTO the daily
+    * partial rollup, so aggregate history survives after the raw
+    * detail is reclaimed. Three steps, each crash-safe because the
+    * rollup's coverage-watermark sidecar is the COMMIT POINT the
+    * hybrid router honors (rollup answers only `day < watermark`; the
+    * live tail only `ts ≥ watermark`):
+    *
+    *  1. rewrite the uncommitted day range's partial block into the
+    *     day-partitioned rollup (idempotent dynamic partition
+    *     overwrite) — invisible to readers until the sidecar advances;
+    *  2. advance the sidecar to the cutoff — the atomic switch: reads
+    *     now take expired days from the rollup and ignore the
+    *     still-present raw copies (tail filter excludes them);
+    *  3. drop the expired raw day-directories — pure space reclaim,
+    *     reads unaffected.
+    *
+    * A reader through [[graft.plans.RollupRouting]] sees exactly one
+    * copy of every row at every point in this protocol (spec pins the
+    * mid-step states). The cutoff must be a whole-day boundary — the
+    * router refuses a mid-grain watermark rather than split the
+    * boundary day. At 100 TB the job cost is the expired slice's
+    * aggregation; the hot path is never rewritten. */
+  def expireIntoRollup(spark: SparkSession, lakeDir: String,
+                       rollupDir: String, cutoffUs: Long): Seq[String] = {
+    val MicrosPerDay = 86400000000L
+    require(cutoffUs % MicrosPerDay == 0,
+      s"TTL cutoff must be a whole-day boundary, got $cutoffUs")
+    val cutoffDate = java.time.LocalDate.ofEpochDay(cutoffUs / MicrosPerDay)
+    val lake = spark.read.parquet(lakeDir)
+    val sidecar =
+      java.nio.file.Paths.get(rollupDir, graft.plans.RollupRouting.CoverageSidecar)
+    // 0. a FRESH rollup must carry a zero-coverage sidecar before any
+    //    partials land: without one, a crash after step 1 would leave
+    //    an uncommitted rollup that the router (seeing no watermark)
+    //    would treat as complete and answer ALONE
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rollupDir))
+    if (!java.nio.file.Files.exists(sidecar))
+      java.nio.file.Files.write(sidecar,
+        "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prevWm = new String(java.nio.file.Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    require(cutoffUs >= prevWm,
+      s"TTL cutoff $cutoffUs would move the watermark backwards from $prevWm")
+    val prevDate = java.time.LocalDate.ofEpochDay(prevWm / MicrosPerDay)
+    // 1. (IDEMPOTENT) rewrite the uncommitted day range [watermark,
+    //    cutoff) via dynamic partition overwrite into the
+    //    day-partitioned rollup — a crashed prior attempt's leftovers
+    //    are REPLACED, never doubled, and they stay invisible until
+    //    step 2 (the router's rollup side is filtered to
+    //    day < watermark)
+    val slice = lake.filter(
+      col("day") >= lit(prevDate.toString).cast("date") &&
+      col("day") < lit(cutoffDate.toString).cast("date"))
+    graft.ops.Rollups.dailyPartialsOf(slice.drop("day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(rollupDir)
+    // 2. COMMIT: advance the coverage watermark
+    java.nio.file.Files.write(sidecar,
+      cutoffUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 3. reclaim the expired raw day-directories (partition-level drop)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = root.getFileSystem(conf)
+    val dropped = fs.listStatus(root).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("day="))
+      .filter { p =>
+        val d = p.getName.stripPrefix("day=")
+        scala.util.Try(java.time.LocalDate.parse(d)).toOption
+          .exists(_.isBefore(cutoffDate))
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.getName)
+  }
+
+  /** Driver entry (q160, shares q01's oracle): the TTL-aggregation
+    * lifecycle end-to-end — lay the lake out day-partitioned, expire
+    * everything before the cutoff into the rollup, then run the
+    * UNCHANGED raw daily query against the lake under the hybrid
+    * router: expired history answered from the rollup, the surviving
+    * raw tail from the lake. The hash match against the full recompute
+    * over the original events proves no row is lost or doubled across
+    * the expiry boundary. */
+  def ttlAggregatedDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl")
+    val lakeDir = base.resolve("ttl_lake").toString
+    val rollupDir = base.resolve("ttl_rollup").toString
+    writeDayPartitionedLake(graft.Tables.events(spark, sfDir), lakeDir)
+    expireIntoRollup(spark, lakeDir, rollupDir, Rollups.HybridCutoffUs)
+    Rollups.withRoutingSpecs(spark, Seq(RollupRouting.Spec("ttl_lake", rollupDir))) {
+      spark.read.parquet(lakeDir)
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(Fns.dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
+        .orderBy("day", "user_id")
+    }
+  }
+
   /** Archive job (S11): split the lake at a month cutoff into live and
     * archive roots. Pure partition-level filter+write; dynamic partition
     * overwrite keeps re-runs idempotent. */

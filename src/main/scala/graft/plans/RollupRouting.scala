@@ -657,8 +657,6 @@ object RollupRouting {
       }
       if (!ok) return None
 
-      val rollupSide =
-        routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
       // HYBRID read (round 11): a rollup stamped with a coverage
       // watermark doesn't hold the freshest rows — union its partials
       // with a live-tail partial aggregate over only ts ≥ watermark.
@@ -667,10 +665,25 @@ object RollupRouting {
       // exactly (sum/count/min/max — the only aggregates the router
       // maps — are fully mergeable). If no provable tail can be built
       // the whole query stays live: a stale rollup must never answer
-      // alone.
+      // alone. The SIDECAR IS THE COMMIT POINT: the rollup side is
+      // additionally filtered to `timeKey < watermark`, so partials a
+      // writer appended but has not yet committed (by advancing the
+      // sidecar) are invisible — which makes the TTL-expiry protocol
+      // (append partials → advance sidecar → drop raw) crash-safe at
+      // every step. A watermark that is not a whole-grain boundary
+      // would split the boundary group across the two sides, so the
+      // rule refuses it (stays live) rather than answer wrong.
       val newChild: LogicalPlan = coveredUpTo(spec) match {
-        case None => rollupSide
+        case None =>
+          routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
         case Some(wm) =>
+          val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
+          if (wm % grainMicros != 0) return None
+          val wmLit: Expression =
+            if (spec.grain == "hour") Literal(wm, TimestampType)
+            else Literal((wm / MicrosPerDay).toInt, DateType)
+          val rollupSide = Filter(
+            (LessThan(timeKey, wmLit) +: routedFilters).reduce(And), rollup)
           hybridTail(spec, child, rollup,
                      groupings.map(resolveThroughProjects(_, child)) ++ resolvedConjuncts,
                      resolvedConjuncts, wm) match {

@@ -463,6 +463,71 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** TTL aggregation on expiry: raw days age out of the lake into the
+    * rollup, with the coverage-watermark sidecar as the COMMIT POINT.
+    * A routed read must be exact at EVERY protocol state — before
+    * expiry, after a crash between appending partials and advancing
+    * the sidecar (uncommitted partials invisible), and after the full
+    * expire + raw-dir drop. */
+  test("TTL expiry: every protocol state reads exactly; sidecar is the commit point") {
+    import graft.ops.{Lifecycle, Rollups}
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl_spec")
+    val lakeDir = base.resolve("ttl_lake").toString
+    val rollupDir = base.resolve("ttl_rollup").toString
+    val ev = Tables.events(spark, sf)
+    Lifecycle.writeDayPartitionedLake(ev, lakeDir)
+    val whole = Rollups.daily(spark, sf).collect().toSeq // ground truth
+    def read() = spark.read.parquet(lakeDir)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("tx_count"))
+      .orderBy("day", "user_id")
+    RollupRouting.register(RollupRouting.Spec("ttl_lake", rollupDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // state A: no rollup at all → the read stays live and exact
+      assert(read().collect().toSeq == whole)
+      // state B: crash between write and commit — zero-coverage
+      // sidecar + written partials; the uncommitted partials must be
+      // invisible (rollup side filtered to day < watermark = nothing)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rollupDir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(rollupDir + "/" + RollupRouting.CoverageSidecar),
+        "0".getBytes)
+      val cutoffDate = java.time.LocalDate.ofEpochDay(
+        Rollups.HybridCutoffUs / 86400000000L).toString
+      Rollups.dailyPartialsOf(
+          spark.read.parquet(lakeDir)
+            .filter($"day" < lit(cutoffDate).cast("date")).drop("day"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(rollupDir)
+      assert(read().collect().toSeq == whole,
+        "uncommitted partials leaked into a read")
+      // state C: full expire RE-RUN over the crashed state — step 1's
+      // dynamic partition overwrite must REPLACE the leftovers, not
+      // double them; then commit + drop raw dirs
+      val dropped = Lifecycle.expireIntoRollup(spark, lakeDir, rollupDir,
+        Rollups.HybridCutoffUs)
+      assert(dropped.nonEmpty, "expected expired day dirs to be dropped")
+      assert(!new java.io.File(lakeDir).listFiles()
+        .exists(_.getName == "day=2024-01-02"),
+        "expired raw day dir must be gone")
+      val afterExpire = read()
+      val plan = afterExpire.queryExecution.executedPlan.toString
+      assert(plan.contains("ttl_rollup") && plan.contains("ttl_lake"),
+        s"hybrid read must touch rollup and surviving lake:\n$plan")
+      assert(afterExpire.collect().toSeq == whole,
+        "rows lost or doubled across the expiry boundary")
+      // state D: a SECOND full run after success is a no-op (empty
+      // uncommitted range) — still exact
+      Lifecycle.expireIntoRollup(spark, lakeDir, rollupDir, Rollups.HybridCutoffUs)
+      assert(read().collect().toSeq == whole, "re-run expiry changed the answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Incremental MV maintenance prunes the dimension at runtime: the
     * batch's min/max orderkey bounds the orders scan (PushedFilters →
     * row-group skipping), and the pruned block equals the unpruned one
