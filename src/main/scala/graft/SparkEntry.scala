@@ -273,6 +273,16 @@ object SparkEntry {
     // via the hybrid router; shares q01's oracle, proving no row lost
     // or doubled across the expiry boundary
     "q160_ttl_aggregate" -> (Lifecycle.ttlAggregatedDaily _),
+    // NEAREST as-of (the family's sixth plan): closest view in either
+    // direction, ties to the past — composed from the backward and
+    // forward forms plus a row-local pick; oracle orders candidates by
+    // absolute gap with an earlier-ts tie-break
+    "q161_asof_nearest" -> (AsOf.nearestViewAttribution _),
+    // time-weighted daily average (TWAP): each value weighted by how
+    // long it held (until the user's next event that day, the last
+    // until midnight); weighted sum goes through the deterministic
+    // double-multiply-then-DECIMAL cast on both sides
+    "q162_time_weighted" -> (Rollups.timeWeightedDaily _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1032,6 +1042,37 @@ object SparkEntry {
                   (SELECT min(v.ts) FROM events v
                    WHERE v.event_type = 'view' AND v.user_id = p.user_id
                      AND v.ts >= p.ts) AS next_view_ts
+           FROM events p WHERE p.event_type = 'purchase')
+         ORDER BY event_id""",
+    // time-weighted daily average; the weighted sum uses the same
+    // double-multiply-then-DECIMAL determinism trick as the revenue
+    // expression
+    "q162_time_weighted" ->
+      """SELECT day, user_id,
+         CASE WHEN SUM(w_min) = 0 THEN NULL
+              ELSE CAST(SUM(CAST(value * w_min AS DECIMAL(38,6))) AS DOUBLE)
+                   / SUM(w_min) END AS twap,
+         SUM(w_min) AS span_min, COUNT(*) AS n_events
+         FROM (
+           SELECT CAST(ts AS DATE) AS day, user_id, value,
+                  CAST(floor((epoch_us(COALESCE(
+                    LEAD(ts) OVER (PARTITION BY CAST(ts AS DATE), user_id
+                                   ORDER BY ts, event_id),
+                    CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))) - epoch_us(ts))
+                    / 60000000.0) AS BIGINT) AS w_min
+           FROM events)
+         GROUP BY 1, 2 ORDER BY day, user_id""",
+    // nearest as-of: closest view either side of each purchase, ties
+    // to the earlier (past) candidate
+    "q161_asof_nearest" ->
+      """SELECT event_id, user_id, purchase_ts, nearest_view_ts,
+         abs(epoch_us(nearest_view_ts) - epoch_us(purchase_ts)) AS gap_us
+         FROM (
+           SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                  (SELECT v.ts FROM events v
+                   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                   ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC, v.ts ASC
+                   LIMIT 1) AS nearest_view_ts
            FROM events p WHERE p.event_type = 'purchase')
          ORDER BY event_id""",
     "q41_topk_per_group" -> topkPerUserSql,

@@ -117,6 +117,50 @@ object AsOf {
       .select(col("__left.*"), col("__asof"))
   }
 
+  /** NEAREST as-of: whichever of the backward and forward matches is
+    * closer in event time; equal distances prefer the PAST match — the
+    * deterministic choice a fill-nearest imputation wants. Composed
+    * from both directional forms: two windowed passes over the same
+    * key partitioning (the second shuffle is the same hash layout, so
+    * AQE/exchange-reuse keeps the marginal cost one sort), then a
+    * row-local pick. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String): DataFrame = {
+    val back = asofJoin(left, right, keys, leftTs, rightTs)
+      .withColumnRenamed("__asof", "__back")
+    val both = asofJoinForward(back, right, keys, leftTs, rightTs)
+      .withColumnRenamed("__asof", "__fwd")
+    val lt = unix_micros(col(leftTs))
+    val backGap = lt - unix_micros(col("__back").getField(rightTs))
+    val fwdGap = unix_micros(col("__fwd").getField(rightTs)) - lt
+    both
+      .withColumn("__asof",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(backGap <= fwdGap, col("__back"))
+          .otherwise(col("__fwd")))
+      .drop("__back", "__fwd")
+  }
+
+  /** Nearest-attribution query (q161): each purchase matched to the
+    * same user's CLOSEST view in either direction (ties to the past) —
+    * the imputation shape ("which browsing context does this purchase
+    * belong to"). Oracle orders candidate views by absolute gap with
+    * an earlier-ts tie-break, pinning the same semantics in SQL. */
+  def nearestViewAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    asofJoinNearest(purchases, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+              col("ts").as("purchase_ts"),
+              col("__asof.ts").as("nearest_view_ts"),
+              abs(unix_micros(col("__asof.ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Forward-attribution query (q159): each purchase matched to the
     * same user's NEXT view at-or-after it — post-purchase engagement
     * (null = the user never came back). Oracle is a correlated

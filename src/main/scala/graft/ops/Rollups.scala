@@ -307,6 +307,43 @@ object Rollups {
     readPartitionedDailyRollup(spark, dir)
   }
 
+  /** TIME-WEIGHTED daily average (q162) — the TWAP shape: within each
+    * (day, user), an event's value holds until the user's next event
+    * that day (the last one until midnight), and the average weights
+    * each value by how long it held. One window (lead over the
+    * (day, user) partition, event_id tie-break for same-microsecond
+    * rows) + one aggregate; the weighted sum routes through the
+    * double-multiply-then-DECIMAL cast on BOTH engine and oracle, the
+    * same determinism trick as the revenue expression (`Fns.dsum`
+    * pattern), so the hash compare is exact. Scales like any keyed
+    * window: one shuffle on (day, user), no growing frame. */
+  def timeWeightedDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("day"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // weights are WHOLE MINUTES held (floor): micros-grained weights
+    // push the weighted-sum decimal past double's exact-integer range
+    // (2^53 unscaled) where engines legitimately disagree on the last
+    // cast bit; minute grain keeps every cast exact on both sides.
+    // Sub-minute holds weigh 0 — documented semantics, not a bug.
+    Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+              col("ts"), col("event_id"), col("value"))
+      .withColumn("w_min",
+        floor((unix_micros(coalesce(lead(col("ts"), 1).over(w),
+                                    date_add(col("day"), 1).cast("timestamp"))) -
+               unix_micros(col("ts"))) / lit(60000000L)))
+      .groupBy(col("day"), col("user_id"))
+      .agg(when(sum(col("w_min")) === 0, lit(null))
+             .otherwise(
+               sum((col("value") * col("w_min")).cast("decimal(38,6)")).cast("double") /
+                 sum(col("w_min")))
+             .as("twap"),
+           sum(col("w_min")).as("span_min"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day", "user_id")
+  }
+
   /** mv_usdc_hourly analog (`setup-analytics.sh:66-85`): hour × type. C4. */
   def hourly(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

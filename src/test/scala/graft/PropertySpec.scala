@@ -60,6 +60,19 @@ class PropertySpec extends AnyFunSuite {
         (id, k, t, byKey.getOrElse(k, Nil).dropWhile(_ < t).headOption)
       }.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))).toSeq
       assert(forward == fwdModel, "forward form diverges from the model")
+      // NEAREST direction: closer of the two, ties to the past
+      val nearest = shape(
+        graft.ops.AsOf.asofJoinNearest(left, right, Seq("k"), "ts", "ts"))
+      val nearModel = ls.map { case (k, t, id) =>
+        val prev = byKey.getOrElse(k, Nil).takeWhile(_ <= t).lastOption
+        val next = byKey.getOrElse(k, Nil).dropWhile(_ < t).headOption
+        val pick = (prev, next) match {
+          case (Some(p), Some(n)) => Some(if (t - p <= n - t) p else n)
+          case (p, n) => p.orElse(n)
+        }
+        (id, k, t, pick)
+      }.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(Long.MinValue))).toSeq
+      assert(nearest == nearModel, "nearest form diverges from the model")
     }
   }
 
