@@ -283,6 +283,11 @@ object SparkEntry {
     // until midnight); weighted sum goes through the deterministic
     // double-multiply-then-DECIMAL cast on both sides
     "q162_time_weighted" -> (Rollups.timeWeightedDaily _),
+    // linear interpolation between the as-of neighbors: the
+    // irregular-time-series resampling primitive (interior-only,
+    // exact-hit degenerate case guarded); oracle uses DuckDB's two
+    // directional ASOF joins with the identical arithmetic tree
+    "q163_asof_interpolate" -> (AsOf.interpolatedViewValue _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1062,6 +1067,26 @@ object SparkEntry {
                     / 60000000.0) AS BIGINT) AS w_min
            FROM events)
          GROUP BY 1, 2 ORDER BY day, user_id""",
+    // linear interpolation between the two directional as-of matches;
+    // identical arithmetic tree on both sides for bit-equal doubles
+    "q163_asof_interpolate" ->
+      """SELECT event_id, user_id, purchase_ts,
+         CASE WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+              WHEN epoch_us(next_ts) = epoch_us(prev_ts) THEN prev_v
+              ELSE prev_v + (next_v - prev_v) *
+                   (CAST(epoch_us(purchase_ts) - epoch_us(prev_ts) AS DOUBLE) /
+                    CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE)) END
+           AS value_interp
+         FROM (
+           SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                  b.ts AS prev_ts, b.value AS prev_v,
+                  f.ts AS next_ts, f.value AS next_v
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+             ON p.user_id = b.user_id AND b.ts <= p.ts
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') f
+             ON p.user_id = f.user_id AND f.ts >= p.ts)
+         ORDER BY event_id""",
     // nearest as-of: closest view either side of each purchase, ties
     // to the earlier (past) candidate
     "q161_asof_nearest" ->

@@ -161,6 +161,36 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** LINEAR INTERPOLATION between the as-of neighbors (q163): each
+    * purchase gets the user's view value linearly interpolated between
+    * the most recent view at-or-before and the earliest at-or-after —
+    * the irregular-time-series resampling primitive, composed from the
+    * backward and forward as-of forms. Interior-only: a row missing a
+    * neighbor on either side interpolates to NULL; an exact-timestamp
+    * hit degenerates to that row's value (guarding the 0/0 weight).
+    * The arithmetic mirrors the oracle's expression tree term for
+    * term, so the double results are bit-equal. */
+  def interpolatedViewValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val back = asofJoin(purchases, views, Seq("user_id"), "ts", "ts")
+      .withColumnRenamed("__asof", "__back")
+    val both = asofJoinForward(back, views, Seq("user_id"), "ts", "ts")
+      .withColumnRenamed("__asof", "__fwd")
+    val (bt, ft) = (col("__back.ts"), col("__fwd.ts"))
+    val (bv, fv) = (col("__back.value"), col("__fwd.value"))
+    val w = (unix_micros(col("ts")) - unix_micros(bt)).cast("double") /
+            (unix_micros(ft) - unix_micros(bt)).cast("double")
+    both.select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        when(col("__back").isNull || col("__fwd").isNull, lit(null).cast("double"))
+          .when(unix_micros(ft) === unix_micros(bt), bv)
+          .otherwise(bv + (fv - bv) * w).as("value_interp"))
+      .orderBy("event_id")
+  }
+
   /** Forward-attribution query (q159): each purchase matched to the
     * same user's NEXT view at-or-after it — post-purchase engagement
     * (null = the user never came back). Oracle is a correlated

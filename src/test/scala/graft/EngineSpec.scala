@@ -426,6 +426,42 @@ class EngineSpec extends AnyFunSuite {
     assert(out.filter($"last_view_ts".isNotNull).count() > 0)
   }
 
+  /** Planted-fixture edges for the as-of interpolation: interior rows
+    * interpolate linearly, a missing neighbor on either side yields
+    * NULL, and an exact-timestamp hit degenerates to that row's value
+    * (guarding the 0/0 weight). */
+  test("as-of interpolation: interior linear, edges null, exact hit degenerate") {
+    import ops.AsOf
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),  // interior: halfway
+      (2L, 7L, t("2024-01-01 08:00:00")),  // before first view → null
+      (3L, 7L, t("2024-01-01 12:30:00")),  // after last view → null
+      (4L, 7L, t("2024-01-01 09:00:00")))  // exact hit → that value
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, t("2024-01-01 09:00:00"), 5.0),
+      (7L, t("2024-01-01 11:00:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val back = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "ts")
+      .withColumnRenamed("__asof", "__back")
+    val both = AsOf.asofJoinForward(back, right, Seq("user_id"), "ts", "ts")
+      .withColumnRenamed("__asof", "__fwd")
+    val got = both.select($"event_id",
+        when($"__back".isNull || $"__fwd".isNull, lit(null).cast("double"))
+          .when(unix_micros($"__fwd.ts") === unix_micros($"__back.ts"), $"__back.value")
+          .otherwise($"__back.value" + ($"__fwd.value" - $"__back.value") *
+            ((unix_micros($"ts") - unix_micros($"__back.ts")).cast("double") /
+             (unix_micros($"__fwd.ts") - unix_micros($"__back.ts")).cast("double")))
+          .as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == Some(7.0), "interior must interpolate halfway")
+    assert(got(2L).isEmpty, "no backward neighbor must yield null")
+    assert(got(3L).isEmpty, "no forward neighbor must yield null")
+    assert(got(4L) == Some(5.0), "exact hit must take that row's value")
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Rollups.topUsers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
