@@ -554,6 +554,25 @@ class RollupRoutingSpec extends AnyFunSuite {
       batch.filter(lit(false)), o, c).count() == 0)
   }
 
+  /** A HAVING clause (Filter ABOVE the aggregate) must not block
+    * routing: the rule preserves output ExprIds, so the parent filter
+    * re-binds onto the routed aggregate unchanged. */
+  test("HAVING above the aggregate routes and re-binds") {
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .filter($"c" > 3 && $"v" > 0)   // HAVING
+      .orderBy("day")
+    val plain = q().collect().toSeq
+    assert(plain.nonEmpty)
+    withRouting {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("rollup"),
+        "HAVING must not keep the query on the raw scan")
+      assert(routed.collect().toSeq == plain)
+    }
+  }
+
   test("ineligible queries are left untouched") {
     withRouting {
       // filter below the aggregate → must scan raw
