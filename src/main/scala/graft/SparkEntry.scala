@@ -288,6 +288,12 @@ object SparkEntry {
     // exact-hit degenerate case guarded); oracle uses DuckDB's two
     // directional ASOF joins with the identical arithmetic tree
     "q163_asof_interpolate" -> (AsOf.interpolatedViewValue _),
+    // continuous MV maintenance + hybrid read: the streaming rollup's
+    // ragged last day (drain stopped mid-day) is excluded by a
+    // coverage watermark at the last complete day boundary and served
+    // from the raw tail — the unchanged daily query is exact at every
+    // drain point; shares q01's oracle
+    "q164_stream_hybrid_daily" -> (graft.streaming.Live.streamingHybridDaily _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -527,6 +533,9 @@ object SparkEntry {
     // TTL-expired lake + rollup read back as one hybrid view must
     // reproduce the full recompute over the original events
     "q160_ttl_aggregate" -> dailyRollupSql,
+    // streaming-maintained rollup + ragged-edge hybrid read must also
+    // reproduce the full recompute
+    "q164_stream_hybrid_daily" -> dailyRollupSql,
     // the hybrid rollup∪tail read must equal the raw window aggregate
     "q158_hybrid_tail_routed" ->
       s"""SELECT CAST(ts AS DATE) AS day,

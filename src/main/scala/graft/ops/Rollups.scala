@@ -119,7 +119,7 @@ object Rollups {
 
   /** Install the routing rule with the given specs registered, run
     * `q`, and snapshot the result before restoring the session. */
-  private[ops] def withRoutingSpecs[A](spark: SparkSession,
+  private[graft] def withRoutingSpecs[A](spark: SparkSession,
                                   specs: Seq[graft.plans.RollupRouting.Spec])
                                  (q: => DataFrame): DataFrame = {
     import graft.plans.RollupRouting

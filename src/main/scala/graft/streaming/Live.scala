@@ -307,6 +307,48 @@ object Live {
     graft.ops.StarJoins.readRevenueSegmentRollup(spark, rollupDir)
   }
 
+  /** T5 + hybrid composed (q164, shares q01's oracle): CONTINUOUS MV
+    * maintenance with a RAGGED-EDGE-safe read. A streaming-maintained
+    * rollup always ends in a partial last day — the drain stopped
+    * mid-day — and serving it straight would undercount that day. The
+    * maintenance instead stamps the coverage-watermark sidecar at the
+    * last COMPLETE day boundary, so the hybrid router serves complete
+    * days from the rollup and the ragged final day (plus anything
+    * later) from the raw tail: the UNCHANGED raw daily query is exact
+    * at every drain point. Here the mid-day stop is simulated by
+    * bounding what the drain has "seen" (ts < Jan 27 13:00); the hash
+    * match against the full recompute proves the ragged day was
+    * answered by the tail — the rollup alone cannot produce it. */
+  def streamingHybridDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_hybrid_mv")
+      .resolve("rollup").toString
+    val seenUpTo = lit("2024-01-27 13:00:00").cast("timestamp")
+    withRunCheckpoint { ckpt =>
+      val q = eventStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          appendDailyPartials(batch.filter(col("ts") < seenUpTo), rollupDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // commit coverage at the last COMPLETE day boundary (floor-to-day
+    // of the max event time the drain saw)
+    val wmUs = java.time.Instant.parse("2024-01-27T00:00:00Z").toEpochMilli * 1000L
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rollupDir, graft.plans.RollupRouting.CoverageSidecar),
+      wmUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.ops.Rollups.withRoutingSpecs(spark,
+        Seq(graft.plans.RollupRouting.Spec("events.parquet", rollupDir))) {
+      graft.Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
+             count(lit(1)).as("tx_count"))
+        .orderBy("day", "user_id")
+    }
+  }
+
   /** T4+T5 composed (q154, shares q153's oracle): RETRACTION-AWARE
     * incremental MV maintenance — the CollapsingMergeTree-feeds-a-
     * summing-MV pattern. Per micro-batch, the ingest derives the

@@ -49,6 +49,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  /** T5+hybrid: a streaming-maintained rollup whose last day is RAGGED
+    * (drain stopped mid-day) must still read exactly — the coverage
+    * watermark excludes the ragged day from the rollup side and the
+    * hybrid router serves it from the raw tail. Equality with the full
+    * recompute proves it: the rollup alone cannot produce the final
+    * day. */
+  test("T5+hybrid: ragged-edge streaming rollup reads exactly via the tail") {
+    val streamed = Live.streamingHybridDaily(spark, sf).collect().toSeq
+    val batch = graft.ops.Rollups.daily(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("T4+T5: streaming retraction-aware summing MV equals the batch signed MV") {
     val streamed = Live.streamingCdcSummingMv(spark, sf).collect().toSeq
     val batch = graft.ops.Collapse.cdcSummingMv(spark, sf).collect().toSeq
