@@ -75,8 +75,7 @@ object Lifecycle {
     //    would treat as complete and answer ALONE
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rollupDir))
     if (!java.nio.file.Files.exists(sidecar))
-      java.nio.file.Files.write(sidecar,
-        "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.plans.RollupRouting.stampCoverage(rollupDir, 0L)
     val prevWm = new String(java.nio.file.Files.readAllBytes(sidecar),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     require(cutoffUs >= prevWm,
@@ -95,9 +94,9 @@ object Lifecycle {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(rollupDir)
-    // 2. COMMIT: advance the coverage watermark
-    java.nio.file.Files.write(sidecar,
-      cutoffUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 2. COMMIT: advance the coverage watermark (atomic rename — a
+    //    concurrent reader sees the old boundary or the new one)
+    graft.plans.RollupRouting.stampCoverage(rollupDir, cutoffUs)
     // 3. reclaim the expired raw day-directories (partition-level drop)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(lakeDir)

@@ -196,9 +196,7 @@ object Rollups {
   def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit = {
     dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs))))
       .write.mode("overwrite").parquet(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, graft.plans.RollupRouting.CoverageSidecar),
-      coveredUpToUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.plans.RollupRouting.stampCoverage(dir, coveredUpToUs)
   }
 
   def hybridRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "hybrid_rollup")
@@ -208,9 +206,7 @@ object Rollups {
         .filter(col("ts") < timestamp_micros(lit(HybridCutoffUs))))
     }
     // stamp (idempotent; ensureRollup's overwrite clears the dir first)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, graft.plans.RollupRouting.CoverageSidecar),
-      HybridCutoffUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.plans.RollupRouting.stampCoverage(dir, HybridCutoffUs)
     dir
   }
 

@@ -101,6 +101,21 @@ object RollupRouting {
     * transactionally with the build). */
   val CoverageSidecar = "_graft_covered_up_to"
 
+  /** Atomically stamp the coverage sidecar (temp file + ATOMIC_MOVE in
+    * the same directory): a reader can never observe a half-written
+    * watermark — it sees the old value or the new one. The temp name
+    * is dot-prefixed so Parquet readers ignore it. */
+  def stampCoverage(rollupDir: String, coveredUpToUs: Long): Unit = {
+    val dir = java.nio.file.Paths.get(rollupDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".wm", ".tmp")
+    java.nio.file.Files.write(tmp,
+      coveredUpToUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(CoverageSidecar),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ——— join-MV registry vocabulary ———
 
   /** Pattern over the CAST-STRIPPED, project-resolved source expression
@@ -674,9 +689,10 @@ object RollupRouting {
       // would split the boundary group across the two sides, so the
       // rule refuses it (stays live) rather than answer wrong.
       val newChild: LogicalPlan = coveredUpTo(spec) match {
-        case None =>
+        case None => return None // unreadable sidecar: never answer from it
+        case Some(None) =>
           routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
-        case Some(wm) =>
+        case Some(Some(wm)) =>
           val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
           if (wm % grainMicros != 0) return None
           val wmLit: Expression =
@@ -694,14 +710,21 @@ object RollupRouting {
       Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
     }
 
-    /** The coverage watermark a hybrid rollup writer stamped (exclusive
-      * upper bound, epoch micros), if any. */
-    private def coveredUpTo(spec: Spec): Option[Long] = {
+    /** The coverage watermark a hybrid rollup writer stamped, if any.
+      * Outer None = UNREADABLE sidecar (present but unparseable) — the
+      * rollup claims partial coverage without proving the boundary, so
+      * the rewrite must ABORT (stay live) rather than fall back to
+      * treating it as complete; inner None = no sidecar at all (a
+      * complete rollup). */
+    private def coveredUpTo(spec: Spec): Option[Option[Long]] = {
       val f = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
-      if (!f.exists()) None
+      if (!f.exists()) Some(None)
       else scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption match {
+        case Some(wm) => Some(Some(wm))
+        case None => None
+      }
     }
 
     /** Build the LIVE-TAIL partial aggregate for a hybrid read: the

@@ -336,9 +336,7 @@ object Live {
     // commit coverage at the last COMPLETE day boundary (floor-to-day
     // of the max event time the drain saw)
     val wmUs = java.time.Instant.parse("2024-01-27T00:00:00Z").toEpochMilli * 1000L
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(rollupDir, graft.plans.RollupRouting.CoverageSidecar),
-      wmUs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.plans.RollupRouting.stampCoverage(rollupDir, wmUs)
     graft.ops.Rollups.withRoutingSpecs(spark,
         Seq(graft.plans.RollupRouting.Spec("events.parquet", rollupDir))) {
       graft.Tables.events(spark, sfDir)

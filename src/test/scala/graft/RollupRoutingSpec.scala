@@ -427,6 +427,18 @@ class RollupRoutingSpec extends AnyFunSuite {
         .groupBy($"user_id").agg(count(lit(1)).as("c"))
       assert(!noTs.queryExecution.executedPlan.toString.contains("hybrid_rollup"),
         "a stale rollup answered a query it cannot cover")
+      // a CORRUPTED sidecar must abort routing entirely — the rollup
+      // claims partial coverage without proving the boundary, so
+      // treating it as complete would answer wrong
+      val sidecarPath = java.nio.file.Paths.get(dir, RollupRouting.CoverageSidecar)
+      val good = java.nio.file.Files.readAllBytes(sidecarPath)
+      java.nio.file.Files.write(sidecarPath, "not-a-watermark".getBytes)
+      try {
+        val q = Rollups.hybridWindowRaw(spark, sf)
+        assert(!q.queryExecution.executedPlan.toString.contains("hybrid_rollup"),
+          "an unreadable sidecar must keep the query live")
+        assert(q.collect().toSeq == raw)
+      } finally java.nio.file.Files.write(sidecarPath, good)
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
