@@ -122,6 +122,15 @@ object Bench {
       case i  => k.substring(0, i)
     }
     println(line(shortKey, 2))
+    // LAST line: a compact totals-only summary with NO per-query map.
+    // The driver tail-parses the sbt log, and at 163 queries even the
+    // short-key detailed line outgrew the tail window (BENCH_r11
+    // parsed to null, losing the round's headline total). This line is
+    // ~200 bytes regardless of query count, so the totals always
+    // survive the tail parse; the per-query map lives one line up and
+    // in target/bench_full.json.
+    println(
+      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","runs":$runs,"sf":"$sfDir","batch_value":${f(batchTotal, 2)},"warm_sec":${f(warmSec, 2)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}""")
     spark.stop()
   }
 }

@@ -280,8 +280,8 @@ object SparkEntry {
     "q161_asof_nearest" -> (AsOf.nearestViewAttribution _),
     // time-weighted daily average (TWAP): each value weighted by how
     // long it held (until the user's next event that day, the last
-    // until midnight); weighted sum goes through the deterministic
-    // double-multiply-then-DECIMAL cast on both sides
+    // until midnight); weighted sum multiplies in exact decimal
+    // space on both sides — no rounded double product anywhere
     "q162_time_weighted" -> (Rollups.timeWeightedDaily _),
     // linear interpolation between the as-of neighbors: the
     // irregular-time-series resampling primitive (interior-only,
@@ -294,6 +294,14 @@ object SparkEntry {
     // from the raw tail — the unchanged daily query is exact at every
     // drain point; shares q01's oracle
     "q164_stream_hybrid_daily" -> (graft.streaming.Live.streamingHybridDaily _),
+    // a SECOND-TABLE daily rollup (orders: o_orderdate × o_custkey ×
+    // o_totalprice partials) routing the unchanged raw query — the
+    // generalized single-table Spec registered as pure data
+    "q165_orders_daily_routed" -> (Rollups.ordersDailySalesRouted _),
+    // a join MV with a USER-REGISTERED measure expression (the gross
+    // charge, matched via canonicalized ExprPat) routing the unchanged
+    // raw 3-table query
+    "q166_charge_segment_routed" -> (StarJoins.chargeSegmentRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -536,6 +544,26 @@ object SparkEntry {
     // streaming-maintained rollup + ragged-edge hybrid read must also
     // reproduce the full recompute
     "q164_stream_hybrid_daily" -> dailyRollupSql,
+    // the routed second-table (orders) rollup read must equal the raw
+    // windowed aggregate over orders
+    "q165_orders_daily_routed" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS o_day,
+         ${dsum("o_totalprice")} AS daily_sales, COUNT(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY o_day""",
+    // the routed user-measure (gross charge) join MV must equal the
+    // raw 3-table aggregate
+    "q166_charge_segment_routed" ->
+      s"""SELECT c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS gross_charge,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     // the hybrid rollup∪tail read must equal the raw window aggregate
     "q158_hybrid_tail_routed" ->
       s"""SELECT CAST(ts AS DATE) AS day,
@@ -1058,13 +1086,14 @@ object SparkEntry {
                      AND v.ts >= p.ts) AS next_view_ts
            FROM events p WHERE p.event_type = 'purchase')
          ORDER BY event_id""",
-    // time-weighted daily average; the weighted sum uses the same
-    // double-multiply-then-DECIMAL determinism trick as the revenue
-    // expression
+    // time-weighted daily average; the weighted sum multiplies in
+    // exact decimal space (value cast to decimal BEFORE the multiply
+    // by the integral weight) so no intermediate is ever a rounded
+    // double product — no DuckDB build can disagree
     "q162_time_weighted" ->
       """SELECT day, user_id,
          CASE WHEN SUM(w_min) = 0 THEN NULL
-              ELSE CAST(SUM(CAST(value * w_min AS DECIMAL(38,6))) AS DOUBLE)
+              ELSE CAST(SUM(CAST(value AS DECIMAL(18,6)) * w_min) AS DOUBLE)
                    / SUM(w_min) END AS twap,
          SUM(w_min) AS span_min, COUNT(*) AS n_events
          FROM (

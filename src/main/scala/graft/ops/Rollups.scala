@@ -189,15 +189,38 @@ object Rollups {
     * with `ts < coveredUpToUs`, stamped with the coverage watermark
     * sidecar ([[graft.plans.RollupRouting.CoverageSidecar]]). The
     * router answers queries over this rollup as rollup ∪ live-tail
-    * (ts ≥ watermark) — the MV-plus-recent-data dashboard read. In
-    * production the ingest stamps the watermark atomically with each
-    * append; here build and stamp are one call, which is the same
-    * contract. */
+    * (ts ≥ watermark) — the MV-plus-recent-data dashboard read.
+    *
+    * TRANSACTIONAL (round 12): the build lands in a scratch sibling
+    * and the sidecar is stamped there BEFORE the directory swap.
+    * Writing `mode("overwrite")` straight into the live path would
+    * first delete any prior sidecar, with the new stamp landing only
+    * after the parquet job — a crash or concurrent planner in that
+    * window would see a sidecar-less rollup the router treats as
+    * COMPLETE, silently missing every row ≥ the watermark. With the
+    * scratch build the live path only ever holds a committed
+    * (partials + sidecar) pair; the swap's sole intermediate state is
+    * "no directory", which the router answers by staying live — the
+    * safe side. (TTL expiry guards the same window differently, with
+    * a step-0 zero-coverage stamp — [[Lifecycle.expireIntoRollup]].) */
   def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit = {
+    val target = java.nio.file.Paths.get(dir)
+    val scratch = java.nio.file.Paths.get(dir + ".inprogress")
+    deleteTree(scratch)
     dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs))))
-      .write.mode("overwrite").parquet(dir)
-    graft.plans.RollupRouting.stampCoverage(dir, coveredUpToUs)
+      .write.mode("overwrite").parquet(scratch.toString)
+    graft.plans.RollupRouting.stampCoverage(scratch.toString, coveredUpToUs)
+    deleteTree(target)
+    java.nio.file.Files.move(scratch, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   def hybridRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "hybrid_rollup")
   private def ensureHybridRollup(spark: SparkSession, sfDir: String): String = {
@@ -303,16 +326,83 @@ object Rollups {
     readPartitionedDailyRollup(spark, dir)
   }
 
+  // ——— second-table rollup: the generalized Spec vocabulary (round 12) ———
+
+  /** The ORDERS daily rollup's partial block (day × customer grain):
+    * the same mergeable-partials contract as [[dailyPartialsOf]] over a
+    * DIFFERENT table shape — `o_orderdate` as the time column,
+    * `o_custkey` as the key, an exact DECIMAL `o_totalprice` partial.
+    * The reference maintains six differently-shaped MVs side by side
+    * (`usdc-transfers/sql/analytics.sql:9-94`); with the generalized
+    * [[graft.plans.RollupRouting.Spec]] this one registers as pure
+    * data ([[ordersSpec]]) — no engine edits. */
+  def ordersDailyPartialsOf(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("price_partial"),
+           count(lit(1)).as("n_partial"))
+
+  def ordersRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "orders_rollup")
+  private def ensureOrdersRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, ordersRollupDir(sfDir)) {
+      ordersDailyPartialsOf(Tables.orders(spark, sfDir))
+    }
+
+  /** The orders rollup's registration — the single-table registry entry
+    * carrying its own time column, key map, and aggregate→partial
+    * mappings (same vocabulary as the join registry). */
+  def ordersSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("orders.parquet", dir, "day",
+      timeCol = "o_orderdate",
+      keyCols = Map("o_custkey" -> "o_custkey"),
+      aggs = Seq(SumOf(ColRef("o_totalprice"), "price_partial"),
+                 CountStarTo("n_partial")))
+  }
+
+  /** The raw orders daily-sales dashboard: a whole-day half-open window
+    * over raw orders, daily sales + order count. Written against the
+    * RAW table; [[ordersDailySalesRouted]] runs it UNCHANGED under the
+    * routing rule. */
+  def ordersDailySalesRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("o_day"))
+      .agg(dsum(col("o_totalprice")).as("daily_sales"), count(lit(1)).as("n_orders"))
+      .orderBy("o_day")
+
+  /** Driver entry (q165): a SECOND-TABLE daily rollup routing
+    * transparently — the unchanged raw orders query re-aggregates the
+    * (day, customer) rollup with the year window subsumed onto its
+    * `day` key; the orders fact is never scanned (plan asserted in
+    * RollupRoutingSpec, which also pins the near-misses: an unmapped
+    * measure or a non-key filter stays on the live scan). Proves the
+    * round-12 Spec generalization end-to-end: same engine rule, a
+    * differently-shaped table registered as data. */
+  def ordersDailySalesRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureOrdersRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(ordersSpec(dir))) {
+      ordersDailySalesRaw(spark, sfDir)
+    }
+  }
+
   /** TIME-WEIGHTED daily average (q162) — the TWAP shape: within each
     * (day, user), an event's value holds until the user's next event
     * that day (the last one until midnight), and the average weights
     * each value by how long it held. One window (lead over the
     * (day, user) partition, event_id tie-break for same-microsecond
-    * rows) + one aggregate; the weighted sum routes through the
-    * double-multiply-then-DECIMAL cast on BOTH engine and oracle, the
-    * same determinism trick as the revenue expression (`Fns.dsum`
-    * pattern), so the hash compare is exact. Scales like any keyed
-    * window: one shuffle on (day, user), no growing frame. */
+    * rows) + one aggregate; the weighted sum multiplies IN EXACT
+    * DECIMAL SPACE on BOTH engine and oracle — `value` (≤2 fixture
+    * decimals, so the cast is representation-exact) is cast to
+    * decimal BEFORE the multiply by the integral minute weight, so no
+    * intermediate is ever a rounded double product and no engine
+    * build can disagree on a last bit (round 12: the previous
+    * double-multiply-then-decimal cast rounded a computed product,
+    * the one step where engines legitimately differ). Scales like any
+    * keyed window: one shuffle on (day, user), no growing frame. */
   def timeWeightedDaily(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("day"), col("user_id"))
@@ -322,6 +412,8 @@ object Rollups {
     // (2^53 unscaled) where engines legitimately disagree on the last
     // cast bit; minute grain keeps every cast exact on both sides.
     // Sub-minute holds weigh 0 — documented semantics, not a bug.
+    // decimal(18,6) (not 38,6) leaves multiplication headroom: with
+    // the bigint weight it stays under both engines' precision caps.
     Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"),
               col("ts"), col("event_id"), col("value"))
@@ -332,7 +424,7 @@ object Rollups {
       .groupBy(col("day"), col("user_id"))
       .agg(when(sum(col("w_min")) === 0, lit(null))
              .otherwise(
-               sum((col("value") * col("w_min")).cast("decimal(38,6)")).cast("double") /
+               sum(col("value").cast("decimal(18,6)") * col("w_min")).cast("double") /
                  sum(col("w_min")))
              .as("twap"),
            sum(col("w_min")).as("span_min"),

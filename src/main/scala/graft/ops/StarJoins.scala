@@ -190,18 +190,85 @@ object StarJoins {
                                Tables.customer(spark, sfDir))
     }
 
-  /** Run `f` with BOTH join MVs registered (the multi-MV registry in
-    * action — the reference maintains six MVs side by side,
+  /** Gross charge by market segment — [[revenueBySegment]]'s sibling
+    * with the USER-DEFINED charge measure
+    * `l_extendedprice * (1 - l_discount) * (1 + l_tax)`. Written
+    * against the raw 3-table join; [[chargeSegmentRouted]] runs it
+    * UNCHANGED with the ExprPat-measure MV registered. */
+  def chargeBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("charge",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("charge")).as("gross_charge"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The charge MV's partial block at (o_orderkey, c_mktsegment) grain —
+    * same build economy as [[revenueSegmentPartialsOf]] (fact
+    * pre-aggregation before the fact-fact exchange, broadcast dims),
+    * but its measure is the registry's [[graft.plans.RollupRouting
+    * .JoinSpec.chargeMeasure]] expression rather than a named engine
+    * pattern. */
+  def chargeSegmentPartialsOf(li: DataFrame, o: DataFrame, c: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(dsumPartial(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+             (lit(1.0) + col("l_tax"))).as("charge_partial"),
+           count(lit(1)).as("n_lines_partial"))
+      .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+              col("charge_partial"), col("n_lines_partial"))
+
+  def chargeSegmentRollupDir(sfDir: String): String = scratch(sfDir, "charge_rollup")
+  private def ensureChargeSegmentRollup(spark: SparkSession, sfDir: String): String =
+    ensureRollup(spark, chargeSegmentRollupDir(sfDir)) {
+      chargeSegmentPartialsOf(Tables.lineitem(spark, sfDir),
+                              Tables.orders(spark, sfDir),
+                              Tables.customer(spark, sfDir))
+    }
+
+  /** Driver entry (q166): a join MV with a USER-REGISTERED measure
+    * expression routing transparently — the unchanged [[chargeBySegment]]
+    * query rewrites onto the charge rollup because the spec's ExprPat
+    * matches the query's measure after canonicalization (casts, name
+    * binding, literal types, eval modes); a near-miss measure (same
+    * columns, different operator) provably stays on the live join
+    * (RollupRoutingSpec). Registered alongside BOTH round-11 join MVs,
+    * so the registry picks by measure+core, not arrival order. */
+  def chargeSegmentRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureChargeSegmentRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.chargeSegment(dir))) {
+      chargeBySegment(spark, sfDir).localCheckpoint()
+    }
+  }
+
+  /** Run `f` with BOTH round-11 join MVs (plus any `extra` specs)
+    * registered (the multi-MV registry in action — the reference
+    * maintains six MVs side by side,
     * `usdc-transfers/sql/analytics.sql:9-94`) and the routing rule
     * installed; the session's optimizer state is restored afterwards so
     * no other query in the run is affected. */
-  private def withJoinRouting[A](spark: SparkSession, sfDir: String)(f: => A): A = {
+  private def withJoinRouting[A](spark: SparkSession, sfDir: String,
+                                 extra: Seq[graft.plans.RollupRouting.JoinSpec] = Nil)
+                                (f: => A): A = {
     import graft.plans.RollupRouting
     val revDir = ensureRevenueSegmentRollup(spark, sfDir)
     val volDir = ensureCustomerVolumeRollup(spark, sfDir)
     val prev = spark.experimental.extraOptimizations
     RollupRouting.registerJoin(RollupRouting.JoinSpec.revenueSegment(revDir))
     RollupRouting.registerJoin(RollupRouting.JoinSpec.customerVolume(volDir))
+    extra.foreach(RollupRouting.registerJoin)
     spark.experimental.extraOptimizations =
       prev :+ new RollupRouting.RuleImpl(spark)
     try f finally {

@@ -87,8 +87,36 @@ object RollupRouting {
     * additive, so roll-up matching is lossless); it can never answer a
     * finer grain. When several registered rollups match, the rule
     * routes onto the COARSEST one — fewest rows scanned (classic
-    * view-selection cost choice; the spec pins it). */
-  case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day")
+    * view-selection cost choice; the spec pins it).
+    *
+    * Round 12: the spec carries the SAME vocabulary as [[JoinSpec]]
+    * instead of hardcoded `user_id`/`value`/`v_partial` names —
+    * `timeCol` is the source's event-time column (a normalized
+    * TIMESTAMP like `events.ts`, or a DATE column, in which case the
+    * day grain is the bare column and EVERY deterministic predicate
+    * over it subsumes — a date key is group-constant at day grain),
+    * `keyCols` maps each non-time source grouping column to its
+    * rollup column, and `aggs` lists the aggregate→partial rewrites
+    * the rollup supports. The defaults are exactly the events-schema
+    * rollup every existing registration used, so a bare
+    * `Spec(suffix, path)` is unchanged; a user can now register a
+    * daily rollup over any table — the reference maintains six
+    * differently-shaped MVs side by side
+    * (`usdc-transfers/sql/analytics.sql:9-94`). */
+  case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day",
+                  timeCol: String = "ts",
+                  keyCols: Map[String, String] = Spec.defaultKeys,
+                  aggs: Seq[AggMap] = Spec.defaultAggs)
+
+  object Spec {
+    val defaultKeys: Map[String, String] = Map("user_id" -> "user_id")
+    /** The [[graft.ops.Rollups.dailyPartialsOf]] partial block. */
+    val defaultAggs: Seq[AggMap] = Seq(
+      SumOf(ColRef("value"), "v_partial"),
+      CountStarTo("c_partial"),
+      MinOf("value", "mn_partial"),
+      MaxOf("value", "mx_partial"))
+  }
 
   /** Sidecar file a HYBRID rollup writer stamps inside the rollup dir:
     * the exclusive upper bound (epoch micros) of the event time the
@@ -121,9 +149,12 @@ object RollupRouting {
   /** Pattern over the CAST-STRIPPED, project-resolved source expression
     * inside an aggregate — what the spec's partial column is a partial
     * OF. Kept as a tiny closed AST (not a function) so a spec is data:
-    * printable, comparable, and serializable into docs/tests. */
+    * printable, comparable, and serializable into docs/tests.
+    * [[rebuild]] re-creates the source expression over a raw scan's
+    * attributes — what the hybrid live-tail partial block aggregates. */
   sealed trait SrcPat {
     def matches(e: Expression): Boolean
+    def rebuild(resolve: String => Option[Attribute]): Option[Expression]
   }
   /** A bare source-column reference, e.g. SUM(o_totalprice). */
   case class ColRef(name: String) extends SrcPat {
@@ -131,6 +162,7 @@ object RollupRouting {
       case a: AttributeReference => a.name == name
       case _ => false
     }
+    def rebuild(resolve: String => Option[Attribute]): Option[Expression] = resolve(name)
   }
   /** The net-of-discount revenue shape `a * (1 - b)`. */
   case class OneMinusProduct(a: String, b: String) extends SrcPat {
@@ -139,6 +171,91 @@ object RollupRouting {
                     Subtract(Literal(one, _), y: AttributeReference, _), _) =>
         x.name == a && y.name == b && one == 1.0d
       case _ => false
+    }
+    def rebuild(resolve: String => Option[Attribute]): Option[Expression] =
+      for (x <- resolve(a); y <- resolve(b))
+        yield Multiply(x, Subtract(Literal(1.0d), y))
+  }
+  /** A USER-REGISTERED measure expression (round 12): any expression
+    * over the source columns, matched by CANONICALIZED structural
+    * equality — casts stripped, attributes compared by name, numeric
+    * literals compared by exact value, ANSI eval-mode tags erased.
+    * Those are exactly the shapes the analyzer legitimately varies
+    * between what a user registers (`lit(1)`, unresolved columns) and
+    * what reaches the optimizer (promoted literals, resolved refs,
+    * inserted casts); everything else — a different operator, a
+    * different column, a commuted non-identical tree — stays a
+    * non-match, so near-miss queries keep their live plan. This
+    * closes the registry under user-defined measures: registering an
+    * MV whose measure is `l_extendedprice * (1 + l_tax)` no longer
+    * requires editing the engine. */
+  case class ExprPat(expr: Expression) extends SrcPat {
+    private lazy val canonical = ExprPat.canon(expr)
+    def matches(e: Expression): Boolean = ExprPat.canon(e) == canonical
+    def rebuild(resolve: String => Option[Attribute]): Option[Expression] = {
+      var ok = true
+      val r = ExprPat.resolveOps(expr).transformUp {
+        case a: AttributeReference =>
+          resolve(a.name).getOrElse { ok = false; a }
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          resolve(u.name).getOrElse { ok = false; u }
+      }
+      if (ok) Some(r) else None
+    }
+  }
+  object ExprPat {
+    /** Registration surface: a DataFrame-API `Column`, e.g.
+      * `ExprPat(col("l_extendedprice") * (lit(1) + col("l_tax")))`.
+      * The classic Column DSL encodes operators as unresolved function
+      * nodes; [[canon]]/[[resolveOps]] normalize those to the same
+      * arithmetic nodes the analyzer produces, so either registration
+      * surface matches the same queries. */
+    def apply(c: org.apache.spark.sql.Column): ExprPat =
+      ExprPat(org.apache.spark.sql.graftx.Bridge.expressionEager(c))
+    /** The Column DSL's operator spellings → resolved arithmetic
+      * nodes (session-default eval mode — what the analyzer would
+      * produce for the same source text). */
+    private[plans] def resolveOps(e: Expression): Expression = e.transformUp {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length == 2 &&
+             !f.isDistinct && f.filter.isEmpty =>
+        val Seq(l, r) = f.arguments
+        f.nameParts.head match {
+          case "+" => Add(l, r)
+          case "-" => Subtract(l, r)
+          case "*" => Multiply(l, r)
+          case "/" => Divide(l, r)
+          case _ => f
+        }
+    }
+    /** Canonical form for matching: strip casts, name-compare
+      * attributes, erase arithmetic eval-mode tags, and normalize
+      * every numeric literal to its exact decimal string (so `lit(1)`
+      * ≡ the analyzer's promoted `1.0d`). Structural equality of case
+      * classes does the rest. */
+    private[plans] def canon(e: Expression): Expression = resolveOps(e).transformUp {
+      case Cast(c, _, _, _) => c
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+      case Add(l, r, _) => Add(l, r, EvalMode.LEGACY)
+      case Subtract(l, r, _) => Subtract(l, r, EvalMode.LEGACY)
+      case Multiply(l, r, _) => Multiply(l, r, EvalMode.LEGACY)
+      case Divide(l, r, _) => Divide(l, r, EvalMode.LEGACY)
+      case l @ Literal(v, _) if v != null && numericString(v).isDefined =>
+        Literal.create(numericString(v).get, org.apache.spark.sql.types.StringType)
+    }
+    private def numericString(v: Any): Option[String] = {
+      val bd: java.math.BigDecimal = v match {
+        case d: java.lang.Double => java.math.BigDecimal.valueOf(d)
+        case f: java.lang.Float => java.math.BigDecimal.valueOf(f.toDouble)
+        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.toLong)
+        case l: java.lang.Long => java.math.BigDecimal.valueOf(l)
+        case s: java.lang.Short => java.math.BigDecimal.valueOf(s.toLong)
+        case b: java.lang.Byte => java.math.BigDecimal.valueOf(b.toLong)
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case _ => null
+      }
+      Option(bd).map(_.stripTrailingZeros.toPlainString)
     }
   }
 
@@ -156,6 +273,23 @@ object RollupRouting {
     * exactly because `grainCol` IS the rollup's grain (one rollup row
     * per distinct value). */
   case class CountDistinctGrain(grainCol: String) extends AggMap
+  /** `MIN(col)` → `MIN(partial)`. Routes only a BARE column reference
+    * (a cast in between could reorder or change the output type under
+    * a preserved ExprId — round-11 tightening; SUM tolerates the dsum
+    * cast because the decimal partial subsumes it exactly). */
+  case class MinOf(col: String, partial: String) extends AggMap
+  /** `MAX(col)` → `MAX(partial)`; same bare-reference rule. */
+  case class MaxOf(col: String, partial: String) extends AggMap
+
+  /** The rollup column an AggMap writes — used to recognize the
+    * rule's own hybrid-tail partial block (fixed-point guard). */
+  private def partialName(m: AggMap): Option[String] = m match {
+    case SumOf(_, p) => Some(p)
+    case CountStarTo(p) => Some(p)
+    case MinOf(_, p) => Some(p)
+    case MaxOf(_, p) => Some(p)
+    case CountDistinctGrain(_) => None
+  }
 
   /** A registered JOIN-DERIVED rollup: `tables` + `joinKeys` pin the
     * join core the rollup pre-paid (base-table name set and the sorted
@@ -215,6 +349,34 @@ object RollupRouting {
       aggs = Seq(
         SumOf(ColRef("o_totalprice"), "vol_partial"),
         CountStarTo("n_orders_partial")))
+
+    /** The gross-charge measure
+      * `l_extendedprice * (1 - l_discount) * (1 + l_tax)` — a
+      * USER-DEFINED expression outside the named pattern vocabulary,
+      * registered via [[ExprPat]] (round 12; a user would equivalently
+      * write `ExprPat(col("l_extendedprice") * (lit(1.0) -
+      * col("l_discount")) * (lit(1.0) + col("l_tax")))`). */
+    def chargeMeasure: Expression = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      Multiply(
+        Multiply(UnresolvedAttribute("l_extendedprice"),
+                 Subtract(Literal(1.0d), UnresolvedAttribute("l_discount"))),
+        Add(Literal(1.0d), UnresolvedAttribute("l_tax")))
+    }
+
+    /** A THIRD join MV whose measure is [[chargeMeasure]] (build:
+      * [[graft.ops.StarJoins.chargeSegmentPartialsOf]]): proves the
+      * registry is closed under user-defined measures — no engine
+      * pattern edits, the spec is still pure data. */
+    def chargeSegment(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        SumOf(ExprPat(chargeMeasure), "charge_partial"),
+        CountStarTo("n_lines_partial")),
+      grainCols = Map("o_orderkey" -> "o_orderkey"))
   }
 
   private var specs: List[Spec] = Nil
@@ -224,6 +386,28 @@ object RollupRouting {
   def clear(): Unit = synchronized { specs = Nil; joinSpecs = Nil }
   def registered: List[Spec] = specs
   def registeredJoins: List[JoinSpec] = joinSpecs
+
+  /** Per-(path, directory-mtime) cache of each rollup's ANALYZED scan
+    * plan (round 12). Without it, every Aggregate visit × every
+    * candidate spec re-ran `spark.read.parquet` — file listing +
+    * schema inference — INSIDE an optimizer rule that runs to a fixed
+    * point, so planning latency grew O(specs × aggregates × listing):
+    * invisible at 4 registered specs, a scale-killer at a 100-MV
+    * deployment. The directory mtime keys invalidation — every writer
+    * here creates/removes files in the rollup dir (parquet overwrite,
+    * partial appends, the sidecar's ATOMIC_MOVE), each of which
+    * updates it — so a rebuilt rollup misses the cache and re-lists.
+    * The coverage SIDECAR is deliberately NOT cached: it is the
+    * hybrid read's commit point and is re-read fresh on every rewrite
+    * ([[RuleImpl.coveredUpTo]]). Each cache hit is handed out via
+    * `MultiInstanceRelation.newInstance()` so every use gets fresh
+    * ExprIds — exactly what a fresh read produced before. */
+  private[plans] val planCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), LogicalPlan]
+  /** Actual listing+inference reads performed (cache misses); the
+    * RollupRoutingSpec planning-cost case asserts one per distinct
+    * path per rollup state, not one per optimizer visit. */
+  @volatile private[graft] var planListings: Long = 0L
 
   class RuleImpl(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -258,35 +442,70 @@ object RollupRouting {
       subst(e)
     }
 
-    /** The canonical normalized-ts expression: the raw `ts` column
-      * through (only) the loader-contract normalization wrappers
-      * ([[graft.Tables.normalizeTs]]) — the NTZ→TZ cast relabel or the
-      * nanos-long `timestamp_micros(ts DIV 1000)` truncation. A SHIFTED
-      * or otherwise derived timestamp (`ts + INTERVAL …`) deliberately
-      * does not match: `to_date` of it is not the rollup's day, and a
-      * midnight bound on it does not cut along day-group boundaries
-      * (round 11 tightening — the earlier any-DateType-expr-of-ts match
-      * would have routed those shapes wrongly). */
-    private def isNormTs(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == "ts"
-      case Cast(c, TimestampType, _, _) => isNormTs(c)
+    /** The canonical normalized event-time expression for a spec: its
+      * `timeCol` through (only) the loader-contract normalization
+      * wrappers ([[graft.Tables.normalizeTs]]) — the NTZ→TZ cast
+      * relabel or the nanos-long `timestamp_micros(ts DIV 1000)`
+      * truncation. A SHIFTED or otherwise derived timestamp
+      * (`ts + INTERVAL …`) deliberately does not match: `to_date` of
+      * it is not the rollup's day, and a midnight bound on it does not
+      * cut along day-group boundaries (round 11 tightening — the
+      * earlier any-DateType-expr-of-ts match would have routed those
+      * shapes wrongly). A DATE-typed time column (e.g.
+      * `orders.o_orderdate`) matches as the bare reference. */
+    private def isNormTime(e: Expression, timeCol: String): Boolean = e match {
+      case a: AttributeReference => a.name == timeCol
+      case Cast(c, TimestampType, _, _) => isNormTime(c, timeCol)
       case MicrosToTimestamp(IntegralDivide(c, Literal(v, _), _))
-          if v == 1000 || v == 1000L => isNormTs(c)
+          if v == 1000 || v == 1000L => isNormTime(c, timeCol)
       case _ => false
     }
 
-    /** Which rollup key a grouping expression computes, if any.
-      * `"day"` and `"hour"` are the time-grain keys; a grain key maps
-      * onto a rollup at the SAME grain directly, or derives from a
-      * FINER-grain rollup's key (to_date(hour) ≡ to_date(ts) because
-      * hour = date_trunc('hour', ts) — roll-up matching). */
-    private def keyOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference if a.name == "user_id" => Some("user_id")
-      case Cast(c, DateType, _, _) if isNormTs(c) => Some("day")
+    /** Which rollup key a grouping expression computes, if any: a
+      * registered non-time key column (returned under its SOURCE
+      * name), or one of the time-grain keys `"day"`/`"hour"`. A grain
+      * key maps onto a rollup at the SAME grain directly, or derives
+      * from a FINER-grain rollup's key (to_date(hour) ≡ to_date(ts)
+      * because hour = date_trunc('hour', ts) — roll-up matching). A
+      * DATE-typed time column IS the day grain (its bare reference). */
+    private def keyOf(e: Expression, spec: Spec): Option[String] = e match {
+      case a: AttributeReference if spec.keyCols.contains(a.name) => Some(a.name)
+      case a: AttributeReference
+          if a.name == spec.timeCol && a.dataType == DateType => Some("day")
+      case Cast(c, DateType, _, _) if isNormTime(c, spec.timeCol) => Some("day")
       case TruncTimestamp(Literal(fmt, _), c, _)
-          if fmt != null && fmt.toString.equalsIgnoreCase("hour") && isNormTs(c) =>
+          if fmt != null && fmt.toString.equalsIgnoreCase("hour") &&
+             isNormTime(c, spec.timeCol) =>
         Some("hour")
       case _ => None
+    }
+
+    /** The rollup's analyzed scan, via the companion's per-(path,
+      * dir-mtime) cache — one file listing + schema inference per
+      * rollup state, however many optimizer visits and candidate specs
+      * probe it. Every hand-out goes through `newInstance()` for fresh
+      * output ExprIds (two routed subtrees in one query must not share
+      * attribute ids — a fresh read never did). */
+    private def analyzedRollup(path: String): Option[LogicalPlan] = {
+      val mtime = new java.io.File(path).lastModified // 0 when missing
+      if (mtime == 0L) return None
+      val key = (path, mtime)
+      planCache.get(key).orElse {
+        val read = try Some(spark.read.parquet(path).queryExecution.analyzed)
+                   catch { case scala.util.control.NonFatal(_) => None }
+        read.foreach { p =>
+          RollupRouting.planListings += 1
+          // drop stale states of the same path so the cache stays
+          // bounded by the registry size, not its rebuild history
+          planCache.filterInPlace { case ((pth, mt), _) => pth != path || mt == mtime }
+          planCache.put(key, p)
+        }
+        read
+      }.map {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+        case other => other
+      }
     }
 
     /** All registered rollups over the scanned source, COARSEST grain
@@ -315,21 +534,36 @@ object RollupRouting {
         specs.exists(s => fs.location.rootPaths.exists(_.toString.endsWith(s.rollupPath)))
       case _ => false
     }
-    private def isPartialBlock(aggExprs: Seq[NamedExpression]): Boolean =
-      aggExprs.exists(_.name == "v_partial")
+    private def isPartialBlock(aggExprs: Seq[NamedExpression]): Boolean = {
+      val partials = specs.flatMap(_.aggs.flatMap(partialName)).toSet
+      aggExprs.exists(ne => partials.contains(ne.name))
+    }
 
+    /** One handler tries BOTH registries (round 12): a child can
+      * contain a registered single-table scan AND a Join (a table in
+      * the spec registry participating in a registered join MV) — two
+      * alternative match cases would let the failing single-table
+      * branch shadow the join registry, silently missing a routing
+      * opportunity. Single-table rewrites that fail now fall through
+      * to the join specs. */
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _)
-          if specs.nonEmpty && specsOf(child).nonEmpty &&
-             !alreadyRouted(child) && !isPartialBlock(aggExprs) =>
-        specsOf(child).view
-          .flatMap(s => rewrite(agg, groupings, aggExprs, s))
-          .headOption.getOrElse(agg)
-      case agg @ Aggregate(groupings, aggExprs, child, _)
-          if joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]) =>
-        joinSpecs.view
-          .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s))
-          .headOption.getOrElse(agg)
+          if (specs.nonEmpty && specsOf(child).nonEmpty) ||
+             (joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join])) =>
+        val viaSingle =
+          if (specs.nonEmpty && specsOf(child).nonEmpty &&
+              !alreadyRouted(child) && !isPartialBlock(aggExprs))
+            specsOf(child).view
+              .flatMap(s => rewrite(agg, groupings, aggExprs, s))
+              .headOption
+          else None
+        viaSingle.orElse {
+          if (joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]))
+            joinSpecs.view
+              .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s))
+              .headOption
+          else None
+        }.getOrElse(agg)
     }
 
     // ——— join-derived rollups: registry-driven matching ———
@@ -417,8 +651,7 @@ object RollupRouting {
                condPairs(conds).contains(spec.joinKeys) => filters
         case _ => return None
       }
-      val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
-                   catch { case _: Throwable => return None }
+      val rollup = analyzedRollup(spec.rollupPath).getOrElse(return None)
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
       val child = agg.child
       def resolved(e: Expression): Expression = resolveThroughProjects(e, child)
@@ -430,8 +663,12 @@ object RollupRouting {
       // with the partial aggregation and re-applies losslessly above
       // the rollup scan. Any reference outside that set (a fact-side
       // measure, an unpreserved dim attribute) keeps the whole query
-      // on the live join.
+      // on the live join. NONDETERMINISTIC conjuncts never commute —
+      // rand() < 0.5 has no references, so it would pass the subset
+      // check and then filter pre-aggregated GROUPS instead of raw
+      // rows — so they keep the query live too (round-12 guard).
       val routedFilters: Seq[Expression] = residualFilters.map { c =>
+        if (!c.deterministic) return None
         val r = resolved(c).transformUp {
           case a: AttributeReference if spec.filterCols.contains(a.name) &&
               attr(spec.filterCols(a.name)).isDefined =>
@@ -519,13 +756,16 @@ object RollupRouting {
       * over the rollup's key columns — or None if it is not provably
       * lossless. Lossless forms (parameterized by the rollup's grain):
       *  - any subterm that IS a key expression at a grain the rollup
-      *    can express (`user_id`; the rollup's own grain; a COARSER
-      *    grain derived from it — to_date(hour) for an hourly rollup)
-      *    substitutes to the rollup-side expression; if afterwards
-      *    every reference is a rollup column the predicate cuts exactly
-      *    along group boundaries. A FINER-grain subterm (an hour term
-      *    against a daily rollup) has no rollup-side expression, so the
-      *    raw `ts` reference survives and the subset check bails.
+      *    can express (a registered key column; the rollup's own
+      *    grain; a COARSER grain derived from it — to_date(hour) for
+      *    an hourly rollup) substitutes to the rollup-side expression;
+      *    if afterwards every reference is a rollup column the
+      *    predicate cuts exactly along group boundaries. A FINER-grain
+      *    subterm (an hour term against a daily rollup) has no
+      *    rollup-side expression, so the raw time reference survives
+      *    and the subset check bails. A DATE-typed time column is
+      *    itself the day key, so ANY deterministic predicate over it
+      *    subsumes — a date key is group-constant at day grain.
       *  - `IsNotNull(ts)` ⟺ `IsNotNull(<time key>)` (to_date and
       *    date_trunc both preserve null-ness) — the shape
       *    InferFiltersFromConstraints plants
@@ -535,10 +775,17 @@ object RollupRouting {
       *    [g, g+grain), so a boundary cut never splits a group. For an
       *    hourly rollup any whole-hour literal qualifies (midnights
       *    included); for a daily rollup only midnights do; a mid-grain
-      *    literal splits a group, and bails. */
+      *    literal splits a group, and bails.
+      * A NONDETERMINISTIC conjunct never subsumes (round-12 guard): it
+      * may carry no references at all (`rand() < 0.5`), passing the
+      * subset check while filtering pre-aggregated groups instead of
+      * raw rows — and on a hybrid read it would even evaluate
+      * independently on each side of the union. */
     private def subsumeConjunct(c: Expression, spec: Spec,
-                                timeKey: Attribute, userId: Attribute,
+                                timeKey: Attribute,
+                                keyAttrs: Map[String, Attribute],
                                 grainExpr: Map[String, Expression]): Option[Expression] = {
+      if (!c.deterministic) return None
       val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
       def timeLit(us: Long): Expression =
         if (spec.grain == "hour") Literal(us, TimestampType)
@@ -554,33 +801,41 @@ object RollupRouting {
           case _ => None
         }
       }
+      def isTs(t: Expression): Boolean = isNormTime(t, spec.timeCol)
       val rewritten = c.transformDown {
-        case e if keyOf(e).exists(k => k == "user_id" || grainExpr.contains(k)) =>
-          keyOf(e).get match { case "user_id" => userId; case k => grainExpr(k) }
-        case IsNotNull(t) if isNormTs(t) => IsNotNull(timeKey)
-        case GreaterThanOrEqual(t, Boundary(us)) if isNormTs(t) =>
+        case e if keyOf(e, spec).exists(k =>
+            keyAttrs.contains(k) || grainExpr.contains(k)) =>
+          keyOf(e, spec).get match {
+            case k if keyAttrs.contains(k) => keyAttrs(k)
+            case k => grainExpr(k)
+          }
+        case IsNotNull(t) if isTs(t) => IsNotNull(timeKey)
+        case GreaterThanOrEqual(t, Boundary(us)) if isTs(t) =>
           GreaterThanOrEqual(timeKey, timeLit(us))
-        case LessThan(t, Boundary(us)) if isNormTs(t) => LessThan(timeKey, timeLit(us))
-        case LessThanOrEqual(Boundary(us), t) if isNormTs(t) =>
+        case LessThan(t, Boundary(us)) if isTs(t) => LessThan(timeKey, timeLit(us))
+        case LessThanOrEqual(Boundary(us), t) if isTs(t) =>
           GreaterThanOrEqual(timeKey, timeLit(us))
-        case GreaterThan(Boundary(us), t) if isNormTs(t) => LessThan(timeKey, timeLit(us))
+        case GreaterThan(Boundary(us), t) if isTs(t) => LessThan(timeKey, timeLit(us))
       }
-      if (rewritten.references.subsetOf(AttributeSet(Seq(timeKey, userId))))
+      if (rewritten.references.subsetOf(
+            AttributeSet(timeKey +: keyAttrs.values.toSeq)))
         Some(rewritten)
       else None
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
                         aggExprs: Seq[NamedExpression], spec: Spec): Option[LogicalPlan] = {
-      val rollup = try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
-                   catch { case _: Throwable => return None }
+      val rollup = analyzedRollup(spec.rollupPath).getOrElse(return None)
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
       val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-      val (timeKey, userId, vPart, cPart) =
-        (attr(timeKeyName), attr("user_id"), attr("v_partial"), attr("c_partial")) match {
-          case (Some(d), Some(u), Some(v), Some(c)) => (d, u, v, c)
-          case _ => return None
+      val timeKey = attr(timeKeyName).getOrElse(return None)
+      // every registered key column must exist in the rollup files
+      val keyAttrs: Map[String, Attribute] = spec.keyCols.map { case (src, rcol) =>
+        attr(rcol) match {
+          case Some(a) => src -> a
+          case None => return None
         }
+      }
       // the rollup-side expression for each query grain this rollup can
       // answer: its own grain directly; for an hourly rollup also the
       // coarser day grain, derived (to_date(hour) ≡ to_date(ts) since
@@ -592,14 +847,10 @@ object RollupRouting {
               "day" -> Cast(timeKey, DateType,
                             Some(spark.sessionState.conf.sessionLocalTimeZone)))
         else Map("day" -> timeKey)
-      // optional min/max partials (older rollups may predate them; a
-      // Min/Max left unmapped then fails the references check below)
-      val mnPart = attr("mn_partial")
-      val mxPart = attr("mx_partial")
 
       val child = agg.child
       def keyOfResolved(e: Expression): Option[String] =
-        keyOf(resolveThroughProjects(e, child))
+        keyOf(resolveThroughProjects(e, child), spec)
 
       // every filter conjunct between aggregate and scan must be
       // provably lossless against the rollup grain — else stay live
@@ -608,19 +859,18 @@ object RollupRouting {
         case Some(conjuncts) => conjuncts.map(resolveThroughProjects(_, child))
       }
       val routedFilters: Seq[Expression] = resolvedConjuncts.map { c =>
-        subsumeConjunct(c, spec, timeKey, userId, grainExpr) match {
+        subsumeConjunct(c, spec, timeKey, keyAttrs, grainExpr) match {
           case Some(r) => r
           case None => return None
         }
       }
 
-      // every grouping must map onto a rollup-expressible key: user_id,
-      // the rollup's own grain, or a coarser grain derived from it; a
-      // FINER grain than the rollup (hour over a daily rollup) bails
-      def keyTarget(k: String): Option[Expression] = k match {
-        case "user_id" => Some(userId)
-        case g => grainExpr.get(g)
-      }
+      // every grouping must map onto a rollup-expressible key: a
+      // registered key column, the rollup's own grain, or a coarser
+      // grain derived from it; a FINER grain than the rollup (hour
+      // over a daily rollup) bails
+      def keyTarget(k: String): Option[Expression] =
+        keyAttrs.get(k).orElse(grainExpr.get(k))
       val keyMap: Map[Expression, Expression] = groupings.map { g =>
         keyOfResolved(g).flatMap(keyTarget) match {
           case Some(target) => g -> target
@@ -628,6 +878,40 @@ object RollupRouting {
         }
       }.toMap
 
+      // aggregate mapping is registry-driven (round 12) — the same
+      // AggMap vocabulary as the join path, so a spec over any table
+      // shape can register. The guards are unchanged from round 11:
+      // SUM routes only for the exact dsum cast the partial was built
+      // from; COUNT re-routes through coalesce(SUM(partial), 0) to
+      // keep its non-nullable 0-on-empty contract; MIN/MAX only for a
+      // bare column reference (a cast in between could reorder or
+      // change the output type under a preserved ExprId).
+      def isBareRef(se: Expression, name: String): Boolean =
+        resolveThroughProjects(se, child) match {
+          case a: AttributeReference => a.name == name
+          case _ => false
+        }
+      def mapAgg(ae: AggregateExpression): Option[Expression] =
+        spec.aggs.view.flatMap { m =>
+          (m, ae.aggregateFunction) match {
+            case (SumOf(pat, partial), Sum(se, _))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolveThroughProjects(se, child), pat.matches) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Sum(p)))
+            case (CountStarTo(partial), Count(children))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   children.forall(_.isInstanceOf[Literal]) =>
+              attr(partial).map(p => Coalesce(Seq(
+                ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
+            case (MinOf(cn, partial), Min(se))
+                if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Min(p)))
+            case (MaxOf(cn, partial), Max(se))
+                if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            case _ => None
+          }
+        }.headOption
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
         case ne if keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
@@ -635,36 +919,8 @@ object RollupRouting {
           val target = keyTarget(k).getOrElse(return None)
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
-          def isBareValueRef(se: Expression): Boolean = {
-            val r = resolveThroughProjects(se, child)
-            r.isInstanceOf[AttributeReference] &&
-              r.asInstanceOf[AttributeReference].name == "value"
-          }
-          // SUM routes only for the exact dsum shape the v_partial was
-          // built from (cast to decimal(38,6)) — a bare double sum or a
-          // different-precision cast is a different number/type and
-          // stays live (round-11 tightening)
-          def isValueDecimalSum(se: Expression): Boolean =
-            isExactPartialCast(resolveThroughProjects(se, child), isBareValueRef)
           val rewritten = ne.transformUp {
-            case ae @ AggregateExpression(Sum(se, _), _, false, None, _)
-                if isValueDecimalSum(se) =>
-              ae.copy(aggregateFunction = Sum(vPart))
-            // COUNT → coalesce(SUM(partial), 0): preserves COUNT's
-            // non-nullable type and its 0-on-empty-input value
-            case ae @ AggregateExpression(Count(children), _, false, None, _)
-                if children.forall(_.isInstanceOf[Literal]) =>
-              Coalesce(Seq(ae.copy(aggregateFunction = Sum(cPart)), Literal(0L)))
-            // MIN/MAX route only for a BARE value reference: a cast in
-            // between could reorder (e.g. string min) or change the
-            // output type under a preserved ExprId. SUM tolerates casts
-            // because the decimal partial subsumes them (dsum).
-            case ae @ AggregateExpression(Min(se), _, false, None, _)
-                if mnPart.isDefined && isBareValueRef(se) =>
-              ae.copy(aggregateFunction = Min(mnPart.get))
-            case ae @ AggregateExpression(Max(se), _, false, None, _)
-                if mxPart.isDefined && isBareValueRef(se) =>
-              ae.copy(aggregateFunction = Max(mxPart.get))
+            case ae: AggregateExpression => mapAgg(ae).getOrElse(ae)
           }.asInstanceOf[NamedExpression]
           // bail if any raw-table reference survived (unknown aggregate)
           if (!rewritten.references.subsetOf(AttributeSet(rollup.output))) ok = false
@@ -732,12 +988,15 @@ object RollupRouting {
       * rows at or past the coverage watermark, column-aligned with the
       * rollup schema so the Union merges under the final aggregate.
       * Needs (a) the source scan below the aggregate, (b) a
-      * normalized-ts term somewhere in the query to rebuild the grain
-      * key over the scan (any dashboard's time grouping or window
-      * provides one — a query with no time term at all stays live), and
-      * (c) bare `user_id`/`value` columns at the scan. The query's own
-      * subsumable conjuncts re-apply to the tail in their raw form, so
-      * both sides see the same predicate. */
+      * normalized time term somewhere in the query to rebuild the
+      * grain key over the scan (any dashboard's time grouping or
+      * window provides one — a query with no time term at all stays
+      * live), and (c) the spec's key and measure columns at the scan.
+      * The query's own subsumable conjuncts re-apply to the tail in
+      * their raw form, so both sides see the same predicate. The
+      * partial block is rebuilt from the spec's `aggs` (round 12) —
+      * each partial column's source expression comes from its
+      * [[AggMap]], so any registered table shape gets a tail. */
     private def hybridTail(spec: Spec, child: LogicalPlan, rollup: LogicalPlan,
                            normTsCandidates: Seq[Expression],
                            resolvedConjuncts: Seq[Expression],
@@ -747,32 +1006,47 @@ object RollupRouting {
             if fs.location.rootPaths.exists(_.toString.endsWith(spec.sourceSuffix)) => lr
       }.getOrElse(return None)
       def findNormTs(e: Expression): Option[Expression] =
-        if (isNormTs(e) && e.references.nonEmpty &&
+        if (isNormTime(e, spec.timeCol) && e.references.nonEmpty &&
             e.references.subsetOf(scanRel.outputSet)) Some(e)
         else e.children.view.flatMap(findNormTs).headOption
       val normTsE = normTsCandidates.view.flatMap(findNormTs).headOption
         .getOrElse(return None)
       def scanAttr(n: String): Option[Attribute] = scanRel.output.find(_.name == n)
-      val userAttr = scanAttr("user_id").getOrElse(return None)
-      val valueAttr = scanAttr("value").getOrElse(return None)
       val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val timeIsDate = normTsE.dataType == DateType
       val grainKey: Expression =
         if (spec.grain == "hour") TruncTimestamp(Literal("hour"), normTsE, tz)
+        else if (timeIsDate) normTsE // a DATE time column IS the day key
         else Cast(normTsE, DateType, tz)
-      val tailCond = (GreaterThanOrEqual(normTsE, Literal(wm, TimestampType)) +:
+      val wmLit: Expression =
+        if (timeIsDate) Literal((wm / MicrosPerDay).toInt, DateType)
+        else Literal(wm, TimestampType)
+      val tailCond = (GreaterThanOrEqual(normTsE, wmLit) +:
         resolvedConjuncts).reduce(And)
-      val aggExprs: Seq[NamedExpression] = rollup.output.map(_.name).map {
-        case n @ ("day" | "hour") => Alias(grainKey, n)()
-        case "user_id" => userAttr
-        case "v_partial" => Alias(
-          Sum(Cast(valueAttr, DecimalType(38, 6))).toAggregateExpression(), "v_partial")()
-        case "c_partial" => Alias(
-          Count(Seq(Literal(1))).toAggregateExpression(), "c_partial")()
-        case "mn_partial" => Alias(Min(valueAttr).toAggregateExpression(), "mn_partial")()
-        case "mx_partial" => Alias(Max(valueAttr).toAggregateExpression(), "mx_partial")()
-        case _ => return None // a rollup column the tail can't rebuild
+      val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+      // rollup column name -> its source attribute at the scan
+      val keyByRollupCol: Seq[(String, Attribute)] = spec.keyCols.toSeq.map {
+        case (src, rcol) => rcol -> scanAttr(src).getOrElse(return None)
       }
-      Some(Aggregate(Seq(grainKey, userAttr), aggExprs, Filter(tailCond, scanRel)))
+      val keyLookup = keyByRollupCol.toMap
+      val aggExprs: Seq[NamedExpression] = rollup.output.map(_.name).map {
+        case n if n == timeKeyName => Alias(grainKey, n)()
+        case n if keyLookup.contains(n) => Alias(keyLookup(n), n)()
+        case n => spec.aggs.view.flatMap {
+          case SumOf(pat, p) if p == n =>
+            pat.rebuild(scanAttr).map(e =>
+              Alias(Sum(Cast(e, DecimalType(38, 6))).toAggregateExpression(), n)())
+          case CountStarTo(p) if p == n =>
+            Some(Alias(Count(Seq(Literal(1))).toAggregateExpression(), n)())
+          case MinOf(cn, p) if p == n =>
+            scanAttr(cn).map(a => Alias(Min(a).toAggregateExpression(), n)())
+          case MaxOf(cn, p) if p == n =>
+            scanAttr(cn).map(a => Alias(Max(a).toAggregateExpression(), n)())
+          case _ => None
+        }.headOption.getOrElse(return None) // a column the tail can't rebuild
+      }
+      Some(Aggregate(grainKey +: keyByRollupCol.map(_._2),
+                     aggExprs, Filter(tailCond, scanRel)))
     }
   }
 }

@@ -21,6 +21,15 @@ object Bridge {
   /** Unwrap a Column to its catalyst Expression (classic sessions). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a Column to its catalyst tree via the classic
+    * ColumnNode converter. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper (a leaf until the analyzer forces
+    * it) — useless for structural matching; this runs the conversion
+    * now, yielding the same `UnresolvedAttribute`/`UnresolvedFunction`
+    * catalyst nodes the analyzer would see. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a custom LogicalPlan as a DataFrame (classic sessions) — the
     * entry point for whole-operator extensions (custom node + strategy +
     * physical exec, SURVEY §7.3 ladder rung (c)). */

@@ -603,4 +603,243 @@ class RollupRoutingSpec extends AnyFunSuite {
       assert(!byType.queryExecution.executedPlan.toString.contains("rollup"))
     }
   }
+
+  /** Round 12: the GENERALIZED single-table Spec — a daily rollup over
+    * a second table (orders: o_orderdate × o_custkey × o_totalprice
+    * partials) registered as pure data routes the unchanged raw query;
+    * shapes outside the spec's key/measure vocabulary stay live. */
+  test("second-table (orders) rollup routes via the generalized Spec; near-misses stay live") {
+    import graft.ops.Rollups
+    val plain = Rollups.ordersDailySalesRaw(spark, sf).collect().toSeq
+    assert(plain.nonEmpty)
+    // driver path (checkpoint-pinned values)
+    assert(Rollups.ordersDailySalesRouted(spark, sf).collect().toSeq == plain)
+    // the rollup-grain (day × custkey) query, live reference first
+    val byCustQ = () => Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .groupBy(to_date($"o_orderdate").as("day"), $"o_custkey")
+      .agg(graft.ops.Fns.dsum($"o_totalprice").as("sales"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "o_custkey")
+    val byCustPlain = byCustQ().collect().toSeq
+    // plan assertions under manual registration
+    RollupRouting.register(Rollups.ordersSpec(Rollups.ordersRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.ordersDailySalesRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("orders_rollup"), s"expected orders-rollup scan in:\n$plan")
+      assert(!plan.contains("orders.parquet"), s"orders fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // the rollup's own grain routes and re-aggregates exactly
+      val byCust = byCustQ()
+      assert(byCust.queryExecution.executedPlan.toString.contains("orders_rollup"))
+      assert(byCust.collect().toSeq == byCustPlain)
+      // near-miss: a measure outside the spec's aggs (2×price) → live
+      val scaled = Tables.orders(spark, sf)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(graft.ops.Fns.dsum($"o_totalprice" * 2).as("s"))
+      assert(!scaled.queryExecution.executedPlan.toString.contains("orders_rollup"),
+        "an unmapped measure must NOT route")
+      // near-miss: a non-key filter column (o_orderpriority) → live
+      val prio = Tables.orders(spark, sf)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"))
+      assert(!prio.queryExecution.executedPlan.toString.contains("orders_rollup"),
+        "a non-key predicate must NOT route")
+      // near-miss: an unregistered grouping column → live
+      val byPrio = Tables.orders(spark, sf)
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(!byPrio.queryExecution.executedPlan.toString.contains("orders_rollup"),
+        "an unregistered grouping must NOT route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12: ExprPat — a join MV whose measure is a user-registered
+    * EXPRESSION routes (via both the catalyst and the Column
+    * registration surfaces); the same columns under a different
+    * operator stay on the live join. */
+  test("ExprPat measure routes (catalyst + Column surfaces); operator near-miss stays live") {
+    import graft.ops.StarJoins
+    val plain = StarJoins.chargeBySegment(spark, sf).collect().toSeq
+    assert(plain.nonEmpty)
+    // driver path: registered from catalyst nodes (JoinSpec.chargeSegment)
+    assert(StarJoins.chargeSegmentRouted(spark, sf).collect().toSeq == plain)
+    // manual registration via the COLUMN surface — same matches
+    val dir = StarJoins.chargeSegmentRollupDir(sf)
+    val colPat = RollupRouting.ExprPat(
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax")))
+    RollupRouting.registerJoin(RollupRouting.JoinSpec.chargeSegment(dir).copy(
+      aggs = Seq(RollupRouting.SumOf(colPat, "charge_partial"),
+                 RollupRouting.CountStarTo("n_lines_partial"))))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.chargeBySegment(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("charge_rollup"), s"expected charge-rollup scan in:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // near-miss: same three columns, one operator flipped → live
+      val nearMiss = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+               (lit(1.0) - $"l_tax")).as("x"))
+      assert(!nearMiss.queryExecution.executedPlan.toString.contains("charge_rollup"),
+        "a different operator over the same columns must NOT route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12: the registries COMPOSE — a query whose child contains a
+    * registered single-table scan AND a registered join core must fall
+    * through to the join registry when the single-table rewrite fails
+    * on the Join shape (one-handler apply; previously the first match
+    * case shadowed the second). */
+  test("failed single-table rewrite falls through to the join registry") {
+    import graft.ops.{Rollups, StarJoins}
+    val q = () => Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_custkey", $"c_name")
+      .agg(graft.ops.Fns.dsum($"o_totalprice").as("volume"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_custkey")
+    val plain = q().collect().toSeq
+    Rollups.ordersDailySalesRouted(spark, sf).collect()   // ensure orders rollup
+    StarJoins.topCustomersRouted(spark, sf).collect()     // ensure custvol rollup
+    RollupRouting.register(Rollups.ordersSpec(Rollups.ordersRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.customerVolume(StarJoins.customerVolumeRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("custvol_rollup"),
+        s"the join registry must still be consulted:\n$plan")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12: a NONDETERMINISTIC conjunct must never subsume — it
+    * would filter pre-aggregated groups instead of raw rows (and
+    * evaluate independently on each side of a hybrid union). Both the
+    * single-table and the join subsumption paths refuse it. */
+  test("nondeterministic conjuncts keep the query live on both paths") {
+    withRouting {
+      val nd = Tables.events(spark, sf)
+        .filter(rand(42) < 0.5) // nondeterministic — must block routing
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("c"))
+      assert(!nd.queryExecution.executedPlan.toString.contains("rollup"),
+        "a nondeterministic conjunct must NOT route (single-table path)")
+    }
+    import graft.ops.StarJoins
+    StarJoins.revenueSegmentViaRollup(spark, sf).collect() // ensure rollup
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val nd = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)),
+              col("o_custkey") === col("c_custkey"))
+        .filter(rand(42) < 0.5)
+        .groupBy($"c_mktsegment")
+        .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
+      assert(!nd.queryExecution.executedPlan.toString.contains("revseg_rollup"),
+        "a nondeterministic conjunct must NOT route (join path)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12: planning cost — the analyzed-rollup cache does ONE file
+    * listing per rollup path per rollup state, however many specs are
+    * registered, optimizer visits run, or queries plan; an mtime bump
+    * (a rebuild) re-lists exactly once. */
+  test("routing planning cost: one listing per path per rollup state across ~10 specs") {
+    import graft.ops.Rollups
+    Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure base rollup
+    val src = java.nio.file.Paths.get(Rollups.dailyRollupDir(sf))
+    val base = java.nio.file.Files.createTempDirectory("graft_mvfleet")
+    import scala.jdk.CollectionConverters._
+    val dirs = (1 to 10).map { i =>
+      val d = base.resolve(s"mv$i")
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val t = d.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else { java.nio.file.Files.createDirectories(t.getParent)
+               java.nio.file.Files.copy(p, t) }
+      }
+      d.toString
+    }
+    dirs.foreach(d => RollupRouting.register(RollupRouting.Spec("events.parquet", d)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // a near-miss (mid-day cut) probes EVERY candidate spec per visit
+      def middayPlan(): Unit = {
+        Tables.events(spark, sf)
+          .filter($"ts" >= lit("2024-01-08 12:00:00").cast("timestamp"))
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("c"))
+          .queryExecution.executedPlan
+        ()
+      }
+      val before = RollupRouting.planListings
+      middayPlan()
+      val afterFirst = RollupRouting.planListings
+      assert(afterFirst - before > 0)
+      assert(afterFirst - before <= 10,
+        s"at most one listing per path, got ${afterFirst - before}")
+      // re-planning (same state): everything cached, zero new listings
+      middayPlan()
+      Rollups.dailyVolumeWindowRaw(spark, sf).queryExecution.executedPlan
+      assert(RollupRouting.planListings == afterFirst,
+        "re-planning must not re-list unchanged rollups")
+      // a rebuild (mtime bump) invalidates exactly that path
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dirs.head),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      middayPlan()
+      assert(RollupRouting.planListings == afterFirst + 1,
+        "an mtime bump must re-list exactly the changed path")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
+    * transactional — the live path only ever holds a committed
+    * (partials + sidecar) pair, so a reader can never see a
+    * sidecar-less rollup and treat a stale build as complete. */
+  test("writeDailyRollupUpTo commits partials and sidecar together") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn")
+      .resolve("rollup").toString
+    val ev = Tables.events(spark, sf)
+    Rollups.writeDailyRollupUpTo(ev, dir, Rollups.HybridCutoffUs)
+    val sidecar = new java.io.File(dir, RollupRouting.CoverageSidecar)
+    assert(sidecar.exists, "committed rollup must carry its sidecar")
+    assert(new String(java.nio.file.Files.readAllBytes(sidecar.toPath)).trim.toLong
+      == Rollups.HybridCutoffUs)
+    assert(!new java.io.File(dir + ".inprogress").exists, "scratch must be gone")
+    // overwrite of an existing committed rollup is safe + idempotent
+    Rollups.writeDailyRollupUpTo(ev, dir, Rollups.HybridCutoffUs)
+    assert(sidecar.exists)
+    assert(spark.read.parquet(dir).count() > 0)
+  }
 }
