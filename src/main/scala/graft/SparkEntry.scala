@@ -302,6 +302,11 @@ object SparkEntry {
     // charge, matched via canonicalized ExprPat) routing the unchanged
     // raw 3-table query
     "q166_charge_segment_routed" -> (StarJoins.chargeSegmentRouted _),
+    // ROUTED EXACT AVERAGE: the dsum-shaped avg re-aggregates
+    // sum + non-null-count partials through Spark's own decimal
+    // Average evaluate tree (bit-equal); oracle replicates the exact
+    // HALF_UP quotient in HUGEINT integer space
+    "q167_routed_avg" -> (Rollups.dailyAvgRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -553,6 +558,24 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY 1 ORDER BY o_day""",
+    // the routed exact average: Spark computes the decimal(38,10)
+    // HALF_UP quotient of the exact (38,6) sum over the non-null
+    // count, then casts to double. The oracle reproduces that exact
+    // arithmetic in integer space: per-row cents×10⁴ (exact — value
+    // has 2 fixture decimals), HUGEINT sum, and (2a+c)//(2c) as the
+    // scale-10 half-up quotient; every step is exact and the scaled
+    // quotient (≤ ~6×10¹²) sits inside double's exact-integer range,
+    // so both engines' final double conversions correctly round the
+    // same rational. Negative values would need a sign-aware rounding
+    // term; the fixture is non-negative (and the engine side doesn't
+    // care — only this integer replication does).
+    "q167_routed_avg" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         CAST((2 * SUM(CAST(round(value * 1000000) AS HUGEINT)) * 10000
+               + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE) / 1e10
+           AS avg_value,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY day""",
     // the routed user-measure (gross charge) join MV must equal the
     // raw 3-table aggregate
     "q166_charge_segment_routed" ->

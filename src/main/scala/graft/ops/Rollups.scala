@@ -54,7 +54,12 @@ object Rollups {
            count(lit(1)).as("c_partial"),
            // min/max partials re-aggregate losslessly too (A4 routing)
            min(col("value")).as("mn_partial"),
-           max(col("value")).as("mx_partial"))
+           max(col("value")).as("mx_partial"),
+           // NON-NULL value count — the AVG denominator (round 12):
+           // avg(value) divides by count(value), not count(*), so the
+           // routed exact average needs its own partial; count(1)
+           // would silently shift the mean on a null-bearing source
+           count(col("value")).as("vn_partial"))
 
   /** Canonical persisted daily rollup for a scale-factor dir (what
     * [[dailyVolumeWindowRouted]] registers), built once per session. */
@@ -109,7 +114,8 @@ object Rollups {
       .agg(sum(col("value").cast("decimal(38,6)")).as("v_partial"),
            count(lit(1)).as("c_partial"),
            min(col("value")).as("mn_partial"),
-           max(col("value")).as("mx_partial"))
+           max(col("value")).as("mx_partial"),
+           count(col("value")).as("vn_partial"))
 
   def hourlyRollupDir(sfDir: String): String = StarJoins.scratch(sfDir, "hourly_rollup")
   private def ensureHourlyRollup(spark: SparkSession, sfDir: String): String =
@@ -324,6 +330,34 @@ object Rollups {
     writePartitionedDailyRollup(ev.filter(!isLate), dir)
     refreshStaleDays(spark, ev, ev.filter(isLate), dir)
     readPartitionedDailyRollup(spark, dir)
+  }
+
+  /** The raw daily EXACT-AVERAGE dashboard: decimal-shaped avg (the
+    * dsum-exact form SURVEY A6 mandates) + event count per day.
+    * Written against the RAW table; [[dailyAvgRouted]] runs it
+    * UNCHANGED under the routing rule. */
+  def dailyAvgRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(avg(col("value").cast("decimal(38,6)")).cast("double").as("avg_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  /** Driver entry (q167): ROUTED EXACT AVERAGE — the unchanged
+    * dsum-shaped avg query re-aggregates sum and non-null-count
+    * partials and reproduces Spark's own decimal `Average` evaluate
+    * tree, so routed ≡ live bit-for-bit
+    * ([[graft.plans.RollupRouting.AvgOf]]; near-miss pinned: a bare
+    * DOUBLE avg stays live). The oracle replicates the exact decimal
+    * HALF_UP quotient in integer space (DuckDB HUGEINT), valid here
+    * because every intermediate is exact and the scaled quotient
+    * stays inside double's exact-integer range. */
+  def dailyAvgRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureDailyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      dailyAvgRaw(spark, sfDir)
+    }
   }
 
   // ——— second-table rollup: the generalized Spec vocabulary (round 12) ———

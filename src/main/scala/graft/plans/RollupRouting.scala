@@ -115,7 +115,8 @@ object RollupRouting {
       SumOf(ColRef("value"), "v_partial"),
       CountStarTo("c_partial"),
       MinOf("value", "mn_partial"),
-      MaxOf("value", "mx_partial"))
+      MaxOf("value", "mx_partial"),
+      AvgOf("value", "v_partial", "vn_partial"))
   }
 
   /** Sidecar file a HYBRID rollup writer stamps inside the rollup dir:
@@ -280,6 +281,22 @@ object RollupRouting {
   case class MinOf(col: String, partial: String) extends AggMap
   /** `MAX(col)` → `MAX(partial)`; same bare-reference rule. */
   case class MaxOf(col: String, partial: String) extends AggMap
+  /** `AVG(cast(col as decimal(38,6)))` → the EXACT decimal average
+    * from partials (round 12, SURVEY A6's "avg must be kept as
+    * sum+count" made transparent). AVG is not generally routable —
+    * dividing decimal partials is not bit-identical to a raw DOUBLE
+    * average — so only the dsum-shaped exact form routes, and the
+    * rewrite reproduces Spark's own `Average`-over-decimal evaluate
+    * tree node for node: `DecimalDivideWithOverflowCheck(sum(sumP),
+    * cast(sum(cntP) as decimal(20,0)), decimal(38,10))`. Both sides
+    * then compute the identical exact decimal sum (38,6), the
+    * identical count, and the identical single HALF_UP division —
+    * bit-equal by construction (pinned by RollupRoutingSpec's
+    * routed≡live compare). CONTRACT: `cntPartial` must count exactly
+    * the NON-NULL `col` rows per group — `count(col)`, not
+    * `count(*)` — or a null-bearing source averages wrong; the
+    * default block's `vn_partial` is built that way. */
+  case class AvgOf(col: String, sumPartial: String, cntPartial: String) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -288,6 +305,7 @@ object RollupRouting {
     case CountStarTo(p) => Some(p)
     case MinOf(_, p) => Some(p)
     case MaxOf(_, p) => Some(p)
+    case AvgOf(_, _, p) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -909,6 +927,30 @@ object RollupRouting {
             case (MaxOf(cn, partial), Max(se))
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            // AVG routes only in its dsum-shaped exact form —
+            // avg(cast(col as decimal(38,6))) — and reproduces
+            // Average's own decimal evaluate tree over the partials:
+            // identical exact sum type (38,6), identical count, the
+            // identical single HALF_UP division to (38,10). A bare
+            // double avg stays live (not bit-reproducible from
+            // decimal partials). Each re-aggregated partial gets a
+            // fresh resultId: two AggregateExpressions sharing one id
+            // would collide in the aggregate buffer.
+            case (AvgOf(cn, sp, cp), Average(se, mode))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolveThroughProjects(se, child),
+                                      x => x.isInstanceOf[AttributeReference] &&
+                                           x.asInstanceOf[AttributeReference].name == cn) =>
+              for (s <- attr(sp); c <- attr(cp)) yield {
+                val sumAE = ae.copy(aggregateFunction = Sum(s),
+                                    resultId = NamedExpression.newExprId)
+                val cntAE = ae.copy(aggregateFunction = Sum(c),
+                                    resultId = NamedExpression.newExprId)
+                DecimalDivideWithOverflowCheck(
+                  sumAE, Cast(cntAE, DecimalType(20, 0)),
+                  DecimalType(38, 10), null,
+                  mode != EvalMode.ANSI)
+              }
             case _ => None
           }
         }.headOption
@@ -1042,6 +1084,8 @@ object RollupRouting {
             scanAttr(cn).map(a => Alias(Min(a).toAggregateExpression(), n)())
           case MaxOf(cn, p) if p == n =>
             scanAttr(cn).map(a => Alias(Max(a).toAggregateExpression(), n)())
+          case AvgOf(cn, _, p) if p == n => // non-null count of cn
+            scanAttr(cn).map(a => Alias(Count(Seq(a)).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

@@ -822,6 +822,35 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: ROUTED EXACT AVERAGE — the dsum-shaped avg
+    * re-aggregates sum + non-null-count partials through Spark's own
+    * decimal Average evaluate tree; routed must equal live BIT FOR
+    * BIT (same decimal(38,10) value before the final double cast). A
+    * bare DOUBLE avg is not reproducible from decimal partials and
+    * stays live (also pinned in "ineligible queries"). */
+  test("dsum-shaped avg routes bit-exactly; grouped + user grain too") {
+    val plain = graft.ops.Rollups.dailyAvgRaw(spark, sf).collect().toSeq
+    assert(plain.nonEmpty)
+    // driver path (checkpoint-pinned values)
+    assert(graft.ops.Rollups.dailyAvgRouted(spark, sf).collect().toSeq == plain)
+    // the (day, user) grain — exactly the rollup's groups, so the
+    // "division of one partial" degenerate case must also be exact
+    val byUserQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(avg($"value".cast("decimal(38,6)")).as("a"), count(lit(1)).as("c"))
+      .orderBy("day", "user_id")
+    val byUserPlain = byUserQ().collect().toSeq
+    withRouting {
+      val routed = graft.ops.Rollups.dailyAvgRaw(spark, sf)
+      assert(routed.queryExecution.executedPlan.toString.contains("rollup"),
+        "the exact-form avg must route")
+      assert(routed.collect().toSeq == plain)
+      val byUser = byUserQ()
+      assert(byUser.queryExecution.executedPlan.toString.contains("rollup"))
+      assert(byUser.collect().toSeq == byUserPlain) // decimal compare: bit-exact
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
