@@ -851,6 +851,63 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: the reference's six-MVs-side-by-side deployment shape —
+    * SIX specs registered at once (daily, hourly, orders single-table;
+    * revenue, customer-volume, charge join MVs) and five different
+    * unchanged raw queries each route onto exactly their own rollup
+    * with correct results; an unregistered shape still stays live. */
+  test("six-MV registry: every query picks its own rollup under one registration") {
+    import graft.ops.{Rollups, StarJoins}
+    // live references first
+    val dailyPlain  = Rollups.dailyVolumeWindowRaw(spark, sf).collect().toSeq
+    val hourlyPlain = Rollups.hourlyVolumeWindowRaw(spark, sf).collect().toSeq
+    val ordersPlain = Rollups.ordersDailySalesRaw(spark, sf).collect().toSeq
+    val revPlain    = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    val chargePlain = StarJoins.chargeBySegment(spark, sf).collect().toSeq
+    // ensure all rollups exist (driver entries build them)
+    Rollups.dailyVolumeWindowRouted(spark, sf).collect()
+    Rollups.hourlyVolumeWindowRouted(spark, sf).collect()
+    Rollups.ordersDailySalesRouted(spark, sf).collect()
+    StarJoins.revenueSegmentRouted(spark, sf).collect()
+    StarJoins.chargeSegmentRouted(spark, sf).collect()
+    RollupRouting.register(RollupRouting.Spec("events.parquet", Rollups.dailyRollupDir(sf)))
+    RollupRouting.register(RollupRouting.Spec("events.parquet", Rollups.hourlyRollupDir(sf), "hour"))
+    RollupRouting.register(Rollups.ordersSpec(Rollups.ordersRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.customerVolume(StarJoins.customerVolumeRollupDir(sf)))
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.chargeSegment(StarJoins.chargeSegmentRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val daily = Rollups.dailyVolumeWindowRaw(spark, sf)
+      assert(planOf(daily).contains("daily_rollup")) // coarsest wins over hourly
+      assert(daily.collect().toSeq == dailyPlain)
+      val hourly = Rollups.hourlyVolumeWindowRaw(spark, sf)
+      assert(planOf(hourly).contains("hourly_rollup")) // day rollup can't answer
+      assert(hourly.collect().toSeq == hourlyPlain)
+      val orders = Rollups.ordersDailySalesRaw(spark, sf)
+      assert(planOf(orders).contains("orders_rollup"))
+      assert(orders.collect().toSeq == ordersPlain)
+      val rev = StarJoins.revenueBySegment(spark, sf)
+      assert(planOf(rev).contains("revseg_rollup"))
+      assert(rev.collect().toSeq == revPlain)
+      val charge = StarJoins.chargeBySegment(spark, sf)
+      assert(planOf(charge).contains("charge_rollup")) // measure picks the MV
+      assert(charge.collect().toSeq == chargePlain)
+      // an unregistered shape (events by type) stays live with all six up
+      val byType = Tables.events(spark, sf)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      assert(!planOf(byType).contains("_rollup"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
