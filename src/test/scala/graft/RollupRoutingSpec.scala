@@ -908,6 +908,62 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: a DATE-typed time column — the day grain is the bare
+    * column, EVERY deterministic date predicate subsumes (a date key
+    * is group-constant at day grain), and the hybrid rollup∪tail read
+    * uses date literals for the watermark cut. Also exercises cache
+    * invalidation through a real rollup rewrite. */
+  test("DATE-typed time column: routes, subsumes date predicates, hybrid-reads") {
+    import graft.plans.RollupRouting.{ColRef, CountStarTo, Spec, SumOf}
+    val base = java.nio.file.Files.createTempDirectory("graft_datecol")
+    val salesPath = base.resolve("sales.parquet").toString
+    val rollupDir = base.resolve("sales_rollup").toString
+    spark.range(0, 300).selectExpr(
+      "date_add(date'2024-03-01', cast(id % 30 as int)) as d",
+      "id % 7 as k",
+      "cast(id % 100 as double) / 4 as v")
+      .write.mode("overwrite").parquet(salesPath)
+    def sales = spark.read.parquet(salesPath)
+    def partials(src: org.apache.spark.sql.DataFrame) =
+      src.groupBy(col("d").as("day"), col("k"))
+        .agg(sum(col("v").cast("decimal(38,6)")).as("s_partial"),
+             count(lit(1)).as("n_partial"))
+    val q = () => sales
+      .filter(col("d") >= lit("2024-03-05").cast("date") &&
+              col("d") < lit("2024-03-25").cast("date"))
+      .groupBy(col("d"))
+      .agg(graft.ops.Fns.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+      .orderBy("d")
+    val plain = q().collect().toSeq
+    assert(plain.nonEmpty)
+    partials(sales).write.mode("overwrite").parquet(rollupDir)
+    RollupRouting.register(Spec("sales.parquet", rollupDir, "day",
+      timeCol = "d", keyCols = Map("k" -> "k"),
+      aggs = Seq(SumOf(ColRef("v"), "s_partial"), CountStarTo("n_partial"))))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("sales_rollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.contains("sales.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // HYBRID: rebuild the rollup to cover only d < 2024-03-20 and
+      // stamp the watermark; the same query must read rollup ∪ tail
+      partials(sales.filter(col("d") < lit("2024-03-20").cast("date")))
+        .write.mode("overwrite").parquet(rollupDir)
+      RollupRouting.stampCoverage(rollupDir,
+        java.time.Instant.parse("2024-03-20T00:00:00Z").toEpochMilli * 1000L)
+      val hyb = q()
+      val hplan = hyb.queryExecution.executedPlan.toString
+      assert(hplan.contains("sales_rollup"), s"hybrid must keep the rollup:\n$hplan")
+      assert(hplan.contains("sales.parquet"), s"hybrid must read the raw tail:\n$hplan")
+      assert(hyb.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
