@@ -630,6 +630,11 @@ class RollupRoutingSpec extends AnyFunSuite {
       val plan = routed.queryExecution.executedPlan.toString
       assert(plan.contains("orders_rollup"), s"expected orders-rollup scan in:\n$plan")
       assert(!plan.contains("orders.parquet"), s"orders fact must not be scanned:\n$plan")
+      // the subsumed year window must reach the ROLLUP scan's pushdown
+      // (row-group pruning at scale, not a post-scan filter)
+      assert(plan.contains("GreaterThanOrEqual(day,1997-01-01)") &&
+             plan.contains("LessThan(day,1998-01-01)"),
+        s"subsumed window must push into the rollup scan:\n$plan")
       assert(routed.collect().toSeq == plain)
       // the rollup's own grain routes and re-aggregates exactly
       val byCust = byCustQ()
