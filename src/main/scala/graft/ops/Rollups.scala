@@ -209,12 +209,37 @@ object Rollups {
     * "no directory", which the router answers by staying live — the
     * safe side. (TTL expiry guards the same window differently, with
     * a step-0 zero-coverage stamp — [[Lifecycle.expireIntoRollup]].) */
-  def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit = {
+  def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit =
+    writeCommitted(
+      dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs)))),
+      dir, coveredUpToUs)
+
+  /** The generalized, SPEC-DRIVEN form of [[writeDailyRollupUpTo]]:
+    * build the spec's own partial block
+    * ([[graft.plans.RollupRouting.buildPartials]]) over exactly the
+    * rows before the watermark and commit it with the same
+    * scratch-build + sidecar + whole-directory-swap protocol. One
+    * registration value now drives build, commit, AND routing — the
+    * reference's one-statement materialized view. */
+  def writeRollupUpTo(src: DataFrame, spec: graft.plans.RollupRouting.Spec,
+                      coveredUpToUs: Long): Unit = {
+    import org.apache.spark.sql.types.DateType
+    val cut =
+      if (src.schema(spec.timeCol).dataType == DateType)
+        col(spec.timeCol) < to_date(timestamp_micros(lit(coveredUpToUs)))
+      else col(spec.timeCol).cast("timestamp") < timestamp_micros(lit(coveredUpToUs))
+    writeCommitted(graft.plans.RollupRouting.buildPartials(src.filter(cut), spec),
+                   spec.rollupPath, coveredUpToUs)
+  }
+
+  /** Scratch-build + stamp + atomic-swap commit (see
+    * [[writeDailyRollupUpTo]]'s transactionality note). */
+  private def writeCommitted(partials: DataFrame, dir: String,
+                             coveredUpToUs: Long): Unit = {
     val target = java.nio.file.Paths.get(dir)
     val scratch = java.nio.file.Paths.get(dir + ".inprogress")
     deleteTree(scratch)
-    dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs))))
-      .write.mode("overwrite").parquet(scratch.toString)
+    partials.write.mode("overwrite").parquet(scratch.toString)
     graft.plans.RollupRouting.stampCoverage(scratch.toString, coveredUpToUs)
     deleteTree(target)
     java.nio.file.Files.move(scratch, target,

@@ -397,6 +397,53 @@ object RollupRouting {
       grainCols = Map("o_orderkey" -> "o_orderkey"))
   }
 
+  /** The BUILD side of the registry (round 12): derive a spec's
+    * partial block from the same `aggs` that drive query rewriting —
+    * registration is the single source of truth, the CREATE
+    * MATERIALIZED VIEW equivalence (the reference declares each MV
+    * once and its engine both maintains and serves it,
+    * `usdc-transfers/sql/analytics.sql:9-94`). The block groups by
+    * the grain key + key columns and emits one mergeable partial per
+    * AggMap: the exact decimal(38,6) sum for SumOf (the only shape
+    * the router re-aggregates), row count, min/max, and AvgOf's
+    * non-null count (plus its sum if no SumOf already writes it).
+    * `CountDistinctGrain` needs no column — the rollup's grain IS the
+    * distinct set. Equivalence with the hand-written builders and an
+    * end-to-end build→register→route→hash-match are spec-pinned. */
+  def buildPartials(src: org.apache.spark.sql.DataFrame, spec: Spec)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def srcColumn(pat: SrcPat): Column = pat match {
+      case ColRef(n) => col(n)
+      case OneMinusProduct(a, b) => col(a) * (lit(1.0d) - col(b))
+      case ExprPat(e) =>
+        org.apache.spark.sql.graftx.Bridge.column(ExprPat.resolveOps(e))
+    }
+    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+    val grainKey =
+      if (spec.grain == "hour") date_trunc("hour", col(spec.timeCol))
+      else to_date(col(spec.timeCol)) // identity on a DATE column
+    val keys = grainKey.as(timeKeyName) +:
+      spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
+    val partials = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    spec.aggs.foreach {
+      case SumOf(pat, p) =>
+        partials.getOrElseUpdate(p, sum(srcColumn(pat).cast("decimal(38,6)")).as(p))
+      case CountStarTo(p) =>
+        partials.getOrElseUpdate(p, count(lit(1)).as(p))
+      case MinOf(c, p) => partials.getOrElseUpdate(p, min(col(c)).as(p))
+      case MaxOf(c, p) => partials.getOrElseUpdate(p, max(col(c)).as(p))
+      case AvgOf(c, sp, cp) =>
+        partials.getOrElseUpdate(sp, sum(col(c).cast("decimal(38,6)")).as(sp))
+        partials.getOrElseUpdate(cp, count(col(c)).as(cp))
+      case CountDistinctGrain(_) => ()
+    }
+    require(partials.nonEmpty, s"spec for ${spec.rollupPath} declares no partials")
+    val aggCols = partials.values.toSeq
+    src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   private var specs: List[Spec] = Nil
   private var joinSpecs: List[JoinSpec] = Nil
   def register(spec: Spec): Unit = synchronized { specs = spec :: specs }

@@ -969,6 +969,52 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: SPEC-DRIVEN BUILD — the same registration value drives
+    * build, commit, and routing (CREATE MATERIALIZED VIEW
+    * equivalence). buildPartials must reproduce the hand-written
+    * partial blocks exactly, and a rollup built+committed from the
+    * spec alone must route the unchanged raw query as a hybrid read
+    * that hash-matches the live answer. */
+  test("spec-driven build: partials match hand-written builders; build→register→route") {
+    import graft.plans.RollupRouting.Spec
+    import graft.ops.Rollups
+    // events daily block (incl. column order — the routed contract)
+    val ev = Tables.events(spark, sf)
+    val viaSpec = RollupRouting.buildPartials(ev, Spec("events.parquet", "unused"))
+      .orderBy("day", "user_id")
+    val hand = Rollups.dailyPartialsOf(ev).orderBy("day", "user_id")
+    assert(viaSpec.columns.toSeq == hand.columns.toSeq)
+    assert(viaSpec.collect().toSeq == hand.collect().toSeq)
+    // orders block from its registered spec
+    val o = Tables.orders(spark, sf)
+    val viaSpecO = RollupRouting.buildPartials(o, Rollups.ordersSpec("unused"))
+      .orderBy("day", "o_custkey")
+    val handO = Rollups.ordersDailyPartialsOf(o).orderBy("day", "o_custkey")
+    assert(viaSpecO.columns.toSeq == handO.columns.toSeq)
+    assert(viaSpecO.collect().toSeq == handO.collect().toSeq)
+    // end-to-end: commit a WATERMARKED rollup from the spec alone and
+    // answer the unchanged raw query (whose window crosses the
+    // watermark) as rollup ∪ tail
+    val dir = java.nio.file.Files.createTempDirectory("graft_specbuild")
+      .resolve("orders_rollup").toString
+    val spec = Rollups.ordersSpec(dir)
+    val plain = Rollups.ordersDailySalesRaw(spark, sf).collect().toSeq
+    Rollups.writeRollupUpTo(o, spec,
+      java.time.Instant.parse("1997-07-01T00:00:00Z").toEpochMilli * 1000L)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.ordersDailySalesRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("orders_rollup"), s"rollup side missing:\n$plan")
+      assert(plan.contains("orders.parquet"), s"live-tail scan missing:\n$plan")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
