@@ -95,7 +95,12 @@ object Bench {
     val streaming = Set("q32_stream_daily", "q52_stream_join",
                         "q56_stateful_totals", "q96_stream_sessions",
                         "q106_stream_ingest_dedup",
-                        "q145_revenue_segment_stream")
+                        "q145_revenue_segment_stream",
+                        // r12: the split now covers EVERY stream-running
+                        // query (q146/q148/q154/q164 were missing)
+                        "q146_stream_asof", "q148_stream_asof_final",
+                        "q154_cdc_summing_stream", "q164_stream_hybrid_daily",
+                        "q168_stream_orders_hybrid")
     val batchTotal = ok.collect {
       case (k, v) if !streaming.contains(k) => v
     }.sum

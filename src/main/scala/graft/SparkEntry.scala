@@ -307,6 +307,11 @@ object SparkEntry {
     // Average evaluate tree (bit-equal); oracle replicates the exact
     // HALF_UP quotient in HUGEINT integer space
     "q167_routed_avg" -> (Rollups.dailyAvgRouted _),
+    // the full one-registration lifecycle on the second table:
+    // spec-driven STREAMING maintenance (per-batch partial appends +
+    // monotone coverage advance) + ragged-edge hybrid read; shares
+    // q165's oracle
+    "q168_stream_orders_hybrid" -> (graft.streaming.Live.streamingOrdersHybrid _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -314,6 +319,13 @@ object SparkEntry {
   private def davg(c: String) = ops.Fns.davgSql(c)
 
   // Whole-query oracles shared by re-plan twins (an edit must hit both).
+  private lazy val ordersDailySalesSql =
+    s"""SELECT CAST(o_orderdate AS DATE) AS o_day,
+       ${dsum("o_totalprice")} AS daily_sales, COUNT(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1 ORDER BY o_day"""
   private lazy val dailyRollupSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
         COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id"""
@@ -550,14 +562,10 @@ object SparkEntry {
     // reproduce the full recompute
     "q164_stream_hybrid_daily" -> dailyRollupSql,
     // the routed second-table (orders) rollup read must equal the raw
-    // windowed aggregate over orders
-    "q165_orders_daily_routed" ->
-      s"""SELECT CAST(o_orderdate AS DATE) AS o_day,
-         ${dsum("o_totalprice")} AS daily_sales, COUNT(*) AS n_orders
-         FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-         GROUP BY 1 ORDER BY o_day""",
+    // windowed aggregate over orders; q168 is the STREAMING-maintained
+    // ragged-edge hybrid over the same spec and must also reproduce it
+    "q165_orders_daily_routed" -> ordersDailySalesSql,
+    "q168_stream_orders_hybrid" -> ordersDailySalesSql,
     // the routed exact average: Spark computes the decimal(38,10)
     // HALF_UP quotient of the exact (38,6) sum over the non-null
     // count, then casts to double. The oracle reproduces that exact

@@ -272,6 +272,57 @@ object Live {
       q.awaitTermination()
     }
 
+  /** SPEC-DRIVEN CONTINUOUS MAINTENANCE (round 12): the streaming leg
+    * of the one-registration MV lifecycle. Per micro-batch, append the
+    * spec's OWN partial block
+    * ([[graft.plans.RollupRouting.buildPartials]] — the same `aggs`
+    * that drive query rewriting) and ADVANCE the coverage sidecar to
+    * the last complete grain boundary of the event time seen so far
+    * (minus `latenessUs` slack for out-of-order sources). The advance
+    * is MONOTONE and stamped atomically, so at every instant of the
+    * drain the hybrid router serves complete grains from the rollup
+    * and the ragged edge from the raw tail; a crash leaves the sidecar
+    * behind the appended partials, which is the SAFE side (the
+    * commit-point filter hides uncommitted partials). Rows later than
+    * `latenessUs` still land in the rollup below the watermark —
+    * partials merge additively, so they are served once appended; the
+    * append lag is ordinary MV freshness, not an error. */
+  def maintainRollup(stream: DataFrame, spec: graft.plans.RollupRouting.Spec,
+                     latenessUs: Long = 0L): Unit = {
+    import graft.plans.RollupRouting
+    val grainUs = if (spec.grain == "hour") 3600000000L else 86400000000L
+    // seed monotonicity from a prior run's committed watermark
+    val sidecar = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
+    val stamped = new java.util.concurrent.atomic.AtomicLong(
+      if (sidecar.exists())
+        scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(sidecar.toPath)).trim.toLong)
+          .getOrElse(Long.MinValue)
+      else Long.MinValue)
+    val seenMaxUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    withRunCheckpoint { ckpt =>
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val mx = batch.agg(
+            max(unix_micros(col(spec.timeCol).cast("timestamp")))).head()
+          if (!mx.isNullAt(0)) {
+            RollupRouting.buildPartials(batch, spec)
+              .write.mode("append").parquet(spec.rollupPath)
+            val m = seenMaxUs.accumulateAndGet(mx.getLong(0), Math.max(_, _))
+            val wm = Math.floorDiv(m - latenessUs, grainUs) * grainUs
+            if (wm > stamped.get()) {
+              RollupRouting.stampCoverage(spec.rollupPath, wm)
+              stamped.set(wm)
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** T5 applied to the JOIN-derived MV (q145, shares q16's oracle):
     * incremental insert-maintenance of the revenue-segment rollup —
     * stream lineitem deliveries, and per micro-batch run the MV
@@ -344,6 +395,31 @@ object Live {
         .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
              count(lit(1)).as("tx_count"))
         .orderBy("day", "user_id")
+    }
+  }
+
+  /** The FULL one-registration lifecycle on the SECOND table (q168,
+    * shares q165's oracle): the orders rollup is maintained by a
+    * STREAM of order deliveries through the spec's own partial block
+    * ([[maintainRollup]] — build, per-batch coverage advance, commit
+    * all derive from [[graft.ops.Rollups.ordersSpec]]), the drain
+    * stops ragged mid-1997 (simulated by bounding what has arrived),
+    * and the UNCHANGED raw orders dashboard query is answered as
+    * rollup ∪ raw-tail across the auto-advanced watermark. The hash
+    * match against the raw recompute proves the whole
+    * declare-once/build/maintain/route loop on a table the engine has
+    * no hardcoded knowledge of. */
+  def streamingOrdersHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_orders_mv")
+      .resolve("orders_rollup").toString
+    val spec = graft.ops.Rollups.ordersSpec(rollupDir)
+    val seenUpTo = lit("1997-07-15 06:00:00").cast("timestamp")
+    maintainRollup(
+      fileStream(spark, sfDir, "orders.parquet", Some(1))
+        .filter(col("o_orderdate").cast("timestamp") < seenUpTo),
+      spec)
+    graft.ops.Rollups.withRoutingSpecs(spark, Seq(spec)) {
+      graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)
     }
   }
 

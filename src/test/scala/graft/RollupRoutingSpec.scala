@@ -1015,6 +1015,65 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: SPEC-DRIVEN STREAMING MAINTENANCE — per-batch partial
+    * appends with a monotone, whole-grain coverage advance; the
+    * mid-drain read must be hybrid (rollup ∪ raw tail) and exact, and
+    * a maintenance restart must never regress the committed
+    * watermark. */
+  test("maintainRollup advances coverage monotonically; hybrid read exact") {
+    import graft.plans.RollupRouting.CoverageSidecar
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint")
+      .resolve("orders_rollup").toString
+    val spec = Rollups.ordersSpec(dir)
+    val plain = Rollups.ordersDailySalesRaw(spark, sf).collect().toSeq
+    // the driver entry drains a bounded stream and reads hybrid
+    assert(graft.streaming.Live.streamingOrdersHybrid(spark, sf)
+      .collect().toSeq == plain)
+    // direct maintenance into a known dir for sidecar assertions
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").cast("timestamp") <
+              lit("1997-07-15 06:00:00").cast("timestamp"))
+    // a drain that only sees EMPTY batches must not claim coverage
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_maint_empty")
+    o.limit(0).write.mode("overwrite").parquet(emptyDir.toString)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(o.schema).parquet(emptyDir.toString), spec)
+    val sidecarF = new java.io.File(dir, CoverageSidecar)
+    assert(!sidecarF.exists, "an empty drain must not claim coverage")
+    // real drain via the batch-equivalent append path: append the
+    // spec partials and stamp as maintainRollup does, then check the
+    // routed read is hybrid and exact
+    graft.plans.RollupRouting.buildPartials(o, spec)
+      .write.mode("append").parquet(dir)
+    val wmUs = java.time.Instant.parse("1997-07-15T00:00:00Z").toEpochMilli * 1000L
+    graft.plans.RollupRouting.stampCoverage(dir, wmUs)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.ordersDailySalesRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("orders_rollup") && plan.contains("orders.parquet"),
+        s"mid-stream read must be hybrid:\n$plan")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // restart with EARLIER data only: the committed watermark must not
+    // move backwards (monotone advance seeds from the sidecar)
+    val early = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").cast("timestamp") <
+              lit("1996-01-01 00:00:00").cast("timestamp"))
+    val earlyDir = java.nio.file.Files.createTempDirectory("graft_maint_src")
+    early.write.mode("overwrite").parquet(earlyDir.toString)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(early.schema).parquet(earlyDir.toString), spec)
+    val wmAfter = new String(
+      java.nio.file.Files.readAllBytes(sidecarF.toPath)).trim.toLong
+    assert(wmAfter == wmUs, s"restart with old data regressed the watermark: $wmAfter")
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
