@@ -156,6 +156,9 @@ object RollupRouting {
   sealed trait SrcPat {
     def matches(e: Expression): Boolean
     def rebuild(resolve: String => Option[Attribute]): Option[Expression]
+    /** Source column names the measure reads (drives the spec-driven
+      * build's fact-table identification and column pruning). */
+    def refs: Set[String]
   }
   /** A bare source-column reference, e.g. SUM(o_totalprice). */
   case class ColRef(name: String) extends SrcPat {
@@ -164,6 +167,7 @@ object RollupRouting {
       case _ => false
     }
     def rebuild(resolve: String => Option[Attribute]): Option[Expression] = resolve(name)
+    def refs: Set[String] = Set(name)
   }
   /** The net-of-discount revenue shape `a * (1 - b)`. */
   case class OneMinusProduct(a: String, b: String) extends SrcPat {
@@ -176,6 +180,7 @@ object RollupRouting {
     def rebuild(resolve: String => Option[Attribute]): Option[Expression] =
       for (x <- resolve(a); y <- resolve(b))
         yield Multiply(x, Subtract(Literal(1.0d), y))
+    def refs: Set[String] = Set(a, b)
   }
   /** A USER-REGISTERED measure expression (round 12): any expression
     * over the source columns, matched by CANONICALIZED structural
@@ -203,6 +208,10 @@ object RollupRouting {
       }
       if (ok) Some(r) else None
     }
+    def refs: Set[String] = expr.collect {
+      case a: AttributeReference => a.name
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+    }.toSet
   }
   object ExprPat {
     /** Registration surface: a DataFrame-API `Column`, e.g.
@@ -410,24 +419,27 @@ object RollupRouting {
     * `CountDistinctGrain` needs no column — the rollup's grain IS the
     * distinct set. Equivalence with the hand-written builders and an
     * end-to-end build→register→route→hash-match are spec-pinned. */
-  def buildPartials(src: org.apache.spark.sql.DataFrame, spec: Spec)
-      : org.apache.spark.sql.DataFrame = {
+  /** The user-facing Column for a measure pattern (build side). */
+  private def srcColumn(pat: SrcPat): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.Column
-    def srcColumn(pat: SrcPat): Column = pat match {
+    pat match {
       case ColRef(n) => col(n)
       case OneMinusProduct(a, b) => col(a) * (lit(1.0d) - col(b))
       case ExprPat(e) =>
         org.apache.spark.sql.graftx.Bridge.column(ExprPat.resolveOps(e))
     }
-    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-    val grainKey =
-      if (spec.grain == "hour") date_trunc("hour", col(spec.timeCol))
-      else to_date(col(spec.timeCol)) // identity on a DATE column
-    val keys = grainKey.as(timeKeyName) +:
-      spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
-    val partials = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-    spec.aggs.foreach {
+  }
+
+  /** The mergeable partial column per AggMap, keyed by its rollup
+    * column name (a LinkedHashMap so spec order is output order; an
+    * AvgOf whose sum partial another AggMap already writes reuses
+    * it). */
+  private def partialColumns(aggs: Seq[AggMap])
+      : scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val partials =
+      scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Column]
+    aggs.foreach {
       case SumOf(pat, p) =>
         partials.getOrElseUpdate(p, sum(srcColumn(pat).cast("decimal(38,6)")).as(p))
       case CountStarTo(p) =>
@@ -439,9 +451,98 @@ object RollupRouting {
         partials.getOrElseUpdate(cp, count(col(c)).as(cp))
       case CountDistinctGrain(_) => ()
     }
+    partials
+  }
+
+  def buildPartials(src: org.apache.spark.sql.DataFrame, spec: Spec)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+    val grainKey =
+      if (spec.grain == "hour") date_trunc("hour", col(spec.timeCol))
+      else to_date(col(spec.timeCol)) // identity on a DATE column
+    val keys = grainKey.as(timeKeyName) +:
+      spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
+    val partials = partialColumns(spec.aggs)
     require(partials.nonEmpty, s"spec for ${spec.rollupPath} declares no partials")
     val aggCols = partials.values.toSeq
     src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The JOIN registry's build side (round 12): derive a join MV's
+    * partial block from its [[JoinSpec]] — the same one-registration
+    * economy as [[buildPartials]], with the star-join build plan the
+    * hand-written builders use derived automatically:
+    *
+    *  1. the FACT is the table owning the SUM measures' columns;
+    *  2. the fact PRE-AGGREGATES per its own join-key columns BEFORE
+    *     any join (the partial block per fact grain), so the
+    *     fact-fact exchange carries one row per grain, never raw
+    *     rows — the SummingMergeTree insert-trigger economy;
+    *  3. remaining tables attach along the spec's equi-join pairs,
+    *     pruned to the columns the rollup keeps; their sizes are
+    *     unknown at registration, so broadcast choice stays with the
+    *     optimizer/AQE (the hand-written builders pin `broadcast()`
+    *     for their known-small dims — the pruned selects here keep
+    *     each side under the auto-broadcast threshold in practice);
+    *  4. the output is grain columns + preserved groupings (under
+    *     their rollup names) + the partial columns — exactly the
+    *     schema [[RuleImpl.rewriteJoin]] routes onto.
+    *
+    * Spec-pinned identical (columns and rows) to all three
+    * hand-written builders and routed end-to-end. */
+  def buildJoinPartials(tables: Map[String, org.apache.spark.sql.DataFrame],
+                        spec: JoinSpec): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tables.keySet == spec.tables,
+      s"need exactly ${spec.tables}, got ${tables.keySet}")
+    def owner(c: String): String = {
+      val os = spec.tables.filter(t => tables(t).columns.contains(c))
+      require(os.size == 1, s"column $c must belong to exactly one table, found $os")
+      os.head
+    }
+    val measureRefs = spec.aggs.flatMap {
+      case SumOf(pat, _) => pat.refs
+      case MinOf(c, _) => Seq(c)
+      case MaxOf(c, _) => Seq(c)
+      case AvgOf(c, _, _) => Seq(c)
+      case _ => Nil
+    }.toSet
+    require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
+    val factOwners = measureRefs.map(owner)
+    require(factOwners.size == 1,
+      s"measures must live on one fact table, found $factOwners")
+    val fact = factOwners.head
+    val allKeyCols = spec.joinKeys.toSeq.flatMap { case (x, y) => Seq(x, y) }
+    val factKeys = allKeyCols.filter(tables(fact).columns.contains).distinct
+    require(factKeys.nonEmpty, s"fact $fact carries no join-key column")
+    val partials = partialColumns(spec.aggs)
+    val aggCols = partials.values.toSeq
+    var acc = tables(fact)
+      .groupBy(factKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    var joined = Set(fact)
+    var have: Set[String] = factKeys.toSet ++ partials.keySet
+    val outSrc = spec.grainCols.keySet ++ spec.groupings.keySet
+    while (joined != spec.tables) {
+      val step = spec.joinKeys.toSeq.collectFirst(Function.unlift {
+        case (x, y) =>
+          if (have.contains(x) && !joined.contains(owner(y))) Some((x, y, owner(y)))
+          else if (have.contains(y) && !joined.contains(owner(x))) Some((y, x, owner(x)))
+          else None
+      }).getOrElse(throw new IllegalArgumentException(
+        s"join keys do not connect ${spec.tables -- joined} to $joined"))
+      val (lhs, rhs, t) = step
+      val keep = (Set(rhs) ++ (outSrc ++ allKeyCols)
+        .filter(tables(t).columns.contains)).toSeq.distinct
+      acc = acc.join(tables(t).select(keep.map(col): _*),
+                     col(lhs) === col(rhs))
+      joined += t
+      have ++= keep
+    }
+    val outCols = spec.grainCols.toSeq.map { case (s, r) => col(s).as(r) } ++
+      spec.groupings.toSeq.map { case (s, r) => col(s).as(r) } ++
+      partials.keys.toSeq.map(col)
+    acc.select(outCols: _*)
   }
 
   private var specs: List[Spec] = Nil

@@ -1074,6 +1074,52 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(wmAfter == wmUs, s"restart with old data regressed the watermark: $wmAfter")
   }
 
+  /** Round 12: SPEC-DRIVEN JOIN BUILD — buildJoinPartials derives the
+    * star-join build plan (fact pre-aggregation before any join,
+    * pruned dims) from the JoinSpec alone and must reproduce all
+    * three hand-written builders exactly; a rollup built that way
+    * routes the unchanged raw query. */
+  test("spec-driven join build matches hand-written builders; routes") {
+    import graft.ops.StarJoins
+    import graft.plans.RollupRouting.JoinSpec
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val three = Map("lineitem" -> li, "orders" -> o, "customer" -> c)
+    def rows(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.orderBy(key).collect().toSeq
+    val revGen = RollupRouting.buildJoinPartials(three, JoinSpec.revenueSegment("unused"))
+    val revHand = StarJoins.revenueSegmentPartialsOf(li, o, c)
+    assert(revGen.columns.toSeq == revHand.columns.toSeq)
+    assert(rows(revGen, "o_orderkey") == rows(revHand, "o_orderkey"))
+    val volGen = RollupRouting.buildJoinPartials(
+      Map("orders" -> o, "customer" -> c), JoinSpec.customerVolume("unused"))
+    val volHand = StarJoins.customerVolumePartialsOf(o, c)
+    assert(volGen.columns.toSeq == volHand.columns.toSeq)
+    assert(rows(volGen, "c_custkey") == rows(volHand, "c_custkey"))
+    val chGen = RollupRouting.buildJoinPartials(three, JoinSpec.chargeSegment("unused"))
+    val chHand = StarJoins.chargeSegmentPartialsOf(li, o, c)
+    assert(chGen.columns.toSeq == chHand.columns.toSeq)
+    assert(rows(chGen, "o_orderkey") == rows(chHand, "o_orderkey"))
+    // end-to-end: persist the derived build, register, route, match
+    val dir = java.nio.file.Files.createTempDirectory("graft_derived_mv")
+      .resolve("revseg_gen_rollup").toString
+    revGen.write.parquet(dir)
+    val plain = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    RollupRouting.registerJoin(JoinSpec.revenueSegment(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.revenueBySegment(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("revseg_gen_rollup"), s"expected derived-rollup scan in:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"routed plan must be join-free:\n$plan")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
