@@ -568,8 +568,12 @@ object RollupRouting {
     * ([[RuleImpl.coveredUpTo]]). Each cache hit is handed out via
     * `MultiInstanceRelation.newInstance()` so every use gets fresh
     * ExprIds — exactly what a fresh read produced before. */
+  /** Keyed by (session, path, mtime): an analyzed relation holds its
+    * session's state, so a cached plan must never outlive its session
+    * into a new one (single-session deployments never notice; the
+    * guard costs one string compare). */
   private[plans] val planCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), LogicalPlan]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), LogicalPlan]
   /** Actual listing+inference reads performed (cache misses); the
     * RollupRoutingSpec planning-cost case asserts one per distinct
     * path per rollup state, not one per optimizer visit. */
@@ -655,7 +659,7 @@ object RollupRouting {
     private def analyzedRollup(path: String): Option[LogicalPlan] = {
       val mtime = new java.io.File(path).lastModified // 0 when missing
       if (mtime == 0L) return None
-      val key = (path, mtime)
+      val key = (System.identityHashCode(spark).toString, path, mtime)
       planCache.get(key).orElse {
         val read = try Some(spark.read.parquet(path).queryExecution.analyzed)
                    catch { case scala.util.control.NonFatal(_) => None }
@@ -663,7 +667,7 @@ object RollupRouting {
           RollupRouting.planListings += 1
           // drop stale states of the same path so the cache stays
           // bounded by the registry size, not its rebuild history
-          planCache.filterInPlace { case ((pth, mt), _) => pth != path || mt == mtime }
+          planCache.filterInPlace { case ((_, pth, mt), _) => pth != path || mt == mtime }
           planCache.put(key, p)
         }
         read
@@ -942,6 +946,12 @@ object RollupRouting {
       *    hourly rollup any whole-hour literal qualifies (midnights
       *    included); for a daily rollup only midnights do; a mid-grain
       *    literal splits a group, and bails.
+      *  - the INCLUSIVE-upper dashboard bound `ts <= boundary − 1µs`
+      *    (the `BETWEEN d1 AND 'd2 23:59:59.999999'` shape) ⟺
+      *    `time key < boundary` — the literal is the last instant of
+      *    its grain, so the cut is the same half-open boundary. A
+      *    whole-grain INCLUSIVE upper (`ts <= midnight`) keeps only
+      *    one instant of the next group and bails.
       * A NONDETERMINISTIC conjunct never subsumes (round-12 guard): it
       * may carry no references at all (`rand() < 0.5`), passing the
       * subset check while filtering pre-aggregated groups instead of
@@ -967,6 +977,15 @@ object RollupRouting {
           case _ => None
         }
       }
+      // the last representable instant of a grain: us + 1µs is a
+      // whole-grain boundary (returned), so `<= us` ⟺ `< boundary`
+      object InclusiveUpper {
+        def unapply(e: Expression): Option[Long] = e match {
+          case Literal(us: Long, TimestampType | TimestampNTZType)
+              if (us + 1) % grainMicros == 0 => Some(us + 1)
+          case _ => None
+        }
+      }
       def isTs(t: Expression): Boolean = isNormTime(t, spec.timeCol)
       val rewritten = c.transformDown {
         case e if keyOf(e, spec).exists(k =>
@@ -982,6 +1001,10 @@ object RollupRouting {
         case LessThanOrEqual(Boundary(us), t) if isTs(t) =>
           GreaterThanOrEqual(timeKey, timeLit(us))
         case GreaterThan(Boundary(us), t) if isTs(t) => LessThan(timeKey, timeLit(us))
+        case LessThanOrEqual(t, InclusiveUpper(us)) if isTs(t) =>
+          LessThan(timeKey, timeLit(us))
+        case GreaterThanOrEqual(InclusiveUpper(us), t) if isTs(t) =>
+          LessThan(timeKey, timeLit(us))
       }
       if (rewritten.references.subsetOf(
             AttributeSet(timeKey +: keyAttrs.values.toSeq)))

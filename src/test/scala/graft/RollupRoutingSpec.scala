@@ -304,6 +304,27 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("c"))
       assert(!midday.queryExecution.executedPlan.toString.contains("rollup"),
         "a mid-day boundary must NOT route")
+      // the INCLUSIVE-upper dashboard bound (last µs of a day) routes…
+      val inclQ = () => Tables.events(spark, sf)
+        .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+                $"ts" <= lit("2024-01-14 23:59:59.999999").cast("timestamp"))
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c")).orderBy("day")
+      spark.experimental.extraOptimizations = Nil
+      val inclRaw = inclQ().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val incl = inclQ()
+      assert(incl.queryExecution.executedPlan.toString.contains("rollup"),
+        "an inclusive last-instant upper bound must route")
+      assert(incl.collect().toSeq == inclRaw)
+      // …but a WHOLE-GRAIN inclusive upper keeps one instant of the
+      // next day's group → live
+      val inclMidnight = Tables.events(spark, sf)
+        .filter($"ts" <= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      assert(!inclMidnight.queryExecution.executedPlan.toString.contains("rollup"),
+        "an inclusive midnight upper bound must NOT route")
       // near-miss: a non-key column in the predicate → live
       val byType = Tables.events(spark, sf)
         .filter($"event_type" === "purchase" && $"ts" >= lit("2024-01-08 00:00:00").cast("timestamp"))
