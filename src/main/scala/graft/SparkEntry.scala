@@ -312,6 +312,10 @@ object SparkEntry {
     // monotone coverage advance) + ragged-edge hybrid read; shares
     // q165's oracle
     "q168_stream_orders_hybrid" -> (graft.streaming.Live.streamingOrdersHybrid _),
+    // COUNT(DISTINCT user) per day routed as a rollup ROW count — the
+    // rollup grain IS (day, user), so the distinct plan's
+    // expand+double shuffle collapses to a rollup-sized count
+    "q169_uniq_users_routed" -> (Rollups.dailyUniqUsersRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -566,6 +570,12 @@ object SparkEntry {
     // ragged-edge hybrid over the same spec and must also reproduce it
     "q165_orders_daily_routed" -> ordersDailySalesSql,
     "q168_stream_orders_hybrid" -> ordersDailySalesSql,
+    // the routed distinct-as-row-count must equal the raw exact
+    // COUNT(DISTINCT) aggregate
+    "q169_uniq_users_routed" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY day""",
     // the routed exact average: Spark computes the decimal(38,10)
     // HALF_UP quotient of the exact (38,6) sum over the non-null
     // count, then casts to double. The oracle reproduces that exact

@@ -385,6 +385,37 @@ object Rollups {
     }
   }
 
+  /** The raw daily-unique-users dashboard — the reference's `uniq()`
+    * read at day grain (`usdc-transfers/sql/analytics.sql:34-35`'s
+    * daily sibling). Written against the RAW table;
+    * [[dailyUniqUsersRouted]] runs it UNCHANGED under the rule. */
+  def dailyUniqUsersRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  /** Driver entry (q169): COUNT(DISTINCT user_id) per day routed as a
+    * rollup ROW COUNT — the rollup's grain IS (day, user), so rollup
+    * rows per day ARE the day's distinct users, and the usual
+    * expand+double-shuffle distinct plan collapses to a rollup-sized
+    * count. `CountDistinctGrain` is registered HERE, not in the
+    * defaults: it claims grain-uniqueness (a one-shot groupBy build),
+    * which a partial-block APPEND stream would violate — the same
+    * grain caveat as the join registry's orderkey MV. Near-misses
+    * pinned live: a global distinct (same user on many days) and an
+    * append-maintained rollup without the registration. */
+  def dailyUniqUsersRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureDailyRollup(spark, sfDir)
+    val base = RollupRouting.Spec("events.parquet", dir)
+    withRoutingSpecs(spark,
+        Seq(base.copy(aggs = base.aggs :+ RollupRouting.CountDistinctGrain("user_id")))) {
+      dailyUniqUsersRaw(spark, sfDir)
+    }
+  }
+
   // ——— second-table rollup: the generalized Spec vocabulary (round 12) ———
 
   /** The ORDERS daily rollup's partial block (day × customer grain):

@@ -1098,6 +1098,23 @@ object RollupRouting {
             case (MaxOf(cn, partial), Max(se))
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            // COUNT(DISTINCT keyCol) → COUNT(keyCol) over rollup ROWS
+            // (round 12, the reference's uniq() dashboard shape):
+            // valid exactly when the rollup is grain-unique (the
+            // registration's claim — a one-shot groupBy build; NOT a
+            // partial-block append stream, whose groups span rows) AND
+            // the query groups by every OTHER rollup key at exactly
+            // the rollup's own grain, so rollup rows per group =
+            // distinct keyCol values per group. Count of the key
+            // attribute (not COUNT(*)) preserves countDistinct's
+            // null-skipping.
+            case (CountDistinctGrain(gcol), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(se, gcol) && keyAttrs.contains(gcol) &&
+                   keyMap.values.toSet ==
+                     ((Set[Expression](timeKey) ++ keyAttrs.values) - keyAttrs(gcol)) =>
+              Some(ae.copy(aggregateFunction = Count(Seq(keyAttrs(gcol))),
+                           isDistinct = false))
             // AVG routes only in its dsum-shaped exact form —
             // avg(cast(col as decimal(38,6))) — and reproduces
             // Average's own decimal evaluate tree over the partials:

@@ -1141,6 +1141,51 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: COUNT(DISTINCT keyCol) routed as a rollup ROW count —
+    * valid only against a grain-unique rollup with every other key
+    * grouped at exactly the rollup grain; a global distinct (one user
+    * spans many days) must stay live. */
+  test("countDistinct routes as rollup row count; global distinct stays live") {
+    import graft.ops.Rollups
+    import graft.plans.RollupRouting.CountDistinctGrain
+    val plain = Rollups.dailyUniqUsersRaw(spark, sf).collect().toSeq
+    assert(Rollups.dailyUniqUsersRouted(spark, sf).collect().toSeq == plain)
+    // manual registration for plan assertions
+    Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure rollup
+    val base = RollupRouting.Spec("events.parquet", Rollups.dailyRollupDir(sf))
+    RollupRouting.register(base.copy(aggs = base.aggs :+ CountDistinctGrain("user_id")))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.dailyUniqUsersRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("daily_rollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // near-miss: GLOBAL distinct — the same user appears on many
+      // days, so rollup rows overcount → must stay live
+      val global = Tables.events(spark, sf)
+        .agg(countDistinct($"user_id").as("u"))
+      assert(!global.queryExecution.executedPlan.toString.contains("daily_rollup"),
+        "a global COUNT(DISTINCT) must NOT route")
+      // near-miss: distinct over a NON-key column → live
+      val byType = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(countDistinct($"event_type").as("t"))
+      assert(!byType.queryExecution.executedPlan.toString.contains("daily_rollup"),
+        "COUNT(DISTINCT non-key) must NOT route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // without the CountDistinctGrain registration (the default spec —
+    // e.g. an append-maintained rollup) the same query must stay live
+    withRouting {
+      val q = Rollups.dailyUniqUsersRaw(spark, sf)
+      assert(!q.queryExecution.executedPlan.toString.contains("rollup"),
+        "distinct must NOT route without the grain-uniqueness registration")
+    }
+  }
+
   /** Round 12 (advisor): [[graft.ops.Rollups.writeDailyRollupUpTo]] is
     * transactional — the live path only ever holds a committed
     * (partials + sidecar) pair, so a reader can never see a
