@@ -286,9 +286,18 @@ object Live {
     * commit-point filter hides uncommitted partials). Rows later than
     * `latenessUs` still land in the rollup below the watermark —
     * partials merge additively, so they are served once appended; the
-    * append lag is ordinary MV freshness, not an error. */
+    * append lag is ordinary MV freshness, not an error.
+    *
+    * Pass a PERSISTENT `checkpointDir` for a production deployment:
+    * restarts then resume exactly-once — a file consumed before the
+    * crash is never re-appended (the source offsets live in the
+    * checkpoint), and the watermark re-seeds from the committed
+    * sidecar so it never regresses (restart test pins both). The
+    * default run-scoped checkpoint suits one-shot availableNow
+    * drains. */
   def maintainRollup(stream: DataFrame, spec: graft.plans.RollupRouting.Spec,
-                     latenessUs: Long = 0L): Unit = {
+                     latenessUs: Long = 0L,
+                     checkpointDir: Option[String] = None): Unit = {
     import graft.plans.RollupRouting
     val grainUs = if (spec.grain == "hour") 3600000000L else 86400000000L
     // seed monotonicity from a prior run's committed watermark
@@ -300,7 +309,7 @@ object Live {
           .getOrElse(Long.MinValue)
       else Long.MinValue)
     val seenMaxUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    withRunCheckpoint { ckpt =>
+    def run(ckpt: String): Unit = {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val mx = batch.agg(
@@ -321,6 +330,7 @@ object Live {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    checkpointDir.fold(withRunCheckpoint(run))(run)
   }
 
   /** T5 applied to the JOIN-derived MV (q145, shares q16's oracle):
