@@ -316,6 +316,11 @@ object SparkEntry {
     // rollup grain IS (day, user), so the distinct plan's
     // expand+double shuffle collapses to a rollup-sized count
     "q169_uniq_users_routed" -> (Rollups.dailyUniqUsersRouted _),
+    // MAINTAIN → COMPACT → SERVE: the q168 drain's per-batch blocks
+    // re-merged to one row per grain under the unchanged coverage
+    // watermark (scratch + sidecar + atomic swap), the unchanged
+    // dashboard query still routing hybrid; shares q165's oracle
+    "q170_compacted_rollup" -> (graft.streaming.Live.streamingOrdersCompacted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -570,6 +575,9 @@ object SparkEntry {
     // ragged-edge hybrid over the same spec and must also reproduce it
     "q165_orders_daily_routed" -> ordersDailySalesSql,
     "q168_stream_orders_hybrid" -> ordersDailySalesSql,
+    // compaction must be invisible: the compacted-rollup hybrid read
+    // reproduces the same raw windowed aggregate
+    "q170_compacted_rollup" -> ordersDailySalesSql,
     // the routed distinct-as-row-count must equal the raw exact
     // COUNT(DISTINCT) aggregate
     "q169_uniq_users_routed" ->

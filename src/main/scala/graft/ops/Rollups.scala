@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Fns._
@@ -212,7 +212,7 @@ object Rollups {
   def writeDailyRollupUpTo(events: DataFrame, dir: String, coveredUpToUs: Long): Unit =
     writeCommitted(
       dailyPartialsOf(events.filter(col("ts") < timestamp_micros(lit(coveredUpToUs)))),
-      dir, coveredUpToUs)
+      dir, Some(coveredUpToUs))
 
   /** The generalized, SPEC-DRIVEN form of [[writeDailyRollupUpTo]]:
     * build the spec's own partial block
@@ -229,21 +229,86 @@ object Rollups {
         col(spec.timeCol) < to_date(timestamp_micros(lit(coveredUpToUs)))
       else col(spec.timeCol).cast("timestamp") < timestamp_micros(lit(coveredUpToUs))
     writeCommitted(graft.plans.RollupRouting.buildPartials(src.filter(cut), spec),
-                   spec.rollupPath, coveredUpToUs)
+                   spec.rollupPath, Some(coveredUpToUs))
   }
 
   /** Scratch-build + stamp + atomic-swap commit (see
-    * [[writeDailyRollupUpTo]]'s transactionality note). */
+    * [[writeDailyRollupUpTo]]'s transactionality note). A `None`
+    * watermark commits a COMPLETE rollup (no sidecar — the router
+    * answers it alone). */
   private def writeCommitted(partials: DataFrame, dir: String,
-                             coveredUpToUs: Long): Unit = {
+                             coveredUpToUs: Option[Long]): Unit = {
     val target = java.nio.file.Paths.get(dir)
     val scratch = java.nio.file.Paths.get(dir + ".inprogress")
     deleteTree(scratch)
     partials.write.mode("overwrite").parquet(scratch.toString)
-    graft.plans.RollupRouting.stampCoverage(scratch.toString, coveredUpToUs)
+    coveredUpToUs.foreach(
+      graft.plans.RollupRouting.stampCoverage(scratch.toString, _))
     deleteTree(target)
     java.nio.file.Files.move(scratch, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** COMPACTION of an append-maintained rollup (round 12). Continuous
+    * maintenance ([[graft.streaming.Live.maintainRollup]]) appends one
+    * partial block per micro-batch, so a long-lived rollup's file and
+    * row counts grow with UPTIME, not with data: every routed read
+    * re-merges months of per-batch blocks. Compaction re-aggregates
+    * the partials per grain key — partial states are mergeable by
+    * construction (decimal sums and counts add, min/max compose), so
+    * the merged rollup is value-identical under the router — and
+    * commits the result with the same scratch-build + sidecar +
+    * atomic-swap protocol as [[writeRollupUpTo]]: the coverage
+    * watermark travels with the data, readers see the old directory
+    * or the new one, never a mix. The background-merge half of the
+    * reference's engine contract (its store compacts parts so
+    * read-time merge stays bounded); here it is an explicit
+    * maintenance call, same single-writer contract as the maintainer
+    * itself (quiesce maintenance while compacting; readers need no
+    * quiescing). After compaction the rollup holds exactly one row
+    * per grain group (spec-pinned) — a routed scan is then
+    * key-cardinality-sized regardless of how many deliveries built
+    * it. Fails loudly on an unparseable sidecar (compacting a rollup
+    * whose commit point is corrupt would launder the corruption into
+    * a clean-looking directory); a sidecar-less COMPLETE rollup
+    * compacts to a complete rollup. Unknown columns (not derivable
+    * from the spec's aggs) abort rather than silently drop. */
+  def compactRollup(spark: SparkSession, spec: graft.plans.RollupRouting.Spec): Unit = {
+    import graft.plans.RollupRouting._
+    val sidecar = java.nio.file.Paths.get(spec.rollupPath, CoverageSidecar)
+    val wm: Option[Long] =
+      if (java.nio.file.Files.exists(sidecar))
+        Some(new String(java.nio.file.Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else None
+    val rollup = spark.read.parquet(spec.rollupPath)
+    val schema = rollup.schema
+    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+    val keys = (timeKeyName +: spec.keyCols.values.toSeq).distinct
+    val merges = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    spec.aggs.foreach {
+      case SumOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
+      case CountStarTo(p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
+      case MinOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
+      case MaxOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
+      case AvgOf(_, sp, cp) =>
+        merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
+        merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
+      case CountDistinctGrain(_) => ()
+    }
+    val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet
+    require(unknown.isEmpty,
+      s"rollup at ${spec.rollupPath} has columns the spec cannot merge: $unknown")
+    val mergeExprs = merges.values.toSeq
+    val merged = rollup.groupBy(keys.map(col): _*)
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+      // the merged block must be byte-compatible with what the router
+      // matched at registration: original column order and exact types
+      // (sum over decimal(38,6) is capped back to (38,6); sum over a
+      // long count widens — cast restores it)
+      .select(schema.fieldNames.toSeq.map(n =>
+        col(n).cast(schema(n).dataType).as(n)): _*)
+    writeCommitted(merged, spec.rollupPath, wm)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

@@ -433,6 +433,30 @@ object Live {
     }
   }
 
+  /** q170 (shares q165's oracle): the MAINTAIN → COMPACT → SERVE
+    * lifecycle. The q168 drain leaves one partial block per
+    * micro-batch — a rollup whose row/file counts grow with uptime —
+    * then [[graft.ops.Rollups.compactRollup]] re-merges it to one row
+    * per (day, customer) under the unchanged coverage watermark, and
+    * the UNCHANGED dashboard query routes over the compacted rollup ∪
+    * live tail. The hash match proves compaction is invisible to the
+    * router (partial states merge losslessly); the one-row-per-grain
+    * and file-count claims are spec-pinned in RollupRoutingSpec. */
+  def streamingOrdersCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_orders_cmp")
+      .resolve("orders_rollup").toString
+    val spec = graft.ops.Rollups.ordersSpec(rollupDir)
+    val seenUpTo = lit("1997-07-15 06:00:00").cast("timestamp")
+    maintainRollup(
+      fileStream(spark, sfDir, "orders.parquet", Some(1))
+        .filter(col("o_orderdate").cast("timestamp") < seenUpTo),
+      spec)
+    graft.ops.Rollups.compactRollup(spark, spec)
+    graft.ops.Rollups.withRoutingSpecs(spark, Seq(spec)) {
+      graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)
+    }
+  }
+
   /** T4+T5 composed (q154, shares q153's oracle): RETRACTION-AWARE
     * incremental MV maintenance — the CollapsingMergeTree-feeds-a-
     * summing-MV pattern. Per micro-batch, the ingest derives the

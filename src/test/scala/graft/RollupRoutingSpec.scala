@@ -1095,6 +1095,70 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(wmAfter == wmUs, s"restart with old data regressed the watermark: $wmAfter")
   }
 
+  /** Round 12: COMPACTION — an append-maintained rollup's per-batch
+    * blocks re-merged to ONE row per grain group under the unchanged
+    * coverage watermark. The routed hybrid read must be
+    * value-identical before and after (partial states are mergeable),
+    * the schema must survive exactly (column order AND types — the
+    * routed contract), the data file count must drop, and uncommitted
+    * partials (beyond the watermark) must stay hidden by the
+    * commit-point filter after the merge. */
+  test("compactRollup merges blocks losslessly under the router") {
+    import graft.ops.Rollups
+    import graft.plans.RollupRouting.{CoverageSidecar, Spec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("cmp_rollup").toString
+    val spec = Spec("events.parquet", dir) // default aggs: sum/count/min/max/avg partials
+    val covered = Tables.events(spark, sf)
+      .filter(col("ts") < timestamp_micros(lit(Rollups.HybridCutoffUs)))
+    // three interleaved deliveries → three appended partial blocks;
+    // users act many times per day, so (day, user) groups split
+    // across blocks and every merge shape (decimal sum, count,
+    // min, max, non-null count) gets exercised
+    Seq(0, 1, 2).foreach { k =>
+      graft.plans.RollupRouting.buildPartials(
+          covered.filter(col("event_id") % 3 === k), spec)
+        .write.mode("append").parquet(dir)
+    }
+    graft.plans.RollupRouting.stampCoverage(dir, Rollups.HybridCutoffUs)
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val preFiles = dataFiles()
+    val pre = spark.read.parquet(dir)
+    val preSchema = pre.schema
+    val preRows = pre.count()
+    val groups = pre.select("day", "user_id").distinct().count()
+    assert(preRows > groups, "fixture must start with split partials")
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val before = Rollups.hybridWindowRaw(spark, sf).collect().toSeq
+      Rollups.compactRollup(spark, spec)
+      val post = spark.read.parquet(dir)
+      assert(post.schema == preSchema, "compaction must preserve the schema exactly")
+      assert(post.count() == groups, "compaction must leave one row per grain group")
+      assert(dataFiles() < preFiles, s"file count must drop (pre=$preFiles)")
+      val wmAfter = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, CoverageSidecar))).trim.toLong
+      assert(wmAfter == Rollups.HybridCutoffUs,
+        "the coverage watermark must survive compaction")
+      val routed = Rollups.hybridWindowRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("cmp_rollup") && plan.contains("events.parquet"),
+        s"post-compaction read must still be hybrid:\n$plan")
+      assert(routed.collect().toSeq == before,
+        "compaction must be invisible to the routed read")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // a rollup whose commit point is corrupt must refuse to compact —
+    // rewriting it would launder the corruption into a clean directory
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, CoverageSidecar),
+      "not-a-watermark".getBytes)
+    intercept[NumberFormatException] { Rollups.compactRollup(spark, spec) }
+  }
+
   /** Round 12: SPEC-DRIVEN JOIN BUILD — buildJoinPartials derives the
     * star-join build plan (fact pre-aggregation before any join,
     * pruned dims) from the JoinSpec alone and must reproduce all
