@@ -321,6 +321,12 @@ object SparkEntry {
     // watermark (scratch + sidecar + atomic swap), the unchanged
     // dashboard query still routing hybrid; shares q165's oracle
     "q170_compacted_rollup" -> (graft.streaming.Live.streamingOrdersCompacted _),
+    // HYBRID on the JOIN path: a STREAMING-maintained, stale join MV
+    // (coverage watermark on o_orderdate) answers the unchanged
+    // 3-table revenue query as compacted rollup ∪ live-tail re-join;
+    // shares q16's oracle
+    "q171_stream_revseg_hybrid" ->
+      (graft.streaming.Live.streamingRevenueSegmentHybrid _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -578,6 +584,9 @@ object SparkEntry {
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,
+    // the streamed + compacted + hybrid-read join MV must reproduce
+    // the raw 3-table aggregate
+    "q171_stream_revseg_hybrid" -> revenueSegmentSql,
     // the routed distinct-as-row-count must equal the raw exact
     // COUNT(DISTINCT) aggregate
     "q169_uniq_users_routed" ->

@@ -140,6 +140,22 @@ object Rollups {
     }
   }
 
+  /** [[withRoutingSpecs]] for the join registry. */
+  private[graft] def withRoutingJoinSpecs(spark: SparkSession,
+                                  specs: Seq[graft.plans.RollupRouting.JoinSpec])
+                                 (q: => DataFrame): DataFrame = {
+    import graft.plans.RollupRouting
+    val prev = spark.experimental.extraOptimizations
+    specs.foreach(RollupRouting.registerJoin)
+    spark.experimental.extraOptimizations =
+      prev :+ new RollupRouting.RuleImpl(spark)
+    try q.localCheckpoint()
+    finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   /** Driver entry (q155, shares q151's oracle): GRAIN-HIERARCHY
     * routing — the UNCHANGED day-windowed dashboard query
     * ([[dailyVolumeWindowRaw]]) with only the HOURLY rollup
@@ -274,19 +290,37 @@ object Rollups {
     * compacts to a complete rollup. Unknown columns (not derivable
     * from the spec's aggs) abort rather than silently drop. */
   def compactRollup(spark: SparkSession, spec: graft.plans.RollupRouting.Spec): Unit = {
+    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+    compactPartialsDir(spark, spec.rollupPath,
+      (timeKeyName +: spec.keyCols.values.toSeq).distinct, spec.aggs)
+  }
+
+  /** [[compactRollup]] for a JOIN rollup: same merge, keyed by the
+    * spec's grain + grouping columns. Besides bounding read-time merge
+    * work, this RESTORES the `CountDistinctGrain` claim for a
+    * streaming-built rollup — deliveries that split an order's lines
+    * across micro-batches leave several partial rows per grain, and
+    * compaction re-merges them to exactly one. */
+  def compactJoinRollup(spark: SparkSession,
+                        spec: graft.plans.RollupRouting.JoinSpec): Unit =
+    compactPartialsDir(spark, spec.rollupPath,
+      (spec.grainCols.values.toSeq ++ spec.groupings.values.toSeq).distinct,
+      spec.aggs)
+
+  private def compactPartialsDir(spark: SparkSession, path: String,
+                                 keys: Seq[String],
+                                 aggs: Seq[graft.plans.RollupRouting.AggMap]): Unit = {
     import graft.plans.RollupRouting._
-    val sidecar = java.nio.file.Paths.get(spec.rollupPath, CoverageSidecar)
+    val sidecar = java.nio.file.Paths.get(path, CoverageSidecar)
     val wm: Option[Long] =
       if (java.nio.file.Files.exists(sidecar))
         Some(new String(java.nio.file.Files.readAllBytes(sidecar),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       else None
-    val rollup = spark.read.parquet(spec.rollupPath)
+    val rollup = spark.read.parquet(path)
     val schema = rollup.schema
-    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-    val keys = (timeKeyName +: spec.keyCols.values.toSeq).distinct
     val merges = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-    spec.aggs.foreach {
+    aggs.foreach {
       case SumOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
       case CountStarTo(p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
       case MinOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
@@ -298,7 +332,7 @@ object Rollups {
     }
     val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet
     require(unknown.isEmpty,
-      s"rollup at ${spec.rollupPath} has columns the spec cannot merge: $unknown")
+      s"rollup at $path has columns the spec cannot merge: $unknown")
     val mergeExprs = merges.values.toSeq
     val merged = rollup.groupBy(keys.map(col): _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
@@ -308,7 +342,7 @@ object Rollups {
       // long count widens — cast restores it)
       .select(schema.fieldNames.toSeq.map(n =>
         col(n).cast(schema(n).dataType).as(n)): _*)
-    writeCommitted(merged, spec.rollupPath, wm)
+    writeCommitted(merged, path, wm)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

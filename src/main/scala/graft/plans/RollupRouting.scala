@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, TimestampType}
@@ -326,13 +326,27 @@ object RollupRouting {
     * onto the spec iff its join core matches EXACTLY, every grouping is
     * a preserved column (or the aggregate is global — coarser grains
     * re-aggregate losslessly), and every aggregate has a mapping. */
+  /** `coverage` (round 12) names the SOURCE column a stale join
+    * rollup's coverage watermark is measured on (it must be one of the
+    * spec's preserved `grainCols`/`groupings` keys, so the rollup
+    * stores it per row). With it, a join rollup stamped with the
+    * [[CoverageSidecar]] answers queries HYBRID — rollup partials
+    * where coverage < watermark ∪ a live re-join of the raw tables
+    * where coverage ≥ watermark — exactly like the single-table path.
+    * Without it, a stamped join rollup can never answer (the query
+    * stays on the live join): a writer claimed partial coverage and
+    * the router has no way to serve the rest. A `CountDistinctGrain`
+    * registration on a covered spec additionally claims the coverage
+    * column is CONSTANT per grain value (e.g. `o_orderdate` per
+    * `o_orderkey`), so no grain ever splits across the watermark. */
   case class JoinSpec(
       rollupPath: String,
       tables: Set[String],
       joinKeys: Set[(String, String)],
       groupings: Map[String, String],
       aggs: Seq[AggMap],
-      grainCols: Map[String, String] = Map.empty) {
+      grainCols: Map[String, String] = Map.empty,
+      coverage: Option[String] = None) {
     /** Source columns a residual filter may reference → the rollup
       * column carrying the same per-row value: the preserved groupings
       * and the grain columns (both group-constant by construction),
@@ -376,6 +390,27 @@ object RollupRouting {
       aggs = Seq(
         SumOf(ColRef("o_totalprice"), "vol_partial"),
         CountStarTo("n_orders_partial")))
+
+    /** [[revenueSegment]] with a COVERAGE column (round 12): the
+      * order date — functionally dependent on the order key, so it
+      * joins the grain without changing the rollup's cardinality —
+      * lets a stale, streaming-maintained revenue rollup answer the
+      * unchanged q16 query as rollup ∪ live-tail re-join
+      * ([[graft.streaming.Live.maintainJoinRollup]] maintains it,
+      * [[graft.streaming.Live.streamingRevenueSegmentHybrid]] runs the
+      * whole lifecycle). */
+    def revenueSegmentDated(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        SumOf(OneMinusProduct("l_extendedprice", "l_discount"), "rev_partial"),
+        CountStarTo("n_lines_partial"),
+        CountDistinctGrain("o_orderkey")),
+      grainCols = Map("o_orderkey" -> "o_orderkey",
+                      "o_orderdate" -> "o_orderdate"),
+      coverage = Some("o_orderdate"))
 
     /** The gross-charge measure
       * `l_extendedprice * (1 - l_discount) * (1 + l_tax)` — a
@@ -760,23 +795,26 @@ object RollupRouting {
       case other => (other, Nil)
     }
 
-    private def baseTableName(stripped: LogicalPlan, tables: Set[String]): Option[String] =
+    private def baseTableName(stripped: LogicalPlan, tables: Set[String])
+        : Option[(String, LogicalRelation)] =
       stripped match {
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           fs.location.rootPaths.map(_.toString).collectFirst {
             Function.unlift { rp: String =>
               tables.find(t => rp.endsWith(s"$t.parquet"))
             }
-          }
+          }.map(_ -> lr)
         case _ => None
       }
 
-    /** Flatten an inner-join tree to its base tables + equi-conditions +
-      * the residual filter conjuncts found anywhere in the tree; None as
-      * soon as anything but Project/Filter/Inner-Join over the spec's
-      * expected scans appears. */
+    /** Flatten an inner-join tree to its base-table scans +
+      * equi-conditions + the residual filter conjuncts found anywhere
+      * in the tree; None as soon as anything but Project/Filter/
+      * Inner-Join over the spec's expected scans appears. The scans
+      * come back by name so the hybrid path can rebuild a live tail
+      * join over the query's own relations. */
     private def flattenJoin(p: LogicalPlan, spec: JoinSpec)
-        : Option[(Set[String], Seq[Expression], Seq[Expression])] = {
+        : Option[(Map[String, LogicalRelation], Seq[Expression], Seq[Expression])] = {
       val keyCols = spec.joinKeys.flatMap(p => Set(p._1, p._2))
       val (core, kept) = stripCollect(p, keyCols)
       core match {
@@ -788,7 +826,7 @@ object RollupRouting {
                    kept ++ lf ++ rf)
         case other =>
           baseTableName(other, spec.tables)
-            .map(n => (Set(n), Seq.empty[Expression], kept))
+            .map { case (n, lr) => (Map(n -> lr), Seq.empty[Expression], kept) }
       }
     }
 
@@ -815,12 +853,13 @@ object RollupRouting {
     private def rewriteJoin(agg: Aggregate, groupings: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
                             spec: JoinSpec): Option[LogicalPlan] = {
-      val residualFilters: Seq[Expression] = flattenJoin(agg.child, spec) match {
-        case Some((tables, conds, filters))
-            if tables == spec.tables &&
-               condPairs(conds).contains(spec.joinKeys) => filters
-        case _ => return None
-      }
+      val (scans, residualFilters): (Map[String, LogicalRelation], Seq[Expression]) =
+        flattenJoin(agg.child, spec) match {
+          case Some((tables, conds, filters))
+              if tables.keySet == spec.tables &&
+                 condPairs(conds).contains(spec.joinKeys) => (tables, filters)
+          case _ => return None
+        }
       val rollup = analyzedRollup(spec.rollupPath).getOrElse(return None)
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
       val child = agg.child
@@ -902,9 +941,125 @@ object RollupRouting {
           rewritten
       }
       if (!ok) return None
-      val newChild = routedFilters.reduceOption(And)
-        .map(Filter(_, rollup)).getOrElse(rollup)
+      // HYBRID on the JOIN path (round 12): a join rollup stamped with
+      // a coverage watermark is STALE — it must never answer alone.
+      // With a declared coverage column (preserved per rollup row) the
+      // read becomes rollup rows where coverage < watermark ∪ a live
+      // re-join of the query's own scans where coverage ≥ watermark,
+      // each pre-aggregated to the partial block — mergeability does
+      // the rest, exactly as on the single-table path, and the
+      // coverage filter on the rollup side is the COMMIT POINT that
+      // hides appended-but-uncommitted partials. Without a coverage
+      // column (or with an unreadable sidecar) the query stays live.
+      val newChild: LogicalPlan = coveredUpToPath(spec.rollupPath) match {
+        case None => return None // unreadable sidecar: never answer from it
+        case Some(None) =>
+          routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+        case Some(Some(wm)) =>
+          val covSrc = spec.coverage.getOrElse(return None)
+          val covAttr = spec.filterCols.get(covSrc).flatMap(attr)
+            .getOrElse(return None)
+          val wmLit = coverageLit(covAttr.dataType, wm).getOrElse(return None)
+          val rollupSide =
+            Filter((LessThan(covAttr, wmLit) +: routedFilters).reduce(And), rollup)
+          hybridJoinTail(spec, scans, residualFilters.map(resolved), covSrc, wm,
+                         rollup) match {
+            case Some(tail) => Union(Seq(rollupSide, tail))
+            case None => return None
+          }
+      }
       Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
+    }
+
+    /** The coverage watermark as a literal of the coverage column's own
+      * type. A DATE column can only express whole-day boundaries — a
+      * finer watermark would split a day between the two sides, so the
+      * rewrite refuses it. A TIMESTAMP_NTZ column holds the same
+      * micros value the writer measured (the session is pinned to UTC,
+      * so `unix_micros(cast(ntz as timestamp))` is the NTZ's own
+      * micros — the loader-contract convention all graft time columns
+      * follow). */
+    private def coverageLit(dt: org.apache.spark.sql.types.DataType,
+                            wm: Long): Option[Expression] = dt match {
+      case DateType =>
+        if (wm % MicrosPerDay != 0) None
+        else Some(Literal((wm / MicrosPerDay).toInt, DateType))
+      case TimestampType => Some(Literal(wm, TimestampType))
+      case TimestampNTZType => Some(Literal(wm, TimestampNTZType))
+      case _ => None
+    }
+
+    /** The live-tail side of a hybrid JOIN read: rebuild the spec's
+      * inner-join tree over the query's own scan relations (full-schema
+      * LogicalRelations, so the coverage and measure columns are
+      * present even when the query's projects pruned them), filter to
+      * coverage ≥ watermark plus the query's residual conjuncts (raw
+      * form — both sides must see the same predicate), and
+      * pre-aggregate to the spec's partial block, column-aligned with
+      * the rollup so the Union merges under the final aggregate. */
+    private def hybridJoinTail(spec: JoinSpec, scans: Map[String, LogicalRelation],
+                               residualsRaw: Seq[Expression], covSrc: String,
+                               wm: Long, rollup: LogicalPlan): Option[LogicalPlan] = {
+      def attrOf(n: String): Option[Attribute] =
+        scans.values.view.flatMap(_.output).find(_.name == n)
+      def ownerOf(n: String): Option[String] =
+        scans.collectFirst { case (t, lr) if lr.output.exists(_.name == n) => t }
+      // left-deep rebuild along the spec's key pairs (greedy
+      // connectivity — the spec's registration already proved the
+      // pairs connect the table set); leftover pairs (cycles) re-apply
+      // as filters
+      var joined = Set(spec.tables.head)
+      var tree: LogicalPlan = scans(spec.tables.head)
+      var pairs = spec.joinKeys
+      while (joined != spec.tables) {
+        val step = pairs.collectFirst(Function.unlift { p: (String, String) =>
+          val (a, b) = p
+          (ownerOf(a), ownerOf(b)) match {
+            case (Some(oa), Some(ob)) if joined.contains(oa) && !joined.contains(ob) =>
+              Some((a, b, ob, p))
+            case (Some(oa), Some(ob)) if joined.contains(ob) && !joined.contains(oa) =>
+              Some((b, a, oa, p))
+            case _ => None
+          }
+        }).getOrElse(return None)
+        val (lhs, rhs, t, used) = step
+        val cond = EqualTo(attrOf(lhs).getOrElse(return None),
+                           attrOf(rhs).getOrElse(return None))
+        tree = Join(tree, scans(t), Inner, Some(cond), JoinHint.NONE)
+        joined += t
+        pairs -= used
+      }
+      val cyclePreds = pairs.toSeq.map { case (a, b) =>
+        EqualTo(attrOf(a).getOrElse(return None), attrOf(b).getOrElse(return None))
+      }
+      val covAttr = attrOf(covSrc).getOrElse(return None)
+      val wmLit = coverageLit(covAttr.dataType, wm).getOrElse(return None)
+      val tailCond = (GreaterThanOrEqual(covAttr, wmLit) +:
+        (cyclePreds ++ residualsRaw)).reduce(And)
+      val srcOfRollupCol: Map[String, String] =
+        (spec.groupings ++ spec.grainCols).map(_.swap)
+      val groupKeys: Seq[Attribute] =
+        (spec.grainCols.keySet ++ spec.groupings.keySet).toSeq.sorted
+          .map(n => attrOf(n).getOrElse(return None))
+      val aggExprs: Seq[NamedExpression] = rollup.output.map(_.name).map {
+        case n if srcOfRollupCol.contains(n) =>
+          Alias(attrOf(srcOfRollupCol(n)).getOrElse(return None), n)()
+        case n => spec.aggs.view.flatMap {
+          case SumOf(pat, p) if p == n =>
+            pat.rebuild(attrOf).map(e =>
+              Alias(Sum(Cast(e, DecimalType(38, 6))).toAggregateExpression(), n)())
+          case CountStarTo(p) if p == n =>
+            Some(Alias(Count(Seq(Literal(1))).toAggregateExpression(), n)())
+          case MinOf(cn, p) if p == n =>
+            attrOf(cn).map(a => Alias(Min(a).toAggregateExpression(), n)())
+          case MaxOf(cn, p) if p == n =>
+            attrOf(cn).map(a => Alias(Max(a).toAggregateExpression(), n)())
+          case AvgOf(cn, _, p) if p == n =>
+            attrOf(cn).map(a => Alias(Count(Seq(a)).toAggregateExpression(), n)())
+          case _ => None
+        }.headOption.getOrElse(return None) // a column the tail can't rebuild
+      }
+      Some(Aggregate(groupKeys, aggExprs, Filter(tailCond, tree)))
     }
 
     // ——— single-table daily rollup, with predicate subsumption ———
@@ -1202,8 +1357,11 @@ object RollupRouting {
       * the rewrite must ABORT (stay live) rather than fall back to
       * treating it as complete; inner None = no sidecar at all (a
       * complete rollup). */
-    private def coveredUpTo(spec: Spec): Option[Option[Long]] = {
-      val f = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
+    private def coveredUpTo(spec: Spec): Option[Option[Long]] =
+      coveredUpToPath(spec.rollupPath)
+
+    private def coveredUpToPath(rollupPath: String): Option[Option[Long]] = {
+      val f = new java.io.File(rollupPath, RollupRouting.CoverageSidecar)
       if (!f.exists()) Some(None)
       else scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(f.toPath),

@@ -333,6 +333,95 @@ object Live {
     checkpointDir.fold(withRunCheckpoint(run))(run)
   }
 
+  /** [[maintainRollup]] for a JOIN MV (round 12): per micro-batch,
+    * run the spec's own build over (batch-as-fact ⋈ dims)
+    * ([[graft.plans.RollupRouting.buildJoinPartials]] — fact
+    * pre-aggregated per join key before any join, dims pruned), append
+    * the partial block, and advance the coverage sidecar monotonically
+    * to the last complete grain boundary of the spec's COVERAGE column
+    * seen so far (minus `latenessUs` slack). The same contracts as the
+    * single-table maintainer: deliveries roughly coverage-ordered
+    * within the slack, a crash leaves the sidecar behind the appended
+    * partials (the commit-point filter hides them — the safe side),
+    * and dims are treated as slowly-changing (each batch joins the
+    * current dims, the MV-trigger semantic the reference's engine
+    * gives its MVs). Requires `spec.coverage` — without it the rollup
+    * has no commit point and a stale rollup can never answer. */
+  def maintainJoinRollup(factStream: DataFrame, factTable: String,
+                         dims: Map[String, DataFrame],
+                         spec: graft.plans.RollupRouting.JoinSpec,
+                         latenessUs: Long = 0L,
+                         grainUs: Long = 86400000000L,
+                         checkpointDir: Option[String] = None): Unit = {
+    import graft.plans.RollupRouting
+    val covSrc = spec.coverage.getOrElse(throw new IllegalArgumentException(
+      "maintainJoinRollup needs a coverage column on the spec"))
+    val covRollup = spec.filterCols.getOrElse(covSrc, throw new IllegalArgumentException(
+      s"coverage column $covSrc must be a preserved grainCols/groupings key"))
+    val sidecar = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
+    val stamped = new java.util.concurrent.atomic.AtomicLong(
+      if (sidecar.exists())
+        scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(sidecar.toPath)).trim.toLong)
+          .getOrElse(Long.MinValue)
+      else Long.MinValue)
+    val seenMaxUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    def run(ckpt: String): Unit = {
+      val q = factStream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partials = RollupRouting
+            .buildJoinPartials(dims + (factTable -> batch), spec)
+            .persist()
+          try {
+            val mx = partials.agg(
+              max(unix_micros(col(covRollup).cast("timestamp")))).head()
+            if (!mx.isNullAt(0)) {
+              partials.write.mode("append").parquet(spec.rollupPath)
+              val m = seenMaxUs.accumulateAndGet(mx.getLong(0), Math.max(_, _))
+              val wm = Math.floorDiv(m - latenessUs, grainUs) * grainUs
+              if (wm > stamped.get()) {
+                RollupRouting.stampCoverage(spec.rollupPath, wm)
+                stamped.set(wm)
+              }
+            }
+          } finally partials.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    checkpointDir.fold(withRunCheckpoint(run))(run)
+  }
+
+  /** q171 (shares q16's oracle): the JOIN-MV one-registration
+    * lifecycle end-to-end — STREAMING maintenance of the dated
+    * revenue-segment spec from lineitem deliveries (orders visible
+    * only below a date cut, simulating facts still in flight),
+    * COMPACTION restoring the one-row-per-grain claim (file-split
+    * deliveries scatter an order's lines across micro-batches), and
+    * the UNCHANGED raw 3-table query answered as compacted rollup ∪
+    * live-tail re-join across the coverage watermark. The hash match
+    * proves the tail rebuilt the join for exactly the uncovered
+    * orders — the rollup alone cannot see them. */
+  def streamingRevenueSegmentHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_revseg_hy")
+      .resolve("revseg_rollup").toString
+    val spec = RollupRouting.JoinSpec.revenueSegmentDated(rollupDir)
+    val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+    val o = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").cast("timestamp") < cut)
+    val c = graft.Tables.customer(spark, sfDir)
+    maintainJoinRollup(
+      fileStream(spark, sfDir, "lineitem.parquet", Some(1)), "lineitem",
+      Map("orders" -> o, "customer" -> c), spec)
+    graft.ops.Rollups.compactJoinRollup(spark, spec)
+    graft.ops.Rollups.withRoutingJoinSpecs(spark, Seq(spec)) {
+      graft.ops.StarJoins.revenueBySegment(spark, sfDir)
+    }
+  }
+
   /** T5 applied to the JOIN-derived MV (q145, shares q16's oracle):
     * incremental insert-maintenance of the revenue-segment rollup —
     * stream lineitem deliveries, and per micro-batch run the MV

@@ -1159,6 +1159,118 @@ class RollupRoutingSpec extends AnyFunSuite {
     intercept[NumberFormatException] { Rollups.compactRollup(spark, spec) }
   }
 
+  /** Round 12: HYBRID ON THE JOIN PATH — a join rollup stamped with a
+    * coverage watermark is STALE. With a declared coverage column the
+    * unchanged 3-table query must be answered as rollup(coverage < wm)
+    * ∪ live-tail re-join(coverage ≥ wm), exactly; without one — or
+    * with an unreadable sidecar — the stale rollup must NEVER answer
+    * (the latent hazard this round closes: before, a stamped join
+    * rollup would have served silently incomplete results). */
+  test("stale join rollup: hybrid with coverage, live without") {
+    import graft.plans.RollupRouting.{CoverageSidecar, JoinSpec}
+    import graft.ops.StarJoins
+    val li = Tables.lineitem(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val wmUs = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli * 1000L
+    val covered = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").cast("timestamp") <
+              timestamp_micros(lit(wmUs)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jhy")
+      .resolve("revseg_dated_rollup").toString
+    val spec = JoinSpec.revenueSegmentDated(dir)
+    // partials of exactly the covered orders (inner join drops the rest)
+    graft.plans.RollupRouting.buildJoinPartials(
+        Map("lineitem" -> li, "orders" -> covered, "customer" -> c), spec)
+      .write.parquet(dir)
+    graft.plans.RollupRouting.stampCoverage(dir, wmUs)
+    val plain = StarJoins.revenueBySegment(spark, sf).collect().toSeq
+    RollupRouting.registerJoin(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.revenueBySegment(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("revseg_dated_rollup"),
+        s"rollup side missing from hybrid plan:\n$plan")
+      assert(plan.contains("lineitem.parquet"),
+        s"live-tail re-join missing from hybrid plan:\n$plan")
+      assert(routed.collect().toSeq == plain,
+        "hybrid join read must equal the raw 3-table aggregate")
+      // an unreadable sidecar must keep the query live
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, CoverageSidecar),
+        "garbage".getBytes)
+      val live = StarJoins.revenueBySegment(spark, sf)
+      assert(!live.queryExecution.executedPlan.toString.contains("revseg_dated_rollup"),
+        "unreadable sidecar must keep the query on the live join")
+      assert(live.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // a stamped rollup registered WITHOUT a coverage column: stale +
+    // no way to serve the tail → the query must stay on the live join
+    val dirNoCov = java.nio.file.Files.createTempDirectory("graft_jhy_nc")
+      .resolve("revseg_nocov_rollup").toString
+    val plainSpec = JoinSpec.revenueSegment(dirNoCov)
+    StarJoins.revenueSegmentPartialsOf(li, covered, c).write.parquet(dirNoCov)
+    graft.plans.RollupRouting.stampCoverage(dirNoCov, wmUs)
+    RollupRouting.registerJoin(plainSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val live = StarJoins.revenueBySegment(spark, sf)
+      assert(!live.queryExecution.executedPlan.toString.contains("revseg_nocov_rollup"),
+        "a stale rollup without a coverage column must never answer")
+      assert(live.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 12: the join-MV streaming maintenance + compaction pair —
+    * maintainJoinRollup appends per-delivery partial blocks and
+    * advances the watermark monotonically; compactJoinRollup restores
+    * one row per grain (file-split deliveries scatter an order's
+    * lines) under the unchanged watermark, so the CountDistinctGrain
+    * claim holds for the hybrid read. */
+  test("maintainJoinRollup + compactJoinRollup restore the grain claim") {
+    import graft.plans.RollupRouting.{CoverageSidecar, JoinSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_jmaint")
+      .resolve("revseg_dated_rollup").toString
+    val spec = JoinSpec.revenueSegmentDated(dir)
+    val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+    val o = Tables.orders(spark, sf).filter(col("o_orderdate").cast("timestamp") < cut)
+    val c = Tables.customer(spark, sf)
+    // two deliveries SPLITTING an order's lines: both halves of the
+    // lineitem rows as separate files in one streaed source dir
+    val li = Tables.lineitem(spark, sf)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_jmaint_src")
+    li.filter(col("l_linenumber") % 2 === 0)
+      .write.parquet(srcDir.resolve("d1").toString)
+    li.filter(col("l_linenumber") % 2 === 1)
+      .write.parquet(srcDir.resolve("d2").toString)
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString + "/d*")
+    graft.streaming.Live.maintainJoinRollup(stream, "lineitem",
+      Map("orders" -> o, "customer" -> c), spec)
+    val sidecarF = java.nio.file.Paths.get(dir, CoverageSidecar)
+    assert(java.nio.file.Files.exists(sidecarF), "maintenance must stamp coverage")
+    val wm = new String(java.nio.file.Files.readAllBytes(sidecarF)).trim.toLong
+    assert(wm % 86400000000L == 0, "watermark must land on a day boundary")
+    val pre = spark.read.parquet(dir)
+    val grains = pre.select("o_orderkey").distinct().count()
+    assert(pre.count() > grains,
+      "split deliveries must leave several partial rows per order")
+    graft.ops.Rollups.compactJoinRollup(spark, spec)
+    val post = spark.read.parquet(dir)
+    assert(post.count() ==
+      post.select("o_orderkey", "o_orderdate", "c_mktsegment").distinct().count()
+      && post.count() == grains,
+      "compaction must restore one row per grain")
+    assert(new String(java.nio.file.Files.readAllBytes(sidecarF)).trim.toLong == wm,
+      "compaction must preserve the watermark")
+  }
+
   /** Round 12: SPEC-DRIVEN JOIN BUILD — buildJoinPartials derives the
     * star-join build plan (fact pre-aggregation before any join,
     * pruned dims) from the JoinSpec alone and must reproduce all
