@@ -369,8 +369,25 @@ object Live {
     def run(ckpt: String): Unit = {
       val q = factStream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // runtime key-range prune each dim the fact joins DIRECTLY:
+          // incremental deliveries are key-localized, so each batch
+          // joins a sliver of the dim, not all of it (the r10 ×100
+          // rehearsal measured per-batch full-dim cost as the
+          // dominant term; same fix as revenueSegmentPartialsOfPruned)
+          val factCols = batch.columns.toSet
+          val prunedDims = dims.map { case (t, df) =>
+            val pair = spec.joinKeys.collectFirst {
+              case (a, b) if factCols.contains(a) && df.columns.contains(b) => (a, b)
+              case (a, b) if factCols.contains(b) && df.columns.contains(a) => (b, a)
+            }
+            pair.fold(t -> df) { case (fc, dc) =>
+              val r = batch.agg(min(col(fc)), max(col(fc))).head()
+              if (r.isNullAt(0)) t -> df
+              else t -> df.filter(col(dc) >= lit(r.get(0)) && col(dc) <= lit(r.get(1)))
+            }
+          }
           val partials = RollupRouting
-            .buildJoinPartials(dims + (factTable -> batch), spec)
+            .buildJoinPartials(prunedDims + (factTable -> batch), spec)
             .persist()
           try {
             val mx = partials.agg(
