@@ -327,6 +327,10 @@ object SparkEntry {
     // shares q16's oracle
     "q171_stream_revseg_hybrid" ->
       (graft.streaming.Live.streamingRevenueSegmentHybrid _),
+    // the FULL aggregate vocabulary on the JOIN path: min/max partials
+    // plus the exact decimal average (sum + non-null-count, Spark's
+    // own Average evaluate tree) routed through a 3-table join MV
+    "q172_segment_qty_routed" -> (StarJoins.segmentQtyRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -611,6 +615,21 @@ object SparkEntry {
            AS avg_value,
          COUNT(*) AS n_events
          FROM events GROUP BY 1 ORDER BY day""",
+    // the full-vocabulary join MV: the q167 HUGEINT half-up avg
+    // replication (valid — l_quantity is integer-valued, so the
+    // ×10⁶ scaling is exact and the scale-10 quotient ≤ 50×10¹⁰ sits
+    // inside double's exact-integer range) plus min/max/count over
+    // the same 3-table join
+    "q172_segment_qty_routed" ->
+      """SELECT c_mktsegment,
+         CAST((2 * SUM(CAST(round(l_quantity * 1000000) AS HUGEINT)) * 10000
+               + COUNT(l_quantity)) // (2 * COUNT(l_quantity)) AS DOUBLE) / 1e10
+           AS avg_qty,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     // the routed user-measure (gross charge) join MV must equal the
     // raw 3-table aggregate
     "q166_charge_segment_routed" ->

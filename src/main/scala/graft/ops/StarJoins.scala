@@ -253,6 +253,55 @@ object StarJoins {
     }
   }
 
+  /** Per-segment line-quantity stats over the 3-table join — exact
+    * decimal average (the dsum-shaped form), min, max, line count.
+    * Written against the raw join; [[segmentQtyRouted]] runs it
+    * UNCHANGED with the full-vocabulary MV registered. `l_quantity`
+    * is integer-valued, so every decimal cast is
+    * representation-exact on both engines. */
+  def segmentQtyStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(avg(col("l_quantity").cast("decimal(38,6)")).cast("double")
+             .as("avg_qty"),
+           min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  def segmentQtyRollupDir(sfDir: String): String = scratch(sfDir, "segqty_rollup")
+  private def ensureSegmentQtyRollup(spark: SparkSession, sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, segmentQtyRollupDir(sfDir)) {
+      RollupRouting.buildJoinPartials(
+        Map("lineitem" -> Tables.lineitem(spark, sfDir),
+            "orders" -> Tables.orders(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.segmentQty("unused"))
+    }
+  }
+
+  /** Driver entry (q172): the FULL aggregate vocabulary routed on the
+    * JOIN path — the unchanged [[segmentQtyStats]] query re-aggregates
+    * min/max partials directly and reproduces Spark's own decimal
+    * `Average` evaluate tree over the exact sum + non-null-count
+    * partials, exactly as the single-table q167 does
+    * (RollupRoutingSpec pins the join-free plan and the near-miss: a
+    * bare DOUBLE avg stays on the live join). */
+  def segmentQtyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureSegmentQtyRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.segmentQty(dir))) {
+      segmentQtyStats(spark, sfDir).localCheckpoint()
+    }
+  }
+
   /** Run `f` with BOTH round-11 join MVs (plus any `extra` specs)
     * registered (the multi-MV registry in action — the reference
     * maintains six MVs side by side,

@@ -412,6 +412,25 @@ object RollupRouting {
                       "o_orderdate" -> "o_orderdate"),
       coverage = Some("o_orderdate"))
 
+    /** A join MV whose value is the FULL aggregate vocabulary (round
+      * 12): per-segment line-quantity stats — min/max partials and
+      * the exact-avg sum + non-null-count pair, alongside the row
+      * count — proving the join path routes every AggMap the
+      * single-table path does. `l_quantity` is integer-valued in the
+      * fixture, so the decimal casts are representation-exact on both
+      * engines (the oracle-safety rule every routed measure follows). */
+    def segmentQty(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        AvgOf("l_quantity", "qty_partial", "qtyn_partial"),
+        MinOf("l_quantity", "qmn_partial"),
+        MaxOf("l_quantity", "qmx_partial"),
+        CountStarTo("n_lines_partial")),
+      grainCols = Map("o_orderkey" -> "o_orderkey"))
+
     /** The gross-charge measure
       * `l_extendedprice * (1 - l_discount) * (1 + l_tax)` — a
       * USER-DEFINED expression outside the named pattern vocabulary,
@@ -897,6 +916,11 @@ object RollupRouting {
           case None => return None
         }
       }.toMap
+      def isBareRefJ(se: Expression, name: String): Boolean =
+        resolved(se) match {
+          case a: AttributeReference => a.name == name
+          case _ => false
+        }
       def mapAgg(ae: AggregateExpression): Option[Expression] =
         spec.aggs.view.flatMap { m =>
           (m, ae.aggregateFunction) match {
@@ -925,6 +949,32 @@ object RollupRouting {
                 }) =>
               Some(ae.copy(aggregateFunction = Count(Seq(Literal(1))),
                            isDistinct = false))
+            // MIN/MAX/AVG on the join path (round 12) — the same
+            // vocabulary and guards as the single-table mapAgg: bare
+            // column refs for min/max, the dsum-shaped exact form for
+            // avg (reproducing Average's own decimal evaluate tree
+            // over sum + non-null-count partials, fresh resultIds).
+            case (MinOf(cn, partial), Min(se))
+                if !ae.isDistinct && ae.filter.isEmpty && isBareRefJ(se, cn) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Min(p)))
+            case (MaxOf(cn, partial), Max(se))
+                if !ae.isDistinct && ae.filter.isEmpty && isBareRefJ(se, cn) =>
+              attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            case (AvgOf(cn, sp, cp), Average(se, mode))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolved(se),
+                                      x => x.isInstanceOf[AttributeReference] &&
+                                           x.asInstanceOf[AttributeReference].name == cn) =>
+              for (s <- attr(sp); c <- attr(cp)) yield {
+                val sumAE = ae.copy(aggregateFunction = Sum(s),
+                                    resultId = NamedExpression.newExprId)
+                val cntAE = ae.copy(aggregateFunction = Sum(c),
+                                    resultId = NamedExpression.newExprId)
+                DecimalDivideWithOverflowCheck(
+                  sumAE, Cast(cntAE, DecimalType(20, 0)),
+                  DecimalType(38, 10), null,
+                  mode != EvalMode.ANSI)
+              }
             case _ => None
           }
         }.headOption
@@ -1056,6 +1106,9 @@ object RollupRouting {
             attrOf(cn).map(a => Alias(Max(a).toAggregateExpression(), n)())
           case AvgOf(cn, _, p) if p == n =>
             attrOf(cn).map(a => Alias(Count(Seq(a)).toAggregateExpression(), n)())
+          case AvgOf(cn, sp, _) if sp == n =>
+            attrOf(cn).map(a => Alias(
+              Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -1432,6 +1485,10 @@ object RollupRouting {
             scanAttr(cn).map(a => Alias(Max(a).toAggregateExpression(), n)())
           case AvgOf(cn, _, p) if p == n => // non-null count of cn
             scanAttr(cn).map(a => Alias(Count(Seq(a)).toAggregateExpression(), n)())
+          case AvgOf(cn, sp, _) if sp == n => // avg's sum partial, when
+            // no SumOf writes the same column (the builder reuses it)
+            scanAttr(cn).map(a => Alias(
+              Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

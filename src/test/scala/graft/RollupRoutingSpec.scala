@@ -1159,6 +1159,46 @@ class RollupRoutingSpec extends AnyFunSuite {
     intercept[NumberFormatException] { Rollups.compactRollup(spark, spec) }
   }
 
+  /** Round 12: the FULL aggregate vocabulary on the JOIN path —
+    * min/max partials re-aggregate directly and the dsum-shaped exact
+    * avg reproduces Spark's decimal Average tree over sum +
+    * non-null-count partials, all through a registered join MV. The
+    * routed plan must be join-free and BIT-equal to the live join;
+    * a bare double avg (not the exact form) must stay live. */
+  test("join path routes min/max/avg; bare double avg stays live") {
+    import graft.ops.StarJoins
+    import graft.plans.RollupRouting.JoinSpec
+    val plain = StarJoins.segmentQtyStats(spark, sf).collect().toSeq
+    val routed = StarJoins.segmentQtyRouted(spark, sf)
+    // the driver entry localCheckpoints under the rule; re-run the
+    // plan shape assertion directly
+    val dir = StarJoins.segmentQtyRollupDir(sf)
+    RollupRouting.registerJoin(JoinSpec.segmentQty(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val q = StarJoins.segmentQtyStats(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("segqty_rollup"), s"rollup scan missing:\n$plan")
+      assert(!plan.contains("lineitem.parquet"),
+        s"routed plan must not scan the fact:\n$plan")
+      assert(q.collect().toSeq == plain, "routed must be bit-equal to live")
+      // near-miss: a bare DOUBLE average is not the exact form
+      val liveQ = graft.Tables.lineitem(spark, sf)
+        .join(graft.Tables.orders(spark, sf),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(graft.Tables.customer(spark, sf),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      assert(!liveQ.queryExecution.executedPlan.toString.contains("segqty_rollup"),
+        "a bare double avg must stay on the live join")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    assert(routed.collect().toSeq == plain)
+  }
+
   /** Round 12: HYBRID ON THE JOIN PATH — a join rollup stamped with a
     * coverage watermark is STALE. With a declared coverage column the
     * unchanged 3-table query must be answered as rollup(coverage < wm)
