@@ -331,6 +331,10 @@ object SparkEntry {
     // plus the exact decimal average (sum + non-null-count, Spark's
     // own Average evaluate tree) routed through a 3-table join MV
     "q172_segment_qty_routed" -> (StarJoins.segmentQtyRouted _),
+    // SPEC-DRIVEN TTL on the second table: the orders registration
+    // ages its lake into its own rollup; the unchanged year-window
+    // dashboard crosses the expiry boundary; shares q165's oracle
+    "q173_ttl_orders" -> (ops.Lifecycle.ttlAggregatedOrders _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -591,6 +595,9 @@ object SparkEntry {
     // the streamed + compacted + hybrid-read join MV must reproduce
     // the raw 3-table aggregate
     "q171_stream_revseg_hybrid" -> revenueSegmentSql,
+    // spec-driven TTL on orders: post-expiry hybrid read over the
+    // lake must reproduce the same raw windowed aggregate
+    "q173_ttl_orders" -> ordersDailySalesSql,
     // the routed distinct-as-row-count must equal the raw exact
     // COUNT(DISTINCT) aggregate
     "q169_uniq_users_routed" ->

@@ -32,9 +32,21 @@ object Lifecycle {
   /** Events laid out day-partitioned — the grain [[expireIntoRollup]]
     * ages out at. */
   def writeDayPartitionedLake(events: DataFrame, outDir: String): Unit =
-    events.withColumn("day", to_date(col("ts")))
+    writeDayPartitionedLake(events,
+      graft.plans.RollupRouting.Spec("", ""), outDir)
+
+  /** The SPEC-generic day-partitioned layout (round 12): the partition
+    * key derives from the spec's own time column, clustering from its
+    * key columns — any registered table shape gets the TTL-ready
+    * lake. The events default reproduces the original
+    * (user_id, ts)-clustered layout exactly. */
+  def writeDayPartitionedLake(df: DataFrame,
+                              spec: graft.plans.RollupRouting.Spec,
+                              outDir: String): Unit =
+    df.withColumn("day", to_date(col(spec.timeCol).cast("timestamp")))
       .repartition(col("day"))
-      .sortWithinPartitions("user_id", "ts")
+      .sortWithinPartitions(
+        (spec.keyCols.keys.toSeq.sorted :+ spec.timeCol).map(col): _*)
       .write.mode("overwrite").partitionBy("day").parquet(outDir)
 
   /** TTL AGGREGATION on expiry — ClickHouse's `TTL … GROUP BY` idea:
@@ -61,7 +73,23 @@ object Lifecycle {
     * boundary day. At 100 TB the job cost is the expired slice's
     * aggregation; the hot path is never rewritten. */
   def expireIntoRollup(spark: SparkSession, lakeDir: String,
-                       rollupDir: String, cutoffUs: Long): Seq[String] = {
+                       rollupDir: String, cutoffUs: Long): Seq[String] =
+    expireIntoRollup(spark, lakeDir,
+      graft.plans.RollupRouting.Spec("", rollupDir), cutoffUs)
+
+  /** The SPEC-generic TTL expiry (round 12): the aged-out partial
+    * block derives from the registration's own `aggs`
+    * ([[graft.plans.RollupRouting.buildPartials]]) instead of the
+    * hardcoded events block, so ANY registered daily spec ages its
+    * lake into its rollup under the same 3-step crash-safe protocol —
+    * TTL retention joins build, commit, streaming maintenance,
+    * routing, and compaction as spec-driven lifecycle stages. */
+  def expireIntoRollup(spark: SparkSession, lakeDir: String,
+                       spec: graft.plans.RollupRouting.Spec,
+                       cutoffUs: Long): Seq[String] = {
+    val rollupDir = spec.rollupPath
+    require(spec.grain == "day",
+      s"TTL expiry is day-partition-granular, got grain ${spec.grain}")
     val MicrosPerDay = 86400000000L
     require(cutoffUs % MicrosPerDay == 0,
       s"TTL cutoff must be a whole-day boundary, got $cutoffUs")
@@ -90,7 +118,7 @@ object Lifecycle {
     val slice = lake.filter(
       col("day") >= lit(prevDate.toString).cast("date") &&
       col("day") < lit(cutoffDate.toString).cast("date"))
-    graft.ops.Rollups.dailyPartialsOf(slice.drop("day"))
+    graft.plans.RollupRouting.buildPartials(slice.drop("day"), spec)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(rollupDir)
@@ -132,6 +160,46 @@ object Lifecycle {
         .groupBy(to_date(col("ts")).as("day"), col("user_id"))
         .agg(Fns.dsum(col("value")).as("total_value"), count(lit(1)).as("tx_count"))
         .orderBy("day", "user_id")
+    }
+  }
+
+  /** Driver entry (q173, shares q165's oracle): SPEC-DRIVEN TTL on a
+    * SECOND table — the orders registration ages its day-partitioned
+    * lake into its own (day, customer) price-partial rollup at
+    * mid-1997, and the UNCHANGED year-window dashboard query (written
+    * against the lake) crosses the expiry boundary: January–June
+    * answered from the rollup, July–December from the surviving raw
+    * partitions. One registration value now drives the entire
+    * lifecycle including retention. */
+  def ttlAggregatedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl_orders")
+    val lakeDir = base.resolve("orders_ttl_lake").toString
+    val rollupDir = base.resolve("orders_ttl_rollup").toString
+    val spec = Rollups.ordersSpec(rollupDir).copy(sourceSuffix = "orders_ttl_lake")
+    // lake scoped to the dashboard's year: the fixture's 7-year order
+    // history would day-partition into ~2400 single-JVM directories —
+    // pure small-file overhead at fixture scale (a cluster lake holds
+    // years of day partitions as a matter of course); the queried
+    // window, and therefore the oracle, is unchanged
+    writeDayPartitionedLake(
+      graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate").cast("timestamp") >=
+                  lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate").cast("timestamp") <
+                  lit("1998-01-01 00:00:00").cast("timestamp")),
+      spec, lakeDir)
+    val cutoffUs =
+      java.time.Instant.parse("1997-07-01T00:00:00Z").toEpochMilli * 1000L
+    expireIntoRollup(spark, lakeDir, spec, cutoffUs)
+    Rollups.withRoutingSpecs(spark, Seq(spec)) {
+      spark.read.parquet(lakeDir)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("o_day"))
+        .agg(Fns.dsum(col("o_totalprice")).as("daily_sales"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_day")
     }
   }
 
