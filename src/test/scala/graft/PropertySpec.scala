@@ -491,4 +491,73 @@ class PropertySpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** Round 12: the JOIN-path HYBRID read as a property — across
+    * coverage watermarks and filter forms against a stale dated
+    * revenue rollup, the rule never changes an answer; subsumable
+    * filters (preserved grouping/grain columns) stay routed as a
+    * two-sided hybrid plan, fact-side predicates keep the query on
+    * the live join. The aggregate set includes COUNT(DISTINCT
+    * o_orderkey): the coverage column is grain-constant, so no order
+    * ever splits across the watermark (the CountDistinctGrain claim
+    * the hybrid relies on). */
+  test("property: join-path hybrid is answer-preserving across watermarks and filters") {
+    import graft.ops.Fns.dsum
+    import graft.plans.RollupRouting
+    import graft.plans.RollupRouting.JoinSpec
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+    val o = graft.Tables.orders(spark, TestSpark.sf)
+    val c = graft.Tables.customer(spark, TestSpark.sf)
+    def query(filter: Int): org.apache.spark.sql.DataFrame = {
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+      val fil = filter match {
+        case 0 => joined
+        case 1 => joined.filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+        case 2 => joined.filter($"o_orderkey" % 2 === 0) // preserved grain col
+        case 3 => joined.filter($"l_extendedprice" > 10000.0) // fact-side
+      }
+      fil.withColumn("rev", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .groupBy($"c_mktsegment")
+        .agg(dsum($"rev").as("revenue"),
+             countDistinct($"o_orderkey").as("n_orders"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_prop_jhyb")
+    for (wmDate <- Seq("1996-07-01", "1997-01-01", "1997-10-01")) {
+      val wmUs = java.time.Instant.parse(s"${wmDate}T00:00:00Z")
+        .toEpochMilli * 1000L
+      val dir = base.resolve(s"jhyb_rollup_$wmDate").toString
+      val spec = JoinSpec.revenueSegmentDated(dir)
+      val covered = o.filter($"o_orderdate".cast("timestamp") <
+        timestamp_micros(lit(wmUs)))
+      RollupRouting.buildJoinPartials(
+          Map("lineitem" -> li, "orders" -> covered, "customer" -> c), spec)
+        .write.parquet(dir)
+      RollupRouting.stampCoverage(dir, wmUs)
+      for (filter <- 0 to 3) {
+        spark.experimental.extraOptimizations = Nil
+        val raw = query(filter).collect().toSeq
+        RollupRouting.registerJoin(spec)
+        spark.experimental.extraOptimizations =
+          Seq(new RollupRouting.RuleImpl(spark))
+        try {
+          val routedDf = query(filter)
+          val plan = routedDf.queryExecution.executedPlan.toString
+          val expectRoute = filter != 3
+          assert(plan.contains("jhyb_rollup") == expectRoute,
+            s"wm=$wmDate filter=$filter: routed=${!expectRoute} unexpected:\n$plan")
+          if (expectRoute)
+            assert(plan.contains("lineitem.parquet"),
+              s"wm=$wmDate filter=$filter: hybrid plan must scan the tail")
+          assert(routedDf.collect().toSeq == raw,
+            s"wm=$wmDate filter=$filter: rule changed the answer")
+        } finally {
+          spark.experimental.extraOptimizations = Nil
+          RollupRouting.clear()
+        }
+      }
+    }
+  }
 }
