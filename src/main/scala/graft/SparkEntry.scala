@@ -335,6 +335,11 @@ object SparkEntry {
     // ages its lake into its own rollup; the unchanged year-window
     // dashboard crosses the expiry boundary; shares q165's oracle
     "q173_ttl_orders" -> (ops.Lifecycle.ttlAggregatedOrders _),
+    // PERSISTED registry: the ExprPat charge spec survives a
+    // save/load round trip (measure travels as SQL, re-parsed on
+    // load) and the unchanged raw query routes through the RELOADED
+    // registration; shares q166's oracle
+    "q174_registry_persisted" -> (StarJoins.chargeSegmentPersistedRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -359,6 +364,15 @@ object SparkEntry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY c_mktsegment"""
+  private lazy val chargeSegmentSql =
+    s"""SELECT c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS gross_charge,
+       COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY c_mktsegment"""
   private lazy val slidingUniqSql =
     """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
        hours AS (SELECT DISTINCT h FROM hu)
@@ -638,16 +652,11 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
     // the routed user-measure (gross charge) join MV must equal the
-    // raw 3-table aggregate
-    "q166_charge_segment_routed" ->
-      s"""SELECT c_mktsegment,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                       AS DECIMAL(38,6))) AS DOUBLE) AS gross_charge,
-         COUNT(*) AS n_lines
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
+    // raw 3-table aggregate; q174 routes the same query through a
+    // SAVED + RELOADED registry (the ExprPat measure round-trips as
+    // SQL), so it must reproduce the identical result
+    "q166_charge_segment_routed" -> chargeSegmentSql,
+    "q174_registry_persisted" -> chargeSegmentSql,
     // the hybrid rollup∪tail read must equal the raw window aggregate
     "q158_hybrid_tail_routed" ->
       s"""SELECT CAST(ts AS DATE) AS day,

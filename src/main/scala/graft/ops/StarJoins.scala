@@ -302,6 +302,35 @@ object StarJoins {
     }
   }
 
+  /** Driver entry (q174, shares q166's oracle): REGISTRY PERSISTENCE —
+    * the reference's MVs are DDL in files that outlive any process
+    * (`usdc-transfers/sql/analytics.sql:9-94`); here the in-session
+    * registry saves to one JSON document and a fresh session state
+    * loads it back. The ExprPat charge measure is the hard case: it
+    * travels as its SQL rendering and is re-parsed on load, and the
+    * canonicalized matcher makes the fresh tree semantically
+    * identical — the unchanged raw query routes through the RELOADED
+    * registration (RollupRoutingSpec pins the round trip for every
+    * AggMap kind and both registries). */
+  def chargeSegmentPersistedRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureChargeSegmentRollup(spark, sfDir)
+    val reg = java.nio.file.Files.createTempDirectory("graft_registry")
+      .resolve("registry.json").toString
+    RollupRouting.registerJoin(RollupRouting.JoinSpec.chargeSegment(dir))
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ new RollupRouting.RuleImpl(spark)
+    try chargeBySegment(spark, sfDir).localCheckpoint()
+    finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   /** Run `f` with BOTH round-11 join MVs (plus any `extra` specs)
     * registered (the multi-MV registry in action — the reference
     * maintains six MVs side by side,

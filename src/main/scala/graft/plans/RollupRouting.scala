@@ -607,6 +607,119 @@ object RollupRouting {
   def registered: List[Spec] = specs
   def registeredJoins: List[JoinSpec] = joinSpecs
 
+  // ——— registry persistence (round 12) ———
+  //
+  // The reference's MVs are DDL in files that outlive any process
+  // (`usdc-transfers/sql/analytics.sql:9-94`); this registry was
+  // session-state only. Specs are pure data, so they serialize: both
+  // registries round-trip through one JSON document — an ExprPat
+  // measure travels as its SQL rendering and is re-parsed on load
+  // (canonicalized matching makes the round-trip semantically exact
+  // even though the parsed tree is built fresh). Written atomically
+  // (temp + rename) so a catalog reader never sees a torn file.
+
+  private def patJson(p: SrcPat): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    p match {
+      case ColRef(n) => ("kind" -> "col") ~ ("name" -> n)
+      case OneMinusProduct(a, b) =>
+        ("kind" -> "oneMinusProduct") ~ ("a" -> a) ~ ("b" -> b)
+      case ExprPat(e) => ("kind" -> "expr") ~ ("sql" -> e.sql)
+    }
+  }
+
+  private def aggJson(m: AggMap): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    m match {
+      case SumOf(pat, p) => ("kind" -> "sum") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
+      case CountStarTo(p) => ("kind" -> "count") ~ ("partial" -> p)
+      case MinOf(c, p) => ("kind" -> "min") ~ ("col" -> c) ~ ("partial" -> p)
+      case MaxOf(c, p) => ("kind" -> "max") ~ ("col" -> c) ~ ("partial" -> p)
+      case AvgOf(c, sp, cp) =>
+        ("kind" -> "avg") ~ ("col" -> c) ~ ("sumPartial" -> sp) ~ ("cntPartial" -> cp)
+      case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
+    }
+  }
+
+  /** Persist BOTH registries as one JSON document. */
+  def saveRegistry(path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val doc =
+      ("singles" -> registered.map { s =>
+        ("sourceSuffix" -> s.sourceSuffix) ~ ("rollupPath" -> s.rollupPath) ~
+        ("grain" -> s.grain) ~ ("timeCol" -> s.timeCol) ~
+        ("keyCols" -> s.keyCols) ~ ("aggs" -> s.aggs.map(aggJson))
+      }) ~
+      ("joins" -> registeredJoins.map { j =>
+        ("rollupPath" -> j.rollupPath) ~ ("tables" -> j.tables.toList.sorted) ~
+        ("joinKeys" -> j.joinKeys.toList.sorted.map(p => List(p._1, p._2))) ~
+        ("groupings" -> j.groupings) ~ ("aggs" -> j.aggs.map(aggJson)) ~
+        ("grainCols" -> j.grainCols) ~ ("coverage" -> j.coverage)
+      })
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = java.nio.file.Files.createTempFile(
+      Option(target.getParent).getOrElse(java.nio.file.Paths.get(".")), ".reg", ".tmp")
+    java.nio.file.Files.write(tmp,
+      JsonMethods.pretty(JsonMethods.render(doc))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load a [[saveRegistry]] document and register everything in it
+    * (appending to whatever is already registered, in saved order).
+    * The session parses ExprPat measures back from their SQL. */
+  def loadRegistry(spark: SparkSession, path: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    def pat(j: JValue): SrcPat = (j \ "kind").extract[String] match {
+      case "col" => ColRef((j \ "name").extract[String])
+      case "oneMinusProduct" =>
+        OneMinusProduct((j \ "a").extract[String], (j \ "b").extract[String])
+      case "expr" => ExprPat(
+        spark.sessionState.sqlParser.parseExpression((j \ "sql").extract[String]))
+      case k => throw new IllegalArgumentException(s"unknown pattern kind $k")
+    }
+    def agg(j: JValue): AggMap = (j \ "kind").extract[String] match {
+      case "sum" => SumOf(pat(j \ "pat"), (j \ "partial").extract[String])
+      case "count" => CountStarTo((j \ "partial").extract[String])
+      case "min" => MinOf((j \ "col").extract[String], (j \ "partial").extract[String])
+      case "max" => MaxOf((j \ "col").extract[String], (j \ "partial").extract[String])
+      case "avg" => AvgOf((j \ "col").extract[String],
+        (j \ "sumPartial").extract[String], (j \ "cntPartial").extract[String])
+      case "countDistinctGrain" =>
+        CountDistinctGrain((j \ "grainCol").extract[String])
+      case k => throw new IllegalArgumentException(s"unknown agg kind $k")
+    }
+    val doc = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val singles = (doc \ "singles").children.map { j =>
+      Spec((j \ "sourceSuffix").extract[String], (j \ "rollupPath").extract[String],
+        (j \ "grain").extract[String], (j \ "timeCol").extract[String],
+        (j \ "keyCols").extract[Map[String, String]],
+        (j \ "aggs").children.map(agg))
+    }
+    val joins = (doc \ "joins").children.map { j =>
+      JoinSpec((j \ "rollupPath").extract[String],
+        (j \ "tables").extract[List[String]].toSet,
+        (j \ "joinKeys").extract[List[List[String]]]
+          .map { case List(a, b) => (a, b) }.toSet,
+        (j \ "groupings").extract[Map[String, String]],
+        (j \ "aggs").children.map(agg),
+        (j \ "grainCols").extract[Map[String, String]],
+        (j \ "coverage").extractOpt[String])
+    }
+    synchronized {
+      singles.reverse.foreach(register)
+      joins.reverse.foreach(registerJoin)
+    }
+  }
+
   /** Per-(path, directory-mtime) cache of each rollup's ANALYZED scan
     * plan (round 12). Without it, every Aggregate visit × every
     * candidate spec re-ran `spark.read.parquet` — file listing +
@@ -759,7 +872,14 @@ object RollupRouting {
       case _ => false
     }
     private def isPartialBlock(aggExprs: Seq[NamedExpression]): Boolean = {
-      val partials = specs.flatMap(_.aggs.flatMap(partialName)).toSet
+      // BOTH registries' partial names (round 12): the join-path
+      // hybrid tail is an Aggregate over the raw join whose output is
+      // the spec's partial block — without the join names here, a
+      // covered spec whose tail groups only by preserved groupings
+      // would be re-routed on the next fixed-point pass, growing a
+      // union level per iteration
+      val partials = (specs.flatMap(_.aggs.flatMap(partialName)) ++
+        joinSpecs.flatMap(_.aggs.flatMap(partialName))).toSet
       aggExprs.exists(ne => partials.contains(ne.name))
     }
 
@@ -782,7 +902,8 @@ object RollupRouting {
               .headOption
           else None
         viaSingle.orElse {
-          if (joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]))
+          if (joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]) &&
+              !isPartialBlock(aggExprs))
             joinSpecs.view
               .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s))
               .headOption

@@ -1159,6 +1159,67 @@ class RollupRoutingSpec extends AnyFunSuite {
     intercept[NumberFormatException] { Rollups.compactRollup(spark, spec) }
   }
 
+  /** Round 12: REGISTRY PERSISTENCE — both registries round-trip
+    * through one JSON document covering every AggMap kind and every
+    * SrcPat (ColRef, OneMinusProduct, and the ExprPat hard case,
+    * which travels as SQL and is re-parsed); a query routes through
+    * the RELOADED registration exactly as through the original. */
+  test("registry persistence round-trips every spec kind and still routes") {
+    import graft.plans.RollupRouting._
+    import graft.ops.{Rollups, StarJoins}
+    val base = java.nio.file.Files.createTempDirectory("graft_registry_rt")
+    val reg = base.resolve("registry.json").toString
+    val chargeDir = base.resolve("charge_rt_rollup").toString
+    RollupRouting.buildJoinPartials(
+      Map("lineitem" -> Tables.lineitem(spark, sf),
+          "orders" -> Tables.orders(spark, sf),
+          "customer" -> Tables.customer(spark, sf)),
+      JoinSpec.chargeSegment("unused")).write.parquet(chargeDir)
+    RollupRouting.clear()
+    val singles = Seq(
+      Rollups.ordersSpec(base.resolve("a").toString), // SumOf + CountStarTo
+      Spec("events.parquet", base.resolve("b").toString)) // sum/count/min/max/avg defaults
+    val joins = Seq(
+      JoinSpec.revenueSegmentDated(base.resolve("c").toString), // coverage + CountDistinctGrain + OneMinusProduct
+      JoinSpec.segmentQty(base.resolve("d").toString), // join-path min/max/avg
+      JoinSpec.chargeSegment(chargeDir)) // ExprPat measure
+    singles.foreach(RollupRouting.register)
+    joins.foreach(RollupRouting.registerJoin)
+    val savedSingles = RollupRouting.registered
+    val savedJoins = RollupRouting.registeredJoins
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    assert(RollupRouting.registered == savedSingles,
+      "single-table specs must round-trip exactly (pure data, same order)")
+    val loadedJoins = RollupRouting.registeredJoins
+    assert(loadedJoins.size == savedJoins.size)
+    loadedJoins.zip(savedJoins).foreach { case (l, o) =>
+      assert(l.copy(aggs = Nil) == o.copy(aggs = Nil),
+        s"non-agg fields must round-trip exactly: $l vs $o")
+      l.aggs.zip(o.aggs).foreach {
+        case (SumOf(lp: ExprPat, ln), SumOf(op: ExprPat, on)) =>
+          // the parsed tree is fresh; canonicalized matching must see
+          // both directions as the same measure
+          assert(ln == on && lp.matches(op.expr) && op.matches(lp.expr),
+            s"ExprPat must round-trip canonically: $lp vs $op")
+        case (la, oa) => assert(la == oa, s"agg must round-trip: $la vs $oa")
+      }
+    }
+    // the reloaded ExprPat registration still routes the raw query
+    val plain = StarJoins.chargeBySegment(spark, sf).collect().toSeq
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = StarJoins.chargeBySegment(spark, sf)
+      assert(routed.queryExecution.executedPlan.toString.contains("charge_rt_rollup"),
+        "the reloaded registration must route")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12: the FULL aggregate vocabulary on the JOIN path —
     * min/max partials re-aggregate directly and the dsum-shaped exact
     * avg reproduces Spark's decimal Average tree over sum +
@@ -1235,6 +1296,23 @@ class RollupRoutingSpec extends AnyFunSuite {
         s"live-tail re-join missing from hybrid plan:\n$plan")
       assert(routed.collect().toSeq == plain,
         "hybrid join read must equal the raw 3-table aggregate")
+      // fixed-point safety: a partial-NAMED aggregate over the raw
+      // join whose group keys are all preserved groupings is the
+      // shape a grainCols-free hybrid tail would take — it maps
+      // cleanly, so only the isPartialBlock guard (which since round
+      // 12 covers join-registry partial names too) keeps the
+      // optimizer from re-routing its own tail and growing a union
+      // level per fixed-point pass
+      val o2 = Tables.orders(spark, sf)
+      val partialShaped = li.join(o2, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("rev").cast("decimal(38,6)")).as("rev_partial"),
+             count(lit(1)).as("n_lines_partial"))
+      assert(!partialShaped.queryExecution.executedPlan.toString
+          .contains("revseg_dated_rollup"),
+        "a partial-block-shaped join aggregate must never route")
       // an unreadable sidecar must keep the query live
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, CoverageSidecar),
         "garbage".getBytes)
