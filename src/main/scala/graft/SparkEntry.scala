@@ -340,6 +340,11 @@ object SparkEntry {
     // load) and the unchanged raw query routes through the RELOADED
     // registration; shares q166's oracle
     "q174_registry_persisted" -> (StarJoins.chargeSegmentPersistedRouted _),
+    // COST-BASED MV CHOICE: the per-order rollup AND the five-row
+    // segment-grain aggregate table both answer; the router picks the
+    // smaller by on-disk size with the fine MV registered last (order
+    // would have served the fine one); shares q166's oracle
+    "q175_cost_choice" -> (StarJoins.chargeSegmentCostRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -657,6 +662,9 @@ object SparkEntry {
     // SQL), so it must reproduce the identical result
     "q166_charge_segment_routed" -> chargeSegmentSql,
     "q174_registry_persisted" -> chargeSegmentSql,
+    // q175 routes the same query through the size-chosen COARSE MV —
+    // its merged partials must reproduce the identical exact sums
+    "q175_cost_choice" -> chargeSegmentSql,
     // the hybrid rollup∪tail read must equal the raw window aggregate
     "q158_hybrid_tail_routed" ->
       s"""SELECT CAST(ts AS DATE) AS day,

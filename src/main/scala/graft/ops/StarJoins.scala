@@ -331,6 +331,40 @@ object StarJoins {
     }
   }
 
+  def chargeSegmentCoarseRollupDir(sfDir: String): String =
+    scratch(sfDir, "charge_coarse_rollup")
+  private def ensureChargeSegmentCoarseRollup(spark: SparkSession, sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, chargeSegmentCoarseRollupDir(sfDir)) {
+      RollupRouting.buildJoinPartials(
+        Map("lineitem" -> Tables.lineitem(spark, sfDir),
+            "orders" -> Tables.orders(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.chargeSegmentCoarse("unused"))
+    }
+  }
+
+  /** Driver entry (q175, shares q166's oracle): COST-BASED MV CHOICE —
+    * two registered MVs both answer the unchanged charge query (the
+    * per-order rollup and the five-row segment-grain aggregate table,
+    * [[graft.plans.RollupRouting.JoinSpec.chargeSegmentCoarse]]), and
+    * the router picks by on-disk size, not registration order: the
+    * fine rollup is registered LAST (so arrival-order matching would
+    * serve it) and the plan must still scan the coarse one
+    * (RollupRoutingSpec pins the choice in both orders). The coarse
+    * build is [[graft.plans.RollupRouting.buildJoinPartials]]'s merge
+    * path — fact partials re-aggregated to the declared grain. */
+  def chargeSegmentCostRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val fineDir = ensureChargeSegmentRollup(spark, sfDir)
+    val coarseDir = ensureChargeSegmentCoarseRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.chargeSegmentCoarse(coarseDir),
+                    RollupRouting.JoinSpec.chargeSegment(fineDir))) {
+      chargeBySegment(spark, sfDir).localCheckpoint()
+    }
+  }
+
   /** Run `f` with BOTH round-11 join MVs (plus any `extra` specs)
     * registered (the multi-MV registry in action — the reference
     * maintains six MVs side by side,

@@ -458,6 +458,22 @@ object RollupRouting {
         SumOf(ExprPat(chargeMeasure), "charge_partial"),
         CountStarTo("n_lines_partial")),
       grainCols = Map("o_orderkey" -> "o_orderkey"))
+
+    /** [[chargeSegment]] at the COARSEST useful grain — segment only,
+      * no per-order column: the "aggregate table at exactly the
+      * dashboard's grain" a warehouse team ships next to the reusable
+      * per-order MV. [[buildJoinPartials]] merges the fact partials
+      * down to five segment rows, and the router's size-based cost
+      * choice picks it over the per-order rollup whenever both can
+      * answer (q175; either registration order). */
+    def chargeSegmentCoarse(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        SumOf(ExprPat(chargeMeasure), "charge_partial"),
+        CountStarTo("n_lines_partial")))
   }
 
   /** The BUILD side of the registry (round 12): derive a spec's
@@ -596,7 +612,63 @@ object RollupRouting {
     val outCols = spec.grainCols.toSeq.map { case (s, r) => col(s).as(r) } ++
       spec.groupings.toSeq.map { case (s, r) => col(s).as(r) } ++
       partials.keys.toSeq.map(col)
-    acc.select(outCols: _*)
+    // When the declared grain (grainCols + groupings) is COARSER than
+    // the fact's pre-aggregation keys — a spec that keeps no per-grain
+    // column, e.g. a segment-only aggregate table — merge the partials
+    // down to the declared grain: partials are additive by
+    // construction (exact decimal sums, counts, min/max, avg's
+    // sum+count), so the merge is the same lossless re-aggregation the
+    // router performs at read time, paid once at build. "Preserved" is
+    // judged up to join-key equivalence (l_orderkey rows ARE o_orderkey
+    // rows under the inner join), so today's per-grain specs skip the
+    // merge — one output row per fact grain, no extra shuffle. A
+    // CountDistinctGrain claim cannot survive the merge (the grain
+    // column is gone), so it refuses rather than registering a
+    // silently-wrong distinct count.
+    val equivClass = {
+      val cls = scala.collection.mutable.Map.empty[String, Set[String]]
+      spec.joinKeys.foreach { case (a, b) =>
+        val s = cls.getOrElse(a, Set(a)) ++ cls.getOrElse(b, Set(b))
+        s.foreach(c => cls(c) = s)
+      }
+      cls
+    }
+    def preserved(k: String): Boolean =
+      equivClass.getOrElse(k, Set(k)).exists(outSrc.contains) || outSrc.contains(k)
+    if (factKeys.forall(preserved)) acc.select(outCols: _*)
+    else {
+      require(!spec.aggs.exists(_.isInstanceOf[CountDistinctGrain]),
+        s"CountDistinctGrain needs its grain column in the rollup output; " +
+          s"spec for ${spec.rollupPath} drops fact keys $factKeys")
+      val keyCols = spec.grainCols.toSeq.map { case (s, r) => col(s).as(r) } ++
+        spec.groupings.toSeq.map { case (s, r) => col(s).as(r) }
+      require(keyCols.nonEmpty,
+        s"spec for ${spec.rollupPath} declares no output key columns")
+      val merges = mergeColumns(spec.aggs)
+      acc.groupBy(keyCols: _*).agg(merges.head, merges.tail: _*)
+    }
+  }
+
+  /** The partial-MERGE aggregate per AggMap — how two partial rows of
+    * the same group combine (build-side coarsening and any compaction
+    * share it): exact decimal sums and counts add, min/max fold,
+    * avg's sum+count add. Output names and types equal the build
+    * partials', so merged rollups route identically. */
+  private def mergeColumns(aggs: Seq[AggMap]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val merges =
+      scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Column]
+    aggs.foreach {
+      case SumOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
+      case CountStarTo(p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
+      case MinOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
+      case MaxOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
+      case AvgOf(_, sp, cp) =>
+        merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
+        merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
+      case CountDistinctGrain(_) => ()
+    }
+    merges.values.toSeq
   }
 
   private var specs: List[Spec] = Nil
@@ -845,12 +917,9 @@ object RollupRouting {
       }
     }
 
-    /** All registered rollups over the scanned source, COARSEST grain
-      * first: a day-grain rollup is ~24× smaller than the hourly one,
-      * so when both can answer (the query is at day grain or global)
-      * the day rollup wins; the hourly rollup catches what the daily
-      * can't (hour-grain queries). First successful rewrite in this
-      * order IS the cost choice. */
+    /** All registered rollups over the scanned source. Order is not
+      * the cost choice ([[apply]] ranks every successful rewrite by
+      * grain then size); the sort only keeps tie-breaks stable. */
     private def specsOf(plan: LogicalPlan): Seq[Spec] = {
       val matching = plan.collect {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -858,6 +927,14 @@ object RollupRouting {
       }.flatten
       matching.distinct.sortBy(s => if (s.grain == "day") 0 else 1)
     }
+
+    /** A candidate rollup's on-disk footprint, from the plan cache's
+      * analyzed scan (the relation computed its size during listing —
+      * no extra I/O here). Unreadable ⇒ max cost, so a competing
+      * readable rollup always wins. */
+    private def rollupSizeBytes(path: String): BigInt =
+      analyzedRollup(path).map(_.stats.sizeInBytes)
+        .getOrElse(BigInt(Long.MaxValue))
 
     /** Idempotency guards: extraOptimizations run to a FIXED POINT, so
       * the rule re-visits its own output. A routed aggregate's child
@@ -897,16 +974,32 @@ object RollupRouting {
         val viaSingle =
           if (specs.nonEmpty && specsOf(child).nonEmpty &&
               !alreadyRouted(child) && !isPartialBlock(aggExprs))
-            specsOf(child).view
-              .flatMap(s => rewrite(agg, groupings, aggExprs, s))
-              .headOption
+            // COST CHOICE (round 12): every candidate that CAN answer
+            // competes, and the cheapest rollup wins — coarser grain
+            // first (a day rollup is ~24× smaller than the hourly one
+            // it subsumes), actual on-disk bytes as the tiebreaker
+            // within a grain (a dedicated day-only rollup beats the
+            // (day, user) one for a day-only query by the key
+            // cardinality). Sizes come from the cached analyzed scan,
+            // so the choice adds no I/O.
+            specsOf(child)
+              .flatMap(s => rewrite(agg, groupings, aggExprs, s).map(s -> _))
+              .minByOption { case (s, _) =>
+                (if (s.grain == "day") 0 else 1, rollupSizeBytes(s.rollupPath))
+              }.map(_._2)
           else None
         viaSingle.orElse {
           if (joinSpecs.nonEmpty && child.exists(_.isInstanceOf[Join]) &&
               !isPartialBlock(aggExprs))
-            joinSpecs.view
-              .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s))
-              .headOption
+            // same cost choice on the join registry: among every join
+            // MV whose core + groupings + measures match, the fewest
+            // on-disk bytes answers (a segment-grain aggregate table
+            // beats the per-order rollup by orders of magnitude);
+            // registration order only breaks exact ties
+            joinSpecs
+              .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s).map(s -> _))
+              .minByOption { case (s, _) => rollupSizeBytes(s.rollupPath) }
+              .map(_._2)
           else None
         }.getOrElse(agg)
     }

@@ -1226,6 +1226,99 @@ class RollupRoutingSpec extends AnyFunSuite {
     * non-null-count partials, all through a registered join MV. The
     * routed plan must be join-free and BIT-equal to the live join;
     * a bare double avg (not the exact form) must stay live. */
+  /** Round 12: COST-BASED MV CHOICE — when two registered MVs both
+    * answer a query, the router serves the one with fewer on-disk
+    * bytes, in EITHER registration order; and the coarse build path
+    * (buildJoinPartials merging fact partials down to the declared
+    * grain) is exact. */
+  test("size-based cost choice picks the smaller MV in either registration order") {
+    import graft.plans.RollupRouting._
+    import graft.ops.StarJoins
+    val base = java.nio.file.Files.createTempDirectory("graft_cost")
+    val fineDir = base.resolve("fine_rollup").toString
+    val coarseDir = base.resolve("coarse_rollup").toString
+    val tables = Map(
+      "lineitem" -> Tables.lineitem(spark, sf),
+      "orders" -> Tables.orders(spark, sf),
+      "customer" -> Tables.customer(spark, sf))
+    RollupRouting.buildJoinPartials(tables, JoinSpec.chargeSegment("unused"))
+      .write.parquet(fineDir)
+    val coarse = RollupRouting.buildJoinPartials(tables, JoinSpec.chargeSegmentCoarse("unused"))
+    // the merge path lands at the DECLARED grain: one row per segment
+    assert(coarse.columns.toSeq ==
+      Seq("c_mktsegment", "charge_partial", "n_lines_partial"))
+    assert(coarse.count() == coarse.select("c_mktsegment").distinct().count())
+    coarse.write.parquet(coarseDir)
+    val plain = StarJoins.chargeBySegment(spark, sf).collect().toSeq
+    for (specs <- Seq(
+           Seq(JoinSpec.chargeSegment(fineDir), JoinSpec.chargeSegmentCoarse(coarseDir)),
+           Seq(JoinSpec.chargeSegmentCoarse(coarseDir), JoinSpec.chargeSegment(fineDir)))) {
+      RollupRouting.clear()
+      specs.foreach(RollupRouting.registerJoin)
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      try {
+        val routed = StarJoins.chargeBySegment(spark, sf)
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("coarse_rollup") && !plan.contains("fine_rollup"),
+          s"must scan the smaller MV regardless of order:\n$plan")
+        assert(routed.collect().toSeq == plain,
+          "merged coarse partials must reproduce the exact sums")
+      } finally {
+        spark.experimental.extraOptimizations = Nil
+        RollupRouting.clear()
+      }
+    }
+  }
+
+  test("coarse build refuses a CountDistinctGrain whose grain column it drops") {
+    import graft.plans.RollupRouting._
+    val tables = Map(
+      "lineitem" -> Tables.lineitem(spark, sf),
+      "orders" -> Tables.orders(spark, sf),
+      "customer" -> Tables.customer(spark, sf))
+    val bad = JoinSpec.chargeSegmentCoarse("unused").copy(
+      aggs = JoinSpec.chargeSegmentCoarse("unused").aggs :+
+        CountDistinctGrain("o_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      RollupRouting.buildJoinPartials(tables, bad)
+    }
+    assert(e.getMessage.contains("CountDistinctGrain"))
+  }
+
+  test("single-table size tiebreak: a dedicated day-only rollup beats the keyed one") {
+    import graft.plans.RollupRouting._
+    val base = java.nio.file.Files.createTempDirectory("graft_cost_single")
+    val events = Tables.events(spark, sf)
+    // same day grain, different key sets: the (day, user) rollup vs a
+    // day-only one ~|users|× smaller; a day-only query routes to the
+    // small one whichever arrives first
+    val keyed = Spec("events.parquet", base.resolve("keyed").toString)
+    val dayOnly = Spec("events.parquet", base.resolve("day_only").toString,
+      keyCols = Map.empty)
+    buildPartials(events, keyed).write.parquet(keyed.rollupPath)
+    buildPartials(events, dayOnly).write.parquet(dayOnly.rollupPath)
+    val q = () => events
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val plain = q().collect().toSeq
+    for (order <- Seq(Seq(keyed, dayOnly), Seq(dayOnly, keyed))) {
+      RollupRouting.clear()
+      order.foreach(RollupRouting.register)
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      try {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("day_only") && !plan.contains("keyed"),
+          s"day-only query must pick the day-only rollup:\n$plan")
+        assert(routed.collect().toSeq == plain)
+      } finally {
+        spark.experimental.extraOptimizations = Nil
+        RollupRouting.clear()
+      }
+    }
+  }
+
   test("join path routes min/max/avg; bare double avg stays live") {
     import graft.ops.StarJoins
     import graft.plans.RollupRouting.JoinSpec
