@@ -345,6 +345,12 @@ object SparkEntry {
     // smaller by on-disk size with the fine MV registered last (order
     // would have served the fine one); shares q166's oracle
     "q175_cost_choice" -> (StarJoins.chargeSegmentCostRouted _),
+    // MV ADVISOR: the spec is INFERRED from the raw workload, built,
+    // registered, and the unchanged query routes — no human wrote the
+    // registration; q176 single-table (shares q165's oracle), q177
+    // merges three star dashboards into one join MV (shares q166's)
+    "q176_advised_orders" -> (graft.plans.Advisor.advisedOrdersDashboard _),
+    "q177_advised_star" -> (graft.plans.Advisor.advisedStarWorkload _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -608,6 +614,12 @@ object SparkEntry {
     // ragged-edge hybrid over the same spec and must also reproduce it
     "q165_orders_daily_routed" -> ordersDailySalesSql,
     "q168_stream_orders_hybrid" -> ordersDailySalesSql,
+    // the ADVISOR-inferred registrations must answer the unchanged
+    // queries exactly: q176 the orders dashboard via an advised daily
+    // spec, q177 the charge dashboard via the one join MV merged from
+    // three raw star queries
+    "q176_advised_orders" -> ordersDailySalesSql,
+    "q177_advised_star" -> chargeSegmentSql,
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

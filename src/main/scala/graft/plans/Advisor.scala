@@ -1,0 +1,415 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType}
+
+/** MV ADVISOR — close the materialization loop from the workload side.
+  *
+  * The reference's six MVs were designed by a human reading the
+  * dashboard queries (`usdc-transfers/sql/analytics.sql:9-94` against
+  * the GraphQL shapes in `commands.json`); this object automates that
+  * reading: given the RAW workload queries, it proposes the
+  * [[RollupRouting.Spec]]/[[RollupRouting.JoinSpec]] registrations that
+  * would answer them — the classic "view selection" problem scoped to
+  * the registry's lossless vocabulary. The proposals are pure data
+  * (buildable by [[RollupRouting.buildPartials]]/`buildJoinPartials`,
+  * maintainable by [[graft.streaming.Live.maintainRollup]], persistable
+  * by [[RollupRouting.saveRegistry]]), so one advisor pass turns a
+  * workload into a catalog.
+  *
+  * Scope rules (everything else lands in `skipped` with a reason — the
+  * advisor NEVER proposes a spec it cannot prove the router would use):
+  *  - demands MERGE: queries over the same source (or the same join
+  *    core) pool their grouping keys, grain, and measures into ONE spec
+  *    at the finest demanded grain — coarser queries re-aggregate it,
+  *    the hour grain answers day dashboards by roll-up matching;
+  *  - a single-table demand needs a recognizable time grouping
+  *    somewhere in its merge group (`to_date(ts)` / `date_trunc('hour',
+  *    ts)` / a DATE column) to pin the rollup grain;
+  *  - filter-referenced columns join the grouping keys, so the
+  *    registered spec subsumes the query's own predicates;
+  *  - `COUNT(DISTINCT k)` adds `k` to the grain and registers the
+  *    [[RollupRouting.CountDistinctGrain]] claim — valid because the
+  *    advisor's build is a complete one-shot aggregation at that grain;
+  *  - measures use the exact-decimal shapes ([[graft.ops.Fns]]); a
+  *    non-ColRef measure registers as an [[RollupRouting.ExprPat]].
+  */
+object Advisor {
+  import RollupRouting._
+
+  /** A proposed single-table registration plus the scan to build from
+    * (the BARE relation — never the query's filtered subtree, so the
+    * rollup is complete for every future query over the source). */
+  case class AdvisedSingle(spec: Spec, source: LogicalPlan)
+  /** A proposed join registration plus the base-table scans by name. */
+  case class AdvisedJoin(spec: JoinSpec, tables: Map[String, LogicalPlan])
+  case class Advice(singles: Seq[AdvisedSingle], joins: Seq[AdvisedJoin],
+                    skipped: Seq[String])
+
+  // ——— per-query demands (pre-merge) ———
+  private case class SingleDemand(suffix: String, source: LogicalPlan,
+                                  grain: Option[(String, String)], // (grain, timeCol)
+                                  keys: Set[String], aggs: Seq[AggMap])
+  private case class JoinDemand(tables: Map[String, LogicalPlan],
+                                joinKeys: Set[(String, String)],
+                                groupings: Set[String], grainKeys: Set[String],
+                                aggs: Seq[AggMap])
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = {
+    val aliasMap: Map[ExprId, Expression] = plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a @ Alias(child, _) => a.exprId -> child }
+    }.flatten.toMap
+    def subst(x: Expression): Expression = x.transformUp {
+      case a: AttributeReference if aliasMap.contains(a.exprId) => subst(aliasMap(a.exprId))
+    }
+    subst(e)
+  }
+
+  /** The workload queries end in sorts/limits/pass-through projects;
+    * the demand lives in the topmost Aggregate under those. */
+  @annotation.tailrec
+  private def topAggregate(p: LogicalPlan): Option[Aggregate] = p match {
+    case s: Sort => topAggregate(s.child)
+    case g: GlobalLimit => topAggregate(g.child)
+    case l: LocalLimit => topAggregate(l.child)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      topAggregate(pr.child)
+    case a: Aggregate => Some(a)
+    case _ => None
+  }
+
+  private def baseAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case Cast(c, _, _, _) => baseAttr(c)
+    case r: RuntimeReplaceable => baseAttr(r.replacement)
+    case _ => None
+  }
+
+  private sealed trait GroupKey
+  private case class TimeKey(grain: String, col: String) extends GroupKey
+  private case class PlainKey(col: String) extends GroupKey
+
+  /** Classify a (project-resolved) grouping expression the way
+    * [[RollupRouting.RuleImpl.keyOf]] will at route time: an hour
+    * truncation or a day-typed term over one source column is the time
+    * grain; a bare column is a key; anything else is out of scope. */
+  private def classifyKey(e: Expression): Option[GroupKey] = e match {
+    case r: RuntimeReplaceable => classifyKey(r.replacement)
+    case TruncTimestamp(Literal(fmt, _), inner, _)
+        if fmt != null && fmt.toString.equalsIgnoreCase("hour") =>
+      baseAttr(inner).map(a => TimeKey("hour", a.name))
+    case e2 if e2.dataType == DateType => baseAttr(e2).map(a => TimeKey("day", a.name))
+    case a: AttributeReference => Some(PlainKey(a.name))
+    case _ => None
+  }
+
+  /** The measure pattern for a SUM source expression — named shapes
+    * first (printable in docs), [[ExprPat]] for everything else whose
+    * leaves are columns and literals. */
+  private def toPat(e: Expression): Option[SrcPat] = e match {
+    case a: AttributeReference => Some(ColRef(a.name))
+    case Multiply(x: AttributeReference,
+                  Subtract(Literal(one, _), y: AttributeReference, _), _)
+        if one == 1.0d =>
+      Some(OneMinusProduct(x.name, y.name))
+    case _ =>
+      val leavesOk = e.collectLeaves().forall {
+        case _: AttributeReference | _: Literal => true
+        case _ => false
+      }
+      // de-resolve to names: the pattern outlives the query it was
+      // mined from, so it must not carry that plan's attribute ids —
+      // the build re-resolves it against the registry's own scans
+      if (leavesOk && e.references.nonEmpty) Some(ExprPat(e.transformUp {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+      })) else None
+  }
+
+  /** Deterministic partial-column name per measure (stable across
+    * advisor runs, so re-advising a grown workload extends the same
+    * rollup schema). */
+  private def sumPartialName(pat: SrcPat): String = pat match {
+    case ColRef(n) => s"${n}_sum_p"
+    case OneMinusProduct(a, _) => s"${a}_net_p"
+    case p: ExprPat =>
+      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_sum_p"
+  }
+
+  /** Map one aggregate output to the AggMap that would route it —
+    * exactly the shapes [[RollupRouting.RuleImpl]] rewrites (the
+    * exact-decimal sum/avg, bare count/min/max, distinct-on-grain). */
+  private def mapOne(e: Expression, resolve: Expression => Expression): Option[AggMap] =
+    e match {
+      case Alias(c, _) => mapOne(c, resolve)
+      case Cast(c, DoubleType, _, _) => mapOne(c, resolve)
+      case ae: AggregateExpression if ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Sum(Cast(src, dt: DecimalType, _, _), _)
+              if !ae.isDistinct && dt.precision == 38 && dt.scale == 6 =>
+            toPat(resolve(src)).map(p => SumOf(p, sumPartialName(p)))
+          case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
+            Some(CountStarTo("cnt_p"))
+          case Count(Seq(c)) if ae.isDistinct =>
+            baseAttr(resolve(c)).map(a => CountDistinctGrain(a.name))
+          case Min(c) if !ae.isDistinct =>
+            resolve(c) match {
+              case a: AttributeReference => Some(MinOf(a.name, s"${a.name}_min_p"))
+              case _ => None
+            }
+          case Max(c) if !ae.isDistinct =>
+            resolve(c) match {
+              case a: AttributeReference => Some(MaxOf(a.name, s"${a.name}_max_p"))
+              case _ => None
+            }
+          case Average(Cast(src, dt: DecimalType, _, _), _)
+              if !ae.isDistinct && dt.precision == 38 && dt.scale == 6 =>
+            resolve(src) match {
+              case a: AttributeReference =>
+                Some(AvgOf(a.name, s"${a.name}_sum_p", s"${a.name}_cnt_p"))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Flatten an inner equi-join tree to named base scans + key pairs
+    * (name-sorted, the registry convention). */
+  private def flattenJoin(p: LogicalPlan)
+      : Option[(Map[String, LogicalRelation], Set[(String, String)])] = p match {
+    case pr: Project => flattenJoin(pr.child)
+    case f: Filter => flattenJoin(f.child)
+    // row-set no-ops around a scan: broadcast() hints and view aliases
+    case h: ResolvedHint => flattenJoin(h.child)
+    case h: UnresolvedHint => flattenJoin(h.child)
+    case s: SubqueryAlias => flattenJoin(s.child)
+    case Join(l, r, Inner, Some(cond), _) =>
+      val pairs = conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val s = Seq(a.name, b.name).sorted
+          Some((s(0), s(1)))
+        case _ => None
+      }
+      if (pairs.exists(_.isEmpty)) None
+      else for { (lt, lk) <- flattenJoin(l); (rt, rk) <- flattenJoin(r) }
+        yield (lt ++ rt, lk ++ rk ++ pairs.flatten)
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(_.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(n => (Map(n.stripSuffix(".parquet") -> lr), Set.empty[(String, String)]))
+    case _ => None
+  }
+
+  /** One query → one demand, or a reason it is out of scope. */
+  private def demandOf(label: String, df: DataFrame): scala.Either[String, Any] = {
+    val plan = df.queryExecution.analyzed
+    val agg = topAggregate(plan) match {
+      case Some(a) => a
+      case None => return scala.Left(s"$label: no top-level aggregate")
+    }
+    val child = agg.child
+    def resolve(e: Expression): Expression = resolveThroughProjects(e, child)
+    val aggOutputs = agg.aggregateExpressions
+      .filter(_.exists(_.isInstanceOf[AggregateExpression]))
+    val aggs = aggOutputs.map(ne => mapOne(ne, resolve))
+    if (aggs.exists(_.isEmpty))
+      return scala.Left(s"$label: unmappable aggregate " +
+        aggOutputs(aggs.indexWhere(_.isEmpty)).sql)
+    val keys = agg.groupingExpressions.map(g => classifyKey(resolve(g)))
+    if (keys.exists(_.isEmpty))
+      return scala.Left(s"$label: unmappable grouping " +
+        agg.groupingExpressions(keys.indexWhere(_.isEmpty)).sql)
+    val filterRefs: Set[String] = child.collect {
+      case f: Filter => conjuncts(f.condition)
+    }.flatten.flatMap(c => resolve(c).references.toSeq.map(_.name)).toSet
+    val distinctGrains = aggs.flatten.collect { case CountDistinctGrain(g) => g }
+    if (distinctGrains.size > 1)
+      return scala.Left(s"$label: more than one COUNT(DISTINCT) column")
+
+    if (child.exists(_.isInstanceOf[Join])) {
+      val (tables, joinKeys) = flattenJoin(child) match {
+        case Some(x) => x
+        case None => return scala.Left(s"$label: join core is not inner/equi over parquet scans")
+      }
+      val plain = keys.flatten.collect { case PlainKey(c) => c }
+      if (keys.flatten.exists(_.isInstanceOf[TimeKey]))
+        return scala.Left(s"$label: time-grain groupings over a join are out of advisor scope")
+      scala.Right(JoinDemand(tables, joinKeys,
+        groupings = plain.toSet ++ (filterRefs -- joinKeys.flatMap(p => Set(p._1, p._2))),
+        grainKeys = distinctGrains.toSet, aggs = aggs.flatten))
+    } else {
+      val rels = child.collect { case lr: LogicalRelation => lr }
+      val suffix = rels match {
+        case Seq(LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>
+          fs.location.rootPaths.headOption.map(_.getName)
+            .getOrElse(return scala.Left(s"$label: scan has no root path"))
+        case _ => return scala.Left(s"$label: expected exactly one base scan, got ${rels.size}")
+      }
+      val times = keys.flatten.collect { case TimeKey(g, c) => (g, c) }.distinct
+      if (times.map(_._2).distinct.size > 1)
+        return scala.Left(s"$label: groupings use two different time columns")
+      val grain = times.sortBy(t => if (t._1 == "hour") 0 else 1).headOption
+      val timeCol = grain.map(_._2)
+      val plain = keys.flatten.collect { case PlainKey(c) => c }.toSet
+      scala.Right(SingleDemand(suffix, rels.head,
+        grain,
+        keys = plain ++ distinctGrains ++ (filterRefs -- timeCol),
+        aggs = aggs.flatten))
+    }
+  }
+
+  /** Structural dedupe key — two queries demanding the same measure
+    * produce one partial column. */
+  private def aggKey(m: AggMap): String = m match {
+    case SumOf(ColRef(n), _) => s"sum:col:$n"
+    case SumOf(OneMinusProduct(a, b), _) => s"sum:omp:$a:$b"
+    case SumOf(p: ExprPat, _) => s"sum:expr:${ExprPat.canon(p.expr).toString}"
+    case CountStarTo(_) => "count"
+    case MinOf(c, _) => s"min:$c"
+    case MaxOf(c, _) => s"max:$c"
+    case AvgOf(c, _, _) => s"avg:$c"
+    case CountDistinctGrain(g) => s"cdg:$g"
+  }
+  private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, AggMap]
+    aggs.foreach(m => seen.getOrElseUpdate(aggKey(m), m))
+    seen.values.toSeq
+  }
+
+  /** Propose the smallest registry that answers the workload: analyze
+    * each query, merge demands per source / per join core, emit specs
+    * rooted under `rollupRoot`. */
+  def advise(queries: Seq[DataFrame], rollupRoot: String): Advice = {
+    val demands = queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }
+    val skipped = demands.collect { case scala.Left(reason) => reason }
+    val singlesBySrc = demands.collect { case scala.Right(d: SingleDemand) => d }
+      .groupBy(_.suffix)
+    val singleResults = singlesBySrc.toSeq.sortBy(_._1).map { case (suffix, ds) =>
+      val grains = ds.flatMap(_.grain)
+      if (grains.isEmpty)
+        scala.Left(s"$suffix: no query in the merge group pins a time grain")
+      else if (grains.map(_._2).distinct.size > 1)
+        scala.Left(s"$suffix: merge group uses two different time columns")
+      else {
+        val timeCol = grains.head._2
+        val grain = if (grains.exists(_._1 == "hour")) "hour" else "day"
+        val keys = ds.flatMap(_.keys).toSet - timeCol
+        val aggs = dedupeAggs(ds.flatMap(_.aggs))
+        val name = suffix.stripSuffix(".parquet")
+        scala.Right(AdvisedSingle(
+          Spec(suffix, s"$rollupRoot/${name}_advised", grain, timeCol,
+            keyCols = keys.map(k => k -> k).toMap, aggs = aggs),
+          ds.head.source))
+      }
+    }
+    val joinsByCore = demands.collect { case scala.Right(d: JoinDemand) => d }
+      .groupBy(d => (d.tables.keySet, d.joinKeys))
+    val joinResults = joinsByCore.toSeq.sortBy(_._1._1.toSeq.sorted.mkString(","))
+      .map { case ((tables, joinKeys), ds) =>
+        val groupings = ds.flatMap(_.groupings).toSet
+        val grains = ds.flatMap(_.grainKeys).toSet -- groupings
+        val aggs = dedupeAggs(ds.flatMap(_.aggs))
+        val name = tables.toSeq.sorted.mkString("_")
+        AdvisedJoin(
+          JoinSpec(s"$rollupRoot/${name}_advised", tables, joinKeys,
+            groupings = groupings.map(k => k -> k).toMap,
+            aggs = aggs,
+            grainCols = grains.map(k => k -> k).toMap),
+          ds.head.tables)
+      }
+    Advice(singleResults.collect { case scala.Right(a) => a },
+           joinResults,
+           skipped ++ singleResults.collect { case scala.Left(r) => r })
+  }
+
+  /** Build every advised rollup from its captured scans (spec-driven
+    * builders — the same code a hand registration uses) and register
+    * it. `memoized` reuses the per-session build cache for stable
+    * scratch paths. */
+  def buildAndRegister(spark: SparkSession, advice: Advice,
+                       memoized: Boolean = false): Advice = {
+    import org.apache.spark.sql.graftx.Bridge
+    def write(dir: String, df: => DataFrame): Unit =
+      if (memoized) { graft.ops.StarJoins.ensureRollup(spark, dir)(df); () }
+      else df.write.mode("overwrite").parquet(dir)
+    advice.singles.foreach { a =>
+      // the captured scan is the BARE relation, below the loader's
+      // normalization projects — re-apply the contract's NTZ→session
+      // cast ([[graft.Tables]]; an instant identity under the pinned
+      // UTC session) so the rollup's grain keys carry the same types
+      // the normalized query groups by
+      val raw = Bridge.ofRows(spark, a.source)
+      val src =
+        if (raw.schema.fieldNames.contains(a.spec.timeCol) &&
+            raw.schema(a.spec.timeCol).dataType ==
+              org.apache.spark.sql.types.TimestampNTZType)
+          raw.withColumn(a.spec.timeCol,
+            org.apache.spark.sql.functions.col(a.spec.timeCol).cast("timestamp"))
+        else raw
+      write(a.spec.rollupPath, buildPartials(src, a.spec))
+      register(a.spec)
+    }
+    advice.joins.foreach { a =>
+      write(a.spec.rollupPath,
+        buildJoinPartials(a.tables.map { case (n, p) => n -> Bridge.ofRows(spark, p) },
+                          a.spec))
+      registerJoin(a.spec)
+    }
+    advice
+  }
+
+  private def runRouted(spark: SparkSession, advice: Advice)
+                       (f: => DataFrame): DataFrame = {
+    buildAndRegister(spark, advice, memoized = true)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ new RollupRouting.RuleImpl(spark)
+    try f.localCheckpoint() finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
+  /** Driver entry (q176, shares q165's oracle): the advisor reads the
+    * RAW orders dashboard, proposes its daily registration (year
+    * window folded into subsumable keys, grain from the DATE column),
+    * builds + registers it, and the unchanged query routes. No human
+    * wrote this spec. */
+  def advisedOrdersDashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_orders")
+    val advice = advise(Seq(graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    runRouted(spark, advice) { graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir) }
+  }
+
+  /** Driver entry (q177, shares q166's oracle): the advisor reads
+    * THREE raw star-join dashboards (revenue, gross charge, quantity
+    * stats) and merges them into ONE join MV — segment grouping,
+    * per-order grain from revenue's COUNT(DISTINCT), the union of all
+    * seven measures including the ExprPat charge — then the unchanged
+    * charge query routes through it (AdvisorSpec proves all three
+    * route and hash-match their live answers). */
+  def advisedStarWorkload(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.StarJoins
+    val root = StarJoins.scratch(sfDir, "advised_star")
+    val advice = advise(Seq(
+      StarJoins.revenueBySegment(spark, sfDir),
+      StarJoins.chargeBySegment(spark, sfDir),
+      StarJoins.segmentQtyStats(spark, sfDir)), root)
+    require(advice.joins.size == 1 && advice.skipped.isEmpty,
+      s"advisor must merge the workload into one join MV: $advice")
+    runRouted(spark, advice) { StarJoins.chargeBySegment(spark, sfDir) }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{Advisor, RollupRouting}
+import graft.ops.{Rollups, StarJoins}
+
+/** MV advisor (round 12): the registry's specs INFERRED from the raw
+  * workload — view selection scoped to the router's lossless
+  * vocabulary. Advised specs must be exactly what a human would have
+  * registered: build, register, and the unchanged queries route and
+  * hash-match their live answers. */
+class AdvisorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  private def routedWith(advice: Advisor.Advice)(f: => Unit): Unit = {
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try f finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("orders dashboard advises one daily spec; the unchanged query routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise").toString
+    val q = () => Rollups.ordersDailySalesRaw(spark, sf)
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.joins.isEmpty && advice.singles.size == 1)
+    val spec = advice.singles.head.spec
+    assert(spec.sourceSuffix == "orders.parquet")
+    assert(spec.grain == "day" && spec.timeCol == "o_orderdate")
+    // the year-window filter references only the time column, so no
+    // extra keys: the advised rollup is day-grain only
+    assert(spec.keyCols.isEmpty, spec.keyCols)
+    val plain = q().collect().toSeq
+    routedWith(advice) {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("orders_advised"))
+      assert(routed.collect().toSeq == plain)
+    }
+  }
+
+  test("hour + day + keyed demands merge into one hourly spec answering all") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_ev").toString
+    val daily = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("day", "user_id")
+    val hourly = () => Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("h")
+    val advice = Advisor.advise(Seq(daily(), hourly()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 1, advice)
+    val spec = advice.singles.head.spec
+    // finest demanded grain wins; the day query re-aggregates it
+    assert(spec.grain == "hour" && spec.timeCol == "ts")
+    assert(spec.keyCols == Map("user_id" -> "user_id"))
+    val plainDaily = daily().collect().toSeq
+    val plainHourly = hourly().collect().toSeq
+    routedWith(advice) {
+      for ((q, plain) <- Seq(daily -> plainDaily, hourly -> plainHourly)) {
+        val routed = q()
+        assert(routed.queryExecution.executedPlan.toString.contains("events_advised"),
+          s"must route:\n${routed.queryExecution.executedPlan}")
+        assert(routed.collect().toSeq == plain)
+      }
+    }
+  }
+
+  test("three star dashboards merge into one advised join MV answering all three") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_star").toString
+    val qs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => StarJoins.revenueBySegment(spark, sf),
+      () => StarJoins.chargeBySegment(spark, sf),
+      () => StarJoins.segmentQtyStats(spark, sf))
+    val advice = Advisor.advise(qs.map(_()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.isEmpty && advice.joins.size == 1, advice)
+    val spec = advice.joins.head.spec
+    assert(spec.tables == Set("lineitem", "orders", "customer"))
+    assert(spec.groupings == Map("c_mktsegment" -> "c_mktsegment"))
+    // revenue's COUNT(DISTINCT o_orderkey) pins the per-order grain
+    // and its claim
+    assert(spec.grainCols == Map("o_orderkey" -> "o_orderkey"))
+    assert(spec.aggs.exists {
+      case RollupRouting.CountDistinctGrain("o_orderkey") => true; case _ => false })
+    assert(spec.aggs.exists {
+      case RollupRouting.SumOf(_: RollupRouting.ExprPat, _) => true; case _ => false },
+      "the charge measure must register as an ExprPat")
+    assert(spec.aggs.exists {
+      case RollupRouting.AvgOf("l_quantity", _, _) => true; case _ => false })
+    val plains = qs.map(q => q().collect().toSeq)
+    routedWith(advice) {
+      qs.zip(plains).foreach { case (q, plain) =>
+        val routed = q()
+        // the display string truncates long scan paths, so match the
+        // root dir name rather than the rollup's "_advised" suffix
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_advise_star"), s"must route:\n$plan")
+        assert(routed.collect().toSeq == plain)
+      }
+    }
+  }
+
+  test("out-of-scope queries are skipped with reasons, never mis-advised") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_skip").toString
+    val median = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("percentile_approx(value, 0.5)").as("p50"))
+    val noAgg = Tables.events(spark, sf).select($"user_id").limit(5)
+    val advice = Advisor.advise(Seq(median, noAgg), root)
+    assert(advice.singles.isEmpty && advice.joins.isEmpty)
+    assert(advice.skipped.size == 2, advice.skipped)
+    assert(advice.skipped.exists(_.contains("unmappable aggregate")))
+    assert(advice.skipped.exists(_.contains("no top-level aggregate")))
+  }
+}
