@@ -108,6 +108,56 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** The declare-NOTHING lifecycle: the spec is mined from the raw
+    * dashboard, survives the JSON catalog, is maintained by the
+    * streaming maintainer across a restart, and the unchanged query
+    * hybrid-routes through it — no human wrote any registration. */
+  test("advised spec persists, reloads, stream-maintains, and hybrid-routes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_advlife")
+    val q = () => Rollups.ordersDailySalesRaw(spark, sf)
+    val advice = Advisor.advise(Seq(q()), base.resolve("mv").toString)
+    assert(advice.singles.size == 1, advice)
+    val spec = advice.singles.head.spec
+    // catalog round trip FIRST: everything downstream uses the
+    // reloaded registration, not the advised object
+    RollupRouting.clear()
+    RollupRouting.register(spec)
+    val reg = base.resolve("registry.json").toString
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    val reloaded = RollupRouting.registered.head
+    assert(reloaded == spec, "advised spec must round-trip the catalog")
+    RollupRouting.clear()
+    // stream-maintain the advised rollup from two date-ordered
+    // deliveries with a restart between (persistent checkpoint)
+    val orders = Tables.orders(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    val ckpt = base.resolve("ckpt").toString
+    val cut = to_date(lit("1996-01-01"))
+    def drain(): Unit = graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(orders.schema).parquet(srcDir), reloaded,
+      checkpointDir = Some(ckpt))
+    orders.filter($"o_orderdate" < cut).write.mode("append").parquet(srcDir)
+    drain()
+    orders.filter($"o_orderdate" >= cut).write.mode("append").parquet(srcDir)
+    drain()
+    val plain = q().collect().toSeq
+    RollupRouting.register(reloaded)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_advlife"),
+        s"the advised + maintained rollup must answer:\n$plan")
+      assert(routed.collect().toSeq == plain,
+        "hybrid rollup ∪ tail must equal the raw dashboard")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("out-of-scope queries are skipped with reasons, never mis-advised") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_skip").toString
     val median = Tables.events(spark, sf)
