@@ -351,6 +351,10 @@ object SparkEntry {
     // merges three star dashboards into one join MV (shares q166's)
     "q176_advised_orders" -> (graft.plans.Advisor.advisedOrdersDashboard _),
     "q177_advised_star" -> (graft.plans.Advisor.advisedStarWorkload _),
+    // advised EVENTS workload: day + hour demands merge to one hourly
+    // (hour, user) spec; the unchanged daily query routes through it
+    // by roll-up matching; shares q01's oracle
+    "q178_advised_events" -> (graft.plans.Advisor.advisedEventsDaily _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -620,6 +624,9 @@ object SparkEntry {
     // three raw star queries
     "q176_advised_orders" -> ordersDailySalesSql,
     "q177_advised_star" -> chargeSegmentSql,
+    // the advised hourly spec must reproduce the daily rollup exactly
+    // (day-from-hourly roll-up matching through an ADVISED spec)
+    "q178_advised_events" -> dailyRollupSql,
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

@@ -394,6 +394,27 @@ object Advisor {
     runRouted(spark, advice) { graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir) }
   }
 
+  /** Driver entry (q178, shares q01's oracle): the advisor merges a
+    * DAY-grain keyed dashboard and an HOUR-grain count over events
+    * into ONE hourly (hour, user) spec — the finest demanded grain —
+    * and the unchanged daily query routes through it by roll-up
+    * matching (day = to_date(hour)). Exercises the advised EVENTS
+    * path end-to-end: the build re-applies the loader's NTZ
+    * normalization to the captured bare relation. */
+  def advisedEventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_events")
+    val hourlyCount = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("h")
+    val advice = advise(
+      Seq(graft.ops.Rollups.daily(spark, sfDir), hourlyCount), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor must merge the events workload into one spec: $advice")
+    runRouted(spark, advice) { graft.ops.Rollups.daily(spark, sfDir) }
+  }
+
   /** Driver entry (q177, shares q166's oracle): the advisor reads
     * THREE raw star-join dashboards (revenue, gross charge, quantity
     * stats) and merges them into ONE join MV — segment grouping,
