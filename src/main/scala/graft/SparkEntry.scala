@@ -355,6 +355,12 @@ object SparkEntry {
     // (hour, user) spec; the unchanged daily query routes through it
     // by roll-up matching; shares q01's oracle
     "q178_advised_events" -> (graft.plans.Advisor.advisedEventsDaily _),
+    // DATE-grain grouping on the join path: the by-date revenue
+    // dashboard routes onto the dated MV's preserved o_orderdate
+    // (q179 hand-registered; q180 the same query ADVISED end-to-end
+    // into a (date, segment)-grain merge-built MV, sharing the oracle)
+    "q179_dated_join_grouping" -> (StarJoins.revenueByDaySegmentRouted _),
+    "q180_advised_dated_star" -> (graft.plans.Advisor.advisedDatedStar _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -388,6 +394,13 @@ object SparkEntry {
        JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        GROUP BY 1 ORDER BY c_mktsegment"""
+  private lazy val revenueByDaySegmentSql =
+    s"""SELECT o_orderdate AS o_day, c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1, 2 ORDER BY o_day, c_mktsegment"""
   private lazy val slidingUniqSql =
     """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
        hours AS (SELECT DISTINCT h FROM hu)
@@ -627,6 +640,10 @@ object SparkEntry {
     // the advised hourly spec must reproduce the daily rollup exactly
     // (day-from-hourly roll-up matching through an ADVISED spec)
     "q178_advised_events" -> dailyRollupSql,
+    // DATE-grain grouping over the join: routed (q179) and advised
+    // (q180) reads must both equal the raw per-(date, segment) join
+    "q179_dated_join_grouping" -> revenueByDaySegmentSql,
+    "q180_advised_dated_star" -> revenueByDaySegmentSql,
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

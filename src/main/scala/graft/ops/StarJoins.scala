@@ -331,6 +331,52 @@ object StarJoins {
     }
   }
 
+  /** Daily revenue by segment over the star join — the by-date
+    * dashboard shape (grouping by the order-date column itself).
+    * Written against the raw join; [[revenueByDaySegmentRouted]] runs
+    * it UNCHANGED with the DATED revenue MV registered: since round
+    * 12 any deterministic grouping EXPRESSION over preserved
+    * grain/grouping columns maps onto the rollup (they are per-row
+    * constants of it), so the per-(order, date) rollup answers the
+    * per-(date, segment) cut join-free. */
+  def revenueByDaySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("o_orderdate").as("o_day"), col("c_mktsegment"))
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("o_day", "c_mktsegment")
+  }
+
+  private def ensureRevenueSegmentDatedRollup(spark: SparkSession, sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, scratch(sfDir, "revseg_dated_full_rollup")) {
+      RollupRouting.buildJoinPartials(
+        Map("lineitem" -> Tables.lineitem(spark, sfDir),
+            "orders" -> Tables.orders(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.revenueSegmentDated("unused"))
+    }
+  }
+
+  /** Driver entry (q179): expression groupings over preserved
+    * columns on the join path — the unchanged [[revenueByDaySegment]]
+    * query routes onto the dated revenue MV because `o_orderdate` is
+    * one of its preserved grain columns (RollupRoutingSpec pins the
+    * bare + to_date + shifted spellings, the non-preserved near miss,
+    * and the hybrid read under a stamped sidecar). */
+  def revenueByDaySegmentRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureRevenueSegmentDatedRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.revenueSegmentDated(dir))) {
+      revenueByDaySegment(spark, sfDir).localCheckpoint()
+    }
+  }
+
   def chargeSegmentCoarseRollupDir(sfDir: String): String =
     scratch(sfDir, "charge_coarse_rollup")
   private def ensureChargeSegmentCoarseRollup(spark: SparkSession, sfDir: String): String = {

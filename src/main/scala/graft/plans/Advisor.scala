@@ -97,7 +97,12 @@ object Advisor {
   }
 
   private sealed trait GroupKey
-  private case class TimeKey(grain: String, col: String) extends GroupKey
+  /** `dateIdentity` marks a day key whose base column is itself DATE —
+    * the grouping is the identity on it, so on the JOIN path it can
+    * register as a preserved column (a day key over a TIMESTAMP is a
+    * real truncation and cannot). */
+  private case class TimeKey(grain: String, col: String,
+                             dateIdentity: Boolean = false) extends GroupKey
   private case class PlainKey(col: String) extends GroupKey
 
   /** Classify a (project-resolved) grouping expression the way
@@ -109,7 +114,8 @@ object Advisor {
     case TruncTimestamp(Literal(fmt, _), inner, _)
         if fmt != null && fmt.toString.equalsIgnoreCase("hour") =>
       baseAttr(inner).map(a => TimeKey("hour", a.name))
-    case e2 if e2.dataType == DateType => baseAttr(e2).map(a => TimeKey("day", a.name))
+    case e2 if e2.dataType == DateType =>
+      baseAttr(e2).map(a => TimeKey("day", a.name, a.dataType == DateType))
     case a: AttributeReference => Some(PlainKey(a.name))
     case _ => None
   }
@@ -244,10 +250,16 @@ object Advisor {
         case None => return scala.Left(s"$label: join core is not inner/equi over parquet scans")
       }
       val plain = keys.flatten.collect { case PlainKey(c) => c }
-      if (keys.flatten.exists(_.isInstanceOf[TimeKey]))
-        return scala.Left(s"$label: time-grain groupings over a join are out of advisor scope")
+      val timeKeys = keys.flatten.collect { case t: TimeKey => t }
+      // a day key over a DATE column is the identity, so it registers
+      // as an ordinary preserved column; a real truncation (day/hour
+      // of a TIMESTAMP) has no lossless join-path mapping
+      if (timeKeys.exists(!_.dateIdentity))
+        return scala.Left(
+          s"$label: truncating time-grain groupings over a join are out of advisor scope")
       scala.Right(JoinDemand(tables, joinKeys,
-        groupings = plain.toSet ++ (filterRefs -- joinKeys.flatMap(p => Set(p._1, p._2))),
+        groupings = plain.toSet ++ timeKeys.map(_.col) ++
+          (filterRefs -- joinKeys.flatMap(p => Set(p._1, p._2))),
         grainKeys = distinctGrains.toSet, aggs = aggs.flatten))
     } else {
       val rels = child.collect { case lr: LogicalRelation => lr }
@@ -257,7 +269,7 @@ object Advisor {
             .getOrElse(return scala.Left(s"$label: scan has no root path"))
         case _ => return scala.Left(s"$label: expected exactly one base scan, got ${rels.size}")
       }
-      val times = keys.flatten.collect { case TimeKey(g, c) => (g, c) }.distinct
+      val times = keys.flatten.collect { case TimeKey(g, c, _) => (g, c) }.distinct
       if (times.map(_._2).distinct.size > 1)
         return scala.Left(s"$label: groupings use two different time columns")
       val grain = times.sortBy(t => if (t._1 == "hour") 0 else 1).headOption
@@ -413,6 +425,21 @@ object Advisor {
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"advisor must merge the events workload into one spec: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.daily(spark, sfDir) }
+  }
+
+  /** Driver entry (q180, shares q179's oracle): a BY-DATE star
+    * dashboard advises a (o_orderdate, c_mktsegment)-grain join MV —
+    * the DATE grouping is the identity on the preserved column, so it
+    * registers as an ordinary grouping and the merge build lands the
+    * rollup at exactly the dashboard's grain; the unchanged query
+    * routes through it. */
+  def advisedDatedStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.StarJoins
+    val root = StarJoins.scratch(sfDir, "advised_dated")
+    val advice = advise(Seq(StarJoins.revenueByDaySegment(spark, sfDir)), root)
+    require(advice.joins.size == 1 && advice.skipped.isEmpty,
+      s"advisor must propose the dated join MV: $advice")
+    runRouted(spark, advice) { StarJoins.revenueByDaySegment(spark, sfDir) }
   }
 
   /** Driver entry (q177, shares q166's oracle): the advisor reads

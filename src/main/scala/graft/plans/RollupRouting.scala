@@ -1119,13 +1119,31 @@ object RollupRouting {
         if (r.references.subsetOf(AttributeSet(rollup.output))) r
         else return None
       }
-      /** A grouping column preserved by the rollup → its rollup attr. */
-      def groupingAttr(e: Expression): Option[Attribute] = resolved(e) match {
-        case a: AttributeReference => spec.groupings.get(a.name).flatMap(attr)
-        case _ => None
+      /** A grouping expression the rollup preserves → the SAME
+        * expression over the rollup's columns (round 12). The
+        * preserved groupings and grain columns are the rollup's own
+        * group keys — per-row constants of the rollup — so any
+        * DETERMINISTIC expression over them (a bare column, `to_date`
+        * of the order timestamp, `year(...)`, a shifted date, a
+        * join-key alias via the equivalence closure) partitions
+        * rollup rows exactly as it partitions raw rows, and grouping
+        * by it re-aggregates losslessly. A reference outside the
+        * preserved set (a fact measure, an unpreserved dim column),
+        * nondeterminism, or a reference-free expression keeps the
+        * query live. */
+      def groupingExpr(e: Expression): Option[Expression] = {
+        val r = resolved(e)
+        if (!r.deterministic || r.references.isEmpty ||
+            r.exists(_.isInstanceOf[AggregateExpression])) return None
+        var ok = true
+        val mapped = r.transformUp {
+          case a: AttributeReference =>
+            spec.filterCols.get(a.name).flatMap(attr).getOrElse { ok = false; a }
+        }
+        if (ok) Some(mapped) else None
       }
-      val keyMap: Map[Expression, Attribute] = groupings.map { g =>
-        groupingAttr(g) match {
+      val keyMap: Map[Expression, Expression] = groupings.map { g =>
+        groupingExpr(g) match {
           case Some(target) => g -> target
           case None => return None
         }
@@ -1194,8 +1212,8 @@ object RollupRouting {
         }.headOption
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
-        case ne if groupingAttr(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
-          val target = groupingAttr(ne match { case Alias(c, _) => c; case x => x }).get
+        case ne if groupingExpr(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
+          val target = groupingExpr(ne match { case Alias(c, _) => c; case x => x }).get
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
           val rewritten = ne.transformUp {

@@ -108,6 +108,35 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  test("a by-date star dashboard advises a (date, segment)-grain merge-built MV") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_dated").toString
+    val q = () => StarJoins.revenueByDaySegment(spark, sf)
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.joins.size == 1, advice)
+    val spec = advice.joins.head.spec
+    // the DATE grouping registers as a preserved column; no per-order
+    // grain, so the build MERGES to exactly the dashboard's grain
+    assert(spec.groupings == Map("o_orderdate" -> "o_orderdate",
+                                 "c_mktsegment" -> "c_mktsegment"))
+    assert(spec.grainCols.isEmpty)
+    val plain = q().collect().toSeq
+    routedWith(advice) {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("graft_advise_dated"))
+      assert(routed.collect().toSeq == plain)
+    }
+    // a TRUNCATING time grouping over a join (to_date of a TIMESTAMP
+    // — a real day cut, not an identity) stays out of scope
+    val truncating = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val advice2 = Advisor.advise(Seq(truncating), root)
+    assert(advice2.joins.isEmpty &&
+      advice2.skipped.exists(_.contains("truncating time-grain")), advice2)
+  }
+
   /** The declare-NOTHING lifecycle: the spec is mined from the raw
     * dashboard, survives the JSON catalog, is maintained by the
     * streaming maintainer across a restart, and the unchanged query

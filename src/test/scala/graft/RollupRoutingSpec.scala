@@ -1319,6 +1319,84 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: expression groupings over PRESERVED columns on the
+    * join path — preserved groupings/grain columns are per-row
+    * constants of the rollup, so any deterministic expression over
+    * them (bare, to_date, a shifted date) partitions rollup rows
+    * exactly as raw rows and routes; a reference outside the
+    * preserved set stays live; a stamped sidecar serves the same
+    * query hybrid. */
+  test("expressions over a preserved DATE grain column route; non-preserved refs stay live") {
+    import graft.plans.RollupRouting._
+    import graft.ops.StarJoins
+    val base = java.nio.file.Files.createTempDirectory("graft_dated_grp")
+    val dir = base.resolve("dated_rollup").toString
+    val tables = Map(
+      "lineitem" -> Tables.lineitem(spark, sf),
+      "orders" -> Tables.orders(spark, sf),
+      "customer" -> Tables.customer(spark, sf))
+    RollupRouting.buildJoinPartials(tables, JoinSpec.revenueSegmentDated("unused"))
+      .write.parquet(dir)
+    val q = () => StarJoins.revenueByDaySegment(spark, sf)
+    val plain = q().collect().toSeq
+    RollupRouting.registerJoin(JoinSpec.revenueSegmentDated(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("dated_rollup") && !plan.toLowerCase.contains("sortmergejoin"),
+        s"bare DATE grouping must route join-free:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // the to_date(cast(date)) dashboard spelling is the identity too
+      val li = Tables.lineitem(spark, sf); val o = Tables.orders(spark, sf)
+      val c = Tables.customer(spark, sf)
+      def joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val spelled = joined
+        .groupBy(to_date(col("o_orderdate").cast("timestamp")).as("o_day"),
+                 col("c_mktsegment"))
+        .agg(graft.ops.Fns.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"))
+        .orderBy("o_day", "c_mktsegment")
+      assert(spelled.queryExecution.executedPlan.toString.contains("dated_rollup"),
+        "to_date over the DATE grain column must route")
+      // a SHIFTED date is still a deterministic function of the
+      // preserved column — it routes and re-aggregates exactly
+      val shiftedQ = () => joined
+        .groupBy(date_add(col("o_orderdate"), 1).as("d"), col("c_mktsegment"))
+        .agg(graft.ops.Fns.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"))
+        .orderBy("d", "c_mktsegment")
+      val shifted = shiftedQ()
+      assert(shifted.queryExecution.executedPlan.toString.contains("dated_rollup"),
+        "a shifted preserved date must route")
+      // routed shifted groups are the plain (day, segment) groups
+      // relabeled by +1 day — value-exact
+      assert(shifted.collect().map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+        plain.map(r => (r.getString(1), r.getDouble(2))).toSeq,
+        "shifted grouping must re-aggregate exactly")
+      // near miss: an expression over a NON-preserved column (a fact
+      // measure) keeps the live join
+      val byQty = joined
+        .groupBy(round(col("l_quantity")).as("q"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      assert(!byQty.queryExecution.executedPlan.toString.contains("dated_rollup"),
+        "a non-preserved grouping reference must keep the live join")
+      // a stamped sidecar serves the SAME by-date query hybrid:
+      // complete grains from the rollup, the tail re-joined live
+      val wmUs = java.time.LocalDate.parse("1996-01-01").toEpochDay * 86400000000L
+      RollupRouting.stampCoverage(dir, wmUs)
+      val hybrid = q()
+      val hplan = hybrid.queryExecution.executedPlan.toString
+      assert(hplan.contains("dated_rollup") && hplan.toLowerCase.contains("union"),
+        s"stamped rollup must serve hybrid:\n$hplan")
+      assert(hybrid.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("join path routes min/max/avg; bare double avg stays live") {
     import graft.ops.StarJoins
     import graft.plans.RollupRouting.JoinSpec
