@@ -361,6 +361,19 @@ object SparkEntry {
     // into a (date, segment)-grain merge-built MV, sharing the oracle)
     "q179_dated_join_grouping" -> (StarJoins.revenueByDaySegmentRouted _),
     "q180_advised_dated_star" -> (graft.plans.Advisor.advisedDatedStar _),
+    // TRUNCATING time grain on the join path: the hourly (hour,
+    // segment) events⋈customer MV answers the unchanged by-DAY
+    // dashboard via truncation composition (q181 hand-registered;
+    // q182 the hour+day workload ADVISED into the same single hourly
+    // MV end-to-end, sharing the oracle)
+    "q181_trunc_join_grouping" -> (StarJoins.eventsSegmentDailyRouted _),
+    "q182_advised_trunc_star" -> (graft.plans.Advisor.advisedEventsStarHourly _),
+    // the truncating spec's full streaming lifecycle: maintain from
+    // event deliveries with the watermark on the hour column itself,
+    // compact, and answer the unchanged by-day dashboard hybrid
+    "q183_trunc_stream_lifecycle" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.Live.streamingEventsSegmentHourlyHybrid(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -401,6 +414,12 @@ object SparkEntry {
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        GROUP BY 1, 2 ORDER BY o_day, c_mktsegment"""
+  private lazy val eventsSegmentDailySql =
+    s"""SELECT CAST(ts AS DATE) AS day, c_mktsegment,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2 ORDER BY day, c_mktsegment"""
   private lazy val slidingUniqSql =
     """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
        hours AS (SELECT DISTINCT h FROM hu)
@@ -644,6 +663,13 @@ object SparkEntry {
     // (q180) reads must both equal the raw per-(date, segment) join
     "q179_dated_join_grouping" -> revenueByDaySegmentSql,
     "q180_advised_dated_star" -> revenueByDaySegmentSql,
+    // a truncating hourly join-MV key must reproduce the raw by-day
+    // join exactly: routed (q181) and advised (q182)
+    "q181_trunc_join_grouping" -> eventsSegmentDailySql,
+    "q182_advised_trunc_star" -> eventsSegmentDailySql,
+    // stream-maintained + compacted + hybrid-read must still equal
+    // the raw by-day join exactly
+    "q183_trunc_stream_lifecycle" -> eventsSegmentDailySql,
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

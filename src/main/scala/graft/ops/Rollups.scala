@@ -304,7 +304,8 @@ object Rollups {
   def compactJoinRollup(spark: SparkSession,
                         spec: graft.plans.RollupRouting.JoinSpec): Unit =
     compactPartialsDir(spark, spec.rollupPath,
-      (spec.grainCols.values.toSeq ++ spec.groupings.values.toSeq).distinct,
+      (spec.grainCols.values.toSeq ++ spec.groupings.values.toSeq ++
+        spec.timeGroupings.map(_._2)).distinct,
       spec.aggs)
 
   private def compactPartialsDir(spark: SparkSession, path: String,

@@ -377,6 +377,52 @@ object StarJoins {
     }
   }
 
+  /** The by-DAY events⋈customer dashboard — value volume and event
+    * count per (day, segment). Unlike [[revenueByDaySegment]], the day
+    * key is a REAL TRUNCATION of the fact's timestamp (`to_date(ts)`),
+    * which no bare preserved column can express — the
+    * [[graft.plans.RollupRouting.TimeGrainPat]] vocabulary exists for
+    * exactly this shape (reference analog: every MV in
+    * `usdc-transfers/sql/analytics.sql:9-94` buckets the fact stream
+    * by `date_trunc('day'|'hour', evt_block_time)` before joining
+    * dimension data on). */
+  def eventsSegmentDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    ev.join(broadcast(c), col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("day"), col("c_mktsegment"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+      .orderBy("day", "c_mktsegment")
+  }
+
+  def eventsSegmentHourlyRollupDir(sfDir: String): String =
+    scratch(sfDir, "events_seg_hourly_rollup")
+  private def ensureEventsSegmentHourlyRollup(spark: SparkSession, sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, eventsSegmentHourlyRollupDir(sfDir)) {
+      RollupRouting.buildJoinPartials(
+        Map("events" -> Tables.events(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.eventsSegmentHourly("unused"))
+    }
+  }
+
+  /** Driver entry (q181): TRUNCATING time-grain grouping on the join
+    * path — the HOURLY (hour, segment) MV answers the unchanged
+    * by-DAY dashboard join-free, because `to_date(ts)` is a coarser
+    * truncation of the registered `date_trunc('hour', ts)` key and
+    * calendar truncations compose (RollupRoutingSpec pins the hourly/
+    * daily/monthly spellings, the finer-grain and shifted near misses,
+    * and the hour-aligned hybrid read). */
+  def eventsSegmentDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureEventsSegmentHourlyRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.eventsSegmentHourly(dir))) {
+      eventsSegmentDaily(spark, sfDir).localCheckpoint()
+    }
+  }
+
   def chargeSegmentCoarseRollupDir(sfDir: String): String =
     scratch(sfDir, "charge_coarse_rollup")
   private def ensureChargeSegmentCoarseRollup(spark: SparkSession, sfDir: String): String = {

@@ -58,7 +58,8 @@ object Advisor {
   private case class JoinDemand(tables: Map[String, LogicalPlan],
                                 joinKeys: Set[(String, String)],
                                 groupings: Set[String], grainKeys: Set[String],
-                                aggs: Seq[AggMap])
+                                aggs: Seq[AggMap],
+                                timeKeys: Set[(String, String)] = Set.empty)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -253,14 +254,22 @@ object Advisor {
       val timeKeys = keys.flatten.collect { case t: TimeKey => t }
       // a day key over a DATE column is the identity, so it registers
       // as an ordinary preserved column; a real truncation (day/hour
-      // of a TIMESTAMP) has no lossless join-path mapping
-      if (timeKeys.exists(!_.dateIdentity))
-        return scala.Left(
-          s"$label: truncating time-grain groupings over a join are out of advisor scope")
+      // of a TIMESTAMP) registers as a timeGroupings pattern — the
+      // rollup stores the truncated bucket, and the router substitutes
+      // the query's truncation (or any coarser one) onto it
+      val truncating = timeKeys.filter(!_.dateIdentity)
+      // a filter on the RAW truncated column would force the rollup to
+      // preserve every distinct timestamp — no compression, bad advice
+      val rawTimeFilters = filterRefs.intersect(truncating.map(_.col).toSet)
+      if (rawTimeFilters.nonEmpty)
+        return scala.Left(s"$label: filter references the raw time column " +
+          s"${rawTimeFilters.mkString(",")} the query truncates — preserving " +
+          "it would not compress")
       scala.Right(JoinDemand(tables, joinKeys,
-        groupings = plain.toSet ++ timeKeys.map(_.col) ++
+        groupings = plain.toSet ++ timeKeys.filter(_.dateIdentity).map(_.col) ++
           (filterRefs -- joinKeys.flatMap(p => Set(p._1, p._2))),
-        grainKeys = distinctGrains.toSet, aggs = aggs.flatten))
+        grainKeys = distinctGrains.toSet, aggs = aggs.flatten,
+        timeKeys = truncating.map(t => (t.grain, t.col)).toSet))
     } else {
       val rels = child.collect { case lr: LogicalRelation => lr }
       val suffix = rels match {
@@ -333,12 +342,21 @@ object Advisor {
         val groupings = ds.flatMap(_.groupings).toSet
         val grains = ds.flatMap(_.grainKeys).toSet -- groupings
         val aggs = dedupeAggs(ds.flatMap(_.aggs))
+        // truncating time demands merge per column at the FINEST grain
+        // — the hourly bucket answers day/month/… queries by the
+        // router's truncation-composition substitution
+        val timeGroupings = ds.flatMap(_.timeKeys).groupBy(_._2).toSeq
+          .sortBy(_._1).map { case (c, gs) =>
+            val g = if (gs.exists(_._1 == "hour")) "hour" else "day"
+            TimeGrainPat(g, c) -> s"${c}_$g"
+          }
         val name = tables.toSeq.sorted.mkString("_")
         AdvisedJoin(
           JoinSpec(s"$rollupRoot/${name}_advised", tables, joinKeys,
             groupings = groupings.map(k => k -> k).toMap,
             aggs = aggs,
-            grainCols = grains.map(k => k -> k).toMap),
+            grainCols = grains.map(k => k -> k).toMap,
+            timeGroupings = timeGroupings),
           ds.head.tables)
       }
     Advice(singleResults.collect { case scala.Right(a) => a },
@@ -440,6 +458,32 @@ object Advisor {
     require(advice.joins.size == 1 && advice.skipped.isEmpty,
       s"advisor must propose the dated join MV: $advice")
     runRouted(spark, advice) { StarJoins.revenueByDaySegment(spark, sfDir) }
+  }
+
+  /** Driver entry (q182, shares q181's oracle): a TRUNCATING time
+    * grain over a join, advised end-to-end — the hourly and daily
+    * events⋈customer dashboards merge into ONE (hour, segment) MV
+    * whose time key is the registered `date_trunc('hour', ts)`
+    * pattern; the unchanged DAILY query routes through it by
+    * truncation composition. The hour+day merge picks the finest
+    * demanded grain, exactly like the single-table advisor. */
+  def advisedEventsStarHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.StarJoins
+    import org.apache.spark.sql.functions._
+    val root = StarJoins.scratch(sfDir, "advised_events_star")
+    val hourly = graft.Tables.events(spark, sfDir)
+      .join(broadcast(graft.Tables.customer(spark, sfDir)),
+            col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("c_mktsegment"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("sum_value"),
+           count(lit(1)).as("n_events"))
+    val daily = StarJoins.eventsSegmentDaily(spark, sfDir)
+    val advice = advise(Seq(hourly, daily), root)
+    require(advice.joins.size == 1 && advice.skipped.isEmpty &&
+        advice.joins.head.spec.timeGroupings.map(_._1) ==
+          Seq(TimeGrainPat("hour", "ts")),
+      s"advisor must merge hour+day into one hourly time-grain MV: $advice")
+    runRouted(spark, advice) { StarJoins.eventsSegmentDaily(spark, sfDir) }
   }
 
   /** Driver entry (q177, shares q166's oracle): the advisor reads

@@ -269,6 +269,91 @@ object RollupRouting {
     }
   }
 
+  /** The canonical normalized event-time expression: the named time
+    * column through (only) the loader-contract normalization wrappers
+    * ([[graft.Tables.normalizeTs]]) — the NTZ→TZ cast relabel or the
+    * nanos-long `timestamp_micros(ts DIV 1000)` truncation. A SHIFTED
+    * or otherwise derived timestamp (`ts + INTERVAL …`) deliberately
+    * does not match: `to_date` of it is not the rollup's day, and a
+    * midnight bound on it does not cut along day-group boundaries
+    * (round 11 tightening — the earlier any-DateType-expr-of-ts match
+    * would have routed those shapes wrongly). A DATE-typed time column
+    * (e.g. `orders.o_orderdate`) matches as the bare reference. */
+  private[plans] def isNormTime(e: Expression, timeCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == timeCol
+    case Cast(c, TimestampType, _, _) => isNormTime(c, timeCol)
+    case MicrosToTimestamp(IntegralDivide(c, Literal(v, _), _))
+        if v == 1000 || v == 1000L => isNormTime(c, timeCol)
+    case _ => false
+  }
+
+  /** A registered TIME-TRUNCATION grouping on the JOIN path (round
+    * 12): the rollup's group key holds `date_trunc('hour', col)`
+    * (grain "hour", TimestampType under the pinned-UTC session) or
+    * `to_date(col)` (grain "day", DateType) of a source time column
+    * the rollup does NOT otherwise preserve — the one join grouping
+    * shape [[JoinSpec.groupings]]' bare-column vocabulary cannot
+    * express (a truncation of an unpreserved TIMESTAMP is not the
+    * identity on any preserved column). [[subst]] recognizes the
+    * query spellings the analyzer produces for the SAME truncation
+    * over the normalized time column, plus every COARSER derivation —
+    * a day grouping over an hourly rollup column, week/month/quarter/
+    * year over either — because calendar truncations compose:
+    * `date_trunc(coarse, date_trunc('hour', ts)) = date_trunc(coarse,
+    * ts)` for every coarser unit. A FINER grain (minutes against an
+    * hourly rollup), a shifted timestamp, or a different column never
+    * substitutes, so those queries keep their live join. Like
+    * [[SrcPat]], kept as data: printable, comparable, serializable. */
+  case class TimeGrainPat(grain: String, col: String) {
+    require(grain == "hour" || grain == "day", s"unsupported time grain: $grain")
+    /** Grain width — the alignment a coverage watermark must have. */
+    def micros: Long = if (grain == "hour") 3600000000L else 86400000000L
+
+    /** `date_trunc` format aliases → canonical unit name. */
+    private def fmtName(l: Any): Option[String] = Option(l).map(_.toString.toLowerCase)
+      .map { case "yyyy" | "yy" => "year"; case "mm" | "mon" => "month"
+             case "dd" => "day"; case s => s }
+    private val coarserUnits: Set[String] =
+      if (grain == "hour") Set("day", "week", "month", "quarter", "year")
+      else Set("week", "month", "quarter", "year")
+
+    /** The query subtree rewritten over the rollup attribute `a`, when
+      * it is this pattern's own truncation of the time column or a
+      * coarser derivation of it; None otherwise. Constructed nodes
+      * reuse the ORIGINAL node's time zone (the query is analyzed, so
+      * it is the resolved session zone). */
+    def subst(e: Expression, a: Attribute): Option[Expression] = e match {
+      // the pattern's own grain, exactly the rollup column's value
+      case TruncTimestamp(Literal(f, _), t, tz)
+          if fmtName(f).contains(grain) && isNormTime(t, col) =>
+        // an hourly column IS the hour truncation; a day column holds
+        // the DATE, so date_trunc('day', ts) is its midnight timestamp
+        Some(if (grain == "hour") a else Cast(a, TimestampType, tz))
+      case Cast(t, DateType, tz, _) if grain == "day" && isNormTime(t, col) =>
+        Some(a)
+      // coarser derivations compose over the rollup column
+      case Cast(t, DateType, tz, _) if grain == "hour" && isNormTime(t, col) =>
+        Some(Cast(a, DateType, tz))
+      case TruncTimestamp(lit @ Literal(f, _), t, tz)
+          if fmtName(f).exists(coarserUnits.contains) && isNormTime(t, col) =>
+        val base = if (grain == "hour") a else Cast(a, TimestampType, tz)
+        Some(TruncTimestamp(lit, base, tz))
+      case _ => None
+    }
+
+    /** The truncation over a RAW source attribute (the hybrid tail's
+      * scans carry the un-normalized NTZ/date/timestamp column — the
+      * cast to session TIMESTAMP is the loader contract's relabel,
+      * an instant identity under the pinned-UTC session). */
+    def rebuild(resolve: String => Option[Attribute], tz: String): Option[Expression] =
+      resolve(col).map { t =>
+        val ts = if (t.dataType == TimestampType) t
+                 else Cast(t, TimestampType, Some(tz))
+        if (grain == "hour") TruncTimestamp(Literal("hour"), ts, Some(tz))
+        else Cast(ts, DateType, Some(tz))
+      }
+  }
+
   /** How one aggregate over the raw join rewrites onto the rollup. */
   sealed trait AggMap
   /** `SUM(expr-with-casts)` → `SUM(partial)` — lossless because the
@@ -339,6 +424,12 @@ object RollupRouting {
     * registration on a covered spec additionally claims the coverage
     * column is CONSTANT per grain value (e.g. `o_orderdate` per
     * `o_orderkey`), so no grain ever splits across the watermark. */
+  /** `timeGroupings` (round 12) registers TRUNCATED time group keys —
+    * `(pattern, rollupCol)` pairs; the rollup column holds the
+    * pattern's truncation per group. The one grouping shape the
+    * bare-column `groupings` vocabulary cannot express; `coverage`
+    * may name a timeGrouping's ROLLUP column, in which case the
+    * hybrid watermark must be aligned to the pattern's grain. */
   case class JoinSpec(
       rollupPath: String,
       tables: Set[String],
@@ -346,7 +437,8 @@ object RollupRouting {
       groupings: Map[String, String],
       aggs: Seq[AggMap],
       grainCols: Map[String, String] = Map.empty,
-      coverage: Option[String] = None) {
+      coverage: Option[String] = None,
+      timeGroupings: Seq[(TimeGrainPat, String)] = Nil) {
     /** Source columns a residual filter may reference → the rollup
       * column carrying the same per-row value: the preserved groupings
       * and the grain columns (both group-constant by construction),
@@ -474,6 +566,24 @@ object RollupRouting {
       aggs = Seq(
         SumOf(ExprPat(chargeMeasure), "charge_partial"),
         CountStarTo("n_lines_partial")))
+
+    /** An HOURLY events⋈customer MV (round 12): the time key is a real
+      * TRUNCATION of the fact's TIMESTAMP — `date_trunc('hour', ts)`
+      * registered via [[TimeGrainPat]] — so one (hour, segment) rollup
+      * answers the hourly dashboard directly AND every coarser cut
+      * (day, month, year) by truncation composition. Coverage rides
+      * the hour column itself: a stamped sidecar serves hybrid
+      * rollup ∪ live-tail with an hour-aligned watermark. */
+    def eventsSegmentHourly(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("events", "customer"),
+      joinKeys = Set(("c_custkey", "user_id")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        SumOf(ColRef("value"), "v_partial"),
+        CountStarTo("n_events_partial")),
+      coverage = Some("ts_hour"),
+      timeGroupings = Seq(TimeGrainPat("hour", "ts") -> "ts_hour"))
   }
 
   /** The BUILD side of the registry (round 12): derive a spec's
@@ -588,11 +698,23 @@ object RollupRouting {
     require(factKeys.nonEmpty, s"fact $fact carries no join-key column")
     val partials = partialColumns(spec.aggs)
     val aggCols = partials.values.toSeq
+    // a registered time truncation is one more group key: computed on
+    // the FACT side it joins the pre-aggregation keys (the rollup
+    // grain gains the grain bucket); on a DIM side it is computed
+    // after that table attaches (per-row over the joined result)
+    def timeColumn(p: TimeGrainPat): org.apache.spark.sql.Column =
+      if (p.grain == "hour") date_trunc("hour", col(p.col).cast("timestamp"))
+      else to_date(col(p.col))
+    val (factTimes, dimTimes) =
+      spec.timeGroupings.partition { case (p, _) => owner(p.col) == fact }
+    val factTimeCols = factTimes.map { case (p, rc) => timeColumn(p).as(rc) }
     var acc = tables(fact)
-      .groupBy(factKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      .groupBy(factKeys.map(col) ++ factTimeCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
     var joined = Set(fact)
     var have: Set[String] = factKeys.toSet ++ partials.keySet
     val outSrc = spec.grainCols.keySet ++ spec.groupings.keySet
+    val pruneKeep = outSrc ++ dimTimes.map(_._1.col)
     while (joined != spec.tables) {
       val step = spec.joinKeys.toSeq.collectFirst(Function.unlift {
         case (x, y) =>
@@ -602,15 +724,17 @@ object RollupRouting {
       }).getOrElse(throw new IllegalArgumentException(
         s"join keys do not connect ${spec.tables -- joined} to $joined"))
       val (lhs, rhs, t) = step
-      val keep = (Set(rhs) ++ (outSrc ++ allKeyCols)
+      val keep = (Set(rhs) ++ (pruneKeep ++ allKeyCols)
         .filter(tables(t).columns.contains)).toSeq.distinct
       acc = acc.join(tables(t).select(keep.map(col): _*),
                      col(lhs) === col(rhs))
       joined += t
       have ++= keep
     }
+    dimTimes.foreach { case (p, rc) => acc = acc.withColumn(rc, timeColumn(p)) }
     val outCols = spec.grainCols.toSeq.map { case (s, r) => col(s).as(r) } ++
       spec.groupings.toSeq.map { case (s, r) => col(s).as(r) } ++
+      spec.timeGroupings.map { case (_, rc) => col(rc) } ++
       partials.keys.toSeq.map(col)
     // When the declared grain (grainCols + groupings) is COARSER than
     // the fact's pre-aggregation keys — a spec that keeps no per-grain
@@ -641,7 +765,8 @@ object RollupRouting {
         s"CountDistinctGrain needs its grain column in the rollup output; " +
           s"spec for ${spec.rollupPath} drops fact keys $factKeys")
       val keyCols = spec.grainCols.toSeq.map { case (s, r) => col(s).as(r) } ++
-        spec.groupings.toSeq.map { case (s, r) => col(s).as(r) }
+        spec.groupings.toSeq.map { case (s, r) => col(s).as(r) } ++
+        spec.timeGroupings.map { case (_, rc) => col(rc) } // materialized above
       require(keyCols.nonEmpty,
         s"spec for ${spec.rollupPath} declares no output key columns")
       val merges = mergeColumns(spec.aggs)
@@ -727,7 +852,10 @@ object RollupRouting {
         ("rollupPath" -> j.rollupPath) ~ ("tables" -> j.tables.toList.sorted) ~
         ("joinKeys" -> j.joinKeys.toList.sorted.map(p => List(p._1, p._2))) ~
         ("groupings" -> j.groupings) ~ ("aggs" -> j.aggs.map(aggJson)) ~
-        ("grainCols" -> j.grainCols) ~ ("coverage" -> j.coverage)
+        ("grainCols" -> j.grainCols) ~ ("coverage" -> j.coverage) ~
+        ("timeGroupings" -> j.timeGroupings.map { case (p, rc) =>
+          ("grain" -> p.grain) ~ ("col" -> p.col) ~ ("rollupCol" -> rc)
+        })
       })
     val target = java.nio.file.Paths.get(path)
     Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -784,7 +912,11 @@ object RollupRouting {
         (j \ "groupings").extract[Map[String, String]],
         (j \ "aggs").children.map(agg),
         (j \ "grainCols").extract[Map[String, String]],
-        (j \ "coverage").extractOpt[String])
+        (j \ "coverage").extractOpt[String],
+        (j \ "timeGroupings").children.map { t =>
+          TimeGrainPat((t \ "grain").extract[String], (t \ "col").extract[String]) ->
+            (t \ "rollupCol").extract[String]
+        })
     }
     synchronized {
       singles.reverse.foreach(register)
@@ -851,24 +983,9 @@ object RollupRouting {
       subst(e)
     }
 
-    /** The canonical normalized event-time expression for a spec: its
-      * `timeCol` through (only) the loader-contract normalization
-      * wrappers ([[graft.Tables.normalizeTs]]) — the NTZ→TZ cast
-      * relabel or the nanos-long `timestamp_micros(ts DIV 1000)`
-      * truncation. A SHIFTED or otherwise derived timestamp
-      * (`ts + INTERVAL …`) deliberately does not match: `to_date` of
-      * it is not the rollup's day, and a midnight bound on it does not
-      * cut along day-group boundaries (round 11 tightening — the
-      * earlier any-DateType-expr-of-ts match would have routed those
-      * shapes wrongly). A DATE-typed time column (e.g.
-      * `orders.o_orderdate`) matches as the bare reference. */
-    private def isNormTime(e: Expression, timeCol: String): Boolean = e match {
-      case a: AttributeReference => a.name == timeCol
-      case Cast(c, TimestampType, _, _) => isNormTime(c, timeCol)
-      case MicrosToTimestamp(IntegralDivide(c, Literal(v, _), _))
-          if v == 1000 || v == 1000L => isNormTime(c, timeCol)
-      case _ => false
-    }
+    // isNormTime lives on the companion (shared with TimeGrainPat).
+    private def isNormTime(e: Expression, timeCol: String): Boolean =
+      RollupRouting.isNormTime(e, timeCol)
 
     /** Which rollup key a grouping expression computes, if any: a
       * registered non-time key column (returned under its SOURCE
@@ -1109,15 +1226,78 @@ object RollupRouting {
       // rand() < 0.5 has no references, so it would pass the subset
       // check and then filter pre-aggregated GROUPS instead of raw
       // rows — so they keep the query live too (round-12 guard).
+      // Registered time-truncation group keys (round 12): a query
+      // subtree that IS a registered truncation of the time column —
+      // or a coarser derivation of it (day/month/… over an hourly
+      // key) — substitutes to the rollup column carrying that value.
+      val rollupIds = AttributeSet(rollup.output)
+      def substTime(e: Expression): Option[Expression] =
+        spec.timeGroupings.view.flatMap { case (p, rc) =>
+          attr(rc).flatMap(a => p.subst(e, a))
+        }.headOption
+      // whole-grain bounds on the RAW time column subsume onto the
+      // truncated key (the optimizer rewrites `to_date(ts) >= d` into
+      // `ts >= midnight` and pushes it to the scan — the same shapes
+      // the single-table subsumeConjunct proves lossless: a grain-g
+      // group's rows all lie in [g, g+grain), so an aligned boundary
+      // cut never splits a group; the inclusive-upper dashboard bound
+      // `ts <= boundary − 1µs` is the same half-open cut)
+      def substTimeBound(e: Expression): Option[Expression] =
+        spec.timeGroupings.view.flatMap { case (p, rc) =>
+          attr(rc).map { a =>
+            val g = p.micros
+            def keyLit(us: Long): Expression =
+              if (p.grain == "day") Literal((us / 86400000000L).toInt, DateType)
+              else Literal(us, TimestampType)
+            object Bound {
+              def unapply(x: Expression): Option[Long] = x match {
+                case Literal(us: Long, TimestampType | TimestampNTZType)
+                    if us % g == 0 => Some(us)
+                case _ => None
+              }
+            }
+            object InclUpper {
+              def unapply(x: Expression): Option[Long] = x match {
+                case Literal(us: Long, TimestampType | TimestampNTZType)
+                    if (us + 1) % g == 0 => Some(us + 1)
+                case _ => None
+              }
+            }
+            def isT(t: Expression): Boolean = isNormTime(t, p.col)
+            e match {
+              case IsNotNull(t) if isT(t) => Some(IsNotNull(a))
+              case GreaterThanOrEqual(t, Bound(us)) if isT(t) =>
+                Some(GreaterThanOrEqual(a, keyLit(us)))
+              case LessThan(t, Bound(us)) if isT(t) => Some(LessThan(a, keyLit(us)))
+              case LessThanOrEqual(Bound(us), t) if isT(t) =>
+                Some(GreaterThanOrEqual(a, keyLit(us)))
+              case GreaterThan(Bound(us), t) if isT(t) => Some(LessThan(a, keyLit(us)))
+              case LessThanOrEqual(t, InclUpper(us)) if isT(t) =>
+                Some(LessThan(a, keyLit(us)))
+              case GreaterThanOrEqual(InclUpper(us), t) if isT(t) =>
+                Some(LessThan(a, keyLit(us)))
+              case _ => None
+            }
+          }
+        }.flatten.headOption
+      /** Rewrite an expression onto the rollup's columns: registered
+        * truncations substitute whole subtrees (top-down, so the
+        * replacement's own rollup attribute is not re-visited), then
+        * every remaining source attribute must map through
+        * `spec.filterCols`; anything unmapped fails. */
+      def mapToRollup(e: Expression): Option[Expression] = {
+        var ok = true
+        val mapped = e.transformDown {
+          case sub if substTimeBound(sub).isDefined => substTimeBound(sub).get
+          case sub if substTime(sub).isDefined => substTime(sub).get
+          case a: AttributeReference if !rollupIds.contains(a) =>
+            spec.filterCols.get(a.name).flatMap(attr).getOrElse { ok = false; a }
+        }
+        if (ok && mapped.references.subsetOf(rollupIds)) Some(mapped) else None
+      }
       val routedFilters: Seq[Expression] = residualFilters.map { c =>
         if (!c.deterministic) return None
-        val r = resolved(c).transformUp {
-          case a: AttributeReference if spec.filterCols.contains(a.name) &&
-              attr(spec.filterCols(a.name)).isDefined =>
-            attr(spec.filterCols(a.name)).get
-        }
-        if (r.references.subsetOf(AttributeSet(rollup.output))) r
-        else return None
+        mapToRollup(resolved(c)).getOrElse(return None)
       }
       /** A grouping expression the rollup preserves → the SAME
         * expression over the rollup's columns (round 12). The
@@ -1135,12 +1315,7 @@ object RollupRouting {
         val r = resolved(e)
         if (!r.deterministic || r.references.isEmpty ||
             r.exists(_.isInstanceOf[AggregateExpression])) return None
-        var ok = true
-        val mapped = r.transformUp {
-          case a: AttributeReference =>
-            spec.filterCols.get(a.name).flatMap(attr).getOrElse { ok = false; a }
-        }
-        if (ok) Some(mapped) else None
+        mapToRollup(r)
       }
       val keyMap: Map[Expression, Expression] = groupings.map { g =>
         groupingExpr(g) match {
@@ -1239,7 +1414,14 @@ object RollupRouting {
           routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
         case Some(Some(wm)) =>
           val covSrc = spec.coverage.getOrElse(return None)
+          // coverage on a registered time truncation (by its ROLLUP
+          // column name): the watermark must be aligned to the
+          // pattern's grain, or the boundary bucket would split
+          // between the rollup and the live tail
           val covAttr = spec.filterCols.get(covSrc).flatMap(attr)
+            .orElse(spec.timeGroupings.collectFirst {
+              case (p, rc) if rc == covSrc && wm % p.micros == 0 => attr(rc)
+            }.flatten)
             .getOrElse(return None)
           val wmLit = coverageLit(covAttr.dataType, wm).getOrElse(return None)
           val rollupSide =
@@ -1314,18 +1496,34 @@ object RollupRouting {
       val cyclePreds = pairs.toSeq.map { case (a, b) =>
         EqualTo(attrOf(a).getOrElse(return None), attrOf(b).getOrElse(return None))
       }
-      val covAttr = attrOf(covSrc).getOrElse(return None)
-      val wmLit = coverageLit(covAttr.dataType, wm).getOrElse(return None)
-      val tailCond = (GreaterThanOrEqual(covAttr, wmLit) +:
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      /** A registered time truncation rebuilt over the raw scans. */
+      def rebuildTime(p: TimeGrainPat): Option[Expression] = p.rebuild(attrOf, tz)
+      val timeOfRollupCol: Map[String, TimeGrainPat] =
+        spec.timeGroupings.map(_.swap).toMap
+      // coverage is a preserved source column, or a registered time
+      // truncation named by its rollup column — for the latter the
+      // tail bounds the RAW time column instead of recomputing the
+      // truncation: the watermark is grain-aligned (the rewrite
+      // checked), so `ts >= wm ⟺ trunc(ts) >= wm` row for row, and
+      // the raw bound pushes down to the tail's parquet scan
+      val covExpr: Expression = attrOf(covSrc)
+        .orElse(timeOfRollupCol.get(covSrc).flatMap(p => attrOf(p.col)))
+        .getOrElse(return None)
+      val wmLit = coverageLit(covExpr.dataType, wm).getOrElse(return None)
+      val tailCond = (GreaterThanOrEqual(covExpr, wmLit) +:
         (cyclePreds ++ residualsRaw)).reduce(And)
       val srcOfRollupCol: Map[String, String] =
         (spec.groupings ++ spec.grainCols).map(_.swap)
-      val groupKeys: Seq[Attribute] =
+      val groupKeys: Seq[Expression] =
         (spec.grainCols.keySet ++ spec.groupings.keySet).toSeq.sorted
-          .map(n => attrOf(n).getOrElse(return None))
+          .map(n => attrOf(n).getOrElse(return None)) ++
+        spec.timeGroupings.map { case (p, _) => rebuildTime(p).getOrElse(return None) }
       val aggExprs: Seq[NamedExpression] = rollup.output.map(_.name).map {
         case n if srcOfRollupCol.contains(n) =>
           Alias(attrOf(srcOfRollupCol(n)).getOrElse(return None), n)()
+        case n if timeOfRollupCol.contains(n) =>
+          Alias(rebuildTime(timeOfRollupCol(n)).getOrElse(return None), n)()
         case n => spec.aggs.view.flatMap {
           case SumOf(pat, p) if p == n =>
             pat.rebuild(attrOf).map(e =>

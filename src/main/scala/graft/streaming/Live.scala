@@ -356,8 +356,13 @@ object Live {
     import graft.plans.RollupRouting
     val covSrc = spec.coverage.getOrElse(throw new IllegalArgumentException(
       "maintainJoinRollup needs a coverage column on the spec"))
-    val covRollup = spec.filterCols.getOrElse(covSrc, throw new IllegalArgumentException(
-      s"coverage column $covSrc must be a preserved grainCols/groupings key"))
+    // a preserved key, or a registered time truncation's rollup column
+    // (buildJoinPartials materializes it per partial row either way)
+    val covRollup = spec.filterCols.get(covSrc)
+      .orElse(spec.timeGroupings.collectFirst { case (_, rc) if rc == covSrc => rc })
+      .getOrElse(throw new IllegalArgumentException(
+        s"coverage column $covSrc must be a preserved grainCols/groupings key " +
+          "or a registered timeGroupings rollup column"))
     val sidecar = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)
     val stamped = new java.util.concurrent.atomic.AtomicLong(
       if (sidecar.exists())
@@ -436,6 +441,32 @@ object Live {
     graft.ops.Rollups.compactJoinRollup(spark, spec)
     graft.ops.Rollups.withRoutingJoinSpecs(spark, Seq(spec)) {
       graft.ops.StarJoins.revenueBySegment(spark, sfDir)
+    }
+  }
+
+  /** q183 (shares q181's oracle): the one-registration lifecycle for a
+    * TRUNCATING-time-grain join MV — STREAMING maintenance of the
+    * hourly events⋈customer spec from event deliveries (the coverage
+    * watermark advances along the `date_trunc('hour', ts)` ROLLUP
+    * column itself, stamped at the last complete hour), COMPACTION
+    * re-merging file-split deliveries per (hour, segment), and the
+    * UNCHANGED by-DAY dashboard answered as compacted rollup ∪
+    * live-tail re-join across the hour watermark. The drain stops
+    * mid-hour, so the hash match proves the ragged hour came from the
+    * tail — the rollup's commit-point filter hides its own
+    * appended-but-uncovered partials. */
+  def streamingEventsSegmentHourlyHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_evseg_hy")
+      .resolve("ev_hourly_rollup").toString
+    val spec = RollupRouting.JoinSpec.eventsSegmentHourly(rollupDir)
+    val c = graft.Tables.customer(spark, sfDir)
+    maintainJoinRollup(
+      fileStream(spark, sfDir, "events.parquet", Some(1)), "events",
+      Map("customer" -> c), spec, grainUs = 3600000000L)
+    graft.ops.Rollups.compactJoinRollup(spark, spec)
+    graft.ops.Rollups.withRoutingJoinSpecs(spark, Seq(spec)) {
+      graft.ops.StarJoins.eventsSegmentDaily(spark, sfDir)
     }
   }
 

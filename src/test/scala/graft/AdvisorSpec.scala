@@ -127,14 +127,55 @@ class AdvisorSpec extends AnyFunSuite {
       assert(routed.collect().toSeq == plain)
     }
     // a TRUNCATING time grouping over a join (to_date of a TIMESTAMP
-    // — a real day cut, not an identity) stays out of scope
+    // — a real day cut, not an identity) advises a TimeGrainPat key
+    // (round 12); a truncation of a SHIFTED timestamp still cannot
     val truncating = Tables.events(spark, sf)
       .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
       .groupBy(to_date(col("ts")).as("day"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
     val advice2 = Advisor.advise(Seq(truncating), root)
-    assert(advice2.joins.isEmpty &&
-      advice2.skipped.exists(_.contains("truncating time-grain")), advice2)
+    assert(advice2.skipped.isEmpty && advice2.joins.size == 1 &&
+      advice2.joins.head.spec.timeGroupings ==
+        Seq(RollupRouting.TimeGrainPat("day", "ts") -> "ts_day"), advice2)
+    val shifted = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts") + expr("INTERVAL 1 HOUR")).as("day"),
+               col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val advice3 = Advisor.advise(Seq(shifted), root)
+    assert(advice3.joins.isEmpty &&
+      advice3.skipped.exists(_.contains("unmappable grouping")), advice3)
+  }
+
+  test("hour + day star dashboards merge into one hourly time-grain join MV") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_hr").toString
+    def hourly = Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)), col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("c_mktsegment"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("hour", "c_mktsegment")
+    def daily = StarJoins.eventsSegmentDaily(spark, sf)
+    val advice = Advisor.advise(Seq(hourly, daily), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.joins.size == 1, advice)
+    val spec = advice.joins.head.spec
+    // merged at the FINEST demanded grain, segment preserved, both
+    // measures pooled into one partial block
+    assert(spec.timeGroupings ==
+      Seq(RollupRouting.TimeGrainPat("hour", "ts") -> "ts_hour"), spec)
+    assert(spec.groupings == Map("c_mktsegment" -> "c_mktsegment"), spec)
+    val plainHourly = hourly.collect().toSeq
+    val plainDaily = daily.collect().toSeq
+    routedWith(advice) {
+      val rh = hourly
+      val rd = daily
+      assert(rh.queryExecution.executedPlan.toString.contains("graft_advise_hr"),
+        "the hourly dashboard must route onto the advised MV")
+      assert(rd.queryExecution.executedPlan.toString.contains("graft_advise_hr"),
+        "the daily dashboard must route via truncation composition")
+      assert(rh.collect().toSeq == plainHourly)
+      assert(rd.collect().toSeq == plainDaily)
+    }
   }
 
   /** The declare-NOTHING lifecycle: the spec is mined from the raw

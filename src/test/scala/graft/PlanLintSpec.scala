@@ -28,7 +28,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q146_stream_asof", "q148_stream_asof_final",
     "q154_cdc_summing_stream", "q164_stream_hybrid_daily",
     "q168_stream_orders_hybrid", "q170_compacted_rollup",
-    "q171_stream_revseg_hybrid", // run streams
+    "q171_stream_revseg_hybrid", "q183_trunc_stream_lifecycle", // run streams
     "q86_shard_manifest") // writes a lake as a side effect
 
   test("no query plans a Window with an empty partition spec") {

@@ -1397,6 +1397,98 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 12: TRUNCATING time-grain group keys on the join path —
+    * [[RollupRouting.TimeGrainPat]] registers `date_trunc('hour',
+    * ts)` as a rollup group key of an otherwise-unpreserved
+    * TIMESTAMP; the router substitutes the query's own truncation, or
+    * any COARSER one (truncations compose), onto the rollup column.
+    * Finer grains, shifted timestamps, and the bare timestamp keep
+    * the live join; coverage rides the hour column with an
+    * hour-aligned watermark. */
+  test("hourly time-grain join MV answers hour, day, and month groupings") {
+    import graft.plans.RollupRouting._
+    val base = java.nio.file.Files.createTempDirectory("graft_trunc_grp")
+    val dir = base.resolve("ev_hourly_rollup").toString
+    val tables = Map(
+      "events" -> Tables.events(spark, sf),
+      "customer" -> Tables.customer(spark, sf))
+    RollupRouting.buildJoinPartials(tables, JoinSpec.eventsSegmentHourly("unused"))
+      .write.parquet(dir)
+    def joined = Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)),
+            col("user_id") === col("c_custkey"))
+    def byKey(key: org.apache.spark.sql.Column) = joined
+      .groupBy(key.as("k"), col("c_mktsegment"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("sum_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("k", "c_mktsegment")
+    val plainHour = byKey(date_trunc("hour", col("ts"))).collect().toSeq
+    val plainDay = byKey(to_date(col("ts"))).collect().toSeq
+    val plainMonth = byKey(date_trunc("month", col("ts"))).collect().toSeq
+    RollupRouting.registerJoin(JoinSpec.eventsSegmentHourly(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      def assertRouted(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ev_hourly_rollup"), s"$what must route:\n$plan")
+        assert(!plan.toLowerCase.contains("sortmergejoin") &&
+               !plan.toLowerCase.contains("broadcasthashjoin"),
+          s"$what must be join-free:\n$plan")
+      }
+      val hr = byKey(date_trunc("hour", col("ts")))
+      assertRouted(hr, "the registered hour grain")
+      assert(hr.collect().toSeq == plainHour)
+      val dy = byKey(to_date(col("ts")))
+      assertRouted(dy, "a day grouping over the hourly key")
+      assert(dy.collect().toSeq == plainDay)
+      val mo = byKey(date_trunc("month", col("ts")))
+      assertRouted(mo, "a month grouping over the hourly key")
+      assert(mo.collect().toSeq == plainMonth)
+      // near misses: a FINER truncation, a SHIFTED timestamp, and the
+      // bare timestamp are not functions of the hour bucket
+      for ((key, what) <- Seq(
+          (date_trunc("minute", col("ts")), "a minute grouping"),
+          (to_date(col("ts") + expr("INTERVAL 1 HOUR")), "a shifted to_date"),
+          (col("ts"), "the bare timestamp"))) {
+        val plan = byKey(key).queryExecution.executedPlan.toString
+        assert(!plan.contains("ev_hourly_rollup"),
+          s"$what must keep the live join:\n$plan")
+      }
+      // a residual filter phrased AS the registered truncation (or a
+      // coarser one) subsumes; one on the raw timestamp does not
+      val filtered = joined
+        .filter(to_date(col("ts")) >= lit("2024-01-10").cast("date"))
+        .groupBy(to_date(col("ts")).as("k"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("ev_hourly_rollup"), "a day-truncation filter must subsume")
+      // hybrid: an hour-aligned watermark splits rollup ∪ live tail;
+      // a midday-misaligned one (half past) must refuse and stay live
+      val wmUs = java.time.LocalDate.parse("2024-01-15").toEpochDay * 86400000000L +
+        7 * 3600000000L
+      RollupRouting.stampCoverage(dir, wmUs)
+      val hybrid = byKey(to_date(col("ts")))
+      val hplan = hybrid.queryExecution.executedPlan.toString
+      assert(hplan.contains("ev_hourly_rollup") && hplan.toLowerCase.contains("union"),
+        s"an hour-aligned stamp must serve hybrid:\n$hplan")
+      assert(hybrid.collect().toSeq == plainDay)
+      RollupRouting.stampCoverage(dir, wmUs + 1800000000L)
+      assert(!byKey(to_date(col("ts"))).queryExecution.executedPlan.toString
+        .contains("ev_hourly_rollup"),
+        "a non-hour-aligned watermark must keep the query live")
+      // the spec round-trips the JSON catalog with its time pattern
+      val reg = base.resolve("registry.json").toString
+      RollupRouting.saveRegistry(reg)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, reg)
+      assert(RollupRouting.registeredJoins.map(_.timeGroupings) ==
+        List(Seq(TimeGrainPat("hour", "ts") -> "ts_hour")))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("join path routes min/max/avg; bare double avg stays live") {
     import graft.ops.StarJoins
     import graft.plans.RollupRouting.JoinSpec
