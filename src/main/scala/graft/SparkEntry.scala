@@ -374,6 +374,16 @@ object SparkEntry {
     "q183_trunc_stream_lifecycle" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.Live.streamingEventsSegmentHourlyHybrid(s, d)),
+    // SKETCH-STATE MVs (round 12, the uniqState/uniqMerge member):
+    // per-day Datasketches-HLL states routed under hll_union_agg.
+    // No SQL oracle — DuckDB has no Datasketches HLL — so these are
+    // rows-only; RollupRoutingSpec pins routed ≡ single-pass
+    // bit-equality, the lgK/HLL++ near-misses, hybrid, compaction,
+    // the join path, and a ≤5% error bound against the exact count.
+    "q184_uniq_sketch_routed" -> (Rollups.dailyUniqSketchRouted _),
+    "q185_uniq_sketch_hybrid" -> (Rollups.dailyUniqSketchHybrid _),
+    "q186_uniq_sketch_join" -> (StarJoins.uniqSegmentDailyRouted _),
+    "q187_uniq_sketch_advised" -> (graft.plans.Advisor.advisedUniqSketch _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -202,6 +202,68 @@ object Rollups {
     }
   }
 
+  /** The daily UNIQUES-SKETCH rollup registration (round 12): one
+    * Datasketches-HLL state per day — ClickHouse's
+    * `uniqState`-in-an-AggregatingMergeTree made a registry entry
+    * ([[graft.plans.RollupRouting.HllUniqOf]]; the reference's
+    * `uniq()` dashboard shape, SURVEY A3). The rollup is DAY-sized —
+    * one ~`2^lgK`-byte binary row per day regardless of event volume —
+    * so at 100 TB the distinct-users dashboard reads kilobytes. */
+  def uniqSketchSpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map.empty,
+      aggs = Seq(graft.plans.RollupRouting.HllUniqOf("user_id", "uniq_state", 12),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  def uniqSketchRollupDir(sfDir: String): String =
+    StarJoins.scratch(sfDir, "uniq_sketch_rollup")
+  private def ensureUniqSketchRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, uniqSketchRollupDir(sfDir)) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqSketchSpec("unused"))
+    }
+
+  /** The raw daily approx-uniques dashboard, written in the engine's
+    * sketch form — `hll_sketch_estimate(hll_sketch_agg(user_id, 12))`
+    * over RAW events ([[dailyUniqSketchRouted]] runs it unchanged
+    * under the router). */
+  def dailyUniqSketchRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+             .as("uniq_users_approx"),
+           count(lit(1)).as("daily_txs"))
+      .orderBy("day")
+
+  /** Driver entry (q184): SKETCH-STATE MV routing end-to-end — the
+    * unchanged raw sketch query re-aggregates the persisted per-day
+    * HLL states through `hll_union_agg` (uniqState → uniqMerge); the
+    * events fact is never scanned (plan + routed≡live pinned in
+    * RollupRoutingSpec; the estimate itself is spec-bounded against
+    * the exact distinct count). */
+  def dailyUniqSketchRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureUniqSketchRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(uniqSketchSpec(dir))) {
+      dailyUniqSketchRaw(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q185): the STALE sketch rollup under the hybrid
+    * protocol — HLL states for days before [[HybridCutoffUs]] ∪ a
+    * live-tail `hll_sketch_agg` over only `ts ≥ watermark`, unioned
+    * under the final estimate. Sketch mergeability is what makes the
+    * MV-plus-recent-data read exact-in-distribution: the union of the
+    * two sides' states IS the single-pass state. */
+  def dailyUniqSketchHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "uniq_sketch_hybrid")
+    val spec = uniqSketchSpec(dir)
+    if (!new java.io.File(dir).exists())
+      writeRollupUpTo(Tables.events(spark, sfDir), spec, HybridCutoffUs)
+    withRoutingSpecs(spark, Seq(spec)) {
+      dailyUniqSketchRaw(spark, sfDir)
+    }
+  }
+
   /** The hybrid-read cutoff used by the q158 fixtures: the rollup
     * covers [min, 2024-01-24); the last ~7 days of events stay raw. */
   val HybridCutoffUs: Long =
@@ -329,6 +391,8 @@ object Rollups {
       case AvgOf(_, sp, cp) =>
         merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
         merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
+      case HllUniqOf(_, p, _) =>
+        merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
       case CountDistinctGrain(_) => ()
     }
     val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet

@@ -395,6 +395,45 @@ object StarJoins {
       .orderBy("day", "c_mktsegment")
   }
 
+  /** The raw daily distinct-users-per-segment dashboard, in the
+    * engine's sketch form (`hll_sketch_estimate(hll_sketch_agg(...))`
+    * over the events⋈customer join). */
+  def uniqSegmentDailyRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    ev.join(broadcast(c), col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("day"), col("c_mktsegment"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+             .as("uniq_users_approx"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day", "c_mktsegment")
+  }
+
+  def uniqSegmentRollupDir(sfDir: String): String =
+    scratch(sfDir, "uniq_segment_rollup")
+  private def ensureUniqSegmentRollup(spark: SparkSession, sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, uniqSegmentRollupDir(sfDir)) {
+      RollupRouting.buildJoinPartials(
+        Map("events" -> Tables.events(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.uniqSegmentDaily("unused"))
+    }
+  }
+
+  /** Driver entry (q186): the sketch-state MV on the JOIN path — the
+    * unchanged raw sketch-over-join dashboard re-aggregates the
+    * (day, segment) HLL states join-free (`uniqMerge` economy across a
+    * star join; routed≡live and the error bound are spec-pinned). */
+  def uniqSegmentDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureUniqSegmentRollup(spark, sfDir)
+    withJoinRouting(spark, sfDir,
+        extra = Seq(RollupRouting.JoinSpec.uniqSegmentDaily(dir))) {
+      uniqSegmentDailyRaw(spark, sfDir).localCheckpoint()
+    }
+  }
+
   def eventsSegmentHourlyRollupDir(sfDir: String): String =
     scratch(sfDir, "events_seg_hourly_rollup")
   private def ensureEventsSegmentHourlyRollup(spark: SparkSession, sfDir: String): String = {

@@ -187,8 +187,19 @@ object Advisor {
                 Some(AvgOf(a.name, s"${a.name}_sum_p", s"${a.name}_cnt_p"))
               case _ => None
             }
+          // the sketch member (round 12): a Datasketches-HLL demand
+          // registers the per-group sketch state at the query's lgK
+          case hs: HllSketchAgg if !ae.isDistinct =>
+            (resolve(hs.left), hs.right) match {
+              case (a: AttributeReference, Literal(k: Int, _)) =>
+                Some(HllUniqOf(a.name, s"${a.name}_hll_p", k))
+              case _ => None
+            }
           case _ => None
         }
+      // the estimate is a scalar over the sketch aggregate — the
+      // demand is the aggregate underneath
+      case HllSketchEstimate(c) => mapOne(c, resolve)
       case _ => None
     }
 
@@ -301,6 +312,7 @@ object Advisor {
     case MinOf(c, _) => s"min:$c"
     case MaxOf(c, _) => s"max:$c"
     case AvgOf(c, _, _) => s"avg:$c"
+    case HllUniqOf(c, _, k) => s"hll:$c:$k"
     case CountDistinctGrain(g) => s"cdg:$g"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {
@@ -503,5 +515,22 @@ object Advisor {
     require(advice.joins.size == 1 && advice.skipped.isEmpty,
       s"advisor must merge the workload into one join MV: $advice")
     runRouted(spark, advice) { StarJoins.chargeBySegment(spark, sfDir) }
+  }
+
+  /** Driver entry (q187, rows-only like the q184 sketch family): the
+    * SKETCH demand advised end-to-end — the raw daily approx-uniques
+    * dashboard and the (day, user) volume dashboard merge into ONE
+    * events spec whose partial block carries the HLL state next to
+    * the decimal partials, and the unchanged sketch query routes
+    * through it (AdvisorSpec pins routed ≡ live for BOTH queries of
+    * the merged workload). */
+  def advisedUniqSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_uniq")
+    val advice = advise(Seq(
+      graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir),
+      graft.ops.Rollups.daily(spark, sfDir)), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor must merge the sketch + volume workload into one spec: $advice")
+    runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
   }
 }

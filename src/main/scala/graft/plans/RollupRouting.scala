@@ -391,6 +391,24 @@ object RollupRouting {
     * `count(*)` — or a null-bearing source averages wrong; the
     * default block's `vn_partial` is built that way. */
   case class AvgOf(col: String, sumPartial: String, cntPartial: String) extends AggMap
+  /** `hll_sketch_agg(col, lgK)` (usually under `hll_sketch_estimate`)
+    * → `hll_union_agg(partial)` when the rollup stores the per-group
+    * Datasketches-HLL SKETCH STATE `hll_sketch_agg(col, lgK)` as a
+    * binary partial — the approx-distinct member of the registry
+    * (round 12): ClickHouse's AggregatingMergeTree `uniqState` /
+    * `uniqMerge` pattern (the reference's `uniq()` dashboards, SURVEY
+    * A3) as an [[AggMap]]. An HLL sketch is a pure set-function of its
+    * input values — sparse coupons set-union, dense registers
+    * max-merge, both associative and commutative — so union of
+    * per-group partials and the single-pass sketch reach the same
+    * final state, and the estimate re-aggregates losslessly at any
+    * coarser grain (routed ≡ live is spec-pinned). Routing requires
+    * the query's lgK to EQUAL the registered one: a different
+    * precision is a different register array (a union could only
+    * degrade it, silently changing the estimate), so those queries —
+    * and `approx_count_distinct` (HLL++, a different sketch entirely)
+    * — stay live. */
+  case class HllUniqOf(col: String, partial: String, lgK: Int = 12) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -400,6 +418,7 @@ object RollupRouting {
     case MinOf(_, p) => Some(p)
     case MaxOf(_, p) => Some(p)
     case AvgOf(_, _, p) => Some(p)
+    case HllUniqOf(_, p, _) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -584,6 +603,23 @@ object RollupRouting {
         CountStarTo("n_events_partial")),
       coverage = Some("ts_hour"),
       timeGroupings = Seq(TimeGrainPat("hour", "ts") -> "ts_hour"))
+
+    /** Daily DISTINCT-USERS-per-segment over events⋈customer via HLL
+      * sketch states (round 12): the [[HllUniqOf]] member on the JOIN
+      * path. The build pre-aggregates one sketch per (user, day) on
+      * the fact, joins the dim, and the coarse-merge path unions them
+      * down to (day, segment) — sketch union is the partial-merge, so
+      * the two-level build IS the single-pass sketch. The rollup is
+      * (days × segments)-sized; the raw join never runs at read time. */
+    def uniqSegmentDaily(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("events", "customer"),
+      joinKeys = Set(("c_custkey", "user_id")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        HllUniqOf("user_id", "uniq_state", 12),
+        CountStarTo("n_events_partial")),
+      timeGroupings = Seq(TimeGrainPat("day", "ts") -> "ts_day"))
   }
 
   /** The BUILD side of the registry (round 12): derive a spec's
@@ -629,6 +665,8 @@ object RollupRouting {
       case AvgOf(c, sp, cp) =>
         partials.getOrElseUpdate(sp, sum(col(c).cast("decimal(38,6)")).as(sp))
         partials.getOrElseUpdate(cp, count(col(c)).as(cp))
+      case HllUniqOf(c, p, lgK) =>
+        partials.getOrElseUpdate(p, hll_sketch_agg(col(c), lgK).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -686,6 +724,7 @@ object RollupRouting {
       case MinOf(c, _) => Seq(c)
       case MaxOf(c, _) => Seq(c)
       case AvgOf(c, _, _) => Seq(c)
+      case HllUniqOf(c, _, _) => Seq(c)
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -791,6 +830,7 @@ object RollupRouting {
       case AvgOf(_, sp, cp) =>
         merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
         merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
+      case HllUniqOf(_, p, _) => merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.values.toSeq
@@ -834,6 +874,8 @@ object RollupRouting {
       case MaxOf(c, p) => ("kind" -> "max") ~ ("col" -> c) ~ ("partial" -> p)
       case AvgOf(c, sp, cp) =>
         ("kind" -> "avg") ~ ("col" -> c) ~ ("sumPartial" -> sp) ~ ("cntPartial" -> cp)
+      case HllUniqOf(c, p, k) =>
+        ("kind" -> "hllUniq") ~ ("col" -> c) ~ ("partial" -> p) ~ ("lgK" -> k)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -891,6 +933,8 @@ object RollupRouting {
       case "max" => MaxOf((j \ "col").extract[String], (j \ "partial").extract[String])
       case "avg" => AvgOf((j \ "col").extract[String],
         (j \ "sumPartial").extract[String], (j \ "cntPartial").extract[String])
+      case "hllUniq" => HllUniqOf((j \ "col").extract[String],
+        (j \ "partial").extract[String], (j \ "lgK").extract[Int])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1382,6 +1426,17 @@ object RollupRouting {
                   DecimalType(38, 10), null,
                   mode != EvalMode.ANSI)
               }
+            // the sketch member (round 12) — same guards as the
+            // single-table path: bare column, EQUAL lgK (a different
+            // precision is a different register array)
+            case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRefJ(hs.left, cn) && (hs.right match {
+                     case Literal(k: Int, _) => k == lgK
+                     case _ => false
+                   }) =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
             case _ => None
           }
         }.headOption
@@ -1539,6 +1594,9 @@ object RollupRouting {
           case AvgOf(cn, sp, _) if sp == n =>
             attrOf(cn).map(a => Alias(
               Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
+          case HllUniqOf(cn, p, lgK) if p == n =>
+            attrOf(cn).map(a => Alias(
+              HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -1777,6 +1835,24 @@ object RollupRouting {
                   DecimalType(38, 10), null,
                   mode != EvalMode.ANSI)
               }
+            // APPROX-DISTINCT via sketch state (round 12, the
+            // uniqState/uniqMerge member): `hll_sketch_agg(col, lgK)`
+            // re-aggregates as `hll_union_agg(partial)` — an HLL state
+            // is a set-function of its inputs (coupons set-union,
+            // registers max-merge), so the union of per-group partials
+            // IS the single-pass sketch. Only a BARE column with the
+            // registered lgK routes; a different precision, a cast, or
+            // approx_count_distinct (HLL++, a different sketch) stays
+            // live. Both node types are BinaryType, so the preserved
+            // ExprId keeps its type.
+            case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(hs.left, cn) && (hs.right match {
+                     case Literal(k: Int, _) => k == lgK
+                     case _ => false
+                   }) =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
             case _ => None
           }
         }.headOption
@@ -1919,6 +1995,9 @@ object RollupRouting {
             // no SumOf writes the same column (the builder reuses it)
             scanAttr(cn).map(a => Alias(
               Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
+          case HllUniqOf(cn, p, lgK) if p == n => // the tail's own sketch
+            scanAttr(cn).map(a => Alias(
+              HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

@@ -240,4 +240,32 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.skipped.exists(_.contains("unmappable aggregate")))
     assert(advice.skipped.exists(_.contains("no top-level aggregate")))
   }
+
+  test("a sketch dashboard advises an HLL-state partial; both merged queries route") {
+    import graft.ops.Rollups
+    val sketchRaw = Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq
+    val volumeRaw = Rollups.daily(spark, sf).collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_hll").toString
+    val advice = Advisor.advise(Seq(
+      Rollups.dailyUniqSketchRaw(spark, sf), Rollups.daily(spark, sf)), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    val spec = advice.singles.head.spec
+    assert(spec.aggs.exists {
+      case RollupRouting.HllUniqOf("user_id", _, 12) => true; case _ => false
+    }, s"advised aggs must carry the HLL state: ${spec.aggs}")
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routedSketch = Rollups.dailyUniqSketchRaw(spark, sf)
+      val plan = routedSketch.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_hll") && !plan.contains("events.parquet"),
+        s"sketch query must read the advised rollup:\n$plan")
+      assert(routedSketch.collect().toSeq == sketchRaw)
+      assert(Rollups.daily(spark, sf).collect().toSeq == volumeRaw,
+        "the merged volume query must route through the same spec unchanged")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }

@@ -1808,4 +1808,116 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(sidecar.exists)
     assert(spark.read.parquet(dir).count() > 0)
   }
+
+  /** The HllUniqOf registry member (round 12): uniqState/uniqMerge.
+    * Routed ≡ live pins the sketch-union = single-pass-sketch claim;
+    * the near-misses pin that a different precision or a different
+    * sketch family (HLL++) never silently routes. */
+  test("HLL sketch states route; lgK mismatch and HLL++ stay live; bounded error") {
+    import graft.ops.Rollups
+    val raw = Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllrollup")
+      .resolve("hllrollup").toString
+    val spec = Rollups.uniqSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec)
+      .write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.dailyUniqSketchRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("hllrollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == raw,
+        "routed sketch estimate must equal the single-pass estimate")
+      // near-miss 1: a different lgK is a different register array
+      val otherK = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 13)).as("u"))
+      assert(!otherK.queryExecution.executedPlan.toString.contains("hllrollup"),
+        "lgK=13 query must stay on the live scan")
+      // near-miss 2: approx_count_distinct is HLL++, not Datasketches
+      val hllpp = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(approx_count_distinct($"user_id").as("u"))
+      assert(!hllpp.queryExecution.executedPlan.toString.contains("hllrollup"),
+        "approx_count_distinct must stay on the live scan")
+      // estimate quality: lgK=12 → rsd ≈ 1.6%; 5% is a ≳3σ bound
+      val exact = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(countDistinct($"user_id").as("exact"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      routed.collect().foreach { r =>
+        val (day, est) = (r.getDate(0).toString, r.getLong(1))
+        val ex = exact(day)
+        assert(math.abs(est - ex).toDouble / ex <= 0.05,
+          s"day $day: estimate $est vs exact $ex out of bound")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("HLL sketch hybrid: stale states ∪ live tail ≡ single-pass; join path routes") {
+    import graft.ops.{Rollups, StarJoins}
+    // hybrid on the single-table path
+    val raw = Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllhybrid")
+      .resolve("hllrollup").toString
+    val spec = Rollups.uniqSketchSpec(dir)
+    Rollups.writeRollupUpTo(Tables.events(spark, sf), spec, Rollups.HybridCutoffUs)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hybrid = Rollups.dailyUniqSketchRaw(spark, sf)
+      val plan = hybrid.queryExecution.executedPlan.toString
+      assert(plan.contains("hllrollup") && plan.contains("events.parquet"),
+        s"hybrid must read rollup AND tail:\n$plan")
+      assert(hybrid.collect().toSeq == raw,
+        "hybrid sketch read must equal the single-pass answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // streaming-shaped appends + compaction keep the sketch exact
+    val incDir = java.nio.file.Files.createTempDirectory("graft_hllinc")
+      .resolve("hllrollup").toString
+    val incSpec = Rollups.uniqSketchSpec(incDir)
+    val ev = Tables.events(spark, sf)
+    RollupRouting.buildPartials(ev.filter($"user_id" % 2 === 0), incSpec)
+      .write.mode("append").parquet(incDir)
+    RollupRouting.buildPartials(ev.filter($"user_id" % 2 =!= 0), incSpec)
+      .write.mode("append").parquet(incDir)
+    Rollups.compactRollup(spark, incSpec)
+    val compacted = spark.read.parquet(incDir)
+    assert(compacted.groupBy($"day").count().filter($"count" > 1).isEmpty,
+      "compaction must leave one sketch row per day")
+    RollupRouting.register(incSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      assert(Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq == raw,
+        "append-built + compacted sketch rollup must still answer exactly")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // join path: the (day, segment) sketch MV answers the join query
+    val joinRaw = StarJoins.uniqSegmentDailyRaw(spark, sf).collect().toSeq
+    val routedJoin = StarJoins.uniqSegmentDailyRouted(spark, sf)
+    assert(routedJoin.collect().toSeq == joinRaw,
+      "join-path sketch MV must equal the live join answer")
+    // registry persistence round-trips the sketch member
+    val regPath = java.nio.file.Files.createTempDirectory("graft_hllreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(incSpec)
+    RollupRouting.registerJoin(RollupRouting.JoinSpec.uniqSegmentDaily("p"))
+    RollupRouting.saveRegistry(regPath)
+    val (s0, j0) = (RollupRouting.registered, RollupRouting.registeredJoins)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, regPath)
+    assert(RollupRouting.registered == s0 && RollupRouting.registeredJoins == j0,
+      "HllUniqOf must survive the JSON catalog round-trip")
+    RollupRouting.clear()
+  }
 }
