@@ -12,5 +12,6 @@ object Functions {
     expr.IsHexWord.register(spark)
     expr.DotProduct.register(spark)
     expr.ZValue.register(spark)
+    expr.Kll.register(spark)
   }
 }

@@ -384,6 +384,14 @@ object SparkEntry {
     "q185_uniq_sketch_hybrid" -> (Rollups.dailyUniqSketchHybrid _),
     "q186_uniq_sketch_join" -> (StarJoins.uniqSegmentDailyRouted _),
     "q187_uniq_sketch_advised" -> (graft.plans.Advisor.advisedUniqSketch _),
+    // QUANTILE-state MVs (round 12): custom KLL TypedImperativeAggregates
+    // (graft.expr.Kll) stored per day and routed under graft_kll_merge —
+    // quantileState/quantileMerge. Rows-only (randomized compaction is
+    // the sketch's published design); RollupRoutingSpec pins the
+    // rank-error bound vs the exact CDF on live/routed/hybrid/compacted
+    // plans plus the k and percentile_approx near-misses.
+    "q188_quantile_sketch_routed" -> (Rollups.dailyQuantileSketchRouted _),
+    "q189_quantile_sketch_hybrid" -> (Rollups.dailyQuantileSketchHybrid _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -264,6 +264,66 @@ object Rollups {
     }
   }
 
+  /** The daily QUANTILE-STATE rollup registration (round 12): one KLL
+    * doubles state per day — ClickHouse's `quantileState` made a
+    * registry entry ([[graft.plans.RollupRouting.KllQuantileOf]]).
+    * Like the HLL member, the rollup is calendar-sized: a p50/p95
+    * latency-style dashboard at 100 TB reads one ~KB state per day. */
+  def quantileSketchSpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map.empty,
+      aggs = Seq(graft.plans.RollupRouting.KllQuantileOf("value", "value_kll", 200),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  def quantileSketchRollupDir(sfDir: String): String =
+    StarJoins.scratch(sfDir, "quantile_sketch_rollup")
+  private def ensureQuantileSketchRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, quantileSketchRollupDir(sfDir)) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), quantileSketchSpec("unused"))
+    }
+
+  /** The raw daily value-quantiles dashboard in the engine's sketch
+    * form — `graft_kll_quantile(graft_kll_agg(value, 200), q)` over
+    * RAW events; both estimates share one state (Catalyst dedups the
+    * equal aggregate). */
+  def dailyQuantileSketchRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Kll
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Kll.quantile(Kll.agg(col("value"), 200), 0.5).as("p50_value"),
+           Kll.quantile(Kll.agg(col("value"), 200), 0.95).as("p95_value"),
+           count(lit(1)).as("daily_txs"))
+      .orderBy("day")
+  }
+
+  /** Driver entry (q188): QUANTILE-state MV routing end-to-end — the
+    * unchanged raw sketch query re-aggregates the persisted per-day
+    * KLL states through `graft_kll_merge` (quantileState →
+    * quantileMerge); the fact is never scanned. KLL compaction is
+    * randomized, so the spec pins the ±rank-error bound against the
+    * exact CDF (the contract), not bit equality. */
+  def dailyQuantileSketchRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureQuantileSketchRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(quantileSketchSpec(dir))) {
+      dailyQuantileSketchRaw(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q189): the stale quantile rollup under the hybrid
+    * protocol — per-day KLL states before [[HybridCutoffUs]] ∪ a
+    * live-tail `graft_kll_agg` over only ts ≥ watermark, merged under
+    * the final estimates. */
+  def dailyQuantileSketchHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "quantile_sketch_hybrid")
+    val spec = quantileSketchSpec(dir)
+    if (!new java.io.File(dir).exists())
+      writeRollupUpTo(Tables.events(spark, sfDir), spec, HybridCutoffUs)
+    withRoutingSpecs(spark, Seq(spec)) {
+      dailyQuantileSketchRaw(spark, sfDir)
+    }
+  }
+
   /** The hybrid-read cutoff used by the q158 fixtures: the rollup
     * covers [min, 2024-01-24); the last ~7 days of events stay raw. */
   val HybridCutoffUs: Long =
@@ -393,6 +453,8 @@ object Rollups {
         merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
       case HllUniqOf(_, p, _) =>
         merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
+      case KllQuantileOf(_, p, k) =>
+        merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
       case CountDistinctGrain(_) => ()
     }
     val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet

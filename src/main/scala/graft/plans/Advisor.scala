@@ -187,19 +187,27 @@ object Advisor {
                 Some(AvgOf(a.name, s"${a.name}_sum_p", s"${a.name}_cnt_p"))
               case _ => None
             }
-          // the sketch member (round 12): a Datasketches-HLL demand
-          // registers the per-group sketch state at the query's lgK
+          // the sketch members (round 12): a Datasketches demand
+          // registers the per-group sketch state at the query's
+          // precision (HLL uniques; KLL quantiles)
           case hs: HllSketchAgg if !ae.isDistinct =>
             (resolve(hs.left), hs.right) match {
               case (a: AttributeReference, Literal(k: Int, _)) =>
                 Some(HllUniqOf(a.name, s"${a.name}_hll_p", k))
               case _ => None
             }
+          case ka: graft.expr.KllDoublesAgg if !ae.isDistinct =>
+            resolve(ka.child) match {
+              case a: AttributeReference =>
+                Some(KllQuantileOf(a.name, s"${a.name}_kll_p", ka.k))
+              case _ => None
+            }
           case _ => None
         }
-      // the estimate is a scalar over the sketch aggregate — the
+      // the estimates are scalars over the sketch aggregates — the
       // demand is the aggregate underneath
       case HllSketchEstimate(c) => mapOne(c, resolve)
+      case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve)
       case _ => None
     }
 
@@ -313,6 +321,7 @@ object Advisor {
     case MaxOf(c, _) => s"max:$c"
     case AvgOf(c, _, _) => s"avg:$c"
     case HllUniqOf(c, _, k) => s"hll:$c:$k"
+    case KllQuantileOf(c, _, k) => s"kll:$c:$k"
     case CountDistinctGrain(g) => s"cdg:$g"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {

@@ -409,6 +409,17 @@ object RollupRouting {
     * and `approx_count_distinct` (HLL++, a different sketch entirely)
     * — stay live. */
   case class HllUniqOf(col: String, partial: String, lgK: Int = 12) extends AggMap
+  /** `graft_kll_agg(col, k)` (usually under `graft_kll_quantile`) →
+    * `graft_kll_merge(partial)` when the rollup stores the per-group
+    * KLL quantile state ([[graft.expr.KllDoublesAgg]], binary) — the
+    * QUANTILE member (round 12): ClickHouse's `quantileState` /
+    * `quantileMerge`. KLL merge has the same bounded rank error as
+    * the single-pass sketch but its compaction is randomized, so
+    * routed ≡ live holds in RANK ERROR, not bits — the spec pins the
+    * ±ε bound against the exact CDF on both plans. Routing requires
+    * the registered k on a bare column; other k, casts, and
+    * percentile_approx (GK, not a storable state) stay live. */
+  case class KllQuantileOf(col: String, partial: String, k: Int = 200) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -419,6 +430,7 @@ object RollupRouting {
     case MaxOf(_, p) => Some(p)
     case AvgOf(_, _, p) => Some(p)
     case HllUniqOf(_, p, _) => Some(p)
+    case KllQuantileOf(_, p, _) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -667,6 +679,8 @@ object RollupRouting {
         partials.getOrElseUpdate(cp, count(col(c)).as(cp))
       case HllUniqOf(c, p, lgK) =>
         partials.getOrElseUpdate(p, hll_sketch_agg(col(c), lgK).as(p))
+      case KllQuantileOf(c, p, k) =>
+        partials.getOrElseUpdate(p, graft.expr.Kll.agg(col(c), k).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -725,6 +739,7 @@ object RollupRouting {
       case MaxOf(c, _) => Seq(c)
       case AvgOf(c, _, _) => Seq(c)
       case HllUniqOf(c, _, _) => Seq(c)
+      case KllQuantileOf(c, _, _) => Seq(c)
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -831,6 +846,8 @@ object RollupRouting {
         merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
         merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
       case HllUniqOf(_, p, _) => merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
+      case KllQuantileOf(_, p, k) =>
+        merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.values.toSeq
@@ -876,6 +893,8 @@ object RollupRouting {
         ("kind" -> "avg") ~ ("col" -> c) ~ ("sumPartial" -> sp) ~ ("cntPartial" -> cp)
       case HllUniqOf(c, p, k) =>
         ("kind" -> "hllUniq") ~ ("col" -> c) ~ ("partial" -> p) ~ ("lgK" -> k)
+      case KllQuantileOf(c, p, k) =>
+        ("kind" -> "kllQuantile") ~ ("col" -> c) ~ ("partial" -> p) ~ ("k" -> k)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -935,6 +954,8 @@ object RollupRouting {
         (j \ "sumPartial").extract[String], (j \ "cntPartial").extract[String])
       case "hllUniq" => HllUniqOf((j \ "col").extract[String],
         (j \ "partial").extract[String], (j \ "lgK").extract[Int])
+      case "kllQuantile" => KllQuantileOf((j \ "col").extract[String],
+        (j \ "partial").extract[String], (j \ "k").extract[Int])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1426,9 +1447,9 @@ object RollupRouting {
                   DecimalType(38, 10), null,
                   mode != EvalMode.ANSI)
               }
-            // the sketch member (round 12) — same guards as the
-            // single-table path: bare column, EQUAL lgK (a different
-            // precision is a different register array)
+            // the sketch members (round 12) — same guards as the
+            // single-table path: bare column, EQUAL precision (a
+            // different lgK/k is a different sketch)
             case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRefJ(hs.left, cn) && (hs.right match {
@@ -1437,6 +1458,11 @@ object RollupRouting {
                    }) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
+            case (KllQuantileOf(cn, partial, k), ka: graft.expr.KllDoublesAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRefJ(ka.child, cn) && ka.k == k =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
             case _ => None
           }
         }.headOption
@@ -1597,6 +1623,9 @@ object RollupRouting {
           case HllUniqOf(cn, p, lgK) if p == n =>
             attrOf(cn).map(a => Alias(
               HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
+          case KllQuantileOf(cn, p, k) if p == n =>
+            attrOf(cn).map(a => Alias(
+              graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -1853,6 +1882,14 @@ object RollupRouting {
                    }) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
+            // QUANTILE via KLL state (round 12, quantileState/
+            // quantileMerge): same bare-column + registered-k guards;
+            // percentile_approx (GK, no storable state) never matches
+            case (KllQuantileOf(cn, partial, k), ka: graft.expr.KllDoublesAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(ka.child, cn) && ka.k == k =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
             case _ => None
           }
         }.headOption
@@ -1998,6 +2035,9 @@ object RollupRouting {
           case HllUniqOf(cn, p, lgK) if p == n => // the tail's own sketch
             scanAttr(cn).map(a => Alias(
               HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
+          case KllQuantileOf(cn, p, k) if p == n =>
+            scanAttr(cn).map(a => Alias(
+              graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

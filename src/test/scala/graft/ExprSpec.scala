@@ -216,6 +216,12 @@ class ExprSpec extends AnyFunSuite {
     assert(r.getString(0) == "1.50 KiB")
     assert(r.getDecimal(1).intValue == 255)
     assert(r.getDouble(2) == 11.0)
+    // the KLL family from pure SQL: state → merge → quantile
+    val p = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(st), 0.5) AS p50 FROM (
+           SELECT graft_kll_agg(CAST(id AS DOUBLE), 200) AS st
+           FROM range(10000) GROUP BY id % 8)""").head().getDouble(0)
+    assert(math.abs(p - 5000.0) / 10000 <= 0.03, s"SQL-surface p50 $p")
   }
 
   test("graft_dot runs inside whole-stage codegen") {
@@ -224,5 +230,30 @@ class ExprSpec extends AnyFunSuite {
       .select(DotProduct(col("embedding"), col("embedding")).as("n"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(")) // WholeStageCodegen span covers the project
+  }
+
+  test("KLL aggregates: distributed build/merge within rank error; empty is NULL") {
+    import graft.expr.Kll
+    import spark.implicits._
+    // 1..20000 across 16 partitions: p50 within the k=200 rank bound,
+    // and nulls in the input are skipped like every SQL aggregate
+    val n = 20000
+    val df = (1 to n).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+      .repartition(16)
+      .union(Seq((0, Option.empty[Double])).toDF("g", "v")) // a null row
+    val est = df.agg(Kll.quantile(Kll.agg($"v", 200), 0.5).as("p50"))
+      .head().getDouble(0)
+    assert(math.abs(est - n / 2.0) / n <= 0.03, s"p50 estimate $est vs ${n / 2}")
+    // merge of per-group states ≡ (in rank error) one global state
+    val states = df.groupBy($"g").agg(Kll.agg($"v", 200).as("st"))
+    val merged = states.agg(Kll.quantile(Kll.merge($"st", 200), 0.95).as("p95"))
+      .head().getDouble(0)
+    assert(math.abs(merged - 0.95 * n) / n <= 0.03, s"merged p95 $merged")
+    // an empty sketch estimates to NULL (SQL empty-group semantics)
+    val emptyState =
+      org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200).toByteArray
+    val row = Seq(Tuple1(emptyState)).toDF("st")
+      .select(Kll.quantile($"st", 0.5).as("p")).head()
+    assert(row.isNullAt(0), "empty KLL state must estimate to NULL")
   }
 }

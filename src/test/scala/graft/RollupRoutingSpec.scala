@@ -1920,4 +1920,109 @@ class RollupRoutingSpec extends AnyFunSuite {
       "HllUniqOf must survive the JSON catalog round-trip")
     RollupRouting.clear()
   }
+
+  /** The KllQuantileOf member: quantileState/quantileMerge. KLL
+    * compaction is randomized, so the invariant is the sketch's own
+    * rank-error contract against the exact CDF — on the live plan,
+    * the routed plan, the hybrid, and the compacted rollup — plus the
+    * plan shapes and the precision near-misses. */
+  test("KLL quantile states route within rank error; near-misses stay live") {
+    import graft.ops.Rollups
+    // exact per-day CDF (fixture-sized; test-only collect)
+    val byDay: Map[String, Array[Double]] = Tables.events(spark, sf)
+      .select(to_date($"ts").cast("string").as("day"), $"value".cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getDouble(1)).sorted }
+    // q's exact rank window for an estimate: [frac(< est), frac(<= est)]
+    def rankOk(day: String, est: Double, q: Double, eps: Double): Boolean = {
+      val vs = byDay(day)
+      val lt = vs.count(_ < est).toDouble / vs.length
+      val le = vs.count(_ <= est).toDouble / vs.length
+      q >= lt - eps && q <= le + eps
+    }
+    def checkBounds(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+      df.collect().foreach { r =>
+        val day = r.getDate(0).toString
+        assert(rankOk(day, r.getDouble(1), 0.5, 0.03),
+          s"$what p50 out of rank bound on $day: ${r.getDouble(1)}")
+        assert(rankOk(day, r.getDouble(2), 0.95, 0.03),
+          s"$what p95 out of rank bound on $day: ${r.getDouble(2)}")
+      }
+    checkBounds(Rollups.dailyQuantileSketchRaw(spark, sf), "live")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll")
+      .resolve("kllrollup").toString
+    val spec = Rollups.quantileSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.dailyQuantileSketchRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("kllrollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      checkBounds(routed, "routed")
+      // near-miss 1: a different k is a different sketch precision
+      val otherK = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(graft.expr.Kll.quantile(graft.expr.Kll.agg($"value", 100), 0.5).as("p"))
+      assert(!otherK.queryExecution.executedPlan.toString.contains("kllrollup"),
+        "k=100 query must stay on the live scan")
+      // near-miss 2: percentile_approx (GK summary) is not a KLL state
+      val gk = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("percentile_approx(value, 0.5)").as("p"))
+      assert(!gk.queryExecution.executedPlan.toString.contains("kllrollup"),
+        "percentile_approx must stay on the live scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // hybrid: stale states ∪ live tail, both sides under the estimates
+    val hDir = java.nio.file.Files.createTempDirectory("graft_kllh")
+      .resolve("kllrollup").toString
+    val hSpec = Rollups.quantileSketchSpec(hDir)
+    Rollups.writeRollupUpTo(Tables.events(spark, sf), hSpec, Rollups.HybridCutoffUs)
+    RollupRouting.register(hSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hybrid = Rollups.dailyQuantileSketchRaw(spark, sf)
+      val plan = hybrid.queryExecution.executedPlan.toString
+      assert(plan.contains("kllrollup") && plan.contains("events.parquet"),
+        s"hybrid must read rollup AND tail:\n$plan")
+      checkBounds(hybrid, "hybrid")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // appends + compaction: one merged state per day, bound still holds
+    val iDir = java.nio.file.Files.createTempDirectory("graft_klli")
+      .resolve("kllrollup").toString
+    val iSpec = Rollups.quantileSketchSpec(iDir)
+    val ev = Tables.events(spark, sf)
+    RollupRouting.buildPartials(ev.filter($"user_id" % 2 === 0), iSpec)
+      .write.mode("append").parquet(iDir)
+    RollupRouting.buildPartials(ev.filter($"user_id" % 2 =!= 0), iSpec)
+      .write.mode("append").parquet(iDir)
+    Rollups.compactRollup(spark, iSpec)
+    assert(spark.read.parquet(iDir).groupBy($"day").count()
+      .filter($"count" > 1).isEmpty, "compaction must leave one state per day")
+    RollupRouting.register(iSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try checkBounds(Rollups.dailyQuantileSketchRaw(spark, sf), "compacted")
+    finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog round-trip
+    val regPath2 = java.nio.file.Files.createTempDirectory("graft_kllreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(iSpec)
+    RollupRouting.saveRegistry(regPath2)
+    val s1 = RollupRouting.registered
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, regPath2)
+    assert(RollupRouting.registered == s1,
+      "KllQuantileOf must survive the JSON catalog round-trip")
+    RollupRouting.clear()
+  }
 }
