@@ -392,6 +392,11 @@ object SparkEntry {
     // plans plus the k and percentile_approx near-misses.
     "q188_quantile_sketch_routed" -> (Rollups.dailyQuantileSketchRouted _),
     "q189_quantile_sketch_hybrid" -> (Rollups.dailyQuantileSketchHybrid _),
+    // the declare-once lifecycle on a sketch MV: stream-maintain the
+    // per-day HLL states, compact to one state per day, hybrid-read
+    "q190_uniq_sketch_lifecycle" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.Live.streamingUniqSketchHybrid(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

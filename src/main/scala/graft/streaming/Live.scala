@@ -594,6 +594,28 @@ object Live {
     }
   }
 
+  /** q190 (rows-only, spec-pinned like the q184 sketch family): the
+    * declare-once lifecycle on a SKETCH MV — per-day HLL states
+    * maintained from a stream of event deliveries through the spec's
+    * own partial block ([[maintainRollup]] appends one binary sketch
+    * block per micro-batch; the coverage watermark auto-advances to
+    * the last complete day), compacted to ONE state per day
+    * (`hll_union_agg` is the member's merge), and the UNCHANGED raw
+    * sketch dashboard answered as states ∪ live-tail sketch across
+    * the watermark. Sketch union is exactly mergeable, so the
+    * streaming build reproduces the single-pass estimates bit-for-bit
+    * (RollupRoutingSpec pins it). */
+  def streamingUniqSketchHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_hll_mv")
+      .resolve("uniq_rollup").toString
+    val spec = graft.ops.Rollups.uniqSketchSpec(rollupDir)
+    maintainRollup(eventStream(spark, sfDir), spec)
+    graft.ops.Rollups.compactRollup(spark, spec)
+    graft.ops.Rollups.withRoutingSpecs(spark, Seq(spec)) {
+      graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir)
+    }
+  }
+
   /** T4+T5 composed (q154, shares q153's oracle): RETRACTION-AWARE
     * incremental MV maintenance — the CollapsingMergeTree-feeds-a-
     * summing-MV pattern. Per micro-batch, the ingest derives the

@@ -1907,6 +1907,10 @@ class RollupRoutingSpec extends AnyFunSuite {
     val routedJoin = StarJoins.uniqSegmentDailyRouted(spark, sf)
     assert(routedJoin.collect().toSeq == joinRaw,
       "join-path sketch MV must equal the live join answer")
+    // the streaming lifecycle: maintain → compact → hybrid-read must
+    // reproduce the single-pass estimates bit-for-bit (q190's shape)
+    assert(Live.streamingUniqSketchHybrid(spark, sf).collect().toSeq == raw,
+      "stream-maintained + compacted sketch MV must equal the single-pass answer")
     // registry persistence round-trips the sketch member
     val regPath = java.nio.file.Files.createTempDirectory("graft_hllreg")
       .resolve("registry.json").toString
