@@ -397,6 +397,12 @@ object SparkEntry {
     "q190_uniq_sketch_lifecycle" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.Live.streamingUniqSketchHybrid(s, d)),
+    // TOP-K states (round 12): approx_top_k routed through persisted
+    // frequent-items sketches — topKState/topKMerge; rows-only (tied
+    // last slots are selection-free), spec-pinned exact counts +
+    // threshold membership + capacity near-miss
+    "q191_topk_sketch_routed" -> (Rollups.dailyTopUsersRouted _),
+    "q192_topk_sketch_hybrid" -> (Rollups.dailyTopUsersHybrid _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -324,6 +324,63 @@ object Rollups {
     }
   }
 
+  /** The daily TOP-K-STATE rollup registration (round 12): one
+    * frequent-items sketch per day — ClickHouse's `topKState` made a
+    * registry entry ([[graft.plans.RollupRouting.TopKOf]]); the
+    * third leg of the state trio (uniq / quantile / topK). */
+  def topKSketchSpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map.empty,
+      aggs = Seq(graft.plans.RollupRouting.TopKOf("user_id", "top_users_state", 8192),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  def topKSketchRollupDir(sfDir: String): String =
+    StarJoins.scratch(sfDir, "topk_sketch_rollup")
+  private def ensureTopKSketchRollup(spark: SparkSession, sfDir: String): String =
+    StarJoins.ensureRollup(spark, topKSketchRollupDir(sfDir)) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), topKSketchSpec("unused"))
+    }
+
+  /** The raw daily top-users dashboard — `approx_top_k` over RAW
+    * events (the reference's `topK(...)` shape). */
+  def dailyTopUsersRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("approx_top_k(user_id, 5, 8192)").as("top_users"),
+           count(lit(1)).as("daily_txs"))
+      .orderBy("day")
+
+  /** Driver entry (q191): TOP-K-state MV routing end-to-end — the
+    * unchanged `approx_top_k` dashboard re-aggregates the persisted
+    * per-day frequent-items states through combine + estimate
+    * (topKState → topKMerge); the fact is never scanned. The fixture
+    * keeps every day under the sketch capacity, so every reported
+    * count is EXACT and every member clears the true top-5 threshold
+    * (spec-pinned); which item fills a TIED last slot may differ
+    * between merge shapes — the one legitimate difference, inherent
+    * to any top-k over ties including the reference's `topK`. */
+  def dailyTopUsersRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureTopKSketchRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(topKSketchSpec(dir))) {
+      dailyTopUsersRaw(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q192): the stale top-k rollup under the hybrid
+    * protocol — per-day frequent-items states before
+    * [[HybridCutoffUs]] ∪ a live-tail accumulate, combined under the
+    * final estimate. */
+  def dailyTopUsersHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "topk_sketch_hybrid")
+    val spec = topKSketchSpec(dir)
+    if (!new java.io.File(dir).exists())
+      writeRollupUpTo(Tables.events(spark, sfDir), spec, HybridCutoffUs)
+    withRoutingSpecs(spark, Seq(spec)) {
+      dailyTopUsersRaw(spark, sfDir)
+    }
+  }
+
   /** The hybrid-read cutoff used by the q158 fixtures: the rollup
     * covers [min, 2024-01-24); the last ~7 days of events stay raw. */
   val HybridCutoffUs: Long =
@@ -455,6 +512,8 @@ object Rollups {
         merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
       case KllQuantileOf(_, p, k) =>
         merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
+      case TopKOf(_, p, m) =>
+        merges.getOrElseUpdate(p, expr(s"approx_top_k_combine(`$p`, $m)").as(p))
       case CountDistinctGrain(_) => ()
     }
     val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet

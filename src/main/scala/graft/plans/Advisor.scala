@@ -202,6 +202,12 @@ object Advisor {
                 Some(KllQuantileOf(a.name, s"${a.name}_kll_p", ka.k))
               case _ => None
             }
+          case t: ApproxTopK if !ae.isDistinct =>
+            (resolve(t.expr), t.maxItemsTracked) match {
+              case (a: AttributeReference, Literal(m: Int, _)) =>
+                Some(TopKOf(a.name, s"${a.name}_topk_p", m))
+              case _ => None
+            }
           case _ => None
         }
       // the estimates are scalars over the sketch aggregates — the
@@ -322,6 +328,7 @@ object Advisor {
     case AvgOf(c, _, _) => s"avg:$c"
     case HllUniqOf(c, _, k) => s"hll:$c:$k"
     case KllQuantileOf(c, _, k) => s"kll:$c:$k"
+    case TopKOf(c, _, m) => s"topk:$c:$m"
     case CountDistinctGrain(g) => s"cdg:$g"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {

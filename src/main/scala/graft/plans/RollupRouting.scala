@@ -420,6 +420,20 @@ object RollupRouting {
     * the registered k on a bare column; other k, casts, and
     * percentile_approx (GK, not a storable state) stay live. */
   case class KllQuantileOf(col: String, partial: String, k: Int = 200) extends AggMap
+  /** `approx_top_k(col, k, maxItems)` →
+    * `approx_top_k_estimate(approx_top_k_combine(partial), k)` when
+    * the rollup stores the per-group frequent-items SKETCH STATE
+    * (`approx_top_k_accumulate(col, maxItems)`) — the TOP-K member
+    * (round 12): ClickHouse's `topKState`/`topKMerge`, the third leg
+    * of the state trio next to uniq and quantile. The Datasketches
+    * frequent-items sketch merges deterministically and is EXACT
+    * while a group's distinct count stays under ~0.75·maxItems (the
+    * fixture regime; beyond it estimates carry the sketch's published
+    * error bound — same contract as the reference's `topK`). The
+    * query's own k is free (any k the estimate can answer); the
+    * registered `maxItems` must match — a different capacity is a
+    * different sketch. */
+  case class TopKOf(col: String, partial: String, maxItems: Int = 10000) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -431,6 +445,7 @@ object RollupRouting {
     case AvgOf(_, _, p) => Some(p)
     case HllUniqOf(_, p, _) => Some(p)
     case KllQuantileOf(_, p, _) => Some(p)
+    case TopKOf(_, p, _) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -681,6 +696,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, hll_sketch_agg(col(c), lgK).as(p))
       case KllQuantileOf(c, p, k) =>
         partials.getOrElseUpdate(p, graft.expr.Kll.agg(col(c), k).as(p))
+      case TopKOf(c, p, m) =>
+        partials.getOrElseUpdate(p, expr(s"approx_top_k_accumulate(`$c`, $m)").as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -740,6 +757,7 @@ object RollupRouting {
       case AvgOf(c, _, _) => Seq(c)
       case HllUniqOf(c, _, _) => Seq(c)
       case KllQuantileOf(c, _, _) => Seq(c)
+      case TopKOf(c, _, _) => Seq(c)
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -848,6 +866,8 @@ object RollupRouting {
       case HllUniqOf(_, p, _) => merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
       case KllQuantileOf(_, p, k) =>
         merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
+      case TopKOf(_, p, m) =>
+        merges.getOrElseUpdate(p, expr(s"approx_top_k_combine(`$p`, $m)").as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.values.toSeq
@@ -895,6 +915,8 @@ object RollupRouting {
         ("kind" -> "hllUniq") ~ ("col" -> c) ~ ("partial" -> p) ~ ("lgK" -> k)
       case KllQuantileOf(c, p, k) =>
         ("kind" -> "kllQuantile") ~ ("col" -> c) ~ ("partial" -> p) ~ ("k" -> k)
+      case TopKOf(c, p, m) =>
+        ("kind" -> "topK") ~ ("col" -> c) ~ ("partial" -> p) ~ ("maxItems" -> m)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -956,6 +978,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "lgK").extract[Int])
       case "kllQuantile" => KllQuantileOf((j \ "col").extract[String],
         (j \ "partial").extract[String], (j \ "k").extract[Int])
+      case "topK" => TopKOf((j \ "col").extract[String],
+        (j \ "partial").extract[String], (j \ "maxItems").extract[Int])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1463,6 +1487,19 @@ object RollupRouting {
                    isBareRefJ(ka.child, cn) && ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
+            case (TopKOf(cn, partial, m), t: ApproxTopK)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRefJ(t.expr, cn) && t.k.foldable &&
+                   (t.maxItemsTracked match {
+                     case Literal(i: Int, _) => i == m
+                     case _ => false
+                   }) =>
+              attr(partial).map { p =>
+                val combined = ae.copy(
+                  aggregateFunction = ApproxTopKCombine(p, Literal(m)),
+                  resultId = NamedExpression.newExprId)
+                ApproxTopKEstimate(combined, t.k)
+              }
             case _ => None
           }
         }.headOption
@@ -1626,6 +1663,9 @@ object RollupRouting {
           case KllQuantileOf(cn, p, k) if p == n =>
             attrOf(cn).map(a => Alias(
               graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
+          case TopKOf(cn, p, m) if p == n =>
+            attrOf(cn).map(a => Alias(
+              ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -1890,6 +1930,24 @@ object RollupRouting {
                    isBareRef(ka.child, cn) && ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
+            // TOP-K via frequent-items state (round 12, topKState/
+            // topKMerge): the query's own k is free; the registered
+            // CAPACITY must match — a different maxItems is a
+            // different sketch. The rewrite wraps the combine in the
+            // estimate scalar (same output type as approx_top_k).
+            case (TopKOf(cn, partial, m), t: ApproxTopK)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(t.expr, cn) && t.k.foldable &&
+                   (t.maxItemsTracked match {
+                     case Literal(i: Int, _) => i == m
+                     case _ => false
+                   }) =>
+              attr(partial).map { p =>
+                val combined = ae.copy(
+                  aggregateFunction = ApproxTopKCombine(p, Literal(m)),
+                  resultId = NamedExpression.newExprId)
+                ApproxTopKEstimate(combined, t.k)
+              }
             case _ => None
           }
         }.headOption
@@ -2038,6 +2096,9 @@ object RollupRouting {
           case KllQuantileOf(cn, p, k) if p == n =>
             scanAttr(cn).map(a => Alias(
               graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
+          case TopKOf(cn, p, m) if p == n =>
+            scanAttr(cn).map(a => Alias(
+              ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

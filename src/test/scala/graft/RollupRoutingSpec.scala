@@ -2029,4 +2029,101 @@ class RollupRoutingSpec extends AnyFunSuite {
       "KllQuantileOf must survive the JSON catalog round-trip")
     RollupRouting.clear()
   }
+
+  /** The TopKOf member: topKState/topKMerge. Below sketch capacity
+    * the frequent-items sketch is exact, so every reported count is
+    * the exact count and every reported item is a legitimate top-5
+    * member (count ≥ the exact 5th-highest). Which item fills a TIED
+    * last slot is the one legitimate difference between merge shapes
+    * — any top-k over ties has it, including the reference's topK. */
+  test("TopK states route exactly below capacity; capacity near-miss stays live") {
+    import graft.ops.Rollups
+    // exact per-(day, user) counts and each day's top-5 threshold
+    val exact: Map[(String, Long), Long] = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").cast("string").as("day"), $"user_id")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val kth: Map[String, Long] = exact.groupBy(_._1._1).map { case (d, m) =>
+      val cs = m.values.toSeq.sorted(Ordering[Long].reverse)
+      d -> cs(math.min(4, cs.size - 1))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Map[String, (Set[(Long, Long)], Long)] =
+      df.collect().map { r =>
+        val items = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        r.getDate(0).toString -> ((items, r.getLong(2)))
+      }.toMap
+    def checkTopK(m: Map[String, (Set[(Long, Long)], Long)], what: String): Unit =
+      m.foreach { case (day, (items, _)) =>
+        assert(items.size == math.min(5, exact.count(_._1._1 == day)),
+          s"$what $day must report a full top-5")
+        items.foreach { case (item, c) =>
+          assert(exact((day, item)) == c,
+            s"$what $day: item $item count $c vs exact ${exact((day, item))}")
+          assert(c >= kth(day),
+            s"$what $day: item $item count $c below the top-5 threshold ${kth(day)}")
+        }
+      }
+    val raw = canon(Rollups.dailyTopUsersRaw(spark, sf))
+    checkTopK(raw, "live")
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk")
+      .resolve("topkrollup").toString
+    val spec = Rollups.topKSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.dailyTopUsersRaw(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("topkrollup"), s"expected rollup scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      val routedC = canon(routed)
+      checkTopK(routedC, "routed")
+      assert(routedC.view.mapValues(_._2).toMap == raw.view.mapValues(_._2).toMap,
+        "routed row counts must equal the live answer")
+      // a different k is FREE (the estimate answers any k)...
+      val k3 = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("approx_top_k(user_id, 3, 8192)").as("t"))
+      assert(k3.queryExecution.executedPlan.toString.contains("topkrollup"),
+        "any query k must route onto the same states")
+      // ...but a different CAPACITY is a different sketch — stays live
+      val otherCap = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("approx_top_k(user_id, 5, 4096)").as("t"))
+      assert(!otherCap.queryExecution.executedPlan.toString.contains("topkrollup"),
+        "maxItems=4096 query must stay on the live scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // hybrid: stale states ∪ live tail, still exact below capacity
+    val hDir = java.nio.file.Files.createTempDirectory("graft_topkh")
+      .resolve("topkrollup").toString
+    val hSpec = Rollups.topKSketchSpec(hDir)
+    Rollups.writeRollupUpTo(Tables.events(spark, sf), hSpec, Rollups.HybridCutoffUs)
+    RollupRouting.register(hSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hybrid = Rollups.dailyTopUsersRaw(spark, sf)
+      val plan = hybrid.queryExecution.executedPlan.toString
+      assert(plan.contains("topkrollup") && plan.contains("events.parquet"),
+        s"hybrid must read rollup AND tail:\n$plan")
+      checkTopK(canon(hybrid), "hybrid")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog round-trip
+    val regPath = java.nio.file.Files.createTempDirectory("graft_topkreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(hSpec)
+    RollupRouting.saveRegistry(regPath)
+    val s0 = RollupRouting.registered
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, regPath)
+    assert(RollupRouting.registered == s0,
+      "TopKOf must survive the JSON catalog round-trip")
+    RollupRouting.clear()
+  }
 }
