@@ -403,6 +403,11 @@ object SparkEntry {
     // threshold membership + capacity near-miss
     "q191_topk_sketch_routed" -> (Rollups.dailyTopUsersRouted _),
     "q192_topk_sketch_hybrid" -> (Rollups.dailyTopUsersHybrid _),
+    // 7-day sliding uniques answered ENTIRELY from the day-sized HLL
+    // states (banded self-join over the calendar-sized state table) —
+    // the q129-class problem read from the MV; spec pins each window
+    // bit-equal to the single-pass sketch of its raw rows
+    "q193_sliding_uniq_states" -> (Rollups.slidingUniqueUsersFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

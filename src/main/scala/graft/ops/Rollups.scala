@@ -248,6 +248,31 @@ object Rollups {
     }
   }
 
+  /** Driver entry (q193): SLIDING-WINDOW uniques FROM STATES — the
+    * 7-day rolling distinct-users dashboard answered entirely from
+    * the persisted per-day HLL states: each day unions its trailing
+    * week of states (a banded self-join over the CALENDAR-sized
+    * state table, broadcast — both sides are one row per day at any
+    * fact scale) and estimates. This is the q129-class sliding-unique
+    * problem answered from the MV: the raw forms ship (hour, user)
+    * pairs through an exchange; this reads ≤7 sketch rows per output
+    * row, invariant in event volume. Sketch union is register-max, so
+    * each window's estimate is BIT-equal to the single-pass sketch
+    * over that window's raw rows (spec-pinned). */
+  def slidingUniqueUsersFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureUniqSketchRollup(spark, sfDir)
+    val states = spark.read.parquet(dir)
+    val trailing = broadcast(
+      states.select(col("day").as("d2"), col("uniq_state"), col("c_partial")))
+    states.select(col("day"))
+      .join(trailing, col("d2").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("uniq_state")))
+             .as("uniq_users_7d"),
+           sum(col("c_partial")).as("txs_7d"))
+      .orderBy("day")
+  }
+
   /** Driver entry (q185): the STALE sketch rollup under the hybrid
     * protocol — HLL states for days before [[HybridCutoffUs]] ∪ a
     * live-tail `hll_sketch_agg` over only `ts ≥ watermark`, unioned

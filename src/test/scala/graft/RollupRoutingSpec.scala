@@ -1911,6 +1911,24 @@ class RollupRoutingSpec extends AnyFunSuite {
     // reproduce the single-pass estimates bit-for-bit (q190's shape)
     assert(Live.streamingUniqSketchHybrid(spark, sf).collect().toSeq == raw,
       "stream-maintained + compacted sketch MV must equal the single-pass answer")
+    // q193: each 7-day window's union-of-states estimate is bit-equal
+    // to the single-pass sketch over that window's raw rows
+    val winRaw = Tables.events(spark, sf)
+      .select(to_date($"ts").as("d"), $"user_id")
+      .select($"d", $"user_id", explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add($"d", $"off").as("day"), $"user_id", $"d")
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("u"),
+           count(lit(1)).as("n"))
+    val rawByDay = winRaw.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val fromStates = graft.ops.Rollups.slidingUniqueUsersFromStates(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    fromStates.foreach { case (day, est) =>
+      // the explode spine extends past the last event day; compare only
+      // days the state table itself emits (every real event day)
+      assert(rawByDay(day) == est,
+        s"window $day: states union $est vs single-pass ${rawByDay(day)}")
+    }
     // registry persistence round-trips the sketch member
     val regPath = java.nio.file.Files.createTempDirectory("graft_hllreg")
       .resolve("registry.json").toString
