@@ -408,6 +408,11 @@ object SparkEntry {
     // the q129-class problem read from the MV; spec pins each window
     // bit-equal to the single-pass sketch of its raw rows
     "q193_sliding_uniq_states" -> (Rollups.slidingUniqueUsersFromStates _),
+    // CALENDAR-GRAIN hierarchy on the single-table path: monthly
+    // dashboards re-aggregate the daily rollup (truncations compose);
+    // q194 oracled, q195 the same composition over HLL states
+    "q194_monthly_routed" -> (Rollups.monthlyVolumeRouted _),
+    "q195_monthly_uniq_sketch" -> (Rollups.monthlyUniqSketchRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -704,6 +709,12 @@ object SparkEntry {
     // stream-maintained + compacted + hybrid-read must still equal
     // the raw by-day join exactly
     "q183_trunc_stream_lifecycle" -> eventsSegmentDailySql,
+    // calendar-grain composition: the month query routed through the
+    // daily rollup must hash-match the raw month recompute
+    "q194_monthly_routed" ->
+      s"""SELECT date_trunc('month', ts) AS month,
+          ${dsum("value")} AS monthly_volume, COUNT(*) AS monthly_txs
+          FROM events GROUP BY 1 ORDER BY month""",
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

@@ -202,6 +202,51 @@ object Rollups {
     }
   }
 
+  /** The raw MONTHLY volume dashboard — a `date_trunc('month', ts)`
+    * grouping over RAW events ([[monthlyVolumeRouted]] runs it
+    * unchanged under the router). */
+  def monthlyVolumeRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(dsum(col("value")).as("monthly_volume"), count(lit(1)).as("monthly_txs"))
+      .orderBy("month")
+
+  /** Driver entry (q194): the CALENDAR-GRAIN hierarchy on the
+    * single-table path (round 12) — a MONTHLY dashboard re-aggregates
+    * the DAILY rollup, because calendar truncations compose:
+    * `date_trunc('month', day) = date_trunc('month', ts)`. Before
+    * this round only day/hour groupings routed here (the join path
+    * already composed to coarser units via `TimeGrainPat`); now any
+    * week/month/quarter/year truncation — and field extractors like
+    * `year(ts)`, which the analyzer lowers through a Cast-to-date the
+    * day key already matches — derives from the grain key. The hash
+    * match against the raw month recompute proves the composition
+    * lossless; a FINER truncation (minute) provably stays live. */
+  def monthlyVolumeRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureDailyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      monthlyVolumeRaw(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q195, rows-only like the sketch family): MONTHLY
+    * uniques from the DAILY sketch states — `uniqMerge` over a month
+    * of `uniqState` rows, the grain-composition read ClickHouse's
+    * AggregatingMergeTree exists for. ~30 state rows re-aggregate per
+    * output row; the fact is never scanned. */
+  def monthlyUniqSketchRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureUniqSketchRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(uniqSketchSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(date_trunc("month", col("ts")).as("month"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+               .as("uniq_users_approx"),
+             count(lit(1)).as("monthly_txs"))
+        .orderBy("month")
+    }
+  }
+
   /** The daily UNIQUES-SKETCH rollup registration (round 12): one
     * Datasketches-HLL state per day — ClickHouse's
     * `uniqState`-in-an-AggregatingMergeTree made a registry entry

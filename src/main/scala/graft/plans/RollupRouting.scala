@@ -1759,6 +1759,8 @@ object RollupRouting {
             case k if keyAttrs.contains(k) => keyAttrs(k)
             case k => grainExpr(k)
           }
+        case e if calendarTarget(e, spec, timeKey).isDefined =>
+          calendarTarget(e, spec, timeKey).get
         case IsNotNull(t) if isTs(t) => IsNotNull(timeKey)
         case GreaterThanOrEqual(t, Boundary(us)) if isTs(t) =>
           GreaterThanOrEqual(timeKey, timeLit(us))
@@ -1775,6 +1777,41 @@ object RollupRouting {
             AttributeSet(timeKey +: keyAttrs.values.toSeq)))
         Some(rewritten)
       else None
+    }
+
+    /** A COARSER CALENDAR TRUNCATION of the time column, rewritten
+      * over the rollup's grain key (round 12 — the single-table twin
+      * of [[TimeGrainPat.subst]]'s coarser-derivation rule): calendar
+      * truncations compose, `date_trunc(coarse, grain key) =
+      * date_trunc(coarse, ts)` for every unit at or above the
+      * rollup's grain, so a monthly/weekly/quarterly/yearly dashboard
+      * re-aggregates the daily (or hourly) rollup losslessly. Field
+      * extractors (`year(ts)`, `month(ts)` …) need no cases of their
+      * own: the analyzer plants `Cast(ts as date)` under them, which
+      * [[keyOf]] already maps to the day key, so they compose through
+      * the same transform. A FINER truncation (minute against a
+      * daily rollup) has no case and keeps the query live. */
+    private def calendarTarget(e: Expression, spec: Spec,
+                               timeKey: Attribute): Option[Expression] = {
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      def tsOfKey: Expression =
+        if (timeKey.dataType == TimestampType) timeKey
+        else Cast(timeKey, TimestampType, tz)
+      def dateOfKey: Expression =
+        if (timeKey.dataType == DateType) timeKey else Cast(timeKey, DateType, tz)
+      def unit(l: Any): Option[String] = Option(l).map(_.toString.toLowerCase)
+        .map { case "yyyy" | "yy" => "year"; case "mm" | "mon" => "month"
+               case "dd" => "day"; case s => s }
+        .filter(Set("day", "week", "month", "quarter", "year").contains)
+      e match {
+        case TruncTimestamp(Literal(f, _), t, tzE)
+            if unit(f).isDefined && isNormTime(t, spec.timeCol) =>
+          Some(TruncTimestamp(Literal(unit(f).get), tsOfKey, tzE))
+        case TruncDate(t, Literal(f, _))
+            if unit(f).isDefined && isNormTime(t, spec.timeCol) =>
+          Some(TruncDate(dateOfKey, Literal(unit(f).get)))
+        case _ => None
+      }
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
@@ -1825,8 +1862,33 @@ object RollupRouting {
       // over a daily rollup) bails
       def keyTarget(k: String): Option[Expression] =
         keyAttrs.get(k).orElse(grainExpr.get(k))
+      /** GENERAL time-derived groupings (round 12): any deterministic
+        * expression whose time/key subtrees all substitute — a grain
+        * key, a registered key column, or a coarser calendar
+        * truncation ([[calendarTarget]]) — partitions raw rows
+        * exactly as it partitions rollup rows (it is a function of
+        * the rollup's own group keys), so grouping by it
+        * re-aggregates losslessly: `date_trunc('month', ts)`,
+        * `year(ts)` (the analyzer's Cast-to-date composes through
+        * the day key), `year(ts)*100+month(ts)`, a shifted date. A
+        * leftover raw reference, nondeterminism, or a nested
+        * aggregate keeps the query live. */
+      def mapTimeExpr(g: Expression): Option[Expression] = {
+        val r = resolveThroughProjects(g, child)
+        if (!r.deterministic || r.references.isEmpty ||
+            r.exists(_.isInstanceOf[AggregateExpression])) return None
+        val mapped = r.transformDown {
+          case e if keyOf(e, spec).exists(k => keyTarget(k).isDefined) =>
+            keyTarget(keyOf(e, spec).get).get
+          case e if calendarTarget(e, spec, timeKey).isDefined =>
+            calendarTarget(e, spec, timeKey).get
+        }
+        if (mapped.references.subsetOf(
+              AttributeSet(timeKey +: keyAttrs.values.toSeq))) Some(mapped)
+        else None
+      }
       val keyMap: Map[Expression, Expression] = groupings.map { g =>
-        keyOfResolved(g).flatMap(keyTarget) match {
+        keyOfResolved(g).flatMap(keyTarget).orElse(mapTimeExpr(g)) match {
           case Some(target) => g -> target
           case None => return None
         }
@@ -1957,6 +2019,9 @@ object RollupRouting {
           val k = keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).get
           val target = keyTarget(k).getOrElse(return None)
           Alias(target, ne.name)(exprId = ne.exprId)
+        case ne if mapTimeExpr(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
+          Alias(mapTimeExpr(ne match { case Alias(c, _) => c; case x => x }).get,
+                ne.name)(exprId = ne.exprId)
         case ne =>
           val rewritten = ne.transformUp {
             case ae: AggregateExpression => mapAgg(ae).getOrElse(ae)

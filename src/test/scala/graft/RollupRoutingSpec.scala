@@ -2048,6 +2048,54 @@ class RollupRoutingSpec extends AnyFunSuite {
     RollupRouting.clear()
   }
 
+  /** Calendar-grain hierarchy on the single-table path (round 12):
+    * week/month/quarter/year truncations and field extractors derive
+    * from the grain key by truncation composition; finer grains and
+    * mixed raw references provably stay live. */
+  test("coarser calendar grains route through the daily rollup; finer stay live") {
+    def q(grouping: org.apache.spark.sql.Column) = () => Tables.events(spark, sf)
+      .groupBy(grouping.as("g"))
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("g")
+    val shapes = Seq(
+      "month" -> q(date_trunc("month", $"ts")),
+      "week" -> q(date_trunc("week", $"ts")),
+      "year-extractor" -> q(year($"ts")),
+      "composed" -> q(year($"ts") * 100 + month($"ts")))
+    val plain = shapes.map { case (n, f) => n -> f().collect().toSeq }.toMap
+    withRouting {
+      shapes.foreach { case (n, f) =>
+        val routed = f()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("rollup"), s"$n must route:\n$plan")
+        assert(!plan.contains("events.parquet"), s"$n must not scan the fact:\n$plan")
+        assert(routed.collect().toSeq == plain(n), s"$n routed ≠ live")
+      }
+      // finer than the rollup grain: a minute truncation stays live
+      val minuteQ = q(date_trunc("minute", $"ts"))()
+      assert(!minuteQ.queryExecution.executedPlan.toString.contains("rollup"),
+        "a minute grain must stay on the live scan")
+      // a month window predicate subsumes too (month cuts are
+      // midnight cuts, and the month KEY itself now substitutes)
+      val windowed = Tables.events(spark, sf)
+        .filter(date_trunc("month", $"ts") === lit("2024-01-01 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("month", $"ts").as("g"))
+        .agg(count(lit(1)).as("c"))
+      val wPlan = windowed.queryExecution.executedPlan.toString
+      assert(wPlan.contains("rollup") && !wPlan.contains("events.parquet"),
+        s"month-window predicate must subsume:\n$wPlan")
+    }
+    // monthly uniqMerge over daily uniqState rows — bit-equal to the
+    // single-pass month sketch (q195's shape)
+    val monthlyRaw = Tables.events(spark, sf)
+      .groupBy(date_trunc("month", $"ts").as("month"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("u"))
+      .collect().toSeq
+    assert(graft.ops.Rollups.monthlyUniqSketchRouted(spark, sf)
+      .select($"month", $"uniq_users_approx").collect().toSeq == monthlyRaw,
+      "monthly sketch from daily states must equal the single-pass month sketch")
+  }
+
   /** The TopKOf member: topKState/topKMerge. Below sketch capacity
     * the frequent-items sketch is exact, so every reported count is
     * the exact count and every reported item is a legitimate top-5
