@@ -413,6 +413,7 @@ object SparkEntry {
     // q194 oracled, q195 the same composition over HLL states
     "q194_monthly_routed" -> (Rollups.monthlyVolumeRouted _),
     "q195_monthly_uniq_sketch" -> (Rollups.monthlyUniqSketchRouted _),
+    "q196_advised_monthly" -> (graft.plans.Advisor.advisedMonthly _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -430,6 +431,11 @@ object SparkEntry {
   private lazy val dailyRollupSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id, ${dsum("value")} AS total_value,
         COUNT(*) AS tx_count FROM events GROUP BY 1, 2 ORDER BY day, user_id"""
+  // shared by the hand-registered (q194) and advised (q196) month reads
+  private lazy val monthlyVolumeSql =
+    s"""SELECT date_trunc('month', ts) AS month,
+        ${dsum("value")} AS monthly_volume, COUNT(*) AS monthly_txs
+        FROM events GROUP BY 1 ORDER BY month"""
   private lazy val revenueSegmentSql =
     s"""SELECT c_mktsegment,
         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
@@ -711,10 +717,9 @@ object SparkEntry {
     "q183_trunc_stream_lifecycle" -> eventsSegmentDailySql,
     // calendar-grain composition: the month query routed through the
     // daily rollup must hash-match the raw month recompute
-    "q194_monthly_routed" ->
-      s"""SELECT date_trunc('month', ts) AS month,
-          ${dsum("value")} AS monthly_volume, COUNT(*) AS monthly_txs
-          FROM events GROUP BY 1 ORDER BY month""",
+    "q194_monthly_routed" -> monthlyVolumeSql,
+    // the same monthly query ADVISED into a day-grain spec end-to-end
+    "q196_advised_monthly" -> monthlyVolumeSql,
     // compaction must be invisible: the compacted-rollup hybrid read
     // reproduces the same raw windowed aggregate
     "q170_compacted_rollup" -> ordersDailySalesSql,

@@ -109,12 +109,26 @@ object Advisor {
   /** Classify a (project-resolved) grouping expression the way
     * [[RollupRouting.RuleImpl.keyOf]] will at route time: an hour
     * truncation or a day-typed term over one source column is the time
-    * grain; a bare column is a key; anything else is out of scope. */
+    * grain; a bare column is a key; anything else is out of scope.
+    * A COARSER calendar truncation (round 12 — week/month/quarter/
+    * year, `date_trunc` or `trunc`) registers as a DAY-grain demand:
+    * the daily rollup answers it by truncation composition
+    * (`RollupRouting.calendarTarget`), and day is the finest grain
+    * the router can serve it from — so the advised spec stays
+    * reusable for every other daily dashboard over the source. */
+  private val coarseUnits = Set("week", "month", "quarter", "year",
+    "yyyy", "yy", "mm", "mon")
   private def classifyKey(e: Expression): Option[GroupKey] = e match {
     case r: RuntimeReplaceable => classifyKey(r.replacement)
     case TruncTimestamp(Literal(fmt, _), inner, _)
         if fmt != null && fmt.toString.equalsIgnoreCase("hour") =>
       baseAttr(inner).map(a => TimeKey("hour", a.name))
+    case TruncTimestamp(Literal(fmt, _), inner, _)
+        if fmt != null && coarseUnits.contains(fmt.toString.toLowerCase) =>
+      baseAttr(inner).map(a => TimeKey("day", a.name))
+    case TruncDate(inner, Literal(fmt, _))
+        if fmt != null && coarseUnits.contains(fmt.toString.toLowerCase) =>
+      baseAttr(inner).map(a => TimeKey("day", a.name, a.dataType == DateType))
     case e2 if e2.dataType == DateType =>
       baseAttr(e2).map(a => TimeKey("day", a.name, a.dataType == DateType))
     case a: AttributeReference => Some(PlainKey(a.name))
@@ -548,5 +562,20 @@ object Advisor {
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"advisor must merge the sketch + volume workload into one spec: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
+  }
+
+  /** Driver entry (q196, shares q194's oracle): a MONTHLY workload
+    * advised end-to-end — the month truncation registers as a
+    * DAY-grain demand (the finest grain the router can serve it
+    * from, so the advised spec stays reusable for daily dashboards),
+    * and the unchanged monthly query routes through the advised daily
+    * rollup by truncation composition. */
+  def advisedMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_monthly")
+    val advice = advise(Seq(graft.ops.Rollups.monthlyVolumeRaw(spark, sfDir)), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty &&
+        advice.singles.head.spec.grain == "day",
+      s"a monthly demand must advise a day-grain spec: $advice")
+    runRouted(spark, advice) { graft.ops.Rollups.monthlyVolumeRaw(spark, sfDir) }
   }
 }

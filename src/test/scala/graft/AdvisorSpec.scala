@@ -241,6 +241,14 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.skipped.exists(_.contains("no top-level aggregate")))
   }
 
+  test("a monthly workload advises a day-grain spec; the month query routes through it") {
+    import graft.ops.Rollups
+    val plain = Rollups.monthlyVolumeRaw(spark, sf).collect().toSeq
+    val routed = Advisor.advisedMonthly(spark, sf)
+    assert(routed.collect().toSeq == plain,
+      "advised day-grain rollup must answer the monthly dashboard exactly")
+  }
+
   test("a sketch dashboard advises an HLL-state partial; both merged queries route") {
     import graft.ops.Rollups
     val sketchRaw = Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq
