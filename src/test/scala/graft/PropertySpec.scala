@@ -276,24 +276,34 @@ class PropertySpec extends AnyFunSuite {
       java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000L
     graft.ops.Rollups.writeDailyRollupUpTo(ev, s"$dir/hyb_rollup", hybridWmUs)
 
-    // the generated query-shape space: time grain (none/day/hour) ×
-    // user grouping × aggregate subset × filter form × REGISTRY
-    // (daily-only / hourly-only / both / stale-hybrid-daily — the
-    // round-11 grain hierarchy and MV+tail read)
+    // a SKETCH rollup too (round 12): per-day HLL state + row count,
+    // no user key — the HllUniqOf member inside the generated space
+    val sketchSpec = RollupRouting.Spec("events.parquet", s"$dir/sketch_rollup",
+      grain = "day", timeCol = "ts", keyCols = Map.empty,
+      aggs = Seq(RollupRouting.HllUniqOf("user_id", "uniq_state", 12),
+                 RollupRouting.CountStarTo("c_partial")))
+    RollupRouting.buildPartials(ev, sketchSpec)
+      .write.mode("overwrite").parquet(s"$dir/sketch_rollup")
+
+    // the generated query-shape space: time grain (none/day/hour/
+    // MONTH — the round-12 calendar composition) × user grouping ×
+    // aggregate subset × filter form × REGISTRY (daily-only /
+    // hourly-only / both / stale-hybrid-daily / SKETCH — the grain
+    // hierarchy, MV+tail read, and the HllUniqOf member)
     case class Shape(gTime: Int, gUser: Boolean, aggs: List[Int],
                      filter: Int, reg: Int)
     // half the draws stay inside the candidate-lossless aggregate set so
     // the routed side of the property is exercised densely, not just the
-    // reject side (an unbiased subset of 6 leaves ~1/4 lossless)
+    // reject side (an unbiased subset of 7 leaves ~1/4 lossless)
     val aggsGen = Gen.frequency(
       1 -> Gen.someOf(0, 1, 2, 3).suchThat(_.nonEmpty),
-      1 -> Gen.someOf(0, 1, 2, 3, 4, 5).suchThat(_.nonEmpty))
+      1 -> Gen.someOf(0, 1, 2, 3, 4, 5, 6).suchThat(_.nonEmpty))
     val shapeGen = for {
-      gTime <- Gen.chooseNum(0, 2)
+      gTime <- Gen.chooseNum(0, 3)
       gUser <- Gen.oneOf(true, false)
       aggs <- aggsGen
       filter <- Gen.chooseNum(0, 6)
-      reg <- Gen.chooseNum(0, 3)
+      reg <- Gen.chooseNum(0, 4)
     } yield Shape(gTime, gUser, aggs.toList.sorted, filter, reg)
     def build(s: Shape): org.apache.spark.sql.DataFrame = {
       val src = spark.read.parquet(s"$dir/events.parquet")
@@ -310,6 +320,7 @@ class PropertySpec extends AnyFunSuite {
       val keys = (s.gTime match {
                     case 1 => Seq(to_date($"ts").as("day"))
                     case 2 => Seq(date_trunc("hour", $"ts").as("hour"))
+                    case 3 => Seq(date_trunc("month", $"ts").as("month"))
                     case _ => Nil
                   }) ++
                  (if (s.gUser) Seq($"user_id") else Nil)
@@ -320,6 +331,7 @@ class PropertySpec extends AnyFunSuite {
         case 3 => max($"value").as("mx")
         case 4 => avg($"value").as("av")  // not losslessly routable
         case 5 => sum($"value").as("ps")  // plain double sum — must stay live
+        case 6 => expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("u")
       }
       val g = if (keys.isEmpty) f.groupBy() else f.groupBy(keys: _*)
       g.agg(aggCols.head, aggCols.tail: _*)
@@ -333,6 +345,7 @@ class PropertySpec extends AnyFunSuite {
       var routedDay = 0
       var routedHour = 0
       var routedHybrid = 0
+      var routedSketch = 0
       shapes.foreach { s =>
         spark.experimental.extraOptimizations = Nil
         RollupRouting.clear()
@@ -343,6 +356,7 @@ class PropertySpec extends AnyFunSuite {
           RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/hour_rollup", "hour"))
         if (s.reg == 3)
           RollupRouting.register(RollupRouting.Spec("events.parquet", s"$dir/hyb_rollup"))
+        if (s.reg == 4) RollupRouting.register(sketchSpec)
         spark.experimental.extraOptimizations =
           Seq(new RollupRouting.RuleImpl(spark))
         val routedDf = build(s)
@@ -351,8 +365,10 @@ class PropertySpec extends AnyFunSuite {
         val plan = routedDf.queryExecution.executedPlan.toString
         // a rollup at grain g answers iff every query term is at grain
         // g or coarser: groupings (hour grouping needs the hourly
-        // rollup) and filter cuts (midnight = whole-hour too; an 11:00
-        // cut only the hourly; 11:30 and non-key columns neither)
+        // rollup; a MONTH grouping is coarser than both — round-12
+        // calendar composition) and filter cuts (midnight =
+        // whole-hour too; an 11:00 cut only the hourly; 11:30 and
+        // non-key columns neither)
         def grainAnswers(hourly: Boolean): Boolean = {
           val timeOk = s.gTime != 2 || hourly
           val filterOk = s.filter match {
@@ -369,15 +385,26 @@ class PropertySpec extends AnyFunSuite {
         // the STALE hybrid rollup additionally needs a normalized-ts
         // term in the query to rebuild the tail's grain key — without
         // one it must never answer (a stale MV alone is wrong)
-        val hasTsTerm = s.gTime == 1 || s.filter == 1 || s.filter == 2
+        val hasTsTerm = s.gTime == 1 || s.gTime == 3 || s.filter == 1 || s.filter == 2
         val expectHybrid = s.reg == 3 && aggsOk && grainAnswers(hourly = false) && hasTsTerm
+        // the SKETCH rollup (round 12): count + sketch aggregates only,
+        // no user key registered — a user grouping or a user/non-key
+        // filter keeps the query live; day/month/global grains route
+        val expectSketch = s.reg == 4 && s.aggs.forall(a => a == 1 || a == 6) &&
+          !s.gUser && s.gTime != 2 && (s.filter match {
+            case 0 | 1 | 2 => true
+            case _ => false
+          })
         val dayHit = plan.contains("/day_rollup")
         val hourHit = plan.contains("/hour_rollup")
         val hybridHit = plan.contains("/hyb_rollup")
+        val sketchHit = plan.contains("/sketch_rollup")
         // exactly the lossless set routes, AND the cost choice is
         // pinned: when both rollups answer, the coarser (daily) wins
-        assert(dayHit == expectDay && hourHit == expectHour && hybridHit == expectHybrid,
-          s"$s: day=$dayHit/$expectDay hour=$hourHit/$expectHour hybrid=$hybridHit/$expectHybrid")
+        assert(dayHit == expectDay && hourHit == expectHour &&
+               hybridHit == expectHybrid && sketchHit == expectSketch,
+          s"$s: day=$dayHit/$expectDay hour=$hourHit/$expectHour " +
+            s"hybrid=$hybridHit/$expectHybrid sketch=$sketchHit/$expectSketch")
         // a hybrid answer must also SCAN THE TAIL: both sides present
         if (hybridHit)
           assert(plan.contains("events.parquet"),
@@ -385,11 +412,12 @@ class PropertySpec extends AnyFunSuite {
         if (dayHit) routedDay += 1
         if (hourHit) routedHour += 1
         if (hybridHit) routedHybrid += 1
+        if (sketchHit) routedSketch += 1
       }
       // the lossless set must be exercised from both sides, on all paths
-      assert(routedDay > 10 && routedHour > 5 && routedHybrid > 3,
-        s"day=$routedDay hour=$routedHour hybrid=$routedHybrid")
-      assert(routedDay + routedHour + routedHybrid < shapes.size)
+      assert(routedDay > 10 && routedHour > 5 && routedHybrid > 3 && routedSketch > 2,
+        s"day=$routedDay hour=$routedHour hybrid=$routedHybrid sketch=$routedSketch")
+      assert(routedDay + routedHour + routedHybrid + routedSketch < shapes.size)
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
