@@ -414,6 +414,11 @@ object SparkEntry {
     "q194_monthly_routed" -> (Rollups.monthlyVolumeRouted _),
     "q195_monthly_uniq_sketch" -> (Rollups.monthlyUniqSketchRouted _),
     "q196_advised_monthly" -> (graft.plans.Advisor.advisedMonthly _),
+    // sketch × join × streaming: the (day, segment) HLL join MV
+    // stream-maintained, compacted, and hybrid-read
+    "q197_uniq_join_lifecycle" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.Live.streamingUniqSegmentHybrid(s, d)),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -646,6 +646,11 @@ object RollupRouting {
       aggs = Seq(
         HllUniqOf("user_id", "uniq_state", 12),
         CountStarTo("n_events_partial")),
+      // coverage rides the day column itself: a COMPLETE build never
+      // stamps a sidecar (q186 answers alone); a streaming maintainer
+      // stamps it and the router serves states ∪ live-tail re-join
+      // (q197's lifecycle)
+      coverage = Some("ts_day"),
       timeGroupings = Seq(TimeGrainPat("day", "ts") -> "ts_day"))
   }
 

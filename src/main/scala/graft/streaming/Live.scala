@@ -470,6 +470,32 @@ object Live {
     }
   }
 
+  /** q197 (rows-only, spec-pinned like the sketch family): the
+    * sketch × join × streaming corner of the matrix — the
+    * (day, segment) HLL-state join MV maintained from event
+    * deliveries ([[maintainJoinRollup]]: per batch the spec's own
+    * two-level sketch build over batch⋈pruned-dim, appended as a
+    * binary block; the coverage watermark advances along the `ts_day`
+    * rollup column), COMPACTED per (day, segment) via sketch union,
+    * and the UNCHANGED sketch-over-join dashboard answered as states
+    * ∪ live-tail re-join across the day watermark — bit-equal to the
+    * single-pass answer (sketch union is exactly mergeable across
+    * both the batch boundary and the coverage boundary). */
+  def streamingUniqSegmentHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_uniqseg_hy")
+      .resolve("uniqseg_rollup").toString
+    val spec = RollupRouting.JoinSpec.uniqSegmentDaily(rollupDir)
+    val c = graft.Tables.customer(spark, sfDir)
+    maintainJoinRollup(
+      fileStream(spark, sfDir, "events.parquet", Some(1)), "events",
+      Map("customer" -> c), spec)
+    graft.ops.Rollups.compactJoinRollup(spark, spec)
+    graft.ops.Rollups.withRoutingJoinSpecs(spark, Seq(spec)) {
+      graft.ops.StarJoins.uniqSegmentDailyRaw(spark, sfDir)
+    }
+  }
+
   /** T5 applied to the JOIN-derived MV (q145, shares q16's oracle):
     * incremental insert-maintenance of the revenue-segment rollup —
     * stream lineitem deliveries, and per micro-batch run the MV

@@ -1907,6 +1907,10 @@ class RollupRoutingSpec extends AnyFunSuite {
     val routedJoin = StarJoins.uniqSegmentDailyRouted(spark, sf)
     assert(routedJoin.collect().toSeq == joinRaw,
       "join-path sketch MV must equal the live join answer")
+    // sketch × join × streaming (q197): maintain → compact → hybrid
+    // re-join must reproduce the single-pass answer bit-for-bit
+    assert(Live.streamingUniqSegmentHybrid(spark, sf).collect().toSeq == joinRaw,
+      "stream-maintained join sketch MV hybrid must equal the single-pass answer")
     // the streaming lifecycle: maintain → compact → hybrid-read must
     // reproduce the single-pass estimates bit-for-bit (q190's shape)
     assert(Live.streamingUniqSketchHybrid(spark, sf).collect().toSeq == raw,
