@@ -419,6 +419,9 @@ object SparkEntry {
     "q197_uniq_join_lifecycle" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.Live.streamingUniqSegmentHybrid(s, d)),
+    // 7-day rolling p50/p95 from the daily KLL states — the quantile
+    // twin of q193; rank-error bound per window spec-pinned
+    "q198_sliding_quantile_states" -> (Rollups.slidingQuantilesFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -380,6 +380,29 @@ object Rollups {
     }
   }
 
+  /** Driver entry (q198): ROLLING quantiles FROM STATES — the 7-day
+    * trailing p50/p95 dashboard answered entirely from the persisted
+    * per-day KLL states, by the same calendar-sized banded self-join
+    * as [[slidingUniqueUsersFromStates]]: ≤7 sketch rows merge per
+    * output row, invariant in event volume (the raw form re-scans a
+    * week of events per day). Estimates carry the sketch's rank-error
+    * contract; the spec pins the ±3% bound against the exact CDF of
+    * each window. */
+  def slidingQuantilesFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Kll
+    val dir = ensureQuantileSketchRollup(spark, sfDir)
+    val states = spark.read.parquet(dir)
+    val trailing = broadcast(
+      states.select(col("day").as("d2"), col("value_kll"), col("c_partial")))
+    states.select(col("day"))
+      .join(trailing, col("d2").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(Kll.quantile(Kll.merge(col("value_kll"), 200), 0.5).as("p50_value_7d"),
+           Kll.quantile(Kll.merge(col("value_kll"), 200), 0.95).as("p95_value_7d"),
+           sum(col("c_partial")).as("txs_7d"))
+      .orderBy("day")
+  }
+
   /** Driver entry (q189): the stale quantile rollup under the hybrid
     * protocol — per-day KLL states before [[HybridCutoffUs]] ∪ a
     * live-tail `graft_kll_agg` over only ts ≥ watermark, merged under

@@ -2039,6 +2039,25 @@ class RollupRoutingSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+    // q198: each 7-day window's merged-states estimate satisfies the
+    // rank-error bound against that window's exact CDF
+    val winVals: Map[String, Array[Double]] = Tables.events(spark, sf)
+      .select(to_date($"ts").as("d"), $"value".cast("double").as("v"))
+      .select($"d", $"v", explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add($"d", $"off").cast("string").as("day"), $"v")
+      .collect().groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getDouble(1)).sorted }
+    graft.ops.Rollups.slidingQuantilesFromStates(spark, sf).collect().foreach { r =>
+      val day = r.getDate(0).toString
+      val vs = winVals(day)
+      def ok(est: Double, q: Double): Boolean = {
+        val lt = vs.count(_ < est).toDouble / vs.length
+        val le = vs.count(_ <= est).toDouble / vs.length
+        q >= lt - 0.03 && q <= le + 0.03
+      }
+      assert(ok(r.getDouble(1), 0.5), s"window $day p50 ${r.getDouble(1)} out of bound")
+      assert(ok(r.getDouble(2), 0.95), s"window $day p95 ${r.getDouble(2)} out of bound")
+    }
     // JSON catalog round-trip
     val regPath2 = java.nio.file.Files.createTempDirectory("graft_kllreg")
       .resolve("registry.json").toString
