@@ -2214,5 +2214,65 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(RollupRouting.registered == s0,
       "TopKOf must survive the JSON catalog round-trip")
     RollupRouting.clear()
+    // JOIN PATH for the top-k AND quantile members: one (segment)
+    // MV carrying both states answers the sketch-over-join dashboard
+    // join-free; the coarse build merges per-user states per segment
+    val jDir = java.nio.file.Files.createTempDirectory("graft_topkj")
+      .resolve("segstates").toString
+    val jSpec = RollupRouting.JoinSpec(jDir,
+      tables = Set("events", "customer"),
+      joinKeys = Set(("c_custkey", "user_id")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        RollupRouting.TopKOf("user_id", "topu_state", 8192),
+        RollupRouting.KllQuantileOf("value", "v_kll", 200),
+        RollupRouting.CountStarTo("n_p")))
+    RollupRouting.buildJoinPartials(
+      Map("events" -> Tables.events(spark, sf),
+          "customer" -> Tables.customer(spark, sf)), jSpec)
+      .write.parquet(jDir)
+    val joinQ = () => Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(expr("approx_top_k(user_id, 5, 8192)").as("top_users"),
+           graft.expr.Kll.quantile(graft.expr.Kll.agg($"value", 200), 0.5).as("p50"),
+           count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+    // exact per-(segment, user) counts + per-segment values for bounds
+    val segOf: Map[Long, String] = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evRows = Tables.events(spark, sf)
+      .select($"user_id", $"value".cast("double")).collect()
+      .map(r => (segOf(r.getLong(0)), r.getLong(0), r.getDouble(1)))
+    val cntBySegUser = evRows.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val valsBySeg = evRows.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    RollupRouting.registerJoin(jSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = joinQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("segstates"), s"expected the state MV scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"read must be join-free:\n$plan")
+      routed.collect().foreach { r =>
+        val seg = r.getString(0)
+        val thr = cntBySegUser.collect { case ((s2, _), c) if s2 == seg => c }
+          .toSeq.sorted(Ordering[Long].reverse).take(5).last
+        r.getSeq[org.apache.spark.sql.Row](1).foreach { x =>
+          assert(cntBySegUser((seg, x.getLong(0))) == x.getLong(1),
+            s"$seg: routed top-k count must be exact")
+          assert(x.getLong(1) >= thr, s"$seg: member below the top-5 threshold")
+        }
+        val vs = valsBySeg(seg)
+        val lt = vs.count(_ < r.getDouble(2)).toDouble / vs.length
+        val le = vs.count(_ <= r.getDouble(2)).toDouble / vs.length
+        assert(0.5 >= lt - 0.03 && 0.5 <= le + 0.03,
+          s"$seg: routed p50 ${r.getDouble(2)} out of rank bound")
+        assert(vs.length.toLong == r.getLong(3), s"$seg: routed count wrong")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 }
