@@ -422,6 +422,9 @@ object SparkEntry {
     // 7-day rolling p50/p95 from the daily KLL states — the quantile
     // twin of q193; rank-error bound per window spec-pinned
     "q198_sliding_quantile_states" -> (Rollups.slidingQuantilesFromStates _),
+    // the full state-suite workload (uniq sketch, quantiles, top-k,
+    // monthly cut, daily volume) advised into ONE day-grain spec
+    "q199_advised_state_suite" -> (graft.plans.Advisor.advisedStateSuite _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

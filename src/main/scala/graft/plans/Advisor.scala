@@ -578,4 +578,30 @@ object Advisor {
       s"a monthly demand must advise a day-grain spec: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.monthlyVolumeRaw(spark, sfDir) }
   }
+
+  /** The five dashboards [[advisedStateSuite]] pools into one spec. */
+  private[graft] def stateSuiteQueries(spark: SparkSession, sfDir: String)
+      : Seq[DataFrame] = Seq(
+    graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir),
+    graft.ops.Rollups.dailyQuantileSketchRaw(spark, sfDir),
+    graft.ops.Rollups.dailyTopUsersRaw(spark, sfDir),
+    graft.ops.Rollups.monthlyVolumeRaw(spark, sfDir),
+    graft.ops.Rollups.daily(spark, sfDir))
+
+  /** Driver entry (q199, rows-only like the sketch family): the FULL
+    * state-suite workload advised into ONE spec — the daily uniques
+    * sketch, the p50/p95 KLL dashboard, the top-users dashboard, the
+    * monthly volume cut, and the (day, user) volume rollup pool into
+    * a single day-grain registration whose partial block carries all
+    * three sketch states next to the decimal partials; every one of
+    * the five unchanged queries routes through it (AdvisorSpec pins
+    * each against its live answer). The reference's six
+    * hand-designed MVs, inferred and UNIFIED from the raw workload. */
+  def advisedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_suite")
+    val advice = advise(stateSuiteQueries(spark, sfDir), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"the state-suite workload must advise ONE spec: $advice")
+    runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
+  }
 }

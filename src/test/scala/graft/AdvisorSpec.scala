@@ -249,6 +249,45 @@ class AdvisorSpec extends AnyFunSuite {
       "advised day-grain rollup must answer the monthly dashboard exactly")
   }
 
+  test("the five-dashboard state suite advises ONE spec answering all five") {
+    import graft.ops.Rollups
+    val queries = Advisor.stateSuiteQueries(spark, sf)
+    val raws = queries.map(_.collect().toSeq)
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_suite").toString
+    val advice = Advisor.advise(Advisor.stateSuiteQueries(spark, sf), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    val spec = advice.singles.head.spec
+    assert(spec.grain == "day" && spec.keyCols.keySet == Set("user_id"),
+      s"suite must merge to a (day, user) spec: $spec")
+    val kinds = spec.aggs.map(_.getClass.getSimpleName).toSet
+    assert(Set("HllUniqOf", "KllQuantileOf", "TopKOf", "SumOf", "CountStarTo")
+      .subsetOf(kinds), s"partial block must carry all three states: $kinds")
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      Advisor.stateSuiteQueries(spark, sf).zip(raws).zipWithIndex.foreach {
+        case ((routed, raw), i) =>
+          val plan = routed.queryExecution.executedPlan.toString
+          assert(plan.contains("advise_suite") && !plan.contains("events.parquet"),
+            s"suite query #$i must read the advised rollup:\n$plan")
+          if (i == 2) {
+            // top-k: tied last slots are selection-free — compare counts
+            // per day as multisets plus the shared scalar column
+            def c(rows: Seq[org.apache.spark.sql.Row]) = rows.map { r =>
+              (r.getDate(0).toString,
+               r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).sorted,
+               r.getLong(2))
+            }
+            assert(c(routed.collect().toSeq) == c(raw), s"suite query #$i routed ≠ live")
+          } else
+            assert(routed.collect().toSeq == raw, s"suite query #$i routed ≠ live")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("a sketch dashboard advises an HLL-state partial; both merged queries route") {
     import graft.ops.Rollups
     val sketchRaw = Rollups.dailyUniqSketchRaw(spark, sf).collect().toSeq
