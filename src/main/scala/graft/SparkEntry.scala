@@ -425,6 +425,12 @@ object SparkEntry {
     // the full state-suite workload (uniq sketch, quantiles, top-k,
     // monthly cut, daily volume) advised into ONE day-grain spec
     "q199_advised_state_suite" -> (graft.plans.Advisor.advisedStateSuite _),
+    // GROUPING SETS routing: the one-statement GROUP BY ROLLUP
+    // dashboard (per-(day,user) rows + per-day subtotals + grand
+    // total) answered from the daily MV — the rule re-expands the
+    // rollup's partial rows under the identical null/grouping-id
+    // structure, so one rollup-sized scan serves the whole lattice
+    "q200_rollup_dashboard" -> (Rollups.rollupDashboardRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1969,6 +1975,15 @@ object SparkEntry {
                 CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate
          FROM documents""",
+    // the routed grouping lattice must hash-match the raw one-pass
+    // GROUP BY ROLLUP recompute (subtotal rows included)
+    "q200_rollup_dashboard" ->
+      s"""SELECT CAST(ts AS DATE) AS day, user_id,
+          ${dsum("value")} AS volume, COUNT(*) AS txs,
+          MIN(value) AS min_value, MAX(value) AS max_value
+          FROM events
+          GROUP BY ROLLUP(CAST(ts AS DATE), user_id)
+          ORDER BY day NULLS FIRST, user_id NULLS FIRST""",
   )
 
   /** The trigram-shingle CTE alone (q116 consumes it without edges). */

@@ -101,6 +101,36 @@ object Rollups {
     }
   }
 
+  /** The raw multi-grain dashboard in ONE statement — per-(day, user)
+    * rows, per-day subtotals, and the grand total via GROUP BY ROLLUP.
+    * The reference maintains one MV per grain and issues one read per
+    * dashboard tile (`usdc-transfers/sql/analytics.sql:9-94`); the
+    * grouping-lattice form computes every grain in a single pass.
+    * Written against the RAW table; [[rollupDashboardRouted]] runs it
+    * UNCHANGED under the routing rule. */
+  def rollupDashboardRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .rollup(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(dsum(col("value")).as("volume"), count(lit(1)).as("txs"),
+           min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("day").asc_nulls_first, col("user_id").asc_nulls_first)
+
+  /** Driver entry (q200): GROUPING-SETS routing end-to-end — the
+    * UNCHANGED ROLLUP dashboard answered from the daily MV. The rule
+    * re-expands the rollup's partial rows under the identical
+    * null/grouping-id projection structure, so one rollup-sized scan
+    * serves the whole lattice (sum/count/min/max partials are fully
+    * mergeable — a subtotal row just merges more of them). At 100 TB
+    * this collapses a dashboard's per-grain MV fleet into one MV: the
+    * fact table is never read (plan asserted in RollupRoutingSpec). */
+  def rollupDashboardRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureDailyRollup(spark, sfDir)
+    withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      rollupDashboardRaw(spark, sfDir)
+    }
+  }
+
   /** The HOURLY rollup's partial-state block (hour × user grain) — the
     * finer sibling of [[dailyPartialsOf]] in the grain hierarchy, with
     * the same four mergeable partials. An hourly rollup answers

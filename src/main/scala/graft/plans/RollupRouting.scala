@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, TimestampType}
@@ -1194,7 +1194,10 @@ object RollupRouting {
             // cardinality). Sizes come from the cached analyzed scan,
             // so the choice adds no I/O.
             specsOf(child)
-              .flatMap(s => rewrite(agg, groupings, aggExprs, s).map(s -> _))
+              .flatMap(s => rewrite(agg, groupings, aggExprs, s)
+                              .orElse(rewriteExpand(agg, groupings, aggExprs,
+                                                    rewrite(_, _, _, s)))
+                              .map(s -> _))
               .minByOption { case (s, _) =>
                 (if (s.grain == "day") 0 else 1, rollupSizeBytes(s.rollupPath))
               }.map(_._2)
@@ -1208,7 +1211,10 @@ object RollupRouting {
             // beats the per-order rollup by orders of magnitude);
             // registration order only breaks exact ties
             joinSpecs
-              .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s).map(s -> _))
+              .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s)
+                              .orElse(rewriteExpand(agg, groupings, aggExprs,
+                                                    rewriteJoin(_, _, _, s)))
+                              .map(s -> _))
               .minByOption { case (s, _) => rollupSizeBytes(s.rollupPath) }
               .map(_._2)
           else None
@@ -2073,6 +2079,125 @@ object RollupRouting {
           }
       }
       Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
+    }
+
+    /** GROUPING SETS / ROLLUP / CUBE routing (round 12): the analyzer
+      * lowers a multi-grain dashboard to `Aggregate(groupByAttrs :+
+      * gid, …, Expand(projections, output, child))` — each projection
+      * row nulls the grouping columns its set drops and tags the row
+      * with a grouping-id literal, and the aggregate runs once over
+      * the expanded rows. A subtotal row merely merges MORE partials
+      * per group, and every aggregate the registry maps (SUM/COUNT/
+      * MIN/MAX partials, the AVG sum+count pair, HLL/KLL/top-k
+      * states) is fully mergeable, so replaying the IDENTICAL
+      * projection structure over the ROLLUP'S rows is lossless — one
+      * rollup-sized scan answers every grain of the dashboard at
+      * once, where the reference maintains one MV per grain
+      * (`usdc-transfers/sql/analytics.sql:9-94`). The rewrite
+      * delegates the real work to [[rewrite]] on a PSEUDO flat
+      * aggregate (the full grouping set, only the aggregate-valued
+      * output columns) — inheriting predicate subsumption, grain
+      * hierarchy, the hybrid rollup∪tail read, and every mapAgg guard
+      * — then rebuilds Expand on top of the routed child, preserving
+      * each expanded-attribute and grouping-id ExprId so the parent
+      * plan and the null/gid semantics are untouched. The one
+      * registry member that is NOT subtotal-safe is the exact
+      * COUNT(DISTINCT key)→row-count mapping (a coarser subtotal
+      * group holds more rollup rows than distinct keys), so ANY
+      * distinct aggregate keeps the whole query live.
+      *
+      * `flat` is the flat-aggregate rewriter to delegate to — the
+      * single-table [[rewrite]] or the join-path [[rewriteJoin]]
+      * curried with its spec: the decomposition and the rebuild are
+      * identical on both paths because both return the same
+      * `Aggregate(mappedGroupings, mappedAggs, routedChild)` shape. */
+    private def rewriteExpand(agg: Aggregate, groupings: Seq[Expression],
+                              aggExprs: Seq[NamedExpression],
+                              flat: (Aggregate, Seq[Expression], Seq[NamedExpression])
+                                      => Option[LogicalPlan]): Option[LogicalPlan] = {
+      val ex = agg.child match {
+        case e: Expand => e
+        case _ => return None
+      }
+      val exOut = ex.output
+      val gidIdx = exOut.indexWhere(_.name == VirtualColumn.groupingIdName)
+      if (gidIdx < 0 || !ex.projections.forall(_.length == exOut.length))
+        return None
+      val gid = exOut(gidIdx)
+      val childOut = ex.child.outputSet
+      val gdIdx = exOut.indices
+        .filter(i => i != gidIdx && !childOut.contains(exOut(i)))
+      val passIdx = exOut.indices
+        .filter(i => i != gidIdx && childOut.contains(exOut(i)))
+      // the recognized lowering only: passthrough slots carry the
+      // attribute itself in EVERY set; the gid slot is a literal tag
+      if (!ex.projections.forall { row =>
+            passIdx.forall(i => row(i).semanticEquals(exOut(i))) &&
+            row(gidIdx).isInstanceOf[Literal] }) return None
+      val gdAttrs: Seq[Attribute] = gdIdx.map(exOut)
+      // one consistent pre-expand source expression per expanded attr
+      // (the grouping expression the analyzer aliased below Expand)
+      val srcOf: Seq[Expression] = gdIdx.map { i =>
+        val nonNull = ex.projections.map(_(i)).filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        if (nonNull.isEmpty ||
+            !nonNull.tail.forall(_.semanticEquals(nonNull.head))) return None
+        nonNull.head
+      }
+      val gdSet = AttributeSet(gdAttrs :+ gid)
+      if (!groupings.forall {
+            case a: Attribute => gdSet.contains(a)
+            case _ => false }) return None
+      // distinct aggregates are not subtotal-safe (see scaladoc)
+      if (aggExprs.exists(_.exists {
+            case ae: AggregateExpression => ae.isDistinct
+            case _ => false })) return None
+      // split the output: grouping-valued columns (expanded attrs/gid
+      // only — grouping()/grouping_id() are bit tests on gid) pass
+      // through untouched; aggregate-valued columns (pre-expand
+      // references only) route through the pseudo rewrite; a column
+      // mixing the two stays live
+      val (keyExprs, aggOnly) = aggExprs.partition(
+        ne => !ne.exists(_.isInstanceOf[AggregateExpression]))
+      if (!keyExprs.forall(_.references.subsetOf(gdSet))) return None
+      if (aggOnly.exists(_.references.exists(gdSet.contains))) return None
+      val pseudo = Aggregate(srcOf, aggOnly, ex.child)
+      val routed = flat(pseudo, srcOf, aggOnly) match {
+        case Some(a: Aggregate) => a
+        case _ => return None
+      }
+      val mappedGroupings = routed.groupingExpressions // positional w/ gdAttrs
+      if (mappedGroupings.zip(gdAttrs).exists {
+            case (m, a) => m.dataType != a.dataType }) return None
+      val mappedAggs: Map[ExprId, NamedExpression] =
+        aggOnly.map(_.exprId).zip(routed.aggregateExpressions).toMap
+      val newAggExprs = aggExprs.map(ne => mappedAggs.getOrElse(ne.exprId, ne))
+      val newChild = routed.child
+      // the rule runs after column pruning, so prune the passthrough
+      // block by hand — only the partial columns the mapped aggregates
+      // read flow through Expand (the physical scan's requiredSchema
+      // follows Expand's references)
+      val needed = AttributeSet(newAggExprs.flatMap(_.references))
+      val passAttrs = newChild.output.filter(needed.contains)
+      val aliases = mappedGroupings.zip(gdAttrs).map {
+        case (m, a) => Alias(m, a.name)()
+      }
+      val proj = Project(passAttrs.map(a => a: NamedExpression) ++ aliases,
+                         newChild)
+      val newProjections = ex.projections.map { row =>
+        passAttrs.map(a => a: Expression) ++
+          gdIdx.zipWithIndex.map { case (i, k) =>
+            row(i) match {
+              case Literal(null, _) => Literal(null, exOut(i).dataType)
+              case _ => aliases(k).toAttribute
+            }
+          } :+ row(gidIdx)
+      }
+      val newExpand =
+        Expand(newProjections, passAttrs ++ gdAttrs :+ gid, proj)
+      Some(Aggregate(groupings, newAggExprs, newExpand))
     }
 
     /** The coverage watermark a hybrid rollup writer stamped, if any.

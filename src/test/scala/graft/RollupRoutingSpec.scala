@@ -342,6 +342,132 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** GROUPING SETS / ROLLUP / CUBE routing (round 12): the multi-grain
+    * dashboard — per-(day,user) rows, per-day subtotals, grand total —
+    * is one Aggregate-over-Expand plan, and every mapped aggregate is
+    * fully mergeable, so the whole lattice answers from ONE
+    * rollup-sized scan. Near-misses: a distinct aggregate (subtotal
+    * groups hold more rollup rows than distinct keys) and a non-key
+    * grouping column must keep the query live. */
+  test("GROUP BY ROLLUP/CUBE routes through one rollup scan; distinct stays live") {
+    val rollupQ = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("volume"), count(lit(1)).as("txs"),
+           min($"value").as("mn"), max($"value").as("mx"))
+      .orderBy($"day".asc_nulls_first, $"user_id".asc_nulls_first)
+    val cubeQ = () => Tables.events(spark, sf)
+      .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+              $"ts" < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .cube(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("volume"),
+           grouping_id().as("gid"))
+      .orderBy($"gid", $"day".asc_nulls_first, $"user_id".asc_nulls_first)
+    val setsQ = () => {
+      Tables.events(spark, sf).createOrReplaceTempView("ev_gs")
+      spark.sql("""SELECT to_date(ts) AS day, user_id,
+                          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+                   FROM ev_gs
+                   GROUP BY GROUPING SETS ((to_date(ts)), (user_id), ())
+                   ORDER BY day NULLS FIRST, user_id NULLS FIRST""")
+    }
+    val (rollupRaw, cubeRaw, setsRaw) =
+      (rollupQ().collect().toSeq, cubeQ().collect().toSeq, setsQ().collect().toSeq)
+    withRouting {
+      for ((q, raw, name) <- Seq((rollupQ, rollupRaw, "ROLLUP"),
+                                 (cubeQ, cubeRaw, "CUBE w/ filter+gid"),
+                                 (setsQ, setsRaw, "GROUPING SETS"))) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("rollup"), s"$name: expected rollup scan in:\n$plan")
+        assert(!plan.contains("events.parquet"),
+          s"$name: fact table must not be scanned:\n$plan")
+        assert(plan.contains("Expand"), s"$name: the Expand must survive:\n$plan")
+        assert(routed.collect().toSeq == raw, s"$name: values must match the raw plan")
+      }
+      // near-miss: COUNT(DISTINCT key) is exact under the flat grain
+      // guard but WRONG on subtotal rows → the whole query stays live
+      val distinctQ = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"))
+        .agg(countDistinct($"user_id").as("u"))
+      assert(distinctQ.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a distinct aggregate under ROLLUP must NOT route")
+      // near-miss: a non-key grouping column → live
+      val byType = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("c"))
+      assert(byType.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a non-key ROLLUP grouping column must NOT route")
+    }
+  }
+
+  /** The JOIN path routes grouping lattices too — [[rewriteExpand]]
+    * delegates to the same flat rewriter either registry uses, so a
+    * ROLLUP over the 3-table star answers join-free from the join MV.
+    * The distinct member (CountDistinctGrain) keeps the lattice live:
+    * a subtotal group holds more rollup rows than distinct keys. */
+  test("GROUP BY ROLLUP routes through the join MV; distinct member stays live") {
+    import graft.ops.StarJoins
+    val q = () => Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .rollup($"c_mktsegment")
+      .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+    val raw = q().collect().toSeq
+    StarJoins.revenueSegmentViaRollup(spark, sf).collect()
+    RollupRouting.registerJoin(
+      RollupRouting.JoinSpec.revenueSegment(StarJoins.revenueSegmentRollupDir(sf)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("revseg_rollup"), s"expected join-MV scan in:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"routed lattice must be join-free:\n$plan")
+      assert(routed.collect().toSeq == raw)
+      // near-miss: the registered COUNT(DISTINCT grain) member is flat-only
+      val dq = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+        .rollup($"c_mktsegment")
+        .agg(countDistinct($"o_orderkey").as("n_orders"))
+      assert(!dq.queryExecution.executedPlan.toString.contains("revseg_rollup"),
+        "a distinct aggregate under ROLLUP must NOT route on the join path")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** The Expand rebuild sits ABOVE whatever child [[rewrite]] routed
+    * to — including the hybrid rollup∪live-tail Union: subtotal rows
+    * merge partials from BOTH sides, so a stale rollup still answers
+    * the whole grouping lattice with the tail re-joined. */
+  test("GROUP BY ROLLUP composes with the hybrid rollup ∪ live-tail read") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs_hy")
+      .toString + "/gs_hybrid_rollup"
+    Rollups.writeDailyRollupUpTo(Tables.events(spark, sf), dir, Rollups.HybridCutoffUs)
+    val q = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("volume"), count(lit(1)).as("txs"))
+      .orderBy($"day".asc_nulls_first, $"user_id".asc_nulls_first)
+    val raw = q().collect().toSeq
+    RollupRouting.register(RollupRouting.Spec("events.parquet", dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("gs_hybrid_rollup"), s"rollup side missing:\n$plan")
+      assert(plan.contains("events.parquet"), s"live-tail scan missing:\n$plan")
+      assert(plan.contains("Expand"), s"the Expand must survive:\n$plan")
+      assert(routed.collect().toSeq == raw)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Grain hierarchy (round 11): an HOURLY rollup answers hour-grain
     * queries directly and day-grain queries by re-aggregation
     * (roll-up matching — to_date(hour) ≡ to_date(ts)); a daily rollup
