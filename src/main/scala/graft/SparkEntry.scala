@@ -431,6 +431,10 @@ object SparkEntry {
     // rollup's partial rows under the identical null/grouping-id
     // structure, so one rollup-sized scan serves the whole lattice
     "q200_rollup_dashboard" -> (Rollups.rollupDashboardRouted _),
+    // the ROLLUP dashboard itself ADVISES its day-grain spec — the
+    // advisor flattens the Expand to the full-grouping-set demand,
+    // builds + registers, and the unchanged lattice query routes
+    "q201_advised_lattice" -> (graft.plans.Advisor.advisedLattice _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -1977,14 +1981,19 @@ object SparkEntry {
          FROM documents""",
     // the routed grouping lattice must hash-match the raw one-pass
     // GROUP BY ROLLUP recompute (subtotal rows included)
-    "q200_rollup_dashboard" ->
-      s"""SELECT CAST(ts AS DATE) AS day, user_id,
-          ${dsum("value")} AS volume, COUNT(*) AS txs,
-          MIN(value) AS min_value, MAX(value) AS max_value
-          FROM events
-          GROUP BY ROLLUP(CAST(ts AS DATE), user_id)
-          ORDER BY day NULLS FIRST, user_id NULLS FIRST""",
+    "q200_rollup_dashboard" -> rollupDashboardSql,
+    // the ADVISED lattice (spec inferred from the ROLLUP query itself)
+    // must reproduce the identical answer
+    "q201_advised_lattice" -> rollupDashboardSql,
   )
+
+  private lazy val rollupDashboardSql =
+    s"""SELECT CAST(ts AS DATE) AS day, user_id,
+        ${dsum("value")} AS volume, COUNT(*) AS txs,
+        MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events
+        GROUP BY ROLLUP(CAST(ts AS DATE), user_id)
+        ORDER BY day NULLS FIRST, user_id NULLS FIRST"""
 
   /** The trigram-shingle CTE alone (q116 consumes it without edges). */
   private lazy val shCte =

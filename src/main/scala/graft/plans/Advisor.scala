@@ -258,12 +258,55 @@ object Advisor {
     case _ => None
   }
 
+  /** A GROUPING SETS / ROLLUP / CUBE dashboard analyzes to
+    * `Aggregate ← Expand`; its demand is the FLAT aggregate at the
+    * full grouping set — the router answers the whole lattice from
+    * that one spec ([[RollupRouting.RuleImpl]]'s `rewriteExpand`
+    * replays the Expand over the rollup's partial rows). Recover each
+    * expanded attribute's source expression from the projections
+    * (exactly the rule's decomposition) and advise as if the query
+    * grouped by all of them. A DISTINCT aggregate is skipped WITH the
+    * real reason: the routed row-count mapping is grain-bound, so the
+    * lattice would never route and the advice would be dead. */
+  private def flattenGroupingSets(label: String, agg: Aggregate,
+                                  ex: Expand): scala.Either[String, Aggregate] = {
+    val exOut = ex.output
+    val gidIdx = exOut.indexWhere(_.name == VirtualColumn.groupingIdName)
+    if (gidIdx < 0 || !ex.projections.forall(_.length == exOut.length))
+      return scala.Left(s"$label: Expand is not a grouping-sets lowering")
+    if (agg.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression => ae.isDistinct
+          case _ => false }))
+      return scala.Left(s"$label: distinct aggregate under grouping sets — " +
+        "subtotal rows cannot re-count, the lattice would never route")
+    val childOut = ex.child.outputSet
+    val gdIdx = exOut.indices.filter(i => i != gidIdx && !childOut.contains(exOut(i)))
+    val srcOf: Seq[Expression] = gdIdx.map { i =>
+      ex.projections.map(_(i)).find {
+        case Literal(null, _) => false
+        case _ => true
+      }.getOrElse(return scala.Left(
+        s"$label: grouping column ${exOut(i).name} is null in every set"))
+    }
+    val gdSet = AttributeSet(gdIdx.map(exOut) :+ exOut(gidIdx))
+    val flatAggs = agg.aggregateExpressions
+      .filterNot(_.references.exists(gdSet.contains))
+    scala.Right(Aggregate(srcOf, flatAggs, ex.child))
+  }
+
   /** One query → one demand, or a reason it is out of scope. */
   private def demandOf(label: String, df: DataFrame): scala.Either[String, Any] = {
     val plan = df.queryExecution.analyzed
-    val agg = topAggregate(plan) match {
+    val agg0 = topAggregate(plan) match {
       case Some(a) => a
       case None => return scala.Left(s"$label: no top-level aggregate")
+    }
+    val agg = agg0.child match {
+      case ex: Expand => flattenGroupingSets(label, agg0, ex) match {
+        case scala.Right(a) => a
+        case scala.Left(r) => return scala.Left(r)
+      }
+      case _ => agg0
     }
     val child = agg.child
     def resolve(e: Expression): Expression = resolveThroughProjects(e, child)
@@ -458,6 +501,23 @@ object Advisor {
     * window folded into subsumable keys, grain from the DATE column),
     * builds + registers it, and the unchanged query routes. No human
     * wrote this spec. */
+  /** Driver entry (q201, shares q200's oracle): the GROUP BY ROLLUP
+    * dashboard itself advises its spec — [[flattenGroupingSets]] turns
+    * the Aggregate-over-Expand plan into the full-grouping-set demand,
+    * the advised (day, user) rollup builds from the bare relation, and
+    * the UNCHANGED lattice query routes through it (`rewriteExpand`
+    * replays the Expand over the rollup's partial rows). The closed
+    * loop the reference does by hand, for its hardest dashboard
+    * shape. */
+  def advisedLattice(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_lattice")
+    val advice = advise(
+      Seq(graft.ops.Rollups.rollupDashboardRaw(spark, sfDir)), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    runRouted(spark, advice) { graft.ops.Rollups.rollupDashboardRaw(spark, sfDir) }
+  }
+
   def advisedOrdersDashboard(spark: SparkSession, sfDir: String): DataFrame = {
     val root = graft.ops.StarJoins.scratch(sfDir, "advised_orders")
     val advice = advise(Seq(graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)), root)

@@ -241,6 +241,39 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.skipped.exists(_.contains("no top-level aggregate")))
   }
 
+  test("a ROLLUP lattice advises its flat-grain spec; distinct lattices skip with reason") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_gs").toString
+    val q = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy($"day".asc_nulls_first, $"user_id".asc_nulls_first)
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 1, advice)
+    val spec = advice.singles.head.spec
+    // the demand is the FULL grouping set — exactly what a flat
+    // (day, user) dashboard would have advised
+    assert(spec.grain == "day" && spec.timeCol == "ts")
+    assert(spec.keyCols == Map("user_id" -> "user_id"))
+    val plain = q().collect().toSeq
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("events_advised"), s"lattice must route:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == plain)
+    }
+    // a distinct aggregate under the lattice would never route — the
+    // advisor refuses the dead registration and says why
+    val dq = Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("u"))
+    val dAdvice = Advisor.advise(Seq(dq), root)
+    assert(dAdvice.singles.isEmpty && dAdvice.joins.isEmpty)
+    assert(dAdvice.skipped.exists(_.contains("distinct aggregate under grouping sets")),
+      dAdvice.skipped)
+  }
+
   test("a monthly workload advises a day-grain spec; the month query routes through it") {
     import graft.ops.Rollups
     val plain = Rollups.monthlyVolumeRaw(spark, sf).collect().toSeq
