@@ -370,9 +370,21 @@ class RollupRoutingSpec extends AnyFunSuite {
                    GROUP BY GROUPING SETS ((to_date(ts)), (user_id), ())
                    ORDER BY day NULLS FIRST, user_id NULLS FIRST""")
     }
-    val (rollupRaw, cubeRaw, setsRaw) =
-      (rollupQ().collect().toSeq, cubeQ().collect().toSeq, setsQ().collect().toSeq)
+    // HAVING above the lattice: the rewrite preserves the aggregate's
+    // output ExprIds, so the filter re-binds over the routed plan
+    val havingQ = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"user_id")
+      .agg(count(lit(1)).as("txs"))
+      .filter($"txs" > 50)
+      .orderBy($"day".asc_nulls_first, $"user_id".asc_nulls_first)
+    val (rollupRaw, cubeRaw, setsRaw, havingRaw) =
+      (rollupQ().collect().toSeq, cubeQ().collect().toSeq,
+       setsQ().collect().toSeq, havingQ().collect().toSeq)
     withRouting {
+      val having = havingQ()
+      assert(having.queryExecution.executedPlan.toString.contains("rollup"),
+        "HAVING above the lattice must still route")
+      assert(having.collect().toSeq == havingRaw)
       for ((q, raw, name) <- Seq((rollupQ, rollupRaw, "ROLLUP"),
                                  (cubeQ, cubeRaw, "CUBE w/ filter+gid"),
                                  (setsQ, setsRaw, "GROUPING SETS"))) {
