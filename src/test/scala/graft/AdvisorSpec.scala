@@ -272,6 +272,30 @@ class AdvisorSpec extends AnyFunSuite {
     assert(dAdvice.singles.isEmpty && dAdvice.joins.isEmpty)
     assert(dAdvice.skipped.exists(_.contains("distinct aggregate under grouping sets")),
       dAdvice.skipped)
+    // the flattening is path-agnostic: a ROLLUP over the 3-table star
+    // advises a JOIN MV, and the unchanged join lattice routes
+    val jroot = java.nio.file.Files.createTempDirectory("graft_advise_gsj").toString
+    val jq = () => Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .rollup($"c_mktsegment")
+      .agg(graft.ops.Fns.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+    val jAdvice = Advisor.advise(Seq(jq()), jroot)
+    assert(jAdvice.skipped.isEmpty, jAdvice.skipped)
+    assert(jAdvice.joins.size == 1, jAdvice)
+    assert(jAdvice.joins.head.spec.groupings == Map("c_mktsegment" -> "c_mktsegment"))
+    val jPlain = jq().collect().toSeq
+    routedWith(jAdvice) {
+      val routed = jq()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_advise_gsj"), s"join lattice must route:\n$plan")
+      assert(!plan.toLowerCase.contains("sortmergejoin") &&
+             !plan.toLowerCase.contains("broadcasthashjoin"),
+        s"routed join lattice must be join-free:\n$plan")
+      assert(routed.collect().toSeq == jPlain)
+    }
   }
 
   test("a monthly workload advises a day-grain spec; the month query routes through it") {
