@@ -412,6 +412,38 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** Sketch states compose with grouping lattices: an HLL state is a
+    * set-function of its inputs, so the UNION of day states in a
+    * subtotal row IS the single-pass sketch of those rows — the routed
+    * lattice's estimates (grand total included) are bit-equal to the
+    * live lattice's. */
+  test("sketch states answer grouping lattices: the HLL union is subtotal-safe") {
+    import graft.ops.Rollups
+    val q = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("u"))
+      .orderBy($"day".asc_nulls_first)
+    val raw = q().collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_hlllat")
+      .resolve("hlllat_rollup").toString
+    val spec = Rollups.uniqSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec)
+      .write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("hlllat_rollup"), s"expected state scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == raw,
+        "routed lattice estimates must be bit-equal to the live lattice")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** The JOIN path routes grouping lattices too — [[rewriteExpand]]
     * delegates to the same flat rewriter either registry uses, so a
     * ROLLUP over the 3-table star answers join-free from the join MV.
