@@ -412,6 +412,32 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** The lattice path delegates to the flat rewriter, so it inherits
+    * the whole routing vocabulary: a COARSER calendar grain
+    * (month × user lattice over the daily rollup) routes by truncation
+    * composition, and a FINER grain (hourly lattice over the daily
+    * rollup) stays live — the same rules the flat paths prove. */
+  test("lattices inherit the grain vocabulary: month routes, hour stays live") {
+    val monthQ = () => Tables.events(spark, sf)
+      .rollup(date_trunc("month", $"ts").as("month"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy($"month".asc_nulls_first, $"user_id".asc_nulls_first)
+    val raw = monthQ().collect().toSeq
+    withRouting {
+      val routed = monthQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup"), s"month lattice must route:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      assert(routed.collect().toSeq == raw)
+      // a finer grain than the rollup can never route
+      val hourQ = Tables.events(spark, sf)
+        .rollup(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("c"))
+      assert(hourQ.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "an hourly lattice over a daily rollup must stay live")
+    }
+  }
+
   /** Sketch states compose with grouping lattices: an HLL state is a
     * set-function of its inputs, so the UNION of day states in a
     * subtotal row IS the single-pass sketch of those rows — the routed
