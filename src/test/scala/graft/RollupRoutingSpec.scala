@@ -412,6 +412,43 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** KLL states answer lattices too: merge is associative, so a
+    * subtotal row's merged state is A sketch of its rows (randomized
+    * compaction means rank-error equality, not bits — the same
+    * contract the flat KLL path pins). The grand-total row merges
+    * EVERY day state and must estimate the global quantile. */
+  test("KLL states answer lattices: subtotal quantiles within rank error") {
+    import graft.ops.Rollups
+    val all: Array[Double] = Tables.events(spark, sf)
+      .select($"value".cast("double")).collect().map(_.getDouble(0)).sorted
+    def rankOk(est: Double, q: Double, eps: Double): Boolean = {
+      val lt = all.count(_ < est).toDouble / all.length
+      val le = all.count(_ <= est).toDouble / all.length
+      q >= lt - eps && q <= le + eps
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_klllat")
+      .resolve("klllat_rollup").toString
+    val spec = Rollups.quantileSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val q = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"))
+        .agg(graft.expr.Kll.quantile(graft.expr.Kll.agg($"value", 200), 0.5).as("p50"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("klllat_rollup"), s"expected state scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      val total = q.collect().find(_.isNullAt(0))
+        .getOrElse(fail("no grand-total row")).getDouble(1)
+      assert(rankOk(total, 0.5, 0.03),
+        s"grand-total p50 $total out of the ±3% rank bound")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** The lattice path delegates to the flat rewriter, so it inherits
     * the whole routing vocabulary: a COARSER calendar grain
     * (month × user lattice over the daily rollup) routes by truncation
