@@ -396,6 +396,12 @@ class RollupRoutingSpec extends AnyFunSuite {
         assert(plan.contains("Expand"), s"$name: the Expand must survive:\n$plan")
         assert(routed.collect().toSeq == raw, s"$name: values must match the raw plan")
       }
+      // the subsumed window sits BELOW the rebuilt Expand, directly on
+      // the rollup relation, so it reaches the scan's PushedFilters —
+      // at 100 TB the lattice reads 7 days of partials, not the MV
+      val cubePlan = cubeQ().queryExecution.executedPlan.toString
+      assert(cubePlan.contains("PushedFilters: [IsNotNull(day), GreaterThanOrEqual(day,2024-01-08"),
+        s"subsumed window must reach the rollup scan:\n$cubePlan")
       // near-miss: COUNT(DISTINCT key) is exact under the flat grain
       // guard but WRONG on subtotal rows → the whole query stays live
       val distinctQ = Tables.events(spark, sf)
