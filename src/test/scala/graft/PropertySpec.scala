@@ -290,8 +290,13 @@ class PropertySpec extends AnyFunSuite {
     // aggregate subset × filter form × REGISTRY (daily-only /
     // hourly-only / both / stale-hybrid-daily / SKETCH — the grain
     // hierarchy, MV+tail read, and the HllUniqOf member)
+    // `sets` (round 12): 0 = flat groupBy, 1 = ROLLUP, 2 = CUBE over
+    // the same keys. The generated aggregate space holds no distinct
+    // aggregates, so a lattice routes EXACTLY when its flat twin does
+    // (rewriteExpand delegates to the flat rewriter) — the expectations
+    // below are deliberately independent of `sets`.
     case class Shape(gTime: Int, gUser: Boolean, aggs: List[Int],
-                     filter: Int, reg: Int)
+                     filter: Int, reg: Int, sets: Int)
     // half the draws stay inside the candidate-lossless aggregate set so
     // the routed side of the property is exercised densely, not just the
     // reject side (an unbiased subset of 7 leaves ~1/4 lossless)
@@ -304,7 +309,8 @@ class PropertySpec extends AnyFunSuite {
       aggs <- aggsGen
       filter <- Gen.chooseNum(0, 6)
       reg <- Gen.chooseNum(0, 4)
-    } yield Shape(gTime, gUser, aggs.toList.sorted, filter, reg)
+      sets <- Gen.chooseNum(0, 2)
+    } yield Shape(gTime, gUser, aggs.toList.sorted, filter, reg, sets)
     def build(s: Shape): org.apache.spark.sql.DataFrame = {
       val src = spark.read.parquet(s"$dir/events.parquet")
       val f = s.filter match {
@@ -333,7 +339,12 @@ class PropertySpec extends AnyFunSuite {
         case 5 => sum($"value").as("ps")  // plain double sum — must stay live
         case 6 => expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("u")
       }
-      val g = if (keys.isEmpty) f.groupBy() else f.groupBy(keys: _*)
+      val g = if (keys.isEmpty) f.groupBy()
+              else s.sets match {
+                case 1 => f.rollup(keys: _*)
+                case 2 => f.cube(keys: _*)
+                case _ => f.groupBy(keys: _*)
+              }
       g.agg(aggCols.head, aggCols.tail: _*)
     }
     def canon(df: org.apache.spark.sql.DataFrame): (String, Seq[String]) =
