@@ -418,6 +418,46 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** TopK states answer lattices too (the third state member): the
+    * frequent-items combine is associative and EXACT below capacity,
+    * so the grand-total row — every day state merged — must report
+    * exact global counts at or above the top-5 threshold. */
+  test("TopK states answer lattices: grand-total top-k exact below capacity") {
+    import graft.ops.Rollups
+    val exactGlobal: Map[Long, Long] = Tables.events(spark, sf)
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kth = exactGlobal.values.toSeq.sorted(Ordering[Long].reverse)
+      .take(5).last
+    val dir = java.nio.file.Files.createTempDirectory("graft_topklat")
+      .resolve("topklat_rollup").toString
+    val spec = Rollups.topKSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val q = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"))
+        .agg(expr("approx_top_k(user_id, 5, 8192)").as("top_users"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("topklat_rollup"), s"expected state scan in:\n$plan")
+      assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
+      val total = q.collect().find(_.isNullAt(0))
+        .getOrElse(fail("no grand-total row"))
+        .getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(total.size == math.min(5, exactGlobal.size))
+      total.foreach { case (item, c) =>
+        assert(exactGlobal(item) == c,
+          s"grand total: item $item count $c vs exact ${exactGlobal(item)}")
+        assert(c >= kth, s"grand total: item $item count $c below threshold $kth")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** KLL states answer lattices too: merge is associative, so a
     * subtotal row's merged state is A sketch of its rows (randomized
     * compaction means rank-error equality, not bits — the same
