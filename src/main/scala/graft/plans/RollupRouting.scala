@@ -2115,7 +2115,21 @@ object RollupRouting {
                               aggExprs: Seq[NamedExpression],
                               flat: (Aggregate, Seq[Expression], Seq[NamedExpression])
                                       => Option[LogicalPlan]): Option[LogicalPlan] = {
-      val ex = agg.child match {
+      // the optimizer pushes grouping-id / grouping-key predicates (a
+      // subtotal-slice `WHERE grouping_id() = 1`, inferred IsNotNull)
+      // BETWEEN the aggregate and the Expand — peel them here and
+      // re-apply verbatim above the rebuilt Expand: they reference
+      // only attributes the rewrite preserves, and they select whole
+      // grouping-set copies / whole groups (the expanded attrs ARE
+      // the aggregate's group keys), so they never split a group
+      var latticeFilters: Seq[Expression] = Nil
+      var node: LogicalPlan = agg.child
+      while (node.isInstanceOf[Filter]) {
+        val f = node.asInstanceOf[Filter]
+        latticeFilters = latticeFilters ++ splitConjunctivePredicates(f.condition)
+        node = f.child
+      }
+      val ex = node match {
         case e: Expand => e
         case _ => return None
       }
@@ -2150,6 +2164,12 @@ object RollupRouting {
       if (!groupings.forall {
             case a: Attribute => gdSet.contains(a)
             case _ => false }) return None
+      // peeled lattice filters must be deterministic bit tests /
+      // predicates over the preserved attrs only — anything touching a
+      // pre-expand column keeps the query live (it cuts raw rows, the
+      // flat path's subsumption owns that proof)
+      if (!latticeFilters.forall(c =>
+            c.deterministic && c.references.subsetOf(gdSet))) return None
       // distinct aggregates are not subtotal-safe (see scaladoc)
       if (aggExprs.exists(_.exists {
             case ae: AggregateExpression => ae.isDistinct
@@ -2197,7 +2217,9 @@ object RollupRouting {
       }
       val newExpand =
         Expand(newProjections, passAttrs ++ gdAttrs :+ gid, proj)
-      Some(Aggregate(groupings, newAggExprs, newExpand))
+      val filtered = latticeFilters.reduceOption(And)
+        .map(Filter(_, newExpand)).getOrElse(newExpand: LogicalPlan)
+      Some(Aggregate(groupings, newAggExprs, filtered))
     }
 
     /** The coverage watermark a hybrid rollup writer stamped, if any.

@@ -402,6 +402,24 @@ class RollupRoutingSpec extends AnyFunSuite {
       val cubePlan = cubeQ().queryExecution.executedPlan.toString
       assert(cubePlan.contains("PushedFilters: [IsNotNull(day), GreaterThanOrEqual(day,2024-01-08"),
         s"subsumed window must reach the rollup scan:\n$cubePlan")
+      // a grouping_id() filter is a bit test on the PRESERVED
+      // grouping-id attribute — the subtotal-only dashboard read
+      // (keep per-day subtotals, drop detail and grand total) routes
+      // and the filter re-binds above the routed aggregate
+      Tables.events(spark, sf).createOrReplaceTempView("ev_gs")
+      val subtotalQ = () => spark.sql(
+        """SELECT day, txs FROM (
+             SELECT to_date(ts) AS day, COUNT(*) AS txs,
+                    grouping_id() AS gid
+             FROM ev_gs GROUP BY ROLLUP(to_date(ts), user_id))
+           WHERE gid = 1 ORDER BY day""")
+      spark.experimental.extraOptimizations = Nil
+      val subtotalRaw = subtotalQ().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val subtotal = subtotalQ()
+      assert(subtotal.queryExecution.executedPlan.toString.contains("rollup"),
+        "a GROUPING()-filtered subtotal read must route")
+      assert(subtotal.collect().toSeq == subtotalRaw)
       // near-miss: COUNT(DISTINCT key) is exact under the flat grain
       // guard but WRONG on subtotal rows → the whole query stays live
       val distinctQ = Tables.events(spark, sf)
