@@ -21,6 +21,31 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
+
+# Lint EVERY declared output (oracled or not) for nested-typed columns:
+# the driver's pandas harness sort_values/hashes each frame and throws
+# `unhashable type: numpy.ndarray` on array/struct/map columns (the
+# q191/q192 class). Catch it pre-driver.
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    qname = d.rstrip("/").split("/")[-1]
+    files = sorted(glob.glob(f"{d}*.parquet"))
+    if not files:
+        continue
+    try:
+        one = con.execute(
+            f"SELECT * FROM read_parquet({files!r}) LIMIT 1").fetchdf()
+    except Exception as e:
+        print(f"FAIL {qname}: unreadable output: {str(e)[:120]}")
+        fail += 1
+        continue
+    def is_nested(v):
+        return isinstance(v, (list, dict)) or type(v).__name__ == "ndarray"
+    nested = [c for c in one.columns if len(one) and is_nested(one[c].iloc[0])]
+    if nested:
+        print(f"FAIL {qname}: nested-typed output column(s) {nested} "
+              f"(driver pandas harness cannot hash array/struct/map)")
+        fail += 1
+
 for name, sql in sorted(oracle.items()):
     spark_files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not spark_files:
@@ -38,6 +63,16 @@ for name, sql in sorted(oracle.items()):
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if gcols != wcols:
         print(f"FAIL {name}: columns {gcols} vs {wcols}")
+        fail += 1
+        continue
+    # The driver HASHES frames, so equal values in different dtypes
+    # still fail there (e.g. DuckDB SUM(BIGINT) → HUGEINT → float64 vs
+    # Spark int64 — the q162 class). Fail on dtype drift here so it
+    # can never hide behind ==-equality again.
+    dtype_drift = [(c, str(got[c].dtype), str(want[c].dtype))
+                   for c in gcols if got[c].dtype != want[c].dtype]
+    if dtype_drift:
+        print(f"FAIL {name}: dtype drift (spark vs oracle): {dtype_drift}")
         fail += 1
         continue
     g = got[gcols].sort_values(gcols).reset_index(drop=True)

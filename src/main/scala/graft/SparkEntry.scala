@@ -397,10 +397,11 @@ object SparkEntry {
     "q190_uniq_sketch_lifecycle" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.Live.streamingUniqSketchHybrid(s, d)),
-    // TOP-K states (round 12): approx_top_k routed through persisted
-    // frequent-items sketches — topKState/topKMerge; rows-only (tied
-    // last slots are selection-free), spec-pinned exact counts +
-    // threshold membership + capacity near-miss
+    // TOP-K states (round 12; r13: scalar + deterministic): the
+    // approx_top_k dashboard routed through persisted frequent-items
+    // sketches — topKState/topKMerge — then projected to one row per
+    // (day, rank) with a total-order tie-break. Full-capacity
+    // estimate ⇒ exact counts ⇒ a real DuckDB window-count oracle.
     "q191_topk_sketch_routed" -> (Rollups.dailyTopUsersRouted _),
     "q192_topk_sketch_hybrid" -> (Rollups.dailyTopUsersHybrid _),
     // 7-day sliding uniques answered ENTIRELY from the day-sized HLL
@@ -1329,7 +1330,7 @@ object SparkEntry {
          CASE WHEN SUM(w_min) = 0 THEN NULL
               ELSE CAST(SUM(CAST(value AS DECIMAL(18,6)) * w_min) AS DOUBLE)
                    / SUM(w_min) END AS twap,
-         SUM(w_min) AS span_min, COUNT(*) AS n_events
+         CAST(SUM(w_min) AS BIGINT) AS span_min, COUNT(*) AS n_events
          FROM (
            SELECT CAST(ts AS DATE) AS day, user_id, value,
                   CAST(floor((epoch_us(COALESCE(
@@ -1985,7 +1986,26 @@ object SparkEntry {
     // the ADVISED lattice (spec inferred from the ROLLUP query itself)
     // must reproduce the identical answer
     "q201_advised_lattice" -> rollupDashboardSql,
+    // r13: the top-k sketch dashboards became deterministic scalar
+    // rows (full-capacity estimate ⇒ exact counts; total-order
+    // tie-break est_count DESC, user_id ASC) so the exact
+    // window-count top-5 IS the oracle — for both the routed read
+    // and the hybrid (stale states ∪ live tail ≡ full data) read
+    "q191_topk_sketch_routed" -> topUsersScalarSql,
+    "q192_topk_sketch_hybrid" -> topUsersScalarSql,
   )
+
+  private lazy val topUsersScalarSql =
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                  COUNT(*) AS est_count FROM events GROUP BY 1, 2),
+       t AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS daily_txs
+             FROM events GROUP BY 1),
+       r AS (SELECT day, user_id, est_count,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY day
+                      ORDER BY est_count DESC, user_id) AS INT) AS rank
+             FROM c)
+       SELECT r.day, r.rank, r.user_id, r.est_count, t.daily_txs
+       FROM r JOIN t USING (day) WHERE r.rank <= 5 ORDER BY day, rank"""
 
   private lazy val rollupDashboardSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id,

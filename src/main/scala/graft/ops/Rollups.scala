@@ -474,33 +474,67 @@ object Rollups {
            count(lit(1)).as("daily_txs"))
       .orderBy("day")
 
+  /** The SCALAR top-5 dashboard over the frequent-items sketch —
+    * the declared-query shape for q191/q192. The driver's compare
+    * harness hashes pandas frames, which cannot hash an
+    * array<struct> column, so the sketch result is exploded into one
+    * row per (day, rank) BEFORE it leaves the engine. Determinism:
+    * the estimate is requested at full capacity (k = maxItems =
+    * 8192; every fixture day holds well under 8192 distinct users,
+    * so the sketch tracks EVERY user exactly) and the final top-5 is
+    * then selected by a total order — (est_count DESC, user_id ASC)
+    * — making routed, hybrid, and raw forms row-identical and the
+    * whole query DuckDB-oracleable (window-count top-5). The rollup
+    * routing is untouched: the rewrite fires on the Aggregate node
+    * (any foldable k routes onto the same states —
+    * [[graft.plans.RollupRouting]] TopKOf member); the explode +
+    * rank live above it. */
+  def dailyTopUsersScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sketch = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("approx_top_k(user_id, 8192, 8192)").as("top_users"),
+           count(lit(1)).as("daily_txs"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("est_count").desc, col("user_id"))
+    sketch
+      .select(col("day"), col("daily_txs"), explode(col("top_users")).as("e"))
+      .select(col("day"), col("e.item").as("user_id"),
+              col("e.count").as("est_count"), col("daily_txs"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("day", "rank", "user_id", "est_count", "daily_txs")
+      .orderBy("day", "rank")
+  }
+
   /** Driver entry (q191): TOP-K-state MV routing end-to-end — the
     * unchanged `approx_top_k` dashboard re-aggregates the persisted
     * per-day frequent-items states through combine + estimate
     * (topKState → topKMerge); the fact is never scanned. The fixture
     * keeps every day under the sketch capacity, so every reported
-    * count is EXACT and every member clears the true top-5 threshold
-    * (spec-pinned); which item fills a TIED last slot may differ
-    * between merge shapes — the one legitimate difference, inherent
-    * to any top-k over ties including the reference's `topK`. */
+    * count is EXACT, and the full-capacity estimate + total-order
+    * rank ([[dailyTopUsersScalar]]) makes the answer deterministic —
+    * routed ≡ raw ≡ the DuckDB exact window-count oracle, ties
+    * included. */
   def dailyTopUsersRouted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureTopKSketchRollup(spark, sfDir)
     withRoutingSpecs(spark, Seq(topKSketchSpec(dir))) {
-      dailyTopUsersRaw(spark, sfDir)
+      dailyTopUsersScalar(spark, sfDir)
     }
   }
 
   /** Driver entry (q192): the stale top-k rollup under the hybrid
     * protocol — per-day frequent-items states before
     * [[HybridCutoffUs]] ∪ a live-tail accumulate, combined under the
-    * final estimate. */
+    * final estimate, then projected to deterministic scalar rows
+    * ([[dailyTopUsersScalar]]). */
   def dailyTopUsersHybrid(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StarJoins.scratch(sfDir, "topk_sketch_hybrid")
     val spec = topKSketchSpec(dir)
     if (!new java.io.File(dir).exists())
       writeRollupUpTo(Tables.events(spark, sfDir), spec, HybridCutoffUs)
     withRoutingSpecs(spark, Seq(spec)) {
-      dailyTopUsersRaw(spark, sfDir)
+      dailyTopUsersScalar(spark, sfDir)
     }
   }
 

@@ -2572,4 +2572,41 @@ class RollupRoutingSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
+    * DETERMINISTIC — full-capacity estimate (k = maxItems, every day
+    * under capacity ⇒ exact counts for every user) + total-order
+    * tie-break (est_count DESC, user_id ASC) — so the routed read is
+    * row-identical to the exact window-count top-5, ties included. */
+  test("scalar top-5 over topK states is deterministic and exact") {
+    import graft.ops.Rollups
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day").orderBy($"est_count".desc, $"user_id")
+    val exact = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(count(lit(1)).as("est_count"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 5)
+      .join(Tables.events(spark, sf).groupBy(to_date($"ts").as("day"))
+              .agg(count(lit(1)).as("daily_txs")), Seq("day"))
+      .select($"day", $"rank", $"user_id", $"est_count", $"daily_txs")
+      .orderBy("day", "rank").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_topksc")
+      .resolve("topkrollup").toString
+    val spec = Rollups.topKSketchSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.dailyTopUsersScalar(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("topkrollup") && !plan.contains("events.parquet"),
+        s"scalar dashboard must still route onto the states:\n$plan")
+      assert(routed.collect().toSeq == exact,
+        "routed scalar top-5 must be row-identical to the exact window top-5")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }
