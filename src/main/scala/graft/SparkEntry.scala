@@ -436,6 +436,11 @@ object SparkEntry {
     // advisor flattens the Expand to the full-grouping-set demand,
     // builds + registers, and the unchanged lattice query routes
     "q201_advised_lattice" -> (graft.plans.Advisor.advisedLattice _),
+    // r13: the ADOPTED catalog — advise → adopt (build + register +
+    // persist registry JSON in ONE call) → drop the in-memory
+    // registry → reload from the persisted file → the unchanged
+    // dashboard routes; the restart round-trip, driver-checked
+    "q202_adopted_orders" -> (graft.plans.Advisor.adoptedOrdersDashboard _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -722,6 +727,7 @@ object SparkEntry {
     // spec, q177 the charge dashboard via the one join MV merged from
     // three raw star queries
     "q176_advised_orders" -> ordersDailySalesSql,
+    "q202_adopted_orders" -> ordersDailySalesSql,
     "q177_advised_star" -> chargeSegmentSql,
     // the advised hourly spec must reproduce the daily rollup exactly
     // (day-from-hourly roll-up matching through an ADVISED spec)

@@ -485,6 +485,44 @@ object Advisor {
     advice
   }
 
+  /** The handle [[adopt]] returns: the adopted advice, where its
+    * catalog persisted, and the production wiring for keeping each
+    * adopted rollup fresh — one more call per source stream. */
+  case class Adopted(advice: Advice, registryPath: String) {
+    /** Wire incremental maintenance for one adopted single-table spec:
+      * drains `stream` through [[graft.streaming.Live.maintainRollup]]
+      * (append partial blocks per micro-batch, advance the coverage
+      * sidecar monotonically). Pass a persistent `checkpointDir` for
+      * exactly-once across restarts. */
+    def maintain(stream: DataFrame, spec: Spec, latenessUs: Long = 0L,
+                 checkpointDir: Option[String] = None): Unit =
+      graft.streaming.Live.maintainRollup(stream, spec, latenessUs, checkpointDir)
+  }
+
+  /** ADOPT — one call that turns [[advise]]'s output into a LIVE,
+    * DURABLE catalog: build every proposed rollup from its captured
+    * scans (the same spec-driven builders a hand registration uses),
+    * register each spec, persist the whole registry as JSON
+    * ([[RollupRouting.saveRegistry]] — a later session reloads it
+    * with `loadRegistry` and routes with zero re-advising), and
+    * install the routing rule on the session if absent. The returned
+    * [[Adopted]] handle exposes per-spec streaming maintenance, so
+    * workload → advise → adopt → maintain is the complete lifecycle.
+    * This is the reference's `setup-analytics.sh:49-113` —
+    * create-and-wire all MVs in one script — done from the WORKLOAD
+    * instead of by hand. `memoized = true` reuses an existing build
+    * at the spec's path (idempotent re-adopt). */
+  def adopt(spark: SparkSession, advice: Advice, registryPath: String,
+            memoized: Boolean = false, installRule: Boolean = true): Adopted = {
+    buildAndRegister(spark, advice, memoized)
+    RollupRouting.saveRegistry(registryPath)
+    if (installRule &&
+        !spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRouting.RuleImpl]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RollupRouting.RuleImpl(spark)
+    Adopted(advice, registryPath)
+  }
+
   private def runRouted(spark: SparkSession, advice: Advice)
                        (f: => DataFrame): DataFrame = {
     buildAndRegister(spark, advice, memoized = true)
@@ -663,5 +701,30 @@ object Advisor {
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"the state-suite workload must advise ONE spec: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
+  }
+
+  /** Driver entry (q202, shares q165's oracle): the ADOPTED catalog
+    * end-to-end — the raw orders dashboard advises its spec, one
+    * [[adopt]] call builds + registers + PERSISTS it, then the
+    * in-memory registry is deliberately DROPPED and reloaded from the
+    * adopt-written JSON before the unchanged query runs. The only
+    * setup between the workload and the routed read is
+    * advise → adopt; a future session needs nothing but the persisted
+    * catalog file (the round-trip a restart would take). */
+  def adoptedOrdersDashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "adopted_orders")
+    val advice = advise(Seq(graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = adopt(spark, advice, s"$root/registry.json", memoized = true)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir).localCheckpoint()
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
   }
 }

@@ -880,8 +880,15 @@ object RollupRouting {
 
   private var specs: List[Spec] = Nil
   private var joinSpecs: List[JoinSpec] = Nil
-  def register(spec: Spec): Unit = synchronized { specs = spec :: specs }
-  def registerJoin(spec: JoinSpec): Unit = synchronized { joinSpecs = spec :: joinSpecs }
+  // registration is idempotent (specs are pure data with structural
+  // equality) so re-running an adopt/setup script never bloats the
+  // catalog or the persisted JSON with duplicates
+  def register(spec: Spec): Unit = synchronized {
+    if (!specs.contains(spec)) specs = spec :: specs
+  }
+  def registerJoin(spec: JoinSpec): Unit = synchronized {
+    if (!joinSpecs.contains(spec)) joinSpecs = spec :: joinSpecs
+  }
   def clear(): Unit = synchronized { specs = Nil; joinSpecs = Nil }
   def registered: List[Spec] = specs
   def registeredJoins: List[JoinSpec] = joinSpecs

@@ -228,6 +228,46 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: [[Advisor.adopt]] closes the loop the reference's
+    * setup-analytics.sh does by hand — ONE call builds, registers,
+    * persists the catalog, and installs the rule; the persisted JSON
+    * alone re-wires a fresh registry; re-adopting is idempotent. */
+  test("adopt() is the one-call create-and-wire: build + register + persist + route") {
+    val base = java.nio.file.Files.createTempDirectory("graft_adopt")
+    val q = () => Rollups.ordersDailySalesRaw(spark, sf)
+    val plain = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q()), base.resolve("mv").toString)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = Advisor.adopt(spark, advice, base.resolve("registry.json").toString)
+      assert(spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[RollupRouting.RuleImpl]),
+        "adopt must install the routing rule")
+      // the persisted catalog IS the wiring: drop in-memory state and
+      // reload from the adopt-written file
+      val before = RollupRouting.registered
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      assert(RollupRouting.registered == before,
+        "adopt must persist exactly the registry it registered")
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("orders_advised") && !plan.contains("orders.parquet"),
+        s"the adopted rollup must answer, fact unscanned:\n$plan")
+      assert(routed.collect().toSeq == plain,
+        "the adopted read must equal the live dashboard")
+      // re-adopt is idempotent: same catalog, same answer, no dupes
+      Advisor.adopt(spark, advice, adopted.registryPath, memoized = true)
+      assert(RollupRouting.registered.size == before.size,
+        "re-adopt must not duplicate registrations")
+      assert(q().collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   test("out-of-scope queries are skipped with reasons, never mis-advised") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_skip").toString
     val median = Tables.events(spark, sf)
