@@ -441,6 +441,13 @@ object SparkEntry {
     // registry → reload from the persisted file → the unchanged
     // dashboard routes; the restart round-trip, driver-checked
     "q202_adopted_orders" -> (graft.plans.Advisor.adoptedOrdersDashboard _),
+    // r13: the distinct-count LATTICE — ROLLUP(day, event_type) over
+    // approx_count_distinct answered from the (day × type) uniqState
+    // rollup under precision dominance (exact DISTINCT can never
+    // lattice-route; the approx form's states union across any
+    // regrouping). Rows-only like the sketch family; spec pins the
+    // routed estimates bit-equal to the single-pass sketch per grain.
+    "q203_lattice_uniq" -> (Rollups.latticeUniqRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

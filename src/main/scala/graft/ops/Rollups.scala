@@ -277,6 +277,45 @@ object Rollups {
     }
   }
 
+  /** The (day × event_type) uniques-state rollup backing the LATTICE
+    * distinct dashboard (q203) — [[uniqSketchSpec]] with one more
+    * grouping key, so the grouping-set rewrite can regroup its state
+    * rows to any subtotal grain. */
+  def latticeUniqSpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(graft.plans.RollupRouting.HllUniqOf("user_id", "uniq_state", 12),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  /** Driver entry (q203, rows-only like the sketch family): the
+    * DISTINCT-COUNT LATTICE — `GROUP BY ROLLUP(day, event_type)` over
+    * `approx_count_distinct(user_id)`, answered entirely from the
+    * (day × type) uniqState rollup. Exact COUNT(DISTINCT) can never
+    * route through a lattice (a subtotal row cannot re-count, the
+    * guard q200 documents), but the APPROX form can: HLL states
+    * union across any subtotal regrouping, and the registered
+    * sketch's error 1.04/√2^12 ≈ 1.6% dominates the query's default
+    * 5% tolerance, so the router substitutes the state estimate
+    * (round 13 — [[graft.plans.RollupRouting.HllUniqOf]] precision-
+    * dominance rule). One rollup-sized scan answers every grain of
+    * the distinct-users dashboard; at 100 TB the fact is never read.
+    * Reference analog: `uniq()` inside MVs, `sql/analytics.sql:34-35`
+    * — one MV per grain there, one lattice read here. */
+  def latticeUniqRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "lattice_uniq_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), latticeUniqSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(latticeUniqSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .rollup(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("uniq_users_approx"),
+             count(lit(1)).as("txs"))
+        .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+    }
+  }
+
   /** The daily UNIQUES-SKETCH rollup registration (round 12): one
     * Datasketches-HLL state per day — ClickHouse's
     * `uniqState`-in-an-AggregatingMergeTree made a registry entry

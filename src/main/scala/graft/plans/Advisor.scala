@@ -210,6 +210,17 @@ object Advisor {
                 Some(HllUniqOf(a.name, s"${a.name}_hll_p", k))
               case _ => None
             }
+          // approx_count_distinct advises the uniqState member at the
+          // registry's default precision when that precision dominates
+          // the query's tolerance (the exact condition the router
+          // checks before substituting the estimator — round 13)
+          case h: HyperLogLogPlusPlus
+              if !ae.isDistinct && 1.04 / math.sqrt((1L << 12).toDouble) <= h.relativeSD =>
+            resolve(h.child) match {
+              case a: AttributeReference =>
+                Some(HllUniqOf(a.name, s"${a.name}_hll_p", 12))
+              case _ => None
+            }
           case ka: graft.expr.KllDoublesAgg if !ae.isDistinct =>
             resolve(ka.child) match {
               case a: AttributeReference =>

@@ -405,9 +405,14 @@ object RollupRouting {
     * coarser grain (routed ≡ live is spec-pinned). Routing requires
     * the query's lgK to EQUAL the registered one: a different
     * precision is a different register array (a union could only
-    * degrade it, silently changing the estimate), so those queries —
-    * and `approx_count_distinct` (HLL++, a different sketch entirely)
-    * — stay live. */
+    * degrade it, silently changing the estimate), so those queries
+    * stay live. `approx_count_distinct` (HLL++, a different sketch
+    * family) routes onto this member ONLY under precision dominance
+    * (round 13): the registered rsd 1.04/√2^lgK must be at or under
+    * the query's relativeSD — estimator substitution within the
+    * approx function's own accuracy contract, which also unlocks
+    * CUBE/ROLLUP distinct-count dashboards (states union across any
+    * subtotal regrouping, where exact COUNT(DISTINCT) never can). */
   case class HllUniqOf(col: String, partial: String, lgK: Int = 12) extends AggMap
   /** `graft_kll_agg(col, k)` (usually under `graft_kll_quantile`) →
     * `graft_kll_merge(partial)` when the rollup stores the per-group
@@ -1500,6 +1505,20 @@ object RollupRouting {
                    }) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
+            // approx_count_distinct onto the state member (round 13)
+            // — same precision-dominance rule as the single-table
+            // path: route only when the registered sketch's rsd
+            // 1.04/√2^lgK is at or under the query's tolerance
+            case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRefJ(h.child, cn) &&
+                   1.04 / math.sqrt((1L << lgK).toDouble) <= h.relativeSD =>
+              attr(partial).map { p =>
+                val union = ae.copy(
+                  aggregateFunction = HllUnionAgg(p, Literal(false)),
+                  resultId = NamedExpression.newExprId)
+                HllSketchEstimate(union)
+              }
             case (KllQuantileOf(cn, partial, k), ka: graft.expr.KllDoublesAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRefJ(ka.child, cn) && ka.k == k =>
@@ -1990,10 +2009,9 @@ object RollupRouting {
             // is a set-function of its inputs (coupons set-union,
             // registers max-merge), so the union of per-group partials
             // IS the single-pass sketch. Only a BARE column with the
-            // registered lgK routes; a different precision, a cast, or
-            // approx_count_distinct (HLL++, a different sketch) stays
-            // live. Both node types are BinaryType, so the preserved
-            // ExprId keeps its type.
+            // registered lgK routes; a different precision or a cast
+            // stays live. Both node types are BinaryType, so the
+            // preserved ExprId keeps its type.
             case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRef(hs.left, cn) && (hs.right match {
@@ -2002,6 +2020,28 @@ object RollupRouting {
                    }) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = HllUnionAgg(p, Literal(false))))
+            // approx_count_distinct (HLL++) routed onto the SAME
+            // state (round 13): its contract is "estimate within
+            // relativeSD", and the registered sketch's error
+            // 1.04/√2^lgK at or under the query's rsd keeps the
+            // answer inside that contract without scanning the fact
+            // — estimator substitution, the thing an approx function
+            // permits by definition (values differ between sketch
+            // families, so this routes only where the precision
+            // dominates). States union across ANY regrouping, so
+            // CUBE/ROLLUP lattices route too — where the EXACT
+            // count-distinct correctly never can (subtotal rows
+            // cannot re-count; that guard is unchanged).
+            case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(h.child, cn) &&
+                   1.04 / math.sqrt((1L << lgK).toDouble) <= h.relativeSD =>
+              attr(partial).map { p =>
+                val union = ae.copy(
+                  aggregateFunction = HllUnionAgg(p, Literal(false)),
+                  resultId = NamedExpression.newExprId)
+                HllSketchEstimate(union)
+              }
             // QUANTILE via KLL state (round 12, quantileState/
             // quantileMerge): same bare-column + registered-k guards;
             // percentile_approx (GK, no storable state) never matches

@@ -412,4 +412,41 @@ class AdvisorSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** r13: an approx_count_distinct dashboard ADVISES the uniqState
+    * member (the advisor mirrors the router's precision-dominance
+    * rule), and the unchanged query routes through the advised spec
+    * with the substituted estimator. */
+  test("an approx_count_distinct dashboard advises an HLL-state spec and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_acd").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(approx_count_distinct($"user_id").as("u"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.head.spec.aggs.exists {
+      case RollupRouting.HllUniqOf("user_id", _, 12) => true; case _ => false
+    }, s"advised aggs must carry the HLL state: ${advice.singles.head.spec.aggs}")
+    // the routed answer is the Datasketches estimate — the truth to
+    // pin against is the single-pass sketch, not HLL++
+    val truth = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("u"),
+           count(lit(1)).as("c"))
+      .orderBy("day").collect().toSeq
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_acd") && !plan.contains("events.parquet"),
+        s"the approx-distinct dashboard must read the advised rollup:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed approx_count_distinct must equal the single-pass sketch estimate")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }

@@ -1090,6 +1090,59 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: the 100-MV catalog posture — the reference deploys six MVs;
+    * a 100 TB estate runs a catalog two orders larger. With 100
+    * registered specs over the same source, the FIRST plan pays at
+    * most one listing per path, every later plan pays ZERO (the
+    * per-(path, mtime) cache), and warm planning latency stays flat —
+    * measured: the 5-plan warm batch must not exceed the generous
+    * ceiling below, and must do no I/O at all (listing count is the
+    * I/O proxy, asserted exactly). */
+  test("planning stays flat at a 100-spec catalog: zero warm listings, bounded latency") {
+    import graft.ops.Rollups
+    Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure base rollup
+    val src = java.nio.file.Paths.get(Rollups.dailyRollupDir(sf))
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog100")
+    import scala.jdk.CollectionConverters._
+    val dirs = (1 to 100).map { i =>
+      val d = base.resolve(s"mv$i")
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val t = d.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else { java.nio.file.Files.createDirectories(t.getParent)
+               java.nio.file.Files.copy(p, t) }
+      }
+      d.toString
+    }
+    dirs.foreach(d => RollupRouting.register(RollupRouting.Spec("events.parquet", d)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      def plan(): Unit = {
+        Tables.events(spark, sf)
+          .filter($"ts" >= lit("2024-01-08 12:00:00").cast("timestamp"))
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("c"))
+          .queryExecution.executedPlan
+        ()
+      }
+      val before = RollupRouting.planListings
+      plan() // cold: at most one listing per candidate path
+      val cold = RollupRouting.planListings - before
+      assert(cold > 0 && cold <= 100 + 1,
+        s"at most one listing per path on the cold plan, got $cold")
+      val t0 = System.nanoTime()
+      (1 to 5).foreach(_ => plan())
+      val warmMs = (System.nanoTime() - t0) / 1e6
+      assert(RollupRouting.planListings == before + cold,
+        "warm planning must do ZERO listings at any catalog size")
+      // generous ceiling (cold JIT machines): the point is it does not
+      // scale with catalog size times queries — 5 plans, not 500 listings
+      assert(warmMs < 30000, s"5 warm plans took ${warmMs}ms")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12: planning cost — the analyzed-rollup cache does ONE file
     * listing per rollup path per rollup state, however many specs are
     * registered, optimizer visits run, or queries plan; an mtime bump
@@ -2133,12 +2186,14 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 13)).as("u"))
       assert(!otherK.queryExecution.executedPlan.toString.contains("hllrollup"),
         "lgK=13 query must stay on the live scan")
-      // near-miss 2: approx_count_distinct is HLL++, not Datasketches
+      // approx_count_distinct (HLL++) now ROUTES onto the state under
+      // precision dominance (r13 — the dedicated test pins values and
+      // the tighter-rsd near-miss); here just pin that it rewrites
       val hllpp = Tables.events(spark, sf)
         .groupBy(to_date($"ts").as("day"))
         .agg(approx_count_distinct($"user_id").as("u"))
-      assert(!hllpp.queryExecution.executedPlan.toString.contains("hllrollup"),
-        "approx_count_distinct must stay on the live scan")
+      assert(hllpp.queryExecution.executedPlan.toString.contains("hllrollup"),
+        "default-rsd approx_count_distinct must route onto the state")
       // estimate quality: lgK=12 → rsd ≈ 1.6%; 5% is a ≳3σ bound
       val exact = Tables.events(spark, sf)
         .groupBy(to_date($"ts").as("day"))
@@ -2567,6 +2622,82 @@ class RollupRoutingSpec extends AnyFunSuite {
           s"$seg: routed p50 ${r.getDouble(2)} out of rank bound")
         assert(vs.length.toLong == r.getLong(3), s"$seg: routed count wrong")
       }
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** r13: approx_count_distinct routes onto the uniqState member
+    * under PRECISION DOMINANCE (registered rsd 1.04/√2^lgK ≤ query
+    * tolerance) — estimator substitution inside the approx contract.
+    * Because HLL states union across any regrouping, this also
+    * unlocks the ROLLUP/CUBE distinct dashboard the exact form can
+    * never route. Routed estimates must be bit-equal to the
+    * single-pass Datasketches sketch at every grain (union of
+    * per-group states ≡ one-pass sketch). */
+  test("approx_count_distinct routes on uniqState; lattices route; guards hold") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_acd")
+      .resolve("latticeuniq").toString
+    val spec = Rollups.latticeUniqSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    // single-pass sketch truths, flat and lattice, BEFORE routing
+    val flatTruth = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("u"))
+      .orderBy("day", "event_type").collect().toSeq
+    val latticeTruth = Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("u"),
+           count(lit(1)).as("txs"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+      .collect().toSeq
+    // the driver entry end-to-end (self-contained routing wrapper;
+    // run BEFORE the manual registration — it clears the registry)
+    assert(graft.ops.Rollups.latticeUniqRouted(spark, sf).collect().toSeq
+             .map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+             == latticeTruth.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))),
+      "q203's answer must equal the single-pass sketch at every grain")
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // flat: the default-rsd approx_count_distinct routes
+      val flat = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(approx_count_distinct($"user_id").as("u"))
+        .orderBy("day", "event_type")
+      val fPlan = flat.queryExecution.executedPlan.toString
+      assert(fPlan.contains("latticeuniq") && !fPlan.contains("events.parquet"),
+        s"flat approx-distinct must route:\n$fPlan")
+      assert(flat.collect().toSeq == flatTruth,
+        "routed estimate must be bit-equal to the single-pass sketch")
+      // lattice: ROLLUP over approx_count_distinct routes end-to-end
+      // (inline under the installed rule — the driver entry
+      // localCheckpoints, so its plan is an RDD scan by design)
+      val routed = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"), $"event_type")
+        .agg(approx_count_distinct($"user_id").as("uniq_users_approx"),
+             count(lit(1)).as("txs"))
+        .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+      val rPlan = routed.queryExecution.executedPlan.toString
+      assert(rPlan.contains("latticeuniq") && !rPlan.contains("events.parquet"),
+        s"the distinct lattice must route:\n$rPlan")
+      assert(routed.collect().toSeq.map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+               == latticeTruth.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))),
+        "every lattice grain must equal the single-pass sketch estimate")
+      // guard: a TIGHTER tolerance than the registered sketch stays live
+      val tight = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(approx_count_distinct($"user_id", 0.01).as("u"))
+      assert(!tight.queryExecution.executedPlan.toString.contains("latticeuniq"),
+        "rsd 1% < sketch rsd 1.6% must NOT route")
+      // guard: the EXACT distinct lattice still never routes
+      val exact = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"), $"event_type")
+        .agg(countDistinct($"user_id").as("u"))
+      assert(!exact.queryExecution.executedPlan.toString.contains("latticeuniq"),
+        "exact COUNT(DISTINCT) under grouping sets must stay live")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
