@@ -508,6 +508,17 @@ object Advisor {
     def maintain(stream: DataFrame, spec: Spec, latenessUs: Long = 0L,
                  checkpointDir: Option[String] = None): Unit =
       graft.streaming.Live.maintainRollup(stream, spec, latenessUs, checkpointDir)
+
+    /** The JOIN-MV twin: per micro-batch the spec's own build over
+      * (batch-as-fact ⋈ runtime-pruned dims), appended with the same
+      * coverage protocol ([[graft.streaming.Live.maintainJoinRollup]];
+      * requires `spec.coverage`). */
+    def maintainJoin(factStream: DataFrame, factTable: String,
+                     dims: Map[String, DataFrame], spec: JoinSpec,
+                     latenessUs: Long = 0L, grainUs: Long = 86400000000L,
+                     checkpointDir: Option[String] = None): Unit =
+      graft.streaming.Live.maintainJoinRollup(
+        factStream, factTable, dims, spec, latenessUs, grainUs, checkpointDir)
   }
 
   /** ADOPT — one call that turns [[advise]]'s output into a LIVE,

@@ -235,9 +235,14 @@ class AdvisorSpec extends AnyFunSuite {
   test("adopt() is the one-call create-and-wire: build + register + persist + route") {
     val base = java.nio.file.Files.createTempDirectory("graft_adopt")
     val q = () => Rollups.ordersDailySalesRaw(spark, sf)
+    val jq = () => StarJoins.revenueByDaySegment(spark, sf)
     val plain = q().collect().toSeq
-    val advice = Advisor.advise(Seq(q()), base.resolve("mv").toString)
-    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice)
+    val jPlain = jq().collect().toSeq
+    // a MIXED workload: one single-table and one join demand adopt in
+    // the same call, and both kinds round-trip the persisted catalog
+    val advice = Advisor.advise(Seq(q(), jq()), base.resolve("mv").toString)
+    assert(advice.singles.size == 1 && advice.joins.size == 1 &&
+           advice.skipped.isEmpty, advice)
     val prev = spark.experimental.extraOptimizations
     try {
       val adopted = Advisor.adopt(spark, advice, base.resolve("registry.json").toString)
@@ -247,19 +252,29 @@ class AdvisorSpec extends AnyFunSuite {
       // the persisted catalog IS the wiring: drop in-memory state and
       // reload from the adopt-written file
       val before = RollupRouting.registered
+      val beforeJ = RollupRouting.registeredJoins
       RollupRouting.clear()
       RollupRouting.loadRegistry(spark, adopted.registryPath)
-      assert(RollupRouting.registered == before,
-        "adopt must persist exactly the registry it registered")
+      assert(RollupRouting.registered == before &&
+             RollupRouting.registeredJoins == beforeJ,
+        "adopt must persist exactly the registry it registered, both kinds")
       val routed = q()
       val plan = routed.queryExecution.executedPlan.toString
       assert(plan.contains("orders_advised") && !plan.contains("orders.parquet"),
         s"the adopted rollup must answer, fact unscanned:\n$plan")
       assert(routed.collect().toSeq == plain,
         "the adopted read must equal the live dashboard")
+      val jRouted = jq()
+      // (the plan string truncates long paths, so match the MV's
+      // table-name stem rather than the _advised suffix)
+      assert(jRouted.queryExecution.executedPlan.toString
+               .contains("customer_lineitem_orders"),
+        "the adopted join MV must answer the star dashboard")
+      assert(jRouted.collect().toSeq == jPlain)
       // re-adopt is idempotent: same catalog, same answer, no dupes
       Advisor.adopt(spark, advice, adopted.registryPath, memoized = true)
-      assert(RollupRouting.registered.size == before.size,
+      assert(RollupRouting.registered.size == before.size &&
+             RollupRouting.registeredJoins.size == beforeJ.size,
         "re-adopt must not duplicate registrations")
       assert(q().collect().toSeq == plain)
     } finally {
