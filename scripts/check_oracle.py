@@ -26,6 +26,9 @@ fail = 0
 # the driver's pandas harness sort_values/hashes each frame and throws
 # `unhashable type: numpy.ndarray` on array/struct/map columns (the
 # q191/q192 class). Catch it pre-driver.
+def is_nested(v):
+    return isinstance(v, (list, dict)) or type(v).__name__ == "ndarray"
+
 for d in sorted(glob.glob(f"{outdir}/*/")):
     qname = d.rstrip("/").split("/")[-1]
     files = sorted(glob.glob(f"{d}*.parquet"))
@@ -38,8 +41,6 @@ for d in sorted(glob.glob(f"{outdir}/*/")):
         print(f"FAIL {qname}: unreadable output: {str(e)[:120]}")
         fail += 1
         continue
-    def is_nested(v):
-        return isinstance(v, (list, dict)) or type(v).__name__ == "ndarray"
     nested = [c for c in one.columns if len(one) and is_nested(one[c].iloc[0])]
     if nested:
         print(f"FAIL {qname}: nested-typed output column(s) {nested} "

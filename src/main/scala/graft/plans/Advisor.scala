@@ -215,7 +215,7 @@ object Advisor {
           // the query's tolerance (the exact condition the router
           // checks before substituting the estimator — round 13)
           case h: HyperLogLogPlusPlus
-              if !ae.isDistinct && 1.04 / math.sqrt((1L << 12).toDouble) <= h.relativeSD =>
+              if !ae.isDistinct && hllRsd(12) <= h.relativeSD =>
             resolve(h.child) match {
               case a: AttributeReference =>
                 Some(HllUniqOf(a.name, s"${a.name}_hll_p", 12))

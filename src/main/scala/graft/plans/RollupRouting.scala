@@ -414,6 +414,11 @@ object RollupRouting {
     * CUBE/ROLLUP distinct-count dashboards (states union across any
     * subtotal regrouping, where exact COUNT(DISTINCT) never can). */
   case class HllUniqOf(col: String, partial: String, lgK: Int = 12) extends AggMap
+  /** The standard HLL relative standard deviation at a given register
+    * count, 1.04/√2^lgK — the precision-dominance bound [[HllUniqOf]]
+    * routing and the advisor's demand mining share. (Conservative for
+    * Datasketches' HIP estimator, which does slightly better.) */
+  def hllRsd(lgK: Int): Double = 1.04 / math.sqrt((1L << lgK).toDouble)
   /** `graft_kll_agg(col, k)` (usually under `graft_kll_quantile`) →
     * `graft_kll_merge(partial)` when the rollup stores the per-group
     * KLL quantile state ([[graft.expr.KllDoublesAgg]], binary) — the
@@ -1512,7 +1517,7 @@ object RollupRouting {
             case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRefJ(h.child, cn) &&
-                   1.04 / math.sqrt((1L << lgK).toDouble) <= h.relativeSD =>
+                   hllRsd(lgK) <= h.relativeSD =>
               attr(partial).map { p =>
                 val union = ae.copy(
                   aggregateFunction = HllUnionAgg(p, Literal(false)),
@@ -2035,7 +2040,7 @@ object RollupRouting {
             case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRef(h.child, cn) &&
-                   1.04 / math.sqrt((1L << lgK).toDouble) <= h.relativeSD =>
+                   hllRsd(lgK) <= h.relativeSD =>
               attr(partial).map { p =>
                 val union = ae.copy(
                   aggregateFunction = HllUnionAgg(p, Literal(false)),

@@ -1098,13 +1098,13 @@ class RollupRoutingSpec extends AnyFunSuite {
     * measured: the 5-plan warm batch must not exceed the generous
     * ceiling below, and must do no I/O at all (listing count is the
     * I/O proxy, asserted exactly). */
-  test("planning stays flat at a 100-spec catalog: zero warm listings, bounded latency") {
-    import graft.ops.Rollups
-    Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure base rollup
-    val src = java.nio.file.Paths.get(Rollups.dailyRollupDir(sf))
-    val base = java.nio.file.Files.createTempDirectory("graft_catalog100")
+  /** Replicate the daily rollup's directory N times under a temp root
+    * — the fixture for the MV-fleet planning-cost tests. */
+  private def replicateRollupDirs(src: java.nio.file.Path, prefix: String,
+                                  n: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val dirs = (1 to 100).map { i =>
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    (1 to n).map { i =>
       val d = base.resolve(s"mv$i")
       java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
         val t = d.resolve(src.relativize(p).toString)
@@ -1114,6 +1114,13 @@ class RollupRoutingSpec extends AnyFunSuite {
       }
       d.toString
     }
+  }
+
+  test("planning stays flat at a 100-spec catalog: zero warm listings, bounded latency") {
+    import graft.ops.Rollups
+    Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure base rollup
+    val dirs = replicateRollupDirs(
+      java.nio.file.Paths.get(Rollups.dailyRollupDir(sf)), "graft_catalog100", 100)
     dirs.foreach(d => RollupRouting.register(RollupRouting.Spec("events.parquet", d)))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
@@ -1150,19 +1157,8 @@ class RollupRoutingSpec extends AnyFunSuite {
   test("routing planning cost: one listing per path per rollup state across ~10 specs") {
     import graft.ops.Rollups
     Rollups.dailyVolumeWindowRouted(spark, sf).collect() // ensure base rollup
-    val src = java.nio.file.Paths.get(Rollups.dailyRollupDir(sf))
-    val base = java.nio.file.Files.createTempDirectory("graft_mvfleet")
-    import scala.jdk.CollectionConverters._
-    val dirs = (1 to 10).map { i =>
-      val d = base.resolve(s"mv$i")
-      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
-        val t = d.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else { java.nio.file.Files.createDirectories(t.getParent)
-               java.nio.file.Files.copy(p, t) }
-      }
-      d.toString
-    }
+    val dirs = replicateRollupDirs(
+      java.nio.file.Paths.get(Rollups.dailyRollupDir(sf)), "graft_mvfleet", 10)
     dirs.foreach(d => RollupRouting.register(RollupRouting.Spec("events.parquet", d)))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
