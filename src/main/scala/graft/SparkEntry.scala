@@ -448,6 +448,12 @@ object SparkEntry {
     // regrouping). Rows-only like the sketch family; spec pins the
     // routed estimates bit-equal to the single-pass sketch per grain.
     "q203_lattice_uniq" -> (Rollups.latticeUniqRouted _),
+    // r13: the DISTINCT-SET state member (groupUniqArrayState/Merge)
+    // — q70's groupUniqArray dashboard answered from per-(day, type)
+    // collect_set array states: sorted member list, EXACT n_users
+    // via size(set), event count, all rollup-read. Oracled (the
+    // declared output sorts the set, making it deterministic).
+    "q204_uniq_array_routed" -> (Rollups.groupUniqArrayRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2006,6 +2012,14 @@ object SparkEntry {
     // and the hybrid (stale states ∪ live tail ≡ full data) read
     "q191_topk_sketch_routed" -> topUsersScalarSql,
     "q192_topk_sketch_hybrid" -> topUsersScalarSql,
+    // r13: the distinct-set member read — same sorted-list shape as
+    // q70, but n_users comes from size(collect_set) so the whole
+    // dashboard routes through the array states
+    "q204_uniq_array_routed" ->
+      """SELECT event_type,
+         array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users,
+         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY event_type""",
   )
 
   private lazy val topUsersScalarSql =

@@ -316,6 +316,47 @@ object Rollups {
     }
   }
 
+  /** The (day × event_type) DISTINCT-SET rollup registration (round
+    * 13): one `collect_set(user_id)` array per (day, type) —
+    * ClickHouse's `groupUniqArrayState` as a registry member
+    * ([[graft.plans.RollupRouting.SetOf]], the fourth state next to
+    * HLL/KLL/top-k). Bounded here: the per-group distinct-user set is
+    * day × type sized, far under the fact row count. */
+  def uniqArraySpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(graft.plans.RollupRouting.SetOf("user_id", "users_set"),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  /** Driver entry (q204, oracled): the reference's `groupUniqArray`
+    * dashboard (q70's shape) answered from the DISTINCT-SET rollup —
+    * `collect_set` re-aggregates as set-union of the per-(day, type)
+    * array states (`groupUniqArrayState` → `groupUniqArrayMerge`),
+    * and `size(collect_set(...))` yields the EXACT distinct count
+    * from the same state, so the whole dashboard — sorted member
+    * list, exact n_users, event count — reads the rollup, never the
+    * fact. The declared output sorts the set, which makes routed ≡
+    * live bit-for-bit and the query DuckDB-oracleable even though
+    * raw set order is unspecified on both plans. */
+  def groupUniqArrayRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "uniq_array_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqArraySpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(uniqArraySpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(
+          array_join(expr(
+            "transform(sort_array(collect_set(user_id)), x -> cast(x as string))"),
+            ",").as("users"),
+          size(collect_set(col("user_id"))).cast("long").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  }
+
   /** The daily UNIQUES-SKETCH rollup registration (round 12): one
     * Datasketches-HLL state per day — ClickHouse's
     * `uniqState`-in-an-AggregatingMergeTree made a registry entry

@@ -233,12 +233,25 @@ object Advisor {
                 Some(TopKOf(a.name, s"${a.name}_topk_p", m))
               case _ => None
             }
+          // a collect_set demand registers the distinct-set state
+          // (round 13 — groupUniqArrayState)
+          case cs: CollectSet if !ae.isDistinct =>
+            resolve(cs.child) match {
+              case a: AttributeReference =>
+                Some(SetOf(a.name, s"${a.name}_set_p"))
+              case _ => None
+            }
           case _ => None
         }
       // the estimates are scalars over the sketch aggregates — the
       // demand is the aggregate underneath
       case HllSketchEstimate(c) => mapOne(c, resolve)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve)
+      // the set member's idiomatic reads (round 13): a sorted set, or
+      // the exact distinct count as size-of-set — both route through
+      // the same array state, so the demand is the collect_set inside
+      case SortArray(c, _) => mapOne(c, resolve)
+      case Size(c, _) => mapOne(c, resolve)
       case _ => None
     }
 
@@ -397,6 +410,7 @@ object Advisor {
     case HllUniqOf(c, _, k) => s"hll:$c:$k"
     case KllQuantileOf(c, _, k) => s"kll:$c:$k"
     case TopKOf(c, _, m) => s"topk:$c:$m"
+    case SetOf(c, _) => s"set:$c"
     case CountDistinctGrain(g) => s"cdg:$g"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {

@@ -444,6 +444,22 @@ object RollupRouting {
     * registered `maxItems` must match — a different capacity is a
     * different sketch. */
   case class TopKOf(col: String, partial: String, maxItems: Int = 10000) extends AggMap
+  /** `collect_set(col)` → set-union of per-group partials when the
+    * rollup stores the per-group distinct-values array — ClickHouse's
+    * `groupUniqArrayState` in an AggregatingMergeTree served by
+    * `groupUniqArrayMerge` (round 13; the reference's q70
+    * `groupUniqArray` shape as a registry member, the fourth state
+    * next to HLL/KLL/top-k). A distinct set is a pure set-function of
+    * its inputs, so union across any regrouping — coarser grains,
+    * grouping-set subtotals, the hybrid tail — is lossless in SET
+    * terms; ELEMENT ORDER is unspecified on every plan, exactly
+    * `collect_set`'s own contract, so a deterministic dashboard sorts
+    * the array (and then routed ≡ live bit-for-bit). `size(...)` of
+    * the set gives the EXACT distinct count from the same state.
+    * State size grows with per-group distinct cardinality — the same
+    * caveat as ClickHouse's member; register the HLL state for
+    * unbounded keys, this one for bounded-cardinality sets. */
+  case class SetOf(col: String, partial: String) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -456,6 +472,7 @@ object RollupRouting {
     case HllUniqOf(_, p, _) => Some(p)
     case KllQuantileOf(_, p, _) => Some(p)
     case TopKOf(_, p, _) => Some(p)
+    case SetOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -713,6 +730,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, graft.expr.Kll.agg(col(c), k).as(p))
       case TopKOf(c, p, m) =>
         partials.getOrElseUpdate(p, expr(s"approx_top_k_accumulate(`$c`, $m)").as(p))
+      case SetOf(c, p) =>
+        partials.getOrElseUpdate(p, collect_set(col(c)).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -773,6 +792,7 @@ object RollupRouting {
       case HllUniqOf(c, _, _) => Seq(c)
       case KllQuantileOf(c, _, _) => Seq(c)
       case TopKOf(c, _, _) => Seq(c)
+      case SetOf(c, _) => Seq(c)
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -883,6 +903,8 @@ object RollupRouting {
         merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
       case TopKOf(_, p, m) =>
         merges.getOrElseUpdate(p, expr(s"approx_top_k_combine(`$p`, $m)").as(p))
+      case SetOf(_, p) =>
+        merges.getOrElseUpdate(p, array_distinct(flatten(collect_list(col(p)))).as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.values.toSeq
@@ -939,6 +961,8 @@ object RollupRouting {
         ("kind" -> "kllQuantile") ~ ("col" -> c) ~ ("partial" -> p) ~ ("k" -> k)
       case TopKOf(c, p, m) =>
         ("kind" -> "topK") ~ ("col" -> c) ~ ("partial" -> p) ~ ("maxItems" -> m)
+      case SetOf(c, p) =>
+        ("kind" -> "setUniq") ~ ("col" -> c) ~ ("partial" -> p)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -1002,6 +1026,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "k").extract[Int])
       case "topK" => TopKOf((j \ "col").extract[String],
         (j \ "partial").extract[String], (j \ "maxItems").extract[Int])
+      case "setUniq" => SetOf((j \ "col").extract[String],
+        (j \ "partial").extract[String])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1542,6 +1568,19 @@ object RollupRouting {
                   resultId = NamedExpression.newExprId)
                 ApproxTopKEstimate(combined, t.k)
               }
+            // distinct-set member (round 13): groupUniqArrayMerge —
+            // union of per-group set partials, set-equal to the
+            // single-pass collect_set (order unspecified on BOTH
+            // plans; see SetOf)
+            case (SetOf(cn, partial), cs: CollectSet)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRefJ(cs.child, cn) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = CollectList(p),
+                  resultId = NamedExpression.newExprId)
+                ArrayDistinct(Flatten(merged))
+              }
             case _ => None
           }
         }.headOption
@@ -1708,6 +1747,8 @@ object RollupRouting {
           case TopKOf(cn, p, m) if p == n =>
             attrOf(cn).map(a => Alias(
               ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
+          case SetOf(cn, p) if p == n =>
+            attrOf(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -2073,6 +2114,22 @@ object RollupRouting {
                   resultId = NamedExpression.newExprId)
                 ApproxTopKEstimate(combined, t.k)
               }
+            // DISTINCT-SET via array state (round 13, the
+            // groupUniqArrayState/Merge member): `collect_set(col)`
+            // re-aggregates as distinct-flatten over the per-group set
+            // partials — a set is a set-function of its inputs, so the
+            // union IS the single-pass set (order unspecified on both
+            // plans, collect_set's own contract; `size(...)` on top
+            // yields the EXACT distinct count from the same state)
+            case (SetOf(cn, partial), cs: CollectSet)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isBareRef(cs.child, cn) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = CollectList(p),
+                  resultId = NamedExpression.newExprId)
+                ArrayDistinct(Flatten(merged))
+              }
             case _ => None
           }
         }.headOption
@@ -2368,6 +2425,8 @@ object RollupRouting {
           case TopKOf(cn, p, m) if p == n =>
             scanAttr(cn).map(a => Alias(
               ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
+          case SetOf(cn, p) if p == n => // the tail's own distinct set
+            scanAttr(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

@@ -428,6 +428,38 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: a sorted-collect_set dashboard (the q70/q204 shape) ADVISES
+    * the distinct-set state member, and the unchanged query routes
+    * through the advised array states bit-for-bit. */
+  test("a collect_set dashboard advises the distinct-set state and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_set").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sort_array(collect_set($"user_id")).as("users"),
+           size(collect_set($"user_id")).as("n_users"),
+           count(lit(1)).as("c"))
+      .orderBy("day")
+    val truth = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.head.spec.aggs.exists {
+      case RollupRouting.SetOf("user_id", _) => true; case _ => false
+    }, s"advised aggs must carry the set state: ${advice.singles.head.spec.aggs}")
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_set") && !plan.contains("events.parquet"),
+        s"the set dashboard must read the advised array states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed sorted set + exact size must equal the live dashboard")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r13: an approx_count_distinct dashboard ADVISES the uniqState
     * member (the advisor mirrors the router's precision-dominance
     * rule), and the unchanged query routes through the advised spec

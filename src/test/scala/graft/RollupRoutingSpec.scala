@@ -2700,6 +2700,94 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: the DISTINCT-SET member (`SetOf` — ClickHouse's
+    * groupUniqArrayState/Merge): `collect_set` re-aggregates as
+    * set-union of per-group array states; `size(...)` on top is the
+    * EXACT distinct count from the same state. Set-equality is the
+    * contract (element order is unspecified on both plans); the
+    * sorted projection is bit-deterministic. Subtotal regroupings are
+    * unions too, so grouping-set lattices route. */
+  test("distinct-set states route: set-equal, exact size, lattice, hybrid, catalog") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_set")
+      .resolve("setrollup").toString
+    val spec = Rollups.uniqArraySpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val sortedQ = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"),
+           size(collect_set($"user_id")).as("n_users"))
+      .orderBy("event_type")
+    val truth = sortedQ().collect().toSeq
+    val exactCount = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val latticeTruth = Tables.events(spark, sf)
+      .rollup($"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"))
+      .orderBy($"event_type".asc_nulls_first).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = sortedQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("setrollup") && !plan.contains("events.parquet"),
+        s"the set dashboard must read the array states:\n$plan")
+      val got = routed.collect().toSeq
+      assert(got == truth, "sorted routed set must be bit-equal to live")
+      got.foreach(r => assert(r.getInt(2).toLong == exactCount(r.getString(0)),
+        "size(set) must be the exact distinct count"))
+      // lattice: ROLLUP over the sorted set routes (subtotal = union)
+      val lat = Tables.events(spark, sf)
+        .rollup($"event_type")
+        .agg(sort_array(collect_set($"user_id")).as("users"))
+        .orderBy($"event_type".asc_nulls_first)
+      assert(lat.queryExecution.executedPlan.toString.contains("setrollup"),
+        "the set lattice must route")
+      assert(lat.collect().toSeq == latticeTruth,
+        "every lattice grain's sorted set must equal the live one")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // hybrid: stale array states ∪ live-tail collect_set ≡ full set
+    // (the hybrid split needs the time grouping in the query — the
+    // member-family convention; see the HLL/KLL hybrid tests)
+    val dayQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"))
+      .orderBy("day", "event_type")
+    val dayTruth = dayQ().collect().toSeq
+    val hDir = java.nio.file.Files.createTempDirectory("graft_seth")
+      .resolve("setrollup").toString
+    val hSpec = Rollups.uniqArraySpec(hDir)
+    Rollups.writeRollupUpTo(Tables.events(spark, sf), hSpec, Rollups.HybridCutoffUs)
+    RollupRouting.register(hSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hybrid = dayQ()
+      val plan = hybrid.queryExecution.executedPlan.toString
+      assert(plan.contains("setrollup") && plan.contains("events.parquet"),
+        s"hybrid must read states AND tail:\n$plan")
+      assert(hybrid.collect().toSeq == dayTruth,
+        "stale states ∪ tail must union to the full set")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog round-trip
+    val reg = java.nio.file.Files.createTempDirectory("graft_setreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(hSpec)
+    RollupRouting.saveRegistry(reg)
+    val s0 = RollupRouting.registered
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    assert(RollupRouting.registered == s0,
+      "SetOf must survive the JSON catalog round-trip")
+    RollupRouting.clear()
+  }
+
   /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
     * DETERMINISTIC — full-capacity estimate (k = maxItems, every day
     * under capacity ⇒ exact counts for every user) + total-order
