@@ -454,6 +454,11 @@ object SparkEntry {
     // via size(set), event count, all rollup-read. Oracled (the
     // declared output sorts the set, making it deterministic).
     "q204_uniq_array_routed" -> (Rollups.groupUniqArrayRouted _),
+    // r13 capstone: the FOUR-state workload (HLL + KLL + top-k + set
+    // + decimal volume) advised into ONE spec, adopted in ONE call
+    // (build + register + persist), reloaded from the persisted
+    // JSON, and read through the oracled set dashboard
+    "q205_adopted_states" -> (graft.plans.Advisor.adoptedStateSuite _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2015,12 +2020,17 @@ object SparkEntry {
     // r13: the distinct-set member read — same sorted-list shape as
     // q70, but n_users comes from size(collect_set) so the whole
     // dashboard routes through the array states
-    "q204_uniq_array_routed" ->
-      """SELECT event_type,
-         array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users,
-         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q204_uniq_array_routed" -> uniqArraySql,
+    // the four-state ADOPTED catalog must reproduce the identical
+    // set-dashboard answer through its merged multi-state spec
+    "q205_adopted_states" -> uniqArraySql,
   )
+
+  private lazy val uniqArraySql =
+    """SELECT event_type,
+       array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY event_type"""
 
   private lazy val topUsersScalarSql =
     """WITH c AS (SELECT CAST(ts AS DATE) AS day, user_id,

@@ -763,4 +763,55 @@ object Advisor {
       RollupRouting.clear()
     }
   }
+
+  /** Driver entry (q205, shares q204's oracle): the FOUR-STATE
+    * ADOPTED suite — the five state-suite dashboards plus a
+    * sorted-set distinct dashboard advise into ONE events spec whose
+    * partial block carries all four state members (HLL uniques, KLL
+    * quantiles, top-k, distinct set) next to the decimal partials;
+    * one [[adopt]] call builds + registers + persists that catalog,
+    * the in-memory registry is dropped and reloaded from the JSON,
+    * and the unchanged q204-shape dashboard routes through it. The
+    * oracled member of the state family exercising the whole adopted
+    * multi-state catalog end-to-end. */
+  def adoptedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "adopted_states")
+    // the advise-time set demand: the mappable sorted-set + size +
+    // count shape (string-joining is a read-side projection the
+    // ROUTER handles; the ADVISOR demands the aggregate underneath)
+    val setDemand = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sort_array(collect_set(col("user_id"))).as("users"),
+           size(collect_set(col("user_id"))).as("n_users"),
+           count(lit(1)).as("n_events"))
+    val advice = advise(stateSuiteQueries(spark, sfDir) :+ setDemand, root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"the four-state workload must advise ONE spec: $advice")
+    val aggs = advice.singles.head.spec.aggs
+    require(aggs.exists(_.isInstanceOf[HllUniqOf]) &&
+            aggs.exists(_.isInstanceOf[KllQuantileOf]) &&
+            aggs.exists(_.isInstanceOf[TopKOf]) &&
+            aggs.exists(_.isInstanceOf[SetOf]),
+      s"the advised spec must carry all four state members: $aggs")
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = adopt(spark, advice, s"$root/registry.json", memoized = true)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      graft.Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(
+          array_join(expr(
+            "transform(sort_array(collect_set(user_id)), x -> cast(x as string))"),
+            ",").as("users"),
+          size(collect_set(col("user_id"))).cast("long").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
 }

@@ -460,6 +460,52 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r13 capstone: the four-state workload merges into ONE spec
+    * carrying HLL + KLL + top-k + set states, and the q204-shape set
+    * dashboard ROUTES through it (the oracle alone cannot prove the
+    * read came from the rollup — the plan assertion does). */
+  test("the four-state suite advises one spec; the set dashboard routes through it") {
+    import graft.ops.Rollups
+    val root = java.nio.file.Files.createTempDirectory("graft_adv4st").toString
+    val setDemand = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"),
+           size(collect_set($"user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+    val advice = Advisor.advise(
+      Advisor.stateSuiteQueries(spark, sf) :+ setDemand, root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists(_.isInstanceOf[RollupRouting.HllUniqOf]) &&
+           aggs.exists(_.isInstanceOf[RollupRouting.KllQuantileOf]) &&
+           aggs.exists(_.isInstanceOf[RollupRouting.TopKOf]) &&
+           aggs.exists(_.isInstanceOf[RollupRouting.SetOf]),
+      s"one spec must carry all four state members: $aggs")
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"),
+           size(collect_set($"user_id")).cast("long").as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+    val truth = q().collect().toSeq
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("adv4st") && !plan.contains("events.parquet"),
+        s"the set dashboard must read the merged multi-state rollup:\n$plan")
+      assert(routed.collect().toSeq == truth)
+      // the sketch reads route through the SAME spec
+      val sketch = Rollups.dailyUniqSketchRaw(spark, sf)
+      assert(sketch.queryExecution.executedPlan.toString.contains("adv4st"),
+        "the uniques sketch must route through the same merged spec")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r13: an approx_count_distinct dashboard ADVISES the uniqState
     * member (the advisor mirrors the router's precision-dominance
     * rule), and the unchanged query routes through the advised spec
