@@ -736,27 +736,14 @@ object Rollups {
       else None
     val rollup = spark.read.parquet(path)
     val schema = rollup.schema
-    val merges = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-    aggs.foreach {
-      case SumOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
-      case CountStarTo(p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
-      case MinOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
-      case MaxOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
-      case AvgOf(_, sp, cp) =>
-        merges.getOrElseUpdate(sp, sum(col(sp)).as(sp))
-        merges.getOrElseUpdate(cp, sum(col(cp)).as(cp))
-      case HllUniqOf(_, p, _) =>
-        merges.getOrElseUpdate(p, hll_union_agg(col(p)).as(p))
-      case KllQuantileOf(_, p, k) =>
-        merges.getOrElseUpdate(p, graft.expr.Kll.merge(col(p), k).as(p))
-      case TopKOf(_, p, m) =>
-        merges.getOrElseUpdate(p, expr(s"approx_top_k_combine(`$p`, $m)").as(p))
-      case CountDistinctGrain(_) => ()
-    }
-    val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.keySet
+    // the per-member merge shapes live in ONE place
+    // ([[graft.plans.RollupRouting.mergeColumnMap]]) so a new registry
+    // member can never miss this compaction site
+    val merges = graft.plans.RollupRouting.mergeColumnMap(aggs)
+    val unknown = schema.fieldNames.toSet -- keys.toSet -- merges.map(_._1).toSet
     require(unknown.isEmpty,
       s"rollup at $path has columns the spec cannot merge: $unknown")
-    val mergeExprs = merges.values.toSeq
+    val mergeExprs = merges.map(_._2)
     val merged = rollup.groupBy(keys.map(col): _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
       // the merged block must be byte-compatible with what the router

@@ -886,7 +886,15 @@ object RollupRouting {
     * share it): exact decimal sums and counts add, min/max fold,
     * avg's sum+count add. Output names and types equal the build
     * partials', so merged rollups route identically. */
-  private def mergeColumns(aggs: Seq[AggMap]): Seq[org.apache.spark.sql.Column] = {
+  private def mergeColumns(aggs: Seq[AggMap]): Seq[org.apache.spark.sql.Column] =
+    mergeColumnMap(aggs).map(_._2)
+
+  /** [[mergeColumns]] with the target partial names — the ONE place
+    * the per-member merge shapes live; any compaction or coarsening
+    * (incl. [[graft.ops.Rollups.compactRollup]]) must come through
+    * here so a new member can never miss a merge site. */
+  private[graft] def mergeColumnMap(aggs: Seq[AggMap])
+      : Seq[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions._
     val merges =
       scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Column]
@@ -907,7 +915,7 @@ object RollupRouting {
         merges.getOrElseUpdate(p, array_distinct(flatten(collect_list(col(p)))).as(p))
       case CountDistinctGrain(_) => ()
     }
-    merges.values.toSeq
+    merges.toSeq
   }
 
   private var specs: List[Spec] = Nil

@@ -2786,6 +2786,41 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(RollupRouting.registered == s0,
       "SetOf must survive the JSON catalog round-trip")
     RollupRouting.clear()
+    // STREAMING maintenance + COMPACTION: two date-split deliveries
+    // scatter a group's members across appended blocks; the routed
+    // read merges them, and compaction restores one row per group
+    // (array_distinct∘flatten over set partials) without changing the
+    // answer — the fourth member through the same lifecycle as the
+    // sketch trio
+    val base = java.nio.file.Files.createTempDirectory("graft_setmv")
+    val mSpec = Rollups.uniqArraySpec(base.resolve("setrollup").toString)
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), mSpec)
+    RollupRouting.register(mSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val maintained = dayQ()
+      assert(maintained.queryExecution.executedPlan.toString.contains("setrollup"),
+        "the stream-maintained set rollup must answer")
+      assert(maintained.collect().toSeq == dayTruth,
+        "stream-maintained set states must merge to the batch answer")
+      Rollups.compactRollup(spark, mSpec)
+      val rows = spark.read.parquet(mSpec.rollupPath)
+      assert(rows.groupBy("day", "event_type").count()
+               .filter($"count" > 1).isEmpty,
+        "compaction must restore one row per (day, type)")
+      assert(dayQ().collect().toSeq == dayTruth,
+        "compaction must not change the routed answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 
   /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
