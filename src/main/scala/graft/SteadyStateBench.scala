@@ -82,7 +82,34 @@ object SteadyStateBench {
         JoinSpec.uniqSegmentDaily _, 86400000000L,
         events, Map("customer" -> customer)))
 
-    val rows = targets.map { t =>
+    // the SINGLE-TABLE maintainer's steady state (the q168-class
+    // drain-dominated row): one orders-sized delivery through
+    // maintainRollup against the built ×100 (day, customer) rollup
+    val ordDelivery = work.resolve("ord_delivery").toString
+    Tables.orders(spark, small).coalesce(2).write.parquet(ordDelivery)
+    val singleRow = {
+      val builtDir = work.resolve("q168_orders_built").toString
+      val spec = graft.ops.Rollups.ordersSpec(builtDir)
+      val (_, buildSec) = timed {
+        RollupRouting.buildPartials(orders, spec).write.parquet(builtDir)
+      }
+      def drain1(s: graft.plans.RollupRouting.Spec): Double = {
+        val schema = spark.read.parquet(ordDelivery).schema
+        timed {
+          graft.streaming.Live.maintainRollup(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "100000").parquet(ordDelivery), s)
+        }._2
+      }
+      val steadySec = drain1(spec)
+      val emptySec = drain1(
+        graft.ops.Rollups.ordersSpec(work.resolve("q168_orders_empty").toString))
+      println(s"""{"target":"q168_orders","build_sec":${f"$buildSec%.2f"},""" +
+        s""""steady_sec":${f"$steadySec%.2f"},"empty_sec":${f"$emptySec%.2f"}}""")
+      ("q168_orders", buildSec, steadySec, emptySec)
+    }
+
+    val rows = singleRow +: targets.map { t =>
       // one-shot ×100 build (the backfill the lifecycle rows pay)
       val builtDir = work.resolve(s"${t.name}_built").toString
       val spec = t.mkSpec(builtDir)
