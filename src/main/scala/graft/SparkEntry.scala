@@ -459,6 +459,11 @@ object SparkEntry {
     // (build + register + persist), reloaded from the persisted
     // JSON, and read through the oracled set dashboard
     "q205_adopted_states" -> (graft.plans.Advisor.adoptedStateSuite _),
+    // r13: uniqUpTo(N) INSIDE an MV — the least(countDistinct, N+1)
+    // combinator answered EXACTLY from a capped set state (≤ N+1
+    // members stored per group at any cardinality); both regimes
+    // (under and over the cap) in the fixture, DuckDB-oracled
+    "q206_uniq_upto_routed" -> (Rollups.uniqUpToRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2024,6 +2029,13 @@ object SparkEntry {
     // the four-state ADOPTED catalog must reproduce the identical
     // set-dashboard answer through its merged multi-state spec
     "q205_adopted_states" -> uniqArraySql,
+    // uniqUpTo from the capped set state must equal the exact
+    // least(count-distinct, 51) on both sides of the cap
+    "q206_uniq_upto_routed" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+         LEAST(COUNT(DISTINCT user_id), CAST(51 AS BIGINT)) AS uniq_upto,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
   )
 
   private lazy val uniqArraySql =

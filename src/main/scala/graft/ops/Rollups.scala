@@ -357,6 +357,41 @@ object Rollups {
     }
   }
 
+  /** The (day × event_type) CAPPED-SET rollup registration (round 13):
+    * `uniqUpTo(50)`'s state — at most 51 members per group regardless
+    * of cardinality ([[graft.plans.RollupRouting.UniqUpToOf]]). */
+  def uniqUpToSpec(dir: String, n: Int = 50): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(graft.plans.RollupRouting.UniqUpToOf("user_id", "upto_set", n),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  /** Driver entry (q206, oracled): ClickHouse's `uniqUpTo(N)` INSIDE
+    * an MV — the q134 combinator shape `least(count(DISTINCT u), N+1)`
+    * answered from a CAPPED set state: at most N+1 members stored per
+    * group at ANY cardinality, and the answer stays EXACT — true
+    * counts up to N, the single N+1 sentinel above (a truncating
+    * partial already carries N+1 members, so no union can fall back
+    * under the sentinel; [[graft.plans.RollupRouting.UniqUpToOf]]).
+    * The fixture's per-(day, type) distinct users straddle N=50, so
+    * both regimes are exercised and DuckDB-oracled. The bounded-state
+    * answer to the SetOf member's unbounded-cardinality caveat. */
+  def uniqUpToRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "uniq_upto_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqUpToSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(uniqUpToSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(least(countDistinct(col("user_id")), lit(51).cast("long"))
+               .as("uniq_upto"),
+             count(lit(1)).as("n_events"))
+        .orderBy("day", "event_type")
+    }
+  }
+
   /** The daily UNIQUES-SKETCH rollup registration (round 12): one
     * Datasketches-HLL state per day — ClickHouse's
     * `uniqState`-in-an-AggregatingMergeTree made a registry entry

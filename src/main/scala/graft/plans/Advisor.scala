@@ -252,6 +252,22 @@ object Advisor {
       // the same array state, so the demand is the collect_set inside
       case SortArray(c, _) => mapOne(c, resolve)
       case Size(c, _) => mapOne(c, resolve)
+      // uniqUpTo (round 13): least(count(DISTINCT col), n+1) demands
+      // the CAPPED set state at exactly that limit — the bounded-state
+      // member the router matches at the same whole-expression shape
+      case Least(Seq(ae: AggregateExpression, limE))
+          if ae.isDistinct && ae.filter.isEmpty && limE.foldable &&
+             limE.dataType == org.apache.spark.sql.types.LongType =>
+        // the analyzed plan has not constant-folded yet — evaluate the
+        // foldable limit (CAST(6 AS BIGINT) etc.) the way the
+        // optimizer eventually will
+        val lim = limE.eval().asInstanceOf[Long]
+        ae.aggregateFunction match {
+          case Count(Seq(c)) if lim >= 2 =>
+            baseAttr(resolve(c)).map(a =>
+              UniqUpToOf(a.name, s"${a.name}_upto_p", (lim - 1).toInt))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -411,6 +427,7 @@ object Advisor {
     case KllQuantileOf(c, _, k) => s"kll:$c:$k"
     case TopKOf(c, _, m) => s"topk:$c:$m"
     case SetOf(c, _) => s"set:$c"
+    case UniqUpToOf(c, _, n) => s"upto:$c:$n"
     case CountDistinctGrain(g) => s"cdg:$g"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {

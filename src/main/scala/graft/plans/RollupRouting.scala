@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Transparent materialized-rollup routing (SURVEY §4 / §7.3 stretch).
   *
@@ -460,6 +460,19 @@ object RollupRouting {
     * caveat as ClickHouse's member; register the HLL state for
     * unbounded keys, this one for bounded-cardinality sets. */
   case class SetOf(col: String, partial: String) extends AggMap
+  /** `least(count(DISTINCT col), n+1)` — ClickHouse's `uniqUpTo(N)` —
+    * answered from a CAPPED set state (round 13): the rollup stores
+    * `slice(collect_set(col), 1, n+1)` per group, so state is bounded
+    * at n+1 members regardless of group cardinality. Sound under any
+    * regrouping: a partial that truncated already carries n+1 members,
+    * so every union that lost members still reports ≥ n+1 and the
+    * final `least(size(union), n+1)` answers EXACTLY — true counts up
+    * to n, the single `n+1` sentinel ("more than n") above. Routing
+    * requires the query's limit literal to equal the registered n+1
+    * (a different cap is a different state). The whole-expression
+    * `least(...)` shape is matched at the output level (the distinct
+    * aggregate alone is NOT mergeable — only the capped form is). */
+  case class UniqUpToOf(col: String, partial: String, n: Int) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -473,6 +486,7 @@ object RollupRouting {
     case KllQuantileOf(_, p, _) => Some(p)
     case TopKOf(_, p, _) => Some(p)
     case SetOf(_, p) => Some(p)
+    case UniqUpToOf(_, p, _) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -732,6 +746,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, expr(s"approx_top_k_accumulate(`$c`, $m)").as(p))
       case SetOf(c, p) =>
         partials.getOrElseUpdate(p, collect_set(col(c)).as(p))
+      case UniqUpToOf(c, p, n) =>
+        partials.getOrElseUpdate(p, slice(collect_set(col(c)), 1, n + 1).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -793,6 +809,7 @@ object RollupRouting {
       case KllQuantileOf(c, _, _) => Seq(c)
       case TopKOf(c, _, _) => Seq(c)
       case SetOf(c, _) => Seq(c)
+      case UniqUpToOf(c, _, _) => Seq(c)
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -913,6 +930,9 @@ object RollupRouting {
         merges.getOrElseUpdate(p, expr(s"approx_top_k_combine(`$p`, $m)").as(p))
       case SetOf(_, p) =>
         merges.getOrElseUpdate(p, array_distinct(flatten(collect_list(col(p)))).as(p))
+      case UniqUpToOf(_, p, n) =>
+        merges.getOrElseUpdate(p,
+          slice(array_distinct(flatten(collect_list(col(p)))), 1, n + 1).as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.toSeq
@@ -971,6 +991,8 @@ object RollupRouting {
         ("kind" -> "topK") ~ ("col" -> c) ~ ("partial" -> p) ~ ("maxItems" -> m)
       case SetOf(c, p) =>
         ("kind" -> "setUniq") ~ ("col" -> c) ~ ("partial" -> p)
+      case UniqUpToOf(c, p, n) =>
+        ("kind" -> "uniqUpTo") ~ ("col" -> c) ~ ("partial" -> p) ~ ("n" -> n)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -1036,6 +1058,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "maxItems").extract[Int])
       case "setUniq" => SetOf((j \ "col").extract[String],
         (j \ "partial").extract[String])
+      case "uniqUpTo" => UniqUpToOf((j \ "col").extract[String],
+        (j \ "partial").extract[String], (j \ "n").extract[Int])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1592,6 +1616,34 @@ object RollupRouting {
             case _ => None
           }
         }.headOption
+      // uniqUpTo (round 13): the whole `least(count(DISTINCT col), n+1)`
+      // OUTPUT maps onto the capped-set partial — the distinct
+      // aggregate alone is not mergeable; only the capped form is
+      // (see [[UniqUpToOf]]), so the match lives at the expression
+      // level where the limit literal is visible
+      def mapUpTo(l: Least): Option[Expression] = l.children match {
+        case Seq(ae: AggregateExpression, limE)
+            if limE.foldable && limE.dataType == LongType =>
+          val lim = limE.eval().asInstanceOf[Long]
+          (ae.aggregateFunction, ae.isDistinct, ae.filter) match {
+            case (Count(Seq(se)), true, None) =>
+              spec.aggs.view.flatMap {
+                case UniqUpToOf(cn, partial, n)
+                    if lim == n + 1 && isBareRefJ(se, cn) =>
+                  attr(partial).map { p =>
+                    val merged = ae.copy(aggregateFunction = CollectList(p),
+                      isDistinct = false,
+                      resultId = NamedExpression.newExprId)
+                    Least(Seq(
+                      Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType),
+                      Literal((n + 1).toLong)))
+                  }
+                case _ => None
+              }.headOption
+            case _ => None
+          }
+        case _ => None
+      }
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
         case ne if groupingExpr(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
@@ -1599,6 +1651,7 @@ object RollupRouting {
           Alias(target, ne.name)(exprId = ne.exprId)
         case ne =>
           val rewritten = ne.transformUp {
+            case l: Least => mapUpTo(l).getOrElse(l)
             case ae: AggregateExpression => mapAgg(ae).getOrElse(ae)
           }.asInstanceOf[NamedExpression]
           if (!rewritten.references.subsetOf(AttributeSet(rollup.output))) ok = false
@@ -1757,6 +1810,9 @@ object RollupRouting {
               ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
           case SetOf(cn, p) if p == n =>
             attrOf(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
+          case UniqUpToOf(cn, p, lim) if p == n =>
+            attrOf(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
+              Literal(1), Literal(lim + 1)), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -2141,6 +2197,34 @@ object RollupRouting {
             case _ => None
           }
         }.headOption
+      // uniqUpTo (round 13): the whole `least(count(DISTINCT col), n+1)`
+      // OUTPUT maps onto the capped-set partial — the distinct
+      // aggregate alone is not mergeable; only the capped form is
+      // (see [[UniqUpToOf]]), so the match lives at the expression
+      // level where the limit literal is visible
+      def mapUpTo(l: Least): Option[Expression] = l.children match {
+        case Seq(ae: AggregateExpression, limE)
+            if limE.foldable && limE.dataType == LongType =>
+          val lim = limE.eval().asInstanceOf[Long]
+          (ae.aggregateFunction, ae.isDistinct, ae.filter) match {
+            case (Count(Seq(se)), true, None) =>
+              spec.aggs.view.flatMap {
+                case UniqUpToOf(cn, partial, n)
+                    if lim == n + 1 && isBareRef(se, cn) =>
+                  attr(partial).map { p =>
+                    val merged = ae.copy(aggregateFunction = CollectList(p),
+                      isDistinct = false,
+                      resultId = NamedExpression.newExprId)
+                    Least(Seq(
+                      Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType),
+                      Literal((n + 1).toLong)))
+                  }
+                case _ => None
+              }.headOption
+            case _ => None
+          }
+        case _ => None
+      }
       var ok = true
       val newAggExprs: Seq[NamedExpression] = aggExprs.map {
         case ne if keyOfResolved(ne match { case Alias(c, _) => c; case x => x }).isDefined =>
@@ -2152,6 +2236,7 @@ object RollupRouting {
                 ne.name)(exprId = ne.exprId)
         case ne =>
           val rewritten = ne.transformUp {
+            case l: Least => mapUpTo(l).getOrElse(l)
             case ae: AggregateExpression => mapAgg(ae).getOrElse(ae)
           }.asInstanceOf[NamedExpression]
           // bail if any raw-table reference survived (unknown aggregate)
@@ -2435,6 +2520,9 @@ object RollupRouting {
               ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
           case SetOf(cn, p) if p == n => // the tail's own distinct set
             scanAttr(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
+          case UniqUpToOf(cn, p, lim) if p == n => // the tail's capped set
+            scanAttr(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
+              Literal(1), Literal(lim + 1)), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

@@ -506,6 +506,36 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: a uniqUpTo dashboard (least(countDistinct, N+1)) ADVISES the
+    * capped-set state at exactly that limit, and the unchanged query
+    * routes exactly through the advised states. */
+  test("a uniqUpTo dashboard advises the capped-set state and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_upto").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(least(countDistinct($"user_id"), lit(6).cast("long")).as("u"),
+           count(lit(1)).as("c"))
+      .orderBy("day")
+    val truth = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.head.spec.aggs.exists {
+      case RollupRouting.UniqUpToOf("user_id", _, 5) => true; case _ => false
+    }, s"advised aggs must carry the capped set: ${advice.singles.head.spec.aggs}")
+    Advisor.buildAndRegister(spark, advice)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_upto") && !plan.contains("events.parquet"),
+        s"the uniqUpTo dashboard must read the advised capped states:\n$plan")
+      assert(routed.collect().toSeq == truth)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r13: an approx_count_distinct dashboard ADVISES the uniqState
     * member (the advisor mirrors the router's precision-dominance
     * rule), and the unchanged query routes through the advised spec

@@ -2823,6 +2823,101 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r13: `uniqUpTo(N)` from a CAPPED set state — at most N+1 members
+    * stored per group, EXACT answers on both sides of the cap (a
+    * truncating partial already carries N+1 members, so no regrouping
+    * can fall back under the sentinel). The `least(count(DISTINCT),
+    * N+1)` OUTPUT shape is matched whole (the bare distinct aggregate
+    * is not mergeable); a different limit and the bare distinct both
+    * stay live. */
+  test("uniqUpTo routes from capped set states: exact both regimes, bounded state") {
+    import graft.ops.Rollups
+    val n = 5
+    val dir = java.nio.file.Files.createTempDirectory("graft_upto")
+      .resolve("uptorollup").toString
+    val spec = Rollups.uniqUpToSpec(dir, n)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    // the state is BOUNDED: every stored array holds ≤ n+1 members
+    spark.read.parquet(dir).select(max(size($"upto_set"))).head() match {
+      case r => assert(r.getInt(0) <= n + 1, "capped state must hold ≤ n+1 members")
+    }
+    val lim = lit(n + 1).cast("long")
+    val fineQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(least(countDistinct($"user_id"), lim).as("u"), count(lit(1)).as("c"))
+      .orderBy("day", "event_type")
+    val coarseQ = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(least(countDistinct($"user_id"), lim).as("u"))
+      .orderBy("event_type")
+    val fineTruth = fineQ().collect().toSeq
+    val coarseTruth = coarseQ().collect().toSeq
+    // the fixture must exercise BOTH regimes at the rollup grain
+    assert(fineTruth.exists(_.getLong(2) <= n) &&
+           fineTruth.exists(_.getLong(2) == n + 1),
+      s"fixture must straddle the cap at n=$n")
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val fine = fineQ()
+      val fPlan = fine.queryExecution.executedPlan.toString
+      assert(fPlan.contains("uptorollup") && !fPlan.contains("events.parquet"),
+        s"uniqUpTo must route onto the capped states:\n$fPlan")
+      assert(fine.collect().toSeq == fineTruth,
+        "routed uniqUpTo must be exact on both sides of the cap")
+      // coarse regrouping: unions of capped sets still answer exactly
+      val coarse = coarseQ()
+      assert(coarse.queryExecution.executedPlan.toString.contains("uptorollup"),
+        "the coarser grouping must re-aggregate the capped states")
+      assert(coarse.collect().toSeq == coarseTruth,
+        "capped-set unions must answer the coarser grouping exactly")
+      // near-miss 1: a DIFFERENT limit is a different state — stays live
+      val otherLim = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(least(countDistinct($"user_id"), lit(n + 2).cast("long")).as("u"))
+      assert(!otherLim.queryExecution.executedPlan.toString.contains("uptorollup"),
+        "limit n+2 must NOT route onto the n-capped state")
+      // near-miss 2: the BARE distinct count is not mergeable — live
+      val bare = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(countDistinct($"user_id").as("u"))
+      assert(!bare.queryExecution.executedPlan.toString.contains("uptorollup"),
+        "bare COUNT(DISTINCT) must stay live")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // hybrid: stale capped states ∪ live-tail capped set, still exact
+    val hDir = java.nio.file.Files.createTempDirectory("graft_uptoh")
+      .resolve("uptorollup").toString
+    val hSpec = Rollups.uniqUpToSpec(hDir, n)
+    Rollups.writeRollupUpTo(Tables.events(spark, sf), hSpec, Rollups.HybridCutoffUs)
+    RollupRouting.register(hSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val hybrid = fineQ()
+      val plan = hybrid.queryExecution.executedPlan.toString
+      assert(plan.contains("uptorollup") && plan.contains("events.parquet"),
+        s"hybrid must read capped states AND tail:\n$plan")
+      assert(hybrid.collect().toSeq == fineTruth,
+        "stale capped states ∪ tail must stay exact")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog round-trip
+    val reg = java.nio.file.Files.createTempDirectory("graft_uptoreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(hSpec)
+    RollupRouting.saveRegistry(reg)
+    val s0 = RollupRouting.registered
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    assert(RollupRouting.registered == s0,
+      "UniqUpToOf must survive the JSON catalog round-trip")
+    RollupRouting.clear()
+  }
+
   /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
     * DETERMINISTIC — full-capacity estimate (k = maxItems, every day
     * under capacity ⇒ exact counts for every user) + total-order
