@@ -314,8 +314,16 @@ object Advisor {
     val gidIdx = exOut.indexWhere(_.name == VirtualColumn.groupingIdName)
     if (gidIdx < 0 || !ex.projections.forall(_.length == exOut.length))
       return scala.Left(s"$label: Expand is not a grouping-sets lowering")
+    // a distinct aggregate under grouping sets is un-advisable —
+    // EXCEPT the uniqUpTo shape (round 13): the capped-set member is
+    // subtotal-safe, exactly mirroring the router's lattice guard
+    val underUpTo: Set[Expression] = agg.aggregateExpressions.flatMap(_.collect {
+      case Least(Seq(ae: AggregateExpression, limE))
+          if ae.isDistinct && limE.foldable &&
+             limE.dataType == org.apache.spark.sql.types.LongType => ae
+    }).toSet
     if (agg.aggregateExpressions.exists(_.exists {
-          case ae: AggregateExpression => ae.isDistinct
+          case ae: AggregateExpression => ae.isDistinct && !underUpTo.contains(ae)
           case _ => false }))
       return scala.Left(s"$label: distinct aggregate under grouping sets — " +
         "subtotal rows cannot re-count, the lattice would never route")

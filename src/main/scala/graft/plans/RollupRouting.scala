@@ -2372,9 +2372,19 @@ object RollupRouting {
       // flat path's subsumption owns that proof)
       if (!latticeFilters.forall(c =>
             c.deterministic && c.references.subsetOf(gdSet))) return None
-      // distinct aggregates are not subtotal-safe (see scaladoc)
+      // distinct aggregates are not subtotal-safe (see scaladoc) —
+      // EXCEPT inside the uniqUpTo shape `least(count(DISTINCT c),
+      // n+1)` (round 13): the capped-set member unions across any
+      // regrouping, subtotals included. A distinct-under-least that
+      // no member actually maps still falls back live downstream (the
+      // flat rewrite's raw-reference check), so letting the shape
+      // through here is safe.
+      val underUpTo: Set[Expression] = aggExprs.flatMap(_.collect {
+        case Least(Seq(ae: AggregateExpression, limE))
+            if ae.isDistinct && limE.foldable && limE.dataType == LongType => ae
+      }).toSet
       if (aggExprs.exists(_.exists {
-            case ae: AggregateExpression => ae.isDistinct
+            case ae: AggregateExpression => ae.isDistinct && !underUpTo.contains(ae)
             case _ => false })) return None
       // split the output: grouping-valued columns (expanded attrs/gid
       // only — grouping()/grouping_id() are bit tests on gid) pass

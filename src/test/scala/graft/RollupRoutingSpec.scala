@@ -2850,8 +2850,13 @@ class RollupRoutingSpec extends AnyFunSuite {
       .groupBy($"event_type")
       .agg(least(countDistinct($"user_id"), lim).as("u"))
       .orderBy("event_type")
+    val latQ = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(least(countDistinct($"user_id"), lim).as("u"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
     val fineTruth = fineQ().collect().toSeq
     val coarseTruth = coarseQ().collect().toSeq
+    val latTruth = latQ().collect().toSeq
     // the fixture must exercise BOTH regimes at the rollup grain
     assert(fineTruth.exists(_.getLong(2) <= n) &&
            fineTruth.exists(_.getLong(2) == n + 1),
@@ -2883,6 +2888,20 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(countDistinct($"user_id").as("u"))
       assert(!bare.queryExecution.executedPlan.toString.contains("uptorollup"),
         "bare COUNT(DISTINCT) must stay live")
+      // the LATTICE: capped sets are subtotal-safe, so the uniqUpTo
+      // shape routes through ROLLUP where exact distinct never can
+      // (latTruth collected LIVE, before the rule installed)
+      val lat = latQ()
+      assert(lat.queryExecution.executedPlan.toString.contains("uptorollup"),
+        "the uniqUpTo lattice must route through the capped states")
+      assert(lat.collect().toSeq == latTruth,
+        "every lattice grain's uniqUpTo must stay exact")
+      // the EXACT-distinct lattice still refuses
+      val exactLat = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"), $"event_type")
+        .agg(countDistinct($"user_id").as("u"))
+      assert(!exactLat.queryExecution.executedPlan.toString.contains("uptorollup"),
+        "exact COUNT(DISTINCT) under grouping sets must stay live")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
