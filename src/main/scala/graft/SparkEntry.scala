@@ -464,6 +464,12 @@ object SparkEntry {
     // members stored per group at any cardinality); both regimes
     // (under and over the cap) in the fixture, DuckDB-oracled
     "q206_uniq_upto_routed" -> (Rollups.uniqUpToRouted _),
+    // r13: argMax/argMin INSIDE an MV — the q133 struct-extrema
+    // dashboard answered from per-(day, type) struct-max/min states
+    // (argMaxState/argMinState); extrema fold associatively and the
+    // struct order makes ties deterministic, so it shares q133's
+    // DuckDB oracle
+    "q207_arg_extremes_routed" -> (Rollups.argExtremesRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2029,6 +2035,14 @@ object SparkEntry {
     // the four-state ADOPTED catalog must reproduce the identical
     // set-dashboard answer through its merged multi-state spec
     "q205_adopted_states" -> uniqArraySql,
+    // the routed arg-extrema read must hash-match q133's oracle
+    "q207_arg_extremes_routed" ->
+      s"""SELECT event_type,
+          (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u
+            AS top_value_user,
+          (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
+          ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY event_type""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

@@ -392,6 +392,54 @@ object Rollups {
     }
   }
 
+  /** The (day × event_type) ARG-EXTREMA rollup registration (round
+    * 13): per-group struct maxima/minima — ClickHouse's
+    * `argMaxState`/`argMinState` as registry members
+    * ([[graft.plans.RollupRouting.MaxPatOf]]/`MinPatOf` over the
+    * whole struct measure). The pattern registers with catalyst
+    * nodes (unresolved attributes; `ExprPat.canon` strips the cast
+    * for matching, the result-type guard keeps differently-typed
+    * trees live). */
+  def argExtremesSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, CreateNamedStruct, Literal => CLit}
+    import org.apache.spark.sql.types.DecimalType
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        MaxPatOf(ExprPat(CreateNamedStruct(Seq(
+          CLit("v"), CCast(UnresolvedAttribute(Seq("value")), DecimalType(38, 6)),
+          CLit("u"), UnresolvedAttribute(Seq("user_id"))))), "topv_state"),
+        // the raw dashboard's unnamed struct() takes its COLUMN names
+        // as field names — the registered pattern must match them
+        // (canonical equality compares the name literals)
+        MinPatOf(ExprPat(CreateNamedStruct(Seq(
+          CLit("ts"), UnresolvedAttribute(Seq("ts")),
+          CLit("event_id"), UnresolvedAttribute(Seq("event_id"))))), "first_state"),
+        SumOf(ColRef("value"), "value_sum"),
+        CountStarTo("c_partial")))
+  }
+
+  /** Driver entry (q207, shares q133's oracle): the ARG-EXTREMA
+    * dashboard answered from struct-extremum states — the unchanged
+    * `max(struct(value, user)).getField(user)` / `min(struct(ts,
+    * id)).getField(id)` query (ClickHouse's argMax/argMin, q133's
+    * shape) re-aggregates per-(day, type) struct partials; extrema
+    * fold associatively, the `getField` scalars survive above the
+    * rewrite, and the struct's (v, u) lexicographic order makes ties
+    * deterministic on both plans — hence the DuckDB oracle. */
+  def argExtremesRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "arg_extremes_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), argExtremesSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(argExtremesSpec(dir))) {
+      argExtremes(spark, sfDir)
+    }
+  }
+
   /** The daily UNIQUES-SKETCH rollup registration (round 12): one
     * Datasketches-HLL state per day — ClickHouse's
     * `uniqState`-in-an-AggregatingMergeTree made a registry entry

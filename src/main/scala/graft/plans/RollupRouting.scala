@@ -237,6 +237,14 @@ object RollupRouting {
           case "/" => Divide(l, r)
           case _ => f
         }
+      // a struct measure's SQL rendering (the JSON catalog's travel
+      // form) parses back as `named_struct(...)` — normalize to the
+      // analyzer's node so a reloaded pattern matches the same queries
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && !f.isDistinct && f.filter.isEmpty &&
+             f.nameParts.head.equalsIgnoreCase("named_struct") &&
+             f.arguments.length % 2 == 0 =>
+        CreateNamedStruct(f.arguments)
     }
     /** Canonical form for matching: strip casts, name-compare
       * attributes, erase arithmetic eval-mode tags, and normalize
@@ -473,6 +481,18 @@ object RollupRouting {
     * `least(...)` shape is matched at the output level (the distinct
     * aggregate alone is NOT mergeable — only the capped form is). */
   case class UniqUpToOf(col: String, partial: String, n: Int) extends AggMap
+  /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
+    * argMin shape (round 13): the reference's `max(struct(value,
+    * user)).getField(user)` dashboards (ClickHouse `argMaxState`)
+    * register the whole struct expression as the measure; extrema
+    * fold associatively over ANY expression, so partial maxima merge
+    * losslessly at any regrouping and the scalar `getField` above the
+    * aggregate survives the rewrite untouched. Matching is the
+    * [[ExprPat]] canonical equality PLUS a result-type equality guard
+    * (canon strips casts for matching, but a differently-typed struct
+    * must not rewrite under a preserved ExprId). */
+  case class MinPatOf(pat: SrcPat, partial: String) extends AggMap
+  case class MaxPatOf(pat: SrcPat, partial: String) extends AggMap
 
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
@@ -487,6 +507,8 @@ object RollupRouting {
     case TopKOf(_, p, _) => Some(p)
     case SetOf(_, p) => Some(p)
     case UniqUpToOf(_, p, _) => Some(p)
+    case MinPatOf(_, p) => Some(p)
+    case MaxPatOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -748,6 +770,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, collect_set(col(c)).as(p))
       case UniqUpToOf(c, p, n) =>
         partials.getOrElseUpdate(p, slice(collect_set(col(c)), 1, n + 1).as(p))
+      case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
+      case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -810,6 +834,8 @@ object RollupRouting {
       case TopKOf(c, _, _) => Seq(c)
       case SetOf(c, _) => Seq(c)
       case UniqUpToOf(c, _, _) => Seq(c)
+      case MinPatOf(pat, _) => pat.refs.toSeq
+      case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -933,6 +959,8 @@ object RollupRouting {
       case UniqUpToOf(_, p, n) =>
         merges.getOrElseUpdate(p,
           slice(array_distinct(flatten(collect_list(col(p)))), 1, n + 1).as(p))
+      case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
+      case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case CountDistinctGrain(_) => ()
     }
     merges.toSeq
@@ -993,6 +1021,10 @@ object RollupRouting {
         ("kind" -> "setUniq") ~ ("col" -> c) ~ ("partial" -> p)
       case UniqUpToOf(c, p, n) =>
         ("kind" -> "uniqUpTo") ~ ("col" -> c) ~ ("partial" -> p) ~ ("n" -> n)
+      case MinPatOf(pat, p) =>
+        ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
+      case MaxPatOf(pat, p) =>
+        ("kind" -> "maxPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -1060,6 +1092,8 @@ object RollupRouting {
         (j \ "partial").extract[String])
       case "uniqUpTo" => UniqUpToOf((j \ "col").extract[String],
         (j \ "partial").extract[String], (j \ "n").extract[Int])
+      case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
+      case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
@@ -1542,6 +1576,17 @@ object RollupRouting {
             case (MaxOf(cn, partial), Max(se))
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRefJ(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            // PATTERN extrema (round 13, the argMax/argMin shape):
+            // canonical measure match + RESULT-TYPE equality (canon
+            // strips casts; a differently-typed tree must stay live)
+            case (MinPatOf(pt, partial), Min(se))
+                if !ae.isDistinct && ae.filter.isEmpty && pt.matches(resolved(se)) =>
+              attr(partial).filter(_.dataType == se.dataType)
+                .map(p => ae.copy(aggregateFunction = Min(p)))
+            case (MaxPatOf(pt, partial), Max(se))
+                if !ae.isDistinct && ae.filter.isEmpty && pt.matches(resolved(se)) =>
+              attr(partial).filter(_.dataType == se.dataType)
+                .map(p => ae.copy(aggregateFunction = Max(p)))
             case (AvgOf(cn, sp, cp), Average(se, mode))
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isExactPartialCast(resolved(se),
@@ -1813,6 +1858,10 @@ object RollupRouting {
           case UniqUpToOf(cn, p, lim) if p == n =>
             attrOf(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
               Literal(1), Literal(lim + 1)), n)())
+          case MinPatOf(pt, p) if p == n =>
+            pt.rebuild(attrOf).map(e => Alias(Min(e).toAggregateExpression(), n)())
+          case MaxPatOf(pt, p) if p == n =>
+            pt.rebuild(attrOf).map(e => Alias(Max(e).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
@@ -2072,6 +2121,18 @@ object RollupRouting {
             case (MaxOf(cn, partial), Max(se))
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
+            // PATTERN extrema (round 13, the argMax/argMin shape) —
+            // same canonical-match + result-type guard as the join path
+            case (MinPatOf(pt, partial), Min(se))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matches(resolveThroughProjects(se, child)) =>
+              attr(partial).filter(_.dataType == se.dataType)
+                .map(p => ae.copy(aggregateFunction = Min(p)))
+            case (MaxPatOf(pt, partial), Max(se))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matches(resolveThroughProjects(se, child)) =>
+              attr(partial).filter(_.dataType == se.dataType)
+                .map(p => ae.copy(aggregateFunction = Max(p)))
             // COUNT(DISTINCT keyCol) → COUNT(keyCol) over rollup ROWS
             // (round 12, the reference's uniq() dashboard shape):
             // valid exactly when the rollup is grain-unique (the
@@ -2533,6 +2594,10 @@ object RollupRouting {
           case UniqUpToOf(cn, p, lim) if p == n => // the tail's capped set
             scanAttr(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
               Literal(1), Literal(lim + 1)), n)())
+          case MinPatOf(pt, p) if p == n =>
+            pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
+          case MaxPatOf(pt, p) if p == n =>
+            pt.rebuild(scanAttr).map(e => Alias(Max(e).toAggregateExpression(), n)())
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }

@@ -2937,6 +2937,62 @@ class RollupRoutingSpec extends AnyFunSuite {
     RollupRouting.clear()
   }
 
+  /** r13: PATTERN extrema (`MaxPatOf`/`MinPatOf` — argMaxState/
+    * argMinState): the whole struct measure registers as the pattern,
+    * extrema fold associatively over any regrouping, the `getField`
+    * scalars survive above the rewrite, and the result-TYPE guard
+    * keeps a cast-stripped canonical match from rewriting a
+    * differently-typed tree. The catalog round-trip re-parses the
+    * pattern from its SQL rendering (`named_struct`) and must still
+    * route. */
+  test("arg-extrema patterns route: struct max/min states, type-guarded, reloadable") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_arg")
+      .resolve("argrollup").toString
+    val spec = Rollups.argExtremesSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val truth = Rollups.argExtremes(spark, sf).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.argExtremes(spark, sf)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("argrollup") && !plan.contains("events.parquet"),
+        s"the arg-extrema dashboard must read the struct states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed arg-extrema must equal the live dashboard (struct order ties)")
+      // type guard: the SAME struct without the decimal cast
+      // canon-matches but is a different type — must stay live
+      val untyped = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(max(struct($"value".as("v"), $"user_id".as("u")))
+               .getField("u").as("x"))
+      assert(!untyped.queryExecution.executedPlan.toString.contains("argrollup"),
+        "a differently-typed struct must NOT rewrite")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // catalog round-trip: the reloaded pattern (re-parsed from its
+    // named_struct SQL rendering) must still answer the same query
+    val reg = java.nio.file.Files.createTempDirectory("graft_argreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(spec)
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.argExtremes(spark, sf)
+      assert(routed.queryExecution.executedPlan.toString.contains("argrollup"),
+        "the RELOADED struct pattern must still route")
+      assert(routed.collect().toSeq == truth)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
     * DETERMINISTIC — full-capacity estimate (k = maxItems, every day
     * under capacity ⇒ exact counts for every user) + total-order
