@@ -470,6 +470,12 @@ object SparkEntry {
     // struct order makes ties deterministic, so it shares q133's
     // DuckDB oracle
     "q207_arg_extremes_routed" -> (Rollups.argExtremesRouted _),
+    // r14: the arg-extrema dashboard ADVISED — Advisor.mapOne mines
+    // Min/MaxPatOf from the max(struct(...)).getField shape, the
+    // advised spec builds the struct-extremum states, and the
+    // unchanged q133-shape query routes; all six state members now
+    // advise, not just register
+    "q208_advised_extrema" -> (graft.plans.Advisor.advisedArgExtremes _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2037,6 +2043,14 @@ object SparkEntry {
     "q205_adopted_states" -> uniqArraySql,
     // the routed arg-extrema read must hash-match q133's oracle
     "q207_arg_extremes_routed" ->
+      s"""SELECT event_type,
+          (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u
+            AS top_value_user,
+          (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
+          ${dsum("value")} AS total_value
+          FROM events GROUP BY 1 ORDER BY event_type""",
+    // the ADVISED arg-extrema read must hash-match q133's oracle too
+    "q208_advised_extrema" ->
       s"""SELECT event_type,
           (MAX(struct_pack(v := CAST(value AS DECIMAL(38,6)), u := user_id))).u
             AS top_value_user,

@@ -167,6 +167,12 @@ object Advisor {
     case p: ExprPat =>
       s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_sum_p"
   }
+  private def extremumPartialName(pat: SrcPat, kind: String): String = pat match {
+    case ColRef(n) => s"${n}_${kind}_p"
+    case OneMinusProduct(a, _) => s"${a}_net_${kind}_p"
+    case p: ExprPat =>
+      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_${kind}_p"
+  }
 
   /** Map one aggregate output to the AggMap that would route it —
     * exactly the shapes [[RollupRouting.RuleImpl]] rewrites (the
@@ -184,15 +190,33 @@ object Advisor {
             Some(CountStarTo("cnt_p"))
           case Count(Seq(c)) if ae.isDistinct =>
             baseAttr(resolve(c)).map(a => CountDistinctGrain(a.name))
+          // a bare column advises the scalar extremum; any other
+          // mappable tree (the argMax `max(struct(value, user))`
+          // shape, round 14) advises the PATTERN extremum — the sixth
+          // state member, previously register-only
+          // (order-embedding casts — the loader's NTZ relabel, lossless
+          // widenings — strip BEFORE the pattern is minted: the router
+          // strips them from the query side but conservatively keeps a
+          // registered cast over an unresolved attribute, so a pattern
+          // carrying one would never match its own workload. A tree
+          // that strips down to a BARE column stays unmappable: the
+          // router's MinOf/MaxOf guard needs a bare reference, so the
+          // advice would be dead.)
           case Min(c) if !ae.isDistinct =>
             resolve(c) match {
               case a: AttributeReference => Some(MinOf(a.name, s"${a.name}_min_p"))
-              case _ => None
+              case e => ExprPat.stripOrderEmbedding(e) match {
+                case _: AttributeReference => None
+                case s => toPat(s).map(p => MinPatOf(p, extremumPartialName(p, "min")))
+              }
             }
           case Max(c) if !ae.isDistinct =>
             resolve(c) match {
               case a: AttributeReference => Some(MaxOf(a.name, s"${a.name}_max_p"))
-              case _ => None
+              case e => ExprPat.stripOrderEmbedding(e) match {
+                case _: AttributeReference => None
+                case s => toPat(s).map(p => MaxPatOf(p, extremumPartialName(p, "max")))
+              }
             }
           case Average(Cast(src, dt: DecimalType, _, _), _)
               if !ae.isDistinct && dt.precision == 38 && dt.scale == 6 =>
@@ -246,6 +270,10 @@ object Advisor {
       // the estimates are scalars over the sketch aggregates — the
       // demand is the aggregate underneath
       case HllSketchEstimate(c) => mapOne(c, resolve)
+      // the argMax read shape: `max(struct(...)).getField(u)` — the
+      // scalar projection survives above the router's rewrite, so the
+      // demand is the struct extremum underneath (round 14)
+      case g: GetStructField => mapOne(g.child, resolve)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve)
       // the set member's idiomatic reads (round 13): a sorted set, or
       // the exact distinct count as size-of-set — both route through
@@ -263,7 +291,10 @@ object Advisor {
         // optimizer eventually will
         val lim = limE.eval().asInstanceOf[Long]
         ae.aggregateFunction match {
-          case Count(Seq(c)) if lim >= 2 =>
+          // the upper guard keeps (lim - 1).toInt from silently
+          // overflowing into a garbage cap; a limit that large is not
+          // a capped-set demand anyway (the state would be unbounded)
+          case Count(Seq(c)) if lim >= 2 && lim <= Int.MaxValue =>
             baseAttr(resolve(c)).map(a =>
               UniqUpToOf(a.name, s"${a.name}_upto_p", (lim - 1).toInt))
           case _ => None
@@ -436,7 +467,14 @@ object Advisor {
     case TopKOf(c, _, m) => s"topk:$c:$m"
     case SetOf(c, _) => s"set:$c"
     case UniqUpToOf(c, _, n) => s"upto:$c:$n"
+    case MinPatOf(p, _) => s"minpat:${patKey(p)}"
+    case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"
+  }
+  private def patKey(p: SrcPat): String = p match {
+    case ColRef(n) => s"col:$n"
+    case OneMinusProduct(a, b) => s"omp:$a:$b"
+    case e: ExprPat => s"expr:${ExprPat.canon(e.expr).toString}"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, AggMap]
@@ -736,6 +774,32 @@ object Advisor {
         advice.singles.head.spec.grain == "day",
       s"a monthly demand must advise a day-grain spec: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.monthlyVolumeRaw(spark, sfDir) }
+  }
+
+  /** Driver entry (q208, shares q133's oracle): the ARG-EXTREMA
+    * dashboard ADVISED end-to-end (round 14) — `max(struct(value,
+    * user)).getField(u)` mines a [[RollupRouting.MaxPatOf]] demand
+    * (the sixth state member, register-only until now), pooled with a
+    * (day, type) volume dashboard that pins the grain; the advised
+    * spec builds struct-extremum states and the UNCHANGED q133-shape
+    * query routes through them. Completes the advise story for all
+    * six members. */
+  def advisedArgExtremes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_extrema")
+    val volume = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
+           count(lit(1)).as("n_events"))
+    val advice = advise(
+      Seq(graft.ops.Rollups.argExtremes(spark, sfDir), volume), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"the extrema + volume workload must advise one (day, type) spec: $advice")
+    val aggs = advice.singles.head.spec.aggs
+    require(aggs.exists(_.isInstanceOf[MaxPatOf]) &&
+            aggs.exists(_.isInstanceOf[MinPatOf]),
+      s"the advised spec must carry both struct-extremum states: $aggs")
+    runRouted(spark, advice) { graft.ops.Rollups.argExtremes(spark, sfDir) }
   }
 
   /** The five dashboards [[advisedStateSuite]] pools into one spec. */

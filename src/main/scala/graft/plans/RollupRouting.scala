@@ -155,6 +155,19 @@ object RollupRouting {
     * attributes — what the hybrid live-tail partial block aggregates. */
   sealed trait SrcPat {
     def matches(e: Expression): Boolean
+    /** ORDER-SENSITIVE match for the extremum members (Min/MaxPatOf;
+      * round 14). [[matches]] strips EVERY cast before comparing —
+      * right for SUM routing, where the exact-partial-cast guard
+      * re-checks the outermost cast, but a hole for extrema: a nested
+      * VALUE-CHANGING cast (`max(struct(CAST(CAST(value AS INT) AS
+      * DECIMAL(38,6)) …))`) canon-matches the registered pattern and
+      * can carry the identical result type, yet orders rows
+      * differently and would return wrong extrema. Here casts are
+      * retained unless provably ORDER-EMBEDDING (injective +
+      * monotone — identity, NTZ→TZ relabel, integral widening,
+      * lossless numeric promotion), so only trees that compute the
+      * same ordering route; everything else stays live. */
+    def matchesOrdered(e: Expression): Boolean = matches(e)
     def rebuild(resolve: String => Option[Attribute]): Option[Expression]
     /** Source column names the measure reads (drives the spec-driven
       * build's fact-table identification and column pruning). */
@@ -197,7 +210,10 @@ object RollupRouting {
     * requires editing the engine. */
   case class ExprPat(expr: Expression) extends SrcPat {
     private lazy val canonical = ExprPat.canon(expr)
+    private lazy val canonicalOrdered = ExprPat.canonOrdered(expr)
     def matches(e: Expression): Boolean = ExprPat.canon(e) == canonical
+    override def matchesOrdered(e: Expression): Boolean =
+      ExprPat.canonOrdered(e) == canonicalOrdered
     def rebuild(resolve: String => Option[Attribute]): Option[Expression] = {
       var ok = true
       val r = ExprPat.resolveOps(expr).transformUp {
@@ -261,6 +277,74 @@ object RollupRouting {
       case Divide(l, r, _) => Divide(l, r, EvalMode.LEGACY)
       case l @ Literal(v, _) if v != null && numericString(v).isDefined =>
         Literal.create(numericString(v).get, org.apache.spark.sql.types.StringType)
+    }
+    /** Canonical form for the EXTREMUM members (round 14): like
+      * [[canon]] but a cast survives unless provably order-embedding.
+      * Casts are classified BEFORE attribute de-resolution (the
+      * child's dataType is still known); an unresolved child — the
+      * registration surface's `UnresolvedAttribute` — conservatively
+      * KEEPS its cast, so a registered pattern spelling a redundant
+      * lossless cast simply matches fewer queries (never more). Kept
+      * casts normalize to a bare `Cast(child, dt)` (time-zone and
+      * ANSI tags erased — those never change the computed ordering
+      * between the values that reach an extremum). */
+    private[plans] def canonOrdered(e: Expression): Expression = {
+      val pre = resolveOps(e).transformUp {
+        case Cast(c, dt, _, _) if c.resolved && orderEmbedding(c.dataType, dt) => c
+        case Cast(c, dt, _, _) => Cast(c, dt)
+      }
+      pre.transformUp {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+        case Add(l, r, _) => Add(l, r, EvalMode.LEGACY)
+        case Subtract(l, r, _) => Subtract(l, r, EvalMode.LEGACY)
+        case Multiply(l, r, _) => Multiply(l, r, EvalMode.LEGACY)
+        case Divide(l, r, _) => Divide(l, r, EvalMode.LEGACY)
+        case l @ Literal(v, _) if v != null && numericString(v).isDefined =>
+          Literal.create(numericString(v).get, org.apache.spark.sql.types.StringType)
+      }
+    }
+    /** Strip the order-embedding casts from a RESOLVED expression —
+      * what [[canonOrdered]] does to the query side. The ADVISOR runs
+      * this before de-resolving a mined extremum pattern: a registered
+      * cast over an unresolved attribute is conservatively KEPT at
+      * match time, so the registration must not carry casts the query
+      * side will strip (e.g. the loader's NTZ relabel). */
+    private[plans] def stripOrderEmbedding(e: Expression): Expression = e.transformUp {
+      case Cast(c, dt, _, _) if c.resolved && orderEmbedding(c.dataType, dt) => c
+    }
+    /** Injective + monotone casts — the only ones an extremum measure
+      * may look through: they embed the source order, so the tree with
+      * and without the cast selects the SAME extreme rows. Everything
+      * lossy (double→int truncation, double→decimal rounding, →string
+      * lexicographic re-ordering) is excluded: monotone-but-not-
+      * injective casts change which rows tie, and a struct's later
+      * fields then differ between the two trees. */
+    private def orderEmbedding(from: org.apache.spark.sql.types.DataType,
+                               to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      def intDigits(dt: DataType): Int = dt match {
+        case ByteType => 3; case ShortType => 5; case IntegerType => 10
+        case LongType => 19; case _ => Int.MaxValue
+      }
+      (from, to) match {
+        case (f, t) if f == t => true
+        // the loader-contract relabel: same instant under the pinned
+        // UTC session ([[graft.Tables.normalizeTs]])
+        case (TimestampNTZType, TimestampType) => true
+        case (DateType, TimestampType) => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (ByteType | ShortType, FloatType) => true
+        case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+          d.precision - d.scale >= intDigits(f)
+        case (f: DecimalType, t: DecimalType) =>
+          t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+        case _ => false
+      }
     }
     private def numericString(v: Any): Option[String] = {
       val bd: java.math.BigDecimal = v match {
@@ -488,8 +572,10 @@ object RollupRouting {
     * fold associatively over ANY expression, so partial maxima merge
     * losslessly at any regrouping and the scalar `getField` above the
     * aggregate survives the rewrite untouched. Matching is the
-    * [[ExprPat]] canonical equality PLUS a result-type equality guard
-    * (canon strips casts for matching, but a differently-typed struct
+    * ORDER-SENSITIVE [[ExprPat]] canonical equality (round 14: casts
+    * retained unless provably order-embedding — a nested
+    * value-changing cast orders rows differently and must stay live)
+    * PLUS a result-type equality guard (a differently-typed struct
     * must not rewrite under a preserved ExprId). */
   case class MinPatOf(pat: SrcPat, partial: String) extends AggMap
   case class MaxPatOf(pat: SrcPat, partial: String) extends AggMap
@@ -1577,14 +1663,16 @@ object RollupRouting {
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRefJ(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
             // PATTERN extrema (round 13, the argMax/argMin shape):
-            // canonical measure match + RESULT-TYPE equality (canon
-            // strips casts; a differently-typed tree must stay live)
+            // ORDER-SENSITIVE measure match (casts retained unless
+            // order-embedding — round 14) + RESULT-TYPE equality
             case (MinPatOf(pt, partial), Min(se))
-                if !ae.isDistinct && ae.filter.isEmpty && pt.matches(resolved(se)) =>
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(se)) =>
               attr(partial).filter(_.dataType == se.dataType)
                 .map(p => ae.copy(aggregateFunction = Min(p)))
             case (MaxPatOf(pt, partial), Max(se))
-                if !ae.isDistinct && ae.filter.isEmpty && pt.matches(resolved(se)) =>
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(se)) =>
               attr(partial).filter(_.dataType == se.dataType)
                 .map(p => ae.copy(aggregateFunction = Max(p)))
             case (AvgOf(cn, sp, cp), Average(se, mode))
@@ -2122,15 +2210,16 @@ object RollupRouting {
                 if !ae.isDistinct && ae.filter.isEmpty && isBareRef(se, cn) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Max(p)))
             // PATTERN extrema (round 13, the argMax/argMin shape) —
-            // same canonical-match + result-type guard as the join path
+            // same ORDER-SENSITIVE match + result-type guard as the
+            // join path (casts retained unless order-embedding, r14)
             case (MinPatOf(pt, partial), Min(se))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   pt.matches(resolveThroughProjects(se, child)) =>
+                   pt.matchesOrdered(resolveThroughProjects(se, child)) =>
               attr(partial).filter(_.dataType == se.dataType)
                 .map(p => ae.copy(aggregateFunction = Min(p)))
             case (MaxPatOf(pt, partial), Max(se))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   pt.matches(resolveThroughProjects(se, child)) =>
+                   pt.matchesOrdered(resolveThroughProjects(se, child)) =>
               attr(partial).filter(_.dataType == se.dataType)
                 .map(p => ae.copy(aggregateFunction = Max(p)))
             // COUNT(DISTINCT keyCol) → COUNT(keyCol) over rollup ROWS

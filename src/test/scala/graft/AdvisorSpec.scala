@@ -506,6 +506,41 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the argMax/argMin dashboard (q133's max(struct(...)).getField
+    * shape) ADVISES the struct-extremum member — the sixth state,
+    * register-only until now — and the unchanged query routes through
+    * the advised states bit-for-bit. */
+  test("an arg-extrema dashboard advises Min/MaxPatOf states and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_ext").toString
+    val q = () => Rollups.argExtremes(spark, sf)
+    val volume = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"))
+    val truth = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q(), volume()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 1, advice)
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists(_.isInstanceOf[RollupRouting.MaxPatOf]) &&
+           aggs.exists(_.isInstanceOf[RollupRouting.MinPatOf]),
+      s"advised aggs must carry both struct-extremum states: $aggs")
+    // two same-column extremum demands over DIFFERENT structs must
+    // not dedupe into one partial
+    assert(aggs.count(_.isInstanceOf[RollupRouting.MaxPatOf]) == 1 &&
+           aggs.count(_.isInstanceOf[RollupRouting.MinPatOf]) == 1)
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_ext") && !plan.contains("events.parquet"),
+        s"the extrema dashboard must read the advised struct states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed extrema must equal the live dashboard (ties broken by the struct order)")
+    }
+    // the driver entry wraps the same loop
+    assert(Advisor.advisedArgExtremes(spark, sf).collect().toSeq == truth)
+  }
+
   /** r13: a uniqUpTo dashboard (least(countDistinct, N+1)) ADVISES the
     * capped-set state at exactly that limit, and the unchanged query
     * routes exactly through the advised states. */

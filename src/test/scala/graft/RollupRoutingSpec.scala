@@ -2969,6 +2969,33 @@ class RollupRoutingSpec extends AnyFunSuite {
                .getField("u").as("x"))
       assert(!untyped.queryExecution.executedPlan.toString.contains("argrollup"),
         "a differently-typed struct must NOT rewrite")
+      // ORDER guard (r14): a nested VALUE-CHANGING cast — same final
+      // result type as the registered pattern, different ordering
+      // (int truncation loses the fraction) — must stay live AND
+      // return its own answer, not the state's
+      val attacked = () => Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(max(struct($"value".cast("int").cast("decimal(38,6)").as("v"),
+                        $"user_id".as("u"))).getField("u").as("x"))
+        .orderBy("event_type")
+      val attackedPlan = attacked().queryExecution.executedPlan.toString
+      assert(!attackedPlan.contains("argrollup"),
+        s"a nested value-changing cast must NOT rewrite onto the state:\n$attackedPlan")
+      spark.experimental.extraOptimizations = Nil
+      val attackTruth = attacked().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      assert(attacked().collect().toSeq == attackTruth,
+        "the attacked query must compute its own (truncated-order) extrema")
+      // an ORDER-EMBEDDING cast (a redundant relabel of the time
+      // field) is looked through: it cannot change which rows win,
+      // so the spelled-out variant still routes onto the same state
+      val widened = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(min(struct($"ts".cast("timestamp").as("ts"),
+                        $"event_id".as("event_id")))
+               .getField("event_id").as("first_event_id"))
+      assert(widened.queryExecution.executedPlan.toString.contains("argrollup"),
+        "a redundant order-embedding relabel must still match the registered pattern")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
