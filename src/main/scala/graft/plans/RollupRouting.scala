@@ -1953,7 +1953,8 @@ object RollupRouting {
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
-      Some(Aggregate(groupKeys, aggExprs, Filter(tailCond, tree)))
+      alignTailTypes(aggExprs, rollup.output)
+        .map(as => Aggregate(groupKeys, as, Filter(tailCond, tree)))
     }
 
     // ——— single-table daily rollup, with predicate subsumption ———
@@ -2584,6 +2585,48 @@ object RollupRouting {
       Some(Aggregate(groupings, newAggExprs, filtered))
     }
 
+    /** True when two types differ only by the loader-contract
+      * timestamp relabel (TimestampNTZ vs Timestamp) at any nesting —
+      * a cast between them changes no value under the pinned-UTC
+      * session (round 14). */
+    private def relabelOnly(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (f, t) if f == t => true
+        case (TimestampNTZType, TimestampType) => true
+        case (f: StructType, t: StructType) =>
+          f.length == t.length && f.fields.zip(t.fields).forall { case (a, b) =>
+            a.name == b.name && relabelOnly(a.dataType, b.dataType) }
+        case (f: ArrayType, t: ArrayType) =>
+          relabelOnly(f.elementType, t.elementType)
+        case _ => false
+      }
+    }
+
+    /** Align a hybrid tail's output types with the rollup block it
+      * unions against. The tail rebuilds measures from the RAW scan,
+      * below the loader's normalization project, so a measure that
+      * embeds the time column (a struct-extremum state) carries the
+      * NTZ type where the rollup stored the session type — relabel
+      * casts reconcile those exactly; ANY other mismatch aborts the
+      * rewrite (stay live) instead of emitting an unresolvable Union
+      * (round 14 — previously such a plan failed validation and
+      * crashed the query). */
+    private def alignTailTypes(aggExprs: Seq[NamedExpression],
+                               rollupOut: Seq[Attribute])
+        : Option[Seq[NamedExpression]] = {
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      Some(aggExprs.zip(rollupOut).map { case (ne, target) =>
+        if (ne.dataType == target.dataType) ne
+        else if (relabelOnly(ne.dataType, target.dataType)) ne match {
+          case Alias(c, n) => Alias(Cast(c, target.dataType, tz), n)()
+          case _ => return None
+        }
+        else return None
+      })
+    }
+
     /** The coverage watermark a hybrid rollup writer stamped, if any.
       * Outer None = UNREADABLE sidecar (present but unparseable) — the
       * rollup claims partial coverage without proving the boundary, so
@@ -2690,8 +2733,9 @@ object RollupRouting {
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
-      Some(Aggregate(grainKey +: keyByRollupCol.map(_._2),
-                     aggExprs, Filter(tailCond, scanRel)))
+      alignTailTypes(aggExprs, rollup.output)
+        .map(as => Aggregate(grainKey +: keyByRollupCol.map(_._2),
+                             as, Filter(tailCond, scanRel)))
     }
   }
 }

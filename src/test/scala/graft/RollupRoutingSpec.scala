@@ -3020,6 +3020,64 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the extremum member through the SAME streaming lifecycle as
+    * the other five — micro-batched deliveries scatter a group's
+    * struct partials across appended blocks, the routed read re-merges
+    * them to the batch answer, and compaction restores one row per
+    * group without changing it. */
+  test("arg-extrema states stream-maintain: merged partials equal the batch answer") {
+    import graft.ops.Rollups
+    val base = java.nio.file.Files.createTempDirectory("graft_argmv")
+    val spec = Rollups.argExtremesSpec(base.resolve("argstream").toString)
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    // a MID-DAY cut, so the boundary day's groups genuinely split
+    // across the two deliveries
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp")
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    // a group's extremum partials really are scattered across blocks —
+    // the merge has something to prove
+    val stored = spark.read.parquet(spec.rollupPath)
+    assert(stored.groupBy("day", "event_type").count().filter($"count" > 1)
+             .limit(1).count() == 1,
+      "the two deliveries must scatter at least one group across blocks")
+    // a DAY-grained read: a coverage-stamped rollup answers hybrid
+    // (rollup ∪ live tail), which needs the query's own time grouping
+    // to rebuild the grain key — the same contract as the other five
+    // members' streaming reads
+    val dayQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(max(struct($"value".cast("decimal(38,6)").as("v"),
+                      $"user_id".as("u"))).getField("u").as("top_value_user"),
+           min(struct($"ts", $"event_id")).getField("event_id")
+             .as("first_event_id"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = dayQ().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val maintained = dayQ()
+      assert(maintained.queryExecution.executedPlan.toString.contains("argstream"),
+        "the stream-maintained extremum rollup must answer")
+      assert(maintained.collect().toSeq == truth,
+        "stream-maintained struct extrema must merge to the batch answer")
+      Rollups.compactRollup(spark, spec)
+      assert(spark.read.parquet(spec.rollupPath).groupBy("day", "event_type")
+               .count().filter($"count" > 1).isEmpty,
+        "compaction must restore one row per (day, type)")
+      assert(dayQ().collect().toSeq == truth,
+        "compaction must not change the routed answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r13: the SCALAR top-5 projection (q191/q192's declared shape) is
     * DETERMINISTIC — full-capacity estimate (k = maxItems, every day
     * under capacity ⇒ exact counts for every user) + total-order
