@@ -24,10 +24,15 @@ import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType}
   *
   * Scope rules (everything else lands in `skipped` with a reason — the
   * advisor NEVER proposes a spec it cannot prove the router would use):
-  *  - demands MERGE: queries over the same source (or the same join
-  *    core) pool their grouping keys, grain, and measures into ONE spec
-  *    at the finest demanded grain — coarser queries re-aggregate it,
-  *    the hour grain answers day dashboards by roll-up matching;
+  *  - demands MERGE COST-AWARELY (round 14): queries over the same
+  *    source (or the same join core) pool their grouping keys, grain,
+  *    and measures into one spec at the finest demanded grain — but
+  *    only while the union grain does not inflate any member's read
+  *    beyond [[DefaultMaxReadInflation]] (measured per-key distinct
+  *    counts); past the bound the workload advises SEPARATE per-grain
+  *    specs, the way the reference ships six separate MVs
+  *    (`usdc-transfers/sql/analytics.sql:9-106`) rather than one
+  *    mega-MV whose user-shaped keys grow with the data;
   *  - a single-table demand needs a recognizable time grouping
   *    somewhere in its merge group (`to_date(ts)` / `date_trunc('hour',
   *    ts)` / a DATE column) to pin the rollup grain;
@@ -49,7 +54,12 @@ object Advisor {
   /** A proposed join registration plus the base-table scans by name. */
   case class AdvisedJoin(spec: JoinSpec, tables: Map[String, LogicalPlan])
   case class Advice(singles: Seq[AdvisedSingle], joins: Seq[AdvisedJoin],
-                    skipped: Seq[String])
+                    skipped: Seq[String],
+                    /** Human-readable records of cost-aware split /
+                      * guard decisions (round 14) — why one source's
+                      * demands became several specs, or why a state
+                      * demand was refused. */
+                    splits: Seq[String] = Nil)
 
   // ——— per-query demands (pre-merge) ———
   private case class SingleDemand(suffix: String, source: LogicalPlan,
@@ -482,30 +492,147 @@ object Advisor {
     seen.values.toSeq
   }
 
+  /** Read-inflation bound for pooling demands into one spec: a demand
+    * whose merge group gains keys K reads the union-grain rollup, i.e.
+    * ~Π distinct(k) times more rows than its own natural grain. Above
+    * this bound the demands SPLIT into per-grain specs — the router's
+    * size-based cost choice already serves each query from the
+    * cheapest matching MV, so extra specs cost only build/maintenance
+    * (the reference ships six SEPARATE MVs at their natural grains,
+    * `usdc-transfers/sql/analytics.sql:9-106`, never one mega-MV). */
+  val DefaultMaxReadInflation = 4.0
+  /** [[SetOf]] advisability guards: a distinct-set state over a
+    * near-unique column (distinct > half the rows) stores ~every row —
+    * no compression, and the state grows with the data; the absolute
+    * backstop catches bounded-ratio columns whose sets are still too
+    * large to materialize per group (the q204 regime: exact sets for
+    * bounded-cardinality groups, HLL/uniqUpTo for unbounded). */
+  val MaxSetDistinct = 100000L
+
   /** Propose the smallest registry that answers the workload: analyze
-    * each query, merge demands per source / per join core, emit specs
-    * rooted under `rollupRoot`. */
-  def advise(queries: Seq[DataFrame], rollupRoot: String): Advice = {
+    * each query, merge demands per source / per join core — splitting
+    * a merge group when the union grain would inflate any member's
+    * read beyond `maxReadInflation` (round 14) — and emit specs rooted
+    * under `rollupRoot`. Inflation estimates multiply the measured
+    * per-key distinct counts of the keys a demand would GAIN by
+    * merging, deliberately NOT capped by the source's current row
+    * count: at 100× the data the product is realizable, and the
+    * advisor optimizes for the scaled deployment. Calendar grains
+    * (hour vs day) never count as inflation — they are bounded at any
+    * data volume, unlike user-shaped keys that grow with it. */
+  def advise(queries: Seq[DataFrame], rollupRoot: String,
+             maxReadInflation: Double = DefaultMaxReadInflation): Advice = {
+    val spark = queries.headOption.map(_.sparkSession).orNull
     val demands = queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }
-    val skipped = demands.collect { case scala.Left(reason) => reason }
+    val skipped = scala.collection.mutable.Buffer.empty[String]
+    skipped ++= demands.collect { case scala.Left(reason) => reason }
+    val splits = scala.collection.mutable.Buffer.empty[String]
     val singlesBySrc = demands.collect { case scala.Right(d: SingleDemand) => d }
       .groupBy(_.suffix)
-    val singleResults = singlesBySrc.toSeq.sortBy(_._1).map { case (suffix, ds) =>
+
+    // per-source column stats (ONE aggregation job, lazily — only a
+    // merge or set-guard decision pays it): total rows + approx
+    // distinct count per demanded key / set column
+    val statsCache = scala.collection.mutable.Map.empty[String, (Long, Map[String, Long])]
+    def stats(suffix: String, source: LogicalPlan,
+              cols: Set[String]): (Long, Map[String, Long]) =
+      statsCache.getOrElseUpdate(suffix, {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+        val df = org.apache.spark.sql.graftx.Bridge.ofRows(spark, source)
+        val cs = cols.toSeq.sorted
+        val row = df.agg(count(lit(1)),
+          cs.map(c => approx_count_distinct(col(c))): _*).head()
+        (row.getLong(0),
+         cs.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+      })
+
+    val singleResults = singlesBySrc.toSeq.sortBy(_._1).map { case (suffix, ds0) =>
+      val statCols = ds0.flatMap(_.keys).toSet ++
+        ds0.flatMap(_.aggs).collect { case SetOf(c, _) => c }
+      // SetOf cardinality guard (round 14): refuse to materialize a
+      // distinct-set state the registry's own scaladoc warns against
+      val (ds, guarded) = ds0.partition { d =>
+        d.aggs.collect { case SetOf(c, _) => c }.forall { c =>
+          val (total, dist) = stats(suffix, d.source, statCols)
+          val n = dist.getOrElse(c, 0L)
+          val ok = n <= total / 2 && n <= MaxSetDistinct
+          if (!ok) splits += (s"$suffix: collect_set($c) demand refused — " +
+            s"~$n distinct values over $total rows; a set state would not " +
+            "compress (register HLL or uniqUpTo for unbounded keys)")
+          ok
+        }
+      }
+      guarded.foreach { d =>
+        skipped += s"$suffix: collect_set over a near-unique/unbounded column " +
+          "— set state refused (see splits), demand left live"
+      }
       val grains = ds.flatMap(_.grain)
-      if (grains.isEmpty)
+      if (ds.isEmpty)
+        scala.Left(s"$suffix: every demand was guarded out")
+      else if (grains.isEmpty)
         scala.Left(s"$suffix: no query in the merge group pins a time grain")
       else if (grains.map(_._2).distinct.size > 1)
         scala.Left(s"$suffix: merge group uses two different time columns")
       else {
         val timeCol = grains.head._2
-        val grain = if (grains.exists(_._1 == "hour")) "hour" else "day"
-        val keys = ds.flatMap(_.keys).toSet - timeCol
-        val aggs = dedupeAggs(ds.flatMap(_.aggs))
+        // cost-aware grouping: greedy over demands (grain-pinning ones
+        // first, widest key set first), joining the first group whose
+        // union keys keep EVERY member's gained-key product under the
+        // bound; identical key sets always pool (gain = 1)
+        def gain(member: Set[String], union: Set[String]): Double = {
+          val (_, dist) = stats(suffix, ds.head.source, statCols)
+          (union -- member).foldLeft(1.0)((p, k) =>
+            p * math.max(1L, dist.getOrElse(k, 1L)).toDouble)
+        }
+        val groups: Seq[Seq[SingleDemand]] =
+          if (ds.map(_.keys).distinct.size <= 1) Seq(ds)
+          else {
+            val gs = scala.collection.mutable.Buffer
+              .empty[scala.collection.mutable.Buffer[SingleDemand]]
+            val (grained, grainless) = ds.partition(_.grain.isDefined)
+            val ordered = grained.sortBy(d => (-d.keys.size, d.keys.toSeq.sorted.mkString(","))) ++
+              grainless
+            var stranded: Option[String] = None
+            for (d <- ordered) {
+              def fits(g: scala.collection.mutable.Buffer[SingleDemand]): Boolean = {
+                val u = g.flatMap(_.keys).toSet ++ d.keys
+                (g :+ d).forall(m => gain(m.keys, u) <= maxReadInflation)
+              }
+              gs.find(fits) match {
+                case Some(g) => g += d
+                case None if d.grain.isDefined =>
+                  gs += scala.collection.mutable.Buffer(d)
+                case None =>
+                  // a grainless demand cannot seed a spec (nothing pins
+                  // its rollup grain) — refusing beats dead advice
+                  stranded = Some(s"$suffix: a grainless demand's keys " +
+                    s"${d.keys.toSeq.sorted.mkString("(", ",", ")")} would inflate " +
+                    s"every candidate group beyond ${maxReadInflation}x — left live")
+              }
+            }
+            stranded.foreach(skipped += _)
+            if (gs.size > 1) {
+              val uAll = ds.flatMap(_.keys).toSet
+              val worst = ds.map(d => gain(d.keys, uAll)).max
+              splits += f"$suffix: split into ${gs.size} specs — one union-grain " +
+                f"spec would inflate a member's read ~$worst%.0fx " +
+                f"(bound ${maxReadInflation}x)"
+            }
+            gs.map(_.toSeq).toSeq
+          }
         val name = suffix.stripSuffix(".parquet")
-        scala.Right(AdvisedSingle(
-          Spec(suffix, s"$rollupRoot/${name}_advised", grain, timeCol,
-            keyCols = keys.map(k => k -> k).toMap, aggs = aggs),
-          ds.head.source))
+        val multi = groups.size > 1
+        scala.Right(groups.map { g =>
+          val gGrains = g.flatMap(_.grain)
+          val grain = if (gGrains.exists(_._1 == "hour")) "hour" else "day"
+          val keys = g.flatMap(_.keys).toSet - timeCol
+          val slug = if (!multi) "" else "_" + (grain +: keys.toSeq.sorted).mkString("_")
+          AdvisedSingle(
+            Spec(suffix, s"$rollupRoot/${name}_advised$slug", grain, timeCol,
+              keyCols = keys.map(k => k -> k).toMap,
+              aggs = dedupeAggs(g.flatMap(_.aggs))),
+            g.head.source)
+        })
       }
     }
     val joinsByCore = demands.collect { case scala.Right(d: JoinDemand) => d }
@@ -532,9 +659,10 @@ object Advisor {
             timeGroupings = timeGroupings),
           ds.head.tables)
       }
-    Advice(singleResults.collect { case scala.Right(a) => a },
+    Advice(singleResults.collect { case scala.Right(as) => as }.flatten,
            joinResults,
-           skipped ++ singleResults.collect { case scala.Left(r) => r })
+           (skipped ++ singleResults.collect { case scala.Left(r) => r }).toSeq,
+           splits.toSeq)
   }
 
   /** Build every advised rollup from its captured scans (spec-driven
@@ -663,13 +791,16 @@ object Advisor {
     runRouted(spark, advice) { graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir) }
   }
 
-  /** Driver entry (q178, shares q01's oracle): the advisor merges a
-    * DAY-grain keyed dashboard and an HOUR-grain count over events
-    * into ONE hourly (hour, user) spec — the finest demanded grain —
-    * and the unchanged daily query routes through it by roll-up
-    * matching (day = to_date(hour)). Exercises the advised EVENTS
-    * path end-to-end: the build re-applies the loader's NTZ
-    * normalization to the captured bare relation. */
+  /** Driver entry (q178, shares q01's oracle): a DAY-grain keyed
+    * dashboard and an HOUR-grain keyless count over events advise
+    * COST-AWARELY (round 14): pooling them would put the hourly count
+    * on a user-keyed rollup — a read that grows with the user count —
+    * so past the inflation bound the advisor emits SEPARATE per-grain
+    * specs (an hourly calendar-sized count MV and the (day, user)
+    * rollup), and the unchanged daily query routes through its own.
+    * Exercises the advised EVENTS path end-to-end: the build
+    * re-applies the loader's NTZ normalization to the captured bare
+    * relation. */
   def advisedEventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = graft.ops.StarJoins.scratch(sfDir, "advised_events")
@@ -679,8 +810,9 @@ object Advisor {
       .orderBy("h")
     val advice = advise(
       Seq(graft.ops.Rollups.daily(spark, sfDir), hourlyCount), root)
-    require(advice.singles.size == 1 && advice.skipped.isEmpty,
-      s"advisor must merge the events workload into one spec: $advice")
+    require(advice.singles.size == 2 && advice.skipped.isEmpty &&
+        advice.splits.nonEmpty,
+      s"the keyed + keyless demands must advise per-grain specs: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.daily(spark, sfDir) }
   }
 
@@ -746,18 +878,19 @@ object Advisor {
 
   /** Driver entry (q187, rows-only like the q184 sketch family): the
     * SKETCH demand advised end-to-end — the raw daily approx-uniques
-    * dashboard and the (day, user) volume dashboard merge into ONE
-    * events spec whose partial block carries the HLL state next to
-    * the decimal partials, and the unchanged sketch query routes
-    * through it (AdvisorSpec pins routed ≡ live for BOTH queries of
-    * the merged workload). */
+    * dashboard and the (day, user) volume dashboard advise SEPARATE
+    * specs under the cost-aware merge (round 14: a day-sized HLL read
+    * must not sit on a user-keyed rollup whose row count grows with
+    * the users), and the unchanged sketch query routes through its
+    * own calendar-sized spec (AdvisorSpec pins routed ≡ live for BOTH
+    * queries of the workload). */
   def advisedUniqSketch(spark: SparkSession, sfDir: String): DataFrame = {
     val root = graft.ops.StarJoins.scratch(sfDir, "advised_uniq")
     val advice = advise(Seq(
       graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir),
       graft.ops.Rollups.daily(spark, sfDir)), root)
-    require(advice.singles.size == 1 && advice.skipped.isEmpty,
-      s"advisor must merge the sketch + volume workload into one spec: $advice")
+    require(advice.singles.size == 2 && advice.skipped.isEmpty,
+      s"the sketch + keyed volume demands must advise per-grain specs: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
   }
 
@@ -812,19 +945,22 @@ object Advisor {
     graft.ops.Rollups.daily(spark, sfDir))
 
   /** Driver entry (q199, rows-only like the sketch family): the FULL
-    * state-suite workload advised into ONE spec — the daily uniques
-    * sketch, the p50/p95 KLL dashboard, the top-users dashboard, the
-    * monthly volume cut, and the (day, user) volume rollup pool into
-    * a single day-grain registration whose partial block carries all
-    * three sketch states next to the decimal partials; every one of
-    * the five unchanged queries routes through it (AdvisorSpec pins
-    * each against its live answer). The reference's six
-    * hand-designed MVs, inferred and UNIFIED from the raw workload. */
+    * state-suite workload advised into a PER-GRAIN catalog (round 14)
+    * — the daily uniques sketch, the p50/p95 KLL dashboard, the
+    * top-users dashboard, and the monthly volume cut pool into one
+    * calendar-sized day-grain spec carrying all three sketch states;
+    * the (day, user) volume rollup gets its own keyed spec, because
+    * pooling would put every day-sized sketch read on a rollup whose
+    * rows grow with the user count. Every one of the five unchanged
+    * queries routes through its natural spec (AdvisorSpec pins each
+    * against its live answer) — the reference's six hand-designed MVs
+    * at their natural grains, inferred from the raw workload. */
   def advisedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
     val root = graft.ops.StarJoins.scratch(sfDir, "advised_suite")
     val advice = advise(stateSuiteQueries(spark, sfDir), root)
-    require(advice.singles.size == 1 && advice.skipped.isEmpty,
-      s"the state-suite workload must advise ONE spec: $advice")
+    require(advice.singles.size == 2 && advice.skipped.isEmpty &&
+        advice.splits.nonEmpty,
+      s"the state suite must advise per-grain specs: $advice")
     runRouted(spark, advice) { graft.ops.Rollups.dailyUniqSketchRaw(spark, sfDir) }
   }
 
@@ -855,14 +991,18 @@ object Advisor {
 
   /** Driver entry (q205, shares q204's oracle): the FOUR-STATE
     * ADOPTED suite — the five state-suite dashboards plus a
-    * sorted-set distinct dashboard advise into ONE events spec whose
-    * partial block carries all four state members (HLL uniques, KLL
-    * quantiles, top-k, distinct set) next to the decimal partials;
-    * one [[adopt]] call builds + registers + persists that catalog,
-    * the in-memory registry is dropped and reloaded from the JSON,
-    * and the unchanged q204-shape dashboard routes through it. The
-    * oracled member of the state family exercising the whole adopted
-    * multi-state catalog end-to-end. */
+    * sorted-set distinct dashboard advise into a PER-GRAIN catalog
+    * (round 14): a calendar-sized (day) spec carrying the three
+    * sketch states, the (day, user) volume rollup, and a (day, type)
+    * spec carrying the distinct-set state — the cost-aware split that
+    * keeps the 5-row set dashboard off a rollup whose rows grow with
+    * the user count (the r13 one-spec merge read 150k full-key
+    * array-state rows at ×100, 6.9× the live scan). One [[adopt]]
+    * call builds + registers + persists the whole catalog, the
+    * in-memory registry is dropped and reloaded from the JSON, and
+    * the unchanged q204-shape dashboard routes through its natural
+    * spec. The oracled member of the state family exercising the
+    * adopted multi-state catalog end-to-end. */
   def adoptedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = graft.ops.StarJoins.scratch(sfDir, "adopted_states")
@@ -875,14 +1015,21 @@ object Advisor {
            size(collect_set(col("user_id"))).as("n_users"),
            count(lit(1)).as("n_events"))
     val advice = advise(stateSuiteQueries(spark, sfDir) :+ setDemand, root)
-    require(advice.singles.size == 1 && advice.skipped.isEmpty,
-      s"the four-state workload must advise ONE spec: $advice")
-    val aggs = advice.singles.head.spec.aggs
+    require(advice.singles.size == 3 && advice.skipped.isEmpty &&
+        advice.splits.nonEmpty,
+      s"the four-state workload must advise per-grain specs: $advice")
+    val aggs = advice.singles.flatMap(_.spec.aggs)
     require(aggs.exists(_.isInstanceOf[HllUniqOf]) &&
             aggs.exists(_.isInstanceOf[KllQuantileOf]) &&
             aggs.exists(_.isInstanceOf[TopKOf]) &&
             aggs.exists(_.isInstanceOf[SetOf]),
-      s"the advised spec must carry all four state members: $aggs")
+      s"the advised catalog must carry all four state members: $aggs")
+    // the set dashboard's spec must be CALENDAR-SIZED — the split's
+    // whole point: its rollup carries no user-shaped key
+    val setSpec = advice.singles.map(_.spec)
+      .find(_.aggs.exists(_.isInstanceOf[SetOf])).get
+    require(setSpec.keyCols.keySet == Set("event_type"),
+      s"the set state must land on the (day, type) grain: $setSpec")
     val prev = spark.experimental.extraOptimizations
     try {
       val adopted = adopt(spark, advice, s"$root/registry.json", memoized = true)

@@ -44,7 +44,11 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
-  test("hour + day + keyed demands merge into one hourly spec answering all") {
+  /** r14, cost-aware merging: pooling the keyless hourly count with a
+    * user-keyed daily rollup would put the count's read on a rollup
+    * whose rows grow with the user count, so the advisor emits
+    * per-grain specs; each unchanged query routes through its own. */
+  test("a keyed + keyless workload advises per-grain specs answering all") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_ev").toString
     val daily = () => Tables.events(spark, sf)
       .groupBy(to_date($"ts").as("day"), $"user_id")
@@ -56,11 +60,12 @@ class AdvisorSpec extends AnyFunSuite {
       .orderBy("h")
     val advice = Advisor.advise(Seq(daily(), hourly()), root)
     assert(advice.skipped.isEmpty, advice.skipped)
-    assert(advice.singles.size == 1, advice)
-    val spec = advice.singles.head.spec
-    // finest demanded grain wins; the day query re-aggregates it
-    assert(spec.grain == "hour" && spec.timeCol == "ts")
-    assert(spec.keyCols == Map("user_id" -> "user_id"))
+    assert(advice.singles.size == 2 && advice.splits.nonEmpty, advice)
+    val byKeys = advice.singles.map(_.spec).groupBy(_.keyCols.keySet)
+    val keyed = byKeys(Set("user_id")).head
+    val keyless = byKeys(Set.empty[String]).head
+    assert(keyed.grain == "day" && keyless.grain == "hour",
+      s"each spec lands at its demand's natural grain: ${advice.singles.map(_.spec)}")
     val plainDaily = daily().collect().toSeq
     val plainHourly = hourly().collect().toSeq
     routedWith(advice) {
@@ -361,16 +366,21 @@ class AdvisorSpec extends AnyFunSuite {
       "advised day-grain rollup must answer the monthly dashboard exactly")
   }
 
-  test("the five-dashboard state suite advises ONE spec answering all five") {
+  test("the five-dashboard state suite advises per-grain specs answering all five") {
     import graft.ops.Rollups
     val queries = Advisor.stateSuiteQueries(spark, sf)
     val raws = queries.map(_.collect().toSeq)
     val root = java.nio.file.Files.createTempDirectory("graft_advise_suite").toString
     val advice = Advisor.advise(Advisor.stateSuiteQueries(spark, sf), root)
-    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
-    val spec = advice.singles.head.spec
-    assert(spec.grain == "day" && spec.keyCols.keySet == Set("user_id"),
-      s"suite must merge to a (day, user) spec: $spec")
+    // r14 cost-aware merge: the four keyless day dashboards pool into
+    // ONE calendar-sized spec carrying all three sketch states; the
+    // (day, user) volume rollup splits off — its rows grow with the
+    // user count and would inflate every sketch read
+    assert(advice.singles.size == 2 && advice.skipped.isEmpty, advice.skipped)
+    val byKeys = advice.singles.map(_.spec).groupBy(_.keyCols.keySet)
+    val spec = byKeys(Set.empty[String]).head
+    assert(spec.grain == "day", s"the pooled sketch spec is day-grain: $spec")
+    assert(byKeys(Set("user_id")).head.grain == "day")
     val kinds = spec.aggs.map(_.getClass.getSimpleName).toSet
     assert(Set("HllUniqOf", "KllQuantileOf", "TopKOf", "SumOf", "CountStarTo")
       .subsetOf(kinds), s"partial block must carry all three states: $kinds")
@@ -407,8 +417,10 @@ class AdvisorSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_hll").toString
     val advice = Advisor.advise(Seq(
       Rollups.dailyUniqSketchRaw(spark, sf), Rollups.daily(spark, sf)), root)
-    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
-    val spec = advice.singles.head.spec
+    // r14: the keyless sketch read and the user-keyed volume rollup
+    // advise separately — the cost-aware split
+    assert(advice.singles.size == 2 && advice.skipped.isEmpty, advice.skipped)
+    val spec = advice.singles.map(_.spec).find(_.keyCols.isEmpty).get
     assert(spec.aggs.exists {
       case RollupRouting.HllUniqOf("user_id", _, 12) => true; case _ => false
     }, s"advised aggs must carry the HLL state: ${spec.aggs}")
@@ -460,11 +472,13 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
-  /** r13 capstone: the four-state workload merges into ONE spec
-    * carrying HLL + KLL + top-k + set states, and the q204-shape set
-    * dashboard ROUTES through it (the oracle alone cannot prove the
-    * read came from the rollup — the plan assertion does). */
-  test("the four-state suite advises one spec; the set dashboard routes through it") {
+  /** r13 capstone, r14 cost-aware: the four-state workload advises a
+    * PER-GRAIN catalog — sketches on the calendar-sized (day) spec,
+    * the volume rollup on (day, user), the distinct-set state on
+    * (day, type) — and the q204-shape set dashboard ROUTES through
+    * its natural spec (the oracle alone cannot prove the read came
+    * from the rollup — the plan assertion does). */
+  test("the four-state suite advises a per-grain catalog; the set dashboard routes") {
     import graft.ops.Rollups
     val root = java.nio.file.Files.createTempDirectory("graft_adv4st").toString
     val setDemand = Tables.events(spark, sf)
@@ -474,13 +488,18 @@ class AdvisorSpec extends AnyFunSuite {
            count(lit(1)).as("n_events"))
     val advice = Advisor.advise(
       Advisor.stateSuiteQueries(spark, sf) :+ setDemand, root)
-    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
-    val aggs = advice.singles.head.spec.aggs
+    assert(advice.singles.size == 3 && advice.skipped.isEmpty, advice.skipped)
+    val aggs = advice.singles.flatMap(_.spec.aggs)
     assert(aggs.exists(_.isInstanceOf[RollupRouting.HllUniqOf]) &&
            aggs.exists(_.isInstanceOf[RollupRouting.KllQuantileOf]) &&
            aggs.exists(_.isInstanceOf[RollupRouting.TopKOf]) &&
            aggs.exists(_.isInstanceOf[RollupRouting.SetOf]),
-      s"one spec must carry all four state members: $aggs")
+      s"the catalog must carry all four state members: $aggs")
+    // the split's point: the set state sits on a (day, type) spec with
+    // NO user-shaped key — its rollup stays calendar-sized
+    val setSpec = advice.singles.map(_.spec)
+      .find(_.aggs.exists(_.isInstanceOf[RollupRouting.SetOf])).get
+    assert(setSpec.keyCols.keySet == Set("event_type"), setSpec.toString)
     val q = () => Tables.events(spark, sf)
       .groupBy($"event_type")
       .agg(sort_array(collect_set($"user_id")).as("users"),
@@ -504,6 +523,69 @@ class AdvisorSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+  }
+
+  /** r14: the cost-aware merge policy, pinned from both sides — same
+    * key set (or pure calendar refinement) keeps the merge; a gained
+    * key whose distinct count explodes the read splits it. */
+  test("spec merging is cost-aware: same-grain pools, exploding grains split") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_cost").toString
+    // MERGE KEPT: identical (day, type) key sets — two dashboards,
+    // one spec, no split records
+    val a = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("v"))
+    val b = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("c"), min($"value").as("lo"))
+    val kept = Advisor.advise(Seq(a, b), root)
+    assert(kept.singles.size == 1 && kept.splits.isEmpty && kept.skipped.isEmpty,
+      s"same-grain demands must pool into one spec: $kept")
+    assert(kept.singles.head.spec.keyCols.keySet == Set("event_type"))
+    // MERGE KEPT: keyless hour + keyless day — calendar refinement is
+    // bounded at any data volume, never a split reason
+    val hourless = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("h")).agg(count(lit(1)).as("c"))
+    val dayless = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("c"))
+    val calendar = Advisor.advise(Seq(hourless, dayless), root)
+    assert(calendar.singles.size == 1 && calendar.splits.isEmpty &&
+           calendar.singles.head.spec.grain == "hour",
+      s"calendar refinement must merge at the finest grain: $calendar")
+    // SPLIT: a keyless day count must not ride a user-keyed rollup —
+    // the gained key's distinct count exceeds the inflation bound
+    val keyed = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+    val split = Advisor.advise(Seq(dayless, keyed), root)
+    assert(split.singles.size == 2 && split.skipped.isEmpty,
+      s"a user-shaped gained key must split the specs: $split")
+    assert(split.splits.exists(_.contains("split into 2 specs")), split.splits)
+    // the two rollup paths are distinct and deterministic
+    assert(split.singles.map(_.spec.rollupPath).distinct.size == 2)
+  }
+
+  /** r14: the SetOf advisability guard — a distinct-set state over a
+    * near-unique column stores ~every row; the advisor refuses it
+    * with the reason recorded, and the rest of the workload still
+    * advises. */
+  test("a collect_set demand over a near-unique column is refused with a reason") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_setg").toString
+    val unbounded = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sort_array(collect_set($"event_id")).as("ids"), count(lit(1)).as("c"))
+    val bounded = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sort_array(collect_set($"user_id")).as("users"), count(lit(1)).as("c"))
+    val advice = Advisor.advise(Seq(unbounded, bounded), root)
+    // the near-unique event_id demand is refused; the bounded user_id
+    // demand still advises its set state
+    assert(advice.skipped.exists(_.contains("set state refused")), advice.skipped)
+    assert(advice.splits.exists(_.contains("collect_set(event_id)")), advice.splits)
+    assert(advice.singles.size == 1, advice)
+    assert(advice.singles.head.spec.aggs.exists {
+      case RollupRouting.SetOf("user_id", _) => true; case _ => false
+    }, s"the bounded demand must still advise: ${advice.singles.head.spec.aggs}")
   }
 
   /** r14: the argMax/argMin dashboard (q133's max(struct(...)).getField
