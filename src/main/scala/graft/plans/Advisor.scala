@@ -503,11 +503,16 @@ object Advisor {
   val DefaultMaxReadInflation = 4.0
   /** [[SetOf]] advisability guards: a distinct-set state over a
     * near-unique column (distinct > half the rows) stores ~every row —
-    * no compression, and the state grows with the data; the absolute
-    * backstop catches bounded-ratio columns whose sets are still too
-    * large to materialize per group (the q204 regime: exact sets for
-    * bounded-cardinality groups, HLL/uniqUpTo for unbounded). */
-  val MaxSetDistinct = 100000L
+    * no compression at ANY scale, the scale-free test that catches
+    * id-shaped columns. The absolute backstop additionally refuses
+    * bounded-ratio columns whose total membership is too large to
+    * materialize as exact array states (the q204 regime: exact sets
+    * for bounded-cardinality groups, HLL/uniqUpTo for unbounded). */
+  val MaxSetDistinct = 1000000L
+  /** Advise-time stats sample bound — the prefix row count the
+    * cost-model scan reads (pushed to the source as a limit, so the
+    * advisor's planning cost stays flat while the fact table grows). */
+  val StatsSampleRows = 100000
 
   /** Propose the smallest registry that answers the workload: analyze
     * each query, merge demands per source / per join core — splitting
@@ -531,19 +536,41 @@ object Advisor {
       .groupBy(_.suffix)
 
     // per-source column stats (ONE aggregation job, lazily — only a
-    // merge or set-guard decision pays it): total rows + approx
-    // distinct count per demanded key / set column
+    // merge or set-guard decision pays it): row count + approx
+    // distinct count per demanded key / set column, over a BOUNDED
+    // prefix sample so advise cost is O(1) in fact volume — a 100 TB
+    // fact table must not cost a full scan per advise. The decisions
+    // these stats feed need magnitudes, not precision: a gained key
+    // either multiplies reads past the small bound or it doesn't, and
+    // near-uniqueness shows in any prefix of an id-shaped column.
     val statsCache = scala.collection.mutable.Map.empty[String, (Long, Map[String, Long])]
     def stats(suffix: String, source: LogicalPlan,
               cols: Set[String]): (Long, Map[String, Long]) =
       statsCache.getOrElseUpdate(suffix, {
         import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
         val df = org.apache.spark.sql.graftx.Bridge.ofRows(spark, source)
+          .limit(StatsSampleRows)
         val cs = cols.toSeq.sorted
         val row = df.agg(count(lit(1)),
           cs.map(c => approx_count_distinct(col(c))): _*).head()
         (row.getLong(0),
          cs.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+      })
+
+    // the SET guard's stats are FULL single-column scans (cached per
+    // column): near-uniqueness cannot be judged from a prefix — a
+    // sample can look id-shaped while the column repeats globally —
+    // and a wrong refusal kills a legitimate registration. One pruned
+    // column scan per set demand is the honest price; merge-product
+    // decisions below stay on the bounded sample (there an
+    // underestimate only under-splits, never mis-refuses).
+    val fullColCache = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    def fullColStats(suffix: String, source: LogicalPlan, c: String): (Long, Long) =
+      fullColCache.getOrElseUpdate((suffix, c), {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+        val row = org.apache.spark.sql.graftx.Bridge.ofRows(spark, source)
+          .agg(count(lit(1)), approx_count_distinct(col(c))).head()
+        (row.getLong(0), row.getLong(1))
       })
 
     val singleResults = singlesBySrc.toSeq.sortBy(_._1).map { case (suffix, ds0) =>
@@ -553,8 +580,7 @@ object Advisor {
       // distinct-set state the registry's own scaladoc warns against
       val (ds, guarded) = ds0.partition { d =>
         d.aggs.collect { case SetOf(c, _) => c }.forall { c =>
-          val (total, dist) = stats(suffix, d.source, statCols)
-          val n = dist.getOrElse(c, 0L)
+          val (total, n) = fullColStats(suffix, d.source, c)
           val ok = n <= total / 2 && n <= MaxSetDistinct
           if (!ok) splits += (s"$suffix: collect_set($c) demand refused — " +
             s"~$n distinct values over $total rows; a set state would not " +
