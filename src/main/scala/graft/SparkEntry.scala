@@ -476,6 +476,11 @@ object SparkEntry {
     // unchanged q133-shape query routes; all six state members now
     // advise, not just register
     "q208_advised_extrema" -> (graft.plans.Advisor.advisedArgExtremes _),
+    // r14: the SET-member lattice — GROUP BY ROLLUP over collect_set
+    // answered from the (day, type) array states at every grain (set
+    // union is subtotal-safe, the q203 argument with exact sets);
+    // sorted members render to csv, so the lattice is DuckDB-oracled
+    "q209_lattice_set" -> (Rollups.latticeSetRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2049,6 +2054,14 @@ object SparkEntry {
           (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
           ${dsum("value")} AS total_value
           FROM events GROUP BY 1 ORDER BY event_type""",
+    // the routed set lattice must match the exact per-grain sets,
+    // sizes, and counts of DuckDB's own ROLLUP
+    "q209_lattice_set" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+         array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users,
+         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY ROLLUP(1, 2)
+         ORDER BY day NULLS FIRST, event_type NULLS FIRST""",
     // the ADVISED arg-extrema read must hash-match q133's oracle too
     "q208_advised_extrema" ->
       s"""SELECT event_type,

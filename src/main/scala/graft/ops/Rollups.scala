@@ -392,6 +392,34 @@ object Rollups {
     }
   }
 
+  /** Driver entry (q209, oracled): the SET-member LATTICE (round 14)
+    * — GROUP BY ROLLUP(day, type) over `collect_set` answered from
+    * the per-(day, type) array states at EVERY grain: exact distinct
+    * sets are subtotal-safe by set union (the q203 argument with sets
+    * instead of HLL registers), so one rollup-sized scan answers the
+    * per-(day, type) cut, the per-day subtotal, and the grand total,
+    * while the exact COUNT(DISTINCT) lattice guard stays untouched.
+    * Sorted members render to csv and `size(...)` is the exact count,
+    * so the whole lattice is DuckDB-oracled. */
+  def latticeSetRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "lattice_set_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqArraySpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(uniqArraySpec(dir))) {
+      Tables.events(spark, sfDir)
+        .rollup(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          array_join(expr(
+            "transform(sort_array(collect_set(user_id)), x -> cast(x as string))"),
+            ",").as("users"),
+          size(collect_set(col("user_id"))).cast("long").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+    }
+  }
+
   /** The (day × event_type) ARG-EXTREMA rollup registration (round
     * 13): per-group struct maxima/minima — ClickHouse's
     * `argMaxState`/`argMinState` as registry members

@@ -3020,6 +3020,46 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the SET members through the grouping-set lattice — exact
+    * distinct SETS are subtotal-safe by set union (the same argument
+    * as the HLL states, q203), so a ROLLUP dashboard over
+    * collect_set / size(collect_set) routes per grain while the exact
+    * COUNT(DISTINCT) guard stays untouched. */
+  test("a ROLLUP lattice over collect_set routes from set states per grain") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_latset")
+      .resolve("setlattice").toString
+    val spec = Rollups.uniqArraySpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"),
+           size(collect_set($"user_id")).as("n_users"),
+           count(lit(1)).as("n"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("setlattice") && !plan.contains("events.parquet"),
+        s"every grain of the set lattice must read the array states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed lattice sets and exact sizes must equal the live lattice per grain")
+      // the EXACT count-distinct lattice guard is untouched: the same
+      // dashboard spelled as COUNT(DISTINCT) must stay live
+      val exact = Tables.events(spark, sf)
+        .rollup(to_date($"ts").as("day"), $"event_type")
+        .agg(countDistinct($"user_id").as("u"))
+      assert(!exact.queryExecution.executedPlan.toString.contains("setlattice"),
+        "an exact distinct aggregate must never lattice-route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r14: the extremum member through the SAME streaming lifecycle as
     * the other five — micro-batched deliveries scatter a group's
     * struct partials across appended blocks, the routed read re-merges
