@@ -481,6 +481,11 @@ object SparkEntry {
     // union is subtotal-safe, the q203 argument with exact sets);
     // sorted members render to csv, so the lattice is DuckDB-oracled
     "q209_lattice_set" -> (Rollups.latticeSetRouted _),
+    // r14: the OFFLINE advising loop — the q205 workload captured to
+    // a JSON demand log, advice mined FROM THE FILE (no live
+    // DataFrames), adopted, reloaded, and the unchanged set dashboard
+    // routes; yesterday's query log advising tomorrow's MVs
+    "q210_captured_states" -> (graft.plans.Advisor.capturedStateSuite _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2046,6 +2051,7 @@ object SparkEntry {
     // the four-state ADOPTED catalog must reproduce the identical
     // set-dashboard answer through its merged multi-state spec
     "q205_adopted_states" -> uniqArraySql,
+    "q210_captured_states" -> uniqArraySql,
     // the routed arg-extrema read must hash-match q133's oracle
     "q207_arg_extremes_routed" ->
       s"""SELECT event_type,

@@ -161,11 +161,24 @@ object Advisor {
       }
       // de-resolve to names: the pattern outlives the query it was
       // mined from, so it must not carry that plan's attribute ids —
-      // the build re-resolves it against the registry's own scans
-      if (leavesOk && e.references.nonEmpty) Some(ExprPat(e.transformUp {
-        case a: AttributeReference =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
-      })) else None
+      // the build re-resolves it against the registry's own scans.
+      // Struct nodes shed the analyzer's struct() print-alias tag
+      // (transformUp re-copies tags, so unset AFTER): with it, the
+      // pattern's SQL travel form (the JSON catalog / workload
+      // capture) renders `struct(values…)` and silently drops the
+      // field names the match depends on.
+      if (leavesOk && e.references.nonEmpty) {
+        val der = e.transformUp {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+        }
+        der.foreach {
+          case c: CreateNamedStruct => c.unsetTagValue(
+            org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FUNC_ALIAS)
+          case _ =>
+        }
+        Some(ExprPat(der))
+      } else None
   }
 
   /** Deterministic partial-column name per measure (stable across
@@ -529,6 +542,13 @@ object Advisor {
              maxReadInflation: Double = DefaultMaxReadInflation): Advice = {
     val spark = queries.headOption.map(_.sparkSession).orNull
     val demands = queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }
+    adviseDemands(spark, demands, rollupRoot, maxReadInflation)
+  }
+
+  private def adviseDemands(spark: SparkSession,
+                            demands: Seq[scala.Either[String, Any]],
+                            rollupRoot: String,
+                            maxReadInflation: Double): Advice = {
     val skipped = scala.collection.mutable.Buffer.empty[String]
     skipped ++= demands.collect { case scala.Left(reason) => reason }
     val splits = scala.collection.mutable.Buffer.empty[String]
@@ -689,6 +709,89 @@ object Advisor {
            joinResults,
            (skipped ++ singleResults.collect { case scala.Left(r) => r }).toSeq,
            splits.toSeq)
+  }
+
+  /** CAPTURE a workload's advisable demands to a JSON file — the
+    * offline half of the production loop (round 14): a fleet logs its
+    * dashboards' analyzed demands as they run, and [[adviseCaptured]]
+    * mines the catalog from the FILE later — yesterday's query log
+    * advising tomorrow's MVs with no live DataFrames in sight. The
+    * reference's setup is a static script
+    * (`usdc-transfers/setup-analytics.sh:49-113`); this is its
+    * workload-driven equivalent with a durable intermediate. Join
+    * demands are out of capture scope (single-table only) and record
+    * a skip reason; measures travel as the registry's own JSON
+    * vocabulary ([[RollupRouting.aggJson]]), so a capture survives
+    * exactly what the persisted catalog survives. */
+  def captureWorkload(queries: Seq[DataFrame], path: String): Unit = {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries: List[JValue] =
+      queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }.map {
+        case scala.Right(d: SingleDemand) =>
+          d.source.collectFirst {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.head.toString
+          } match {
+            case Some(p) =>
+              ("kind" -> "single") ~ ("suffix" -> d.suffix) ~
+              ("sourcePath" -> p) ~
+              ("grain" -> d.grain.map(_._1)) ~ ("timeCol" -> d.grain.map(_._2)) ~
+              ("keys" -> d.keys.toList.sorted) ~
+              ("aggs" -> d.aggs.map(RollupRouting.aggJson)): JValue
+            case None =>
+              ("kind" -> "skipped") ~
+              ("reason" -> "capture: scan has no parquet root path"): JValue
+          }
+        case scala.Right(_) =>
+          ("kind" -> "skipped") ~
+          ("reason" -> "capture: join demands are single-table scoped"): JValue
+        case scala.Left(r) =>
+          ("kind" -> "skipped") ~ ("reason" -> r): JValue
+      }.toList
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(target,
+      JsonMethods.pretty(JsonMethods.render(
+        JObject("demands" -> JArray(entries))))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Advise OFFLINE from a [[captureWorkload]] file: reconstruct each
+    * demand (the source scan re-opens from its recorded path — the
+    * bare relation, exactly what capture analyzed), then run the same
+    * cost-aware merge as the live path. */
+  def adviseCaptured(spark: SparkSession, path: String, rollupRoot: String,
+                     maxReadInflation: Double = DefaultMaxReadInflation): Advice = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    // the loader contract's conf, in case the captured source is a
+    // nanos-encoded events table (see graft.Tables)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val doc = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val demands: Seq[scala.Either[String, Any]] =
+      (doc \ "demands").children.map { j =>
+        (j \ "kind").extract[String] match {
+          case "skipped" => scala.Left((j \ "reason").extract[String])
+          case "single" =>
+            val source = spark.read
+              .parquet((j \ "sourcePath").extract[String])
+              .queryExecution.analyzed
+            val grain = for {
+              g <- (j \ "grain").extractOpt[String]
+              c <- (j \ "timeCol").extractOpt[String]
+            } yield (g, c)
+            scala.Right(SingleDemand((j \ "suffix").extract[String], source,
+              grain, (j \ "keys").extract[List[String]].toSet,
+              (j \ "aggs").children.map(a => RollupRouting.aggFromJson(spark, a))))
+          case k => scala.Left(s"capture: unknown demand kind $k")
+        }
+      }
+    adviseDemands(spark, demands, rollupRoot, maxReadInflation)
   }
 
   /** Build every advised rollup from its captured scans (spec-driven
@@ -1029,18 +1132,36 @@ object Advisor {
     * the unchanged q204-shape dashboard routes through its natural
     * spec. The oracled member of the state family exercising the
     * adopted multi-state catalog end-to-end. */
-  def adoptedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The advise-time set demand: the mappable sorted-set + size +
+    * count shape (string-joining is a read-side projection the ROUTER
+    * handles; the ADVISOR demands the aggregate underneath). */
+  private def setSuiteDemand(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val root = graft.ops.StarJoins.scratch(sfDir, "adopted_states")
-    // the advise-time set demand: the mappable sorted-set + size +
-    // count shape (string-joining is a read-side projection the
-    // ROUTER handles; the ADVISOR demands the aggregate underneath)
-    val setDemand = graft.Tables.events(spark, sfDir)
+    graft.Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(sort_array(collect_set(col("user_id"))).as("users"),
            size(collect_set(col("user_id"))).as("n_users"),
            count(lit(1)).as("n_events"))
-    val advice = advise(stateSuiteQueries(spark, sfDir) :+ setDemand, root)
+  }
+
+  /** The q204-shape read the adopted/captured suites serve. */
+  private def setDashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        array_join(expr(
+          "transform(sort_array(collect_set(user_id)), x -> cast(x as string))"),
+          ",").as("users"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  def adoptedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "adopted_states")
+    val advice = advise(
+      stateSuiteQueries(spark, sfDir) :+ setSuiteDemand(spark, sfDir), root)
     require(advice.singles.size == 3 && advice.skipped.isEmpty &&
         advice.splits.nonEmpty,
       s"the four-state workload must advise per-grain specs: $advice")
@@ -1061,16 +1182,37 @@ object Advisor {
       val adopted = adopt(spark, advice, s"$root/registry.json", memoized = true)
       RollupRouting.clear()
       RollupRouting.loadRegistry(spark, adopted.registryPath)
-      graft.Tables.events(spark, sfDir)
-        .groupBy(col("event_type"))
-        .agg(
-          array_join(expr(
-            "transform(sort_array(collect_set(user_id)), x -> cast(x as string))"),
-            ",").as("users"),
-          size(collect_set(col("user_id"))).cast("long").as("n_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy("event_type")
-        .localCheckpoint()
+      setDashboard(spark, sfDir).localCheckpoint()
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
+  /** Driver entry (q210, shares q204's oracle): the OFFLINE advising
+    * loop end-to-end (round 14) — the six-dashboard q205 workload is
+    * CAPTURED to a JSON demand log, the advice is mined FROM THE FILE
+    * (no live workload DataFrames), adopted, the registry reloaded
+    * from the persisted catalog, and the unchanged set dashboard
+    * routes. This is the production 100 TB workflow: yesterday's
+    * query log advises tomorrow's MVs in an offline pass. */
+  def capturedStateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.ops.StarJoins.scratch(sfDir, "captured_states")
+    captureWorkload(
+      stateSuiteQueries(spark, sfDir) :+ setSuiteDemand(spark, sfDir),
+      s"$root/workload.json")
+    val advice = adviseCaptured(spark, s"$root/workload.json", root)
+    require(advice.singles.size == 3 && advice.skipped.isEmpty,
+      s"the captured workload must advise the same per-grain catalog: $advice")
+    require(advice.singles.flatMap(_.spec.aggs)
+              .exists(_.isInstanceOf[SetOf]),
+      s"the captured set demand must survive the file round-trip: $advice")
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = adopt(spark, advice, s"$root/registry.json", memoized = true)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      setDashboard(spark, sfDir).localCheckpoint()
     } finally {
       spark.experimental.extraOptimizations = prev
       RollupRouting.clear()

@@ -1078,7 +1078,7 @@ object RollupRouting {
   // even though the parsed tree is built fresh). Written atomically
   // (temp + rename) so a catalog reader never sees a torn file.
 
-  private def patJson(p: SrcPat): org.json4s.JValue = {
+  private[plans] def patJson(p: SrcPat): org.json4s.JValue = {
     import org.json4s.JsonDSL._
     p match {
       case ColRef(n) => ("kind" -> "col") ~ ("name" -> n)
@@ -1088,7 +1088,7 @@ object RollupRouting {
     }
   }
 
-  private def aggJson(m: AggMap): org.json4s.JValue = {
+  private[plans] def aggJson(m: AggMap): org.json4s.JValue = {
     import org.json4s.JsonDSL._
     m match {
       case SumOf(pat, p) => ("kind" -> "sum") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
@@ -1146,14 +1146,15 @@ object RollupRouting {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Load a [[saveRegistry]] document and register everything in it
-    * (appending to whatever is already registered, in saved order).
-    * The session parses ExprPat measures back from their SQL. */
-  def loadRegistry(spark: SparkSession, path: String): Unit = {
+  /** Parse one [[patJson]]/[[aggJson]] value back — shared by
+    * [[loadRegistry]] and the advisor's offline workload capture
+    * (round 14). The session parses ExprPat measures back from their
+    * SQL. */
+  private[plans] def patFromJson(spark: SparkSession,
+                                 j: org.json4s.JValue): SrcPat = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    def pat(j: JValue): SrcPat = (j \ "kind").extract[String] match {
+    (j \ "kind").extract[String] match {
       case "col" => ColRef((j \ "name").extract[String])
       case "oneMinusProduct" =>
         OneMinusProduct((j \ "a").extract[String], (j \ "b").extract[String])
@@ -1161,7 +1162,14 @@ object RollupRouting {
         spark.sessionState.sqlParser.parseExpression((j \ "sql").extract[String]))
       case k => throw new IllegalArgumentException(s"unknown pattern kind $k")
     }
-    def agg(j: JValue): AggMap = (j \ "kind").extract[String] match {
+  }
+
+  private[plans] def aggFromJson(spark: SparkSession,
+                                 j: org.json4s.JValue): AggMap = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    def pat(v: JValue): SrcPat = patFromJson(spark, v)
+    (j \ "kind").extract[String] match {
       case "sum" => SumOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "count" => CountStarTo((j \ "partial").extract[String])
       case "min" => MinOf((j \ "col").extract[String], (j \ "partial").extract[String])
@@ -1184,6 +1192,15 @@ object RollupRouting {
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")
     }
+  }
+
+  /** Load a [[saveRegistry]] document and register everything in it
+    * (appending to whatever is already registered, in saved order). */
+  def loadRegistry(spark: SparkSession, path: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    def agg(j: JValue): AggMap = aggFromJson(spark, j)
     val doc = JsonMethods.parse(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))

@@ -623,6 +623,48 @@ class AdvisorSpec extends AnyFunSuite {
     assert(Advisor.advisedArgExtremes(spark, sf).collect().toSeq == truth)
   }
 
+  /** r14: the OFFLINE loop — demands captured to a JSON log, advice
+    * mined from the FILE with no live workload DataFrames, and the
+    * unchanged queries route. Pattern measures (the extremum struct)
+    * travel as their SQL rendering, the same form the persisted
+    * catalog uses; join demands and unmappable queries record skip
+    * reasons instead of silently vanishing. */
+  test("a captured workload advises offline and routes, patterns included") {
+    val base = java.nio.file.Files.createTempDirectory("graft_capture")
+    val capture = base.resolve("workload.json").toString
+    val extrema = () => Rollups.argExtremes(spark, sf)
+    val volume = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"))
+    val join = StarJoins.revenueBySegment(spark, sf)
+    val median = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("percentile_approx(value, 0.5)").as("p50"))
+    Advisor.captureWorkload(Seq(extrema(), volume(), join, median), capture)
+    val advice = Advisor.adviseCaptured(spark, capture, base.resolve("mv").toString)
+    assert(advice.singles.size == 1, advice)
+    assert(advice.skipped.exists(_.contains("join demands are single-table scoped")) &&
+           advice.skipped.exists(_.contains("unmappable aggregate")), advice.skipped)
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists(_.isInstanceOf[RollupRouting.MaxPatOf]) &&
+           aggs.exists(_.isInstanceOf[RollupRouting.MinPatOf]),
+      s"the struct-extremum demands must survive the JSON travel form: $aggs")
+    val truth = extrema().collect().toSeq
+    routedWith(advice) {
+      val routed = extrema()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_capture") && !plan.contains("events.parquet"),
+        s"the offline-advised extrema states must answer:\n$plan")
+      assert(routed.collect().toSeq == truth)
+    }
+    // the driver entry wraps the same loop over the q205 workload
+    val viaEntry = Advisor.capturedStateSuite(spark, sf).collect().toSeq
+    val adopted = Advisor.adoptedStateSuite(spark, sf).collect().toSeq
+    assert(viaEntry == adopted,
+      "the captured-offline catalog must serve the same answer as the live-advised one")
+  }
+
   /** r13: a uniqUpTo dashboard (least(countDistinct, N+1)) ADVISES the
     * capped-set state at exactly that limit, and the unchanged query
     * routes exactly through the advised states. */
