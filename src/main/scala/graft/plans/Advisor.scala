@@ -681,29 +681,107 @@ object Advisor {
         })
       }
     }
+    // JOIN-path cost model (round 14): the same gained-key inflation
+    // rule as singles — a member's read multiplies by the distinct
+    // counts of the grouping/grain columns it would GAIN by merging.
+    // Column stats come from the OWNING base table (the column's
+    // cardinality at the join output is at most the join's row count
+    // but the table's distinct count is the honest grain estimate),
+    // prefix-sampled like the single-table products; time truncations
+    // are calendar-bounded and never split.
+    val joinColCache = scala.collection.mutable.Map.empty[(String, String), Long]
+    def joinColDistinct(tabs: Map[String, LogicalPlan], c: String): Long =
+      tabs.find { case (_, p) => p.output.exists(_.name == c) }.map { case (t, p) =>
+        joinColCache.getOrElseUpdate((t, c), {
+          import org.apache.spark.sql.functions.{approx_count_distinct, col}
+          org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
+            .limit(StatsSampleRows)
+            .agg(approx_count_distinct(col(c))).head().getLong(0)
+        })
+      }.getOrElse(1L)
+    def joinFullColStats(tabs: Map[String, LogicalPlan], c: String): Option[(Long, Long)] =
+      tabs.find { case (_, p) => p.output.exists(_.name == c) }.map { case (_, p) =>
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+        val row = org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
+          .agg(count(lit(1)), approx_count_distinct(col(c))).head()
+        (row.getLong(0), row.getLong(1))
+      }
+
     val joinsByCore = demands.collect { case scala.Right(d: JoinDemand) => d }
       .groupBy(d => (d.tables.keySet, d.joinKeys))
     val joinResults = joinsByCore.toSeq.sortBy(_._1._1.toSeq.sorted.mkString(","))
-      .map { case ((tables, joinKeys), ds) =>
-        val groupings = ds.flatMap(_.groupings).toSet
-        val grains = ds.flatMap(_.grainKeys).toSet -- groupings
-        val aggs = dedupeAggs(ds.flatMap(_.aggs))
-        // truncating time demands merge per column at the FINEST grain
-        // — the hourly bucket answers day/month/… queries by the
-        // router's truncation-composition substitution
-        val timeGroupings = ds.flatMap(_.timeKeys).groupBy(_._2).toSeq
-          .sortBy(_._1).map { case (c, gs) =>
-            val g = if (gs.exists(_._1 == "hour")) "hour" else "day"
-            TimeGrainPat(g, c) -> s"${c}_$g"
+      .flatMap { case ((tables, joinKeys), ds0) =>
+        // the same SetOf guard as singles, against the owning table
+        val (ds, guardedJ) = ds0.partition { d =>
+          d.aggs.collect { case SetOf(c, _) => c }.forall { c =>
+            joinFullColStats(d.tables, c).forall { case (total, n) =>
+              val ok = n <= total / 2 && n <= MaxSetDistinct
+              if (!ok) splits += (s"${tables.toSeq.sorted.mkString("⋈")}: " +
+                s"collect_set($c) demand refused — ~$n distinct over $total rows")
+              ok
+            }
           }
-        val name = tables.toSeq.sorted.mkString("_")
-        AdvisedJoin(
-          JoinSpec(s"$rollupRoot/${name}_advised", tables, joinKeys,
-            groupings = groupings.map(k => k -> k).toMap,
-            aggs = aggs,
-            grainCols = grains.map(k => k -> k).toMap,
-            timeGroupings = timeGroupings),
-          ds.head.tables)
+        }
+        guardedJ.foreach { _ =>
+          skipped += s"${tables.toSeq.sorted.mkString("⋈")}: collect_set over a " +
+            "near-unique/unbounded column — set state refused, demand left live"
+        }
+        if (ds.isEmpty) Nil else {
+          def keysOf(d: JoinDemand): Set[String] = d.groupings ++ d.grainKeys
+          def gainJ(member: Set[String], union: Set[String]): Double =
+            (union -- member).foldLeft(1.0)((p, k) =>
+              p * math.max(1L, joinColDistinct(ds.head.tables, k)).toDouble)
+          val groups: Seq[Seq[JoinDemand]] =
+            if (ds.map(keysOf).distinct.size <= 1) Seq(ds)
+            else {
+              val gs = scala.collection.mutable.Buffer
+                .empty[scala.collection.mutable.Buffer[JoinDemand]]
+              val ordered = ds.sortBy(d =>
+                (-keysOf(d).size, keysOf(d).toSeq.sorted.mkString(",")))
+              for (d <- ordered) {
+                def fits(g: scala.collection.mutable.Buffer[JoinDemand]): Boolean = {
+                  val u = g.flatMap(keysOf).toSet ++ keysOf(d)
+                  (g :+ d).forall(m => gainJ(keysOf(m), u) <= maxReadInflation)
+                }
+                gs.find(fits) match {
+                  case Some(g) => g += d
+                  case None => gs += scala.collection.mutable.Buffer(d)
+                }
+              }
+              if (gs.size > 1) {
+                val uAll = ds.flatMap(keysOf).toSet
+                val worst = ds.map(d => gainJ(keysOf(d), uAll)).max
+                splits += f"${tables.toSeq.sorted.mkString("⋈")}: split into " +
+                  f"${gs.size} join MVs — one union-grain MV would inflate a " +
+                  f"member's read ~$worst%.0fx (bound ${maxReadInflation}x)"
+              }
+              gs.map(_.toSeq).toSeq
+            }
+          val name = tables.toSeq.sorted.mkString("_")
+          val multi = groups.size > 1
+          groups.map { g =>
+            val groupings = g.flatMap(_.groupings).toSet
+            val grains = g.flatMap(_.grainKeys).toSet -- groupings
+            // truncating time demands merge per column at the FINEST
+            // grain — the hourly bucket answers day/month/… queries by
+            // the router's truncation-composition substitution
+            val timeGroupings = g.flatMap(_.timeKeys).groupBy(_._2).toSeq
+              .sortBy(_._1).map { case (c, gs2) =>
+                val tg = if (gs2.exists(_._1 == "hour")) "hour" else "day"
+                TimeGrainPat(tg, c) -> s"${c}_$tg"
+              }
+            val slug =
+              if (!multi) ""
+              else "_" + (groupings ++ grains).toSeq.sorted.mkString("_")
+            AdvisedJoin(
+              JoinSpec(s"$rollupRoot/${name}_advised$slug", tables, joinKeys,
+                groupings = groupings.map(k => k -> k).toMap,
+                aggs = dedupeAggs(g.flatMap(_.aggs)),
+                grainCols = grains.map(k => k -> k).toMap,
+                timeGroupings = timeGroupings),
+              g.head.tables)
+          }
+        }
       }
     Advice(singleResults.collect { case scala.Right(as) => as }.flatten,
            joinResults,
@@ -988,11 +1066,14 @@ object Advisor {
 
   /** Driver entry (q177, shares q166's oracle): the advisor reads
     * THREE raw star-join dashboards (revenue, gross charge, quantity
-    * stats) and merges them into ONE join MV — segment grouping,
-    * per-order grain from revenue's COUNT(DISTINCT), the union of all
-    * seven measures including the ExprPat charge — then the unchanged
-    * charge query routes through it (AdvisorSpec proves all three
-    * route and hash-match their live answers). */
+    * stats) and advises COST-AWARELY (round 14): revenue's
+    * COUNT(DISTINCT o_orderkey) pins a PER-ORDER grain whose row
+    * count grows with the data, so pooling would inflate the two
+    * segment-only dashboards' reads ~orders-fold — they split into a
+    * segment-grain MV of their own (the r12 single mega-MV measured
+    * that inflation); the unchanged charge query routes through the
+    * segment MV (AdvisorSpec proves all three route and hash-match
+    * their live answers). */
   def advisedStarWorkload(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.StarJoins
     val root = StarJoins.scratch(sfDir, "advised_star")
@@ -1000,8 +1081,9 @@ object Advisor {
       StarJoins.revenueBySegment(spark, sfDir),
       StarJoins.chargeBySegment(spark, sfDir),
       StarJoins.segmentQtyStats(spark, sfDir)), root)
-    require(advice.joins.size == 1 && advice.skipped.isEmpty,
-      s"advisor must merge the workload into one join MV: $advice")
+    require(advice.joins.size == 2 && advice.skipped.isEmpty &&
+        advice.splits.nonEmpty,
+      s"the per-order grain must split off the segment dashboards: $advice")
     runRouted(spark, advice) { StarJoins.chargeBySegment(spark, sfDir) }
   }
 

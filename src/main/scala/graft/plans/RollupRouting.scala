@@ -1725,7 +1725,8 @@ object RollupRouting {
             case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRefJ(h.child, cn) &&
-                   hllRsd(lgK) <= h.relativeSD =>
+                   hllRsd(lgK) <= h.relativeSD &&
+                   estimatorSubstitutionEnabled =>
               attr(partial).map { p =>
                 val union = ae.copy(
                   aggregateFunction = HllUnionAgg(p, Literal(false)),
@@ -2313,7 +2314,8 @@ object RollupRouting {
             case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    isBareRef(h.child, cn) &&
-                   hllRsd(lgK) <= h.relativeSD =>
+                   hllRsd(lgK) <= h.relativeSD &&
+                   estimatorSubstitutionEnabled =>
               attr(partial).map { p =>
                 val union = ae.copy(
                   aggregateFunction = HllUnionAgg(p, Literal(false)),
@@ -2601,6 +2603,21 @@ object RollupRouting {
         .map(Filter(_, newExpand)).getOrElse(newExpand: LogicalPlan)
       Some(Aggregate(groupings, newAggExprs, filtered))
     }
+
+    /** CROSS-FAMILY estimator substitution opt-out (round 14, a
+      * session conf): routing `approx_count_distinct` (HLL++) onto a
+      * registered Datasketches uniqState is inside the approx
+      * function's own accuracy contract when the state's rsd
+      * dominates, but the VALUES are plan-dependent — a dashboard's
+      * numbers change the day a uniqState MV is registered and revert
+      * if it is dropped, and relativeSD is a probabilistic sigma, not
+      * a hard per-value bound. Deployments that need plan-stable
+      * values set `spark.graft.routing.estimatorSubstitution=false`;
+      * same-family sketch routing (`hll_sketch_agg` onto its own
+      * state — bit-equal by construction) is unaffected. */
+    private def estimatorSubstitutionEnabled: Boolean =
+      spark.sessionState.conf.getConfString(
+        "spark.graft.routing.estimatorSubstitution", "true") != "false"
 
     /** True when two types differ only by the loader-contract
       * timestamp relabel (TimestampNTZ vs Timestamp) at any nesting —

@@ -78,7 +78,7 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
-  test("three star dashboards merge into one advised join MV answering all three") {
+  test("three star dashboards advise per-grain join MVs answering all three") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_star").toString
     val qs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
       () => StarJoins.revenueBySegment(spark, sf),
@@ -86,19 +86,26 @@ class AdvisorSpec extends AnyFunSuite {
       () => StarJoins.segmentQtyStats(spark, sf))
     val advice = Advisor.advise(qs.map(_()), root)
     assert(advice.skipped.isEmpty, advice.skipped)
-    assert(advice.singles.isEmpty && advice.joins.size == 1, advice)
-    val spec = advice.joins.head.spec
-    assert(spec.tables == Set("lineitem", "orders", "customer"))
-    assert(spec.groupings == Map("c_mktsegment" -> "c_mktsegment"))
+    // r14 cost-aware merge on the JOIN path: revenue's per-order
+    // grain would inflate the segment-only reads ~orders-fold, so
+    // the workload advises TWO MVs at their natural grains
+    assert(advice.singles.isEmpty && advice.joins.size == 2, advice)
+    assert(advice.splits.exists(_.contains("join MVs")), advice.splits)
+    val byGrain = advice.joins.map(_.spec).groupBy(_.grainCols.nonEmpty)
+    val orderGrain = byGrain(true).head
+    val segGrain = byGrain(false).head
+    assert(orderGrain.tables == Set("lineitem", "orders", "customer"))
+    assert(orderGrain.groupings == Map("c_mktsegment" -> "c_mktsegment"))
     // revenue's COUNT(DISTINCT o_orderkey) pins the per-order grain
-    // and its claim
-    assert(spec.grainCols == Map("o_orderkey" -> "o_orderkey"))
-    assert(spec.aggs.exists {
+    // and its claim — on ITS OWN MV only
+    assert(orderGrain.grainCols == Map("o_orderkey" -> "o_orderkey"))
+    assert(orderGrain.aggs.exists {
       case RollupRouting.CountDistinctGrain("o_orderkey") => true; case _ => false })
-    assert(spec.aggs.exists {
+    assert(segGrain.groupings == Map("c_mktsegment" -> "c_mktsegment"))
+    assert(segGrain.aggs.exists {
       case RollupRouting.SumOf(_: RollupRouting.ExprPat, _) => true; case _ => false },
       "the charge measure must register as an ExprPat")
-    assert(spec.aggs.exists {
+    assert(segGrain.aggs.exists {
       case RollupRouting.AvgOf("l_quantity", _, _) => true; case _ => false })
     val plains = qs.map(q => q().collect().toSeq)
     routedWith(advice) {

@@ -2694,6 +2694,38 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(countDistinct($"user_id").as("u"))
       assert(!exact.queryExecution.executedPlan.toString.contains("latticeuniq"),
         "exact COUNT(DISTINCT) under grouping sets must stay live")
+      // r14 opt-out: with estimator substitution disabled the SAME
+      // flat query stays live and computes its own HLL++ values —
+      // plan-stable numbers for deployments that need them; the
+      // same-family sketch read (bit-equal by construction) still
+      // routes
+      spark.conf.set("spark.graft.routing.estimatorSubstitution", "false")
+      try {
+        val optedOut = Tables.events(spark, sf)
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(approx_count_distinct($"user_id").as("u"))
+          .orderBy("day", "event_type")
+        assert(!optedOut.queryExecution.executedPlan.toString.contains("latticeuniq"),
+          "with the opt-out set, approx_count_distinct must stay live")
+        val optedOutRows = optedOut.collect().toSeq
+        // the opted-out values are HLL++'s own — identical to a run
+        // with no routing rule installed at all (plan-stable)
+        spark.experimental.extraOptimizations = Nil
+        val bare = Tables.events(spark, sf)
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(approx_count_distinct($"user_id").as("u"))
+          .orderBy("day", "event_type").collect().toSeq
+        spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+        assert(optedOutRows == bare,
+          "opted-out values must equal the rule-free HLL++ run")
+        val sameFamily = Tables.events(spark, sf)
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("u"))
+        assert(sameFamily.queryExecution.executedPlan.toString.contains("latticeuniq"),
+          "same-family sketch routing is unaffected by the opt-out")
+      } finally {
+        spark.conf.set("spark.graft.routing.estimatorSubstitution", "true")
+      }
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
