@@ -796,22 +796,25 @@ object Advisor {
     * advising tomorrow's MVs with no live DataFrames in sight. The
     * reference's setup is a static script
     * (`usdc-transfers/setup-analytics.sh:49-113`); this is its
-    * workload-driven equivalent with a durable intermediate. Join
-    * demands are out of capture scope (single-table only) and record
-    * a skip reason; measures travel as the registry's own JSON
-    * vocabulary ([[RollupRouting.aggJson]]), so a capture survives
-    * exactly what the persisted catalog survives. */
+    * workload-driven equivalent with a durable intermediate. Both
+    * demand kinds travel: single-table demands as (source path,
+    * grain, keys, measures) and join demands as (table name→path
+    * map, join keys, groupings, grain keys, time truncations,
+    * measures) — measures in the registry's own JSON vocabulary
+    * ([[RollupRouting.aggJson]]), so a capture survives exactly what
+    * the persisted catalog survives. */
   def captureWorkload(queries: Seq[DataFrame], path: String): Unit = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
+    def rootOf(p: LogicalPlan): Option[String] = p.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.head.toString
+    }
     val entries: List[JValue] =
       queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }.map {
         case scala.Right(d: SingleDemand) =>
-          d.source.collectFirst {
-            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-              fs.location.rootPaths.head.toString
-          } match {
+          rootOf(d.source) match {
             case Some(p) =>
               ("kind" -> "single") ~ ("suffix" -> d.suffix) ~
               ("sourcePath" -> p) ~
@@ -822,9 +825,24 @@ object Advisor {
               ("kind" -> "skipped") ~
               ("reason" -> "capture: scan has no parquet root path"): JValue
           }
+        case scala.Right(d: JoinDemand) =>
+          val paths = d.tables.toSeq.sortBy(_._1)
+            .map { case (t, p) => t -> rootOf(p) }
+          if (paths.exists(_._2.isEmpty))
+            ("kind" -> "skipped") ~
+            ("reason" -> "capture: a join table has no parquet root path"): JValue
+          else
+            ("kind" -> "join") ~
+            ("tables" -> paths.map { case (t, p) =>
+              ("name" -> t) ~ ("path" -> p.get): JValue }) ~
+            ("joinKeys" -> d.joinKeys.toList.sorted.map(p => List(p._1, p._2))) ~
+            ("groupings" -> d.groupings.toList.sorted) ~
+            ("grainKeys" -> d.grainKeys.toList.sorted) ~
+            ("timeKeys" -> d.timeKeys.toList.sorted.map(p => List(p._1, p._2))) ~
+            ("aggs" -> d.aggs.map(RollupRouting.aggJson)): JValue
         case scala.Right(_) =>
           ("kind" -> "skipped") ~
-          ("reason" -> "capture: join demands are single-table scoped"): JValue
+          ("reason" -> "capture: unrecognized demand shape"): JValue
         case scala.Left(r) =>
           ("kind" -> "skipped") ~ ("reason" -> r): JValue
       }.toList
@@ -866,6 +884,20 @@ object Advisor {
             scala.Right(SingleDemand((j \ "suffix").extract[String], source,
               grain, (j \ "keys").extract[List[String]].toSet,
               (j \ "aggs").children.map(a => RollupRouting.aggFromJson(spark, a))))
+          case "join" =>
+            val tables = (j \ "tables").children.map { t =>
+              (t \ "name").extract[String] ->
+                spark.read.parquet((t \ "path").extract[String])
+                  .queryExecution.analyzed
+            }.toMap
+            def pairs(v: org.json4s.JValue): Set[(String, String)] =
+              v.extract[List[List[String]]].map { case List(a, b) => (a, b) }.toSet
+            scala.Right(JoinDemand(tables,
+              joinKeys = pairs(j \ "joinKeys"),
+              groupings = (j \ "groupings").extract[List[String]].toSet,
+              grainKeys = (j \ "grainKeys").extract[List[String]].toSet,
+              aggs = (j \ "aggs").children.map(a => RollupRouting.aggFromJson(spark, a)),
+              timeKeys = pairs(j \ "timeKeys")))
           case k => scala.Left(s"capture: unknown demand kind $k")
         }
       }

@@ -634,9 +634,10 @@ class AdvisorSpec extends AnyFunSuite {
     * mined from the FILE with no live workload DataFrames, and the
     * unchanged queries route. Pattern measures (the extremum struct)
     * travel as their SQL rendering, the same form the persisted
-    * catalog uses; join demands and unmappable queries record skip
-    * reasons instead of silently vanishing. */
-  test("a captured workload advises offline and routes, patterns included") {
+    * catalog uses; JOIN demands travel as (table→path, join keys,
+    * groupings) and advise join MVs offline; unmappable queries
+    * record skip reasons instead of silently vanishing. */
+  test("a captured workload advises offline and routes, patterns and joins included") {
     val base = java.nio.file.Files.createTempDirectory("graft_capture")
     val capture = base.resolve("workload.json").toString
     val extrema = () => Rollups.argExtremes(spark, sf)
@@ -644,26 +645,35 @@ class AdvisorSpec extends AnyFunSuite {
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(graft.ops.Fns.dsum($"value").as("total_value"),
            count(lit(1)).as("n_events"))
-    val join = StarJoins.revenueBySegment(spark, sf)
+    val join = () => StarJoins.revenueBySegment(spark, sf)
     val median = Tables.events(spark, sf)
       .groupBy(to_date($"ts").as("day"))
       .agg(expr("percentile_approx(value, 0.5)").as("p50"))
-    Advisor.captureWorkload(Seq(extrema(), volume(), join, median), capture)
+    Advisor.captureWorkload(Seq(extrema(), volume(), join(), median), capture)
     val advice = Advisor.adviseCaptured(spark, capture, base.resolve("mv").toString)
-    assert(advice.singles.size == 1, advice)
-    assert(advice.skipped.exists(_.contains("join demands are single-table scoped")) &&
-           advice.skipped.exists(_.contains("unmappable aggregate")), advice.skipped)
+    assert(advice.singles.size == 1 && advice.joins.size == 1, advice)
+    assert(advice.skipped.exists(_.contains("unmappable aggregate")), advice.skipped)
     val aggs = advice.singles.head.spec.aggs
     assert(aggs.exists(_.isInstanceOf[RollupRouting.MaxPatOf]) &&
            aggs.exists(_.isInstanceOf[RollupRouting.MinPatOf]),
       s"the struct-extremum demands must survive the JSON travel form: $aggs")
+    val jSpec = advice.joins.head.spec
+    assert(jSpec.tables == Set("lineitem", "orders", "customer") &&
+           jSpec.grainCols == Map("o_orderkey" -> "o_orderkey"),
+      s"the join demand must survive the file round-trip whole: $jSpec")
     val truth = extrema().collect().toSeq
+    val jTruth = join().collect().toSeq
     routedWith(advice) {
       val routed = extrema()
       val plan = routed.queryExecution.executedPlan.toString
       assert(plan.contains("graft_capture") && !plan.contains("events.parquet"),
         s"the offline-advised extrema states must answer:\n$plan")
       assert(routed.collect().toSeq == truth)
+      val jRouted = join()
+      val jPlan = jRouted.queryExecution.executedPlan.toString
+      assert(jPlan.contains("graft_capture"),
+        s"the offline-advised join MV must answer the star dashboard:\n$jPlan")
+      assert(jRouted.collect().toSeq == jTruth)
     }
     // the driver entry wraps the same loop over the q205 workload
     val viaEntry = Advisor.capturedStateSuite(spark, sf).collect().toSeq
