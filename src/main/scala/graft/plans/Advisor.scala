@@ -638,7 +638,6 @@ object Advisor {
             val (grained, grainless) = ds.partition(_.grain.isDefined)
             val ordered = grained.sortBy(d => (-d.keys.size, d.keys.toSeq.sorted.mkString(","))) ++
               grainless
-            var stranded: Option[String] = None
             for (d <- ordered) {
               def fits(g: scala.collection.mutable.Buffer[SingleDemand]): Boolean = {
                 val u = g.flatMap(_.keys).toSet ++ d.keys
@@ -651,12 +650,11 @@ object Advisor {
                 case None =>
                   // a grainless demand cannot seed a spec (nothing pins
                   // its rollup grain) — refusing beats dead advice
-                  stranded = Some(s"$suffix: a grainless demand's keys " +
+                  skipped += (s"$suffix: a grainless demand's keys " +
                     s"${d.keys.toSeq.sorted.mkString("(", ",", ")")} would inflate " +
                     s"every candidate group beyond ${maxReadInflation}x — left live")
               }
             }
-            stranded.foreach(skipped += _)
             if (gs.size > 1) {
               val uAll = ds.flatMap(_.keys).toSet
               val worst = ds.map(d => gain(d.keys, uAll)).max

@@ -593,6 +593,15 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.singles.head.spec.aggs.exists {
       case RollupRouting.SetOf("user_id", _) => true; case _ => false
     }, s"the bounded demand must still advise: ${advice.singles.head.spec.aggs}")
+    // the same guard holds on the JOIN path, stats from the owning
+    // base table
+    val joinUnbounded = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(to_date($"ts").as("day"), $"c_mktsegment")
+      .agg(sort_array(collect_set($"event_id")).as("ids"), count(lit(1)).as("c"))
+    val jAdvice = Advisor.advise(Seq(joinUnbounded), root)
+    assert(jAdvice.joins.isEmpty &&
+           jAdvice.skipped.exists(_.contains("set state refused")), jAdvice)
   }
 
   /** r14: the argMax/argMin dashboard (q133's max(struct(...)).getField
