@@ -3092,6 +3092,83 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the extremum member's remaining read shapes — a JOIN-path
+    * struct-extremum MV (argMax over a star, answered join-free) and
+    * the grouping-set LATTICE (extrema fold associatively, so every
+    * subtotal grain re-merges the same struct states). */
+  test("arg-extrema route on the join path and through ROLLUP lattices") {
+    import graft.ops.Rollups
+    // JOIN path: a (segment) MV carrying the struct-max state
+    val jDir = java.nio.file.Files.createTempDirectory("graft_argj")
+      .resolve("argjoin").toString
+    val pat = RollupRouting.ExprPat(
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal("v"),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("value")),
+          org.apache.spark.sql.types.DecimalType(38, 6)),
+        org.apache.spark.sql.catalyst.expressions.Literal("u"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("user_id")))))
+    val jSpec = RollupRouting.JoinSpec(jDir,
+      tables = Set("events", "customer"),
+      joinKeys = Set(("c_custkey", "user_id")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(RollupRouting.MaxPatOf(pat, "topv_state"),
+                 RollupRouting.CountStarTo("n_p")))
+    RollupRouting.buildJoinPartials(
+      Map("events" -> Tables.events(spark, sf),
+          "customer" -> Tables.customer(spark, sf)), jSpec)
+      .write.parquet(jDir)
+    val joinQ = () => Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(max(struct($"value".cast("decimal(38,6)").as("v"),
+                      $"user_id".as("u"))).getField("u").as("top_user"),
+           count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+    val jTruth = joinQ().collect().toSeq
+    RollupRouting.registerJoin(jSpec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = joinQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("argjoin") &&
+             !plan.toLowerCase.contains("sortmergejoin") &&
+             !plan.toLowerCase.contains("broadcasthashjoin"),
+        s"the star argMax must answer join-free from the struct states:\n$plan")
+      assert(routed.collect().toSeq == jTruth)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // LATTICE: ROLLUP(day, type) over the q133 shape re-merges the
+    // (day, type) struct states at every grain
+    val dir = java.nio.file.Files.createTempDirectory("graft_argl")
+      .resolve("arglattice").toString
+    val spec = Rollups.argExtremesSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val latQ = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(max(struct($"value".cast("decimal(38,6)").as("v"),
+                      $"user_id".as("u"))).getField("u").as("top_user"),
+           count(lit(1)).as("n"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    val latTruth = latQ().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = latQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("arglattice") && !plan.contains("events.parquet"),
+        s"every lattice grain must read the struct states:\n$plan")
+      assert(routed.collect().toSeq == latTruth,
+        "routed lattice extrema must equal the live lattice per grain")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r14: the extremum member through the SAME streaming lifecycle as
     * the other five — micro-batched deliveries scatter a group's
     * struct partials across appended blocks, the routed read re-merges
