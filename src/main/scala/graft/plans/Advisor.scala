@@ -961,6 +961,17 @@ object Advisor {
                      checkpointDir: Option[String] = None): Unit =
       graft.streaming.Live.maintainJoinRollup(
         factStream, factTable, dims, spec, latenessUs, grainUs, checkpointDir)
+
+    /** RETIRE one adopted registration (round 14): drop it from the
+      * live registry AND re-persist the catalog, so a restart stays
+      * retired — the DROP half of the adopt lifecycle. Queries fall
+      * back to the next-cheapest MV or their live plan on the next
+      * planning pass; the rollup's files are left for the owner. */
+    def retire(rollupPath: String): Boolean = {
+      val removed = RollupRouting.unregister(rollupPath)
+      if (removed) RollupRouting.saveRegistry(registryPath)
+      removed
+    }
   }
 
   /** ADOPT — one call that turns [[advise]]'s output into a LIVE,

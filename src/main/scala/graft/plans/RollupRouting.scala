@@ -1064,6 +1064,21 @@ object RollupRouting {
     if (!joinSpecs.contains(spec)) joinSpecs = spec :: joinSpecs
   }
   def clear(): Unit = synchronized { specs = Nil; joinSpecs = Nil }
+  /** RETIRE one registration by its rollup path (the spec's identity —
+    * the reference's `DROP TABLE mv` analog, round 14). Returns true
+    * if something was removed. Queries immediately fall back to the
+    * next-cheapest matching MV or their live plan — which also means
+    * any estimator-substituted `approx_count_distinct` values revert
+    * to HLL++'s own (the documented plan-dependence of routed approx
+    * reads; see the `estimatorSubstitution` knob). The rollup's FILES
+    * are deliberately left in place: dropping data is the owner's
+    * call, and a re-register of the same spec serves them again. */
+  def unregister(rollupPath: String): Boolean = synchronized {
+    val before = specs.size + joinSpecs.size
+    specs = specs.filterNot(_.rollupPath == rollupPath)
+    joinSpecs = joinSpecs.filterNot(_.rollupPath == rollupPath)
+    specs.size + joinSpecs.size < before
+  }
   def registered: List[Spec] = specs
   def registeredJoins: List[JoinSpec] = joinSpecs
 

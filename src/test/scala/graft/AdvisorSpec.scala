@@ -295,6 +295,51 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: spec RETIREMENT — the DROP half of the adopt lifecycle. An
+    * unregistered spec stops answering on the next planning pass (the
+    * query falls back live), the re-persisted catalog stays retired
+    * across a reload, and estimator-substituted approx_count_distinct
+    * values revert to HLL++'s own — the documented plan-dependence. */
+  test("retiring an adopted spec falls back live, persists, and reverts approx values") {
+    import graft.ops.Rollups
+    val base = java.nio.file.Files.createTempDirectory("graft_retire")
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(approx_count_distinct($"user_id").as("u"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val hllppTruth = q().collect().toSeq // no rule installed: HLL++'s own values
+    val advice = Advisor.advise(Seq(q()), base.resolve("mv").toString)
+    assert(advice.singles.size == 1, advice)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = Advisor.adopt(spark, advice, base.resolve("registry.json").toString)
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("events_advised"),
+        "the adopted uniqState spec must answer before retirement")
+      val sketchValues = routed.collect().toSeq
+      // retire: the SAME query falls back live and the values revert
+      val path = advice.singles.head.spec.rollupPath
+      assert(adopted.retire(path), "retire must report the removal")
+      assert(!adopted.retire(path), "a second retire is a no-op")
+      val after = q()
+      assert(!after.queryExecution.executedPlan.toString.contains("events_advised"),
+        "a retired spec must stop answering")
+      assert(after.collect().toSeq == hllppTruth,
+        "approx values must revert to HLL++'s own after retirement")
+      assert(sketchValues.map(_.getLong(2)).sum == hllppTruth.map(_.getLong(2)).sum,
+        "sanity: the exact count column agreed on both plans")
+      // the retirement is DURABLE: a fresh registry loaded from the
+      // re-persisted catalog does not contain the spec
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      assert(!RollupRouting.registered.exists(_.rollupPath == path),
+        "the re-persisted catalog must stay retired")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   test("out-of-scope queries are skipped with reasons, never mis-advised") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_skip").toString
     val median = Tables.events(spark, sf)
