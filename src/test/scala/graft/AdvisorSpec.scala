@@ -617,6 +617,37 @@ class AdvisorSpec extends AnyFunSuite {
     assert(split.singles.map(_.spec.rollupPath).distinct.size == 2)
   }
 
+  /** r14: the split also protects COUNT(DISTINCT) routability — the
+    * cdg rewrite requires the query to group by every OTHER rollup
+    * key, so the r13 merge-everything policy could produce advice
+    * whose distinct dashboard never routed (dead advice); per-grain
+    * specs keep both demands servable. */
+  test("splitting keeps a COUNT(DISTINCT) demand routable next to a keyed demand") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_cdg").toString
+    val distinctQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("u"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val keyedQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("v"))
+      .orderBy("day", "event_type")
+    val advice = Advisor.advise(Seq(distinctQ(), keyedQ()), root)
+    assert(advice.singles.size == 2 && advice.skipped.isEmpty, advice)
+    val dTruth = distinctQ().collect().toSeq
+    val kTruth = keyedQ().collect().toSeq
+    routedWith(advice) {
+      val d = distinctQ()
+      assert(d.queryExecution.executedPlan.toString.contains("events_advised"),
+        s"the distinct dashboard must route on ITS OWN grain-claimed spec:\n" +
+          d.queryExecution.executedPlan)
+      assert(d.collect().toSeq == dTruth)
+      val k = keyedQ()
+      assert(k.queryExecution.executedPlan.toString.contains("events_advised"))
+      assert(k.collect().toSeq == kTruth)
+    }
+  }
+
   /** r14: the SetOf advisability guard — a distinct-set state over a
     * near-unique column stores ~every row; the advisor refuses it
     * with the reason recorded, and the rest of the workload still
