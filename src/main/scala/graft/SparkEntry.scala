@@ -486,6 +486,11 @@ object SparkEntry {
     // DataFrames), adopted, reloaded, and the unchanged set dashboard
     // routes; yesterday's query log advising tomorrow's MVs
     "q210_captured_states" -> (graft.plans.Advisor.capturedStateSuite _),
+    // r14: the -If COMBINATORS inside an MV — countIfState/sumIfState
+    // as registry members (CountOf over the CASE pattern + SumOf
+    // ExprPat); q134's conditional dashboard re-aggregates per-(day,
+    // type) conditional partials bit-equally, DuckDB-oracled
+    "q211_cond_agg_routed" -> (Rollups.condAggRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2068,6 +2073,14 @@ object SparkEntry {
          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          FROM events GROUP BY ROLLUP(1, 2)
          ORDER BY day NULLS FIRST, event_type NULLS FIRST""",
+    // the routed conditional aggregates must hash-match the exact
+    // CASE-WHEN count/sum
+    "q211_cond_agg_routed" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+          COUNT(CASE WHEN value > 1.0 THEN 1 END) AS n_over_1,
+          ${dsum("CASE WHEN value > 1.0 THEN value END")} AS sum_over_1,
+          COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     // the ADVISED arg-extrema read must hash-match q133's oracle too
     "q208_advised_extrema" ->
       s"""SELECT event_type,

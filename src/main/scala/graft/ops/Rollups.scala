@@ -392,6 +392,48 @@ object Rollups {
     }
   }
 
+  /** The (day × event_type) CONDITIONAL-aggregate rollup registration
+    * (round 14): ClickHouse's `countIfState`/`sumIfState` as registry
+    * members — the `-If` combinator measures register as the CASE
+    * pattern itself ([[graft.plans.RollupRouting.CountOf]] stores the
+    * per-group NON-NULL count of the CASE, whose non-match branch is
+    * NULL — exactly countIf; the conditional sum is an ordinary
+    * [[graft.plans.RollupRouting.SumOf]] ExprPat). Reference analog:
+    * the conditional aggregates in `usdc-transfers/sql/analytics.sql`
+    * dashboards. */
+  def condAggSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        CountOf(ExprPat(when(col("value") > 1.0, lit(1))), "over1_cnt_p"),
+        SumOf(ExprPat(when(col("value") > 1.0, col("value"))), "over1_sum_p"),
+        CountStarTo("c_partial")))
+  }
+
+  /** Driver entry (q211, oracled): the `-If` COMBINATORS answered from
+    * an MV (round 14) — q134's conditional shapes `count(CASE WHEN
+    * value > 1 THEN 1 END)` and `dsum(CASE WHEN ...)` re-aggregate
+    * per-(day, type) conditional partials: non-null counts and exact
+    * decimal sums both add, so the routed read is bit-equal and
+    * DuckDB-oracled. ClickHouse's countIfState/sumIfState inside an
+    * AggregatingMergeTree, as registry members. */
+  def condAggRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "cond_agg_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), condAggSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(condAggSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(when(col("value") > 1.0, 1)).as("n_over_1"),
+             Fns.dsum(when(col("value") > 1.0, col("value"))).as("sum_over_1"),
+             count(lit(1)).as("n_events"))
+        .orderBy("day", "event_type")
+    }
+  }
+
   /** Driver entry (q209, oracled): the SET-member LATTICE (round 14)
     * — GROUP BY ROLLUP(day, type) over `collect_set` answered from
     * the per-(day, type) array states at EVERY grain: exact distinct

@@ -190,6 +190,15 @@ object Advisor {
     case p: ExprPat =>
       s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_sum_p"
   }
+  /** Shares AvgOf's `<col>_cnt_p` convention deliberately: avg's count
+    * partial IS the non-null count of the column, so a workload
+    * demanding both reuses one partial column. */
+  private def countPartialName(pat: SrcPat): String = pat match {
+    case ColRef(n) => s"${n}_cnt_p"
+    case OneMinusProduct(a, _) => s"${a}_net_cnt_p"
+    case p: ExprPat =>
+      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_cnt_p"
+  }
   private def extremumPartialName(pat: SrcPat, kind: String): String = pat match {
     case ColRef(n) => s"${n}_${kind}_p"
     case OneMinusProduct(a, _) => s"${a}_net_${kind}_p"
@@ -211,6 +220,11 @@ object Advisor {
             toPat(resolve(src)).map(p => SumOf(p, sumPartialName(p)))
           case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
             Some(CountStarTo("cnt_p"))
+          // null-skipping COUNT(expr) — the countIf demand (round 14):
+          // count(CASE WHEN pred THEN 1 END) or count(nullable_col)
+          // registers the non-null-count member over the pattern
+          case Count(Seq(c)) if !ae.isDistinct =>
+            toPat(resolve(c)).map(p => CountOf(p, countPartialName(p)))
           case Count(Seq(c)) if ae.isDistinct =>
             baseAttr(resolve(c)).map(a => CountDistinctGrain(a.name))
           // a bare column advises the scalar extremum; any other
@@ -482,6 +496,7 @@ object Advisor {
     case SumOf(OneMinusProduct(a, b), _) => s"sum:omp:$a:$b"
     case SumOf(p: ExprPat, _) => s"sum:expr:${ExprPat.canon(p.expr).toString}"
     case CountStarTo(_) => "count"
+    case CountOf(p, _) => s"countof:${patKey(p)}"
     case MinOf(c, _) => s"min:$c"
     case MaxOf(c, _) => s"max:$c"
     case AvgOf(c, _, _) => s"avg:$c"

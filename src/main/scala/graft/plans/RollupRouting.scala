@@ -251,6 +251,28 @@ object RollupRouting {
           case "-" => Subtract(l, r)
           case "*" => Multiply(l, r)
           case "/" => Divide(l, r)
+          // comparisons/booleans (round 14 — the conditional-measure
+          // members register CASE patterns whose predicates the
+          // Column DSL spells as these operator functions)
+          case ">" => GreaterThan(l, r)
+          case "<" => LessThan(l, r)
+          case ">=" => GreaterThanOrEqual(l, r)
+          case "<=" => LessThanOrEqual(l, r)
+          case "=" | "==" => EqualTo(l, r)
+          case "<=>" => EqualNullSafe(l, r)
+          case "!=" => Not(EqualTo(l, r))
+          case "and" => And(l, r)
+          case "or" => Or(l, r)
+          case _ => f
+        }
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length == 1 &&
+             !f.isDistinct && f.filter.isEmpty =>
+        val Seq(c) = f.arguments
+        f.nameParts.head match {
+          case "!" | "not" => Not(c)
+          case "isnull" => IsNull(c)
+          case "isnotnull" => IsNotNull(c)
           case _ => f
         }
       // a struct measure's SQL rendering (the JSON catalog's travel
@@ -456,6 +478,16 @@ object RollupRouting {
   /** `COUNT(*)` / `COUNT(lit)` → `SUM(partial)` of the per-group row
     * count. */
   case class CountStarTo(partial: String) extends AggMap
+  /** `COUNT(expr)` — the NULL-SKIPPING count of any pattern measure —
+    * → `SUM(partial)` of the per-group non-null count (round 14).
+    * Counts add across any regrouping, so the member is fully
+    * mergeable like [[CountStarTo]]; the pattern vocabulary makes it
+    * ClickHouse's `countIf` in an MV: `count(CASE WHEN pred THEN 1
+    * END)` registers as the ExprPat of the CASE and the unchanged
+    * conditional count routes (its non-match branch is NULL, exactly
+    * the null-skipping this member stores). Bare `count(col)` over a
+    * nullable column is the degenerate ColRef form. */
+  case class CountOf(pat: SrcPat, partial: String) extends AggMap
   /** `COUNT(DISTINCT grainCol)` → `COUNT(*)` over the rollup — valid
     * exactly because `grainCol` IS the rollup's grain (one rollup row
     * per distinct value). */
@@ -585,6 +617,7 @@ object RollupRouting {
   private def partialName(m: AggMap): Option[String] = m match {
     case SumOf(_, p) => Some(p)
     case CountStarTo(p) => Some(p)
+    case CountOf(_, p) => Some(p)
     case MinOf(_, p) => Some(p)
     case MaxOf(_, p) => Some(p)
     case AvgOf(_, _, p) => Some(p)
@@ -841,6 +874,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, sum(srcColumn(pat).cast("decimal(38,6)")).as(p))
       case CountStarTo(p) =>
         partials.getOrElseUpdate(p, count(lit(1)).as(p))
+      case CountOf(pat, p) =>
+        partials.getOrElseUpdate(p, count(srcColumn(pat)).as(p))
       case MinOf(c, p) => partials.getOrElseUpdate(p, min(col(c)).as(p))
       case MaxOf(c, p) => partials.getOrElseUpdate(p, max(col(c)).as(p))
       case AvgOf(c, sp, cp) =>
@@ -912,6 +947,7 @@ object RollupRouting {
     }
     val measureRefs = spec.aggs.flatMap {
       case SumOf(pat, _) => pat.refs
+      case CountOf(pat, _) => pat.refs
       case MinOf(c, _) => Seq(c)
       case MaxOf(c, _) => Seq(c)
       case AvgOf(c, _, _) => Seq(c)
@@ -1030,6 +1066,7 @@ object RollupRouting {
     aggs.foreach {
       case SumOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
       case CountStarTo(p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
+      case CountOf(_, p) => merges.getOrElseUpdate(p, sum(col(p)).as(p))
       case MinOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case AvgOf(_, sp, cp) =>
@@ -1108,6 +1145,8 @@ object RollupRouting {
     m match {
       case SumOf(pat, p) => ("kind" -> "sum") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case CountStarTo(p) => ("kind" -> "count") ~ ("partial" -> p)
+      case CountOf(pat, p) =>
+        ("kind" -> "countOf") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MinOf(c, p) => ("kind" -> "min") ~ ("col" -> c) ~ ("partial" -> p)
       case MaxOf(c, p) => ("kind" -> "max") ~ ("col" -> c) ~ ("partial" -> p)
       case AvgOf(c, sp, cp) =>
@@ -1187,6 +1226,7 @@ object RollupRouting {
     (j \ "kind").extract[String] match {
       case "sum" => SumOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "count" => CountStarTo((j \ "partial").extract[String])
+      case "countOf" => CountOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "min" => MinOf((j \ "col").extract[String], (j \ "partial").extract[String])
       case "max" => MaxOf((j \ "col").extract[String], (j \ "partial").extract[String])
       case "avg" => AvgOf((j \ "col").extract[String],
@@ -1285,6 +1325,30 @@ object RollupRouting {
                                    inner: Expression => Boolean): Boolean = e match {
       case Cast(x, dt: org.apache.spark.sql.types.DecimalType, _, _) =>
         dt.precision == 38 && dt.scale == 6 && inner(x)
+      // the optimizer pushes the exact cast INTO conditional branches
+      // (`sum(cast(CASE … END as dec))` → `sum(CASE … cast(v) …
+      // END)`, PushFoldableIntoBranches/SimplifyCasts) — value-equal
+      // because a cast distributes over branches and NULL stays NULL,
+      // so unwrap each branch's dec(38,6) cast and match the CASE the
+      // measure registered (round 14, the -If members' spelling)
+      case cw @ CaseWhen(branches, elseV)
+          if branches.nonEmpty && branches.forall {
+               case (_, Cast(_, dt: org.apache.spark.sql.types.DecimalType, _, _)) =>
+                 dt.precision == 38 && dt.scale == 6
+               case _ => false
+             } && elseV.forall {
+               case Cast(_, dt: org.apache.spark.sql.types.DecimalType, _, _) =>
+                 dt.precision == 38 && dt.scale == 6
+               case Literal(null, _) => true
+               case _ => false
+             } =>
+        def unwrap(x: Expression): Expression = x match {
+          case Cast(c, _, _, _) => c
+          case Literal(null, _) => Literal(null, org.apache.spark.sql.types.NullType)
+          case other => other
+        }
+        inner(CaseWhen(branches.map { case (c, v) => (c, unwrap(v)) },
+                       elseV.map(unwrap)))
       case _ => false
     }
 
@@ -1676,6 +1740,14 @@ object RollupRouting {
                    children.forall(_.isInstanceOf[Literal]) =>
               attr(partial).map(p => Coalesce(Seq(
                 ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
+            // null-skipping COUNT(expr) — the countIf member (round
+            // 14): non-null counts add, so SUM of the per-group
+            // partial with the same 0-on-empty coalesce
+            case (CountOf(pat, partial), Count(Seq(se)))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pat.matches(resolved(se)) =>
+              attr(partial).map(p => Coalesce(Seq(
+                ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
             case (CountDistinctGrain(grain), Count(Seq(se)))
                 if ae.isDistinct && ae.filter.isEmpty && (resolved(se) match {
                   case a: AttributeReference => a.name == grain
@@ -1956,6 +2028,9 @@ object RollupRouting {
               Alias(Sum(Cast(e, DecimalType(38, 6))).toAggregateExpression(), n)())
           case CountStarTo(p) if p == n =>
             Some(Alias(Count(Seq(Literal(1))).toAggregateExpression(), n)())
+          case CountOf(pat, p) if p == n => // the tail's own non-null count
+            pat.rebuild(attrOf).map(e =>
+              Alias(Count(Seq(e)).toAggregateExpression(), n)())
           case MinOf(cn, p) if p == n =>
             attrOf(cn).map(a => Alias(Min(a).toAggregateExpression(), n)())
           case MaxOf(cn, p) if p == n =>
@@ -2235,6 +2310,12 @@ object RollupRouting {
             case (CountStarTo(partial), Count(children))
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    children.forall(_.isInstanceOf[Literal]) =>
+              attr(partial).map(p => Coalesce(Seq(
+                ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
+            // null-skipping COUNT(expr) — the countIf member (round 14)
+            case (CountOf(pat, partial), Count(Seq(se)))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pat.matches(resolveThroughProjects(se, child)) =>
               attr(partial).map(p => Coalesce(Seq(
                 ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
             case (MinOf(cn, partial), Min(se))
@@ -2751,6 +2832,9 @@ object RollupRouting {
               Alias(Sum(Cast(e, DecimalType(38, 6))).toAggregateExpression(), n)())
           case CountStarTo(p) if p == n =>
             Some(Alias(Count(Seq(Literal(1))).toAggregateExpression(), n)())
+          case CountOf(pat, p) if p == n => // the tail's own non-null count
+            pat.rebuild(scanAttr).map(e =>
+              Alias(Count(Seq(e)).toAggregateExpression(), n)())
           case MinOf(cn, p) if p == n =>
             scanAttr(cn).map(a => Alias(Min(a).toAggregateExpression(), n)())
           case MaxOf(cn, p) if p == n =>

@@ -680,6 +680,32 @@ class AdvisorSpec extends AnyFunSuite {
            jAdvice.skipped.exists(_.contains("set state refused")), jAdvice)
   }
 
+  /** r14: a `-If` combinator dashboard (countIf/sumIf as CASE
+    * patterns) ADVISES the conditional members and the unchanged
+    * query routes bit-equally. */
+  test("a conditional-aggregate dashboard advises countIf/sumIf states and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_cond").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(when($"value" > 1.0, 1)).as("n_over_1"),
+           graft.ops.Fns.dsum(when($"value" > 1.0, $"value")).as("sum_over_1"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists(_.isInstanceOf[RollupRouting.CountOf]),
+      s"the conditional count must advise the CountOf member: $aggs")
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_cond") && !plan.contains("events.parquet"),
+        s"the conditional dashboard must read the advised -If states:\n$plan")
+      assert(routed.collect().toSeq == truth)
+    }
+  }
+
   /** r14: the argMax/argMin dashboard (q133's max(struct(...)).getField
     * shape) ADVISES the struct-extremum member — the sixth state,
     * register-only until now — and the unchanged query routes through

@@ -3052,6 +3052,77 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the `-If` combinator members (countIfState/sumIfState) —
+    * CountOf stores the per-group NON-NULL count of the CASE pattern
+    * (the non-match branch is NULL, exactly countIf) and the
+    * conditional sum is an ordinary ExprPat SumOf; both add across
+    * regroupings, so the routed read is bit-equal. A DIFFERENT
+    * predicate is a different pattern and provably stays live; the
+    * catalog round-trip re-parses both CASE patterns from SQL. */
+  test("conditional aggregates route: countIf/sumIf states, near-miss live, reloadable") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_cond")
+      .resolve("condrollup").toString
+    val spec = Rollups.condAggSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(when($"value" > 1.0, 1)).as("n_over_1"),
+           graft.ops.Fns.dsum(when($"value" > 1.0, $"value")).as("sum_over_1"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("condrollup") && !plan.contains("events.parquet"),
+        s"the conditional dashboard must read the -If states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed countIf/sumIf must be bit-equal to the live CASE aggregates")
+      // a coarser regrouping re-adds the same partials
+      val coarse = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(count(when($"value" > 1.0, 1)).as("n_over_1"))
+        .orderBy("event_type")
+      assert(coarse.queryExecution.executedPlan.toString.contains("condrollup"))
+      spark.experimental.extraOptimizations = Nil
+      val coarseTruth = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(count(when($"value" > 1.0, 1)).as("n_over_1"))
+        .orderBy("event_type").collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      assert(coarse.collect().toSeq == coarseTruth)
+      // near miss: a DIFFERENT threshold is a different pattern
+      val other = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(when($"value" > 2.0, 1)).as("n_over_2"))
+      assert(!other.queryExecution.executedPlan.toString.contains("condrollup"),
+        "a different predicate must NOT route onto the conditional states")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // catalog round-trip: both CASE patterns re-parse from their SQL
+    val reg = java.nio.file.Files.createTempDirectory("graft_condreg")
+      .resolve("registry.json").toString
+    RollupRouting.register(spec)
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("condrollup"),
+        "the RELOADED conditional patterns must still route")
+      assert(routed.collect().toSeq == truth)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r14: the SET members through the grouping-set lattice — exact
     * distinct SETS are subtotal-safe by set union (the same argument
     * as the HLL states, q203), so a ROLLUP dashboard over
