@@ -3069,6 +3069,8 @@ class RollupRoutingSpec extends AnyFunSuite {
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(count(when($"value" > 1.0, 1)).as("n_over_1"),
            graft.ops.Fns.dsum(when($"value" > 1.0, $"value")).as("sum_over_1"),
+           // minIf: the extremum member over the same CASE pattern
+           min(when($"value" > 1.0, $"value")).as("min_over_1"),
            count(lit(1)).as("n"))
       .orderBy("day", "event_type")
     val truth = q().collect().toSeq
@@ -3157,6 +3159,69 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(countDistinct($"user_id").as("u"))
       assert(!exact.queryExecution.executedPlan.toString.contains("setlattice"),
         "an exact distinct aggregate must never lattice-route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** r14: the last two state members through the grouping-set lattice
+    * — KLL quantile states and top-k states union across subtotal
+    * regroupings like every other sketch, so ROLLUP dashboards over
+    * them read one rollup-sized scan per lattice; KLL holds in rank
+    * error (its contract), top-k exactly (under capacity). This
+    * completes the story: every subtotal-safe member lattices. */
+  test("KLL and top-k states route through ROLLUP lattices") {
+    import graft.ops.Rollups
+    import graft.expr.Kll
+    val dir = java.nio.file.Files.createTempDirectory("graft_klat")
+      .resolve("sketchlattice").toString
+    val spec = RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(RollupRouting.KllQuantileOf("value", "v_kll", 200),
+                 RollupRouting.TopKOf("user_id", "topu", 8192),
+                 RollupRouting.CountStarTo("c_p")))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val latQ = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(Kll.quantile(Kll.agg($"value", 200), 0.5).as("p50"),
+           count(lit(1)).as("n"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    // the raw values per (day, type) — the exact CDF every grain's
+    // estimate is bounded against
+    val raw = Tables.events(spark, sf)
+      .select(to_date($"ts").cast("string").as("day"), $"event_type", $"value")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getDouble(2)))
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = latQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("sketchlattice") && !plan.contains("events.parquet"),
+        s"every grain of the quantile lattice must read the KLL states:\n$plan")
+      val rows = routed.collect().toSeq
+      // rank-error contract per grain: the estimate's rank within the
+      // grain's OWN values sits at 0.5 ± (sketch rank error + the
+      // discrete-rank granularity 1/n of small groups)
+      rows.foreach { r =>
+        val day = Option(r.getDate(0)).map(_.toString)
+        val et = Option(r.getString(1))
+        val vs = raw.collect {
+          case (d, t, v) if day.forall(d.contains(_)) && et.forall(_ == t) => v
+        }
+        val est = r.getDouble(2)
+        val frac = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(frac - 0.5) <= 0.03 + 1.0 / vs.length,
+          s"grain ($day, $et): routed p50 rank $frac off the median (n=${vs.length})")
+      }
+      // top-k through the lattice: exact under capacity at every grain
+      val topQ = Tables.events(spark, sf)
+        .rollup($"event_type")
+        .agg(expr("approx_top_k(user_id, 3, 8192)").as("top"),
+             count(lit(1)).as("n"))
+      assert(topQ.queryExecution.executedPlan.toString.contains("sketchlattice"),
+        "the top-k lattice must read the frequent-items states")
+      assert(topQ.count() >= 2, "lattice returns per-type rows + the grand total")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
