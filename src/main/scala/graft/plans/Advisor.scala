@@ -147,8 +147,15 @@ object Advisor {
 
   /** The measure pattern for a SUM source expression — named shapes
     * first (printable in docs), [[ExprPat]] for everything else whose
-    * leaves are columns and literals. */
-  private def toPat(e: Expression): Option[SrcPat] = e match {
+    * leaves are columns and literals. Order-embedding (= value-
+    * preserving) casts strip first: the router strips them from the
+    * query side at match time (round 14), so a mined pattern carrying
+    * one would never match its own workload. */
+  private def toPat(e0: Expression): Option[SrcPat] = {
+    val e = ExprPat.stripOrderEmbedding(e0)
+    toPatRaw(e)
+  }
+  private def toPatRaw(e: Expression): Option[SrcPat] = e match {
     case a: AttributeReference => Some(ColRef(a.name))
     case Multiply(x: AttributeReference,
                   Subtract(Literal(one, _), y: AttributeReference, _), _)

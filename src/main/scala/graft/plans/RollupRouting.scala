@@ -155,18 +155,20 @@ object RollupRouting {
     * attributes — what the hybrid live-tail partial block aggregates. */
   sealed trait SrcPat {
     def matches(e: Expression): Boolean
-    /** ORDER-SENSITIVE match for the extremum members (Min/MaxPatOf;
-      * round 14). [[matches]] strips EVERY cast before comparing —
-      * right for SUM routing, where the exact-partial-cast guard
-      * re-checks the outermost cast, but a hole for extrema: a nested
-      * VALUE-CHANGING cast (`max(struct(CAST(CAST(value AS INT) AS
-      * DECIMAL(38,6)) …))`) canon-matches the registered pattern and
-      * can carry the identical result type, yet orders rows
-      * differently and would return wrong extrema. Here casts are
-      * retained unless provably ORDER-EMBEDDING (injective +
-      * monotone — identity, NTZ→TZ relabel, integral widening,
-      * lossless numeric promotion), so only trees that compute the
-      * same ordering route; everything else stays live. */
+    /** ORDER-SENSITIVE / VALUE-PRESERVING match (round 14), used by
+      * the extremum members (Min/MaxPatOf) AND the measure members
+      * (SumOf/CountOf pattern matching). [[matches]] strips EVERY
+      * cast before comparing — a hole: a nested VALUE-CHANGING cast
+      * (`max(struct(CAST(CAST(value AS INT) AS DECIMAL(38,6)) …))`,
+      * `sum(cast(CAST(x AS FLOAT) as decimal(38,6)))`,
+      * `count(CAST(s AS INT))` whose failed casts change null-ness)
+      * canon-matches the registered pattern yet computes different
+      * values. Here casts are retained unless provably
+      * ORDER-EMBEDDING (injective + monotone, which on this whitelist
+      * is also exactly value-preserving — identity, NTZ→TZ relabel,
+      * integral widening, lossless numeric promotion), so only trees
+      * that compute the same values route; everything else stays
+      * live. */
     def matchesOrdered(e: Expression): Boolean = matches(e)
     def rebuild(resolve: String => Option[Attribute]): Option[Expression]
     /** Source column names the measure reads (drives the spec-driven
@@ -1730,7 +1732,7 @@ object RollupRouting {
             // the routing PropertySpec)
             case (SumOf(pat, partial), Sum(se, _))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isExactPartialCast(resolved(se), pat.matches) =>
+                   isExactPartialCast(resolved(se), pat.matchesOrdered) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Sum(p)))
             // COUNT is non-nullable and 0 on empty input; SUM of the
             // partial is nullable and null on empty — coalesce restores
@@ -1745,7 +1747,7 @@ object RollupRouting {
             // partial with the same 0-on-empty coalesce
             case (CountOf(pat, partial), Count(Seq(se)))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   pat.matches(resolved(se)) =>
+                   pat.matchesOrdered(resolved(se)) =>
               attr(partial).map(p => Coalesce(Seq(
                 ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
             case (CountDistinctGrain(grain), Count(Seq(se)))
@@ -2305,7 +2307,8 @@ object RollupRouting {
           (m, ae.aggregateFunction) match {
             case (SumOf(pat, partial), Sum(se, _))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isExactPartialCast(resolveThroughProjects(se, child), pat.matches) =>
+                   isExactPartialCast(resolveThroughProjects(se, child),
+                                      pat.matchesOrdered) =>
               attr(partial).map(p => ae.copy(aggregateFunction = Sum(p)))
             case (CountStarTo(partial), Count(children))
                 if !ae.isDistinct && ae.filter.isEmpty &&
@@ -2315,7 +2318,7 @@ object RollupRouting {
             // null-skipping COUNT(expr) — the countIf member (round 14)
             case (CountOf(pat, partial), Count(Seq(se)))
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   pat.matches(resolveThroughProjects(se, child)) =>
+                   pat.matchesOrdered(resolveThroughProjects(se, child)) =>
               attr(partial).map(p => Coalesce(Seq(
                 ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
             case (MinOf(cn, partial), Min(se))
