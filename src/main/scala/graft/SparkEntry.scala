@@ -2079,6 +2079,7 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS day, event_type,
           COUNT(CASE WHEN value > 1.0 THEN 1 END) AS n_over_1,
           ${dsum("CASE WHEN value > 1.0 THEN value END")} AS sum_over_1,
+          ${davg("CASE WHEN value > 1.0 THEN value END")} AS avg_over_1,
           MIN(CASE WHEN value > 1.0 THEN value END) AS min_over_1,
           COUNT(*) AS n_events
           FROM events GROUP BY 1, 2 ORDER BY day, event_type""",

@@ -408,6 +408,9 @@ object Rollups {
       aggs = Seq(
         CountOf(ExprPat(when(col("value") > 1.0, lit(1))), "over1_cnt_p"),
         SumOf(ExprPat(when(col("value") > 1.0, col("value"))), "over1_sum_p"),
+        // the value pattern's OWN non-null count — avgIf's
+        // denominator (and `count(CASE WHEN p THEN v END)` directly)
+        CountOf(ExprPat(when(col("value") > 1.0, col("value"))), "over1_vcnt_p"),
         // minIf: the extremum member over the SAME CASE pattern —
         // extrema of a null-gapped measure fold like any other
         MinPatOf(ExprPat(when(col("value") > 1.0, col("value"))), "over1_min_p"),
@@ -432,6 +435,7 @@ object Rollups {
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(when(col("value") > 1.0, 1)).as("n_over_1"),
              Fns.dsum(when(col("value") > 1.0, col("value"))).as("sum_over_1"),
+             Fns.davg(when(col("value") > 1.0, col("value"))).as("avg_over_1"),
              min(when(col("value") > 1.0, col("value"))).as("min_over_1"),
              count(lit(1)).as("n_events"))
         .orderBy("day", "event_type")

@@ -614,6 +614,20 @@ object RollupRouting {
   case class MinPatOf(pat: SrcPat, partial: String) extends AggMap
   case class MaxPatOf(pat: SrcPat, partial: String) extends AggMap
 
+  /** A pattern's expression form, for cross-member comparison (the
+    * avgIf pairing, round 14). */
+  private def patExpr(p: SrcPat): Expression = p match {
+    case ColRef(n) => org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
+    case OneMinusProduct(a, b) => Multiply(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a)),
+      Subtract(Literal(1.0d),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(b))))
+    case ExprPat(e) => e
+  }
+  /** Two patterns denote the same measure (value-preserving canon). */
+  private[plans] def samePattern(a: SrcPat, b: SrcPat): Boolean =
+    ExprPat.canonOrdered(patExpr(a)) == ExprPat.canonOrdered(patExpr(b))
+
   /** The rollup column an AggMap writes — used to recognize the
     * rule's own hybrid-tail partial block (fixed-point guard). */
   private def partialName(m: AggMap): Option[String] = m match {
@@ -1796,6 +1810,27 @@ object RollupRouting {
                   DecimalType(38, 10), null,
                   mode != EvalMode.ANSI)
               }
+            // avgIf (round 14): Average over a PATTERN measure pairs
+            // the registered SumOf with the CountOf counting the SAME
+            // pattern's non-null rows — exactly Average's numerator
+            // and denominator, reproduced from two partial columns
+            case (SumOf(pat, sp), Average(se, mode))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolved(se), pat.matchesOrdered) =>
+              spec.aggs.collectFirst {
+                case CountOf(patC, cp) if samePattern(patC, pat) => cp
+              }.flatMap { cp =>
+                for (s <- attr(sp); c <- attr(cp)) yield {
+                  val sumAE = ae.copy(aggregateFunction = Sum(s),
+                                      resultId = NamedExpression.newExprId)
+                  val cntAE = ae.copy(aggregateFunction = Sum(c),
+                                      resultId = NamedExpression.newExprId)
+                  DecimalDivideWithOverflowCheck(
+                    sumAE, Cast(cntAE, DecimalType(20, 0)),
+                    DecimalType(38, 10), null,
+                    mode != EvalMode.ANSI)
+                }
+              }
             // the sketch members (round 12) — same guards as the
             // single-table path: bare column, EQUAL precision (a
             // different lgK/k is a different sketch)
@@ -2380,6 +2415,26 @@ object RollupRouting {
                   sumAE, Cast(cntAE, DecimalType(20, 0)),
                   DecimalType(38, 10), null,
                   mode != EvalMode.ANSI)
+              }
+            // avgIf (round 14) — same pairing as the join path: the
+            // SumOf and the same-pattern CountOf reproduce Average
+            case (SumOf(pat, sp), Average(se, mode))
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   isExactPartialCast(resolveThroughProjects(se, child),
+                                      pat.matchesOrdered) =>
+              spec.aggs.collectFirst {
+                case CountOf(patC, cp) if samePattern(patC, pat) => cp
+              }.flatMap { cp =>
+                for (s <- attr(sp); c <- attr(cp)) yield {
+                  val sumAE = ae.copy(aggregateFunction = Sum(s),
+                                      resultId = NamedExpression.newExprId)
+                  val cntAE = ae.copy(aggregateFunction = Sum(c),
+                                      resultId = NamedExpression.newExprId)
+                  DecimalDivideWithOverflowCheck(
+                    sumAE, Cast(cntAE, DecimalType(20, 0)),
+                    DecimalType(38, 10), null,
+                    mode != EvalMode.ANSI)
+                }
               }
             // APPROX-DISTINCT via sketch state (round 12, the
             // uniqState/uniqMerge member): `hll_sketch_agg(col, lgK)`

@@ -3069,11 +3069,20 @@ class RollupRoutingSpec extends AnyFunSuite {
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(count(when($"value" > 1.0, 1)).as("n_over_1"),
            graft.ops.Fns.dsum(when($"value" > 1.0, $"value")).as("sum_over_1"),
+           // avgIf in the decomposed spelling: sum/count of the CASE
+           graft.ops.Fns.davg(when($"value" > 1.0, $"value")).as("avg_over_1"),
            // minIf: the extremum member over the same CASE pattern
            min(when($"value" > 1.0, $"value")).as("min_over_1"),
            count(lit(1)).as("n"))
       .orderBy("day", "event_type")
     val truth = q().collect().toSeq
+    // avgIf in Spark's OWN avg(): the router pairs the SumOf with the
+    // same-pattern CountOf and reproduces Average's exact decimal tree
+    val avgQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(avg(when($"value" > 1.0, $"value").cast("decimal(38,6)")).as("a"))
+      .orderBy("day", "event_type")
+    val avgTruth = avgQ().collect().toSeq
     RollupRouting.register(spec)
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
@@ -3083,6 +3092,11 @@ class RollupRoutingSpec extends AnyFunSuite {
         s"the conditional dashboard must read the -If states:\n$plan")
       assert(routed.collect().toSeq == truth,
         "routed countIf/sumIf must be bit-equal to the live CASE aggregates")
+      val avgRouted = avgQ()
+      assert(avgRouted.queryExecution.executedPlan.toString.contains("condrollup"),
+        "avgIf must route by pairing the SumOf with the same-pattern CountOf")
+      assert(avgRouted.collect().toSeq == avgTruth,
+        "routed avgIf must reproduce Average's exact decimal division")
       // a coarser regrouping re-adds the same partials
       val coarse = Tables.events(spark, sf)
         .groupBy($"event_type")
