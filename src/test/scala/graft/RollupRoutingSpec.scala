@@ -3189,6 +3189,50 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  /** r14: the conditional member through the streaming lifecycle —
+    * micro-batched deliveries scatter a group's conditional partials
+    * across blocks; the routed read re-adds them to the batch answer
+    * and compaction restores one row per group. */
+  test("conditional states stream-maintain: merged partials equal the batch answer") {
+    import graft.ops.Rollups
+    val base = java.nio.file.Files.createTempDirectory("graft_condmv")
+    val spec = Rollups.condAggSpec(base.resolve("condstream").toString)
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp") // mid-day: groups split
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    val dayQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(when($"value" > 1.0, 1)).as("n_over_1"),
+           graft.ops.Fns.dsum(when($"value" > 1.0, $"value")).as("sum_over_1"),
+           min(when($"value" > 1.0, $"value")).as("min_over_1"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = dayQ().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val maintained = dayQ()
+      assert(maintained.queryExecution.executedPlan.toString.contains("condstream"),
+        "the stream-maintained conditional rollup must answer")
+      assert(maintained.collect().toSeq == truth,
+        "stream-maintained conditional partials must add to the batch answer")
+      Rollups.compactRollup(spark, spec)
+      assert(spark.read.parquet(spec.rollupPath).groupBy("day", "event_type")
+               .count().filter($"count" > 1).isEmpty,
+        "compaction must restore one row per (day, type)")
+      assert(dayQ().collect().toSeq == truth,
+        "compaction must not change the routed answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** r14: the last two state members through the grouping-set lattice
     * — KLL quantile states and top-k states union across subtotal
     * regroupings like every other sketch, so ROLLUP dashboards over
