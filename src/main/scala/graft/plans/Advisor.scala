@@ -190,12 +190,16 @@ object Advisor {
 
   /** Deterministic partial-column name per measure (stable across
     * advisor runs, so re-advising a grown workload extends the same
-    * rollup schema). */
+    * rollup schema). ExprPat names hash the ORDER-SENSITIVE canon form
+    * ([[ExprPat.canonOrdered]]) — the equality the router matches with
+    * — so two demands differing only by a value-CHANGING cast get
+    * distinct partial columns instead of silently deduping into one
+    * (the value-insensitive [[ExprPat.canon]] would alias them). */
   private def sumPartialName(pat: SrcPat): String = pat match {
     case ColRef(n) => s"${n}_sum_p"
     case OneMinusProduct(a, _) => s"${a}_net_p"
     case p: ExprPat =>
-      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_sum_p"
+      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_sum_p"
   }
   /** Shares AvgOf's `<col>_cnt_p` convention deliberately: avg's count
     * partial IS the non-null count of the column, so a workload
@@ -204,13 +208,13 @@ object Advisor {
     case ColRef(n) => s"${n}_cnt_p"
     case OneMinusProduct(a, _) => s"${a}_net_cnt_p"
     case p: ExprPat =>
-      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_cnt_p"
+      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_cnt_p"
   }
   private def extremumPartialName(pat: SrcPat, kind: String): String = pat match {
     case ColRef(n) => s"${n}_${kind}_p"
     case OneMinusProduct(a, _) => s"${a}_net_${kind}_p"
     case p: ExprPat =>
-      s"m${math.abs(ExprPat.canon(p.expr).toString.hashCode) % 1000000}_${kind}_p"
+      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_${kind}_p"
   }
 
   /** Map one aggregate output to the AggMap that would route it —
@@ -497,11 +501,15 @@ object Advisor {
   }
 
   /** Structural dedupe key — two queries demanding the same measure
-    * produce one partial column. */
+    * produce one partial column. ExprPat keys use the ORDER-SENSITIVE
+    * canon ([[ExprPat.canonOrdered]]) to match the router's equality:
+    * patterns differing only by a value-changing cast must register
+    * DISTINCT members, or the second query would silently never
+    * route. */
   private def aggKey(m: AggMap): String = m match {
     case SumOf(ColRef(n), _) => s"sum:col:$n"
     case SumOf(OneMinusProduct(a, b), _) => s"sum:omp:$a:$b"
-    case SumOf(p: ExprPat, _) => s"sum:expr:${ExprPat.canon(p.expr).toString}"
+    case SumOf(p: ExprPat, _) => s"sum:expr:${ExprPat.canonOrdered(p.expr).toString}"
     case CountStarTo(_) => "count"
     case CountOf(p, _) => s"countof:${patKey(p)}"
     case MinOf(c, _) => s"min:$c"
@@ -519,7 +527,7 @@ object Advisor {
   private def patKey(p: SrcPat): String = p match {
     case ColRef(n) => s"col:$n"
     case OneMinusProduct(a, b) => s"omp:$a:$b"
-    case e: ExprPat => s"expr:${ExprPat.canon(e.expr).toString}"
+    case e: ExprPat => s"expr:${ExprPat.canonOrdered(e.expr).toString}"
   }
   private def dedupeAggs(aggs: Seq[AggMap]): Seq[AggMap] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, AggMap]
@@ -536,6 +544,16 @@ object Advisor {
     * (the reference ships six SEPARATE MVs at their natural grains,
     * `usdc-transfers/sql/analytics.sql:9-106`, never one mega-MV). */
   val DefaultMaxReadInflation = 4.0
+  /** Session conf overriding [[DefaultMaxReadInflation]] (round 15) —
+    * the deployment knob trading spec count against read cost, next
+    * to the router's `spark.graft.routing.estimatorSubstitution`. An
+    * explicit `maxReadInflation` argument still wins over the conf. */
+  val MaxReadInflationConf = "spark.graft.advisor.maxReadInflation"
+  private def confMaxReadInflation(spark: SparkSession): Double =
+    Option(spark).map(_.sessionState.conf
+        .getConfString(MaxReadInflationConf, DefaultMaxReadInflation.toString)
+        .toDouble)
+      .getOrElse(DefaultMaxReadInflation)
   /** [[SetOf]] advisability guards: a distinct-set state over a
     * near-unique column (distinct > half the rows) stores ~every row —
     * no compression at ANY scale, the scale-free test that catches
@@ -546,7 +564,17 @@ object Advisor {
   val MaxSetDistinct = 1000000L
   /** Advise-time stats sample bound — the prefix row count the
     * cost-model scan reads (pushed to the source as a limit, so the
-    * advisor's planning cost stays flat while the fact table grows). */
+    * advisor's planning cost stays flat while the fact table grows).
+    * The prefix is whatever rows the scan yields first, with NO
+    * defined order — so advise output (split decisions, spec counts)
+    * is only stable up to sampling: deterministic for a fixed file
+    * layout, but a re-layout (compaction, different writer
+    * parallelism) can move a distinct-count estimate across the
+    * inflation bound and change the advised catalog. That is the
+    * documented contract — an underestimate only UNDER-splits (a
+    * merged spec that reads somewhat hot), never mis-refuses; the
+    * SetOf guard, where a wrong refusal would kill a registration,
+    * deliberately pays a full column scan instead. */
   val StatsSampleRows = 100000
 
   /** Propose the smallest registry that answers the workload: analyze
@@ -561,10 +589,12 @@ object Advisor {
     * (hour vs day) never count as inflation — they are bounded at any
     * data volume, unlike user-shaped keys that grow with it. */
   def advise(queries: Seq[DataFrame], rollupRoot: String,
-             maxReadInflation: Double = DefaultMaxReadInflation): Advice = {
+             maxReadInflation: Double = Double.NaN): Advice = {
     val spark = queries.headOption.map(_.sparkSession).orNull
     val demands = queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }
-    adviseDemands(spark, demands, rollupRoot, maxReadInflation)
+    val bound = if (maxReadInflation.isNaN) confMaxReadInflation(spark)
+                else maxReadInflation
+    adviseDemands(spark, demands, rollupRoot, bound)
   }
 
   private def adviseDemands(spark: SparkSession,
@@ -619,20 +649,30 @@ object Advisor {
       val statCols = ds0.flatMap(_.keys).toSet ++
         ds0.flatMap(_.aggs).collect { case SetOf(c, _) => c }
       // SetOf cardinality guard (round 14): refuse to materialize a
-      // distinct-set state the registry's own scaladoc warns against
-      val (ds, guarded) = ds0.partition { d =>
-        d.aggs.collect { case SetOf(c, _) => c }.forall { c =>
-          val (total, n) = fullColStats(suffix, d.source, c)
-          val ok = n <= total / 2 && n <= MaxSetDistinct
-          if (!ok) splits += (s"$suffix: collect_set($c) demand refused — " +
-            s"~$n distinct values over $total rows; a set state would not " +
-            "compress (register HLL or uniqUpTo for unbounded keys)")
-          ok
+      // distinct-set state the registry's own scaladoc warns against.
+      // The refusal is PER MEMBER (round 15): a dashboard mixing a
+      // near-unique collect_set with routable counts/sums keeps its
+      // remaining measures advised — only the set state is dropped
+      // (recorded in splits); a demand whose EVERY measure was the
+      // refused set is skipped whole.
+      val ds = ds0.flatMap { d =>
+        val kept = d.aggs.filter {
+          case SetOf(c, _) =>
+            val (total, n) = fullColStats(suffix, d.source, c)
+            val ok = n <= total / 2 && n <= MaxSetDistinct
+            if (!ok) splits += (s"$suffix: collect_set($c) member refused — " +
+              s"~$n distinct values over $total rows; a set state would not " +
+              "compress (register HLL or uniqUpTo for unbounded keys)")
+            ok
+          case _ => true
         }
-      }
-      guarded.foreach { d =>
-        skipped += s"$suffix: collect_set over a near-unique/unbounded column " +
-          "— set state refused (see splits), demand left live"
+        if (kept.nonEmpty) Some(d.copy(aggs = kept))
+        else {
+          skipped += (s"$suffix: collect_set over a near-unique/unbounded " +
+            "column was the demand's only measure — set state refused " +
+            "(see splits), demand left live")
+          None
+        }
       }
       val grains = ds.flatMap(_.grain)
       if (ds.isEmpty)
@@ -731,20 +771,26 @@ object Advisor {
       .groupBy(d => (d.tables.keySet, d.joinKeys))
     val joinResults = joinsByCore.toSeq.sortBy(_._1._1.toSeq.sorted.mkString(","))
       .flatMap { case ((tables, joinKeys), ds0) =>
-        // the same SetOf guard as singles, against the owning table
-        val (ds, guardedJ) = ds0.partition { d =>
-          d.aggs.collect { case SetOf(c, _) => c }.forall { c =>
-            joinFullColStats(d.tables, c).forall { case (total, n) =>
-              val ok = n <= total / 2 && n <= MaxSetDistinct
-              if (!ok) splits += (s"${tables.toSeq.sorted.mkString("⋈")}: " +
-                s"collect_set($c) demand refused — ~$n distinct over $total rows")
-              ok
-            }
+        // the same PER-MEMBER SetOf guard as singles, stats from the
+        // owning base table — the demand's other measures keep advising
+        val ds = ds0.flatMap { d =>
+          val kept = d.aggs.filter {
+            case SetOf(c, _) =>
+              joinFullColStats(d.tables, c).forall { case (total, n) =>
+                val ok = n <= total / 2 && n <= MaxSetDistinct
+                if (!ok) splits += (s"${tables.toSeq.sorted.mkString("⋈")}: " +
+                  s"collect_set($c) member refused — ~$n distinct over $total rows")
+                ok
+              }
+            case _ => true
           }
-        }
-        guardedJ.foreach { _ =>
-          skipped += s"${tables.toSeq.sorted.mkString("⋈")}: collect_set over a " +
-            "near-unique/unbounded column — set state refused, demand left live"
+          if (kept.nonEmpty) Some(d.copy(aggs = kept))
+          else {
+            skipped += (s"${tables.toSeq.sorted.mkString("⋈")}: collect_set " +
+              "over a near-unique/unbounded column was the demand's only " +
+              "measure — set state refused, demand left live")
+            None
+          }
         }
         if (ds.isEmpty) Nil else {
           def keysOf(d: JoinDemand): Set[String] = d.groupings ++ d.grainKeys
@@ -879,13 +925,19 @@ object Advisor {
     * bare relation, exactly what capture analyzed), then run the same
     * cost-aware merge as the live path. */
   def adviseCaptured(spark: SparkSession, path: String, rollupRoot: String,
-                     maxReadInflation: Double = DefaultMaxReadInflation): Advice = {
+                     maxReadInflation: Double = Double.NaN): Advice = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     // the loader contract's conf, in case the captured source is a
-    // nanos-encoded events table (see graft.Tables)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos-encoded events table (see graft.Tables) — SAVED and
+    // RESTORED around the capture read + advising: an advisory API
+    // must not permanently change how unrelated parquet reads in the
+    // same session interpret nanos timestamps
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val doc = JsonMethods.parse(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -921,7 +973,14 @@ object Advisor {
           case k => scala.Left(s"capture: unknown demand kind $k")
         }
       }
-    adviseDemands(spark, demands, rollupRoot, maxReadInflation)
+    adviseDemands(spark, demands, rollupRoot,
+      if (maxReadInflation.isNaN) confMaxReadInflation(spark) else maxReadInflation)
+    } finally {
+      nanosPrev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
+      }
+    }
   }
 
   /** Build every advised rollup from its captured scans (spec-driven

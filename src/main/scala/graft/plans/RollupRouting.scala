@@ -181,6 +181,18 @@ object RollupRouting {
       case a: AttributeReference => a.name == name
       case _ => false
     }
+    /** Order-embedding casts strip from the QUERY side before the
+      * bare-reference compare — mirroring [[ExprPat.canonOrdered]]'s
+      * treatment on both sides. Without this, the advisor's minted
+      * `SumOf(ColRef(x))` for a `sum(cast(x as double))` demand over an
+      * int column could never route its own workload (the whitelist is
+      * value-preserving, so the stripped tree computes the same sums/
+      * counts); value-CHANGING casts still refuse. */
+    override def matchesOrdered(e: Expression): Boolean =
+      ExprPat.stripOrderEmbedding(e) match {
+        case a: AttributeReference => a.name == name
+        case _ => false
+      }
     def rebuild(resolve: String => Option[Attribute]): Option[Expression] = resolve(name)
     def refs: Set[String] = Set(name)
   }
@@ -192,6 +204,11 @@ object RollupRouting {
         x.name == a && y.name == b && one == 1.0d
       case _ => false
     }
+    /** Same order-embedding strip as [[ColRef.matchesOrdered]] —
+      * nested value-preserving casts (the loader's relabel, lossless
+      * widenings) must not hide the registered product shape. */
+    override def matchesOrdered(e: Expression): Boolean =
+      matches(ExprPat.stripOrderEmbedding(e))
     def rebuild(resolve: String => Option[Attribute]): Option[Expression] =
       for (x <- resolve(a); y <- resolve(b))
         yield Multiply(x, Subtract(Literal(1.0d), y))

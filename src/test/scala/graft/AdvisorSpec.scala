@@ -648,11 +648,12 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
-  /** r14: the SetOf advisability guard — a distinct-set state over a
-    * near-unique column stores ~every row; the advisor refuses it
-    * with the reason recorded, and the rest of the workload still
-    * advises. */
-  test("a collect_set demand over a near-unique column is refused with a reason") {
+  /** r14 guard, r15 granularity: a distinct-set state over a
+    * near-unique column stores ~every row; the advisor refuses THAT
+    * MEMBER with the reason recorded — the demand's remaining
+    * measures (counts, sums) keep advising, so a mixed dashboard
+    * doesn't lose its whole advice to one id-shaped collect_set. */
+  test("a collect_set member over a near-unique column is refused, the rest advises") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_setg").toString
     val unbounded = Tables.events(spark, sf)
       .groupBy(to_date($"ts").as("day"))
@@ -661,23 +662,41 @@ class AdvisorSpec extends AnyFunSuite {
       .groupBy(to_date($"ts").as("day"))
       .agg(sort_array(collect_set($"user_id")).as("users"), count(lit(1)).as("c"))
     val advice = Advisor.advise(Seq(unbounded, bounded), root)
-    // the near-unique event_id demand is refused; the bounded user_id
-    // demand still advises its set state
-    assert(advice.skipped.exists(_.contains("set state refused")), advice.skipped)
-    assert(advice.splits.exists(_.contains("collect_set(event_id)")), advice.splits)
+    // the near-unique event_id MEMBER is refused; the demand's count
+    // and the bounded user_id set still advise (same keys → one spec)
+    assert(advice.splits.exists(_.contains("collect_set(event_id) member refused")),
+      advice.splits)
+    assert(advice.skipped.isEmpty,
+      s"a mixed demand must not be skipped whole: ${advice.skipped}")
     assert(advice.singles.size == 1, advice)
-    assert(advice.singles.head.spec.aggs.exists {
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists {
       case RollupRouting.SetOf("user_id", _) => true; case _ => false
-    }, s"the bounded demand must still advise: ${advice.singles.head.spec.aggs}")
-    // the same guard holds on the JOIN path, stats from the owning
-    // base table
+    }, s"the bounded set must still advise: $aggs")
+    assert(!aggs.exists {
+      case RollupRouting.SetOf("event_id", _) => true; case _ => false
+    }, s"the refused set must not register: $aggs")
+    assert(aggs.exists(_.isInstanceOf[RollupRouting.CountStarTo]),
+      s"the mixed demand's count must survive the member refusal: $aggs")
+    // a demand whose ONLY measure is the refused set is skipped whole
+    val setOnly = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sort_array(collect_set($"event_id")).as("ids"))
+    val soAdvice = Advisor.advise(Seq(setOnly), root)
+    assert(soAdvice.singles.isEmpty &&
+           soAdvice.skipped.exists(_.contains("set state refused")), soAdvice)
+    // the same per-member guard holds on the JOIN path, stats from
+    // the owning base table: the count advises, the set does not
     val joinUnbounded = Tables.events(spark, sf)
       .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
       .groupBy(to_date($"ts").as("day"), $"c_mktsegment")
       .agg(sort_array(collect_set($"event_id")).as("ids"), count(lit(1)).as("c"))
     val jAdvice = Advisor.advise(Seq(joinUnbounded), root)
-    assert(jAdvice.joins.isEmpty &&
-           jAdvice.skipped.exists(_.contains("set state refused")), jAdvice)
+    assert(jAdvice.joins.size == 1 &&
+           jAdvice.splits.exists(_.contains("collect_set(event_id) member refused")),
+      jAdvice)
+    assert(!jAdvice.joins.head.spec.aggs.exists(_.isInstanceOf[RollupRouting.SetOf]),
+      jAdvice.joins.head.spec.aggs)
   }
 
   /** r14: a `-If` combinator dashboard (countIf/sumIf as CASE
@@ -858,5 +877,97 @@ class AdvisorSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+  }
+
+  /** r15, the ADVICE cast-hole's measure twin: a sum demand over an
+    * ORDER-EMBEDDING cast of a bare column (int widened to double)
+    * mints `SumOf(ColRef)` — and the routed side now strips the same
+    * whitelist from the query tree, so the advised spec ANSWERS its
+    * own workload instead of being dead advice. */
+  test("a sum over an order-embedding cast advises a ColRef member that routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_oec").toString
+    val q = () => Tables.lineitem(spark, sf)
+      .groupBy(to_date($"l_shipdate").as("day"))
+      .agg(graft.ops.Fns.dsum($"l_linenumber".cast("double")).as("s"),
+           count($"l_linenumber".cast("double")).as("n"))
+      .orderBy("day")
+    val truth = q().collect().toSeq
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
+    val aggs = advice.singles.head.spec.aggs
+    assert(aggs.exists {
+      case RollupRouting.SumOf(RollupRouting.ColRef("l_linenumber"), _) => true
+      case _ => false
+    }, s"the stripped demand must mint the bare-column member: $aggs")
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_oec") && !plan.contains("lineitem.parquet"),
+        s"the minted ColRef member must route its own workload:\n$plan")
+      assert(routed.collect().toSeq == truth)
+    }
+  }
+
+  /** r15: dedupe keys and partial names ride the ORDER-SENSITIVE canon
+    * — two demands whose patterns differ only by a value-CHANGING cast
+    * register DISTINCT members, and each query routes onto its own
+    * (previously the value-insensitive canon aliased them into one
+    * partial and the second query silently never routed). */
+  test("value-distinct cast patterns advise distinct members, both route") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_vdc").toString
+    val qLong = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value".cast("long")).as("s"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val qInt = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value".cast("int")).as("s"), count(lit(1)).as("c"))
+      .orderBy("day")
+    val advice = Advisor.advise(Seq(qLong(), qInt()), root)
+    assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice)
+    val sums = advice.singles.head.spec.aggs.collect {
+      case RollupRouting.SumOf(p, partial) => (p, partial)
+    }
+    assert(sums.size == 2 && sums.map(_._2).distinct.size == 2,
+      s"the two value-changing casts must mint distinct partials: $sums")
+    val truthLong = qLong().collect().toSeq
+    val truthInt = qInt().collect().toSeq
+    routedWith(advice) {
+      for ((q, truth) <- Seq(qLong -> truthLong, qInt -> truthInt)) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("advise_vdc") && !plan.contains("events.parquet"),
+          s"each value-distinct demand must route onto its own member:\n$plan")
+        assert(routed.collect().toSeq == truth)
+      }
+    }
+  }
+
+  /** r15: the merge bound is a session conf
+    * (`spark.graft.advisor.maxReadInflation`) — a deployment can trade
+    * spec count against read inflation without code; an explicit
+    * argument still wins. */
+  test("the read-inflation bound reads from the session conf") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_conf").toString
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+    // default bound: the user-keyed + keyless demands split (pinned
+    // by the per-grain test above); an effectively-unbounded conf
+    // pools them into ONE spec
+    spark.conf.set(Advisor.MaxReadInflationConf, "1e18")
+    try {
+      val pooled = Advisor.advise(Seq(daily, hourly), root)
+      assert(pooled.singles.size == 1 && pooled.splits.isEmpty,
+        s"an unbounded conf must pool the workload: $pooled")
+      // an explicit argument overrides the conf
+      val split = Advisor.advise(Seq(daily, hourly), root,
+        maxReadInflation = Advisor.DefaultMaxReadInflation)
+      assert(split.singles.size == 2 && split.splits.nonEmpty,
+        s"the explicit bound must win over the conf: $split")
+    } finally spark.conf.unset(Advisor.MaxReadInflationConf)
   }
 }
