@@ -491,6 +491,12 @@ object SparkEntry {
     // ExprPat); q134's conditional dashboard re-aggregates per-(day,
     // type) conditional partials bit-equally, DuckDB-oracled
     "q211_cond_agg_routed" -> (Rollups.condAggRouted _),
+    // r15: GRAINLESS (keys-only, all-time) specs — "total per user
+    // over all time", the day-one dashboard every time-bucketed MV
+    // under-serves. The purely grainless workload advises "all"-grain
+    // specs (one row per key group, no time key), and the unchanged
+    // per-user query routes with the fact never scanned
+    "q212_advised_alltime" -> (graft.plans.Advisor.advisedAllTime _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2091,6 +2097,12 @@ object SparkEntry {
           (MIN(struct_pack(t := ts, e := event_id))).e AS first_event_id,
           ${dsum("value")} AS total_value
           FROM events GROUP BY 1 ORDER BY event_type""",
+    // r15: the grainless (all-time per-user) routed read must
+    // hash-match the exact all-time totals
+    "q212_advised_alltime" ->
+      s"""SELECT user_id, ${dsum("value")} AS total_value,
+          COUNT(*) AS n_events
+          FROM events GROUP BY 1 ORDER BY user_id""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

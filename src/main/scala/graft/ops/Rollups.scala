@@ -867,9 +867,14 @@ object Rollups {
     * compacts to a complete rollup. Unknown columns (not derivable
     * from the spec's aggs) abort rather than silently drop. */
   def compactRollup(spark: SparkSession, spec: graft.plans.RollupRouting.Spec): Unit = {
-    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-    compactPartialsDir(spark, spec.rollupPath,
-      (timeKeyName +: spec.keyCols.values.toSeq).distinct, spec.aggs)
+    // a grainless rollup has no time key — its merge keys are exactly
+    // the spec's key columns (it is never append-maintained, but a
+    // rebuild tool may still compact a multi-file build)
+    val keys =
+      if (spec.grain == "all") spec.keyCols.values.toSeq.distinct
+      else ((if (spec.grain == "hour") "hour" else "day") +:
+        spec.keyCols.values.toSeq).distinct
+    compactPartialsDir(spark, spec.rollupPath, keys, spec.aggs)
   }
 
   /** [[compactRollup]] for a JOIN rollup: same merge, keyed by the

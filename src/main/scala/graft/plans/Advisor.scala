@@ -677,12 +677,14 @@ object Advisor {
       val grains = ds.flatMap(_.grain)
       if (ds.isEmpty)
         scala.Left(s"$suffix: every demand was guarded out")
-      else if (grains.isEmpty)
-        scala.Left(s"$suffix: no query in the merge group pins a time grain")
       else if (grains.map(_._2).distinct.size > 1)
         scala.Left(s"$suffix: merge group uses two different time columns")
       else {
-        val timeCol = grains.head._2
+        // a merge set with NO grained demand is a purely GRAINLESS
+        // workload (round 15) — it advises "all"-grain specs with no
+        // time column (rebuild-only; the advisor's own build is the
+        // complete one-shot, so no sidecar is ever stamped)
+        val timeCol = grains.headOption.map(_._2).getOrElse("")
         // cost-aware grouping: greedy over demands (grain-pinning ones
         // first, widest key set first), joining the first group whose
         // union keys keep EVERY member's gained-key product under the
@@ -707,14 +709,14 @@ object Advisor {
               }
               gs.find(fits) match {
                 case Some(g) => g += d
-                case None if d.grain.isDefined =>
-                  gs += scala.collection.mutable.Buffer(d)
                 case None =>
-                  // a grainless demand cannot seed a spec (nothing pins
-                  // its rollup grain) — refusing beats dead advice
-                  skipped += (s"$suffix: a grainless demand's keys " +
-                    s"${d.keys.toSeq.sorted.mkString("(", ",", ")")} would inflate " +
-                    s"every candidate group beyond ${maxReadInflation}x — left live")
+                  // a grainless demand that fits no grained group
+                  // SEEDS its own "all"-grain spec (round 15) — the
+                  // grainless registry member makes the seed
+                  // expressible, where round 14 had to strand it.
+                  // Grained demands iterate first, so a grainless-
+                  // seeded group only ever pools grainless peers.
+                  gs += scala.collection.mutable.Buffer(d)
               }
             }
             if (gs.size > 1) {
@@ -730,7 +732,15 @@ object Advisor {
         val multi = groups.size > 1
         scala.Right(groups.map { g =>
           val gGrains = g.flatMap(_.grain)
-          val grain = if (gGrains.exists(_._1 == "hour")) "hour" else "day"
+          // a group with no grained member advises the GRAINLESS spec:
+          // one row per key group, all time (round 15). The spec keeps
+          // the merge set's time column when one is known — a later
+          // owner can then stamp a coverage sidecar and get the hybrid
+          // read; a purely grainless workload has none (timeCol = "",
+          // the rollup must always be complete).
+          val grain =
+            if (gGrains.isEmpty) "all"
+            else if (gGrains.exists(_._1 == "hour")) "hour" else "day"
           val keys = g.flatMap(_.keys).toSet - timeCol
           val slug = if (!multi) "" else "_" + (grain +: keys.toSeq.sorted).mkString("_")
           AdvisedSingle(
@@ -1390,6 +1400,41 @@ object Advisor {
     } finally {
       spark.experimental.extraOptimizations = prev
       RollupRouting.clear()
+    }
+  }
+
+  /** Driver entry (q212): the GRAINLESS advising loop (round 15) —
+    * the most common real dashboard the registry previously could not
+    * serve: "total per user over ALL time". The keys-only workload
+    * (per-user totals + per-type counts) pins NO time grain, so the
+    * advisor seeds "all"-grain specs (one row per key group; the two
+    * key sets split under the gained-key inflation bound exactly like
+    * grained demands), builds them one-shot (complete — no sidecar),
+    * and the UNCHANGED per-user query routes with the fact never
+    * scanned. Beyond-reference: all six reference MVs bucket time
+    * (`usdc-transfers/sql/analytics.sql:19,31,50,65,85,106`); the
+    * grainless member serves the day-one dashboard they cannot. */
+  def advisedAllTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_alltime")
+    val perUser = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+    val perType = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val advice = advise(Seq(perUser, perType), root)
+    require(advice.skipped.isEmpty &&
+        advice.singles.nonEmpty && advice.singles.forall(_.spec.grain == "all"),
+      s"a purely grainless workload must advise all-grain specs: $advice")
+    runRouted(spark, advice) {
+      graft.Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
+             count(lit(1)).as("n_events"))
+        .orderBy("user_id")
     }
   }
 

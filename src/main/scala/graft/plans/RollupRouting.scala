@@ -102,13 +102,45 @@ object RollupRouting {
     * `Spec(suffix, path)` is unchanged; a user can now register a
     * daily rollup over any table — the reference maintains six
     * differently-shaped MVs side by side
-    * (`usdc-transfers/sql/analytics.sql:9-94`). */
+    * (`usdc-transfers/sql/analytics.sql:9-94`).
+    *
+    * Round 15 adds the GRAINLESS grain `"all"` — a keys-only,
+    * all-time rollup (one row per key group; the most common real
+    * dashboard shape, "total per user over all time", which every
+    * time-bucketed MV shape under-serves: all six reference MVs
+    * bucket time, `usdc-transfers/sql/analytics.sql:19,31,50,65,85,
+    * 106`). The rollup stores NO time key, so it answers only
+    * time-free queries: a time grouping or a time-range predicate
+    * provably keeps the query live (there is no rollup-side
+    * expression to substitute). It is the COARSEST grain — fewest
+    * rows — so the cost choice prefers it whenever it can answer.
+    * Coverage contract: with no sidecar the rollup must be COMPLETE
+    * (the one-shot build the advisor performs). With a sidecar, the
+    * hybrid tail rides `timeCol` (which must then name a real source
+    * time column): rollup partials ∪ tail partials over
+    * `timeCol ≥ watermark` — lossless at ANY watermark because the
+    * time column is not a group key, so a group's partials merely
+    * split across the two sides and the final aggregate re-merges
+    * them. But with no time key there is also no commit-point filter
+    * to hide APPENDED-uncommitted partials, so a grainless rollup is
+    * REBUILD-ONLY: build the files for rows `< wm` and stamp `wm`
+    * before registration (or swap in a freshly built directory);
+    * [[graft.streaming.Live.maintainRollup]] refuses the grain. A
+    * grainless spec may set `timeCol = ""` to declare it has no time
+    * column at all — then a sidecar can never be honored and the
+    * rollup must always be complete. */
   case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day",
                   timeCol: String = "ts",
                   keyCols: Map[String, String] = Spec.defaultKeys,
                   aggs: Seq[AggMap] = Spec.defaultAggs)
 
   object Spec {
+    /** Cost order across grains: a grainless rollup has one row per
+      * key group (fewest), a daily ~24× fewer than the hourly it
+      * subsumes. [[RuleImpl.apply]] routes onto the lowest rank that
+      * can answer. */
+    private[graft] def grainRank(g: String): Int =
+      g match { case "all" => 0; case "day" => 1; case _ => 2 }
     val defaultKeys: Map[String, String] = Map("user_id" -> "user_id")
     /** The [[graft.ops.Rollups.dailyPartialsOf]] partial block. */
     val defaultAggs: Seq[AggMap] = Seq(
@@ -934,12 +966,18 @@ object RollupRouting {
   def buildPartials(src: org.apache.spark.sql.DataFrame, spec: Spec)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-    val grainKey =
-      if (spec.grain == "hour") date_trunc("hour", col(spec.timeCol))
-      else to_date(col(spec.timeCol)) // identity on a DATE column
-    val keys = grainKey.as(timeKeyName) +:
-      spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
+    // a GRAINLESS spec groups by its key columns only (possibly none —
+    // a single global row of partials); no time key is stored
+    val keys: Seq[org.apache.spark.sql.Column] =
+      if (spec.grain == "all") spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
+      else {
+        val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+        val grainKey =
+          if (spec.grain == "hour") date_trunc("hour", col(spec.timeCol))
+          else to_date(col(spec.timeCol)) // identity on a DATE column
+        grainKey.as(timeKeyName) +:
+          spec.keyCols.toSeq.map { case (s, r) => col(s).as(r) }
+      }
     val partials = partialColumns(spec.aggs)
     require(partials.nonEmpty, s"spec for ${spec.rollupPath} declares no partials")
     val aggCols = partials.values.toSeq
@@ -1460,7 +1498,7 @@ object RollupRouting {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
           specs.filter(s => fs.location.rootPaths.exists(_.toString.endsWith(s.sourceSuffix)))
       }.flatten
-      matching.distinct.sortBy(s => if (s.grain == "day") 0 else 1)
+      matching.distinct.sortBy(s => Spec.grainRank(s.grain))
     }
 
     /** A candidate rollup's on-disk footprint, from the plan cache's
@@ -1523,7 +1561,7 @@ object RollupRouting {
                                                     rewrite(_, _, _, s)))
                               .map(s -> _))
               .minByOption { case (s, _) =>
-                (if (s.grain == "day") 0 else 1, rollupSizeBytes(s.rollupPath))
+                (Spec.grainRank(s.grain), rollupSizeBytes(s.rollupPath))
               }.map(_._2)
           else None
         viaSingle.orElse {
@@ -2170,10 +2208,25 @@ object RollupRouting {
       * raw rows — and on a hybrid read it would even evaluate
       * independently on each side of the union. */
     private def subsumeConjunct(c: Expression, spec: Spec,
-                                timeKey: Attribute,
+                                timeKeyOpt: Option[Attribute],
                                 keyAttrs: Map[String, Attribute],
                                 grainExpr: Map[String, Expression]): Option[Expression] = {
       if (!c.deterministic) return None
+      // GRAINLESS rollup (round 15): only registered key columns can
+      // subsume — there is no rollup-side time expression, so any
+      // time-range or time-derived conjunct leaves its raw reference
+      // standing and the subset check below keeps the query live
+      // (the near-miss pin: a windowed query must never read an
+      // all-time rollup).
+      val timeKey = timeKeyOpt.getOrElse {
+        val rewrittenK = c.transformDown {
+          case e if keyOf(e, spec).exists(keyAttrs.contains) =>
+            keyAttrs(keyOf(e, spec).get)
+        }
+        return if (rewrittenK.references.subsetOf(AttributeSet(keyAttrs.values.toSeq)))
+          Some(rewrittenK)
+        else None
+      }
       val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
       def timeLit(us: Long): Expression =
         if (spec.grain == "hour") Literal(us, TimestampType)
@@ -2265,8 +2318,12 @@ object RollupRouting {
                         aggExprs: Seq[NamedExpression], spec: Spec): Option[LogicalPlan] = {
       val rollup = analyzedRollup(spec.rollupPath).getOrElse(return None)
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
-      val timeKeyName = if (spec.grain == "hour") "hour" else "day"
-      val timeKey = attr(timeKeyName).getOrElse(return None)
+      // a GRAINLESS ("all") rollup stores no time key; grained rollups
+      // must expose theirs in the files
+      val timeKeyOpt: Option[Attribute] =
+        if (spec.grain == "all") None
+        else Some(attr(if (spec.grain == "hour") "hour" else "day")
+                    .getOrElse(return None))
       // every registered key column must exist in the rollup files
       val keyAttrs: Map[String, Attribute] = spec.keyCols.map { case (src, rcol) =>
         attr(rcol) match {
@@ -2278,13 +2335,17 @@ object RollupRouting {
       // answer: its own grain directly; for an hourly rollup also the
       // coarser day grain, derived (to_date(hour) ≡ to_date(ts) since
       // hour = date_trunc('hour', ts) — roll-up matching). A grain
-      // absent here (finer than the rollup) cannot route.
-      val grainExpr: Map[String, Expression] =
-        if (spec.grain == "hour")
+      // absent here (finer than the rollup) cannot route — which for
+      // the grainless rollup is EVERY time grain: the map is empty, so
+      // any time grouping provably keeps the query live.
+      val grainExpr: Map[String, Expression] = timeKeyOpt match {
+        case None => Map.empty
+        case Some(timeKey) if spec.grain == "hour" =>
           Map("hour" -> timeKey,
               "day" -> Cast(timeKey, DateType,
                             Some(spark.sessionState.conf.sessionLocalTimeZone)))
-        else Map("day" -> timeKey)
+        case Some(timeKey) => Map("day" -> timeKey)
+      }
 
       val child = agg.child
       def keyOfResolved(e: Expression): Option[String] =
@@ -2297,7 +2358,7 @@ object RollupRouting {
         case Some(conjuncts) => conjuncts.map(resolveThroughProjects(_, child))
       }
       val routedFilters: Seq[Expression] = resolvedConjuncts.map { c =>
-        subsumeConjunct(c, spec, timeKey, keyAttrs, grainExpr) match {
+        subsumeConjunct(c, spec, timeKeyOpt, keyAttrs, grainExpr) match {
           case Some(r) => r
           case None => return None
         }
@@ -2327,11 +2388,12 @@ object RollupRouting {
         val mapped = r.transformDown {
           case e if keyOf(e, spec).exists(k => keyTarget(k).isDefined) =>
             keyTarget(keyOf(e, spec).get).get
-          case e if calendarTarget(e, spec, timeKey).isDefined =>
-            calendarTarget(e, spec, timeKey).get
+          case e if timeKeyOpt.exists(tk =>
+              calendarTarget(e, spec, tk).isDefined) =>
+            calendarTarget(e, spec, timeKeyOpt.get).get
         }
         if (mapped.references.subsetOf(
-              AttributeSet(timeKey +: keyAttrs.values.toSeq))) Some(mapped)
+              AttributeSet(timeKeyOpt.toSeq ++ keyAttrs.values))) Some(mapped)
         else None
       }
       val keyMap: Map[Expression, Expression] = groupings.map { g =>
@@ -2406,7 +2468,8 @@ object RollupRouting {
                 if ae.isDistinct && ae.filter.isEmpty &&
                    isBareRef(se, gcol) && keyAttrs.contains(gcol) &&
                    keyMap.values.toSet ==
-                     ((Set[Expression](timeKey) ++ keyAttrs.values) - keyAttrs(gcol)) =>
+                     ((timeKeyOpt.toSet[Expression] ++ keyAttrs.values) -
+                        keyAttrs(gcol)) =>
               Some(ae.copy(aggregateFunction = Count(Seq(keyAttrs(gcol))),
                            isDistinct = false))
             // AVG routes only in its dsum-shaped exact form —
@@ -2606,20 +2669,41 @@ object RollupRouting {
         case None => return None // unreadable sidecar: never answer from it
         case Some(None) =>
           routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
-        case Some(Some(wm)) =>
-          val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
-          if (wm % grainMicros != 0) return None
-          val wmLit: Expression =
-            if (spec.grain == "hour") Literal(wm, TimestampType)
-            else Literal((wm / MicrosPerDay).toInt, DateType)
-          val rollupSide = Filter(
-            (LessThan(timeKey, wmLit) +: routedFilters).reduce(And), rollup)
-          hybridTail(spec, child, rollup,
-                     groupings.map(resolveThroughProjects(_, child)) ++ resolvedConjuncts,
-                     resolvedConjuncts, wm) match {
-            case Some(tail) => Union(Seq(rollupSide, tail))
-            case None => return None
-          }
+        case Some(Some(wm)) => timeKeyOpt match {
+          case Some(timeKey) =>
+            val grainMicros = if (spec.grain == "hour") MicrosPerHour else MicrosPerDay
+            if (wm % grainMicros != 0) return None
+            val wmLit: Expression =
+              if (spec.grain == "hour") Literal(wm, TimestampType)
+              else Literal((wm / MicrosPerDay).toInt, DateType)
+            val rollupSide = Filter(
+              (LessThan(timeKey, wmLit) +: routedFilters).reduce(And), rollup)
+            hybridTail(spec, child, rollup,
+                       groupings.map(resolveThroughProjects(_, child)) ++ resolvedConjuncts,
+                       resolvedConjuncts, wm) match {
+              case Some(tail) => Union(Seq(rollupSide, tail))
+              case None => return None
+            }
+          case None =>
+            // GRAINLESS hybrid: the time column is not a group key, so
+            // ANY watermark is lossless — a key group's partials merely
+            // split across rollup and tail and the final aggregate
+            // re-merges them. There is no commit-point filter (nothing
+            // to filter on), so the WRITER contract is rebuild-only:
+            // files + sidecar are stamped together before registration
+            // (never appended-then-stamped; Live.maintainRollup refuses
+            // the grain). A spec with no time column at all
+            // (timeCol = "") can never prove a tail — stay live.
+            if (spec.timeCol.isEmpty) return None
+            val rollupSide =
+              routedFilters.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+            hybridTail(spec, child, rollup,
+                       groupings.map(resolveThroughProjects(_, child)) ++ resolvedConjuncts,
+                       resolvedConjuncts, wm) match {
+              case Some(tail) => Union(Seq(rollupSide, tail))
+              case None => return None
+            }
+        }
       }
       Some(Aggregate(groupings.map(keyMap), newAggExprs, newChild))
     }
@@ -2878,11 +2962,31 @@ object RollupRouting {
         if (isNormTime(e, spec.timeCol) && e.references.nonEmpty &&
             e.references.subsetOf(scanRel.outputSet)) Some(e)
         else e.children.view.flatMap(findNormTs).headOption
-      val normTsE = normTsCandidates.view.flatMap(findNormTs).headOption
-        .getOrElse(return None)
       def scanAttr(n: String): Option[Attribute] = scanRel.output.find(_.name == n)
       val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      // a GRAINLESS query has no time term to mine the normalized time
+      // expression from — rebuild it directly over the scan's own
+      // column through the loader-contract wrappers ([[isNormTime]]'s
+      // exact vocabulary: DATE/TIMESTAMP as-is, the NTZ relabel, the
+      // nanos-long truncation); any other encoding stays live
+      def rebuiltNormTs: Option[Expression] = scanAttr(spec.timeCol).flatMap { a =>
+        a.dataType match {
+          case DateType | TimestampType => Some(a)
+          case TimestampNTZType => Some(Cast(a, TimestampType, tz))
+          case LongType =>
+            Some(MicrosToTimestamp(IntegralDivide(a, Literal(1000L))))
+          case _ => None
+        }
+      }
+      val normTsE = normTsCandidates.view.flatMap(findNormTs).headOption
+        .orElse(if (spec.grain == "all") rebuiltNormTs else None)
+        .getOrElse(return None)
       val timeIsDate = normTsE.dataType == DateType
+      // a DATE time column is day-granular: a mid-day watermark would
+      // split the boundary day's rows ambiguously (grained specs
+      // enforce the boundary in [[rewrite]]; the grainless path allows
+      // any watermark only on a true timestamp column)
+      if (spec.grain == "all" && timeIsDate && wm % MicrosPerDay != 0) return None
       val grainKey: Expression =
         if (spec.grain == "hour") TruncTimestamp(Literal("hour"), normTsE, tz)
         else if (timeIsDate) normTsE // a DATE time column IS the day key
@@ -2892,7 +2996,10 @@ object RollupRouting {
         else Literal(wm, TimestampType)
       val tailCond = (GreaterThanOrEqual(normTsE, wmLit) +:
         resolvedConjuncts).reduce(And)
-      val timeKeyName = if (spec.grain == "hour") "hour" else "day"
+      // the grainless rollup stores no time key — no rollup column can
+      // carry this name, so its aggExprs case below never fires
+      val timeKeyName = if (spec.grain == "all") ""
+                        else if (spec.grain == "hour") "hour" else "day"
       // rollup column name -> its source attribute at the scan
       val keyByRollupCol: Seq[(String, Attribute)] = spec.keyCols.toSeq.map {
         case (src, rcol) => rcol -> scanAttr(src).getOrElse(return None)
@@ -2941,9 +3048,11 @@ object RollupRouting {
           case _ => None
         }.headOption.getOrElse(return None) // a column the tail can't rebuild
       }
+      val tailGroupings: Seq[Expression] =
+        if (spec.grain == "all") keyByRollupCol.map(_._2)
+        else grainKey +: keyByRollupCol.map(_._2)
       alignTailTypes(aggExprs, rollup.output)
-        .map(as => Aggregate(grainKey +: keyByRollupCol.map(_._2),
-                             as, Filter(tailCond, scanRel)))
+        .map(as => Aggregate(tailGroupings, as, Filter(tailCond, scanRel)))
     }
   }
 }

@@ -299,6 +299,16 @@ object Live {
                      latenessUs: Long = 0L,
                      checkpointDir: Option[String] = None): Unit = {
     import graft.plans.RollupRouting
+    // a GRAINLESS rollup stores no time key, so the router has no
+    // commit-point filter to hide partials appended before the sidecar
+    // advances — append-then-stamp would double-count the gap against
+    // the hybrid tail. Grainless specs are REBUILD-ONLY (build the
+    // files for rows < wm and stamp wm before registration, or swap in
+    // a freshly built directory); refusing here is the honest contract
+    // (see [[graft.plans.RollupRouting.Spec]]).
+    require(spec.grain != "all",
+      s"grainless spec ${spec.rollupPath} cannot be append-maintained: " +
+        "no time key means no commit-point filter; rebuild and re-stamp instead")
     val grainUs = if (spec.grain == "hour") 3600000000L else 86400000000L
     // seed monotonicity from a prior run's committed watermark
     val sidecar = new java.io.File(spec.rollupPath, RollupRouting.CoverageSidecar)

@@ -943,6 +943,139 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r15: a purely GRAINLESS workload — keys-only, all-time — advises
+    * "all"-grain specs (previously refused: nothing pinned a rollup
+    * grain). The two key sets split under the same gained-key bound as
+    * grained demands, each unchanged query routes with the fact never
+    * scanned, and the catalog round-trips adopt's persisted JSON. */
+  test("a grainless workload advises all-grain specs; both route; adopt round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_all").toString
+    val perUser = () => Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("user_id")
+    val perType = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("event_type")
+    val advice = Advisor.advise(Seq(perUser(), perType()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 2 &&
+           advice.singles.forall(_.spec.grain == "all"),
+      s"both grainless key sets must advise all-grain specs: $advice")
+    assert(advice.singles.forall(_.spec.timeCol == ""),
+      s"a purely grainless workload pins no time column: ${advice.singles.map(_.spec)}")
+    val uTruth = perUser().collect().toSeq
+    val tTruth = perType().collect().toSeq
+    // adopt → drop the registry → reload from the persisted JSON —
+    // the grainless spec kind must survive the catalog round-trip
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = Advisor.adopt(spark, advice, s"$root/registry.json",
+        memoized = true)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      for ((q, truth) <- Seq(perUser -> uTruth, perType -> tTruth)) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("advise_all") && !plan.contains("events.parquet"),
+          s"each grainless dashboard must route, fact never scanned:\n$plan")
+        assert(routed.collect().toSeq == truth)
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
+  /** r15: a grainless demand next to a grained workload SEEDS its own
+    * all-grain spec when pooling would blow the inflation bound —
+    * round 14 stranded it ("left live"); now both queries route. */
+  test("a grainless demand seeds its own spec beside a grained workload") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_seed").toString
+    val grained = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("v"))
+      .orderBy("day", "user_id")
+    val grainless = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("event_type")
+    val advice = Advisor.advise(Seq(grained(), grainless()), root)
+    assert(advice.skipped.isEmpty,
+      s"the grainless demand must no longer be stranded: ${advice.skipped}")
+    assert(advice.singles.size == 2, advice)
+    val byGrain = advice.singles.map(_.spec).groupBy(_.grain)
+    assert(byGrain.keySet == Set("day", "all"), byGrain.keySet)
+    assert(byGrain("all").head.keyCols.keySet == Set("event_type"))
+    // the grainless spec inherits the merge set's time column — a
+    // later owner can stamp coverage and get the hybrid read
+    assert(byGrain("all").head.timeCol == "ts", byGrain("all").head)
+    val gTruth = grained().collect().toSeq
+    val lTruth = grainless().collect().toSeq
+    routedWith(advice) {
+      for ((q, truth) <- Seq(grained -> gTruth, grainless -> lTruth)) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("advise_seed") && !plan.contains("events.parquet"),
+          s"each demand must route through its own spec:\n$plan")
+        assert(routed.collect().toSeq == truth)
+      }
+    }
+  }
+
+  /** r15 stretch: a MIXED grainless workload — a grainless single-table
+    * demand, a grainless JOIN demand (the segment-only star: the join
+    * path's grainless shape existed since r12 — a JoinSpec with no
+    * grain/time columns), and a grained daily demand — adopts through
+    * ONE call, and every unchanged query routes after the registry
+    * reloads from the persisted catalog: both paths share the
+    * coverage/rebuild contract (no sidecar ⇒ complete one-shot build). */
+  test("adopt handles a mixed grainless workload across single and join paths") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_mixed").toString
+    // per-type, not per-user: a grainless demand whose keys MATCH the
+    // grained demand's correctly pools into it (the day rollup answers
+    // all-time queries by re-aggregation); disjoint keys force the
+    // grainless single-table seed this test is about
+    val perType = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+      .orderBy("event_type")
+    val daily = () => Rollups.daily(spark, sf)
+    val segment = () => StarJoins.chargeBySegment(spark, sf)
+    val advice = Advisor.advise(Seq(perType(), daily(), segment()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 2 && advice.joins.size == 1, advice)
+    assert(advice.singles.map(_.spec.grain).toSet == Set("all", "day"),
+      advice.singles.map(_.spec))
+    val j = advice.joins.head.spec
+    assert(j.grainCols.isEmpty && j.timeGroupings.isEmpty,
+      s"the segment star is the join path's grainless shape: $j")
+    val uTruth = perType().collect().toSeq
+    val dTruth = daily().collect().toSeq
+    val sTruth = segment().collect().toSeq
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val adopted = Advisor.adopt(spark, advice, s"$root/registry.json",
+        memoized = true)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, adopted.registryPath)
+      for ((q, truth) <- Seq(perType -> uTruth, daily -> dTruth,
+                             segment -> sTruth)) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("advise_mixed") &&
+               !plan.contains("events.parquet") &&
+               !plan.contains("lineitem.parquet"),
+          s"every demand of the mixed workload must route:\n$plan")
+        assert(routed.collect().toSeq == truth)
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   /** r15: the merge bound is a session conf
     * (`spark.graft.advisor.maxReadInflation`) — a deployment can trade
     * spec count against read inflation without code; an explicit

@@ -3467,4 +3467,176 @@ class RollupRoutingSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** Round 15: GRAINLESS ("all") specs — one row per key group, all
+    * time. The keys-only dashboard routes (fact never scanned); any
+    * time grouping or time-range predicate provably keeps the query
+    * live (there is no rollup-side time expression); the cost choice
+    * prefers the grainless rollup over a grained one. */
+  test("grainless spec routes keys-only queries; time-windowed queries stay live") {
+    import graft.ops.Rollups
+    val dir = java.nio.file.Files.createTempDirectory("graft_allgrain")
+      .resolve("events_all").toString
+    val spec = RollupRouting.Spec("events.parquet", dir, grain = "all",
+      timeCol = "ts", keyCols = Map("user_id" -> "user_id"))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    val perUserQ = () => Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"),
+           min($"value").as("mn"), max($"value").as("mx"))
+      .orderBy("user_id")
+    val globalQ = () => Tables.events(spark, sf)
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"))
+    val oneUserQ = () => Tables.events(spark, sf)
+      .filter($"user_id" === 7L)
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"))
+    val perUserPlain = perUserQ().collect().toSeq
+    val globalPlain = globalQ().collect().toSeq
+    val oneUserPlain = oneUserQ().collect().toSeq
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // the flagship shape: all-time totals per key, fact never scanned
+      val routed = perUserQ()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("events_all") && !plan.contains("events.parquet"),
+        s"keys-only dashboard must read the grainless rollup:\n$plan")
+      assert(routed.collect().toSeq == perUserPlain)
+      // a GLOBAL aggregate (no grouping at all) re-merges the key rows
+      val global = globalQ()
+      assert(global.queryExecution.executedPlan.toString.contains("events_all"))
+      assert(global.collect().toSeq == globalPlain)
+      // a registered-key predicate subsumes (cuts along key groups)
+      val one = oneUserQ()
+      assert(one.queryExecution.executedPlan.toString.contains("events_all"),
+        s"a key predicate must subsume on the grainless rollup:\n" +
+          one.queryExecution.executedPlan)
+      assert(one.collect().toSeq == oneUserPlain)
+      // NEAR MISSES — every time-touching shape stays live:
+      val dayGrouped = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(!dayGrouped.queryExecution.executedPlan.toString.contains("events_all"),
+        "a time grouping must NOT route onto an all-time rollup")
+      val windowed = Tables.events(spark, sf)
+        .filter($"ts" >= lit("2024-01-02").cast("timestamp"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      assert(!windowed.queryExecution.executedPlan.toString.contains("events_all"),
+        "a time-range predicate must NOT route onto an all-time rollup")
+      val monthly = Tables.events(spark, sf)
+        .groupBy(date_trunc("month", $"ts").as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(!monthly.queryExecution.executedPlan.toString.contains("events_all"),
+        "a calendar truncation must NOT route onto an all-time rollup")
+      // COST: with the (day, user) daily rollup ALSO registered, the
+      // keys-only query picks the grainless one (fewest rows — the
+      // coarsest grain in the hierarchy)
+      val dailyDir = java.nio.file.Files.createTempDirectory("graft_allgrain_d")
+        .resolve("events_daily").toString
+      val dailySpec = RollupRouting.Spec("events.parquet", dailyDir)
+      RollupRouting.buildPartials(Tables.events(spark, sf), dailySpec)
+        .write.parquet(dailyDir)
+      RollupRouting.register(dailySpec)
+      val reRouted = perUserQ()
+      val rePlan = reRouted.queryExecution.executedPlan.toString
+      assert(rePlan.contains("events_all") && !rePlan.contains("events_daily"),
+        s"the cost choice must prefer the grainless rollup:\n$rePlan")
+      assert(reRouted.collect().toSeq == perUserPlain)
+      // and the daily dashboard still routes onto the DAILY rollup
+      val daily = Rollups.daily(spark, sf)
+      assert(daily.queryExecution.executedPlan.toString.contains("events_daily"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 15: the grainless HYBRID read — a coverage-stamped all-time
+    * rollup unions with a live tail over `timeCol ≥ wm` at an ARBITRARY
+    * (non-boundary) watermark: the time column is not a group key, so a
+    * key group's partials merely split across the two sides. A
+    * grainless spec with NO time column (timeCol = "") can never prove
+    * a tail — a stale rollup must not answer alone. */
+  test("grainless hybrid: rollup ∪ tail at any watermark; no-time-col spec stays live") {
+    val wmUs = Tables.events(spark, sf)
+      .agg(expr("cast(percentile_approx(unix_micros(ts), 0.5, 10000) as long)"))
+      .head().getLong(0) + 1L // deliberately NOT a grain boundary
+    assert(wmUs % 3600000000L != 0, "the test watermark must be mid-grain")
+    val dir = java.nio.file.Files.createTempDirectory("graft_allhyb")
+      .resolve("events_allh").toString
+    val spec = RollupRouting.Spec("events.parquet", dir, grain = "all",
+      timeCol = "ts", keyCols = Map("user_id" -> "user_id"))
+    RollupRouting.buildPartials(
+      Tables.events(spark, sf).filter(unix_micros($"ts") < wmUs), spec)
+      .write.parquet(dir)
+    RollupRouting.stampCoverage(dir, wmUs)
+    RollupRouting.register(spec)
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+    val plain = q().collect().toSeq
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("events_allh") && plan.contains("events.parquet"),
+        s"a stamped grainless rollup must read rollup ∪ live tail:\n$plan")
+      assert(routed.collect().toSeq == plain,
+        "the grainless hybrid must merge split key groups exactly")
+      // timeCol = "" declares no tail is provable: with a sidecar the
+      // spec must stay live entirely (stale rollup never answers alone)
+      RollupRouting.clear()
+      RollupRouting.register(spec.copy(timeCol = ""))
+      val live = q()
+      assert(!live.queryExecution.executedPlan.toString.contains("events_allh"),
+        "a stamped grainless rollup with no time column must stay live")
+      assert(live.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  /** Round 15: a one-shot grainless rollup keeps the
+    * CountDistinctGrain claim — rollup rows per remaining key group =
+    * distinct grain-column values per group, with no time key in the
+    * grain. maintainRollup refuses the grain (rebuild-only contract). */
+  test("grainless CountDistinctGrain routes; maintainRollup refuses the grain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_allcdg")
+      .resolve("events_allcdg").toString
+    val spec = RollupRouting.Spec("events.parquet", dir, grain = "all",
+      timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id", "event_type" -> "event_type"),
+      aggs = Seq(RollupRouting.CountStarTo("c_p"),
+                 RollupRouting.CountDistinctGrain("user_id")))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+    val plain = q().collect().toSeq
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("events_allcdg") && !plan.contains("events.parquet"),
+        s"the all-time distinct dashboard must route on the grain claim:\n$plan")
+      assert(routed.collect().toSeq == plain)
+      // the grain refusal fires before the stream is touched — any
+      // DataFrame stands in
+      val err = intercept[IllegalArgumentException] {
+        Live.maintainRollup(Tables.events(spark, sf), spec)
+      }
+      assert(err.getMessage.contains("rebuild"),
+        s"maintainRollup must refuse the grainless grain: ${err.getMessage}")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }
