@@ -497,6 +497,11 @@ object SparkEntry {
     // specs (one row per key group, no time key), and the unchanged
     // per-user query routes with the fact never scanned
     "q212_advised_alltime" -> (graft.plans.Advisor.advisedAllTime _),
+    // r15: frequency-weighted BUDGETED advising — the capture log is
+    // appended per run, and under budget=1 the 6x-captured dashboard
+    // out-ranks the one-off by frequency × estimated read savings;
+    // the winning spec routes, the dropped one is recorded
+    "q213_advised_budgeted" -> (graft.plans.Advisor.advisedBudgeted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2103,6 +2108,12 @@ object SparkEntry {
       s"""SELECT user_id, ${dsum("value")} AS total_value,
           COUNT(*) AS n_events
           FROM events GROUP BY 1 ORDER BY user_id""",
+    // the budgeted winner is the plain (day, type) volume dashboard —
+    // routed values must hash-match the raw aggregation exactly
+    "q213_advised_budgeted" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+          ${dsum("value")} AS total_value, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

@@ -878,8 +878,17 @@ object Advisor {
     * map, join keys, groupings, grain keys, time truncations,
     * measures) — measures in the registry's own JSON vocabulary
     * ([[RollupRouting.aggJson]]), so a capture survives exactly what
-    * the persisted catalog survives. */
-  def captureWorkload(queries: Seq[DataFrame], path: String): Unit = {
+    * the persisted catalog survives.
+    *
+    * `append = true` concatenates onto an existing log (round 15):
+    * the log then carries one entry PER RUN, so a dashboard executed
+    * 1,000×/day appears 1,000× — [[adviseCaptured]] aggregates the
+    * duplicates into demand FREQUENCIES, which is what makes a
+    * budgeted advise rank a hot dashboard above a one-off ad-hoc
+    * query, and what lets [[retireCandidates]] spot an adopted spec
+    * whose demand vanished from the window. */
+  def captureWorkload(queries: Seq[DataFrame], path: String,
+                      append: Boolean = false): Unit = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -924,26 +933,28 @@ object Advisor {
       }.toList
     val target = java.nio.file.Paths.get(path)
     Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val prior: List[JValue] =
+      if (append && java.nio.file.Files.exists(target))
+        (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(target),
+           java.nio.charset.StandardCharsets.UTF_8)) \ "demands").children
+      else Nil
     java.nio.file.Files.write(target,
       JsonMethods.pretty(JsonMethods.render(
-        JObject("demands" -> JArray(entries))))
+        JObject("demands" -> JArray(prior ++ entries))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Advise OFFLINE from a [[captureWorkload]] file: reconstruct each
-    * demand (the source scan re-opens from its recorded path — the
-    * bare relation, exactly what capture analyzed), then run the same
-    * cost-aware merge as the live path. */
-  def adviseCaptured(spark: SparkSession, path: String, rollupRoot: String,
-                     maxReadInflation: Double = Double.NaN): Advice = {
+  /** Parse a capture log into DISTINCT demands with their occurrence
+    * counts — an appended log carries one entry per run, so identical
+    * entries (bit-equal JSON) collapse into a frequency (round 15).
+    * Runs under the loader contract's nanos conf, SAVED and RESTORED:
+    * an advisory read API must not permanently change how unrelated
+    * parquet reads in the same session interpret nanos timestamps. */
+  private def parseCapture(spark: SparkSession, path: String)
+      : Seq[(scala.Either[String, Any], Int)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    // the loader contract's conf, in case the captured source is a
-    // nanos-encoded events table (see graft.Tables) — SAVED and
-    // RESTORED around the capture read + advising: an advisory API
-    // must not permanently change how unrelated parquet reads in the
-    // same session interpret nanos timestamps
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val nanosPrev = spark.conf.getOption(nanosKey)
     spark.conf.set(nanosKey, "true")
@@ -951,8 +962,13 @@ object Advisor {
     val doc = JsonMethods.parse(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
-    val demands: Seq[scala.Either[String, Any]] =
-      (doc \ "demands").children.map { j =>
+    val distinctEntries: Seq[(JValue, Int)] =
+      (doc \ "demands").children
+        .map(j => JsonMethods.compact(JsonMethods.render(j)) -> j)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, g) => (g.head._2, g.size) }
+    distinctEntries.map { case (j, freq) =>
+      val d: scala.Either[String, Any] =
         (j \ "kind").extract[String] match {
           case "skipped" => scala.Left((j \ "reason").extract[String])
           case "single" =>
@@ -982,15 +998,145 @@ object Advisor {
               timeKeys = pairs(j \ "timeKeys")))
           case k => scala.Left(s"capture: unknown demand kind $k")
         }
-      }
-    adviseDemands(spark, demands, rollupRoot,
-      if (maxReadInflation.isNaN) confMaxReadInflation(spark) else maxReadInflation)
+      (d, freq)
+    }
     } finally {
       nanosPrev match {
         case Some(v) => spark.conf.set(nanosKey, v)
         case None => spark.conf.unset(nanosKey)
       }
     }
+  }
+
+  /** Does the advised/registered single-table spec ANSWER the captured
+    * demand? The advisory approximation of the router's own matching —
+    * keys a subset of the registered keys, the demand's grain
+    * expressible from the spec's (hour needs hour; day/month ride
+    * either grained spec by truncation composition; a keys-only demand
+    * rides anything), every measure registered. Used for RANKING a
+    * budgeted advise and for retirement reports, never for routing
+    * (the router re-proves everything on the real plans). */
+  private def servesSingle(spec: Spec, d: SingleDemand): Boolean =
+    d.suffix == spec.sourceSuffix &&
+    (d.keys - spec.timeCol).subsetOf(spec.keyCols.keySet) &&
+    (d.grain match {
+      case Some(("hour", c)) => spec.grain == "hour" && spec.timeCol == c
+      case Some((_, c)) => spec.grain != "all" && spec.timeCol == c
+      case None => true
+    }) &&
+    d.aggs.forall(a => spec.aggs.exists(b => aggKey(a) == aggKey(b)))
+
+  /** [[servesSingle]] for the join path: same core (tables + join
+    * keys), groupings/grains preserved, hour demands need the hourly
+    * truncation, measures registered. */
+  private def servesJoin(spec: JoinSpec, d: JoinDemand): Boolean =
+    d.tables.keySet == spec.tables && d.joinKeys == spec.joinKeys &&
+    d.groupings.subsetOf(spec.groupings.keySet) &&
+    (d.grainKeys -- spec.grainCols.keySet -- spec.groupings.keySet).isEmpty &&
+    d.timeKeys.forall { case (g, c) => spec.timeGroupings.exists {
+      case (tg, _) => tg.col == c && (tg.grain == g || tg.grain == "hour") } } &&
+    d.aggs.forall(a => spec.aggs.exists(b => aggKey(a) == aggKey(b)))
+
+  /** Advise OFFLINE from a [[captureWorkload]] file: reconstruct each
+    * demand (the source scan re-opens from its recorded path — the
+    * bare relation, exactly what capture analyzed), then run the same
+    * cost-aware merge as the live path.
+    *
+    * `budget` caps the CATALOG SIZE (round 15): when the workload
+    * advises more specs than the budget admits, specs are ranked by
+    * demand frequency × estimated read savings — an appended log's
+    * duplicate entries are the frequencies ([[captureWorkload]]), and
+    * savings are priced from the same bounded stats sample as the
+    * merge decisions (source rows − the advised grain's estimated
+    * group count; magnitudes, not precision). The specs past the
+    * budget are recorded in `skipped` with their rank and weight, so
+    * a dashboard run 1,000×/day out-ranks a one-off ad-hoc query and
+    * the refusal is auditable. Every MV costs build + maintenance +
+    * storage at 100 TB — the budget is how a deployment says how many
+    * it is willing to pay for. */
+  def adviseCaptured(spark: SparkSession, path: String, rollupRoot: String,
+                     maxReadInflation: Double = Double.NaN,
+                     budget: Int = Int.MaxValue): Advice = {
+    val parsed = parseCapture(spark, path)
+    val advice = adviseDemands(spark, parsed.map(_._1), rollupRoot,
+      if (maxReadInflation.isNaN) confMaxReadInflation(spark) else maxReadInflation)
+    val total = advice.singles.size + advice.joins.size
+    if (budget >= total) advice
+    else {
+      val singleDs = parsed.collect { case (scala.Right(d: SingleDemand), f) => (d, f) }
+      val joinDs = parsed.collect { case (scala.Right(d: JoinDemand), f) => (d, f) }
+      // savings per read at the stats-sample scale: rows the routed
+      // scan avoids ≈ sampled source rows − the advised grain's
+      // estimated group count (product of key distincts, capped).
+      // Calendar grain keys are deliberately uncounted — bounded at
+      // any volume, identical across competing specs of one source.
+      def sampleStats(p: LogicalPlan, cols: Seq[String]): (Long, Map[String, Long]) = {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+        val df = org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
+          .limit(StatsSampleRows)
+        val row = df.agg(count(lit(1)),
+          cols.map(c => approx_count_distinct(col(c))): _*).head()
+        (row.getLong(0),
+         cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+      }
+      def weightSingle(a: AdvisedSingle): Double = {
+        val keys = a.spec.keyCols.keySet.toSeq.sorted
+        val (rows, dist) = sampleStats(a.source, keys)
+        val est = keys.foldLeft(1.0)((p, k) =>
+          p * math.max(1L, dist.getOrElse(k, 1L)).toDouble) min rows.toDouble
+        val freq = singleDs.collect {
+          case (d, f) if servesSingle(a.spec, d) => f }.sum
+        freq.toDouble * math.max(1.0, rows - est)
+      }
+      def weightJoin(a: AdvisedJoin): Double = {
+        val keyCols = (a.spec.groupings.keySet ++ a.spec.grainCols.keySet).toSeq.sorted
+        val perTable = a.tables.toSeq.sortBy(_._1).map { case (_, p) =>
+          sampleStats(p, keyCols.filter(c => p.output.exists(_.name == c)))
+        }
+        val rows = perTable.map(_._1).max // the fact dominates the read
+        val dist = perTable.map(_._2).reduceOption(_ ++ _).getOrElse(Map.empty)
+        val est = keyCols.foldLeft(1.0)((p, k) =>
+          p * math.max(1L, dist.getOrElse(k, 1L)).toDouble) min rows.toDouble
+        val freq = joinDs.collect {
+          case (d, f) if servesJoin(a.spec, d) => f }.sum
+        freq.toDouble * math.max(1.0, rows - est)
+      }
+      val ranked: Seq[(Double, scala.Either[AdvisedSingle, AdvisedJoin])] =
+        (advice.singles.map(a => (weightSingle(a), scala.Left(a): scala.Either[AdvisedSingle, AdvisedJoin])) ++
+         advice.joins.map(a => (weightJoin(a), scala.Right(a): scala.Either[AdvisedSingle, AdvisedJoin])))
+          .sortBy { case (w, e) =>
+            (-w, e.fold(_.spec.rollupPath, _.spec.rollupPath)) }
+      val (kept, dropped) = ranked.splitAt(budget)
+      advice.copy(
+        singles = advice.singles.filter(a => kept.exists(_._2 == scala.Left(a))),
+        joins = advice.joins.filter(a => kept.exists(_._2 == scala.Right(a))),
+        skipped = advice.skipped ++ dropped.zipWithIndex.map { case ((w, e), i) =>
+          f"budget($budget): ${e.fold(_.spec.rollupPath, _.spec.rollupPath)} " +
+            f"ranked #${budget + i + 1} (frequency×savings weight $w%.0f) — not advised" })
+    }
+  }
+
+  /** RETIREMENT candidates from a capture log (round 15): every
+    * registered spec (both registries — what an [[adopt]]ed session
+    * serves) that NO demand in the log would read. The advisor's
+    * input at 100 TB is a rolling window of the workload; an MV whose
+    * demand vanished from the window costs build + maintenance +
+    * storage for nothing, and this report is the signal to feed
+    * [[Adopted.retire]]. Returns (rollupPath, reason) — a REPORT, not
+    * a drop: retiring is the owner's call, exactly like adoption. */
+  def retireCandidates(spark: SparkSession, capturePath: String)
+      : Seq[(String, String)] = {
+    val parsed = parseCapture(spark, capturePath)
+    val singles = parsed.collect { case (scala.Right(d: SingleDemand), f) => (d, f) }
+    val joins = parsed.collect { case (scala.Right(d: JoinDemand), f) => (d, f) }
+    val stale =
+      RollupRouting.registered.filterNot(s => singles.exists(df => servesSingle(s, df._1)))
+        .map(s => s.rollupPath ->
+          s"no captured demand over ${s.sourceSuffix} reads this spec") ++
+      RollupRouting.registeredJoins.filterNot(s => joins.exists(df => servesJoin(s, df._1)))
+        .map(s => s.rollupPath ->
+          s"no captured demand over ${s.tables.toSeq.sorted.mkString("⋈")} reads this MV")
+    stale.sortBy(_._1)
   }
 
   /** Build every advised rollup from its captured scans (spec-driven
@@ -1436,6 +1582,37 @@ object Advisor {
              count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }
+  }
+
+  /** Driver entry (q213): FREQUENCY-WEIGHTED BUDGETED advising (round
+    * 15) — the capture log is APPENDED once per dashboard run (six
+    * entries for the hot (day, type) volume dashboard, one for the
+    * ad-hoc orders query), and `budget = 1` makes the advisor pick by
+    * frequency × estimated read savings: the hot dashboard's spec is
+    * built and routed, the one-off is recorded as dropped, not
+    * silently vanished. The reference's six MVs exist because those
+    * are the README's REPEATEDLY-asked dashboards
+    * (`usdc-transfers/README.md:61-84`) — this is that judgment,
+    * measured from the log instead of assumed. */
+  def advisedBudgeted(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "budget_advise")
+    val hot = () => graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("total_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day", "event_type")
+    val log = s"$root/workload.json"
+    captureWorkload(Seq(hot()), log) // fresh log each run (no append)
+    (1 to 5).foreach(_ => captureWorkload(Seq(hot()), log, append = true))
+    captureWorkload(Seq(graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)),
+                    log, append = true)
+    val advice = adviseCaptured(spark, log, root, budget = 1)
+    require(advice.singles.size == 1 && advice.joins.isEmpty &&
+        advice.singles.head.spec.sourceSuffix == "events.parquet" &&
+        advice.skipped.exists(s => s.contains("budget(1)") && s.contains("orders")),
+      s"the 6x-captured dashboard must win the budget over the one-off: $advice")
+    runRouted(spark, advice) { hot() }
   }
 
   /** Driver entry (q210, shares q204's oracle): the OFFLINE advising

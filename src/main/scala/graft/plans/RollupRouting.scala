@@ -2841,6 +2841,24 @@ object RollupRouting {
       val aliases = mappedGroupings.zip(gdAttrs).map {
         case (m, a) => Alias(m, a.name)()
       }
+      // ADJUDICATED NON-CHANGE (round 15): merging array-valued
+      // partials (SetOf/uniqUpTo states) ONCE at base grain below the
+      // Expand — so the lattice's ×N copies replay over pre-merged
+      // rows — was hypothesized to remove a per-copy array merge from
+      // the q209 read (4.7× at ×100 in the r14 audit). MEASURED and
+      // REJECTED: the per-copy merge already happens MAP-SIDE — the
+      // partial ObjectHashAggregate above the Expand unions each
+      // copy's arrays locally, pre-shuffle — so a base-grain
+      // pre-aggregate only adds an exchange. Paired ×100 runs, same
+      // replica: compacted rollup 3.20 s → 3.09 s, a 4-part appended
+      // rollup 3.12 s → 3.20 s (noise both ways), while sf0.1 paid
+      // 0.56 s → 0.77 s for the extra shuffle. Half the ×100 time is
+      // the query's OWN output rendering (sort_array + csv-join over
+      // arrays sized by distinct members: 1.71 s without it), the
+      // rest the member's documented array-size regime (q204 measures
+      // the same ratio with no Expand at all) — neither is plan
+      // overhead. The lattice therefore keeps the one-pass Expand
+      // shape that scalar lattices want, for array states too.
       val proj = Project(passAttrs.map(a => a: NamedExpression) ++ aliases,
                          newChild)
       val newProjections = ex.projections.map { row =>

@@ -1103,4 +1103,63 @@ class AdvisorSpec extends AnyFunSuite {
         s"the explicit bound must win over the conf: $split")
     } finally spark.conf.unset(Advisor.MaxReadInflationConf)
   }
+
+  /** r15: the offline loop is FREQUENCY-AWARE — an appended capture
+    * log carries one entry per run, advising aggregates the duplicates
+    * into demand frequencies, and a budgeted advise ranks specs by
+    * frequency × estimated read savings: the dashboard run six times
+    * out-ranks the one-off ad-hoc query; the spec past the budget is
+    * recorded, not silently dropped. The same log then drives the DROP
+    * half: a registered spec no demand in the window reads reports as
+    * a retirement candidate for [[Advisor.Adopted.retire]]. */
+  test("budgeted advise ranks hot demands first; stale specs report for retirement") {
+    val base = java.nio.file.Files.createTempDirectory("graft_budget")
+    val capture = base.resolve("workload.json").toString
+    val hot = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day", "event_type")
+    val oneOff = () => Rollups.ordersDailySalesRaw(spark, sf)
+    Advisor.captureWorkload(Seq(hot()), capture)
+    (1 to 5).foreach(_ =>
+      Advisor.captureWorkload(Seq(hot()), capture, append = true))
+    Advisor.captureWorkload(Seq(oneOff()), capture, append = true)
+    // unbudgeted: both sources advise (frequency changes nothing —
+    // duplicate entries collapse into one demand per shape)
+    val full = Advisor.adviseCaptured(spark, capture, base.resolve("mv").toString)
+    assert(full.singles.size == 2 && full.skipped.isEmpty, full)
+    // budget 1: the 6×-captured events dashboard out-ranks the one-off
+    // orders query; the dropped spec is recorded with rank and weight
+    val budgeted = Advisor.adviseCaptured(spark, capture,
+      base.resolve("mv").toString, budget = 1)
+    assert(budgeted.singles.size == 1 &&
+           budgeted.singles.head.spec.sourceSuffix == "events.parquet",
+      s"the hot demand must win the budget: $budgeted")
+    assert(budgeted.skipped.exists(s =>
+        s.contains("budget(1)") && s.contains("orders")),
+      s"the dropped spec must be recorded: ${budgeted.skipped}")
+    // the routed read still serves the hot dashboard
+    val truth = hot().collect().toSeq
+    routedWith(budgeted) {
+      val routed = hot()
+      assert(routed.queryExecution.executedPlan.toString.contains("graft_budget"),
+        "the budgeted spec must route its workload")
+      assert(routed.collect().toSeq == truth)
+    }
+    // RETIREMENT: register both specs, then shrink the window to the
+    // hot demand only — the orders spec is the one candidate
+    Advisor.buildAndRegister(spark, full, memoized = true)
+    try {
+      val window = base.resolve("window.json").toString
+      Advisor.captureWorkload(Seq(hot()), window)
+      val stale = Advisor.retireCandidates(spark, window)
+      assert(stale.map(_._1).exists(_.contains("orders")) &&
+             !stale.map(_._1).exists(_.contains("events")),
+        s"only the vanished demand's spec may report: $stale")
+      // wiring: the report feeds unregister/retire and the catalog obeys
+      stale.foreach { case (p, _) => RollupRouting.unregister(p) }
+      assert(RollupRouting.registered.forall(_.sourceSuffix == "events.parquet"))
+    } finally RollupRouting.clear()
+  }
 }

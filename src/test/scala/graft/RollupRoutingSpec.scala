@@ -3174,6 +3174,20 @@ class RollupRoutingSpec extends AnyFunSuite {
       val plan = routed.queryExecution.executedPlan.toString
       assert(plan.contains("setlattice") && !plan.contains("events.parquet"),
         s"every grain of the set lattice must read the array states:\n$plan")
+      // r15 adjudication pin: the array lattice deliberately KEEPS the
+      // one-pass Expand shape — the per-copy array merge is map-side
+      // (the partial aggregate above the Expand unions arrays locally,
+      // pre-shuffle), so a base-grain pre-merge below the Expand only
+      // adds an exchange (measured ±noise at ×100, +37% at sf0.1; see
+      // rewriteExpand's ADJUDICATED NON-CHANGE note and SCALING.md)
+      val expands = routed.queryExecution.optimizedPlan.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }
+      assert(expands.nonEmpty, "the lattice must keep its Expand")
+      assert(!expands.exists(_.child.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        s"no extra aggregate below the Expand (adjudicated, r15):\n" +
+          routed.queryExecution.optimizedPlan)
       assert(routed.collect().toSeq == truth,
         "routed lattice sets and exact sizes must equal the live lattice per grain")
       // the EXACT count-distinct lattice guard is untouched: the same
