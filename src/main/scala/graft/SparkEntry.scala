@@ -502,6 +502,11 @@ object SparkEntry {
     // out-ranks the one-off by frequency × estimated read savings;
     // the winning spec routes, the dropped one is recorded
     "q213_advised_budgeted" -> (graft.plans.Advisor.advisedBudgeted _),
+    // r15: uniqIf — the HLL member over a CASE pattern (conditional
+    // distinct counts from one sketch state); rows-only like every
+    // sketch shape (SURVEY §5.3), pinned bit-equal routed≡live by the
+    // named uniqIf specs
+    "q214_advised_uniqif" -> (graft.plans.Advisor.advisedUniqIf _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -216,6 +216,15 @@ object Advisor {
     case p: ExprPat =>
       s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_${kind}_p"
   }
+  /** The `<col>_hll_p` convention for bare columns (pre-r15 names keep
+    * routing); a pattern demand — uniqIf — hashes like the other
+    * pattern partials. */
+  private def hllPartialName(pat: SrcPat): String = pat match {
+    case ColRef(n) => s"${n}_hll_p"
+    case OneMinusProduct(a, _) => s"${a}_net_hll_p"
+    case p: ExprPat =>
+      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_hll_p"
+  }
 
   /** Map one aggregate output to the AggMap that would route it —
     * exactly the shapes [[RollupRouting.RuleImpl]] rewrites (the
@@ -276,10 +285,13 @@ object Advisor {
           // the sketch members (round 12): a Datasketches demand
           // registers the per-group sketch state at the query's
           // precision (HLL uniques; KLL quantiles)
+          // a bare column OR a pattern (round 15 — uniqIf:
+          // hll_sketch_agg(CASE WHEN pred THEN col END); NULLs never
+          // enter the sketch, so the state IS the conditional sketch)
           case hs: HllSketchAgg if !ae.isDistinct =>
-            (resolve(hs.left), hs.right) match {
-              case (a: AttributeReference, Literal(k: Int, _)) =>
-                Some(HllUniqOf(a.name, s"${a.name}_hll_p", k))
+            hs.right match {
+              case Literal(k: Int, _) =>
+                toPat(resolve(hs.left)).map(p => HllUniqOf(p, hllPartialName(p), k))
               case _ => None
             }
           // approx_count_distinct advises the uniqState member at the
@@ -288,11 +300,7 @@ object Advisor {
           // checks before substituting the estimator — round 13)
           case h: HyperLogLogPlusPlus
               if !ae.isDistinct && hllRsd(12) <= h.relativeSD =>
-            resolve(h.child) match {
-              case a: AttributeReference =>
-                Some(HllUniqOf(a.name, s"${a.name}_hll_p", 12))
-              case _ => None
-            }
+            toPat(resolve(h.child)).map(p => HllUniqOf(p, hllPartialName(p), 12))
           case ka: graft.expr.KllDoublesAgg if !ae.isDistinct =>
             resolve(ka.child) match {
               case a: AttributeReference =>
@@ -515,7 +523,7 @@ object Advisor {
     case MinOf(c, _) => s"min:$c"
     case MaxOf(c, _) => s"max:$c"
     case AvgOf(c, _, _) => s"avg:$c"
-    case HllUniqOf(c, _, k) => s"hll:$c:$k"
+    case HllUniqOf(p, _, k) => s"hll:${patKey(p)}:$k"
     case KllQuantileOf(c, _, k) => s"kll:$c:$k"
     case TopKOf(c, _, m) => s"topk:$c:$m"
     case SetOf(c, _) => s"set:$c"
@@ -1613,6 +1621,33 @@ object Advisor {
         advice.skipped.exists(s => s.contains("budget(1)") && s.contains("orders")),
       s"the 6x-captured dashboard must win the budget over the one-off: $advice")
     runRouted(spark, advice) { hot() }
+  }
+
+  /** Driver entry (q214, rows-only — sketch values are estimator-
+    * specific, so the named RollupRoutingSpec/AdvisorSpec invariants
+    * carry correctness): uniqIf END-TO-END (round 15) — the
+    * conditional-distinct dashboard `hll_sketch_agg(CASE WHEN pred
+    * THEN col END)` ADVISES the HLL member over the CASE pattern
+    * (NULLs never enter a sketch, so the state is exactly ClickHouse's
+    * `uniqIfState`), the advised spec builds, and the unchanged query
+    * routes bit-equal to the single-pass conditional sketch with the
+    * fact never scanned. */
+  def advisedUniqIf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_uniqif")
+    val q = () => graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(
+             when(col("event_type") === "click", col("user_id")), 12))
+           .as("clickers"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+    val advice = advise(Seq(q()), root)
+    require(advice.skipped.isEmpty && advice.singles.size == 1 &&
+        advice.singles.head.spec.aggs.exists {
+          case HllUniqOf(_: ExprPat, _, 12) => true; case _ => false },
+      s"the conditional-distinct demand must advise a pattern HLL state: $advice")
+    runRouted(spark, advice) { q() }
   }
 
   /** Driver entry (q210, shares q204's oracle): the OFFLINE advising

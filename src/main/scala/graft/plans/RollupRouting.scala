@@ -588,7 +588,14 @@ object RollupRouting {
     * approx function's own accuracy contract, which also unlocks
     * CUBE/ROLLUP distinct-count dashboards (states union across any
     * subtotal regrouping, where exact COUNT(DISTINCT) never can). */
-  case class HllUniqOf(col: String, partial: String, lgK: Int = 12) extends AggMap
+  case class HllUniqOf(pat: SrcPat, partial: String, lgK: Int = 12) extends AggMap
+  object HllUniqOf {
+    /** Bare-column registration shorthand (the pre-r15 surface). */
+    def apply(col: String, partial: String): HllUniqOf =
+      HllUniqOf(ColRef(col), partial)
+    def apply(col: String, partial: String, lgK: Int): HllUniqOf =
+      HllUniqOf(ColRef(col), partial, lgK)
+  }
   /** The standard HLL relative standard deviation at a given register
     * count, 1.04/√2^lgK — the precision-dominance bound [[HllUniqOf]]
     * routing and the advisor's demand mining share. (Conservative for
@@ -946,8 +953,8 @@ object RollupRouting {
       case AvgOf(c, sp, cp) =>
         partials.getOrElseUpdate(sp, sum(col(c).cast("decimal(38,6)")).as(sp))
         partials.getOrElseUpdate(cp, count(col(c)).as(cp))
-      case HllUniqOf(c, p, lgK) =>
-        partials.getOrElseUpdate(p, hll_sketch_agg(col(c), lgK).as(p))
+      case HllUniqOf(pt, p, lgK) =>
+        partials.getOrElseUpdate(p, hll_sketch_agg(srcColumn(pt), lgK).as(p))
       case KllQuantileOf(c, p, k) =>
         partials.getOrElseUpdate(p, graft.expr.Kll.agg(col(c), k).as(p))
       case TopKOf(c, p, m) =>
@@ -1022,7 +1029,7 @@ object RollupRouting {
       case MinOf(c, _) => Seq(c)
       case MaxOf(c, _) => Seq(c)
       case AvgOf(c, _, _) => Seq(c)
-      case HllUniqOf(c, _, _) => Seq(c)
+      case HllUniqOf(pt, _, _) => pt.refs.toSeq
       case KllQuantileOf(c, _, _) => Seq(c)
       case TopKOf(c, _, _) => Seq(c)
       case SetOf(c, _) => Seq(c)
@@ -1222,8 +1229,8 @@ object RollupRouting {
       case MaxOf(c, p) => ("kind" -> "max") ~ ("col" -> c) ~ ("partial" -> p)
       case AvgOf(c, sp, cp) =>
         ("kind" -> "avg") ~ ("col" -> c) ~ ("sumPartial" -> sp) ~ ("cntPartial" -> cp)
-      case HllUniqOf(c, p, k) =>
-        ("kind" -> "hllUniq") ~ ("col" -> c) ~ ("partial" -> p) ~ ("lgK" -> k)
+      case HllUniqOf(pt, p, k) =>
+        ("kind" -> "hllUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("lgK" -> k)
       case KllQuantileOf(c, p, k) =>
         ("kind" -> "kllQuantile") ~ ("col" -> c) ~ ("partial" -> p) ~ ("k" -> k)
       case TopKOf(c, p, m) =>
@@ -1302,8 +1309,14 @@ object RollupRouting {
       case "max" => MaxOf((j \ "col").extract[String], (j \ "partial").extract[String])
       case "avg" => AvgOf((j \ "col").extract[String],
         (j \ "sumPartial").extract[String], (j \ "cntPartial").extract[String])
-      case "hllUniq" => HllUniqOf((j \ "col").extract[String],
-        (j \ "partial").extract[String], (j \ "lgK").extract[Int])
+      case "hllUniq" =>
+        // r15 widened the member to a SrcPat (uniqIf); a pre-r15
+        // catalog's bare "col" field still loads
+        val pt = (j \ "pat") match {
+          case JNothing => ColRef((j \ "col").extract[String])
+          case v => pat(v)
+        }
+        HllUniqOf(pt, (j \ "partial").extract[String], (j \ "lgK").extract[Int])
       case "kllQuantile" => KllQuantileOf((j \ "col").extract[String],
         (j \ "partial").extract[String], (j \ "k").extract[Int])
       case "topK" => TopKOf((j \ "col").extract[String],
@@ -1889,9 +1902,9 @@ object RollupRouting {
             // the sketch members (round 12) — same guards as the
             // single-table path: bare column, EQUAL precision (a
             // different lgK/k is a different sketch)
-            case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
+            case (HllUniqOf(pt, partial, lgK), hs: HllSketchAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRefJ(hs.left, cn) && (hs.right match {
+                   pt.matchesOrdered(resolved(hs.left)) && (hs.right match {
                      case Literal(k: Int, _) => k == lgK
                      case _ => false
                    }) =>
@@ -1901,9 +1914,9 @@ object RollupRouting {
             // — same precision-dominance rule as the single-table
             // path: route only when the registered sketch's rsd
             // 1.04/√2^lgK is at or under the query's tolerance
-            case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
+            case (HllUniqOf(pt, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRefJ(h.child, cn) &&
+                   pt.matchesOrdered(resolved(h.child)) &&
                    hllRsd(lgK) <= h.relativeSD &&
                    estimatorSubstitutionEnabled =>
               attr(partial).map { p =>
@@ -2132,9 +2145,9 @@ object RollupRouting {
           case AvgOf(cn, sp, _) if sp == n =>
             attrOf(cn).map(a => Alias(
               Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
-          case HllUniqOf(cn, p, lgK) if p == n =>
-            attrOf(cn).map(a => Alias(
-              HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
+          case HllUniqOf(pt, p, lgK) if p == n => // the tail's own sketch
+            pt.rebuild(attrOf).map(e => Alias(
+              HllSketchAgg(e, Literal(lgK)).toAggregateExpression(), n)())
           case KllQuantileOf(cn, p, k) if p == n =>
             attrOf(cn).map(a => Alias(
               graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
@@ -2525,9 +2538,10 @@ object RollupRouting {
             // registered lgK routes; a different precision or a cast
             // stays live. Both node types are BinaryType, so the
             // preserved ExprId keeps its type.
-            case (HllUniqOf(cn, partial, lgK), hs: HllSketchAgg)
+            case (HllUniqOf(pt, partial, lgK), hs: HllSketchAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRef(hs.left, cn) && (hs.right match {
+                   pt.matchesOrdered(resolveThroughProjects(hs.left, child)) &&
+                   (hs.right match {
                      case Literal(k: Int, _) => k == lgK
                      case _ => false
                    }) =>
@@ -2545,9 +2559,9 @@ object RollupRouting {
             // CUBE/ROLLUP lattices route too — where the EXACT
             // count-distinct correctly never can (subtotal rows
             // cannot re-count; that guard is unchanged).
-            case (HllUniqOf(cn, partial, lgK), h: HyperLogLogPlusPlus)
+            case (HllUniqOf(pt, partial, lgK), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRef(h.child, cn) &&
+                   pt.matchesOrdered(resolveThroughProjects(h.child, child)) &&
                    hllRsd(lgK) <= h.relativeSD &&
                    estimatorSubstitutionEnabled =>
               attr(partial).map { p =>
@@ -3045,9 +3059,9 @@ object RollupRouting {
             // no SumOf writes the same column (the builder reuses it)
             scanAttr(cn).map(a => Alias(
               Sum(Cast(a, DecimalType(38, 6))).toAggregateExpression(), n)())
-          case HllUniqOf(cn, p, lgK) if p == n => // the tail's own sketch
-            scanAttr(cn).map(a => Alias(
-              HllSketchAgg(a, Literal(lgK)).toAggregateExpression(), n)())
+          case HllUniqOf(pt, p, lgK) if p == n => // the tail's own sketch
+            pt.rebuild(scanAttr).map(e => Alias(
+              HllSketchAgg(e, Literal(lgK)).toAggregateExpression(), n)())
           case KllQuantileOf(cn, p, k) if p == n =>
             scanAttr(cn).map(a => Alias(
               graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())

@@ -474,7 +474,7 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.singles.size == 2 && advice.skipped.isEmpty, advice.skipped)
     val spec = advice.singles.map(_.spec).find(_.keyCols.isEmpty).get
     assert(spec.aggs.exists {
-      case RollupRouting.HllUniqOf("user_id", _, 12) => true; case _ => false
+      case RollupRouting.HllUniqOf(RollupRouting.ColRef("user_id"), _, 12) => true; case _ => false
     }, s"advised aggs must carry the HLL state: ${spec.aggs}")
     Advisor.buildAndRegister(spark, advice)
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
@@ -855,7 +855,7 @@ class AdvisorSpec extends AnyFunSuite {
     val advice = Advisor.advise(Seq(q()), root)
     assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
     assert(advice.singles.head.spec.aggs.exists {
-      case RollupRouting.HllUniqOf("user_id", _, 12) => true; case _ => false
+      case RollupRouting.HllUniqOf(RollupRouting.ColRef("user_id"), _, 12) => true; case _ => false
     }, s"advised aggs must carry the HLL state: ${advice.singles.head.spec.aggs}")
     // the routed answer is the Datasketches estimate — the truth to
     // pin against is the single-pass sketch, not HLL++

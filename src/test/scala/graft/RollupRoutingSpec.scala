@@ -1441,6 +1441,55 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(wmAfter == wmUs, s"restart with old data regressed the watermark: $wmAfter")
   }
 
+  /** r15: COMPACTION CADENCE — the maintainer itself triggers
+    * compaction when enough part files accumulate since the last
+    * merge (the steady-state audit's listing overhead otherwise grows
+    * with uptime). A 6-delivery drain with the threshold at 2 must
+    * compact MID-DRAIN (fewer files than the automation-off control),
+    * keep the coverage watermark across the swaps, and leave the
+    * routed hybrid read exact. */
+  test("the maintainer auto-compacts past the file threshold; reads stay exact") {
+    import graft.ops.Rollups
+    import graft.plans.RollupRouting.CoverageSidecar
+    val base = java.nio.file.Files.createTempDirectory("graft_autocmp")
+    val o = Tables.orders(spark, sf)
+    val srcDir = base.resolve("src").toString
+    o.repartition(6).write.parquet(srcDir) // 6 files → 6 micro-batches
+    def drain(dir: String, threshold: Int): Int = {
+      graft.streaming.Live.maintainRollup(
+        spark.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        Rollups.ordersSpec(dir), compactAboveFiles = threshold)
+      Option(new java.io.File(dir).listFiles())
+        .map(_.count(f => f.isFile && f.getName.startsWith("part-"))).getOrElse(0)
+    }
+    val autoDir = base.resolve("auto_rollup").toString
+    val offDir = base.resolve("off_rollup").toString
+    val autoParts = drain(autoDir, 2)
+    val offParts = drain(offDir, 0) // 0 disables the automation
+    assert(autoParts < offParts,
+      s"the maintainer must have compacted mid-drain: $autoParts vs $offParts")
+    // coverage survives the compaction swaps: both drains saw the same
+    // stream, so both sidecars must carry the same watermark
+    def wm(dir: String): Long = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, CoverageSidecar).toPath)).trim.toLong
+    assert(wm(autoDir) == wm(offDir),
+      "auto-compaction must not move the coverage watermark")
+    // the routed hybrid read over the auto-compacted state is exact
+    val plain = Rollups.ordersDailySalesRaw(spark, sf).collect().toSeq
+    RollupRouting.register(Rollups.ordersSpec(autoDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = Rollups.ordersDailySalesRaw(spark, sf)
+      assert(routed.queryExecution.executedPlan.toString.contains("auto_rollup"),
+        "the read must route through the auto-compacted rollup")
+      assert(routed.collect().toSeq == plain)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   /** Round 12: COMPACTION — an append-maintained rollup's per-batch
     * blocks re-merged to ONE row per grain group under the unchanged
     * coverage watermark. The routed hybrid read must be
@@ -2205,6 +2254,75 @@ class RollupRoutingSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+  }
+
+  /** r15: uniqIf — the HLL member over a PATTERN:
+    * `hll_sketch_agg(CASE WHEN pred THEN col END)` stores the
+    * conditional sketch EXACTLY (NULLs never enter a sketch — the
+    * non-match branch is NULL, so the state is ClickHouse's
+    * `uniqIfState` in one registration). The routed read is bit-equal
+    * to the single-pass conditional sketch; a different predicate is
+    * a different distinct set and stays live; a hybrid read rebuilds
+    * the conditional sketch on the tail. The order-embedding strip
+    * the pattern match rides is hash-safe for the one overlap
+    * reachable through sketch input types (int→long widening) —
+    * pinned byte-identical below. */
+  test("uniqIf: conditional HLL pattern states route; different predicate stays live") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_uniqif")
+      .resolve("uniqif_rollup").toString
+    val clickers = RollupRouting.ExprPat(
+      when($"event_type" === "click", $"user_id"))
+    val spec = RollupRouting.Spec("events.parquet", dir,
+      grain = "day", timeCol = "ts", keyCols = Map.empty,
+      aggs = Seq(RollupRouting.HllUniqOf(clickers, "clickers_hll_p", 12),
+                 RollupRouting.CountStarTo("c_p")))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_estimate(
+             hll_sketch_agg(when($"event_type" === "click", $"user_id"), 12))
+           .as("clickers"),
+           count(lit(1)).as("n"))
+      .orderBy("day")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("uniqif_rollup") && !plan.contains("events.parquet"),
+        s"the conditional sketch must answer from states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed uniqIf must be bit-equal to the single-pass conditional sketch")
+      // near miss: a different predicate is a different distinct set
+      val other = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(
+          when($"event_type" === "purchase", $"user_id"), 12)).as("u"))
+      assert(!other.queryExecution.executedPlan.toString.contains("uniqif_rollup"),
+        "a different predicate must stay live")
+      // the persisted catalog round-trips the pattern (SQL travel form)
+      val reg = java.nio.file.Files.createTempDirectory("graft_uniqif_reg")
+        .resolve("registry.json").toString
+      RollupRouting.saveRegistry(reg)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, reg)
+      assert(q().queryExecution.executedPlan.toString.contains("uniqif_rollup"),
+        "the reloaded uniqIf pattern must still route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // the pattern match strips ORDER-EMBEDDING casts; the one overlap
+    // reachable through the sketch's input types is int→long widening,
+    // which must be HASH-IDENTICAL or the strip would route onto a
+    // different sketch — pin that Spark sketches them identically
+    val ints = spark.range(0, 1000).select($"id".cast("int").as("i"))
+    val widened = ints.agg(hll_sketch_agg($"i".cast("bigint")))
+      .head().getAs[Array[Byte]](0)
+    val bare = ints.agg(hll_sketch_agg($"i")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(widened, bare),
+      "int→long widening must produce the identical HLL sketch")
   }
 
   test("HLL sketch hybrid: stale states ∪ live tail ≡ single-pass; join path routes") {
