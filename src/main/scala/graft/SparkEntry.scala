@@ -507,6 +507,10 @@ object SparkEntry {
     // sketch shape (SURVEY §5.3), pinned bit-equal routed≡live by the
     // named uniqIf specs
     "q214_advised_uniqif" -> (graft.plans.Advisor.advisedUniqIf _),
+    // r15: setIf + uniqUpToIf — the -If family on the ARRAY members,
+    // exact on both (collect_set and count-distinct skip the CASE's
+    // NULLs), so unlike the sketch -If shapes this one oracles
+    "q215_cond_set_routed" -> (Rollups.condSetRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2119,6 +2123,17 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS day, event_type,
           ${dsum("value")} AS total_value, COUNT(*) AS n_events
           FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // the routed conditional set (setIf) and capped conditional
+    // distinct (uniqUpToIf) must match DuckDB's exact CASE aggregates
+    // (list_distinct strips the CASE's NULLs like collect_set does)
+    "q215_cond_set_routed" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         array_to_string(list_sort(list_distinct(
+           list(CASE WHEN value > 2 THEN event_type END))), ',') AS big_types,
+         CAST(LEAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                          THEN user_id END), 6) AS BIGINT) AS clickers_upto,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY day""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

@@ -357,6 +357,49 @@ object Rollups {
     }
   }
 
+  /** The per-day CONDITIONAL set/capped-set registration (round 15 —
+    * the -If family on the array members): `collect_set(CASE WHEN
+    * value > 2 THEN event_type END)` is ClickHouse's
+    * `groupUniqArrayIf`, `least(count(DISTINCT CASE WHEN click THEN
+    * user END), 6)` its `uniqUpToIf` — both states store exactly the
+    * conditional members (collect_set and count-distinct skip the
+    * CASE's NULLs identically). */
+  def condSetSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map.empty,
+      aggs = Seq(
+        SetOf(ExprPat(when(col("value") > 2.0d, col("event_type"))), "btypes_p"),
+        UniqUpToOf(ExprPat(when(col("event_type") === "click", col("user_id"))),
+                   "cupto_p", 5),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q215, oracled): setIf + uniqUpToIf routed — the
+    * conditional distinct-set dashboard reads per-day PATTERN states
+    * (fact never scanned), exact on both members, and DuckDB-oracled
+    * because sets sort deterministically and the capped count is a
+    * scalar. */
+  def condSetRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "cond_set_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), condSetSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(condSetSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          array_join(sort_array(collect_set(
+            when(col("value") > 2.0d, col("event_type")))), ",").as("big_types"),
+          least(countDistinct(
+              when(col("event_type") === "click", col("user_id"))),
+            lit(6L)).as("clickers_upto"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")
+    }
+  }
+
   /** The (day × event_type) CAPPED-SET rollup registration (round 13):
     * `uniqUpTo(50)`'s state — at most 51 members per group regardless
     * of cardinality ([[graft.plans.RollupRouting.UniqUpToOf]]). */

@@ -219,11 +219,15 @@ object Advisor {
   /** The `<col>_hll_p` convention for bare columns (pre-r15 names keep
     * routing); a pattern demand — uniqIf — hashes like the other
     * pattern partials. */
-  private def hllPartialName(pat: SrcPat): String = pat match {
-    case ColRef(n) => s"${n}_hll_p"
-    case OneMinusProduct(a, _) => s"${a}_net_hll_p"
+  private def hllPartialName(pat: SrcPat): String = statePartialName(pat, "hll")
+  /** One naming rule for every state member (kll/topk/set/upto share
+    * the HLL convention): `<col>_<state>_p` for bare columns, the
+    * canonOrdered hash for pattern demands (the -If family). */
+  private def statePartialName(pat: SrcPat, state: String): String = pat match {
+    case ColRef(n) => s"${n}_${state}_p"
+    case OneMinusProduct(a, _) => s"${a}_net_${state}_p"
     case p: ExprPat =>
-      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_hll_p"
+      s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_${state}_p"
   }
 
   /** Map one aggregate output to the AggMap that would route it —
@@ -301,26 +305,24 @@ object Advisor {
           case h: HyperLogLogPlusPlus
               if !ae.isDistinct && hllRsd(12) <= h.relativeSD =>
             toPat(resolve(h.child)).map(p => HllUniqOf(p, hllPartialName(p), 12))
+          // bare columns or patterns (round 15 — the quantileIf /
+          // topKIf / setIf shapes: a CASE source's NULLs never enter
+          // a sketch or a set, so the state is the conditional one)
           case ka: graft.expr.KllDoublesAgg if !ae.isDistinct =>
-            resolve(ka.child) match {
-              case a: AttributeReference =>
-                Some(KllQuantileOf(a.name, s"${a.name}_kll_p", ka.k))
-              case _ => None
-            }
+            toPat(resolve(ka.child)).map(p =>
+              KllQuantileOf(p, statePartialName(p, "kll"), ka.k))
           case t: ApproxTopK if !ae.isDistinct =>
-            (resolve(t.expr), t.maxItemsTracked) match {
-              case (a: AttributeReference, Literal(m: Int, _)) =>
-                Some(TopKOf(a.name, s"${a.name}_topk_p", m))
+            t.maxItemsTracked match {
+              case Literal(m: Int, _) =>
+                toPat(resolve(t.expr)).map(p =>
+                  TopKOf(p, statePartialName(p, "topk"), m))
               case _ => None
             }
           // a collect_set demand registers the distinct-set state
           // (round 13 — groupUniqArrayState)
           case cs: CollectSet if !ae.isDistinct =>
-            resolve(cs.child) match {
-              case a: AttributeReference =>
-                Some(SetOf(a.name, s"${a.name}_set_p"))
-              case _ => None
-            }
+            toPat(resolve(cs.child)).map(p =>
+              SetOf(p, statePartialName(p, "set")))
           case _ => None
         }
       // the estimates are scalars over the sketch aggregates — the
@@ -336,6 +338,9 @@ object Advisor {
       // the same array state, so the demand is the collect_set inside
       case SortArray(c, _) => mapOne(c, resolve)
       case Size(c, _) => mapOne(c, resolve)
+      // the csv rendering of a sorted set (the oracleable dashboard
+      // spelling) — the demand is the collect_set inside (round 15)
+      case ArrayJoin(c, _, _) => mapOne(c, resolve)
       // uniqUpTo (round 13): least(count(DISTINCT col), n+1) demands
       // the CAPPED set state at exactly that limit — the bounded-state
       // member the router matches at the same whole-expression shape
@@ -351,8 +356,8 @@ object Advisor {
           // overflowing into a garbage cap; a limit that large is not
           // a capped-set demand anyway (the state would be unbounded)
           case Count(Seq(c)) if lim >= 2 && lim <= Int.MaxValue =>
-            baseAttr(resolve(c)).map(a =>
-              UniqUpToOf(a.name, s"${a.name}_upto_p", (lim - 1).toInt))
+            toPat(resolve(c)).map(p =>
+              UniqUpToOf(p, statePartialName(p, "upto"), (lim - 1).toInt))
           case _ => None
         }
       case _ => None
@@ -524,13 +529,19 @@ object Advisor {
     case MaxOf(c, _) => s"max:$c"
     case AvgOf(c, _, _) => s"avg:$c"
     case HllUniqOf(p, _, k) => s"hll:${patKey(p)}:$k"
-    case KllQuantileOf(c, _, k) => s"kll:$c:$k"
-    case TopKOf(c, _, m) => s"topk:$c:$m"
-    case SetOf(c, _) => s"set:$c"
-    case UniqUpToOf(c, _, n) => s"upto:$c:$n"
+    case KllQuantileOf(p, _, k) => s"kll:${patKey(p)}:$k"
+    case TopKOf(p, _, m) => s"topk:${patKey(p)}:$m"
+    case SetOf(p, _) => s"set:${patKey(p)}"
+    case UniqUpToOf(p, _, n) => s"upto:${patKey(p)}:$n"
     case MinPatOf(p, _) => s"minpat:${patKey(p)}"
     case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"
+  }
+  /** Human-readable label for guard/split messages: a bare column
+    * reads as its name, patterns as their structural key. */
+  private def patLabel(p: SrcPat): String = p match {
+    case ColRef(n) => n
+    case other => patKey(other)
   }
   private def patKey(p: SrcPat): String = p match {
     case ColRef(n) => s"col:$n"
@@ -645,17 +656,22 @@ object Advisor {
     // decisions below stay on the bounded sample (there an
     // underestimate only under-splits, never mis-refuses).
     val fullColCache = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
-    def fullColStats(suffix: String, source: LogicalPlan, c: String): (Long, Long) =
-      fullColCache.getOrElseUpdate((suffix, c), {
-        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+    def fullColStats(suffix: String, source: LogicalPlan, pt: SrcPat): (Long, Long) =
+      fullColCache.getOrElseUpdate((suffix, patKey(pt)), {
+        import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
+        // r15: the guarded source may be a PATTERN (setIf) — count the
+        // distinct values of the expression itself (the CASE's NULLs
+        // never enter a set, but approx_count_distinct skips NULLs the
+        // same way, so the estimate is exactly the state's cardinality)
         val row = org.apache.spark.sql.graftx.Bridge.ofRows(spark, source)
-          .agg(count(lit(1)), approx_count_distinct(col(c))).head()
+          .agg(count(lit(1)), approx_count_distinct(RollupRouting.srcColumn(pt)))
+          .head()
         (row.getLong(0), row.getLong(1))
       })
 
     val singleResults = singlesBySrc.toSeq.sortBy(_._1).map { case (suffix, ds0) =>
       val statCols = ds0.flatMap(_.keys).toSet ++
-        ds0.flatMap(_.aggs).collect { case SetOf(c, _) => c }
+        ds0.flatMap(_.aggs).collect { case SetOf(pt, _) => pt.refs }.flatten
       // SetOf cardinality guard (round 14): refuse to materialize a
       // distinct-set state the registry's own scaladoc warns against.
       // The refusal is PER MEMBER (round 15): a dashboard mixing a
@@ -665,12 +681,12 @@ object Advisor {
       // refused set is skipped whole.
       val ds = ds0.flatMap { d =>
         val kept = d.aggs.filter {
-          case SetOf(c, _) =>
-            val (total, n) = fullColStats(suffix, d.source, c)
+          case SetOf(pt, _) =>
+            val (total, n) = fullColStats(suffix, d.source, pt)
             val ok = n <= total / 2 && n <= MaxSetDistinct
-            if (!ok) splits += (s"$suffix: collect_set($c) member refused — " +
-              s"~$n distinct values over $total rows; a set state would not " +
-              "compress (register HLL or uniqUpTo for unbounded keys)")
+            if (!ok) splits += (s"$suffix: collect_set(${patLabel(pt)}) member " +
+              s"refused — ~$n distinct values over $total rows; a set state " +
+              "would not compress (register HLL or uniqUpTo for unbounded keys)")
             ok
           case _ => true
         }
@@ -777,11 +793,15 @@ object Advisor {
             .agg(approx_count_distinct(col(c))).head().getLong(0)
         })
       }.getOrElse(1L)
-    def joinFullColStats(tabs: Map[String, LogicalPlan], c: String): Option[(Long, Long)] =
-      tabs.find { case (_, p) => p.output.exists(_.name == c) }.map { case (_, p) =>
-        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+    def joinFullColStats(tabs: Map[String, LogicalPlan], pt: SrcPat)
+        : Option[(Long, Long)] =
+      tabs.find { case (_, p) =>
+        pt.refs.nonEmpty && pt.refs.forall(c => p.output.exists(_.name == c))
+      }.map { case (_, p) =>
+        import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
         val row = org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
-          .agg(count(lit(1)), approx_count_distinct(col(c))).head()
+          .agg(count(lit(1)), approx_count_distinct(RollupRouting.srcColumn(pt)))
+          .head()
         (row.getLong(0), row.getLong(1))
       }
 
@@ -793,11 +813,12 @@ object Advisor {
         // owning base table — the demand's other measures keep advising
         val ds = ds0.flatMap { d =>
           val kept = d.aggs.filter {
-            case SetOf(c, _) =>
-              joinFullColStats(d.tables, c).forall { case (total, n) =>
+            case SetOf(pt, _) =>
+              joinFullColStats(d.tables, pt).forall { case (total, n) =>
                 val ok = n <= total / 2 && n <= MaxSetDistinct
                 if (!ok) splits += (s"${tables.toSeq.sorted.mkString("⋈")}: " +
-                  s"collect_set($c) member refused — ~$n distinct over $total rows")
+                  s"collect_set(${patLabel(pt)}) member refused — ~$n distinct " +
+                  s"over $total rows")
                 ok
               }
             case _ => true

@@ -124,7 +124,10 @@ object RollupRouting {
     * them. But with no time key there is also no commit-point filter
     * to hide APPENDED-uncommitted partials, so a grainless rollup is
     * REBUILD-ONLY: build the files for rows `< wm` and stamp `wm`
-    * before registration (or swap in a freshly built directory);
+    * before registration (or swap in a freshly built directory —
+    * [[graft.ops.Rollups.writeRollupUpTo]] is that one-call: its
+    * scratch-build + sidecar + atomic-swap commit works for any
+    * grain, this one included);
     * [[graft.streaming.Live.maintainRollup]] refuses the grain. A
     * grainless spec may set `timeCol = ""` to declare it has no time
     * column at all — then a sidecar can never be honored and the
@@ -611,7 +614,14 @@ object RollupRouting {
     * ±ε bound against the exact CDF on both plans. Routing requires
     * the registered k on a bare column; other k, casts, and
     * percentile_approx (GK, not a storable state) stay live. */
-  case class KllQuantileOf(col: String, partial: String, k: Int = 200) extends AggMap
+  case class KllQuantileOf(pat: SrcPat, partial: String, k: Int = 200) extends AggMap
+  object KllQuantileOf {
+    /** Bare-column registration shorthand (the pre-r15 surface). */
+    def apply(col: String, partial: String): KllQuantileOf =
+      KllQuantileOf(ColRef(col), partial)
+    def apply(col: String, partial: String, k: Int): KllQuantileOf =
+      KllQuantileOf(ColRef(col), partial, k)
+  }
   /** `approx_top_k(col, k, maxItems)` →
     * `approx_top_k_estimate(approx_top_k_combine(partial), k)` when
     * the rollup stores the per-group frequent-items SKETCH STATE
@@ -624,8 +634,23 @@ object RollupRouting {
     * error bound — same contract as the reference's `topK`). The
     * query's own k is free (any k the estimate can answer); the
     * registered `maxItems` must match — a different capacity is a
-    * different sketch. */
-  case class TopKOf(col: String, partial: String, maxItems: Int = 10000) extends AggMap
+    * different sketch. Round 15: the source may be a PATTERN (topKIf,
+    * `approx_top_k(CASE WHEN pred THEN col END, …)`). NOTE Spark's
+    * approx_top_k counts the CASE's NULL bucket as an item —
+    * IDENTICALLY on live and routed plans (the same expression builds
+    * both states) — so the non-matching rows surface as one NULL
+    * entry the dashboard filters. The rewrite additionally requires
+    * item-type equality between the estimate over the partial and the
+    * query's own output (a widening the tree match tolerates must not
+    * change the routed type). */
+  case class TopKOf(pat: SrcPat, partial: String, maxItems: Int = 10000) extends AggMap
+  object TopKOf {
+    /** Bare-column registration shorthand (the pre-r15 surface). */
+    def apply(col: String, partial: String): TopKOf =
+      TopKOf(ColRef(col), partial)
+    def apply(col: String, partial: String, maxItems: Int): TopKOf =
+      TopKOf(ColRef(col), partial, maxItems)
+  }
   /** `collect_set(col)` → set-union of per-group partials when the
     * rollup stores the per-group distinct-values array — ClickHouse's
     * `groupUniqArrayState` in an AggregatingMergeTree served by
@@ -640,8 +665,16 @@ object RollupRouting {
     * the set gives the EXACT distinct count from the same state.
     * State size grows with per-group distinct cardinality — the same
     * caveat as ClickHouse's member; register the HLL state for
-    * unbounded keys, this one for bounded-cardinality sets. */
-  case class SetOf(col: String, partial: String) extends AggMap
+    * unbounded keys, this one for bounded-cardinality sets. Round 15:
+    * the source may be a PATTERN (setIf — `collect_set(CASE WHEN pred
+    * THEN col END)`; collect_set skips NULLs, so the state is the
+    * conditional set exactly), with an element-type guard on the
+    * routed array. */
+  case class SetOf(pat: SrcPat, partial: String) extends AggMap
+  object SetOf {
+    /** Bare-column registration shorthand (the pre-r15 surface). */
+    def apply(col: String, partial: String): SetOf = SetOf(ColRef(col), partial)
+  }
   /** `least(count(DISTINCT col), n+1)` — ClickHouse's `uniqUpTo(N)` —
     * answered from a CAPPED set state (round 13): the rollup stores
     * `slice(collect_set(col), 1, n+1)` per group, so state is bounded
@@ -654,7 +687,12 @@ object RollupRouting {
     * (a different cap is a different state). The whole-expression
     * `least(...)` shape is matched at the output level (the distinct
     * aggregate alone is NOT mergeable — only the capped form is). */
-  case class UniqUpToOf(col: String, partial: String, n: Int) extends AggMap
+  case class UniqUpToOf(pat: SrcPat, partial: String, n: Int) extends AggMap
+  object UniqUpToOf {
+    /** Bare-column registration shorthand (the pre-r15 surface). */
+    def apply(col: String, partial: String, n: Int): UniqUpToOf =
+      UniqUpToOf(ColRef(col), partial, n)
+  }
   /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
     * argMin shape (round 13): the reference's `max(struct(value,
     * user)).getField(user)` dashboards (ClickHouse `argMaxState`)
@@ -922,7 +960,7 @@ object RollupRouting {
     * distinct set. Equivalence with the hand-written builders and an
     * end-to-end build→register→route→hash-match are spec-pinned. */
   /** The user-facing Column for a measure pattern (build side). */
-  private def srcColumn(pat: SrcPat): org.apache.spark.sql.Column = {
+  private[plans] def srcColumn(pat: SrcPat): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     pat match {
       case ColRef(n) => col(n)
@@ -955,14 +993,15 @@ object RollupRouting {
         partials.getOrElseUpdate(cp, count(col(c)).as(cp))
       case HllUniqOf(pt, p, lgK) =>
         partials.getOrElseUpdate(p, hll_sketch_agg(srcColumn(pt), lgK).as(p))
-      case KllQuantileOf(c, p, k) =>
-        partials.getOrElseUpdate(p, graft.expr.Kll.agg(col(c), k).as(p))
-      case TopKOf(c, p, m) =>
-        partials.getOrElseUpdate(p, expr(s"approx_top_k_accumulate(`$c`, $m)").as(p))
-      case SetOf(c, p) =>
-        partials.getOrElseUpdate(p, collect_set(col(c)).as(p))
-      case UniqUpToOf(c, p, n) =>
-        partials.getOrElseUpdate(p, slice(collect_set(col(c)), 1, n + 1).as(p))
+      case KllQuantileOf(pt, p, k) =>
+        partials.getOrElseUpdate(p, graft.expr.Kll.agg(srcColumn(pt), k).as(p))
+      case TopKOf(pt, p, m) =>
+        partials.getOrElseUpdate(p,
+          call_function("approx_top_k_accumulate", srcColumn(pt), lit(m)).as(p))
+      case SetOf(pt, p) =>
+        partials.getOrElseUpdate(p, collect_set(srcColumn(pt)).as(p))
+      case UniqUpToOf(pt, p, n) =>
+        partials.getOrElseUpdate(p, slice(collect_set(srcColumn(pt)), 1, n + 1).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1030,10 +1069,10 @@ object RollupRouting {
       case MaxOf(c, _) => Seq(c)
       case AvgOf(c, _, _) => Seq(c)
       case HllUniqOf(pt, _, _) => pt.refs.toSeq
-      case KllQuantileOf(c, _, _) => Seq(c)
-      case TopKOf(c, _, _) => Seq(c)
-      case SetOf(c, _) => Seq(c)
-      case UniqUpToOf(c, _, _) => Seq(c)
+      case KllQuantileOf(pt, _, _) => pt.refs.toSeq
+      case TopKOf(pt, _, _) => pt.refs.toSeq
+      case SetOf(pt, _) => pt.refs.toSeq
+      case UniqUpToOf(pt, _, _) => pt.refs.toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
@@ -1231,14 +1270,14 @@ object RollupRouting {
         ("kind" -> "avg") ~ ("col" -> c) ~ ("sumPartial" -> sp) ~ ("cntPartial" -> cp)
       case HllUniqOf(pt, p, k) =>
         ("kind" -> "hllUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("lgK" -> k)
-      case KllQuantileOf(c, p, k) =>
-        ("kind" -> "kllQuantile") ~ ("col" -> c) ~ ("partial" -> p) ~ ("k" -> k)
-      case TopKOf(c, p, m) =>
-        ("kind" -> "topK") ~ ("col" -> c) ~ ("partial" -> p) ~ ("maxItems" -> m)
-      case SetOf(c, p) =>
-        ("kind" -> "setUniq") ~ ("col" -> c) ~ ("partial" -> p)
-      case UniqUpToOf(c, p, n) =>
-        ("kind" -> "uniqUpTo") ~ ("col" -> c) ~ ("partial" -> p) ~ ("n" -> n)
+      case KllQuantileOf(pt, p, k) =>
+        ("kind" -> "kllQuantile") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("k" -> k)
+      case TopKOf(pt, p, m) =>
+        ("kind" -> "topK") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("maxItems" -> m)
+      case SetOf(pt, p) =>
+        ("kind" -> "setUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
+      case UniqUpToOf(pt, p, n) =>
+        ("kind" -> "uniqUpTo") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("n" -> n)
       case MinPatOf(pat, p) =>
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
@@ -1301,6 +1340,13 @@ object RollupRouting {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     def pat(v: JValue): SrcPat = patFromJson(spark, v)
+    // r15 widened the sketch/set members to SrcPat sources (the -If
+    // combinator family); a pre-r15 catalog's bare "col" field loads
+    // as the degenerate ColRef
+    def patOrLegacyCol(j: JValue): SrcPat = (j \ "pat") match {
+      case JNothing => ColRef((j \ "col").extract[String])
+      case v => pat(v)
+    }
     (j \ "kind").extract[String] match {
       case "sum" => SumOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "count" => CountStarTo((j \ "partial").extract[String])
@@ -1310,20 +1356,15 @@ object RollupRouting {
       case "avg" => AvgOf((j \ "col").extract[String],
         (j \ "sumPartial").extract[String], (j \ "cntPartial").extract[String])
       case "hllUniq" =>
-        // r15 widened the member to a SrcPat (uniqIf); a pre-r15
-        // catalog's bare "col" field still loads
-        val pt = (j \ "pat") match {
-          case JNothing => ColRef((j \ "col").extract[String])
-          case v => pat(v)
-        }
-        HllUniqOf(pt, (j \ "partial").extract[String], (j \ "lgK").extract[Int])
-      case "kllQuantile" => KllQuantileOf((j \ "col").extract[String],
+        HllUniqOf(patOrLegacyCol(j),
+          (j \ "partial").extract[String], (j \ "lgK").extract[Int])
+      case "kllQuantile" => KllQuantileOf(patOrLegacyCol(j),
         (j \ "partial").extract[String], (j \ "k").extract[Int])
-      case "topK" => TopKOf((j \ "col").extract[String],
+      case "topK" => TopKOf(patOrLegacyCol(j),
         (j \ "partial").extract[String], (j \ "maxItems").extract[Int])
-      case "setUniq" => SetOf((j \ "col").extract[String],
+      case "setUniq" => SetOf(patOrLegacyCol(j),
         (j \ "partial").extract[String])
-      case "uniqUpTo" => UniqUpToOf((j \ "col").extract[String],
+      case "uniqUpTo" => UniqUpToOf(patOrLegacyCol(j),
         (j \ "partial").extract[String], (j \ "n").extract[Int])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
@@ -1925,36 +1966,50 @@ object RollupRouting {
                   resultId = NamedExpression.newExprId)
                 HllSketchEstimate(union)
               }
-            case (KllQuantileOf(cn, partial, k), ka: graft.expr.KllDoublesAgg)
+            case (KllQuantileOf(pt, partial, k), ka: graft.expr.KllDoublesAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRefJ(ka.child, cn) && ka.k == k =>
+                   pt.matchesOrdered(resolved(ka.child)) && ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
-            case (TopKOf(cn, partial, m), t: ApproxTopK)
+            // topKIf (r15 pattern members): the ESTIMATE's item type is
+            // the sketch's — a widening the order-embedding strip
+            // tolerates on the tree would CHANGE the routed output's
+            // element type under a preserved ExprId, so the rewrite
+            // additionally requires type equality of the items
+            case (TopKOf(pt, partial, m), t: ApproxTopK)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRefJ(t.expr, cn) && t.k.foldable &&
+                   pt.matchesOrdered(resolved(t.expr)) && t.k.foldable &&
                    (t.maxItemsTracked match {
                      case Literal(i: Int, _) => i == m
                      case _ => false
                    }) =>
-              attr(partial).map { p =>
+              attr(partial).flatMap { p =>
                 val combined = ae.copy(
                   aggregateFunction = ApproxTopKCombine(p, Literal(m)),
                   resultId = NamedExpression.newExprId)
-                ApproxTopKEstimate(combined, t.k)
+                val est = ApproxTopKEstimate(combined, t.k)
+                val same = try est.dataType == ae.dataType
+                  catch { case scala.util.control.NonFatal(_) => false }
+                if (same) Some(est) else None
               }
             // distinct-set member (round 13): groupUniqArrayMerge —
             // union of per-group set partials, set-equal to the
             // single-pass collect_set (order unspecified on BOTH
-            // plans; see SetOf)
-            case (SetOf(cn, partial), cs: CollectSet)
+            // plans; see SetOf). Same element-type guard as topK: the
+            // routed array's element type is the partial's.
+            case (SetOf(pt, partial), cs: CollectSet)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRefJ(cs.child, cn) =>
-              attr(partial).map { p =>
-                val merged = ae.copy(
-                  aggregateFunction = CollectList(p),
-                  resultId = NamedExpression.newExprId)
-                ArrayDistinct(Flatten(merged))
+                   pt.matchesOrdered(resolved(cs.child)) =>
+              attr(partial).collect {
+                case p if (p.dataType match {
+                      case org.apache.spark.sql.types.ArrayType(et, _) =>
+                        et == cs.child.dataType
+                      case _ => false
+                    }) =>
+                  val merged = ae.copy(
+                    aggregateFunction = CollectList(p),
+                    resultId = NamedExpression.newExprId)
+                  ArrayDistinct(Flatten(merged))
               }
             case _ => None
           }
@@ -1971,8 +2026,8 @@ object RollupRouting {
           (ae.aggregateFunction, ae.isDistinct, ae.filter) match {
             case (Count(Seq(se)), true, None) =>
               spec.aggs.view.flatMap {
-                case UniqUpToOf(cn, partial, n)
-                    if lim == n + 1 && isBareRefJ(se, cn) =>
+                case UniqUpToOf(pt, partial, n)
+                    if lim == n + 1 && pt.matchesOrdered(resolved(se)) =>
                   attr(partial).map { p =>
                     val merged = ae.copy(aggregateFunction = CollectList(p),
                       isDistinct = false,
@@ -2148,17 +2203,19 @@ object RollupRouting {
           case HllUniqOf(pt, p, lgK) if p == n => // the tail's own sketch
             pt.rebuild(attrOf).map(e => Alias(
               HllSketchAgg(e, Literal(lgK)).toAggregateExpression(), n)())
-          case KllQuantileOf(cn, p, k) if p == n =>
-            attrOf(cn).map(a => Alias(
-              graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
-          case TopKOf(cn, p, m) if p == n =>
-            attrOf(cn).map(a => Alias(
-              ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
-          case SetOf(cn, p) if p == n =>
-            attrOf(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
-          case UniqUpToOf(cn, p, lim) if p == n =>
-            attrOf(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
-              Literal(1), Literal(lim + 1)), n)())
+          case KllQuantileOf(pt, p, k) if p == n =>
+            pt.rebuild(attrOf).map(e => Alias(
+              graft.expr.KllDoublesAgg(e, k).toAggregateExpression(), n)())
+          case TopKOf(pt, p, m) if p == n =>
+            pt.rebuild(attrOf).map(e => Alias(
+              ApproxTopKAccumulate(e, Literal(m)).toAggregateExpression(), n)())
+          case SetOf(pt, p) if p == n =>
+            pt.rebuild(attrOf).map(e =>
+              Alias(CollectSet(e).toAggregateExpression(), n)())
+          case UniqUpToOf(pt, p, lim) if p == n =>
+            pt.rebuild(attrOf).map(e => Alias(
+              Slice(CollectSet(e).toAggregateExpression(),
+                Literal(1), Literal(lim + 1)), n)())
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(attrOf).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>
@@ -2573,9 +2630,10 @@ object RollupRouting {
             // QUANTILE via KLL state (round 12, quantileState/
             // quantileMerge): same bare-column + registered-k guards;
             // percentile_approx (GK, no storable state) never matches
-            case (KllQuantileOf(cn, partial, k), ka: graft.expr.KllDoublesAgg)
+            case (KllQuantileOf(pt, partial, k), ka: graft.expr.KllDoublesAgg)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRef(ka.child, cn) && ka.k == k =>
+                   pt.matchesOrdered(resolveThroughProjects(ka.child, child)) &&
+                   ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
             // TOP-K via frequent-items state (round 12, topKState/
@@ -2583,18 +2641,26 @@ object RollupRouting {
             // CAPACITY must match — a different maxItems is a
             // different sketch. The rewrite wraps the combine in the
             // estimate scalar (same output type as approx_top_k).
-            case (TopKOf(cn, partial, m), t: ApproxTopK)
+            // r15: pattern sources (topKIf); the estimate's item type
+            // is the SKETCH's, so the rewrite additionally requires
+            // item-type equality (a widening the tree match tolerates
+            // must not change the routed output type)
+            case (TopKOf(pt, partial, m), t: ApproxTopK)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRef(t.expr, cn) && t.k.foldable &&
+                   pt.matchesOrdered(resolveThroughProjects(t.expr, child)) &&
+                   t.k.foldable &&
                    (t.maxItemsTracked match {
                      case Literal(i: Int, _) => i == m
                      case _ => false
                    }) =>
-              attr(partial).map { p =>
+              attr(partial).flatMap { p =>
                 val combined = ae.copy(
                   aggregateFunction = ApproxTopKCombine(p, Literal(m)),
                   resultId = NamedExpression.newExprId)
-                ApproxTopKEstimate(combined, t.k)
+                val est = ApproxTopKEstimate(combined, t.k)
+                val same = try est.dataType == ae.dataType
+                  catch { case scala.util.control.NonFatal(_) => false }
+                if (same) Some(est) else None
               }
             // DISTINCT-SET via array state (round 13, the
             // groupUniqArrayState/Merge member): `collect_set(col)`
@@ -2602,15 +2668,21 @@ object RollupRouting {
             // partials — a set is a set-function of its inputs, so the
             // union IS the single-pass set (order unspecified on both
             // plans, collect_set's own contract; `size(...)` on top
-            // yields the EXACT distinct count from the same state)
-            case (SetOf(cn, partial), cs: CollectSet)
+            // yields the EXACT distinct count from the same state).
+            // r15: pattern sources (setIf) with the element-type guard.
+            case (SetOf(pt, partial), cs: CollectSet)
                 if !ae.isDistinct && ae.filter.isEmpty &&
-                   isBareRef(cs.child, cn) =>
-              attr(partial).map { p =>
-                val merged = ae.copy(
-                  aggregateFunction = CollectList(p),
-                  resultId = NamedExpression.newExprId)
-                ArrayDistinct(Flatten(merged))
+                   pt.matchesOrdered(resolveThroughProjects(cs.child, child)) =>
+              attr(partial).collect {
+                case p if (p.dataType match {
+                      case org.apache.spark.sql.types.ArrayType(et, _) =>
+                        et == cs.child.dataType
+                      case _ => false
+                    }) =>
+                  val merged = ae.copy(
+                    aggregateFunction = CollectList(p),
+                    resultId = NamedExpression.newExprId)
+                  ArrayDistinct(Flatten(merged))
               }
             case _ => None
           }
@@ -2627,8 +2699,9 @@ object RollupRouting {
           (ae.aggregateFunction, ae.isDistinct, ae.filter) match {
             case (Count(Seq(se)), true, None) =>
               spec.aggs.view.flatMap {
-                case UniqUpToOf(cn, partial, n)
-                    if lim == n + 1 && isBareRef(se, cn) =>
+                case UniqUpToOf(pt, partial, n)
+                    if lim == n + 1 &&
+                       pt.matchesOrdered(resolveThroughProjects(se, child)) =>
                   attr(partial).map { p =>
                     val merged = ae.copy(aggregateFunction = CollectList(p),
                       isDistinct = false,
@@ -3062,17 +3135,19 @@ object RollupRouting {
           case HllUniqOf(pt, p, lgK) if p == n => // the tail's own sketch
             pt.rebuild(scanAttr).map(e => Alias(
               HllSketchAgg(e, Literal(lgK)).toAggregateExpression(), n)())
-          case KllQuantileOf(cn, p, k) if p == n =>
-            scanAttr(cn).map(a => Alias(
-              graft.expr.KllDoublesAgg(a, k).toAggregateExpression(), n)())
-          case TopKOf(cn, p, m) if p == n =>
-            scanAttr(cn).map(a => Alias(
-              ApproxTopKAccumulate(a, Literal(m)).toAggregateExpression(), n)())
-          case SetOf(cn, p) if p == n => // the tail's own distinct set
-            scanAttr(cn).map(a => Alias(CollectSet(a).toAggregateExpression(), n)())
-          case UniqUpToOf(cn, p, lim) if p == n => // the tail's capped set
-            scanAttr(cn).map(a => Alias(Slice(CollectSet(a).toAggregateExpression(),
-              Literal(1), Literal(lim + 1)), n)())
+          case KllQuantileOf(pt, p, k) if p == n =>
+            pt.rebuild(scanAttr).map(e => Alias(
+              graft.expr.KllDoublesAgg(e, k).toAggregateExpression(), n)())
+          case TopKOf(pt, p, m) if p == n =>
+            pt.rebuild(scanAttr).map(e => Alias(
+              ApproxTopKAccumulate(e, Literal(m)).toAggregateExpression(), n)())
+          case SetOf(pt, p) if p == n => // the tail's own distinct set
+            pt.rebuild(scanAttr).map(e =>
+              Alias(CollectSet(e).toAggregateExpression(), n)())
+          case UniqUpToOf(pt, p, lim) if p == n => // the tail's capped set
+            pt.rebuild(scanAttr).map(e => Alias(
+              Slice(CollectSet(e).toAggregateExpression(),
+                Literal(1), Literal(lim + 1)), n)())
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>

@@ -507,7 +507,7 @@ class AdvisorSpec extends AnyFunSuite {
     val advice = Advisor.advise(Seq(q()), root)
     assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
     assert(advice.singles.head.spec.aggs.exists {
-      case RollupRouting.SetOf("user_id", _) => true; case _ => false
+      case RollupRouting.SetOf(RollupRouting.ColRef("user_id"), _) => true; case _ => false
     }, s"advised aggs must carry the set state: ${advice.singles.head.spec.aggs}")
     Advisor.buildAndRegister(spark, advice)
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
@@ -671,10 +671,10 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice.singles.size == 1, advice)
     val aggs = advice.singles.head.spec.aggs
     assert(aggs.exists {
-      case RollupRouting.SetOf("user_id", _) => true; case _ => false
+      case RollupRouting.SetOf(RollupRouting.ColRef("user_id"), _) => true; case _ => false
     }, s"the bounded set must still advise: $aggs")
     assert(!aggs.exists {
-      case RollupRouting.SetOf("event_id", _) => true; case _ => false
+      case RollupRouting.SetOf(RollupRouting.ColRef("event_id"), _) => true; case _ => false
     }, s"the refused set must not register: $aggs")
     assert(aggs.exists(_.isInstanceOf[RollupRouting.CountStarTo]),
       s"the mixed demand's count must survive the member refusal: $aggs")
@@ -826,7 +826,7 @@ class AdvisorSpec extends AnyFunSuite {
     val advice = Advisor.advise(Seq(q()), root)
     assert(advice.singles.size == 1 && advice.skipped.isEmpty, advice.skipped)
     assert(advice.singles.head.spec.aggs.exists {
-      case RollupRouting.UniqUpToOf("user_id", _, 5) => true; case _ => false
+      case RollupRouting.UniqUpToOf(RollupRouting.ColRef("user_id"), _, 5) => true; case _ => false
     }, s"advised aggs must carry the capped set: ${advice.singles.head.spec.aggs}")
     Advisor.buildAndRegister(spark, advice)
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
@@ -1102,6 +1102,50 @@ class AdvisorSpec extends AnyFunSuite {
       assert(split.singles.size == 2 && split.splits.nonEmpty,
         s"the explicit bound must win over the conf: $split")
     } finally spark.conf.unset(Advisor.MaxReadInflationConf)
+  }
+
+  /** r15: the -If family ADVISES across every state member — the
+    * conditional sketch/set demands (uniqIf, quantileIf, topKIf,
+    * setIf, uniqUpToIf) mine as PATTERN sources, the SetOf guard
+    * prices the pattern's own distinct values (a conditional set over
+    * a bounded column passes even when the base column count is
+    * higher), and the unchanged exact dashboards route through the
+    * advised spec. */
+  test("conditional sketch/set demands advise pattern states and route") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_if").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(array_join(sort_array(collect_set(
+             when($"value" > 2.0d, $"event_type"))), ",").as("big_types"),
+           least(countDistinct(when($"event_type" === "click", $"user_id")),
+                 lit(6L)).as("clickers_upto"),
+           hll_sketch_estimate(hll_sketch_agg(
+             when($"event_type" === "click", $"user_id"), 12)).as("clickers_est"),
+           graft.expr.Kll.quantile(graft.expr.Kll.agg(
+             when($"event_type" === "click", $"value"), 200), 0.5).as("click_p50"),
+           count(lit(1)).as("n"))
+      .orderBy("day")
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty, advice.skipped)
+    assert(advice.singles.size == 1, advice)
+    val aggs = advice.singles.head.spec.aggs
+    import graft.plans.RollupRouting._
+    assert(aggs.exists { case SetOf(_: ExprPat, _) => true; case _ => false } &&
+           aggs.exists { case UniqUpToOf(_: ExprPat, _, 5) => true; case _ => false } &&
+           aggs.exists { case HllUniqOf(_: ExprPat, _, 12) => true; case _ => false } &&
+           aggs.exists { case KllQuantileOf(_: ExprPat, _, 200) => true; case _ => false },
+      s"every conditional demand must mine as a pattern member: $aggs")
+    val truth = q().collect().toSeq
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_if") && !plan.contains("events.parquet"),
+        s"the conditional dashboard must read the advised states:\n$plan")
+      // exact members bit-equal; sketch members equal HERE because one
+      // one-shot partial row per day merges to itself (the dedicated
+      // -If routing test pins the general error contracts)
+      assert(routed.collect().toSeq == truth)
+    }
   }
 
   /** r15: the offline loop is FREQUENCY-AWARE — an appended capture

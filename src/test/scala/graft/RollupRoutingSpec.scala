@@ -2325,6 +2325,128 @@ class RollupRoutingSpec extends AnyFunSuite {
       "int→long widening must produce the identical HLL sketch")
   }
 
+  /** r15: the -If combinator family completed across every state
+    * member — quantileIf (KLL over a CASE), topKIf, setIf, and
+    * uniqUpToIf all register as PATTERN sources (NULLs never enter a
+    * sketch or a set, so each state is the conditional one exactly).
+    * One spec carries all four; each unchanged conditional dashboard
+    * routes (fact never scanned), exact members bit-equal, sketch
+    * members inside their own error contracts; a different predicate
+    * stays live on each; the catalog round-trips the patterns. */
+  test("quantileIf/topKIf/setIf/uniqUpToIf: pattern states route; near-misses live") {
+    import graft.plans.RollupRouting.{ExprPat, KllQuantileOf, TopKOf, SetOf, UniqUpToOf, CountStarTo, Spec}
+    val clickVal = ExprPat(when($"event_type" === "click", $"value"))
+    val clickUser = ExprPat(when($"event_type" === "click", $"user_id"))
+    val bigType = ExprPat(when($"value" > 2.0d, $"event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_iffam")
+      .resolve("iffam_rollup").toString
+    val spec = Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map.empty,
+      aggs = Seq(KllQuantileOf(clickVal, "ckll_p", 200),
+                 TopKOf(clickUser, "ctopk_p", 10000),
+                 SetOf(bigType, "btypes_p"),
+                 UniqUpToOf(clickUser, "cupto_p", 5),
+                 CountStarTo("c_p")))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      def routedPlan(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("iffam_rollup") && !plan.contains("events.parquet"),
+          s"$what must answer from the conditional states:\n$plan")
+      }
+      // setIf + uniqUpToIf are EXACT: routed ≡ live bit-for-bit
+      val exactQ = () => Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sort_array(collect_set(when($"value" > 2.0d, $"event_type")))
+               .as("big_types"),
+             least(countDistinct(when($"event_type" === "click", $"user_id")),
+                   lit(6L)).as("clickers_upto"),
+             count(lit(1)).as("n"))
+        .orderBy("day")
+      val exactTruth = exactQ().collect().toSeq
+      val exactRouted = exactQ()
+      routedPlan(exactRouted, "setIf/uniqUpToIf")
+      assert(exactRouted.collect().toSeq == exactTruth)
+      // quantileIf: conditional median within rank error of the exact
+      // conditional CDF (KLL compaction is randomized — rank bound,
+      // not bits; the member's own contract)
+      val clicksByDay: Map[String, Array[Double]] = Tables.events(spark, sf)
+        .filter($"event_type" === "click")
+        .select(to_date($"ts").cast("string").as("day"), $"value".cast("double"))
+        .collect().groupBy(_.getString(0))
+        .map { case (d, rs) => d -> rs.map(_.getDouble(1)).sorted }
+      val kllQ = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(graft.expr.Kll.quantile(
+               graft.expr.Kll.agg(when($"event_type" === "click", $"value"), 200),
+               0.5).as("p50"))
+      routedPlan(kllQ, "quantileIf")
+      kllQ.collect().foreach { r =>
+        val vs = clicksByDay(r.getDate(0).toString)
+        val est = r.getDouble(1)
+        val lt = vs.count(_ < est).toDouble / vs.length
+        val le = vs.count(_ <= est).toDouble / vs.length
+        assert(0.5 >= lt - 0.03 && 0.5 <= le + 0.03,
+          s"quantileIf p50 out of rank bound: $est")
+      }
+      // topKIf: exact below capacity — every reported conditional
+      // count equals the exact one. NOTE the member's documented NULL
+      // semantics: Spark's approx_top_k COUNTS the CASE's NULL bucket
+      // as an item (identically on live and routed plans — same
+      // expression builds both states), so the non-matching rows
+      // surface as one NULL entry the dashboard filters; pin it too.
+      val exactCounts = Tables.events(spark, sf)
+        .filter($"event_type" === "click")
+        .groupBy(to_date($"ts").cast("string").as("day"), $"user_id")
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val nonClicks = Tables.events(spark, sf)
+        .filter($"event_type" =!= "click")
+        .groupBy(to_date($"ts").cast("string").as("day"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val topkQ = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(call_function("approx_top_k",
+               when($"event_type" === "click", $"user_id"), lit(3), lit(10000))
+             .as("tk"))
+      routedPlan(topkQ, "topKIf")
+      topkQ.select(to_date($"day").cast("string").as("day"), explode($"tk").as("e"))
+        .select($"day", $"e.item", $"e.count").collect().foreach { r =>
+          if (r.isNullAt(1))
+            assert(nonClicks(r.getString(0)) == r.getLong(2),
+              s"the NULL bucket must count the non-matching rows on ${r.getString(0)}")
+          else
+            assert(exactCounts((r.getString(0), r.getLong(1))) == r.getLong(2),
+              s"topKIf count mismatch for ${r.getLong(1)} on ${r.getString(0)}")
+        }
+      // near misses: a DIFFERENT predicate is a different state on
+      // every member — each stays live
+      val otherPred = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sort_array(collect_set(when($"value" > 3.0d, $"event_type"))).as("s"),
+             graft.expr.Kll.quantile(graft.expr.Kll.agg(
+               when($"event_type" === "purchase", $"value"), 200), 0.5).as("p"),
+             least(countDistinct(when($"event_type" === "purchase", $"user_id")),
+                   lit(6L)).as("u"))
+      assert(!otherPred.queryExecution.executedPlan.toString.contains("iffam_rollup"),
+        "different predicates must stay live on every pattern member")
+      // the catalog round-trips all four pattern members
+      val reg = java.nio.file.Files.createTempDirectory("graft_iffam_reg")
+        .resolve("registry.json").toString
+      RollupRouting.saveRegistry(reg)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, reg)
+      routedPlan(exactQ(), "reloaded setIf/uniqUpToIf")
+      assert(exactQ().collect().toSeq == exactTruth,
+        "the reloaded pattern members must still answer exactly")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("HLL sketch hybrid: stale states ∪ live tail ≡ single-pass; join path routes") {
     import graft.ops.{Rollups, StarJoins}
     // hybrid on the single-table path
@@ -3719,6 +3841,16 @@ class RollupRoutingSpec extends AnyFunSuite {
         s"a stamped grainless rollup must read rollup ∪ live tail:\n$plan")
       assert(routed.collect().toSeq == plain,
         "the grainless hybrid must merge split key groups exactly")
+      // the REBUILD-ONLY contract's one-call (r15): writeRollupUpTo
+      // scratch-builds rows < wm', stamps, and atomically swaps — the
+      // advanced watermark shrinks the tail and the read stays exact
+      val wm2 = wmUs + 86400000000L
+      graft.ops.Rollups.writeRollupUpTo(Tables.events(spark, sf), spec, wm2)
+      assert(new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, RollupRouting.CoverageSidecar).toPath))
+        .trim.toLong == wm2, "the rebuild must stamp the new watermark")
+      assert(q().collect().toSeq == plain,
+        "the rebuilt grainless rollup must still hybrid-read exactly")
       // timeCol = "" declares no tail is provable: with a sidecar the
       // spec must stay live entirely (stale rollup never answers alone)
       RollupRouting.clear()
