@@ -511,6 +511,10 @@ object SparkEntry {
     // exact on both (collect_set and count-distinct skip the CASE's
     // NULLs), so unlike the sketch -If shapes this one oracles
     "q215_cond_set_routed" -> (Rollups.condSetRouted _),
+    // r15: the DAY-2 loop — re-advising a served log proposes nothing;
+    // a log that gained one dashboard delta-advises exactly its spec,
+    // adopted alongside the existing catalog
+    "q216_advised_delta" -> (graft.plans.Advisor.advisedDelta _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2132,6 +2136,11 @@ object SparkEntry {
            list(CASE WHEN value > 2 THEN event_type END))), ',') AS big_types,
          CAST(LEAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
                           THEN user_id END), 6) AS BIGINT) AS clickers_upto,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY day""",
+    // the delta-advised min/max dashboard routed through its day-3 spec
+    "q216_advised_delta" ->
+      """SELECT CAST(ts AS DATE) AS day, MIN(value) AS lo, MAX(value) AS hi,
          COUNT(*) AS n_events
          FROM events GROUP BY 1 ORDER BY day""",
     // uniqUpTo from the capped set state must equal the exact

@@ -766,7 +766,16 @@ object Advisor {
             if (gGrains.isEmpty) "all"
             else if (gGrains.exists(_._1 == "hour")) "hour" else "day"
           val keys = g.flatMap(_.keys).toSet - timeCol
-          val slug = if (!multi) "" else "_" + (grain +: keys.toSeq.sorted).mkString("_")
+          // the path carries a stable SHAPE hash (round 15): two
+          // differently-shaped specs advised under one root — the
+          // daily delta loop's normal state — must never share a
+          // directory, or a memoized adopt would reuse the wrong files
+          val shapeHash = math.abs(((grain +: keys.toSeq.sorted).mkString("_") +
+            dedupeAggs(g.flatMap(_.aggs)).map(aggKey).sorted.mkString("|"))
+            .hashCode) % 1000000
+          val slug = (if (!multi) ""
+                      else "_" + (grain +: keys.toSeq.sorted).mkString("_")) +
+            s"_s$shapeHash"
           AdvisedSingle(
             Spec(suffix, s"$rollupRoot/${name}_advised$slug", grain, timeCol,
               keyCols = keys.map(k => k -> k).toMap,
@@ -875,9 +884,15 @@ object Advisor {
                 val tg = if (gs2.exists(_._1 == "hour")) "hour" else "day"
                 TimeGrainPat(tg, c) -> s"${c}_$tg"
               }
+            // same shape-hash rule as the single path (round 15)
+            val shapeHash = math.abs(((groupings ++ grains).toSeq.sorted.mkString("_") +
+              timeGroupings.map(_._2).mkString("_") +
+              dedupeAggs(g.flatMap(_.aggs)).map(aggKey).sorted.mkString("|"))
+              .hashCode) % 1000000
             val slug =
-              if (!multi) ""
-              else "_" + (groupings ++ grains).toSeq.sorted.mkString("_")
+              (if (!multi) ""
+               else "_" + (groupings ++ grains).toSeq.sorted.mkString("_")) +
+              s"_s$shapeHash"
             AdvisedJoin(
               JoinSpec(s"$rollupRoot/${name}_advised$slug", tables, joinKeys,
                 groupings = groupings.map(k => k -> k).toMap,
@@ -1083,12 +1098,42 @@ object Advisor {
     * the refusal is auditable. Every MV costs build + maintenance +
     * storage at 100 TB — the budget is how a deployment says how many
     * it is willing to pay for. */
+  /** `skipServed = true` makes the daily loop IDEMPOTENT (round 15):
+    * demands the CURRENTLY-REGISTERED catalog already answers are
+    * dropped before advising (recorded in `skipped` with the serving
+    * spec), so re-advising yesterday's log against yesterday's adopted
+    * catalog proposes NOTHING, and a log that gained one new dashboard
+    * proposes exactly that spec — the capture → advise → adopt →
+    * retire cadence becomes a convergent fixed point instead of
+    * re-minting the whole catalog every run. */
   def adviseCaptured(spark: SparkSession, path: String, rollupRoot: String,
                      maxReadInflation: Double = Double.NaN,
-                     budget: Int = Int.MaxValue): Advice = {
-    val parsed = parseCapture(spark, path)
-    val advice = adviseDemands(spark, parsed.map(_._1), rollupRoot,
+                     budget: Int = Int.MaxValue,
+                     skipServed: Boolean = false): Advice = {
+    val parsed0 = parseCapture(spark, path)
+    val served = scala.collection.mutable.Buffer.empty[String]
+    val parsed = if (!skipServed) parsed0 else parsed0.filter {
+      case (scala.Right(d: SingleDemand), _) =>
+        RollupRouting.registered.find(servesSingle(_, d)) match {
+          case Some(s) =>
+            served += s"${d.suffix}: demand already served by registered " +
+              s"spec ${s.rollupPath} — no new advice"
+            false
+          case None => true
+        }
+      case (scala.Right(d: JoinDemand), _) =>
+        RollupRouting.registeredJoins.find(servesJoin(_, d)) match {
+          case Some(s) =>
+            served += s"${d.tables.keySet.toSeq.sorted.mkString("⋈")}: demand " +
+              s"already served by registered MV ${s.rollupPath} — no new advice"
+            false
+          case None => true
+        }
+      case _ => true
+    }
+    val advice0 = adviseDemands(spark, parsed.map(_._1), rollupRoot,
       if (maxReadInflation.isNaN) confMaxReadInflation(spark) else maxReadInflation)
+    val advice = advice0.copy(skipped = advice0.skipped ++ served)
     val total = advice.singles.size + advice.joins.size
     if (budget >= total) advice
     else {
@@ -1642,6 +1687,52 @@ object Advisor {
         advice.skipped.exists(s => s.contains("budget(1)") && s.contains("orders")),
       s"the 6x-captured dashboard must win the budget over the one-off: $advice")
     runRouted(spark, advice) { hot() }
+  }
+
+  /** Driver entry (q216): the DAY-2 advising loop (round 15) — the
+    * daily capture → advise → adopt cadence is a convergent fixed
+    * point: day 1's two-dashboard log adopts a catalog; day 2
+    * re-advises the same log with `skipServed` and proposes NOTHING
+    * (both demands recorded as served); day 3's log gains a min/max
+    * dashboard and the delta advises EXACTLY that spec, which adopts
+    * alongside the existing catalog and routes the new dashboard.
+    * The reference's analog is editing `sql/analytics.sql` to add MV
+    * #7 without touching the six that exist. */
+  def advisedDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "delta_advise")
+    val log = s"$root/workload.json"
+    val volume = () => graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("v"), count(lit(1)).as("c"))
+    val orders = () => graft.ops.Rollups.ordersDailySalesRaw(spark, sfDir)
+    val extrema = () => graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+           count(lit(1)).as("n_events"))
+      .orderBy("day")
+    captureWorkload(Seq(volume(), orders()), log)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val day1 = adviseCaptured(spark, log, root)
+      require(day1.singles.size == 2, s"day 1 must advise both sources: $day1")
+      buildAndRegister(spark, day1, memoized = true)
+      val day2 = adviseCaptured(spark, log, root, skipServed = true)
+      require(day2.singles.isEmpty && day2.joins.isEmpty &&
+          day2.skipped.count(_.contains("already served")) == 2,
+        s"day 2 must converge to no new advice: $day2")
+      captureWorkload(Seq(extrema()), log, append = true)
+      val day3 = adviseCaptured(spark, log, root, skipServed = true)
+      require(day3.singles.size == 1 &&
+          day3.singles.head.spec.aggs.exists(_.isInstanceOf[MinOf]),
+        s"day 3 must advise exactly the new dashboard: $day3")
+      buildAndRegister(spark, day3, memoized = true)
+      spark.experimental.extraOptimizations = prev :+ new RollupRouting.RuleImpl(spark)
+      extrema().localCheckpoint()
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
   }
 
   /** Driver entry (q214, rows-only — sketch values are estimator-

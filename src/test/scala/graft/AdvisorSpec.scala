@@ -1148,6 +1148,53 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r15: the daily loop is IDEMPOTENT — re-advising a log against the
+    * catalog it already produced proposes NOTHING (every demand records
+    * as served), and a log that gained one new dashboard proposes
+    * exactly that spec. With retireCandidates this makes capture →
+    * advise → adopt → retire a convergent fixed point. */
+  test("delta advising: served demands propose nothing; a new dashboard advises alone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_delta")
+    val log = base.resolve("workload.json").toString
+    val volume = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.ops.Fns.dsum($"value").as("v"), count(lit(1)).as("c"))
+    val orders = () => Rollups.ordersDailySalesRaw(spark, sf)
+    Advisor.captureWorkload(Seq(volume(), orders()), log)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val day1 = Advisor.adviseCaptured(spark, log, base.resolve("mv").toString)
+      assert(day1.singles.size == 2, day1)
+      Advisor.adopt(spark, day1, s"$base/registry.json", memoized = true)
+      // day 2, same log: nothing new, both demands recorded as served
+      val day2 = Advisor.adviseCaptured(spark, log, base.resolve("mv").toString,
+        skipServed = true)
+      assert(day2.singles.isEmpty && day2.joins.isEmpty,
+        s"a fully-served log must propose nothing: $day2")
+      assert(day2.skipped.count(_.contains("already served")) == 2, day2.skipped)
+      // day 3: the log gains a min/max dashboard — exactly one new spec
+      val extrema = () => Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(min($"value").as("lo"), max($"value").as("hi"))
+      Advisor.captureWorkload(Seq(extrema()), log, append = true)
+      val day3 = Advisor.adviseCaptured(spark, log, base.resolve("mv").toString,
+        skipServed = true)
+      assert(day3.singles.size == 1 && day3.joins.isEmpty &&
+             day3.singles.head.spec.aggs.exists(_.isInstanceOf[RollupRouting.MinOf]),
+        s"only the new dashboard may advise: $day3")
+      // adopting the DELTA serves the new dashboard too
+      val truth = extrema().orderBy("day").collect().toSeq
+      Advisor.adopt(spark, day3, s"$base/registry.json", memoized = true)
+      val routed = extrema().orderBy("day")
+      assert(routed.queryExecution.executedPlan.toString.contains("graft_delta"),
+        "the delta-advised spec must route its dashboard")
+      assert(routed.collect().toSeq == truth)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      RollupRouting.clear()
+    }
+  }
+
   /** r15: the offline loop is FREQUENCY-AWARE — an appended capture
     * log carries one entry per run, advising aggregates the duplicates
     * into demand frequencies, and a budgeted advise ranks specs by
