@@ -593,8 +593,19 @@ object Advisor {
     * documented contract — an underestimate only UNDER-splits (a
     * merged spec that reads somewhat hot), never mis-refuses; the
     * SetOf guard, where a wrong refusal would kill a registration,
-    * deliberately pays a full column scan instead. */
+    * deliberately pays a full column scan instead.
+    *
+    * `spark.graft.advisor.statsSampleRows` (round 15) raises or lowers
+    * the bound per session — a deployment whose distinct counts
+    * concentrate late in file order pays a larger sample for stabler
+    * split decisions; the default keeps advise cost flat in fact
+    * volume. */
   val StatsSampleRows = 100000
+  val StatsSampleRowsConf = "spark.graft.advisor.statsSampleRows"
+  private def confStatsSampleRows(spark: SparkSession): Int =
+    Option(spark).map(_.sessionState.conf
+        .getConfString(StatsSampleRowsConf, StatsSampleRows.toString).toInt)
+      .getOrElse(StatsSampleRows)
 
   /** Propose the smallest registry that answers the workload: analyze
     * each query, merge demands per source / per join core — splitting
@@ -640,7 +651,7 @@ object Advisor {
       statsCache.getOrElseUpdate(suffix, {
         import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
         val df = org.apache.spark.sql.graftx.Bridge.ofRows(spark, source)
-          .limit(StatsSampleRows)
+          .limit(confStatsSampleRows(spark))
         val cs = cols.toSeq.sorted
         val row = df.agg(count(lit(1)),
           cs.map(c => approx_count_distinct(col(c))): _*).head()
@@ -798,7 +809,7 @@ object Advisor {
         joinColCache.getOrElseUpdate((t, c), {
           import org.apache.spark.sql.functions.{approx_count_distinct, col}
           org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
-            .limit(StatsSampleRows)
+            .limit(confStatsSampleRows(spark))
             .agg(approx_count_distinct(col(c))).head().getLong(0)
         })
       }.getOrElse(1L)
@@ -1147,7 +1158,7 @@ object Advisor {
       def sampleStats(p: LogicalPlan, cols: Seq[String]): (Long, Map[String, Long]) = {
         import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
         val df = org.apache.spark.sql.graftx.Bridge.ofRows(spark, p)
-          .limit(StatsSampleRows)
+          .limit(confStatsSampleRows(spark))
         val row = df.agg(count(lit(1)),
           cols.map(c => approx_count_distinct(col(c))): _*).head()
         (row.getLong(0),

@@ -1102,6 +1102,16 @@ class AdvisorSpec extends AnyFunSuite {
       assert(split.singles.size == 2 && split.splits.nonEmpty,
         s"the explicit bound must win over the conf: $split")
     } finally spark.conf.unset(Advisor.MaxReadInflationConf)
+    // r15: the stats-sample bound is a conf too — a 1-row sample sees
+    // ~1 distinct per key, so the gained-key products collapse and the
+    // same workload POOLS where the default sample splits it (the
+    // deployment knob trading advise cost for split stability)
+    spark.conf.set(Advisor.StatsSampleRowsConf, "1")
+    try {
+      val pooled1 = Advisor.advise(Seq(daily, hourly), root)
+      assert(pooled1.singles.size == 1,
+        s"a 1-row stats sample must pool the workload: $pooled1")
+    } finally spark.conf.unset(Advisor.StatsSampleRowsConf)
   }
 
   /** r15: the -If family ADVISES across every state member — the

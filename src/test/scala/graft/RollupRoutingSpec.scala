@@ -3768,6 +3768,23 @@ class RollupRoutingSpec extends AnyFunSuite {
         s"a key predicate must subsume on the grainless rollup:\n" +
           one.queryExecution.executedPlan)
       assert(one.collect().toSeq == oneUserPlain)
+      // GROUPING-SET composition (r15): a keys-only ROLLUP lattice
+      // (per-user + grand total in one statement) replays over the
+      // grainless rows — rewriteExpand delegates to the same flat
+      // rewrite, so the all-grain member rides the lattice machinery
+      val latticeQ = () => Tables.events(spark, sf)
+        .rollup($"user_id")
+        .agg(graft.ops.Fns.dsum($"value").as("total_value"),
+             count(lit(1)).as("n_events"))
+        .orderBy($"user_id".asc_nulls_first)
+      val latticePlain = latticeQ().collect().toSeq
+      val lattice = latticeQ()
+      assert(lattice.queryExecution.executedPlan.toString.contains("events_all") &&
+             !lattice.queryExecution.executedPlan.toString.contains("events.parquet"),
+        s"the keys-only lattice must route grainlessly:\n" +
+          lattice.queryExecution.executedPlan)
+      assert(lattice.collect().toSeq == latticePlain,
+        "every grain of the keys-only lattice must be exact")
       // NEAR MISSES — every time-touching shape stays live:
       val dayGrouped = Tables.events(spark, sf)
         .groupBy(to_date($"ts").as("day"), $"user_id")
