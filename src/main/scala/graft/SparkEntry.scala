@@ -515,6 +515,10 @@ object SparkEntry {
     // a log that gained one dashboard delta-advises exactly its spec,
     // adopted alongside the existing catalog
     "q216_advised_delta" -> (graft.plans.Advisor.advisedDelta _),
+    // r15: uniqExact/uniqExactIf — EXACT COUNT(DISTINCT …) answered
+    // from SetOf states (set union is subtotal-safe where the
+    // row-count mapping never is), composed with a GRAINLESS rollup
+    "q217_uniq_exact_routed" -> (Rollups.uniqExactRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2143,6 +2147,13 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, MIN(value) AS lo, MAX(value) AS hi,
          COUNT(*) AS n_events
          FROM events GROUP BY 1 ORDER BY day""",
+    // exact distinct + conditional exact distinct from the grainless
+    // set states must hash-match DuckDB's COUNT(DISTINCT …)
+    "q217_uniq_exact_routed" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT CASE WHEN value > 2 THEN user_id END) AS n_big_users,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY event_type""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

@@ -400,6 +400,43 @@ object Rollups {
     }
   }
 
+  /** The GRAINLESS per-type distinct-set registration (round 15):
+    * all-time exact uniques per event type — SetOf states over the
+    * bare column AND over a CASE pattern, so both ClickHouse's
+    * `uniqExact` and `uniqExactIf` answer from one keys-only rollup. */
+  def uniqExactSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "all", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        SetOf("user_id", "users_set"),
+        SetOf(ExprPat(when(col("value") > 2.0d, col("user_id"))), "big_users_set"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q217, oracled): uniqExact + uniqExactIf from set
+    * states on a GRAINLESS rollup — `COUNT(DISTINCT col)` and
+    * `COUNT(DISTINCT CASE WHEN pred THEN col END)` both rewrite to
+    * size-of-set-union over the all-time per-type array states (exact:
+    * count-distinct skips NULLs exactly like the collect_set that
+    * built each state); the fact is never scanned. */
+  def uniqExactRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "uniq_exact_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqExactSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(uniqExactSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(when(col("value") > 2.0d, col("user_id")))
+               .as("n_big_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  }
+
   /** The (day × event_type) CAPPED-SET rollup registration (round 13):
     * `uniqUpTo(50)`'s state — at most 51 members per group regardless
     * of cardinality ([[graft.plans.RollupRouting.UniqUpToOf]]). */

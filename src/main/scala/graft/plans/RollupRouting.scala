@@ -1612,7 +1612,7 @@ object RollupRouting {
             specsOf(child)
               .flatMap(s => rewrite(agg, groupings, aggExprs, s)
                               .orElse(rewriteExpand(agg, groupings, aggExprs,
-                                                    rewrite(_, _, _, s)))
+                                rewrite(_, _, _, s, inLattice = true)))
                               .map(s -> _))
               .minByOption { case (s, _) =>
                 (Spec.grainRank(s.grain), rollupSizeBytes(s.rollupPath))
@@ -1629,7 +1629,7 @@ object RollupRouting {
             joinSpecs
               .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s)
                               .orElse(rewriteExpand(agg, groupings, aggExprs,
-                                                    rewriteJoin(_, _, _, s)))
+                                rewriteJoin(_, _, _, s, inLattice = true)))
                               .map(s -> _))
               .minByOption { case (s, _) => rollupSizeBytes(s.rollupPath) }
               .map(_._2)
@@ -1718,7 +1718,8 @@ object RollupRouting {
       * preserved so parent sorts/limits/projects re-bind. */
     private def rewriteJoin(agg: Aggregate, groupings: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
-                            spec: JoinSpec): Option[LogicalPlan] = {
+                            spec: JoinSpec,
+                            inLattice: Boolean = false): Option[LogicalPlan] = {
       val (scans, residualFilters): (Map[String, LogicalRelation], Seq[Expression]) =
         flattenJoin(agg.child, spec) match {
           case Some((tables, conds, filters))
@@ -1873,13 +1874,33 @@ object RollupRouting {
                    pat.matchesOrdered(resolved(se)) =>
               attr(partial).map(p => Coalesce(Seq(
                 ae.copy(aggregateFunction = Sum(p)), Literal(0L))))
+            // NEVER inside a grouping-set lattice: a subtotal group
+            // holds more rollup rows than distinct grain values, so
+            // the row-count mapping is not subtotal-safe (the SetOf
+            // mapping below is — set union)
             case (CountDistinctGrain(grain), Count(Seq(se)))
-                if ae.isDistinct && ae.filter.isEmpty && (resolved(se) match {
+                if !inLattice &&
+                   ae.isDistinct && ae.filter.isEmpty && (resolved(se) match {
                   case a: AttributeReference => a.name == grain
                   case _ => false
                 }) =>
               Some(ae.copy(aggregateFunction = Count(Seq(Literal(1))),
                            isDistinct = false))
+            // uniqExact / uniqExactIf (round 15): the EXACT
+            // COUNT(DISTINCT expr) answered from the distinct-set
+            // state — count-distinct skips NULLs exactly like the
+            // collect_set that built the state, and set union is
+            // subtotal-safe, so unlike the row-count mapping this one
+            // also serves grouping-set lattices
+            case (SetOf(pt, partial), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(se)) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(aggregateFunction = CollectList(p),
+                  isDistinct = false,
+                  resultId = NamedExpression.newExprId)
+                Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType)
+              }
             // MIN/MAX/AVG on the join path (round 12) — the same
             // vocabulary and guards as the single-table mapAgg: bare
             // column refs for min/max, the dsum-shaped exact form for
@@ -2385,7 +2406,8 @@ object RollupRouting {
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-                        aggExprs: Seq[NamedExpression], spec: Spec): Option[LogicalPlan] = {
+                        aggExprs: Seq[NamedExpression], spec: Spec,
+                        inLattice: Boolean = false): Option[LogicalPlan] = {
       val rollup = analyzedRollup(spec.rollupPath).getOrElse(return None)
       def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
       // a GRAINLESS ("all") rollup stores no time key; grained rollups
@@ -2534,14 +2556,31 @@ object RollupRouting {
             // distinct keyCol values per group. Count of the key
             // attribute (not COUNT(*)) preserves countDistinct's
             // null-skipping.
+            // NEVER inside a grouping-set lattice: a subtotal group
+            // holds more rollup rows than distinct grain values (the
+            // SetOf mapping below IS subtotal-safe — set union)
             case (CountDistinctGrain(gcol), Count(Seq(se)))
-                if ae.isDistinct && ae.filter.isEmpty &&
+                if !inLattice &&
+                   ae.isDistinct && ae.filter.isEmpty &&
                    isBareRef(se, gcol) && keyAttrs.contains(gcol) &&
                    keyMap.values.toSet ==
                      ((timeKeyOpt.toSet[Expression] ++ keyAttrs.values) -
                         keyAttrs(gcol)) =>
               Some(ae.copy(aggregateFunction = Count(Seq(keyAttrs(gcol))),
                            isDistinct = false))
+            // uniqExact / uniqExactIf (round 15): EXACT COUNT(DISTINCT
+            // expr) from the distinct-set state — null-skipping on
+            // both sides, set union subtotal-safe, so this mapping
+            // (unlike the row-count one above) serves lattices too
+            case (SetOf(pt, partial), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(se, child)) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(aggregateFunction = CollectList(p),
+                  isDistinct = false,
+                  resultId = NamedExpression.newExprId)
+                Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType)
+              }
             // AVG routes only in its dsum-shaped exact form —
             // avg(cast(col as decimal(38,6))) — and reproduces
             // Average's own decimal evaluate tree over the partials:
@@ -2884,19 +2923,27 @@ object RollupRouting {
       // flat path's subsumption owns that proof)
       if (!latticeFilters.forall(c =>
             c.deterministic && c.references.subsetOf(gdSet))) return None
-      // distinct aggregates are not subtotal-safe (see scaladoc) —
-      // EXCEPT inside the uniqUpTo shape `least(count(DISTINCT c),
-      // n+1)` (round 13): the capped-set member unions across any
-      // regrouping, subtotals included. A distinct-under-least that
-      // no member actually maps still falls back live downstream (the
-      // flat rewrite's raw-reference check), so letting the shape
-      // through here is safe.
+      // distinct aggregates are not GENERALLY subtotal-safe: the
+      // CountDistinctGrain row-count mapping over-counts subtotal
+      // groups (the flat rewriters receive `inLattice = true` and
+      // refuse it). Two distinct shapes DO pass, because their
+      // set-state mappings union across any regrouping: the uniqUpTo
+      // `least(count(DISTINCT c), n+1)` (round 13, capped sets) and a
+      // single-argument COUNT(DISTINCT expr) (round 15 — uniqExact
+      // from SetOf states). A distinct that no member actually maps
+      // still falls back live downstream (the flat rewrite's
+      // raw-reference check), so letting the shapes through is safe.
       val underUpTo: Set[Expression] = aggExprs.flatMap(_.collect {
         case Least(Seq(ae: AggregateExpression, limE))
             if ae.isDistinct && limE.foldable && limE.dataType == LongType => ae
       }).toSet
       if (aggExprs.exists(_.exists {
-            case ae: AggregateExpression => ae.isDistinct && !underUpTo.contains(ae)
+            case ae: AggregateExpression =>
+              ae.isDistinct && !underUpTo.contains(ae) &&
+                (ae.aggregateFunction match {
+                  case Count(Seq(_)) => false // uniqExact may map via SetOf
+                  case _ => true
+                })
             case _ => false })) return None
       // split the output: grouping-valued columns (expanded attrs/gid
       // only — grouping()/grouping_id() are bit tests on gid) pass

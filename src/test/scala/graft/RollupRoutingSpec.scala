@@ -3009,6 +3009,17 @@ class RollupRoutingSpec extends AnyFunSuite {
       assert(got == truth, "sorted routed set must be bit-equal to live")
       got.foreach(r => assert(r.getInt(2).toLong == exactCount(r.getString(0)),
         "size(set) must be the exact distinct count"))
+      // uniqExact (r15): the EXACT COUNT(DISTINCT col) itself routes
+      // through the same set state — null-skipping matches, and the
+      // answer is the exact per-group count
+      val cd = Tables.events(spark, sf)
+        .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+        .orderBy("event_type")
+      assert(cd.queryExecution.executedPlan.toString.contains("setrollup") &&
+             !cd.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "COUNT(DISTINCT col) must route onto the registered set state")
+      cd.collect().foreach(r => assert(r.getLong(1) == exactCount(r.getString(0)),
+        "the routed exact distinct count must be exact"))
       // lattice: ROLLUP over the sorted set routes (subtotal = union)
       val lat = Tables.events(spark, sf)
         .rollup($"event_type")
@@ -3430,13 +3441,24 @@ class RollupRoutingSpec extends AnyFunSuite {
           routed.queryExecution.optimizedPlan)
       assert(routed.collect().toSeq == truth,
         "routed lattice sets and exact sizes must equal the live lattice per grain")
-      // the EXACT count-distinct lattice guard is untouched: the same
-      // dashboard spelled as COUNT(DISTINCT) must stay live
-      val exact = Tables.events(spark, sf)
+      // r15 CONTRACT UPGRADE (uniqExact): with a SetOf state
+      // registered, the same dashboard spelled as COUNT(DISTINCT)
+      // routes too — set union is subtotal-safe, so the exact distinct
+      // count reads the states at every grain (the row-count
+      // CountDistinctGrain mapping still never lattice-routes; pinned
+      // by the specs whose rollups carry no set state)
+      val exactQ2 = () => Tables.events(spark, sf)
         .rollup(to_date($"ts").as("day"), $"event_type")
         .agg(countDistinct($"user_id").as("u"))
-      assert(!exact.queryExecution.executedPlan.toString.contains("setlattice"),
-        "an exact distinct aggregate must never lattice-route")
+        .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+      spark.experimental.extraOptimizations = Nil
+      val exactTruth = exactQ2().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val exact = exactQ2()
+      assert(exact.queryExecution.executedPlan.toString.contains("setlattice"),
+        "COUNT(DISTINCT) must route through the set states under ROLLUP")
+      assert(exact.collect().toSeq == exactTruth,
+        "the routed exact-distinct lattice must match the live one per grain")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
