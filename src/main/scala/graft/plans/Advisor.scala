@@ -311,6 +311,24 @@ object Advisor {
           case ka: graft.expr.KllDoublesAgg if !ae.isDistinct =>
             toPat(resolve(ka.child)).map(p =>
               KllQuantileOf(p, statePartialName(p, "kll"), ka.k))
+          // a COARSE-tolerance percentile_approx advises the KLL state
+          // at the registry's default k when that k's rank error fits
+          // inside the query's own 1/accuracy bound — the exact
+          // condition the router checks before substituting (round 15;
+          // the quantile twin of the approx_count_distinct rule)
+          case pa: ApproximatePercentile
+              if !ae.isDistinct &&
+                 pa.dataType == org.apache.spark.sql.types.DoubleType &&
+                 pa.percentageExpression.foldable &&
+                 pa.percentageExpression.eval().isInstanceOf[Double] &&
+                 pa.accuracyExpression.foldable &&
+                 (pa.accuracyExpression.eval() match {
+                   case i: Int => kllRankError(200) <= 1.0 / i
+                   case l: Long => kllRankError(200) <= 1.0 / l
+                   case _ => false
+                 }) =>
+            toPat(resolve(pa.child)).map(p =>
+              KllQuantileOf(p, statePartialName(p, "kll"), 200))
           case t: ApproxTopK if !ae.isDistinct =>
             t.maxItemsTracked match {
               case Literal(m: Int, _) =>

@@ -604,6 +604,14 @@ object RollupRouting {
     * routing and the advisor's demand mining share. (Conservative for
     * Datasketches' HIP estimator, which does slightly better.) */
   def hllRsd(lgK: Int): Double = 1.04 / math.sqrt((1L << lgK).toDouble)
+  /** Datasketches KLL's published normalized rank error at parameter
+    * k (single-quantile regime), ≈ 2.296/k^0.9329 — ~1.65% at the
+    * default k = 200. The dominance bound for substituting a KLL
+    * state under a `percentile_approx` query: GK guarantees rank
+    * error ≤ 1/accuracy, so the state answers within the query's OWN
+    * tolerance only when kllRankError(k) ≤ 1/accuracy (the HLL++
+    * precedent — see [[HllUniqOf]]; same opt-out knob). */
+  def kllRankError(k: Int): Double = 2.296 / math.pow(k.toDouble, 0.9329)
   /** `graft_kll_agg(col, k)` (usually under `graft_kll_quantile`) →
     * `graft_kll_merge(partial)` when the rollup stores the per-group
     * KLL quantile state ([[graft.expr.KllDoublesAgg]], binary) — the
@@ -612,8 +620,15 @@ object RollupRouting {
     * the single-pass sketch but its compaction is randomized, so
     * routed ≡ live holds in RANK ERROR, not bits — the spec pins the
     * ±ε bound against the exact CDF on both plans. Routing requires
-    * the registered k on a bare column; other k, casts, and
-    * percentile_approx (GK, not a storable state) stay live. */
+    * the registered k; a different k stays live. Round 15: the source
+    * may be a PATTERN (quantileIf — the CASE's NULLs never enter the
+    * sketch), and `percentile_approx` (GK) SUBSTITUTES the state's
+    * estimate under RANK DOMINANCE — GK promises rank error ≤
+    * 1/accuracy, so the state answers inside the query's own
+    * tolerance when [[kllRankError]](k) ≤ 1/accuracy (scalar double
+    * form; default accuracy 10000 is ~100× tighter than k = 200 and
+    * correctly stays live; `spark.graft.routing.estimatorSubstitution
+    * = false` disables, same as the HLL++ rule). */
   case class KllQuantileOf(pat: SrcPat, partial: String, k: Int = 200) extends AggMap
   object KllQuantileOf {
     /** Bare-column registration shorthand (the pre-r15 surface). */
@@ -1992,6 +2007,36 @@ object RollupRouting {
                    pt.matchesOrdered(resolved(ka.child)) && ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
+            // percentile_approx (GK) onto the KLL state under RANK
+            // dominance (round 15) — the HLL++ precedent on quantiles:
+            // GK promises rank error ≤ 1/accuracy, so the state's
+            // published error must fit inside the query's own
+            // tolerance; same opt-out knob, scalar double form only
+            // (the substituted estimate must keep the output type)
+            case (KllQuantileOf(pt, partial, k), pa: ApproximatePercentile)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pa.dataType == org.apache.spark.sql.types.DoubleType &&
+                   pt.matchesOrdered(resolved(pa.child)) &&
+                   pa.percentageExpression.foldable &&
+                   pa.accuracyExpression.foldable &&
+                   estimatorSubstitutionEnabled && {
+                     val acc = pa.accuracyExpression.eval() match {
+                       case i: Int => i.toDouble
+                       case l: Long => l.toDouble
+                       case _ => Double.MaxValue
+                     }
+                     kllRankError(k) <= 1.0 / acc
+                   } =>
+              attr(partial).flatMap { p =>
+                pa.percentageExpression.eval() match {
+                  case d: Double =>
+                    val merged = ae.copy(
+                      aggregateFunction = graft.expr.KllMergeAgg(p, k),
+                      resultId = NamedExpression.newExprId)
+                    Some(graft.expr.KllQuantileEst(merged, d))
+                  case _ => None // array percentages stay live
+                }
+              }
             // topKIf (r15 pattern members): the ESTIMATE's item type is
             // the sketch's — a widening the order-embedding strip
             // tolerates on the tree would CHANGE the routed output's
@@ -2675,6 +2720,32 @@ object RollupRouting {
                    ka.k == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.KllMergeAgg(p, k)))
+            // percentile_approx (GK) onto the KLL state under RANK
+            // dominance (round 15) — see the join-path twin's note
+            case (KllQuantileOf(pt, partial, k), pa: ApproximatePercentile)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pa.dataType == org.apache.spark.sql.types.DoubleType &&
+                   pt.matchesOrdered(resolveThroughProjects(pa.child, child)) &&
+                   pa.percentageExpression.foldable &&
+                   pa.accuracyExpression.foldable &&
+                   estimatorSubstitutionEnabled && {
+                     val acc = pa.accuracyExpression.eval() match {
+                       case i: Int => i.toDouble
+                       case l: Long => l.toDouble
+                       case _ => Double.MaxValue
+                     }
+                     kllRankError(k) <= 1.0 / acc
+                   } =>
+              attr(partial).flatMap { p =>
+                pa.percentageExpression.eval() match {
+                  case d: Double =>
+                    val merged = ae.copy(
+                      aggregateFunction = graft.expr.KllMergeAgg(p, k),
+                      resultId = NamedExpression.newExprId)
+                    Some(graft.expr.KllQuantileEst(merged, d))
+                  case _ => None // array percentages stay live
+                }
+              }
             // TOP-K via frequent-items state (round 12, topKState/
             // topKMerge): the query's own k is free; the registered
             // CAPACITY must match — a different maxItems is a

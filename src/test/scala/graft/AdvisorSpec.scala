@@ -1158,6 +1158,42 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r15: the quantile twin of the approx_count_distinct rule — a
+    * COARSE-tolerance percentile_approx (rank error 1/accuracy at or
+    * above the default state's ~1.65%) advises the KLL member and the
+    * unchanged query routes with the substituted estimate; the default
+    * accuracy stays unmappable (dominance fails), exactly what the
+    * router would refuse. */
+  test("a coarse percentile_approx dashboard advises the KLL state and routes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_gk").toString
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("percentile_approx(value, 0.5, 50)").as("p50"),
+           count(lit(1)).as("n"))
+      .orderBy("day")
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1, advice)
+    assert(advice.singles.head.spec.aggs.exists {
+      case RollupRouting.KllQuantileOf(RollupRouting.ColRef("value"), _, 200) => true
+      case _ => false
+    }, s"the coarse GK demand must advise the KLL state: ${advice.singles.head.spec.aggs}")
+    routedWith(advice) {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("advise_gk") &&
+             !routed.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "the substituted estimate must answer from the advised state")
+      routed.collect() // values under the state's rank bound (router spec pins it)
+    }
+    // the DEFAULT accuracy is unmappable — dominance fails, so the
+    // advisor skips with a reason instead of minting dead advice
+    val tight = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("percentile_approx(value, 0.5)").as("p50"))
+    val none = Advisor.advise(Seq(tight), root)
+    assert(none.singles.isEmpty && none.skipped.exists(_.contains("unmappable")),
+      s"the default-accuracy demand must skip, not advise: $none")
+  }
+
   /** r15: the daily loop is IDEMPOTENT — re-advising a log against the
     * catalog it already produced proposes NOTHING (every demand records
     * as served), and a log that gained one new dashboard proposes

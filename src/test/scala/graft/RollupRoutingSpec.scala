@@ -2581,12 +2581,37 @@ class RollupRoutingSpec extends AnyFunSuite {
         .agg(graft.expr.Kll.quantile(graft.expr.Kll.agg($"value", 100), 0.5).as("p"))
       assert(!otherK.queryExecution.executedPlan.toString.contains("kllrollup"),
         "k=100 query must stay on the live scan")
-      // near-miss 2: percentile_approx (GK summary) is not a KLL state
+      // near-miss 2: percentile_approx at its DEFAULT accuracy (rank
+      // error 1e-4) is far tighter than the k=200 state's ~1.65% —
+      // rank dominance fails, the query stays live
       val gk = Tables.events(spark, sf)
         .groupBy(to_date($"ts").as("day"))
         .agg(expr("percentile_approx(value, 0.5)").as("p"))
       assert(!gk.queryExecution.executedPlan.toString.contains("kllrollup"),
-        "percentile_approx must stay on the live scan")
+        "default-accuracy percentile_approx must stay on the live scan")
+      // r15: a COARSE-tolerance percentile_approx (accuracy 50 → rank
+      // error 2% ≥ the state's 1.65%) SUBSTITUTES the KLL estimate —
+      // the HLL++ precedent on quantiles, inside the query's own
+      // accuracy contract; values within the state's rank bound
+      val coarse = Tables.events(spark, sf)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("percentile_approx(value, 0.5, 50)").as("p"))
+        .orderBy("day")
+      assert(coarse.queryExecution.executedPlan.toString.contains("kllrollup") &&
+             !coarse.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "coarse-tolerance percentile_approx must route onto the KLL state")
+      coarse.collect().foreach { r =>
+        assert(rankOk(r.getDate(0).toString, r.getDouble(1), 0.5, 0.03),
+          s"substituted p50 out of rank bound on ${r.getDate(0)}")
+      }
+      // the estimator-substitution knob disables it, same as HLL++
+      spark.conf.set("spark.graft.routing.estimatorSubstitution", "false")
+      try assert(!Tables.events(spark, sf)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(expr("percentile_approx(value, 0.5, 50)").as("p"))
+          .queryExecution.executedPlan.toString.contains("kllrollup"),
+        "the opt-out knob must keep percentile_approx live")
+      finally spark.conf.unset("spark.graft.routing.estimatorSubstitution")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
