@@ -249,8 +249,17 @@ object Advisor {
           // registers the non-null-count member over the pattern
           case Count(Seq(c)) if !ae.isDistinct =>
             toPat(resolve(c)).map(p => CountOf(p, countPartialName(p)))
+          // a bare distinct count advises the grain claim (rollup rows
+          // = distinct values — the cheapest answer); a PATTERN
+          // distinct count (uniqExactIf, round 15) has no grain analog
+          // and advises the SetOf state the router's exact-distinct
+          // mapping reads (the set guard still prices its cardinality)
           case Count(Seq(c)) if ae.isDistinct =>
             baseAttr(resolve(c)).map(a => CountDistinctGrain(a.name))
+              .orElse(toPat(resolve(c)) match {
+                case Some(p: ExprPat) => Some(SetOf(p, statePartialName(p, "set")))
+                case _ => None
+              })
           // a bare column advises the scalar extremum; any other
           // mappable tree (the argMax `max(struct(value, user))`
           // shape, round 14) advises the PATTERN extremum — the sixth

@@ -1133,6 +1133,10 @@ class AdvisorSpec extends AnyFunSuite {
              when($"event_type" === "click", $"user_id"), 12)).as("clickers_est"),
            graft.expr.Kll.quantile(graft.expr.Kll.agg(
              when($"event_type" === "click", $"value"), 200), 0.5).as("click_p50"),
+           // uniqExactIf: the conditional EXACT distinct advises the
+           // SetOf state (no grain-claim analog exists for a pattern)
+           countDistinct(when($"event_type" === "click", $"user_id"))
+             .as("clickers_exact"),
            count(lit(1)).as("n"))
       .orderBy("day")
     val advice = Advisor.advise(Seq(q()), root)
@@ -1145,6 +1149,8 @@ class AdvisorSpec extends AnyFunSuite {
            aggs.exists { case HllUniqOf(_: ExprPat, _, 12) => true; case _ => false } &&
            aggs.exists { case KllQuantileOf(_: ExprPat, _, 200) => true; case _ => false },
       s"every conditional demand must mine as a pattern member: $aggs")
+    assert(aggs.count { case SetOf(_: ExprPat, _) => true; case _ => false } == 2,
+      s"setIf and uniqExactIf must mint their own pattern set states: $aggs")
     val truth = q().collect().toSeq
     routedWith(advice) {
       val routed = q()
