@@ -13,5 +13,6 @@ object Functions {
     expr.DotProduct.register(spark)
     expr.ZValue.register(spark)
     expr.Kll.register(spark)
+    expr.Bmp.register(spark)
   }
 }

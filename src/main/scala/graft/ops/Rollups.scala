@@ -419,7 +419,16 @@ object Rollups {
     * `COUNT(DISTINCT CASE WHEN pred THEN col END)` both rewrite to
     * size-of-set-union over the all-time per-type array states (exact:
     * count-distinct skips NULLs exactly like the collect_set that
-    * built each state); the fact is never scanned. */
+    * built each state); the fact is never scanned. NOTE (r15, second
+    * half): this routing only became REAL with
+    * [[graft.plans.RollupRouting]]'s multi-distinct inversion — a
+    * dashboard with two different DISTINCT children reaches the rule
+    * as Spark's `RewriteDistinctAggregates` encoding (Expand + gid),
+    * which the flat rewriters cannot see through; before the
+    * inversion this query silently ran live (it still passed its
+    * oracle, because live ≡ oracle — the plan claim was wrong, the
+    * values never were; caught by a plan probe, pinned by
+    * BitmapSpec's grainless multi-distinct plan assert). */
   def uniqExactRouted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StarJoins.scratch(sfDir, "uniq_exact_rollup")
     StarJoins.ensureRollup(spark, dir) {
@@ -434,6 +443,86 @@ object Rollups {
                .as("n_big_users"),
              count(lit(1)).as("n_events"))
         .orderBy("event_type")
+    }
+  }
+
+  /** The GRAINLESS per-type BITMAP registration (round 15): the same
+    * all-time exact-uniques workload as [[uniqExactSpec]], stored as
+    * compressed Roaring bitmaps instead of arrays
+    * ([[graft.plans.RollupRouting.BitmapUniqOf]] — ClickHouse's
+    * `groupBitmapState`): ~2 bytes per distinct member worst-case vs
+    * the array state's 8+, merged by word-parallel OR instead of
+    * array distinct-flatten — the scale member for exact distincts
+    * over integral keys. */
+  def uniqBitmapSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "all", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        BitmapUniqOf("user_id", "users_bm"),
+        BitmapUniqOf(ExprPat(when(col("value") > 2.0d, col("user_id"))),
+          "big_users_bm"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q218, oracled): uniqExact + uniqExactIf from
+    * BITMAP states — the IDENTICAL dashboard to q217 (all-time exact
+    * and conditional-exact distinct users per type), answered from
+    * Roaring bitmap states instead of array states, so the two driver
+    * rows measure the array-vs-bitmap read regimes on the same
+    * workload. `COUNT(DISTINCT col)` rewrites to
+    * `graft_bitmap_count(graft_bitmap_merge(state))` — OR-union of
+    * compressed bitmaps, exact at any cardinality; the fact is never
+    * scanned. */
+  def uniqBitmapRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "uniq_bitmap_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), uniqBitmapSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(uniqBitmapSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(when(col("value") > 2.0d, col("user_id")))
+               .as("n_big_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  }
+
+  /** The (day × event_type) BITMAP rollup registration (round 15):
+    * per-day-per-type exact-distinct states for the lattice read. */
+  def bitmapDaySpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(graft.plans.RollupRouting.BitmapUniqOf("user_id", "users_bm"),
+                 graft.plans.RollupRouting.CountStarTo("c_partial")))
+
+  /** Driver entry (q219, oracled): the EXACT distinct-count LATTICE —
+    * `GROUP BY ROLLUP(day, event_type)` over `COUNT(DISTINCT
+    * user_id)`, every grain answered from the (day × type) bitmap
+    * states. The q203 lattice could only serve the APPROX form (HLL
+    * states union, but a sketch estimate is not oracle-able); exact
+    * COUNT(DISTINCT) could never route through a lattice at all until
+    * the set/bitmap members — a subtotal row cannot re-count, but a
+    * subtotal's bitmap is just a wider OR-union. One rollup-sized
+    * scan answers every grain EXACTLY, hash-matched against DuckDB;
+    * at 100 TB the fact is never read. Reference analog: the uniq()
+    * MV per grain (`sql/analytics.sql:34-35`) — here one state MV
+    * serves all grains with exact values. */
+  def latticeBitmapRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "lattice_bitmap_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), bitmapDaySpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(bitmapDaySpec(dir))) {
+      Tables.events(spark, sfDir)
+        .rollup(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+             count(lit(1)).as("txs"))
+        .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
     }
   }
 

@@ -87,14 +87,19 @@ object Advisor {
     subst(e)
   }
 
-  /** The workload queries end in sorts/limits/pass-through projects;
-    * the demand lives in the topmost Aggregate under those. */
+  /** The workload queries end in sorts/limits/projects; the demand
+    * lives in the topmost Aggregate under those. A Project with
+    * COMPUTED columns passes too (round 15 — the moments shape:
+    * variance/corr arithmetic over sum outputs): it can only
+    * reference the aggregate's own output, so the thing to
+    * materialize is still the Aggregate below; nondeterministic
+    * projections stay out of scope. */
   @annotation.tailrec
   private def topAggregate(p: LogicalPlan): Option[Aggregate] = p match {
     case s: Sort => topAggregate(s.child)
     case g: GlobalLimit => topAggregate(g.child)
     case l: LocalLimit => topAggregate(l.child)
-    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+    case pr: Project if pr.projectList.forall(_.deterministic) =>
       topAggregate(pr.child)
     case a: Aggregate => Some(a)
     case _ => None
@@ -230,13 +235,27 @@ object Advisor {
       s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_${state}_p"
   }
 
+  /** True for the types [[graft.expr.BitmapAgg]] accepts — the
+    * exact-distinct bitmap member's integral contract. */
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Map one aggregate output to the AggMap that would route it —
     * exactly the shapes [[RollupRouting.RuleImpl]] rewrites (the
-    * exact-decimal sum/avg, bare count/min/max, distinct-on-grain). */
-  private def mapOne(e: Expression, resolve: Expression => Expression): Option[AggMap] =
+    * exact-decimal sum/avg, bare count/min/max, distinct-on-grain).
+    * `inLattice` = the demand came from a grouping-sets flattening:
+    * the row-count CountDistinctGrain mapping can never serve a
+    * subtotal, so a bare distinct there advises the BITMAP state
+    * instead (exact, OR-union subtotal-safe) when the column is
+    * integral. */
+  private def mapOne(e: Expression, resolve: Expression => Expression,
+                     inLattice: Boolean = false): Option[AggMap] =
     e match {
-      case Alias(c, _) => mapOne(c, resolve)
-      case Cast(c, DoubleType, _, _) => mapOne(c, resolve)
+      case Alias(c, _) => mapOne(c, resolve, inLattice)
+      case Cast(c, DoubleType, _, _) => mapOne(c, resolve, inLattice)
       case ae: AggregateExpression if ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Sum(Cast(src, dt: DecimalType, _, _), _)
@@ -250,13 +269,24 @@ object Advisor {
           case Count(Seq(c)) if !ae.isDistinct =>
             toPat(resolve(c)).map(p => CountOf(p, countPartialName(p)))
           // a bare distinct count advises the grain claim (rollup rows
-          // = distinct values — the cheapest answer); a PATTERN
-          // distinct count (uniqExactIf, round 15) has no grain analog
-          // and advises the SetOf state the router's exact-distinct
-          // mapping reads (the set guard still prices its cardinality)
+          // = distinct values — the cheapest answer) — EXCEPT under a
+          // lattice, where the row-count mapping can never serve a
+          // subtotal: an integral column advises the BITMAP state
+          // there (exact, OR-union subtotal-safe, round 15). A PATTERN
+          // distinct count (uniqExactIf, round 15) has no grain
+          // analog: integral values advise the bitmap state (compact
+          // at ANY cardinality — no advisability guard needed);
+          // anything else the SetOf state (the set guard still prices
+          // its cardinality)
           case Count(Seq(c)) if ae.isDistinct =>
-            baseAttr(resolve(c)).map(a => CountDistinctGrain(a.name))
-              .orElse(toPat(resolve(c)) match {
+            val r = resolve(c)
+            baseAttr(r).map(a =>
+                if (inLattice && integral(a.dataType))
+                  BitmapUniqOf(ColRef(a.name), statePartialName(ColRef(a.name), "bm"))
+                else CountDistinctGrain(a.name))
+              .orElse(toPat(r) match {
+                case Some(p: ExprPat) if integral(r.dataType) =>
+                  Some(BitmapUniqOf(p, statePartialName(p, "bm")))
                 case Some(p: ExprPat) => Some(SetOf(p, statePartialName(p, "set")))
                 case _ => None
               })
@@ -354,20 +384,20 @@ object Advisor {
         }
       // the estimates are scalars over the sketch aggregates — the
       // demand is the aggregate underneath
-      case HllSketchEstimate(c) => mapOne(c, resolve)
+      case HllSketchEstimate(c) => mapOne(c, resolve, inLattice)
       // the argMax read shape: `max(struct(...)).getField(u)` — the
       // scalar projection survives above the router's rewrite, so the
       // demand is the struct extremum underneath (round 14)
-      case g: GetStructField => mapOne(g.child, resolve)
-      case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve)
+      case g: GetStructField => mapOne(g.child, resolve, inLattice)
+      case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve, inLattice)
       // the set member's idiomatic reads (round 13): a sorted set, or
       // the exact distinct count as size-of-set — both route through
       // the same array state, so the demand is the collect_set inside
-      case SortArray(c, _) => mapOne(c, resolve)
-      case Size(c, _) => mapOne(c, resolve)
+      case SortArray(c, _) => mapOne(c, resolve, inLattice)
+      case Size(c, _) => mapOne(c, resolve, inLattice)
       // the csv rendering of a sorted set (the oracleable dashboard
       // spelling) — the demand is the collect_set inside (round 15)
-      case ArrayJoin(c, _, _) => mapOne(c, resolve)
+      case ArrayJoin(c, _, _) => mapOne(c, resolve, inLattice)
       // uniqUpTo (round 13): least(count(DISTINCT col), n+1) demands
       // the CAPPED set state at exactly that limit — the bounded-state
       // member the router matches at the same whole-expression shape
@@ -434,18 +464,27 @@ object Advisor {
     if (gidIdx < 0 || !ex.projections.forall(_.length == exOut.length))
       return scala.Left(s"$label: Expand is not a grouping-sets lowering")
     // a distinct aggregate under grouping sets is un-advisable —
-    // EXCEPT the uniqUpTo shape (round 13): the capped-set member is
-    // subtotal-safe, exactly mirroring the router's lattice guard
+    // EXCEPT the uniqUpTo shape (round 13: the capped-set member is
+    // subtotal-safe) and a single-argument COUNT(DISTINCT) over an
+    // INTEGRAL child (round 15: the bitmap state is exact and
+    // OR-union subtotal-safe, so the lattice advises BitmapUniqOf) —
+    // exactly mirroring the router's lattice guard
     val underUpTo: Set[Expression] = agg.aggregateExpressions.flatMap(_.collect {
       case Least(Seq(ae: AggregateExpression, limE))
           if ae.isDistinct && limE.foldable &&
              limE.dataType == org.apache.spark.sql.types.LongType => ae
     }).toSet
+    def bitmapable(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
+      case Count(Seq(c)) => integral(c.dataType)
+      case _ => false
+    }
     if (agg.aggregateExpressions.exists(_.exists {
-          case ae: AggregateExpression => ae.isDistinct && !underUpTo.contains(ae)
+          case ae: AggregateExpression =>
+            ae.isDistinct && !underUpTo.contains(ae) && !bitmapable(ae)
           case _ => false }))
       return scala.Left(s"$label: distinct aggregate under grouping sets — " +
-        "subtotal rows cannot re-count, the lattice would never route")
+        "subtotal rows cannot re-count, the lattice would never route " +
+        "(an INTEGRAL count-distinct would advise the bitmap state)")
     val childOut = ex.child.outputSet
     val gdIdx = exOut.indices.filter(i => i != gidIdx && !childOut.contains(exOut(i)))
     val srcOf: Seq[Expression] = gdIdx.map { i =>
@@ -468,6 +507,7 @@ object Advisor {
       case Some(a) => a
       case None => return scala.Left(s"$label: no top-level aggregate")
     }
+    val fromLattice = agg0.child.isInstanceOf[Expand]
     val agg = agg0.child match {
       case ex: Expand => flattenGroupingSets(label, agg0, ex) match {
         case scala.Right(a) => a
@@ -479,10 +519,10 @@ object Advisor {
     def resolve(e: Expression): Expression = resolveThroughProjects(e, child)
     val aggOutputs = agg.aggregateExpressions
       .filter(_.exists(_.isInstanceOf[AggregateExpression]))
-    val aggs = aggOutputs.map(ne => mapOne(ne, resolve))
-    if (aggs.exists(_.isEmpty))
+    val aggs0 = aggOutputs.map(ne => mapOne(ne, resolve, inLattice = fromLattice))
+    if (aggs0.exists(_.isEmpty))
       return scala.Left(s"$label: unmappable aggregate " +
-        aggOutputs(aggs.indexWhere(_.isEmpty)).sql)
+        aggOutputs(aggs0.indexWhere(_.isEmpty)).sql)
     val keys = agg.groupingExpressions.map(g => classifyKey(resolve(g)))
     if (keys.exists(_.isEmpty))
       return scala.Left(s"$label: unmappable grouping " +
@@ -490,9 +530,28 @@ object Advisor {
     val filterRefs: Set[String] = child.collect {
       case f: Filter => conjuncts(f.condition)
     }.flatten.flatMap(c => resolve(c).references.toSeq.map(_.name)).toSet
+    // a MULTI-distinct dashboard cannot carry two grain claims — but
+    // it ROUTES end-to-end since the multi-distinct inversion (round
+    // 15), so when every bare distinct column is integral the demand
+    // re-mints them as bitmap states instead of being refused
+    val aggs: Seq[Option[RollupRouting.AggMap]] = {
+      val grains = aggs0.flatten.collect { case CountDistinctGrain(g) => g }
+      if (grains.size <= 1) aggs0
+      else {
+        val types = child.output.map(a => a.name -> a.dataType).toMap
+        if (!grains.forall(g => types.get(g).exists(integral)))
+          return scala.Left(s"$label: more than one COUNT(DISTINCT) column " +
+            "and not all integral (one grain claim per spec; bitmap states " +
+            "need integral inputs)")
+        aggs0.map {
+          case Some(CountDistinctGrain(g)) =>
+            Some(BitmapUniqOf(RollupRouting.ColRef(g),
+              statePartialName(RollupRouting.ColRef(g), "bm")))
+          case other => other
+        }
+      }
+    }
     val distinctGrains = aggs.flatten.collect { case CountDistinctGrain(g) => g }
-    if (distinctGrains.size > 1)
-      return scala.Left(s"$label: more than one COUNT(DISTINCT) column")
 
     if (child.exists(_.isInstanceOf[Join])) {
       val (tables, joinKeys) = flattenJoin(child) match {
@@ -560,6 +619,7 @@ object Advisor {
     case TopKOf(p, _, m) => s"topk:${patKey(p)}:$m"
     case SetOf(p, _) => s"set:${patKey(p)}"
     case UniqUpToOf(p, _, n) => s"upto:${patKey(p)}:$n"
+    case BitmapUniqOf(p, _) => s"bitmap:${patKey(p)}"
     case MinPatOf(p, _) => s"minpat:${patKey(p)}"
     case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"
@@ -1347,7 +1407,7 @@ object Advisor {
     Adopted(advice, registryPath)
   }
 
-  private def runRouted(spark: SparkSession, advice: Advice)
+  private[graft] def runRouted(spark: SparkSession, advice: Advice)
                        (f: => DataFrame): DataFrame = {
     buildAndRegister(spark, advice, memoized = true)
     val prev = spark.experimental.extraOptimizations
@@ -1378,6 +1438,32 @@ object Advisor {
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"advisor unexpectedly skipped: ${advice.skipped}")
     runRouted(spark, advice) { graft.ops.Rollups.rollupDashboardRaw(spark, sfDir) }
+  }
+
+  /** Driver entry (q220, oracled — shares q219's oracle): the EXACT
+    * distinct-count lattice ADVISED end-to-end. The ROLLUP dashboard
+    * over `COUNT(DISTINCT user_id)` used to be refused ("subtotal rows
+    * cannot re-count"); with the bitmap member the flattened demand
+    * mints [[RollupRouting.BitmapUniqOf]] (integral column, OR-union
+    * subtotal-safe), the advised spec builds compressed bitmap states
+    * per (day, type), and the UNCHANGED lattice query routes through
+    * them — every grain exact, the fact never scanned. */
+  def advisedBitmapLattice(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_bm_lattice")
+    val q = () => graft.Tables.events(spark, sfDir)
+      .rollup(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+           count(lit(1)).as("txs"))
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+    val advice = advise(Seq(q()), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    require(advice.singles.head.spec.aggs.exists(
+        _.isInstanceOf[RollupRouting.BitmapUniqOf]),
+      s"the lattice distinct must advise the bitmap member: " +
+        advice.singles.head.spec.aggs)
+    runRouted(spark, advice) { q() }
   }
 
   def advisedOrdersDashboard(spark: SparkSession, sfDir: String): DataFrame = {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, DecimalType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Transparent materialized-rollup routing (SURVEY §4 / §7.3 stretch).
   *
@@ -708,6 +708,36 @@ object RollupRouting {
     def apply(col: String, partial: String, n: Int): UniqUpToOf =
       UniqUpToOf(ColRef(col), partial, n)
   }
+  /** EXACT `COUNT(DISTINCT expr)` over an INTEGRAL column answered
+    * from a compressed-bitmap state (round 15) — ClickHouse's
+    * `groupBitmapState`/`groupBitmapMerge` member
+    * ([[graft.expr.BitmapAgg]], Roaring64 on Spark's own shipped
+    * RoaringBitmap). A bitmap IS the distinct set of an integral
+    * column, and set-union is bitwise OR — associative, commutative,
+    * idempotent — so per-group states merge losslessly at ANY
+    * regrouping: coarser grains, grouping-set subtotals (exact
+    * distinct-count LATTICES, which the row-count mapping can never
+    * serve), and the hybrid tail. The answer is EXACT and the
+    * serialized form canonical, so routed ≡ live bit-for-bit.
+    *
+    * This is the scale member for exact distincts: state is ~2 bytes
+    * per member worst-case (runs compress far below that), vs the
+    * [[SetOf]] array state's 8+ bytes per member plus array
+    * distinct-flatten merge cost — the regime the round-14 audit
+    * measured at 4.8-5.8× at ×100 (q204/q217). Register [[SetOf]]
+    * when the dashboard also wants the members themselves
+    * (`collect_set`), the HLL state for non-integral unbounded keys;
+    * this member whenever the count is the read. The source may be a
+    * PATTERN (uniqExactIf — `count(DISTINCT CASE WHEN pred THEN col
+    * END)`: count-distinct skips NULLs exactly like the build side).
+    * Non-integral sources are refused at build time
+    * ([[graft.expr.Bitmap.integralCheck]]): hashing first would trade
+    * exactness for collision risk. */
+  case class BitmapUniqOf(pat: SrcPat, partial: String) extends AggMap
+  object BitmapUniqOf {
+    def apply(col: String, partial: String): BitmapUniqOf =
+      BitmapUniqOf(ColRef(col), partial)
+  }
   /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
     * argMin shape (round 13): the reference's `max(struct(value,
     * user)).getField(user)` dashboards (ClickHouse `argMaxState`)
@@ -751,6 +781,7 @@ object RollupRouting {
     case TopKOf(_, p, _) => Some(p)
     case SetOf(_, p) => Some(p)
     case UniqUpToOf(_, p, _) => Some(p)
+    case BitmapUniqOf(_, p) => Some(p)
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
@@ -1017,6 +1048,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, collect_set(srcColumn(pt)).as(p))
       case UniqUpToOf(pt, p, n) =>
         partials.getOrElseUpdate(p, slice(collect_set(srcColumn(pt)), 1, n + 1).as(p))
+      case BitmapUniqOf(pt, p) =>
+        partials.getOrElseUpdate(p, graft.expr.Bmp.agg(srcColumn(pt)).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1088,6 +1121,7 @@ object RollupRouting {
       case TopKOf(pt, _, _) => pt.refs.toSeq
       case SetOf(pt, _) => pt.refs.toSeq
       case UniqUpToOf(pt, _, _) => pt.refs.toSeq
+      case BitmapUniqOf(pt, _) => pt.refs.toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
@@ -1214,6 +1248,8 @@ object RollupRouting {
       case UniqUpToOf(_, p, n) =>
         merges.getOrElseUpdate(p,
           slice(array_distinct(flatten(collect_list(col(p)))), 1, n + 1).as(p))
+      case BitmapUniqOf(_, p) =>
+        merges.getOrElseUpdate(p, graft.expr.Bmp.merge(col(p)).as(p))
       case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1293,6 +1329,8 @@ object RollupRouting {
         ("kind" -> "setUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
       case UniqUpToOf(pt, p, n) =>
         ("kind" -> "uniqUpTo") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("n" -> n)
+      case BitmapUniqOf(pt, p) =>
+        ("kind" -> "bitmapUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
       case MinPatOf(pat, p) =>
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
@@ -1381,6 +1419,8 @@ object RollupRouting {
         (j \ "partial").extract[String])
       case "uniqUpTo" => UniqUpToOf(patOrLegacyCol(j),
         (j \ "partial").extract[String], (j \ "n").extract[Int])
+      case "bitmapUniq" => BitmapUniqOf(patOrLegacyCol(j),
+        (j \ "partial").extract[String])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "countDistinctGrain" =>
@@ -1628,6 +1668,8 @@ object RollupRouting {
               .flatMap(s => rewrite(agg, groupings, aggExprs, s)
                               .orElse(rewriteExpand(agg, groupings, aggExprs,
                                 rewrite(_, _, _, s, inLattice = true)))
+                              .orElse(rewriteMultiDistinct(agg, groupings,
+                                aggExprs, rewrite(_, _, _, s)))
                               .map(s -> _))
               .minByOption { case (s, _) =>
                 (Spec.grainRank(s.grain), rollupSizeBytes(s.rollupPath))
@@ -1645,6 +1687,8 @@ object RollupRouting {
               .flatMap(s => rewriteJoin(agg, groupings, aggExprs, s)
                               .orElse(rewriteExpand(agg, groupings, aggExprs,
                                 rewriteJoin(_, _, _, s, inLattice = true)))
+                              .orElse(rewriteMultiDistinct(agg, groupings,
+                                aggExprs, rewriteJoin(_, _, _, s)))
                               .map(s -> _))
               .minByOption { case (s, _) => rollupSizeBytes(s.rollupPath) }
               .map(_._2)
@@ -1915,6 +1959,34 @@ object RollupRouting {
                   isDistinct = false,
                   resultId = NamedExpression.newExprId)
                 Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType)
+              }
+            // uniqExact from BITMAP states (round 15) — see the
+            // single-table twin: exact, OR-union mergeable, the scale
+            // member for integral keys
+            case (BitmapUniqOf(pt, partial), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(se)) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = graft.expr.BitmapMergeAgg(p),
+                  isDistinct = false,
+                  resultId = NamedExpression.newExprId)
+                graft.expr.BitmapCardinality(merged)
+              }
+            case (BitmapUniqOf(pt, partial), ba: graft.expr.BitmapAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(ba.child)) =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.BitmapMergeAgg(p)))
+            case (BitmapUniqOf(pt, partial), h: HyperLogLogPlusPlus)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(h.child)) &&
+                   estimatorSubstitutionEnabled =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = graft.expr.BitmapMergeAgg(p),
+                  resultId = NamedExpression.newExprId)
+                graft.expr.BitmapCardinality(merged)
               }
             // MIN/MAX/AVG on the join path (round 12) — the same
             // vocabulary and guards as the single-table mapAgg: bare
@@ -2626,6 +2698,44 @@ object RollupRouting {
                   resultId = NamedExpression.newExprId)
                 Cast(Size(ArrayDistinct(Flatten(merged)), false), LongType)
               }
+            // uniqExact from BITMAP states (round 15): the same exact
+            // COUNT(DISTINCT expr), answered by OR-union of compressed
+            // bitmaps instead of array merges — the scale member for
+            // integral keys; subtotal-safe (set union), so lattices
+            // route here too
+            case (BitmapUniqOf(pt, partial), Count(Seq(se)))
+                if ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(se, child)) =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = graft.expr.BitmapMergeAgg(p),
+                  isDistinct = false,
+                  resultId = NamedExpression.newExprId)
+                graft.expr.BitmapCardinality(merged)
+              }
+            // the explicit state read `graft_bitmap_agg(col)` (usually
+            // under graft_bitmap_count) re-aggregates as the OR-union
+            // of the stored states — bit-equal (canonical serialized
+            // form of the identical exact set)
+            case (BitmapUniqOf(pt, partial), ba: graft.expr.BitmapAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(ba.child, child)) =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.BitmapMergeAgg(p)))
+            // approx_count_distinct onto the EXACT bitmap state: a
+            // zero-error answer dominates ANY requested tolerance, so
+            // the substitution is always inside the approx function's
+            // contract (values remain plan-dependent — same knob)
+            case (BitmapUniqOf(pt, partial), h: HyperLogLogPlusPlus)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(h.child, child)) &&
+                   estimatorSubstitutionEnabled =>
+              attr(partial).map { p =>
+                val merged = ae.copy(
+                  aggregateFunction = graft.expr.BitmapMergeAgg(p),
+                  resultId = NamedExpression.newExprId)
+                graft.expr.BitmapCardinality(merged)
+              }
             // AVG routes only in its dsum-shaped exact form —
             // avg(cast(col as decimal(38,6))) — and reproduces
             // Average's own decimal evaluate tree over the partials:
@@ -3082,6 +3192,132 @@ object RollupRouting {
       Some(Aggregate(groupings, newAggExprs, filtered))
     }
 
+    /** Route a MULTI-DISTINCT dashboard (round 15). A query with two
+      * or more DISTINCT aggregates over different children — `SELECT
+      * count(DISTINCT a), count(DISTINCT CASE …) …` — reaches this
+      * rule only AFTER Spark's own `RewriteDistinctAggregates` has
+      * re-encoded it (extraOptimizations run at the optimizer's tail),
+      * as the double-Aggregate-over-Expand plan:
+      *
+      * {{{
+      * Aggregate(keys, [agg(col_i) FILTER gid=i…, first(x) FILTER gid=0…],
+      *   Aggregate(keys ++ distinctCols ++ gid, [regular partials x…],
+      *     Expand([keys ++ nulled-per-copy cols ++ gid-literal]×copies,
+      *       rawChild)))
+      * }}}
+      *
+      * The single-aggregate rewriters can't see the original distinct
+      * shapes in that encoding, so every multi-distinct dashboard
+      * silently stayed live — including ones whose members
+      * (SetOf/BitmapUniqOf exact-distinct states) answer each distinct
+      * exactly. This handler INVERTS the encoding: it reconstructs the
+      * user's original flat aggregate — each `agg(col) FILTER gid=i`
+      * becomes the distinct aggregate over copy i's source expression,
+      * each `first(x) FILTER gid=0` inlines the inner regular
+      * aggregate over copy 0's expressions — and delegates to the
+      * ordinary flat rewrite. Inversion is exact by construction (it
+      * is the inverse of a semantics-preserving rewrite, keyed on the
+      * gid structure that rewrite plants); anything not matching the
+      * encoding — a user filter, an unexpected picker, a grouping
+      * whose value differs across copies — bails to live. Output
+      * names/ExprIds ride the outer aliases, so downstream operators
+      * are untouched. */
+    private def rewriteMultiDistinct(agg: Aggregate, groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression],
+        flat: (Aggregate, Seq[Expression], Seq[NamedExpression]) => Option[LogicalPlan])
+        : Option[LogicalPlan] = agg.child match {
+      case Aggregate(_, innerAggExprs, ex: Expand, _) =>
+        val exOut = ex.output
+        val idxOf: Map[ExprId, Int] = exOut.map(_.exprId).zipWithIndex.toMap
+        // the gid column RewriteDistinctAggregates plants: IntegerType,
+        // a distinct int literal in every projection row
+        val gidIdx = exOut.indexWhere(a => a.name == "gid" &&
+          a.dataType == IntegerType)
+        if (gidIdx < 0) return None
+        val gidAttr = exOut(gidIdx)
+        val rowsByGid: Map[Int, Seq[Expression]] = ex.projections.flatMap { row =>
+          row(gidIdx) match {
+            case Literal(i: Int, IntegerType) => Some(i -> row)
+            case _ => None
+          }
+        }.toMap
+        if (rowsByGid.size != ex.projections.size) return None // non-literal/dup gid
+        val row0 = rowsByGid.getOrElse(0, return None)
+        // inner regular-aggregate definitions, by their output ExprId
+        val innerMap: Map[ExprId, AggregateExpression] = innerAggExprs.collect {
+          case al @ Alias(ae: AggregateExpression, _) => al.exprId -> ae
+        }.toMap
+        var ok = true
+        def subst(row: Seq[Expression], e: Expression): Expression = e.transformUp {
+          case a: AttributeReference if idxOf.contains(a.exprId) =>
+            row(idxOf(a.exprId))
+        }
+        def gidOf(f: Option[Expression]): Option[Int] = f match {
+          case Some(EqualTo(a: AttributeReference, Literal(i: Int, IntegerType)))
+              if a.exprId == gidAttr.exprId => Some(i)
+          case Some(EqualTo(Literal(i: Int, IntegerType), a: AttributeReference))
+              if a.exprId == gidAttr.exprId => Some(i)
+          case _ => None
+        }
+        val rebuilt: Seq[NamedExpression] = aggExprs.map { ne =>
+          val r = ne.transformUp {
+            case ae: AggregateExpression =>
+              gidOf(ae.filter) match {
+                case Some(0) => ae.aggregateFunction match {
+                  // the regular-aggregate picker: inline the inner
+                  // definition, re-sourced from copy 0
+                  case First(x: AttributeReference, _) =>
+                    innerMap.get(x.exprId) match {
+                      case Some(innerAe) if innerAe.filter.isEmpty =>
+                        innerAe.copy(aggregateFunction =
+                          subst(row0, innerAe.aggregateFunction)
+                            .asInstanceOf[AggregateFunction])
+                      case _ => ok = false; ae
+                    }
+                  case _ => ok = false; ae
+                }
+                // a distinct group: its aggregate re-sourced from copy
+                // i IS the original distinct aggregate
+                case Some(i) => ae.copy(
+                  aggregateFunction = subst(rowsByGid.getOrElse(i, {
+                      ok = false; row0
+                    }), ae.aggregateFunction).asInstanceOf[AggregateFunction],
+                  isDistinct = true, filter = None)
+                case None => ok = false; ae
+              }
+          }.asInstanceOf[NamedExpression]
+          // passthrough groupings: re-source from copy 0, but only if
+          // every copy agrees on the value (true for group-by
+          // positions; a per-copy column here means we misread the
+          // shape — bail). A substituted bare attribute keeps the
+          // OUTER output's name/ExprId via an alias, so downstream
+          // operators' references stay valid.
+          val s2 = subst(row0, r)
+          r match {
+            case a: Attribute if !s2.fastEquals(a) =>
+              if (!rowsByGid.values.forall(row =>
+                    subst(row, a).semanticEquals(s2))) { ok = false; a }
+              else Alias(s2, a.name)(exprId = a.exprId)
+            case _ => s2 match {
+              case nee: NamedExpression => nee
+              case _ => ok = false; ne
+            }
+          }
+        }
+        val newGroupings = groupings.map { g =>
+          val s = subst(row0, g)
+          if (!rowsByGid.values.forall(row => subst(row, g).semanticEquals(s)))
+            ok = false
+          s
+        }
+        if (!ok) return None
+        val childOut = AttributeSet(ex.child.output)
+        if (!(rebuilt ++ newGroupings).forall(_.references.subsetOf(childOut)))
+          return None
+        flat(Aggregate(newGroupings, rebuilt, ex.child), newGroupings, rebuilt)
+      case _ => None
+    }
+
     /** CROSS-FAMILY estimator substitution opt-out (round 14, a
       * session conf): routing `approx_count_distinct` (HLL++) onto a
       * registered Datasketches uniqState is inside the approx
@@ -3266,6 +3502,9 @@ object RollupRouting {
             pt.rebuild(scanAttr).map(e => Alias(
               Slice(CollectSet(e).toAggregateExpression(),
                 Literal(1), Literal(lim + 1)), n)())
+          case BitmapUniqOf(pt, p) if p == n => // the tail's own bitmap
+            pt.rebuild(scanAttr).map(e => Alias(
+              graft.expr.BitmapAgg(e).toAggregateExpression(), n)())
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>

@@ -375,15 +375,39 @@ class AdvisorSpec extends AnyFunSuite {
       assert(!plan.contains("events.parquet"), s"fact must not be scanned:\n$plan")
       assert(routed.collect().toSeq == plain)
     }
-    // a distinct aggregate under the lattice would never route — the
-    // advisor refuses the dead registration and says why
+    // a NON-integral distinct aggregate under the lattice would never
+    // route — the advisor refuses the dead registration and says why
     val dq = Tables.events(spark, sf)
       .rollup(to_date($"ts").as("day"))
-      .agg(countDistinct($"user_id").as("u"))
+      .agg(countDistinct($"event_type").as("u"))
     val dAdvice = Advisor.advise(Seq(dq), root)
     assert(dAdvice.singles.isEmpty && dAdvice.joins.isEmpty)
     assert(dAdvice.skipped.exists(_.contains("distinct aggregate under grouping sets")),
       dAdvice.skipped)
+    // an INTEGRAL count-distinct lattice advises the BITMAP state
+    // (r15 — exact and OR-union subtotal-safe) and the unchanged
+    // lattice routes through it, every grain exact
+    val broot = java.nio.file.Files.createTempDirectory("graft_advise_gsbm").toString
+    val bq = () => Tables.events(spark, sf)
+      .rollup(to_date($"ts").as("day"), $"event_type")
+      .agg(countDistinct($"user_id").as("u"), count(lit(1)).as("n"))
+      .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    val bAdvice = Advisor.advise(Seq(bq()), broot)
+    assert(bAdvice.skipped.isEmpty, bAdvice.skipped)
+    assert(bAdvice.singles.size == 1, bAdvice)
+    import graft.plans.RollupRouting.{BitmapUniqOf, ColRef}
+    assert(bAdvice.singles.head.spec.aggs.exists {
+        case BitmapUniqOf(ColRef("user_id"), _) => true; case _ => false },
+      s"the lattice distinct must mint the bitmap state: ${bAdvice.singles.head.spec.aggs}")
+    val bTruth = bq().collect().toSeq
+    routedWith(bAdvice) {
+      val routed = bq()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("advise_gsbm") && !plan.contains("events.parquet"),
+        s"the exact distinct lattice must read the advised bitmap states:\n$plan")
+      assert(routed.collect().toSeq == bTruth,
+        "every advised-lattice grain must be exact")
+    }
     // the flattening is path-agnostic: a ROLLUP over the 3-table star
     // advises a JOIN MV, and the unchanged join lattice routes
     val jroot = java.nio.file.Files.createTempDirectory("graft_advise_gsj").toString
@@ -1133,8 +1157,10 @@ class AdvisorSpec extends AnyFunSuite {
              when($"event_type" === "click", $"user_id"), 12)).as("clickers_est"),
            graft.expr.Kll.quantile(graft.expr.Kll.agg(
              when($"event_type" === "click", $"value"), 200), 0.5).as("click_p50"),
-           // uniqExactIf: the conditional EXACT distinct advises the
-           // SetOf state (no grain-claim analog exists for a pattern)
+           // uniqExactIf: the conditional EXACT distinct advises a
+           // pattern state (no grain-claim analog exists for a
+           // pattern) — the BITMAP member for this integral column
+           // (r15; a non-integral value would advise SetOf)
            countDistinct(when($"event_type" === "click", $"user_id"))
              .as("clickers_exact"),
            count(lit(1)).as("n"))
@@ -1149,8 +1175,10 @@ class AdvisorSpec extends AnyFunSuite {
            aggs.exists { case HllUniqOf(_: ExprPat, _, 12) => true; case _ => false } &&
            aggs.exists { case KllQuantileOf(_: ExprPat, _, 200) => true; case _ => false },
       s"every conditional demand must mine as a pattern member: $aggs")
-    assert(aggs.count { case SetOf(_: ExprPat, _) => true; case _ => false } == 2,
-      s"setIf and uniqExactIf must mint their own pattern set states: $aggs")
+    assert(aggs.count { case SetOf(_: ExprPat, _) => true; case _ => false } == 1 &&
+           aggs.exists { case BitmapUniqOf(_: ExprPat, _) => true; case _ => false },
+      s"setIf mints its pattern set state and the integral uniqExactIf " +
+        s"mints the bitmap state: $aggs")
     val truth = q().collect().toSeq
     routedWith(advice) {
       val routed = q()
