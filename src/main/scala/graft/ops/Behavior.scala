@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral analytics (round 15) — ClickHouse's parametric
+  * aggregate family (`windowFunnel`, `retention`, `sequenceMatch`)
+  * re-expressed Spark-first. The reference's event tables
+  * (usdc-transfers' per-wallet transfer streams) are exactly the shape
+  * these answer product questions over; ClickHouse ships them as
+  * parametric aggregate functions, Spark has no counterpart.
+  *
+  * Scale design, per operator:
+  *  - funnel/sequence: ONE hash shuffle gathers each user's qualifying
+  *    events; the per-user sorted scan ([[graft.expr.FunnelLevel]]) is
+  *    bounded by that user's own event count — the same economics as
+  *    ClickHouse's in-aggregate sorted scan, no self-joins, no
+  *    per-step re-shuffles of the fact.
+  *  - retention: cohort intersections over per-day BITMAP states
+  *    ([[graft.expr.BitmapIntersectAgg]] — ClickHouse's
+  *    `groupBitmapAnd`): the fact is read once to build day states
+  *    (or never, when the bitmap rollup is registered); every
+  *    retention cell is then an AND of two compressed bitmaps,
+  *    invariant in fact volume.
+  */
+object Behavior {
+
+  /** Per-user funnel level over `steps` (matched in order, window
+    * anchored at the first step): one row per user having at least one
+    * qualifying event, with the deepest level reached (0 = has funnel
+    * events but never step 1). */
+  def funnelLevels(events: DataFrame, steps: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs steps")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val seq = sort_array(collect_list(struct(col("ts").as("ts"),
+      col("step").as("step"))))
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), stepIdx.as("step"))
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(seq),
+          steps.size, windowMicros)).as("level"))
+  }
+
+  /** Driver entry (q221, oracled): the `windowFunnel` histogram —
+    * view → click → purchase within 7 days, the per-user deepest
+    * level bucketed into a conversion report. The DuckDB oracle
+    * spells the identical semantics as nested min-timestamp CTEs
+    * (earliest anchor, earliest strictly-later next step, window from
+    * the anchor), so the greedy scan is hash-checked, not just
+    * plausible. */
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    funnelLevels(Tables.events(spark, sfDir),
+        Seq("view", "click", "purchase"), week)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("level"))
+  }
+
+  /** Driver entry (q223, oracled): `sequenceMatch('(?1).*(?2)')` —
+    * did view … purchase ever happen in order, any gap — as the
+    * unbounded-window funnel; reported as matched users vs the
+    * table's whole user population. */
+  def sequenceMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val lv = funnelLevels(events, Seq("view", "purchase"), Long.MaxValue / 4)
+    lv.agg(count(when(col("level") === 2, 1)).as("matched"))
+      .crossJoin(broadcast(events.agg(countDistinct(col("user_id")).as("total_users"))))
+  }
+
+  /** Retention counts over anchor cohorts from per-day BITMAP states:
+    * `r0` = users active on `anchor`, each further column the users
+    * active on BOTH `anchor` and that return day — AND of two
+    * compressed bitmaps (ClickHouse `retention(cond1, condN)` /
+    * `groupBitmapAnd`). */
+  def retention(events: DataFrame, anchor: String,
+                returns: Seq[String]): DataFrame = {
+    import graft.expr.Bmp
+    val days = (anchor +: returns).map(java.sql.Date.valueOf)
+    val states = events
+      .filter(to_date(col("ts")).isin(days: _*))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Bmp.agg(col("user_id")).as("bm"))
+    val anchorD = lit(java.sql.Date.valueOf(anchor))
+    val cells: Seq[Column] =
+      Bmp.count(Bmp.merge(when(col("day") === anchorD, col("bm")))).as("r0") +:
+      returns.zipWithIndex.map { case (d, i) =>
+        Bmp.count(Bmp.intersect(
+          when(col("day") === anchorD ||
+               col("day") === lit(java.sql.Date.valueOf(d)), col("bm"))))
+          .as(s"r${i + 1}")
+      }
+    states.agg(cells.head, cells.tail: _*)
+  }
+
+  /** Driver entry (q222, oracled): day-1/day-7 retention from the
+    * 2024-01-05 cohort — each cell an exact bitmap intersection, the
+    * DuckDB oracle the equivalent DISTINCT-INTERSECT counts. */
+  def retentionReport(spark: SparkSession, sfDir: String): DataFrame =
+    retention(Tables.events(spark, sfDir),
+      "2024-01-05", Seq("2024-01-06", "2024-01-12"))
+}

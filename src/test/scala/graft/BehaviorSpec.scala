@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The behavioral suite (round 15): windowFunnel / retention /
+  * sequenceMatch — greedy-scan semantics pinned against an
+  * independent brute-force reference, cohort intersections against
+  * set-op truth. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  /** Independent reference: iteratively pick min-ts next step after
+    * prev within window-from-anchor (the DuckDB CTE semantics). */
+  private def bruteLevel(events: Seq[(Long, Int)], steps: Int, window: Long): Int = {
+    val anchor = events.filter(_._2 == 0).map(_._1).minOption.getOrElse(return 0)
+    var level = 1
+    var prev = anchor
+    while (level < steps) {
+      events.filter { case (ts, st) =>
+        st == level && ts > prev && ts - anchor <= window
+      }.map(_._1).minOption match {
+        case Some(t) => prev = t; level += 1
+        case None => return level
+      }
+    }
+    level
+  }
+
+  test("funnel level = brute-force reference on 300 random sequences") {
+    val rnd = new scala.util.Random(42)
+    val steps = 3
+    val window = 50L
+    val cases: Seq[(Int, Seq[(Long, Int)])] = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      // small ts domain forces ties; step domain includes ignored -1
+      i -> Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(4) - 1))
+    }
+    // build rows through timestamp_micros so timestamps carry exact micros
+    val rows = cases.flatMap { case (i, evs) =>
+      evs.map { case (ts, st) => (i, ts, st) }
+    }.toDF("id", "us", "step")
+    val leveled = rows
+      .select($"id", timestamp_micros($"us").as("ts"), $"step")
+      .groupBy($"id")
+      .agg(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(
+            sort_array(collect_list(struct($"ts", $"step")))),
+          steps, window)).as("level"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.foreach { case (i, evs) =>
+      val expect = bruteLevel(evs, steps, window)
+      assert(leveled(i) == expect,
+        s"case $i: expression ${leveled(i)} != reference $expect for $evs")
+    }
+  }
+
+  test("funnel window boundary: inclusive at anchor+window, strict ts ordering") {
+    def level(evs: Seq[(Long, Int)], window: Long): Int = {
+      val df = evs.toDF("us", "step")
+        .select(timestamp_micros($"us").as("ts"), $"step")
+        .agg(org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(
+              sort_array(collect_list(struct($"ts", $"step")))),
+            3, window)).as("level"))
+      df.collect().head.getInt(0)
+    }
+    assert(level(Seq((10L, 0), (20L, 1), (110L, 2)), 100L) == 3,
+      "an event exactly at anchor+window is inside (inclusive)")
+    assert(level(Seq((10L, 0), (20L, 1), (111L, 2)), 100L) == 2,
+      "an event one past anchor+window is outside")
+    assert(level(Seq((10L, 0), (10L, 1)), 100L) == 1,
+      "equal timestamps never chain (strictly-after semantics)")
+    assert(level(Seq((20L, 1), (10L, 0), (15L, 1)), 100L) == 2,
+      "the chain takes the earliest valid next step after the anchor")
+    assert(level(Seq((20L, 1)), 100L) == 0, "no anchor, level 0")
+  }
+
+  test("sequence match = unbounded-window funnel (order only)") {
+    val events = Tables.events(spark, sf)
+    val got = ops.Behavior.sequenceMatch(spark, sf).collect().head
+    // independent truth: first view per user, then any later purchase
+    val v = events.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val matched = events.filter($"event_type" === "purchase")
+      .join(v, "user_id").filter($"ts" > $"t1")
+      .select($"user_id").distinct().count()
+    val total = events.select($"user_id").distinct().count()
+    assert(got.getLong(0) == matched && got.getLong(1) == total)
+  }
+
+  test("retention cells = distinct-intersect truth") {
+    val events = Tables.events(spark, sf)
+    def usersOn(d: String) = events
+      .filter(to_date($"ts") === lit(java.sql.Date.valueOf(d)))
+      .select($"user_id").distinct()
+    val r0 = usersOn("2024-01-05").count()
+    val r1 = usersOn("2024-01-05").intersect(usersOn("2024-01-06")).count()
+    val r2 = usersOn("2024-01-05").intersect(usersOn("2024-01-12")).count()
+    val got = ops.Behavior.retentionReport(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((r0, r1, r2)),
+      s"bitmap-AND cells must equal set-op truth: $got vs ($r0,$r1,$r2)")
+  }
+}
