@@ -519,6 +519,35 @@ object SparkEntry {
     // from SetOf states (set union is subtotal-safe where the
     // row-count mapping never is), composed with a GRAINLESS rollup
     "q217_uniq_exact_routed" -> (Rollups.uniqExactRouted _),
+    // r15: the BITMAP member — q217's exact-distinct dashboard from
+    // Roaring bitmap states (ClickHouse groupBitmapState): OR-union
+    // merge, ~2 bytes/member, the scale path for exact distincts
+    "q218_uniq_bitmap_routed" -> (Rollups.uniqBitmapRouted _),
+    // r15: the EXACT distinct-count lattice — every ROLLUP grain of
+    // COUNT(DISTINCT user_id) from one (day × type) bitmap rollup;
+    // q203's approx lattice made exact AND oracle-able
+    "q219_uniq_lattice_routed" -> (Rollups.latticeBitmapRouted _),
+    // r15: the same lattice ADVISED — the distinct-bearing ROLLUP
+    // used to be refused ("subtotal rows cannot re-count"); the
+    // flattened demand now mints the bitmap member and the unchanged
+    // query routes through the advised states
+    "q220_advised_uniq_lattice" -> (graft.plans.Advisor.advisedBitmapLattice _),
+    // r15: the behavioral suite — ClickHouse's parametric aggregates
+    // re-expressed Spark-first: windowFunnel (one shuffle + per-user
+    // sorted scan), retention (bitmap-AND cohorts), sequenceMatch
+    // (the unbounded-window funnel)
+    "q221_window_funnel" -> (ops.Behavior.windowFunnel _),
+    "q222_retention" -> (ops.Behavior.retentionReport _),
+    "q223_sequence_match" -> (ops.Behavior.sequenceMatch _),
+    // r15: statistical moments (mean/var/stddev/covar/corr) from the
+    // SUM vocabulary alone — exact decimal sums of squares/products,
+    // the moment arithmetic a Project above the aggregate
+    "q224_moments" -> (ops.Moments.momentsRaw _),
+    // the same dashboard ADVISED: six sum demands (four of them
+    // pattern measures) mine into one spec, the routed read
+    // re-aggregates partials — ClickHouse varSampState/corrState
+    // economics with no new member
+    "q225_moments_advised" -> (ops.Moments.momentsAdvised _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2154,6 +2183,90 @@ object SparkEntry {
          COUNT(DISTINCT CASE WHEN value > 2 THEN user_id END) AS n_big_users,
          COUNT(*) AS n_events
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // the identical dashboard answered from BITMAP states — exact, so
+    // the same hash-compare against DuckDB's COUNT(DISTINCT …)
+    "q218_uniq_bitmap_routed" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT CASE WHEN value > 2 THEN user_id END) AS n_big_users,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // the EXACT distinct-count ROLLUP lattice from bitmap states:
+    // every subtotal grain hash-matches DuckDB's exact counts
+    "q219_uniq_lattice_routed" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS txs
+         FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+         ORDER BY day NULLS FIRST, event_type NULLS FIRST""",
+    // the ADVISED twin must reproduce the identical exact lattice
+    "q220_advised_uniq_lattice" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+         COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS txs
+         FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+         ORDER BY day NULLS FIRST, event_type NULLS FIRST""",
+    // windowFunnel: the nested min-timestamp CTEs spell the greedy
+    // scan's exact semantics — earliest anchor, earliest strictly
+    // later next step, 7-day window from the anchor
+    "q221_window_funnel" ->
+      """WITH f AS (
+           SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events WHERE event_type IN ('view','click','purchase')
+           GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN f ON e.user_id = f.user_id
+           WHERE e.event_type = 'click' AND f.t1 IS NOT NULL
+             AND e.ts > f.t1 AND e.ts <= f.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN f ON e.user_id = f.user_id
+                         JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.ts > s2.t2 AND e.ts <= f.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         lv AS (
+           SELECT f.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN f.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+           FROM f LEFT JOIN s2 ON f.user_id = s2.user_id
+                  LEFT JOIN s3 ON f.user_id = s3.user_id)
+         SELECT level, COUNT(*) AS users FROM lv GROUP BY level ORDER BY level""",
+    // retention: exact cohort intersections (bitmap-AND on the Spark
+    // side, DISTINCT-INTERSECT counts here)
+    "q222_retention" ->
+      """SELECT
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-05') AS r0,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE) = DATE '2024-01-06')) AS r1,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2""",
+    // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
+    "q223_sequence_match" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         m AS (
+           SELECT DISTINCT e.user_id FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t1)
+         SELECT (SELECT COUNT(*) FROM m) AS matched,
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users""",
+    // moments from exact decimal sums: both engines compute identical
+    // IEEE products, identical decimal sums, and the identical final
+    // double arithmetic — hash-stable where native var_samp is not
+    "q224_moments" -> momentsSql,
+    "q225_moments_advised" -> momentsSql,
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->
@@ -2180,6 +2293,26 @@ object SparkEntry {
              FROM c)
        SELECT r.day, r.rank, r.user_id, r.est_count, t.daily_txs
        FROM r JOIN t USING (day) WHERE r.rank <= 5 ORDER BY day, rank"""
+
+  private lazy val momentsSql = {
+    val nD = "CAST(n AS DOUBLE)"
+    s"""WITH m AS (
+         SELECT l_returnflag, COUNT(*) AS n,
+           ${dsum("l_quantity")} AS s_q,
+           ${dsum("l_quantity*l_quantity")} AS ss_q,
+           ${dsum("l_discount")} AS s_d,
+           ${dsum("l_discount*l_discount")} AS ss_d,
+           ${dsum("l_quantity*l_discount")} AS s_qd
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, n,
+         s_q / $nD AS mean_qty,
+         (ss_q - s_q*s_q/$nD) / ($nD - 1) AS var_qty,
+         sqrt((ss_q - s_q*s_q/$nD) / ($nD - 1)) AS std_qty,
+         (s_qd - s_q*s_d/$nD) / ($nD - 1) AS covar_qty_disc,
+         (s_qd - s_q*s_d/$nD) /
+           sqrt((ss_q - s_q*s_q/$nD) * (ss_d - s_d*s_d/$nD)) AS corr_qty_disc
+       FROM m ORDER BY l_returnflag"""
+  }
 
   private lazy val rollupDashboardSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id,
