@@ -548,6 +548,10 @@ object SparkEntry {
     // re-aggregates partials — ClickHouse varSampState/corrState
     // economics with no new member
     "q225_moments_advised" -> (ops.Moments.momentsAdvised _),
+    // r15: ORDER BY … WITH FILL / INTERPOLATE — dense day-spine
+    // report over a sparse aggregate: zero-filled measures, last-known
+    // carry-forward; the spine is generated, never scanned
+    "q226_gap_fill" -> (ops.GapFill.filledSeries _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2267,6 +2271,26 @@ object SparkEntry {
     // double arithmetic — hash-stable where native var_samp is not
     "q224_moments" -> momentsSql,
     "q225_moments_advised" -> momentsSql,
+    // WITH FILL: the same spine via generate_series, the same carry
+    // via an IGNORE NULLS running window
+    "q226_gap_fill" ->
+      s"""WITH sparse AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+             ${dsum("value")} AS volume, MAX(value) AS day_max
+           FROM events WHERE value > 240 GROUP BY 1, 2),
+         b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM sparse),
+         spine AS (
+           SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM b),
+         k AS (SELECT DISTINCT event_type FROM sparse)
+         SELECT s.day, k.event_type,
+           COALESCE(sp.n, 0) AS n, COALESCE(sp.volume, 0.0) AS volume,
+           LAST_VALUE(sp.day_max IGNORE NULLS) OVER (
+             PARTITION BY k.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_max
+         FROM spine s CROSS JOIN k
+         LEFT JOIN sparse sp ON sp.day = s.day AND sp.event_type = k.event_type
+         ORDER BY s.day, k.event_type""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->

@@ -93,6 +93,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.getLong(0) == matched && got.getLong(1) == total)
   }
 
+  test("gap fill: dense spine, zero defaults, carry-forward NULL before first") {
+    val sparse = Seq(
+      ("a", "2024-03-01", 2L, 7.0), ("a", "2024-03-04", 1L, 3.0),
+      ("b", "2024-03-02", 5L, 9.0))
+      .toDF("k", "d", "n", "m")
+      .select($"k", $"d".cast("date").as("day"), $"n", $"m")
+    val got = ops.GapFill.fillDays(sparse, "day", Seq("k"),
+        defaults = Map("n" -> lit(0L)), carryForward = Seq("m"))
+      .orderBy("k", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // every key × every spine day (2024-03-01..04), zero-filled n,
+    // carry-forward m with NULL before a key's first observation
+    assert(got.length == 8, s"2 keys × 4 spine days: ${got.toSeq}")
+    val a = got.filter(_._1 == "a").toSeq
+    assert(a.map(_._3) == Seq(2L, 0L, 0L, 1L))
+    assert(a.map(_._4) == Seq(Some(7.0), Some(7.0), Some(7.0), Some(3.0)))
+    val b = got.filter(_._1 == "b").toSeq
+    assert(b.map(_._3) == Seq(0L, 5L, 0L, 0L))
+    assert(b.map(_._4) == Seq(None, Some(9.0), Some(9.0), Some(9.0)),
+      "carry-forward must be NULL before the first observation")
+  }
+
   test("retention cells = distinct-intersect truth") {
     val events = Tables.events(spark, sf)
     def usersOn(d: String) = events
