@@ -14,5 +14,6 @@ object Functions {
     expr.ZValue.register(spark)
     expr.Kll.register(spark)
     expr.Bmp.register(spark)
+    expr.Tht.register(spark)
   }
 }

@@ -552,6 +552,13 @@ object SparkEntry {
     // report over a sparse aggregate: zero-filled measures, last-known
     // carry-forward; the spine is generated, never scanned
     "q226_gap_fill" -> (ops.GapFill.filledSeries _),
+    // r15: retention served from the REGISTERED bitmap MV — per-day
+    // states merged and ANDed, the fact never read
+    "q227_retention_from_states" -> (ops.Behavior.retentionFromStates _),
+    // r15: theta set algebra (uniqTheta/-Intersect/-Not) — audience
+    // overlap per type vs the click cohort; exact at fixture
+    // cardinality (< 2^12 nominal entries), bounded-error above
+    "q228_audience_overlap" -> (ops.Behavior.audienceOverlap _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2239,22 +2246,21 @@ object SparkEntry {
          SELECT level, COUNT(*) AS users FROM lv GROUP BY level ORDER BY level""",
     // retention: exact cohort intersections (bitmap-AND on the Spark
     // side, DISTINCT-INTERSECT counts here)
-    "q222_retention" ->
-      """SELECT
-           (SELECT COUNT(DISTINCT user_id) FROM events
-            WHERE CAST(ts AS DATE) = DATE '2024-01-05') AS r0,
-           (SELECT COUNT(*) FROM (
-              SELECT DISTINCT user_id FROM events
-              WHERE CAST(ts AS DATE) = DATE '2024-01-05'
-              INTERSECT
-              SELECT DISTINCT user_id FROM events
-              WHERE CAST(ts AS DATE) = DATE '2024-01-06')) AS r1,
-           (SELECT COUNT(*) FROM (
-              SELECT DISTINCT user_id FROM events
-              WHERE CAST(ts AS DATE) = DATE '2024-01-05'
-              INTERSECT
-              SELECT DISTINCT user_id FROM events
-              WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2""",
+    "q222_retention" -> retentionSql,
+    // the MV-served twin must reproduce the identical cells — the
+    // Spark side reads ONLY the bitmap rollup
+    "q227_retention_from_states" -> retentionSql,
+    // theta set algebra at exact cardinality: distinct / intersect /
+    // except counts per type against the click cohort
+    "q228_audience_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+         SELECT event_type, COUNT(*) AS users,
+           COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM c))
+             AS also_click,
+           COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM c))
+             AS never_click
+         FROM s GROUP BY 1 ORDER BY event_type""",
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2317,6 +2323,23 @@ object SparkEntry {
              FROM c)
        SELECT r.day, r.rank, r.user_id, r.est_count, t.daily_txs
        FROM r JOIN t USING (day) WHERE r.rank <= 5 ORDER BY day, rank"""
+
+  private lazy val retentionSql =
+    """SELECT
+         (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE CAST(ts AS DATE) = DATE '2024-01-05') AS r0,
+         (SELECT COUNT(*) FROM (
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-06')) AS r1,
+         (SELECT COUNT(*) FROM (
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2"""
 
   private lazy val momentsSql = {
     val nD = "CAST(n AS DOUBLE)"

@@ -76,6 +76,33 @@ object Behavior {
       .crossJoin(broadcast(events.agg(countDistinct(col("user_id")).as("total_users"))))
   }
 
+  /** Driver entry (q228, oracled): AUDIENCE OVERLAP via theta set
+    * algebra — per event type, the distinct users, the users shared
+    * with the click cohort (theta AND against the broadcast click
+    * state), and the users who never click (theta A-NOT-B) —
+    * ClickHouse's uniqTheta/uniqThetaIntersect/uniqThetaNot shapes.
+    * Hash-oracled because the fixture keeps every state under the
+    * sketch's nominal entries (2^12), where theta is EXACT; at 100 TB
+    * the same plan degrades gracefully to bounded-error estimates
+    * (and the bitmap member stays the exact path for integral keys). */
+  def audienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Tht
+    val states = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(Tht.agg(col("user_id")).as("st"))
+    val click = states.filter(col("event_type") === "click")
+      .select(col("st").as("click_st"))
+    states.crossJoin(broadcast(click))
+      .select(
+        col("event_type"),
+        Tht.estimate(col("st")).cast("long").as("users"),
+        Tht.estimate(Tht.and(col("st"), col("click_st")))
+          .cast("long").as("also_click"),
+        Tht.estimate(Tht.aNotB(col("st"), col("click_st")))
+          .cast("long").as("never_click"))
+      .orderBy("event_type")
+  }
+
   /** Retention counts over anchor cohorts from per-day BITMAP states:
     * `r0` = users active on `anchor`, each further column the users
     * active on BOTH `anchor` and that return day — AND of two
@@ -107,4 +134,38 @@ object Behavior {
   def retentionReport(spark: SparkSession, sfDir: String): DataFrame =
     retention(Tables.events(spark, sfDir),
       "2024-01-05", Seq("2024-01-06", "2024-01-12"))
+
+  /** Driver entry (q227, oracled — shares q222's oracle): the SAME
+    * retention report served from the REGISTERED bitmap rollup (the
+    * q219 exact-distinct MV, reused as-is): per-day states OR-merge
+    * across the stored (day, type) grain, then each cell ANDs two
+    * day bitmaps. The fact table is NEVER read — at 100 TB retention
+    * becomes a calendar-sized state read, the reason ClickHouse
+    * deployments keep groupBitmap MVs. Bit-equal to the fact-scanning
+    * q222 because both compute exact sets (spec-pinned, plan-pinned). */
+  def retentionFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Bmp
+    val dir = StarJoins.scratch(sfDir, "lattice_bitmap_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), Rollups.bitmapDaySpec("unused"))
+    }
+    val anchor = "2024-01-05"
+    val returns = Seq("2024-01-06", "2024-01-12")
+    val days = (anchor +: returns).map(java.sql.Date.valueOf)
+    val daily = spark.read.parquet(dir)
+      .filter(col("day").isin(days: _*))
+      .groupBy(col("day"))
+      .agg(Bmp.merge(col("users_bm")).as("bm"))
+    val anchorD = lit(java.sql.Date.valueOf(anchor))
+    val cells: Seq[Column] =
+      Bmp.count(Bmp.merge(when(col("day") === anchorD, col("bm")))).as("r0") +:
+      returns.zipWithIndex.map { case (d, i) =>
+        Bmp.count(Bmp.intersect(
+          when(col("day") === anchorD ||
+               col("day") === lit(java.sql.Date.valueOf(d)), col("bm"))))
+          .as(s"r${i + 1}")
+      }
+    daily.agg(cells.head, cells.tail: _*)
+  }
 }

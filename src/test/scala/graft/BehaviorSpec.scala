@@ -93,6 +93,16 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.getLong(0) == matched && got.getLong(1) == total)
   }
 
+  test("retention from the bitmap MV = fact-scanning retention; fact never read") {
+    val fromStates = ops.Behavior.retentionFromStates(spark, sf)
+    val plan = fromStates.queryExecution.executedPlan.toString
+    assert(plan.contains("lattice_bitmap_rollup") && !plan.contains("events.parquet"),
+      s"the MV-served retention must read only the rollup:\n$plan")
+    assert(fromStates.collect().toSeq ==
+           ops.Behavior.retentionReport(spark, sf).collect().toSeq,
+      "state-served cells must be bit-equal to the fact-scanning ones")
+  }
+
   test("gap fill: dense spine, zero defaults, carry-forward NULL before first") {
     val sparse = Seq(
       ("a", "2024-03-01", 2L, 7.0), ("a", "2024-03-04", 1L, 3.0),
