@@ -559,6 +559,10 @@ object SparkEntry {
     // overlap per type vs the click cohort; exact at fixture
     // cardinality (< 2^12 nominal entries), bounded-error above
     "q228_audience_overlap" -> (ops.Behavior.audienceOverlap _),
+    // r15: the same overlap dashboard routed through a REGISTERED
+    // theta MV — graft_theta_agg rewrites to union over stored
+    // states; the fact never scanned
+    "q229_audience_overlap_routed" -> (ops.Behavior.audienceOverlapRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2252,15 +2256,9 @@ object SparkEntry {
     "q227_retention_from_states" -> retentionSql,
     // theta set algebra at exact cardinality: distinct / intersect /
     // except counts per type against the click cohort
-    "q228_audience_overlap" ->
-      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
-         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
-         SELECT event_type, COUNT(*) AS users,
-           COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM c))
-             AS also_click,
-           COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM c))
-             AS never_click
-         FROM s GROUP BY 1 ORDER BY event_type""",
+    "q228_audience_overlap" -> audienceOverlapSql,
+    // the MV-routed twin must reproduce the identical exact counts
+    "q229_audience_overlap_routed" -> audienceOverlapSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2323,6 +2321,16 @@ object SparkEntry {
              FROM c)
        SELECT r.day, r.rank, r.user_id, r.est_count, t.daily_txs
        FROM r JOIN t USING (day) WHERE r.rank <= 5 ORDER BY day, rank"""
+
+  private lazy val audienceOverlapSql =
+    """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+       c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+       SELECT event_type, COUNT(*) AS users,
+         COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM c))
+           AS also_click,
+         COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM c))
+           AS never_click
+       FROM s GROUP BY 1 ORDER BY event_type"""
 
   private lazy val retentionSql =
     """SELECT

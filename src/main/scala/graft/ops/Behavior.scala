@@ -103,6 +103,48 @@ object Behavior {
       .orderBy("event_type")
   }
 
+  /** The GRAINLESS per-type THETA registration (round 15): all-time
+    * set-algebra states per event type
+    * ([[graft.plans.RollupRouting.ThetaUniqOf]]). */
+  def thetaSpec(dir: String): graft.plans.RollupRouting.Spec =
+    graft.plans.RollupRouting.Spec("events.parquet", dir, grain = "all",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        graft.plans.RollupRouting.ThetaUniqOf("user_id", "users_theta"),
+        graft.plans.RollupRouting.CountStarTo("c_p")))
+
+  /** Driver entry (q229, oracled — shares q228's oracle): the SAME
+    * audience-overlap dashboard ROUTED through a registered theta MV —
+    * `graft_theta_agg(user_id)` rewrites to `graft_theta_union` over
+    * the stored per-type states (value-set deterministic, so the
+    * downstream AND / A-NOT-B reads get bit-identical states), and
+    * the fact is never scanned. The set-algebra sketch family as a
+    * first-class registry member, next to HLL/KLL/top-k/set/bitmap. */
+  def audienceOverlapRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Tht
+    val dir = StarJoins.scratch(sfDir, "theta_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), thetaSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(thetaSpec(dir))) {
+      val states = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(Tht.agg(col("user_id")).as("st"))
+      val click = states.filter(col("event_type") === "click")
+        .select(col("st").as("click_st"))
+      states.crossJoin(broadcast(click))
+        .select(
+          col("event_type"),
+          Tht.estimate(col("st")).cast("long").as("users"),
+          Tht.estimate(Tht.and(col("st"), col("click_st")))
+            .cast("long").as("also_click"),
+          Tht.estimate(Tht.aNotB(col("st"), col("click_st")))
+            .cast("long").as("never_click"))
+        .orderBy("event_type")
+    }
+  }
+
   /** Retention counts over anchor cohorts from per-day BITMAP states:
     * `r0` = users active on `anchor`, each further column the users
     * active on BOTH `anchor` and that return day — AND of two

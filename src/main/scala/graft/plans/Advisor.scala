@@ -255,7 +255,10 @@ object Advisor {
                      inLattice: Boolean = false): Option[AggMap] =
     e match {
       case Alias(c, _) => mapOne(c, resolve, inLattice)
-      case Cast(c, DoubleType, _, _) => mapOne(c, resolve, inLattice)
+      // ANY scalar cast above the aggregate survives the rewrite
+      // untouched, so it never changes the demand (round 15 — the
+      // theta dashboards cast their double estimate to long)
+      case Cast(c, _, _, _) => mapOne(c, resolve, inLattice)
       case ae: AggregateExpression if ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Sum(Cast(src, dt: DecimalType, _, _), _)
@@ -337,6 +340,12 @@ object Advisor {
                 toPat(resolve(hs.left)).map(p => HllUniqOf(p, hllPartialName(p), k))
               case _ => None
             }
+          // a theta demand (round 15) registers the set-algebra state
+          // at the query's own lgK — same economics as the HLL member
+          // with intersect/a-not-b reads on top
+          case ta: graft.expr.ThetaAgg if !ae.isDistinct =>
+            toPat(resolve(ta.child)).map(p =>
+              ThetaUniqOf(p, statePartialName(p, "theta"), ta.lgK))
           // approx_count_distinct advises the uniqState member at the
           // registry's default precision when that precision dominates
           // the query's tolerance (the exact condition the router
@@ -390,6 +399,7 @@ object Advisor {
       // demand is the struct extremum underneath (round 14)
       case g: GetStructField => mapOne(g.child, resolve, inLattice)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve, inLattice)
+      case graft.expr.ThetaEstimate(c) => mapOne(c, resolve, inLattice)
       // the set member's idiomatic reads (round 13): a sorted set, or
       // the exact distinct count as size-of-set — both route through
       // the same array state, so the demand is the collect_set inside
@@ -620,6 +630,7 @@ object Advisor {
     case SetOf(p, _) => s"set:${patKey(p)}"
     case UniqUpToOf(p, _, n) => s"upto:${patKey(p)}:$n"
     case BitmapUniqOf(p, _) => s"bitmap:${patKey(p)}"
+    case ThetaUniqOf(p, _, k) => s"theta:${patKey(p)}:$k"
     case MinPatOf(p, _) => s"minpat:${patKey(p)}"
     case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"

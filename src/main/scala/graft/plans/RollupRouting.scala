@@ -738,6 +738,29 @@ object RollupRouting {
     def apply(col: String, partial: String): BitmapUniqOf =
       BitmapUniqOf(ColRef(col), partial)
   }
+  /** `graft_theta_agg(col, lgK)` (usually under `graft_theta_estimate`
+    * or the set-algebra scalars) → `graft_theta_union(partial)` when
+    * the rollup stores the per-group THETA state
+    * ([[graft.expr.ThetaAgg]], binary) — the SET-ALGEBRA sketch
+    * member (round 15): ClickHouse's `uniqThetaState`/`uniqThetaMerge`
+    * next to the HLL member (estimate-only) and the bitmap member
+    * (exact, integral-only). A theta state's retained set is a pure
+    * function of its input VALUE SET (hash threshold, no RNG), so
+    * union across any regrouping — coarser grains, lattices, the
+    * hybrid tail — reproduces the single-pass state BIT-FOR-BIT, and
+    * downstream intersect/a-not-b reads get the same states either
+    * way. Routing requires the registered lgK (a different nominal
+    * size is a different sketch). Exact COUNT(DISTINCT) never maps
+    * here (theta is exact only below nominal entries — that claim
+    * belongs to the set/bitmap members); only the explicit theta
+    * vocabulary routes. */
+  case class ThetaUniqOf(pat: SrcPat, partial: String, lgK: Int = 12) extends AggMap
+  object ThetaUniqOf {
+    def apply(col: String, partial: String): ThetaUniqOf =
+      ThetaUniqOf(ColRef(col), partial)
+    def apply(col: String, partial: String, lgK: Int): ThetaUniqOf =
+      ThetaUniqOf(ColRef(col), partial, lgK)
+  }
   /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
     * argMin shape (round 13): the reference's `max(struct(value,
     * user)).getField(user)` dashboards (ClickHouse `argMaxState`)
@@ -782,6 +805,7 @@ object RollupRouting {
     case SetOf(_, p) => Some(p)
     case UniqUpToOf(_, p, _) => Some(p)
     case BitmapUniqOf(_, p) => Some(p)
+    case ThetaUniqOf(_, p, _) => Some(p)
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
@@ -1050,6 +1074,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, slice(collect_set(srcColumn(pt)), 1, n + 1).as(p))
       case BitmapUniqOf(pt, p) =>
         partials.getOrElseUpdate(p, graft.expr.Bmp.agg(srcColumn(pt)).as(p))
+      case ThetaUniqOf(pt, p, k) =>
+        partials.getOrElseUpdate(p, graft.expr.Tht.agg(srcColumn(pt), k).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1122,6 +1148,7 @@ object RollupRouting {
       case SetOf(pt, _) => pt.refs.toSeq
       case UniqUpToOf(pt, _, _) => pt.refs.toSeq
       case BitmapUniqOf(pt, _) => pt.refs.toSeq
+      case ThetaUniqOf(pt, _, _) => pt.refs.toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
@@ -1250,6 +1277,8 @@ object RollupRouting {
           slice(array_distinct(flatten(collect_list(col(p)))), 1, n + 1).as(p))
       case BitmapUniqOf(_, p) =>
         merges.getOrElseUpdate(p, graft.expr.Bmp.merge(col(p)).as(p))
+      case ThetaUniqOf(_, p, k) =>
+        merges.getOrElseUpdate(p, graft.expr.Tht.union(col(p), k).as(p))
       case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1331,6 +1360,8 @@ object RollupRouting {
         ("kind" -> "uniqUpTo") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("n" -> n)
       case BitmapUniqOf(pt, p) =>
         ("kind" -> "bitmapUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
+      case ThetaUniqOf(pt, p, k) =>
+        ("kind" -> "thetaUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("lgK" -> k)
       case MinPatOf(pat, p) =>
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
@@ -1421,6 +1452,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "n").extract[Int])
       case "bitmapUniq" => BitmapUniqOf(patOrLegacyCol(j),
         (j \ "partial").extract[String])
+      case "thetaUniq" => ThetaUniqOf(patOrLegacyCol(j),
+        (j \ "partial").extract[String], (j \ "lgK").extract[Int])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "countDistinctGrain" =>
@@ -1978,6 +2011,11 @@ object RollupRouting {
                    pt.matchesOrdered(resolved(ba.child)) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.BitmapMergeAgg(p)))
+            case (ThetaUniqOf(pt, partial, k), ta: graft.expr.ThetaAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(ta.child)) && ta.lgK == k =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.ThetaUnionAgg(p, k)))
             case (BitmapUniqOf(pt, partial), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    pt.matchesOrdered(resolved(h.child)) &&
@@ -2722,6 +2760,15 @@ object RollupRouting {
                    pt.matchesOrdered(resolveThroughProjects(ba.child, child)) =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.BitmapMergeAgg(p)))
+            // the theta member (round 15): the explicit state read
+            // re-aggregates as union at the REGISTERED lgK — states
+            // are value-set deterministic, so routed ≡ live bit-equal
+            case (ThetaUniqOf(pt, partial, k), ta: graft.expr.ThetaAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(ta.child, child)) &&
+                   ta.lgK == k =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.ThetaUnionAgg(p, k)))
             // approx_count_distinct onto the EXACT bitmap state: a
             // zero-error answer dominates ANY requested tolerance, so
             // the substitution is always inside the approx function's
@@ -3505,6 +3552,9 @@ object RollupRouting {
           case BitmapUniqOf(pt, p) if p == n => // the tail's own bitmap
             pt.rebuild(scanAttr).map(e => Alias(
               graft.expr.BitmapAgg(e).toAggregateExpression(), n)())
+          case ThetaUniqOf(pt, p, k) if p == n => // the tail's own theta state
+            pt.rebuild(scanAttr).map(e => Alias(
+              graft.expr.ThetaAgg(e, k).toAggregateExpression(), n)())
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>

@@ -63,6 +63,61 @@ class ThetaSpec extends AnyFunSuite {
       s"estimate $est must be within 5% of $n")
   }
 
+  test("theta member routes: MV states read, fact never scanned, bit-equal; catalog; advised") {
+    import graft.plans.RollupRouting
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta")
+      .resolve("throllup").toString
+    val spec = ops.Behavior.thetaSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(Tht.estimate(Tht.agg($"user_id")).cast("long").as("users"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("throllup") && !plan.contains("events.parquet"),
+        s"the theta read must route onto the MV states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed theta estimates must be bit-equal to live (value-set determinism)")
+      // a DIFFERENT lgK is a different sketch — stays live
+      val other = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(Tht.estimate(Tht.agg($"user_id", lgK = 10)).as("u"))
+      assert(other.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a different lgK must not route onto the registered state")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog fixed point
+    val regDir = java.nio.file.Files.createTempDirectory("graft_threg")
+    val reg = regDir.resolve("r.json").toString
+    val reg2 = regDir.resolve("r2.json").toString
+    RollupRouting.register(spec)
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    assert(RollupRouting.registered.contains(spec),
+      "ThetaUniqOf must survive the JSON catalog round-trip")
+    RollupRouting.saveRegistry(reg2)
+    assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(reg)),
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(reg2))))
+    RollupRouting.clear()
+    // the raw theta dashboard ADVISES the member and routes
+    val root = java.nio.file.Files.createTempDirectory("graft_thadv").toString
+    val advice = graft.plans.Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1, advice)
+    assert(advice.singles.head.spec.aggs.exists {
+        case RollupRouting.ThetaUniqOf(_, _, 12) => true; case _ => false },
+      s"the theta demand must mint its member: ${advice.singles.head.spec.aggs}")
+  }
+
   test("unsupported input types are refused at analysis") {
     val df = Seq((1, Seq(1, 2))).toDF("k", "arr")
     val ex = intercept[Exception] {
