@@ -118,6 +118,58 @@ class ThetaSpec extends AnyFunSuite {
       s"the theta demand must mint its member: ${advice.singles.head.spec.aggs}")
   }
 
+  /** The T5 contract for the round's two new members in one spec:
+    * bitmap + theta partials stream-maintain — micro-batched
+    * deliveries scatter a group's states across appended blocks, the
+    * routed read merges them to the batch answer, and compaction
+    * (mergeColumnMap's OR-union shapes) restores one row per group
+    * without changing anything. */
+  test("bitmap + theta states stream-maintain: merged partials equal the batch answer") {
+    import graft.plans.RollupRouting
+    val base = java.nio.file.Files.createTempDirectory("graft_bmthmv")
+    val spec = RollupRouting.Spec("events.parquet",
+      base.resolve("bmthstream").toString, grain = "day", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        RollupRouting.BitmapUniqOf("user_id", "users_bm"),
+        RollupRouting.ThetaUniqOf("user_id", "users_theta"),
+        RollupRouting.CountStarTo("c_p")))
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp") // mid-day: groups split
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    val dayQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           Tht.estimate(Tht.agg($"user_id")).cast("long").as("theta_users"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = dayQ().collect().toSeq
+    graft.plans.RollupRouting.register(spec)
+    spark.experimental.extraOptimizations =
+      Seq(new graft.plans.RollupRouting.RuleImpl(spark))
+    try {
+      val maintained = dayQ()
+      assert(maintained.queryExecution.executedPlan.toString.contains("bmthstream"),
+        "the stream-maintained bitmap+theta rollup must answer")
+      assert(maintained.collect().toSeq == truth,
+        "stream-maintained states must OR-union to the batch answer")
+      ops.Rollups.compactRollup(spark, spec)
+      assert(spark.read.parquet(spec.rollupPath).groupBy("day", "event_type")
+               .count().filter($"count" > 1).isEmpty,
+        "compaction must restore one row per (day, type)")
+      assert(dayQ().collect().toSeq == truth,
+        "compaction must not change any routed answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      graft.plans.RollupRouting.clear()
+    }
+  }
+
   test("unsupported input types are refused at analysis") {
     val df = Seq((1, Seq(1, 2))).toDF("k", "arr")
     val ex = intercept[Exception] {
