@@ -563,6 +563,9 @@ object SparkEntry {
     // theta MV — graft_theta_agg rewrites to union over stored
     // states; the fact never scanned
     "q229_audience_overlap_routed" -> (ops.Behavior.audienceOverlapRouted _),
+    // r15: the funnel histogram from EVENT-SEQUENCE MV states
+    // (groupArrayState + windowFunnel-at-read) — the fact never read
+    "q230_funnel_from_states" -> (ops.Behavior.windowFunnelFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2221,33 +2224,9 @@ object SparkEntry {
     // windowFunnel: the nested min-timestamp CTEs spell the greedy
     // scan's exact semantics — earliest anchor, earliest strictly
     // later next step, 7-day window from the anchor
-    "q221_window_funnel" ->
-      """WITH f AS (
-           SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
-           FROM events WHERE event_type IN ('view','click','purchase')
-           GROUP BY user_id),
-         s2 AS (
-           SELECT e.user_id, MIN(e.ts) AS t2
-           FROM events e JOIN f ON e.user_id = f.user_id
-           WHERE e.event_type = 'click' AND f.t1 IS NOT NULL
-             AND e.ts > f.t1 AND e.ts <= f.t1 + INTERVAL 7 DAY
-           GROUP BY e.user_id),
-         s3 AS (
-           SELECT e.user_id, MIN(e.ts) AS t3
-           FROM events e JOIN f ON e.user_id = f.user_id
-                         JOIN s2 ON e.user_id = s2.user_id
-           WHERE e.event_type = 'purchase'
-             AND e.ts > s2.t2 AND e.ts <= f.t1 + INTERVAL 7 DAY
-           GROUP BY e.user_id),
-         lv AS (
-           SELECT f.user_id,
-             CASE WHEN s3.user_id IS NOT NULL THEN 3
-                  WHEN s2.user_id IS NOT NULL THEN 2
-                  WHEN f.t1 IS NOT NULL THEN 1
-                  ELSE 0 END AS level
-           FROM f LEFT JOIN s2 ON f.user_id = s2.user_id
-                  LEFT JOIN s3 ON f.user_id = s3.user_id)
-         SELECT level, COUNT(*) AS users FROM lv GROUP BY level ORDER BY level""",
+    "q221_window_funnel" -> funnelSql,
+    // the MV-served twin must reproduce the identical histogram
+    "q230_funnel_from_states" -> funnelSql,
     // retention: exact cohort intersections (bitmap-AND on the Spark
     // side, DISTINCT-INTERSECT counts here)
     "q222_retention" -> retentionSql,
@@ -2331,6 +2310,34 @@ object SparkEntry {
          COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM c))
            AS never_click
        FROM s GROUP BY 1 ORDER BY event_type"""
+
+  private lazy val funnelSql =
+    """WITH f AS (
+         SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+         FROM events WHERE event_type IN ('view','click','purchase')
+         GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t2
+         FROM events e JOIN f ON e.user_id = f.user_id
+         WHERE e.event_type = 'click' AND f.t1 IS NOT NULL
+           AND e.ts > f.t1 AND e.ts <= f.t1 + INTERVAL 7 DAY
+         GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t3
+         FROM events e JOIN f ON e.user_id = f.user_id
+                       JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase'
+           AND e.ts > s2.t2 AND e.ts <= f.t1 + INTERVAL 7 DAY
+         GROUP BY e.user_id),
+       lv AS (
+         SELECT f.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN f.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS level
+         FROM f LEFT JOIN s2 ON f.user_id = s2.user_id
+                LEFT JOIN s3 ON f.user_id = s3.user_id)
+       SELECT level, COUNT(*) AS users FROM lv GROUP BY level ORDER BY level"""
 
   private lazy val retentionSql =
     """SELECT

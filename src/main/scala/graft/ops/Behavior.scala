@@ -65,6 +65,70 @@ object Behavior {
       .orderBy(col("level"))
   }
 
+  /** The when-guarded funnel event struct — `struct(ts, step)` where
+    * step is the 0-based position of the row's event type among
+    * `steps`, NULL for non-step events (collect_list skips NULLs, so
+    * only qualifying events enter a collected sequence). Shared by
+    * the live funnel and the MV registration so the routed pattern
+    * matches the query's own expression. */
+  private def funnelStruct(steps: Seq[String]): Column = {
+    // one CASE branch per step, struct value per branch, no otherwise
+    // (→ NULL, which collect_list skips). Deliberately NOT a guard
+    // over a computed step index: the optimizer rewrites comparisons
+    // whose operand is itself a CASE into a nested boolean CASE, and
+    // the registered pattern would no longer match the query's
+    // optimized tree — a plain first-match branch list is shape-stable
+    val first = when(col("event_type") === steps.head,
+      struct(col("ts").as("ts"), lit(0).as("step")))
+    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (s, i)) =>
+      acc.when(col("event_type") === s,
+        struct(col("ts").as("ts"), lit(i).as("step")))
+    }
+  }
+
+  /** The (day × user) EVENT-SEQUENCE registration (round 15):
+    * per-user-per-day collected funnel events —
+    * [[graft.plans.RollupRouting.ListOf]], ClickHouse's
+    * `groupArrayState` under a `windowFunnel` read. */
+  def funnelSeqSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id"),
+      aggs = Seq(
+        ListOf(ExprPat(funnelStruct(Seq("view", "click", "purchase"))), "ev_seq"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q230, oracled — shares q221's oracle): the SAME
+    * windowFunnel histogram answered from EVENT-SEQUENCE MV STATES —
+    * `collect_list(struct(ts, step))` rewrites to flatten of the
+    * per-(day, user) list states (multiset-exact), the query's own
+    * `sort_array` re-canonicalizes, and [[graft.expr.FunnelLevel]]
+    * scans the merged sequence — ClickHouse's groupArrayState +
+    * windowFunnel-at-read MV pattern; the fact is never scanned. */
+  def windowFunnelFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val week = 7L * 24 * 3600 * 1000000L
+    val dir = StarJoins.scratch(sfDir, "funnel_seq_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), funnelSeqSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelSeqSpec(dir))) {
+      Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+        .filter(size(col("seq")) > 0) // the q221 cohort: ≥1 funnel event
+        .select(org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            steps.size, week)).as("level"))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("level"))
+    }
+  }
+
   /** Driver entry (q223, oracled): `sequenceMatch('(?1).*(?2)')` —
     * did view … purchase ever happen in order, any gap — as the
     * unbounded-window funnel; reported as matched users vs the

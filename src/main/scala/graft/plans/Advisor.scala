@@ -631,6 +631,7 @@ object Advisor {
     case UniqUpToOf(p, _, n) => s"upto:${patKey(p)}:$n"
     case BitmapUniqOf(p, _) => s"bitmap:${patKey(p)}"
     case ThetaUniqOf(p, _, k) => s"theta:${patKey(p)}:$k"
+    case ListOf(p, _) => s"list:${patKey(p)}"
     case MinPatOf(p, _) => s"minpat:${patKey(p)}"
     case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"

@@ -296,6 +296,20 @@ object RollupRouting {
       * nodes (session-default eval mode — what the analyzer would
       * produce for the same source text). */
     private[plans] def resolveOps(e: Expression): Expression = e.transformUp {
+      // the Column DSL's struct(...) → the analyzer's CreateNamedStruct
+      // (round 15 — sequence patterns register struct measures from
+      // the DSL): field names follow the analyzer's rule — the
+      // argument's own name when it has one, positional colN otherwise
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts == Seq("struct") && f.arguments.nonEmpty &&
+             !f.isDistinct && f.filter.isEmpty =>
+        CreateNamedStruct(f.arguments.zipWithIndex.flatMap {
+          case (Alias(c, n), _) => Seq(Literal(n), c)
+          case (u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute, _) =>
+            Seq(Literal(u.nameParts.last), u)
+          case (a: AttributeReference, _) => Seq(Literal(a.name), a)
+          case (other, i) => Seq(Literal(s"col${i + 1}"), other)
+        })
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.length == 1 && f.arguments.length == 2 &&
              !f.isDistinct && f.filter.isEmpty =>
@@ -761,6 +775,30 @@ object RollupRouting {
     def apply(col: String, partial: String, lgK: Int): ThetaUniqOf =
       ThetaUniqOf(ColRef(col), partial, lgK)
   }
+  /** `collect_list(expr)` → multiset-union of per-group LIST states
+    * (round 15) — ClickHouse's `groupArrayState`/`groupArrayMerge`,
+    * the sequence member behind funnel-from-MV reads: a rollup stores
+    * each group's collected rows (typically `struct(ts, step)` event
+    * sequences guarded by a CASE whose non-match is NULL —
+    * collect_list skips NULLs, so only qualifying events enter the
+    * state), and a coarser read flattens the per-grain lists back
+    * into one. A list is a MULTISET function of its input rows —
+    * duplicates preserved, element ORDER unspecified on every plan
+    * (collect_list's own contract, the [[SetOf]] argument) — so
+    * flatten across any regrouping is exact in multiset terms and a
+    * deterministic dashboard sorts (`sort_array` above the aggregate,
+    * where [[graft.expr.FunnelLevel]] consumes it). Routed arrays
+    * carry the partial's element type — a same-shaped struct with
+    * different field names/types must not rewrite (type guard).
+    * State size is the group's own row count — the member for
+    * BOUNDED per-group sequences (per-user-per-day events); there is
+    * deliberately no unbounded-key guard here because the advisor
+    * never mints it (register-only, like ClickHouse's groupArray
+    * MVs). */
+  case class ListOf(pat: SrcPat, partial: String) extends AggMap
+  object ListOf {
+    def apply(col: String, partial: String): ListOf = ListOf(ColRef(col), partial)
+  }
   /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
     * argMin shape (round 13): the reference's `max(struct(value,
     * user)).getField(user)` dashboards (ClickHouse `argMaxState`)
@@ -806,6 +844,7 @@ object RollupRouting {
     case UniqUpToOf(_, p, _) => Some(p)
     case BitmapUniqOf(_, p) => Some(p)
     case ThetaUniqOf(_, p, _) => Some(p)
+    case ListOf(_, p) => Some(p)
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
@@ -1076,6 +1115,8 @@ object RollupRouting {
         partials.getOrElseUpdate(p, graft.expr.Bmp.agg(srcColumn(pt)).as(p))
       case ThetaUniqOf(pt, p, k) =>
         partials.getOrElseUpdate(p, graft.expr.Tht.agg(srcColumn(pt), k).as(p))
+      case ListOf(pt, p) =>
+        partials.getOrElseUpdate(p, collect_list(srcColumn(pt)).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1149,6 +1190,7 @@ object RollupRouting {
       case UniqUpToOf(pt, _, _) => pt.refs.toSeq
       case BitmapUniqOf(pt, _) => pt.refs.toSeq
       case ThetaUniqOf(pt, _, _) => pt.refs.toSeq
+      case ListOf(pt, _) => pt.refs.toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
@@ -1279,6 +1321,8 @@ object RollupRouting {
         merges.getOrElseUpdate(p, graft.expr.Bmp.merge(col(p)).as(p))
       case ThetaUniqOf(_, p, k) =>
         merges.getOrElseUpdate(p, graft.expr.Tht.union(col(p), k).as(p))
+      case ListOf(_, p) =>
+        merges.getOrElseUpdate(p, flatten(collect_list(col(p))).as(p))
       case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1362,6 +1406,8 @@ object RollupRouting {
         ("kind" -> "bitmapUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
       case ThetaUniqOf(pt, p, k) =>
         ("kind" -> "thetaUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("lgK" -> k)
+      case ListOf(pt, p) =>
+        ("kind" -> "groupArray") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
       case MinPatOf(pat, p) =>
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
@@ -1454,6 +1500,8 @@ object RollupRouting {
         (j \ "partial").extract[String])
       case "thetaUniq" => ThetaUniqOf(patOrLegacyCol(j),
         (j \ "partial").extract[String], (j \ "lgK").extract[Int])
+      case "groupArray" => ListOf(patOrLegacyCol(j),
+        (j \ "partial").extract[String])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "countDistinctGrain" =>
@@ -2016,6 +2064,24 @@ object RollupRouting {
                    pt.matchesOrdered(resolved(ta.child)) && ta.lgK == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.ThetaUnionAgg(p, k)))
+            case (ListOf(pt, partial), cl: CollectList)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolved(cl.child)) =>
+              // sameType: the parquet roundtrip relaxes struct-field
+              // nullability inside the stored element type — values
+              // and ordering are unaffected, so nullability must not
+              // block the rewrite (strict equality would)
+              attr(partial).collect {
+                case p if (p.dataType match {
+                      case org.apache.spark.sql.types.ArrayType(et, _) =>
+                        org.apache.spark.sql.graftx.Bridge.sameTypeIgnoreNullability(et, cl.child.dataType)
+                      case _ => false
+                    }) =>
+                  val merged = ae.copy(
+                    aggregateFunction = CollectList(p),
+                    resultId = NamedExpression.newExprId)
+                  Flatten(merged)
+              }
             case (BitmapUniqOf(pt, partial), h: HyperLogLogPlusPlus)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    pt.matchesOrdered(resolved(h.child)) &&
@@ -2769,6 +2835,28 @@ object RollupRouting {
                    ta.lgK == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.ThetaUnionAgg(p, k)))
+            // the LIST member (round 15, groupArrayMerge): collect_list
+            // re-aggregates as flatten of per-grain list states —
+            // multiset-exact, order unspecified on both plans (the
+            // collect_list contract); element-type guard as SetOf
+            case (ListOf(pt, partial), cl: CollectList)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   pt.matchesOrdered(resolveThroughProjects(cl.child, child)) =>
+              // sameType: the parquet roundtrip relaxes struct-field
+              // nullability inside the stored element type — values
+              // and ordering are unaffected, so nullability must not
+              // block the rewrite (strict equality would)
+              attr(partial).collect {
+                case p if (p.dataType match {
+                      case org.apache.spark.sql.types.ArrayType(et, _) =>
+                        org.apache.spark.sql.graftx.Bridge.sameTypeIgnoreNullability(et, cl.child.dataType)
+                      case _ => false
+                    }) =>
+                  val merged = ae.copy(
+                    aggregateFunction = CollectList(p),
+                    resultId = NamedExpression.newExprId)
+                  Flatten(merged)
+              }
             // approx_count_distinct onto the EXACT bitmap state: a
             // zero-error answer dominates ANY requested tolerance, so
             // the substitution is always inside the approx function's
@@ -3555,6 +3643,9 @@ object RollupRouting {
           case ThetaUniqOf(pt, p, k) if p == n => // the tail's own theta state
             pt.rebuild(scanAttr).map(e => Alias(
               graft.expr.ThetaAgg(e, k).toAggregateExpression(), n)())
+          case ListOf(pt, p) if p == n => // the tail's own list state
+            pt.rebuild(scanAttr).map(e =>
+              Alias(CollectList(e).toAggregateExpression(), n)())
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>

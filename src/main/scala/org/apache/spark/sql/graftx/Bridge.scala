@@ -37,6 +37,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Type equality ignoring nullability (DataType.sameType is
+    * private[sql]) — parquet roundtrips relax struct-field
+    * nullability, which must not block a values-identical rewrite. */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType): Boolean =
+    a.sameType(b)
+
   /** Register a native expression as a temp SQL function. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

@@ -103,6 +103,61 @@ class BehaviorSpec extends AnyFunSuite {
       "state-served cells must be bit-equal to the fact-scanning ones")
   }
 
+  test("funnel routes through event-sequence MV states; different steps stay live") {
+    import graft.plans.RollupRouting
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq")
+      .resolve("seqrollup").toString
+    val spec = ops.Behavior.funnelSeqSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val truth = ops.Behavior.windowFunnel(spark, sf).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // the live funnelLevels path FILTERS the fact (a collect over
+      // qualifying rows only) — that shape stays live; the MV read is
+      // the when-guarded form windowFunnelFromStates uses (the same
+      // plan built inline here, since the spec is already registered)
+      val guarded = {
+        val steps = Seq("view", "click", "purchase")
+        val st = steps.zipWithIndex.tail.foldLeft(
+            when($"event_type" === steps.head,
+              struct($"ts".as("ts"), lit(0).as("step")))) { case (acc, (s, i)) =>
+          acc.when($"event_type" === s, struct($"ts".as("ts"), lit(i).as("step")))
+        }
+        Tables.events(spark, sf)
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(st)).as("seq"))
+          .filter(size($"seq") > 0)
+          .select(org.apache.spark.sql.graftx.Bridge.column(
+            graft.expr.FunnelLevel(
+              org.apache.spark.sql.graftx.Bridge.expressionEager($"seq"),
+              3, 7L * 24 * 3600 * 1000000L)).as("level"))
+          .groupBy($"level").agg(count(lit(1)).as("users")).orderBy("level")
+      }
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(plan.contains("seqrollup") && !plan.contains("events.parquet"),
+        s"the guarded funnel must read the sequence states:\n$plan")
+      assert(guarded.collect().toSeq == truth,
+        "the MV-served histogram must equal the live funnel")
+      // near miss: a DIFFERENT step mapping is a different sequence —
+      // must stay live, never serve the wrong states
+      val otherSteps = Seq("signup", "click", "purchase")
+      val st2 = otherSteps.zipWithIndex.tail.foldLeft(
+          when($"event_type" === otherSteps.head,
+            struct($"ts".as("ts"), lit(0).as("step")))) { case (acc, (s, i)) =>
+        acc.when($"event_type" === s, struct($"ts".as("ts"), lit(i).as("step")))
+      }
+      val other = Tables.events(spark, sf)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(st2)).as("seq"))
+      assert(other.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a different step mapping must not route onto the registered sequence")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("gap fill: dense spine, zero defaults, carry-forward NULL before first") {
     val sparse = Seq(
       ("a", "2024-03-01", 2L, 7.0), ("a", "2024-03-04", 1L, 3.0),
