@@ -566,6 +566,10 @@ object SparkEntry {
     // r15: the funnel histogram from EVENT-SEQUENCE MV states
     // (groupArrayState + windowFunnel-at-read) — the fact never read
     "q230_funnel_from_states" -> (ops.Behavior.windowFunnelFromStates _),
+    // r15: sequenceCount — non-overlapping view→purchase chains per
+    // user (rows-only: the per-chain reset is a stateful fold SQL
+    // cannot spell; brute-force differential spec instead)
+    "q231_sequence_counts" -> (ops.Behavior.sequenceCounts _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.

@@ -209,6 +209,30 @@ object Behavior {
     }
   }
 
+  /** Driver entry (q231, rows-only + brute-force spec): ClickHouse's
+    * `sequenceCount` — how many NON-OVERLAPPING view→purchase chains
+    * each user completed inside 7-day windows, reported as a
+    * distribution (users per chain count). Repeated earliest-anchor
+    * matching (see [[graft.expr.FunnelCount]]); no SQL twin — the
+    * per-chain reset is a stateful fold SQL cannot spell without
+    * per-user recursion — so correctness rides the brute-force
+    * differential spec instead. */
+  def sequenceCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = Seq("view", "purchase")
+    val week = 7L * 24 * 3600 * 1000000L
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+      .filter(size(col("seq")) > 0)
+      .select(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelCount(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps.size, week)).as("chains"))
+      .groupBy(col("chains"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("chains"))
+  }
+
   /** Retention counts over anchor cohorts from per-day BITMAP states:
     * `r0` = users active on `anchor`, each further column the users
     * active on BOTH `anchor` and that return day — AND of two

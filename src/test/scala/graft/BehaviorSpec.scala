@@ -80,6 +80,66 @@ class BehaviorSpec extends AnyFunSuite {
     assert(level(Seq((20L, 1)), 100L) == 0, "no anchor, level 0")
   }
 
+  /** Reference for sequenceCount: repeated earliest-anchor chains over
+    * the (ts, step)-sorted sequence, restarting at the index after
+    * each completion — an independent spelling of the contract. */
+  private def bruteChains(events: Seq[(Long, Int)], steps: Int, window: Long): Int = {
+    val sorted = events.sorted
+    var idx = 0
+    var count = 0
+    while (idx < sorted.length) {
+      val a = sorted.indexWhere(_._2 == 0, idx)
+      if (a < 0) return count
+      var level = 1
+      val t1 = sorted(a)._1
+      var tPrev = t1
+      var j = a + 1
+      var completedAt = -1
+      while (j < sorted.length && level < steps) {
+        val (ts, st) = sorted(j)
+        if (st == level && ts > tPrev && ts - t1 <= window) {
+          tPrev = ts; level += 1
+          if (level == steps) completedAt = j
+        }
+        j += 1
+      }
+      if (completedAt < 0) return count
+      count += 1
+      idx = completedAt + 1
+    }
+    count
+  }
+
+  test("sequence count = brute-force reference on 300 random sequences") {
+    val rnd = new scala.util.Random(7)
+    val steps = 2
+    val window = 40L
+    val cases: Seq[(Int, Seq[(Long, Int)])] = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(14)
+      i -> Seq.fill(n)((rnd.nextInt(120).toLong, rnd.nextInt(3) - 1))
+    }
+    val rows = cases.flatMap { case (i, evs) =>
+      evs.map { case (ts, st) => (i, ts, st) }
+    }.toDF("id", "us", "step")
+    val counted = rows
+      .select($"id", timestamp_micros($"us").as("ts"), $"step")
+      .groupBy($"id")
+      .agg(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelCount(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(
+            sort_array(collect_list(struct($"ts", $"step")))),
+          steps, window)).as("chains"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.foreach { case (i, evs) =>
+      val expect = bruteChains(evs, steps, window)
+      assert(counted(i) == expect,
+        s"case $i: expression ${counted(i)} != reference $expect for $evs")
+    }
+    // the driver query runs and buckets deterministically
+    val dist = ops.Behavior.sequenceCounts(spark, sf).collect()
+    assert(dist.nonEmpty && dist.map(_.getLong(1)).sum > 0)
+  }
+
   test("sequence match = unbounded-window funnel (order only)") {
     val events = Tables.events(spark, sf)
     val got = ops.Behavior.sequenceMatch(spark, sf).collect().head
