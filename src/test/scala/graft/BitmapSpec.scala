@@ -231,6 +231,48 @@ class BitmapSpec extends AnyFunSuite {
     }
   }
 
+  /** The multi-distinct inversion's REGULAR-aggregate leg: in Spark's
+    * Expand+gid encoding, non-distinct aggregates arrive as
+    * `first(x) FILTER (gid=0)` over an inner partial — the inversion
+    * must inline and re-source the inner definition. Only counts had
+    * exercised that path; this pins the decimal SUM leg (and the mix
+    * of two distincts + sum + count in one dashboard) bit-equal. */
+  test("multi-distinct inversion carries sums: 2 distincts + dsum + count route bit-equal") {
+    import graft.plans.RollupRouting
+    import graft.plans.RollupRouting._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmsum")
+      .resolve("bmsumrollup").toString
+    val spec = Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        BitmapUniqOf("user_id", "users_bm"),
+        BitmapUniqOf(ExprPat(when($"value" > 2.0d, $"user_id")), "big_bm"),
+        SumOf(ColRef("value"), "v_sum_p"),
+        CountStarTo("c_p")))
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           countDistinct(when($"value" > 2.0d, $"user_id")).as("n_big"),
+           graft.ops.Fns.dsum($"value").as("volume"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("bmsumrollup") && !plan.contains("events.parquet"),
+        s"the mixed multi-distinct dashboard must route whole:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "distincts, the exact-decimal sum, and the count must all be bit-equal")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("grainless bitmap spec: uniqExactIf routes; different predicate stays live") {
     import graft.ops.Rollups
     val dir = java.nio.file.Files.createTempDirectory("graft_bmg")
