@@ -570,6 +570,10 @@ object SparkEntry {
     // user (rows-only: the per-chain reset is a stateful fold SQL
     // cannot spell; brute-force differential spec instead)
     "q231_sequence_counts" -> (ops.Behavior.sequenceCounts _),
+    // r15: the grain-claim → bitmap swap — a split-forcing exact
+    // distinct pools into the calendar-sized spec as a bitmap member;
+    // one MV serves the distinct AND volume dashboards
+    "q232_advised_claim_swap" -> (graft.plans.Advisor.advisedClaimSwap _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2242,6 +2246,12 @@ object SparkEntry {
     "q228_audience_overlap" -> audienceOverlapSql,
     // the MV-routed twin must reproduce the identical exact counts
     "q229_audience_overlap_routed" -> audienceOverlapSql,
+    // the claim-swapped spec must answer the unchanged exact-distinct
+    // dashboard (bitmap states are exact)
+    "q232_advised_claim_swap" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY day""",
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (

@@ -853,6 +853,53 @@ object Advisor {
                   gs += scala.collection.mutable.Buffer(d)
               }
             }
+            // GRAIN-CLAIM → BITMAP swap (round 15): when a group
+            // exists ONLY because its demands' COUNT(DISTINCT) grain
+            // claims dragged the counted column into the spec keys —
+            // the (day, user)-sized rollup whose sole distinct-count
+            // job the bitmap member does from a (day)-sized one — try
+            // the demands with each claim re-minted as BitmapUniqOf
+            // (integral columns only; exactness preserved, the column
+            // leaves the keys) and RE-POOL them into an existing
+            // group. Claims that a peer demand legitimately groups by
+            // pool for free already (gain 1), so only split-forcing
+            // claims ever swap; the join path deliberately keeps the
+            // r14 claim behavior (its per-order MV also serves
+            // per-order reads — q150's shape).
+            def swapClaims(d: SingleDemand): Option[SingleDemand] = {
+              val claims = d.aggs.collect { case CountDistinctGrain(g) => g }
+              val types = d.source.output.map(a => a.name -> a.dataType).toMap
+              if (claims.isEmpty || !claims.forall(g => types.get(g).exists(integral)))
+                None
+              else Some(d.copy(
+                keys = d.keys -- claims,
+                aggs = d.aggs.map {
+                  case CountDistinctGrain(g) =>
+                    BitmapUniqOf(ColRef(g), statePartialName(ColRef(g), "bm"))
+                  case m => m
+                }))
+            }
+            def fitsIn(g: scala.collection.mutable.Buffer[SingleDemand],
+                       d2: SingleDemand): Boolean = {
+              val u = g.flatMap(_.keys).toSet ++ d2.keys
+              (g :+ d2).forall(m => gain(m.keys, u) <= maxReadInflation)
+            }
+            for (gi <- gs.toList if gs.size > 1) {
+              if (gi.forall(_.aggs.exists(_.isInstanceOf[CountDistinctGrain]))) {
+                val sw = gi.flatMap(swapClaims)
+                if (sw.size == gi.size) {
+                  gs.find(go => (go ne gi) && sw.forall(d2 => fitsIn(go, d2)))
+                    .foreach { go =>
+                      go ++= sw
+                      gs -= gi
+                      splits += (s"$suffix: grain claim swapped to the bitmap " +
+                        s"member — the COUNT(DISTINCT) column would have keyed " +
+                        s"its own spec; the exact bitmap state answers it from " +
+                        s"the pooled grain instead")
+                    }
+                }
+              }
+            }
             if (gs.size > 1) {
               val uAll = ds.flatMap(_.keys).toSet
               val worst = ds.map(d => gain(d.keys, uAll)).max
@@ -1476,6 +1523,36 @@ object Advisor {
       s"the lattice distinct must advise the bitmap member: " +
         advice.singles.head.spec.aggs)
     runRouted(spark, advice) { q() }
+  }
+
+  /** Driver entry (q232, oracled): the GRAIN-CLAIM → BITMAP swap. A
+    * per-day exact-distinct-users dashboard and a per-day volume
+    * dashboard used to advise TWO specs — the claim dragged user_id
+    * into its spec's keys, a (day × user)-sized rollup, and the
+    * volume read refused the ~user-fold inflation. The swap re-mints
+    * the split-forcing claim as the bitmap member, so ONE
+    * calendar-sized spec serves both dashboards: the distinct count
+    * reads a compressed bitmap per day (exact), the volume its sum
+    * partial. The unchanged distinct dashboard is the oracled read. */
+  def advisedClaimSwap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.StarJoins.scratch(sfDir, "advised_claimswap")
+    val qA = () => graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n"))
+      .orderBy("day")
+    val qB = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.ops.Fns.dsum(col("value")).as("volume"))
+    val advice = advise(Seq(qA(), qB), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"the swap must pool ONE spec: $advice")
+    require(advice.singles.head.spec.aggs.exists(
+        _.isInstanceOf[RollupRouting.BitmapUniqOf]) &&
+      advice.splits.exists(_.contains("bitmap")),
+      s"the claim must swap to the bitmap member: $advice")
+    runRouted(spark, advice) { qA() }
   }
 
   def advisedOrdersDashboard(spark: SparkSession, sfDir: String): DataFrame = {

@@ -78,6 +78,53 @@ class AdvisorSpec extends AnyFunSuite {
     }
   }
 
+  /** r15: the grain-claim → bitmap swap. A split-forcing integral
+    * COUNT(DISTINCT) pools into the calendar-sized spec as a bitmap
+    * member (one MV for the distinct AND volume dashboards); a
+    * non-integral claim keeps the r14 behavior — its own spec, the
+    * claim intact (bitmaps need integral inputs). */
+  test("split-forcing integral grain claims swap to bitmap members and pool") {
+    import graft.plans.RollupRouting.{BitmapUniqOf, CountDistinctGrain}
+    val root = java.nio.file.Files.createTempDirectory("graft_advise_swap").toString
+    val qA = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))
+      .orderBy("day")
+    val qB = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(graft.ops.Fns.dsum($"value").as("volume"))
+      .orderBy("day")
+    val advice = Advisor.advise(Seq(qA(), qB()), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1,
+      s"the swap must pool one calendar-sized spec: $advice")
+    val spec = advice.singles.head.spec
+    assert(spec.keyCols.isEmpty && spec.grain == "day", spec)
+    assert(spec.aggs.exists {
+        case BitmapUniqOf(_, _) => true; case _ => false }, spec.aggs)
+    assert(advice.splits.exists(_.contains("bitmap")), advice.splits)
+    val truthA = qA().collect().toSeq
+    val truthB = qB().collect().toSeq
+    routedWith(advice) {
+      for ((q, truth) <- Seq(qA -> truthA, qB -> truthB)) {
+        val routed = q()
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("advise_swap") && !plan.contains("events.parquet"),
+          s"both dashboards must read the pooled spec:\n$plan")
+        assert(routed.collect().toSeq == truth)
+      }
+    }
+    // non-integral claim: no bitmap exists for strings — the r14
+    // behavior holds (two specs, the claim kept on its own)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_advise_noswap").toString
+    val qC = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"event_type").as("n_types"))
+    val advice2 = Advisor.advise(Seq(qC(), qB()), root2)
+    assert(advice2.singles.size == 2, s"a string claim must not swap: $advice2")
+    assert(advice2.singles.flatMap(_.spec.aggs).exists {
+        case CountDistinctGrain("event_type") => true; case _ => false }, advice2)
+  }
+
   test("three star dashboards advise per-grain join MVs answering all three") {
     val root = java.nio.file.Files.createTempDirectory("graft_advise_star").toString
     val qs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
