@@ -15,5 +15,6 @@ object Functions {
     expr.Kll.register(spark)
     expr.Bmp.register(spark)
     expr.Tht.register(spark)
+    expr.TkW.register(spark)
   }
 }

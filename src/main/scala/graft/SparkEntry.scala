@@ -574,6 +574,9 @@ object SparkEntry {
     // distinct pools into the calendar-sized spec as a bitmap member;
     // one MV serves the distinct AND volume dashboards
     "q232_advised_claim_swap" -> (graft.plans.Advisor.advisedClaimSwap _),
+    // r15: topKWeighted — heaviest users by summed VALUE from the
+    // weighted frequent-items sketch (exact under capacity)
+    "q233_topk_weighted" -> (Rollups.topKWeightedUsers _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2252,6 +2255,20 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY day""",
+    // topKWeighted at exact capacity: the sketch report equals the
+    // plain weighted rank (total order: weight DESC, user ASC)
+    "q233_topk_weighted" ->
+      """WITH w AS (
+           SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS wt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, user_id, wt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY wt DESC, user_id) AS rk
+           FROM w)
+         SELECT event_type, user_id, wt FROM r WHERE rk <= 3
+         ORDER BY event_type, wt DESC, user_id""",
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (

@@ -526,6 +526,27 @@ object Rollups {
     }
   }
 
+  /** Driver entry (q233, oracled): ClickHouse's `topKWeighted` — the
+    * top-3 users BY SUMMED VALUE (not row count) per event type, from
+    * the weighted frequent-items sketch ([[graft.expr.TopKWeightedAgg]];
+    * weights are the cent-scaled values, so they stay integral and
+    * both engines compute the identical rounding). The fixture keeps
+    * every group's distinct users far under the sketch capacity, so
+    * the state is EXACT and the total order (weight DESC, user ASC)
+    * makes the exploded report hash-oracled against the plain
+    * SUM-and-rank SQL. */
+  def topKWeightedUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.TkW
+    val weight = round(col("value") * lit(100.0d)).cast("long")
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(TkW.topK(TkW.agg(col("user_id"), weight), 3).as("top"))
+      .select(col("event_type"), explode(col("top")).as("t"))
+      .select(col("event_type"),
+              col("t.item").as("user_id"), col("t.weight").as("wt"))
+      .orderBy(col("event_type"), col("wt").desc, col("user_id"))
+  }
+
   /** The (day × event_type) CAPPED-SET rollup registration (round 13):
     * `uniqUpTo(50)`'s state — at most 51 members per group regardless
     * of cardinality ([[graft.plans.RollupRouting.UniqUpToOf]]). */

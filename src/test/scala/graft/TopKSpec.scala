@@ -49,6 +49,43 @@ class TopKSpec extends AnyFunSuite {
     assert(native sameElements expected)
   }
 
+  /** r15: topKWeighted — exact under capacity against the rank truth,
+    * merge across partitions deterministic, negative weights refused. */
+  test("topKWeighted = exact weighted rank under capacity; merge deterministic") {
+    import graft.expr.TkW
+    val events = Tables.events(spark, TestSpark.sf)
+    val weight = round($"value" * lit(100.0d)).cast("long")
+    val got = ops.Rollups.topKWeightedUsers(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val w = Window.partitionBy($"event_type").orderBy($"wt".desc, $"user_id")
+    val truth = events.groupBy($"event_type", $"user_id")
+      .agg(sum(weight).as("wt"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"event_type", $"user_id", $"wt")
+      .orderBy($"event_type", $"wt".desc, $"user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == truth, "the sketch report must equal the exact weighted rank")
+    // split-build states merge to the single-pass report
+    val single = events.groupBy($"event_type")
+      .agg(TkW.topK(TkW.agg($"user_id", weight), 3).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val merged = events.withColumn("half", pmod($"user_id", lit(2)))
+      .groupBy($"event_type", $"half")
+      .agg(TkW.agg($"user_id", weight).as("st"))
+      .groupBy($"event_type")
+      .agg(TkW.topK(TkW.merge($"st"), 3).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    single.foreach { case (k, v) => assert(merged(k) == v,
+      s"merged weighted top-k for $k must equal the single pass") }
+    // a negative weight is a contract violation, not a silent skip
+    val ex = intercept[Exception] {
+      Seq((1L, -5L)).toDF("u", "w")
+        .agg(TkW.topK(TkW.agg($"u", $"w"), 1)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("multi-column grouping and string order keys") {
     val df = Seq(
       ("x", 1, "bb", 10L), ("x", 1, "aa", 20L), ("x", 2, "cc", 30L),
