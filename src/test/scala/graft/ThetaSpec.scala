@@ -90,6 +90,24 @@ class ThetaSpec extends AnyFunSuite {
         .agg(Tht.estimate(Tht.agg($"user_id", lgK = 10)).as("u"))
       assert(other.queryExecution.executedPlan.toString.contains("events.parquet"),
         "a different lgK must not route onto the registered state")
+      // LATTICE: theta union is subtotal-safe, so a ROLLUP dashboard
+      // over the estimate routes per grain — and the grainless spec's
+      // keys-only lattice stays state-sized
+      val latTruth = Tables.events(spark, sf)
+        .rollup($"event_type")
+        .agg(Tht.estimate(Tht.agg($"user_id")).cast("long").as("u"))
+        .orderBy($"event_type".asc_nulls_first)
+      spark.experimental.extraOptimizations = Nil
+      val latPlain = latTruth.collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val lat = Tables.events(spark, sf)
+        .rollup($"event_type")
+        .agg(Tht.estimate(Tht.agg($"user_id")).cast("long").as("u"))
+        .orderBy($"event_type".asc_nulls_first)
+      assert(lat.queryExecution.executedPlan.toString.contains("throllup"),
+        "the theta lattice must route through the states")
+      assert(lat.collect().toSeq == latPlain,
+        "every lattice grain's theta estimate must equal the live one")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
