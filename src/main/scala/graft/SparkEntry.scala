@@ -577,6 +577,10 @@ object SparkEntry {
     // r15: topKWeighted — heaviest users by summed VALUE from the
     // weighted frequent-items sketch (exact under capacity)
     "q233_topk_weighted" -> (Rollups.topKWeightedUsers _),
+    // r15: EXACT sliding 7-day uniques from daily bitmap states —
+    // the exact middle of the q129/q130 sliding-uniques trilogy;
+    // calendar-sized state merges, never a fact scan
+    "q234_sliding_uniq_bitmap" -> (Rollups.slidingUniqueBitmap _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2255,6 +2259,14 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY day""",
+    // exact sliding 7-day uniques: the bitmap window merge equals the
+    // raw windowed COUNT(DISTINCT)
+    "q234_sliding_uniq_bitmap" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+         SELECT d.day, COUNT(DISTINCT e.user_id) AS uniq_users_7d
+         FROM d JOIN events e
+           ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+         GROUP BY 1 ORDER BY day""",
     // topKWeighted at exact capacity: the sketch report equals the
     // plain weighted rank (total order: weight DESC, user ASC)
     "q233_topk_weighted" ->

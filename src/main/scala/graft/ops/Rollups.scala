@@ -547,6 +547,33 @@ object Rollups {
       .orderBy(col("event_type"), col("wt").desc, col("user_id"))
   }
 
+  /** Driver entry (q234, oracled): EXACT sliding 7-day distinct users
+    * from DAILY BITMAP STATES — the missing exact middle of the
+    * sliding-uniques trilogy: q129's explode-exact pays a per-anchor
+    * distinct over raw rows (117× at the ×100 audit before the
+    * sweep-line), q130's HLL twin is approximate; here each anchor
+    * day OR-merges its seven daily bitmaps (calendar × 7 state reads,
+    * invariant in fact volume) and the count is EXACT. The spine ×
+    * states range join is calendar-sized on both sides — broadcast,
+    * never a fact scan. */
+  def slidingUniqueBitmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "lattice_bitmap_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), bitmapDaySpec("unused"))
+    }
+    import graft.expr.Bmp
+    val daily = spark.read.parquet(dir)
+      .groupBy(col("day"))
+      .agg(Bmp.merge(col("users_bm")).as("bm"))
+    val spine = daily.select(col("day").as("anchor"))
+    spine.join(broadcast(daily),
+        col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+      .groupBy(col("anchor").as("day"))
+      .agg(Bmp.count(Bmp.merge(col("bm"))).as("uniq_users_7d"))
+      .orderBy("day")
+  }
+
   /** The (day × event_type) CAPPED-SET rollup registration (round 13):
     * `uniqUpTo(50)`'s state — at most 51 members per group regardless
     * of cardinality ([[graft.plans.RollupRouting.UniqUpToOf]]). */
