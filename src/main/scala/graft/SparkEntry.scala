@@ -2411,11 +2411,17 @@ object SparkEntry {
          FROM lineitem GROUP BY 1)
        SELECT l_returnflag, n,
          s_q / $nD AS mean_qty,
-         (ss_q - s_q*s_q/$nD) / ($nD - 1) AS var_qty,
-         sqrt((ss_q - s_q*s_q/$nD) / ($nD - 1)) AS std_qty,
-         (s_qd - s_q*s_d/$nD) / ($nD - 1) AS covar_qty_disc,
-         (s_qd - s_q*s_d/$nD) /
-           sqrt((ss_q - s_q*s_q/$nD) * (ss_d - s_d*s_d/$nD)) AS corr_qty_disc
+         CASE WHEN n > 1
+           THEN (ss_q - s_q*s_q/$nD) / ($nD - 1) END AS var_qty,
+         CASE WHEN n > 1
+           THEN sqrt((ss_q - s_q*s_q/$nD) / ($nD - 1)) END AS std_qty,
+         CASE WHEN n > 1
+           THEN (s_qd - s_q*s_d/$nD) / ($nD - 1) END AS covar_qty_disc,
+         CASE WHEN n > 1
+               AND (ss_q - s_q*s_q/$nD) * (ss_d - s_d*s_d/$nD) > 0
+           THEN (s_qd - s_q*s_d/$nD) /
+             sqrt((ss_q - s_q*s_q/$nD) * (ss_d - s_d*s_d/$nD))
+         END AS corr_qty_disc
        FROM m ORDER BY l_returnflag"""
   }
 

@@ -274,6 +274,13 @@ object Bmp {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.graftx.Bridge
 
+  /** The serialized EMPTY bitmap state — the OR identity and the AND
+    * annihilator. Cohort reads coalesce a MISSING group's state to it
+    * so "day with no events" means "no members" (cells intersecting
+    * it become 0), never "skip the day" (which would silently return
+    * the other side's full cardinality). */
+  val empty: Array[Byte] = Bitmap.serializeBitmap(new Roaring64Bitmap())
+
   /** Per-group exact-distinct bitmap state of an integral column. */
   def agg(c: Column): Column =
     Bridge.column(BitmapAgg(Bridge.expressionEager(c)).toAggregateExpression())

@@ -41,6 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * function of the input VALUE SET (hash threshold, no RNG), so
   * states and estimates are reproducible across partitionings. */
 object Theta {
+  /** Datasketches' largest nominal-entries exponent — the
+    * "never downsample" buffer size for state UNIONS whose inputs'
+    * precision is unknown (a union buffer must be at least as large
+    * as its inputs or it silently degrades them; a buffer at the max
+    * preserves whatever precision the inputs carry, and its memory
+    * tracks RETAINED entries, not capacity). */
+  val MaxLgK: Int = 26
   private[expr] def emptyState(lgK: Int): Array[Byte] =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
       .getResult.toByteArray
@@ -116,10 +123,20 @@ case class ThetaAgg(
     copy(child = c)
 }
 
-/** Union of serialized theta states across rows. */
+/** Union of serialized theta states across rows. `lgK` sizes the
+  * UNION BUFFER, not the inputs: a buffer smaller than an input state
+  * silently downsamples it (Datasketches' documented union behavior),
+  * so the no-argument surface (`graft_theta_union(st)`, `Tht.union(c)`)
+  * defaults to [[Theta.MaxLgK]] — the union then carries exactly its
+  * inputs' own precision (result θ = min over inputs), whatever lgK
+  * they were built with. The ROUTER still pins the registered lgK
+  * explicitly ([[graft.plans.RollupRouting.ThetaUniqOf]]): there the
+  * inputs' precision is known and bit-equality with the live plan is
+  * the contract (a union at the registered size is bit-identical to
+  * one at the max for those inputs — neither downsamples). */
 case class ThetaUnionAgg(
     child: Expression,
-    lgK: Int = 12,
+    lgK: Int = Theta.MaxLgK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
@@ -326,7 +343,7 @@ object Tht {
 
   def agg(c: Column, lgK: Int = 12): Column =
     Bridge.column(ThetaAgg(Bridge.expressionEager(c), lgK).toAggregateExpression())
-  def union(c: Column, lgK: Int = 12): Column =
+  def union(c: Column, lgK: Int = Theta.MaxLgK): Column =
     Bridge.column(ThetaUnionAgg(Bridge.expressionEager(c), lgK)
       .toAggregateExpression())
   def intersect(c: Column): Column =

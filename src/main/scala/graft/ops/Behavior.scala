@@ -237,15 +237,39 @@ object Behavior {
     * `r0` = users active on `anchor`, each further column the users
     * active on BOTH `anchor` and that return day — AND of two
     * compressed bitmaps (ClickHouse `retention(cond1, condN)` /
-    * `groupBitmapAnd`). */
+    * `groupBitmapAnd`). A requested day with NO events contributes an
+    * explicit EMPTY state (the requested-day spine below), so its
+    * cells are 0 — ClickHouse's unmet-condition semantics. Without
+    * the spine the missing day would simply be absent from the
+    * intersect, whose identity-on-missing would silently report the
+    * surviving day's full cardinality instead. */
   def retention(events: DataFrame, anchor: String,
                 returns: Seq[String]): DataFrame = {
-    import graft.expr.Bmp
     val days = (anchor +: returns).map(java.sql.Date.valueOf)
     val states = events
       .filter(to_date(col("ts")).isin(days: _*))
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(Bmp.agg(col("user_id")).as("bm"))
+      .agg(graft.expr.Bmp.agg(col("user_id")).as("bm"))
+    retentionCells(denseDayStates(states, days), anchor, returns)
+  }
+
+  /** Every requested day as a state row: days absent from `states`
+    * (no events) coalesce to the serialized EMPTY bitmap, which
+    * annihilates the cohort AND instead of being skipped. */
+  private def denseDayStates(states: DataFrame,
+                             days: Seq[java.sql.Date]): DataFrame = {
+    val spark = states.sparkSession
+    import spark.implicits._
+    val spine = days.distinct.toDF("day")
+    broadcast(spine).join(states, Seq("day"), "left")
+      .withColumn("bm", coalesce(col("bm"), lit(graft.expr.Bmp.empty)))
+  }
+
+  /** The retention report over a DENSE (day, bm) frame — one state
+    * row per requested day, empty states included. */
+  private def retentionCells(daily: DataFrame, anchor: String,
+                             returns: Seq[String]): DataFrame = {
+    import graft.expr.Bmp
     val anchorD = lit(java.sql.Date.valueOf(anchor))
     val cells: Seq[Column] =
       Bmp.count(Bmp.merge(when(col("day") === anchorD, col("bm")))).as("r0") +:
@@ -255,7 +279,7 @@ object Behavior {
                col("day") === lit(java.sql.Date.valueOf(d)), col("bm"))))
           .as(s"r${i + 1}")
       }
-    states.agg(cells.head, cells.tail: _*)
+    daily.agg(cells.head, cells.tail: _*)
   }
 
   /** Driver entry (q222, oracled): day-1/day-7 retention from the
@@ -287,15 +311,6 @@ object Behavior {
       .filter(col("day").isin(days: _*))
       .groupBy(col("day"))
       .agg(Bmp.merge(col("users_bm")).as("bm"))
-    val anchorD = lit(java.sql.Date.valueOf(anchor))
-    val cells: Seq[Column] =
-      Bmp.count(Bmp.merge(when(col("day") === anchorD, col("bm")))).as("r0") +:
-      returns.zipWithIndex.map { case (d, i) =>
-        Bmp.count(Bmp.intersect(
-          when(col("day") === anchorD ||
-               col("day") === lit(java.sql.Date.valueOf(d)), col("bm"))))
-          .as(s"r${i + 1}")
-      }
-    daily.agg(cells.head, cells.tail: _*)
+    retentionCells(denseDayStates(daily, days), anchor, returns)
   }
 }

@@ -57,13 +57,19 @@ object Moments {
     val mQ = col("ss_q") - col("s_q") * col("s_q") / n
     val mD = col("ss_d") - col("s_d") * col("s_d") / n
     val mQD = col("s_qd") - col("s_q") * col("s_d") / n
+    // degenerate groups follow SQL var_samp/corr semantics: a single
+    // row has no sample variance (NULL, not Infinity from the n−1
+    // division) and a zero-variance column has no correlation (NULL,
+    // not NaN from the 0/0) — the oracle spells the same CASE guards
+    val varQ = when(col("n") > 1, mQ / (n - 1))
     agg.select(
         col("l_returnflag"), col("n"),
         (col("s_q") / n).as("mean_qty"),
-        (mQ / (n - 1)).as("var_qty"),
-        sqrt(mQ / (n - 1)).as("std_qty"),
-        (mQD / (n - 1)).as("covar_qty_disc"),
-        (mQD / sqrt(mQ * mD)).as("corr_qty_disc"))
+        varQ.as("var_qty"),
+        sqrt(varQ).as("std_qty"),
+        when(col("n") > 1, mQD / (n - 1)).as("covar_qty_disc"),
+        when(col("n") > 1 && mQ * mD > 0, mQD / sqrt(mQ * mD))
+          .as("corr_qty_disc"))
       .orderBy("l_returnflag")
   }
 

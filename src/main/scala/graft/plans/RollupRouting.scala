@@ -3364,19 +3364,38 @@ object RollupRouting {
       case Aggregate(_, innerAggExprs, ex: Expand, _) =>
         val exOut = ex.output
         val idxOf: Map[ExprId, Int] = exOut.map(_.exprId).zipWithIndex.toMap
-        // the gid column RewriteDistinctAggregates plants: IntegerType,
-        // a distinct int literal in every projection row
-        val gidIdx = exOut.indexWhere(a => a.name == "gid" &&
-          a.dataType == IntegerType)
-        if (gidIdx < 0) return None
+        // the gid column RewriteDistinctAggregates plants. The probe is
+        // STRUCTURAL, not name-first (round 16, hardening a name-based
+        // indexWhere): the attribute must be rewrite-planted (absent
+        // from ex.child.output — a user column named "gid" flows
+        // through the child and is excluded), non-nullable IntegerType,
+        // and carry a DISTINCT int literal in EVERY projection row.
+        // The name is kept as the last tiebreak only because the
+        // rewrite offers no public tag; if several columns qualify
+        // structurally the LAST one wins (the rewrite appends its
+        // bookkeeping after the expanded data columns).
+        val childIds = AttributeSet(ex.child.output)
+        def distinctLiteralAt(i: Int): Boolean = {
+          val lits = ex.projections.map(_(i)).collect {
+            case Literal(v: Int, IntegerType) => v
+          }
+          lits.size == ex.projections.size && lits.distinct.size == lits.size
+        }
+        val gidCandidates = exOut.indices.filter { i =>
+          val a = exOut(i)
+          a.name == "gid" && a.dataType == IntegerType && !a.nullable &&
+            !childIds.contains(a) && distinctLiteralAt(i)
+        }
+        if (gidCandidates.isEmpty) return None
+        val gidIdx = gidCandidates.last
         val gidAttr = exOut(gidIdx)
-        val rowsByGid: Map[Int, Seq[Expression]] = ex.projections.flatMap { row =>
+        val rowsByGid: Map[Int, Seq[Expression]] = ex.projections.map { row =>
           row(gidIdx) match {
-            case Literal(i: Int, IntegerType) => Some(i -> row)
-            case _ => None
+            case Literal(i: Int, IntegerType) => i -> row
+            case other => throw new IllegalStateException(
+              s"gid probe accepted a non-literal projection entry: $other")
           }
         }.toMap
-        if (rowsByGid.size != ex.projections.size) return None // non-literal/dup gid
         val row0 = rowsByGid.getOrElse(0, return None)
         // inner regular-aggregate definitions, by their output ExprId
         val innerMap: Map[ExprId, AggregateExpression] = innerAggExprs.collect {

@@ -253,4 +253,43 @@ class BehaviorSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((r0, r1, r2)),
       s"bitmap-AND cells must equal set-op truth: $got vs ($r0,$r1,$r2)")
   }
+
+  test("retention: a requested day with no events yields 0 cells, not " +
+       "the surviving day's cardinality") {
+    // two users active on day 5 only; day 6 and day 99 have no rows
+    val events = Seq(
+      (1L, "2024-01-05 10:00:00"),
+      (2L, "2024-01-05 11:00:00"),
+      (1L, "2024-01-12 09:00:00"))
+      .toDF("user_id", "s").select($"user_id", $"s".cast("timestamp").as("ts"))
+    // empty RETURN day: r_i must be 0 (unmet condition), never r0
+    val a = ops.Behavior.retention(events, "2024-01-05",
+      Seq("2024-01-06", "2024-01-12")).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == ((2L, 0L, 1L)),
+      s"empty return day must intersect to 0: $a")
+    // empty ANCHOR day: every cell must be 0, never the return day's count
+    val b = ops.Behavior.retention(events, "2024-01-06",
+      Seq("2024-01-12")).collect().head
+    assert((b.getLong(0), b.getLong(1)) == ((0L, 0L)),
+      s"empty anchor day must zero the whole report: $b")
+  }
+
+  test("theta union buffer never downsamples its inputs (a default " +
+       "union of one lgK-14 estimation-regime state is an identity)") {
+    import graft.expr.Tht
+    // 60k distinct values at lgK 14: the state is in the ESTIMATION
+    // regime (retained set governed by its own θ). A union buffer
+    // smaller than the input (the old 12 default) quick-selects the
+    // retained set down to ~4096 entries — a DIFFERENT θ, a different
+    // estimate. A never-downsampling buffer makes the single-input
+    // union an exact identity.
+    val df = spark.range(60000).select($"id".cast("long").as("v"))
+    val st = df.agg(Tht.agg($"v", 14).as("st"))
+    val direct = st.select(Tht.estimate($"st").as("est"))
+      .collect().head.getDouble(0)
+    val unioned = st.agg(Tht.estimate(Tht.union($"st")).as("est"))
+      .collect().head.getDouble(0)
+    assert(unioned == direct,
+      s"default union must not downsample an lgK-14 input: $unioned vs $direct")
+  }
 }
