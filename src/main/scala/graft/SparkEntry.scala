@@ -581,6 +581,44 @@ object SparkEntry {
     // the exact middle of the q129/q130 sliding-uniques trilogy;
     // calendar-sized state merges, never a fact scan
     "q234_sliding_uniq_bitmap" -> (Rollups.slidingUniqueBitmap _),
+    // r16: the q233 weighted-top-k dashboard ROUTED through a
+    // registered TopKWeightedOf MV — state sum-merge, fact never read
+    "q235_topk_weighted_routed" -> (Rollups.topKWeightedUsersRouted _),
+    // r16: the same dashboard ADVISED end-to-end — the advisor mines
+    // the weighted-rank demand (item + weight patterns) and the
+    // unchanged query routes through the minted member
+    "q236_topk_weighted_advised" -> (Rollups.topKWeightedUsersAdvised _),
+    // r16: q231's sequenceCount served from registered two-step
+    // sequence MV states (rows-only like q231: the per-chain reset is
+    // a stateful fold SQL cannot spell; routed ≡ live spec-pinned) —
+    // clears the r15 verdict's last perf-weak row
+    "q237_sequence_counts_from_states" -> (ops.Behavior.sequenceCountsFromStates _),
+    // r16: the TIMED pattern grammar — sequenceMatch('(?1)(?t<3600)
+    // (?2).*(?3)') via reachability DP (true existential matching)
+    "q238_sequence_match_timed" -> (ops.Behavior.sequenceMatchTimed _),
+    // r16: windowFunnel strict_order — interfering events freeze the
+    // chain; oracled positionally (rank + consecutive-run CTEs)
+    "q239_funnel_strict_order" -> (ops.Behavior.windowFunnelStrictOrder _),
+    // r16: the full mode matrix (base / strict_order / strict_dedup /
+    // relaxed strict_increase) in one labeled report — rows-only;
+    // each mode pinned against a brute-force reference in BehaviorSpec
+    "q240_funnel_mode_matrix" -> (ops.Behavior.funnelModeMatrix _),
+    // r16: the funnel ADVISED end-to-end — the advisor mines the
+    // collect_list(struct(ts, step)) sequence demand and the
+    // unchanged funnel histogram routes (q230 hand-registered it)
+    "q241_funnel_advised" -> (ops.Behavior.windowFunnelAdvised _),
+    // r16: WITH FILL FROM 0 TO 600 STEP 25 over a NUMERIC axis with
+    // INTERPOLATE (ceiling AS ceiling + 1) — the general gap-fill
+    // (q226 is the day-spine special case)
+    "q242_with_fill_step" -> (ops.GapFill.filledBucketSeries _),
+    // r16: the exact-distinct BITMAP member on the JOIN path — the
+    // per-segment COUNT(DISTINCT o_custkey) dashboard answered from
+    // five segment-grain bitmap states; the join never runs
+    "q243_segment_customers_bitmap" -> (ops.StarJoins.segmentCustomersRouted _),
+    // r16: theta error-bound surfacing — estimate + published ±2σ
+    // bounds + the exact-regime flag per audience (exact regime here,
+    // so the oracle asserts the honesty contract itself)
+    "q244_theta_bounds" -> (ops.Behavior.audienceBounds _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2242,6 +2280,8 @@ object SparkEntry {
     "q221_window_funnel" -> funnelSql,
     // the MV-served twin must reproduce the identical histogram
     "q230_funnel_from_states" -> funnelSql,
+    // the ADVISOR-minted sequence MV must serve the same histogram
+    "q241_funnel_advised" -> funnelSql,
     // retention: exact cohort intersections (bitmap-AND on the Spark
     // side, DISTINCT-INTERSECT counts here)
     "q222_retention" -> retentionSql,
@@ -2267,20 +2307,66 @@ object SparkEntry {
          FROM d JOIN events e
            ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
          GROUP BY 1 ORDER BY day""",
+    // the MV-routed and advisor-minted twins must reproduce the
+    // identical weighted ranking (exact regime: state sum-merge is
+    // the global weight map)
+    "q235_topk_weighted_routed" -> topKWeightedSql,
+    "q236_topk_weighted_advised" -> topKWeightedSql,
     // topKWeighted at exact capacity: the sketch report equals the
     // plain weighted rank (total order: weight DESC, user ASC)
-    "q233_topk_weighted" ->
-      """WITH w AS (
-           SELECT event_type, user_id,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS wt
-           FROM events GROUP BY 1, 2),
+    "q233_topk_weighted" -> topKWeightedSql,
+    // timed pattern grammar: EXISTS a view followed within an hour by
+    // a click, eventually followed by a purchase — the join chain IS
+    // the existential semantics the DP computes
+    "q238_sequence_match_timed" ->
+      """WITH m AS (
+           SELECT DISTINCT v.user_id
+           FROM events v
+           JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts < v.ts + INTERVAL 3600 SECOND
+           JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts
+           WHERE v.event_type = 'view')
+         SELECT (SELECT COUNT(*) FROM m) AS matched,
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users""",
+    // strict_order funnel, positionally: rank a user's events by
+    // (ts, step), anchor at the first step-0 position; the level is
+    // 1 + the longest consecutive run of positions carrying steps
+    // 1, 2, … with strictly-increasing ts inside the anchor's window
+    "q239_funnel_strict_order" ->
+      """WITH q AS (
+           SELECT user_id, ts,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE -1 END AS step
+           FROM events),
          r AS (
-           SELECT event_type, user_id, wt,
-             ROW_NUMBER() OVER (
-               PARTITION BY event_type ORDER BY wt DESC, user_id) AS rk
-           FROM w)
-         SELECT event_type, user_id, wt FROM r WHERE rk <= 3
-         ORDER BY event_type, wt DESC, user_id""",
+           SELECT user_id, ts, step,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, step) AS pts
+           FROM q),
+         coh AS (SELECT DISTINCT user_id FROM q WHERE step >= 0),
+         a AS (SELECT user_id, MIN(rn) AS arn FROM r WHERE step = 0
+               GROUP BY user_id),
+         anch AS (SELECT r.user_id, a.arn, r.ts AS ats
+                  FROM a JOIN r ON r.user_id = a.user_id AND r.rn = a.arn),
+         t AS (SELECT r.user_id, r.rn - anch.arn AS off, r.step, r.ts,
+                      r.pts, anch.ats
+               FROM r JOIN anch ON r.user_id = anch.user_id
+               WHERE r.rn > anch.arn),
+         lv AS (SELECT user_id,
+                  LEAST(3, 1 + COALESCE(
+                    MIN(CASE WHEN NOT (step = off AND ts > pts
+                                       AND ts <= ats + INTERVAL 7 DAY)
+                             THEN off END) - 1,
+                    COUNT(*))) AS level
+                FROM t GROUP BY user_id),
+         ul AS (SELECT coh.user_id,
+                  CAST(CASE WHEN anch.user_id IS NULL THEN 0
+                            ELSE COALESCE(lv.level, 1) END AS INTEGER) AS level
+                FROM coh LEFT JOIN anch ON coh.user_id = anch.user_id
+                LEFT JOIN lv ON coh.user_id = lv.user_id)
+         SELECT level, COUNT(*) AS users FROM ul
+         GROUP BY level ORDER BY level""",
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2317,6 +2403,55 @@ object SparkEntry {
          FROM spine s CROSS JOIN k
          LEFT JOIN sparse sp ON sp.day = s.day AND sp.event_type = k.event_type
          ORDER BY s.day, k.event_type""",
+    // theta bounds in the exact regime: is_exact true, estimate =
+    // lower = upper = the exact distinct count
+    "q244_theta_bounds" ->
+      """SELECT event_type,
+         COUNT(DISTINCT user_id) AS users,
+         COUNT(DISTINCT user_id) AS lower,
+         COUNT(DISTINCT user_id) AS upper,
+         TRUE AS is_exact
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // the join-path bitmap member: the routed segment dashboard must
+    // equal the exact distinct-customer counts off the raw join
+    "q243_segment_customers_bitmap" ->
+      """SELECT c_mktsegment,
+         COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    // numeric WITH FILL: the grid spine via generate_series, zero
+    // defaults, and the +1-per-step interpolation in closed form
+    // (linear expr: last real value + steps-since-real × 1)
+    "q242_with_fill_step" ->
+      s"""WITH agg AS (
+           SELECT event_type, CAST(FLOOR(value / 25.0) * 25 AS BIGINT) AS bucket,
+             COUNT(*) AS n, ${dsum("value")} AS volume, MAX(value) AS ceiling
+           FROM events GROUP BY 1, 2),
+         sparse AS (SELECT * FROM agg WHERE bucket >= 0 AND bucket < 600),
+         spine AS (SELECT UNNEST(generate_series(0, 575, 25)) AS bucket),
+         k AS (SELECT DISTINCT event_type FROM sparse),
+         j AS (
+           SELECT k.event_type, s.bucket,
+             COALESCE(sp.n, 0) AS n, COALESCE(sp.volume, 0.0) AS volume,
+             sp.ceiling,
+             CASE WHEN sp.bucket IS NOT NULL THEN 1 ELSE 0 END AS real
+           FROM k CROSS JOIN spine s
+           LEFT JOIN sparse sp
+             ON sp.event_type = k.event_type AND sp.bucket = s.bucket),
+         seg AS (
+           SELECT *, SUM(real) OVER (
+             PARTITION BY event_type ORDER BY bucket) AS sg
+           FROM j),
+         kk AS (
+           SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type, sg ORDER BY bucket) - 1 AS dist,
+             MAX(ceiling) OVER (PARTITION BY event_type, sg) AS v0
+           FROM seg)
+         SELECT event_type, bucket, n, volume,
+           CASE WHEN sg = 0 THEN NULL
+                WHEN dist = 0 THEN ceiling
+                ELSE v0 + 1.0 * dist END AS ceiling
+         FROM kk ORDER BY event_type, bucket""",
     // uniqUpTo from the capped set state must equal the exact
     // least(count-distinct, 51) on both sides of the cap
     "q206_uniq_upto_routed" ->
@@ -2398,6 +2533,22 @@ object SparkEntry {
             INTERSECT
             SELECT DISTINCT user_id FROM events
             WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2"""
+
+  /** topKWeighted at exact capacity: the sketch report equals the
+    * plain weighted rank (total order: weight DESC, user ASC) —
+    * shared by the live q233, the routed q235, and the advised q236. */
+  private lazy val topKWeightedSql =
+    """WITH w AS (
+         SELECT event_type, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS wt
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT event_type, user_id, wt,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY wt DESC, user_id) AS rk
+         FROM w)
+       SELECT event_type, user_id, wt FROM r WHERE rk <= 3
+       ORDER BY event_type, wt DESC, user_id"""
 
   private lazy val momentsSql = {
     val nD = "CAST(n AS DOUBLE)"

@@ -15,19 +15,43 @@ import org.apache.spark.sql.types._
   * spelling) computes, so the semantics are deterministic and
   * oracle-checkable; `windowMicros = Long.MaxValue` degrades to
   * sequence matching (`sequenceMatch('(?1).*(?2)')` — order only, no
-  * window).
+  * window). DIVERGENCE, honestly stated: ClickHouse's windowFunnel
+  * returns the max level over ANY anchor; this scan anchors at the
+  * earliest step-0 event and never retries (see COVERAGE.md).
+  *
+  * PARAMETRIC MODES (round 16 — ClickHouse's windowFunnel mode
+  * arguments, applied within the same greedy-anchored contract):
+  *  - `strictOrder` (`strict_order`): once the chain is anchored, ANY
+  *    event that does not advance it ends the scan — interfering
+  *    events (including step −1 markers for non-funnel rows, and
+  *    duplicates of matched steps) freeze the level; ClickHouse's
+  *    "A→B→D→C stops at D". Events before the anchor never interrupt
+  *    (there is no chain yet).
+  *  - `strictDedup` (`strict_dedup`): a REPEAT of an already-matched
+  *    condition (step < current level) before the next step matches
+  *    ends the scan; unrelated events still pass.
+  *  - `strictIncrease = false` (ClickHouse's DEFAULT, our mode flag
+  *    inverted so the existing oracle-pinned strict behavior stays
+  *    the default): chained steps may share a timestamp (`ts >=
+  *    prev`); tie order is the lexicographic (ts, step) sort, so the
+  *    result stays deterministic.
   *
   * Input: `array<struct<ts: timestamp, step: int>>` sorted ascending
   * (build it with `sort_array(collect_list(struct(ts, step)))` —
   * struct ordering is lexicographic, so ties on ts order by step;
   * the scan requires STRICTLY increasing ts between chained steps, so
   * tie order never changes the level). Steps are 0-based and rows
-  * with other step values are ignored. One forward pass: the
+  * with other step values are ignored (except under `strictOrder`,
+  * where a post-anchor non-advancing row ends the scan — callers pass
+  * non-funnel rows as step −1 there). One forward pass: the
   * distributed cost is the one hash shuffle that gathered each user's
   * events — the same economics as ClickHouse's per-user sorted scan
   * inside `windowFunnel` — and the scan is bounded by a user's own
   * event count, never the corpus. */
-case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long)
+case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long,
+                       strictOrder: Boolean = false,
+                       strictDedup: Boolean = false,
+                       strictIncrease: Boolean = true)
   extends UnaryExpression with CodegenFallback {
 
   require(steps >= 1, s"a funnel needs at least one step, got $steps")
@@ -56,8 +80,9 @@ case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long)
     var level = 0
     var t1 = 0L
     var tPrev = 0L
+    var stopped = false
     var i = 0
-    while (i < n && level < steps) {
+    while (i < n && level < steps && !stopped) {
       if (!arr.isNullAt(i)) {
         val row = arr.getStruct(i, 2)
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
@@ -65,8 +90,14 @@ case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long)
           val st = row.getInt(1)
           if (level == 0) {
             if (st == 0) { t1 = ts; tPrev = ts; level = 1 }
-          } else if (st == level && ts > tPrev && ts - t1 <= windowMicros) {
-            tPrev = ts; level += 1
+            // pre-anchor events never interrupt: no chain exists yet
+          } else {
+            val advances = st == level &&
+              (if (strictIncrease) ts > tPrev else ts >= tPrev) &&
+              ts - t1 <= windowMicros
+            if (advances) { tPrev = ts; level += 1 }
+            else if (strictOrder) stopped = true // any interference ends it
+            else if (strictDedup && st >= 0 && st < level) stopped = true
           }
         }
       }
@@ -77,6 +108,167 @@ case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long)
 
   override protected def withNewChildInternal(c: Expression): FunnelLevel =
     copy(child = c)
+}
+
+/** `sequenceMatch('(?1)(?t<3600)(?2).*(?3)')` (round 16) —
+  * ClickHouse's pattern-grammar sequence matching as a scalar over a
+  * user's SORTED event sequence (same input contract as
+  * [[FunnelLevel]]): TRUE iff SOME subsequence of the user's events
+  * matches the pattern. Grammar (ClickHouse's):
+  *  - `(?N)` — an event whose step is N−1 (conditions are 1-based);
+  *  - `.*` — any number of events between two conditions (adjacency
+  *    `(?1)(?2)` already means "eventually after", ClickHouse's own
+  *    semantics, so `.*` is documentation more than constraint);
+  *  - `(?t<S)` / `(?t<=S)` / `(?t>S)` / `(?t>=S)` — the gap between
+  *    the two ADJACENT conditions' timestamps, in SECONDS.
+  *
+  * Unlike the funnel's greedy scan, matching is TRUE EXISTENTIAL —
+  * an early candidate whose window dies does not kill a later one —
+  * via reachability DP: for each condition j keep the ascending
+  * timestamps where a prefix match can end; an event extends j+1 if
+  * some end satisfies (strictly-before + the gap constraint). Cost is
+  * O(conditions × events²) worst-case on a USER'S OWN events (small
+  * by construction); the distributed cost is the one hash shuffle
+  * that gathered them. Deterministic: existence over a fixed event
+  * multiset. The whole chain must fit inside `windowMicros` of its
+  * first event (pass Long.MaxValue/4 for unbounded — ClickHouse's
+  * sequenceMatch has no window, its timed gaps are the constraints). */
+case class SequenceMatchPattern(child: Expression, pattern: String,
+                                windowMicros: Long = Long.MaxValue / 4)
+  extends UnaryExpression with CodegenFallback {
+
+  import SequenceMatchPattern._
+
+  /** (step, constraint-vs-previous); head's constraint is None. */
+  private lazy val conds: Seq[(Int, Option[(String, Long)])] = parse(pattern)
+
+  override def prettyName: String = "graft_sequence_match"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 &&
+           (s(0).dataType == TimestampType || s(0).dataType == TimestampNTZType ||
+            s(0).dataType == LongType) &&
+           s(1).dataType == IntegerType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sequence_match needs array<struct<ts: timestamp, step: int>>, got $dt")
+  }
+
+  private def gapOk(c: Option[(String, Long)], dt: Long): Boolean = c match {
+    case None => true
+    case Some(("<", s)) => dt < s * 1000000L
+    case Some(("<=", s)) => dt <= s * 1000000L
+    case Some((">", s)) => dt > s * 1000000L
+    case Some((">=", s)) => dt >= s * 1000000L
+    case Some((op, _)) => throw new IllegalStateException(s"unknown op $op")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ts = new Array[Long](n)
+    val st = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ts(m) = row.getLong(0); st(m) = row.getInt(1); m += 1
+        }
+      }
+      i += 1
+    }
+    // reachability DP: ends(k) = ts of events where conds 0..j can end,
+    // paired with the chain's FIRST timestamp (for the whole-chain
+    // window); ascending by construction (events scan in order)
+    var ends: Seq[(Long, Long)] = // (endTs, firstTs)
+      (0 until m).collect { case k if st(k) == conds.head._1 => (ts(k), ts(k)) }
+    var j = 1
+    while (j < conds.size && ends.nonEmpty) {
+      val (step, constraint) = conds(j)
+      val next = (0 until m).collect {
+        case k if st(k) == step && ends.exists { case (e, f) =>
+          e < ts(k) && gapOk(constraint, ts(k) - e) &&
+            ts(k) - f <= windowMicros
+        } =>
+          // keep the LATEST feasible chain start per end — the window
+          // measures from the chain's first event, so a later start
+          // leaves the most room for the remaining conditions
+          val f = ends.collect { case (e, f0)
+            if e < ts(k) && gapOk(constraint, ts(k) - e) &&
+               ts(k) - f0 <= windowMicros => f0 }.max
+          (ts(k), f)
+      }
+      ends = next
+      j += 1
+    }
+    ends.nonEmpty
+  }
+
+  override protected def withNewChildInternal(c: Expression): SequenceMatchPattern =
+    copy(child = c)
+}
+
+object SequenceMatchPattern {
+  /** Test hook: the production parser, for differential specs. */
+  private[graft] def parseForTest(p: String): Seq[(Int, Option[(String, Long)])] =
+    parse(p)
+  private val CondRe = """\(\?(\d+)\)""".r
+  private val TimeRe = """\(\?t(<=|>=|<|>)(\d+)\)""".r
+  private val AnyRe = """\.\*""".r
+
+  /** Parse the ClickHouse pattern grammar to (step, gap-vs-previous)
+    * pairs. Refused shapes fail fast at construction with the exact
+    * offending token — a silent partial parse would match the wrong
+    * sequences. */
+  private[expr] def parse(pattern: String): Seq[(Int, Option[(String, Long)])] = {
+    var rest = pattern
+    val out = scala.collection.mutable.Buffer.empty[(Int, Option[(String, Long)])]
+    var pending: Option[(String, Long)] = None
+    var first = true
+    while (rest.nonEmpty) {
+      CondRe.findPrefixMatchOf(rest) match {
+        case Some(mm) =>
+          val n = mm.group(1).toInt
+          require(n >= 1, s"conditions are 1-based, got (?$n) in '$pattern'")
+          require(!first || pending.isEmpty,
+            s"a time constraint cannot precede the first condition in '$pattern'")
+          out += ((n - 1, pending))
+          pending = None
+          first = false
+          rest = rest.substring(mm.end)
+        case None =>
+          TimeRe.findPrefixMatchOf(rest) match {
+            case Some(mm) =>
+              require(!first,
+                s"a time constraint cannot open the pattern '$pattern'")
+              require(pending.isEmpty,
+                s"two adjacent time constraints in '$pattern'")
+              pending = Some((mm.group(1), mm.group(2).toLong))
+              rest = rest.substring(mm.end)
+            case None =>
+              AnyRe.findPrefixMatchOf(rest) match {
+                case Some(mm) =>
+                  require(pending.isEmpty,
+                    s"'.*' cannot follow a time constraint in '$pattern'")
+                  rest = rest.substring(mm.end)
+                case None => throw new IllegalArgumentException(
+                  s"unsupported pattern token at '…$rest' in '$pattern' — " +
+                    "supported: (?N), (?t<S) / (?t<=S) / (?t>S) / (?t>=S), .*")
+              }
+          }
+      }
+    }
+    require(pending.isEmpty, s"dangling time constraint at the end of '$pattern'")
+    require(out.nonEmpty, s"pattern '$pattern' names no condition")
+    out.toSeq
+  }
 }
 
 /** `sequenceCount` (round 15) — the NON-OVERLAPPING chain count over

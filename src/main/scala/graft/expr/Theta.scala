@@ -336,6 +336,49 @@ case class ThetaEstimate(child: Expression)
     copy(child = c)
 }
 
+/** `graft_theta_bounds(state[, numStdDevs])` — the estimate WITH its
+  * published confidence bounds and the exact-regime flag (round 16):
+  * `struct<estimate, lower, upper, is_exact>`. A deployment reads
+  * `is_exact` (θ = 1 — every input value retained, zero error) to see
+  * when a dashboard's distinct count left the exact regime, and the
+  * bounds (Datasketches' published ±1/2/3-σ intervals) to price the
+  * error when it did — the honesty column the scalar estimate alone
+  * cannot carry. */
+case class ThetaBounds(child: Expression, numStdDevs: Int = 2)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numStdDevs >= 1 && numStdDevs <= 3,
+    s"Datasketches publishes 1-3 sigma bounds, got $numStdDevs")
+
+  override def prettyName: String = "graft_theta_bounds"
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("lower", DoubleType, nullable = false),
+    StructField("upper", DoubleType, nullable = false),
+    StructField("is_exact", BooleanType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_theta_bounds needs a binary theta state, got ${child.dataType}")
+
+  override def nullSafeEval(state: Any): Any = {
+    val sk = Theta.wrap(state.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(
+      sk.getEstimate,
+      sk.getLowerBound(numStdDevs),
+      sk.getUpperBound(numStdDevs),
+      !sk.isEstimationMode)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ThetaBounds =
+    copy(child = c)
+}
+
 /** Column-DSL + SQL surface for the theta family. */
 object Tht {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -355,6 +398,8 @@ object Tht {
     Bridge.column(ThetaAndPair(Bridge.expressionEager(a), Bridge.expressionEager(b)))
   def estimate(c: Column): Column =
     Bridge.column(ThetaEstimate(Bridge.expressionEager(c)))
+  def bounds(c: Column, numStdDevs: Int = 2): Column =
+    Bridge.column(ThetaBounds(Bridge.expressionEager(c), numStdDevs))
 
   /** SQL surface: `graft_theta_agg(v[, lgK])`, `graft_theta_union(st)`,
     * `graft_theta_intersect(st)`, `graft_theta_not(a, b)`,
@@ -397,6 +442,12 @@ object Tht {
       case Seq(c) => ThetaEstimate(c)
       case args => throw new IllegalArgumentException(
         s"graft_theta_estimate takes (state), got ${args.size} args")
+    })
+    Bridge.registerFunction(spark, "graft_theta_bounds", {
+      case Seq(c) => ThetaBounds(c)
+      case Seq(c, n) => ThetaBounds(c, intOf(n))
+      case args => throw new IllegalArgumentException(
+        s"graft_theta_bounds takes (state[, numStdDevs]), got ${args.size} args")
     })
   }
 }

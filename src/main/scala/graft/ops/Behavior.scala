@@ -107,26 +107,149 @@ object Behavior {
     * scans the merged sequence — ClickHouse's groupArrayState +
     * windowFunnel-at-read MV pattern; the fact is never scanned. */
   def windowFunnelFromStates(spark: SparkSession, sfDir: String): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
-    val week = 7L * 24 * 3600 * 1000000L
     val dir = StarJoins.scratch(sfDir, "funnel_seq_rollup")
     StarJoins.ensureRollup(spark, dir) {
       graft.plans.RollupRouting.buildPartials(
         Tables.events(spark, sfDir), funnelSeqSpec("unused"))
     }
     Rollups.withRoutingSpecs(spark, Seq(funnelSeqSpec(dir))) {
-      Tables.events(spark, sfDir)
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
-        .filter(size(col("seq")) > 0) // the q221 cohort: ≥1 funnel event
-        .select(org.apache.spark.sql.graftx.Bridge.column(
-          graft.expr.FunnelLevel(
-            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
-            steps.size, week)).as("level"))
+      windowFunnelGuardedRead(Tables.events(spark, sfDir))
+    }
+  }
+
+  /** The MV-routable funnel read — collect the when-guarded sequence,
+    * scan it ([[graft.expr.FunnelLevel]]), histogram the levels.
+    * Shared by the register-routed q230 and the ADVISED q241 so both
+    * route the identical query. */
+  private def windowFunnelGuardedRead(events: DataFrame): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val week = 7L * 24 * 3600 * 1000000L
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+      .filter(size(col("seq")) > 0) // the q221 cohort: ≥1 funnel event
+      .select(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps.size, week)).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("level"))
+  }
+
+  /** Driver entry (q241, oracled — shares q221's funnel oracle): the
+    * funnel ADVISED end-to-end (round 16) — the captured workload is
+    * the per-user sequence extraction (`sort_array(collect_list(
+    * struct(ts, step)))`), the advisor mints the ListOf sequence
+    * member from the CASE-guarded pattern, builds and registers the
+    * rollup, and the unchanged funnel histogram routes through it —
+    * where q230's spec was hand-registered. */
+  def windowFunnelAdvised(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = StarJoins.scratch(sfDir, "advised_funnel")
+    val workload = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        funnelStruct(Seq("view", "click", "purchase")))).as("seq"))
+    val advice = graft.plans.Advisor.advise(Seq(workload), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    graft.plans.Advisor.runRouted(spark, advice) {
+      windowFunnelGuardedRead(Tables.events(spark, sfDir))
+    }
+  }
+
+  /** [[funnelStruct]] with an `otherwise(-1)` branch: EVERY event
+    * enters the sequence, non-funnel rows as step −1 — the input the
+    * `strict_order` mode needs (interfering events must be visible to
+    * interrupt the chain; the base scan just skips them). */
+  private def funnelStructAll(steps: Seq[String]): Column = {
+    val idx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    struct(col("ts").as("ts"), idx.as("step"))
+  }
+
+  /** Per-user funnel level over ALL events (step −1 for non-funnel
+    * rows) under the given modes. */
+  private def funnelLevelsAll(events: DataFrame, steps: Seq[String],
+                              windowMicros: Long, strictOrder: Boolean,
+                              strictDedup: Boolean,
+                              strictIncrease: Boolean): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
+      .filter(exists(col("seq"), e => e.getField("step") >= 0))
+      .select(col("user_id"), org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps.size, windowMicros, strictOrder = strictOrder,
+          strictDedup = strictDedup, strictIncrease = strictIncrease))
+        .as("level"))
+
+  /** Driver entry (q239, oracled): `windowFunnel(..., 'strict_order')`
+    * — the q221 funnel where ANY interfering event (a non-funnel row,
+    * a duplicate, an out-of-window step) freezes the chain. The DuckDB
+    * oracle spells the same semantics positionally: rank the user's
+    * events by (ts, step), anchor at the first step-0 position, and
+    * the level is the longest consecutive run of positions matching
+    * steps 1, 2, … with strictly-increasing timestamps inside the
+    * anchor's 7-day window. */
+  def windowFunnelStrictOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    funnelLevelsAll(Tables.events(spark, sfDir),
+        Seq("view", "click", "purchase"), week,
+        strictOrder = true, strictDedup = false, strictIncrease = true)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("level"))
+  }
+
+  /** Driver entry (q240, rows-only + brute-force mode-matrix spec):
+    * the SAME funnel under all four parametric modes, one labeled
+    * histogram per mode — the ClickHouse windowFunnel mode matrix
+    * (`strict_order` / `strict_dedup` / relaxed `strict_increase`) in
+    * one report. Rows-only because strict_dedup and the relaxed
+    * increase have no positional SQL twin (the interrupt depends on
+    * the matched-so-far SET, a stateful fold); each mode's semantics
+    * are pinned against an independent brute-force reference on 300
+    * random sequences (BehaviorSpec). */
+  def funnelModeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val week = 7L * 24 * 3600 * 1000000L
+    val events = Tables.events(spark, sfDir)
+    def hist(mode: String, so: Boolean, sd: Boolean, si: Boolean): DataFrame =
+      funnelLevelsAll(events, steps, week, so, sd, si)
         .groupBy(col("level"))
         .agg(count(lit(1)).as("users"))
-        .orderBy(col("level"))
-    }
+        .select(lit(mode).as("mode"), col("level"), col("users"))
+    hist("base", so = false, sd = false, si = true)
+      .unionByName(hist("strict_order", so = true, sd = false, si = true))
+      .unionByName(hist("strict_dedup", so = false, sd = true, si = true))
+      .unionByName(hist("relaxed_increase", so = false, sd = false, si = false))
+      .orderBy(col("mode"), col("level"))
+  }
+
+  /** Driver entry (q238, oracled): the TIMED pattern grammar —
+    * `sequenceMatch('(?1)(?t<3600)(?2).*(?3)')`: a view followed
+    * within an hour by a click, eventually followed by a purchase.
+    * TRUE EXISTENTIAL matching ([[graft.expr.SequenceMatchPattern]]'s
+    * reachability DP — an early view whose hour dies does not kill a
+    * later one), which is exactly what the DuckDB oracle's EXISTS
+    * join chain computes. */
+  def sequenceMatchTimed(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val events = Tables.events(spark, sfDir)
+    val matched = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+      .select(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.SequenceMatchPattern(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          "(?1)(?t<3600)(?2).*(?3)")).as("m"))
+      .agg(count(when(col("m"), 1)).as("matched"))
+    matched.crossJoin(broadcast(
+      events.agg(countDistinct(col("user_id")).as("total_users"))))
   }
 
   /** Driver entry (q223, oracled): `sequenceMatch('(?1).*(?2)')` —
@@ -209,6 +332,29 @@ object Behavior {
     }
   }
 
+  /** Driver entry (q244, oracled): theta ERROR-BOUND surfacing — per
+    * event type the audience estimate with its published ±2σ bounds
+    * and the exact-regime flag ([[graft.expr.ThetaBounds]]). The
+    * fixture keeps every state under nominal entries, so the oracle
+    * can assert the honesty contract itself: `is_exact` is true and
+    * estimate = lower = upper = the exact distinct count. At 100 TB
+    * the same columns tell a deployment exactly when (and by how
+    * much) a dashboard left the exact regime — the estimation-regime
+    * bracketing is spec-pinned (ThetaSpec). */
+  def audienceBounds(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.Tht
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(Tht.agg(col("user_id")).as("st"))
+      .select(col("event_type"), Tht.bounds(col("st")).as("b"))
+      .select(col("event_type"),
+              col("b.estimate").cast("long").as("users"),
+              col("b.lower").cast("long").as("lower"),
+              col("b.upper").cast("long").as("upper"),
+              col("b.is_exact").as("is_exact"))
+      .orderBy("event_type")
+  }
+
   /** Driver entry (q231, rows-only + brute-force spec): ClickHouse's
     * `sequenceCount` — how many NON-OVERLAPPING view→purchase chains
     * each user completed inside 7-day windows, reported as a
@@ -217,10 +363,16 @@ object Behavior {
     * per-chain reset is a stateful fold SQL cannot spell without
     * per-user recursion — so correctness rides the brute-force
     * differential spec instead. */
-  def sequenceCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def sequenceCounts(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceCountsOver(Tables.events(spark, sfDir))
+
+  /** The q231 report over any events-shaped frame — shared by the live
+    * read and the MV-routed twin so the routed query IS the unchanged
+    * one. */
+  private[graft] def sequenceCountsOver(events: DataFrame): DataFrame = {
     val steps = Seq("view", "purchase")
     val week = 7L * 24 * 3600 * 1000000L
-    Tables.events(spark, sfDir)
+    events
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
       .filter(size(col("seq")) > 0)
@@ -231,6 +383,39 @@ object Behavior {
       .groupBy(col("chains"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("chains"))
+  }
+
+  /** The (day × user) TWO-STEP sequence registration for the
+    * sequenceCount read (round 16): per-user-per-day collected
+    * view/purchase events — the same
+    * [[graft.plans.RollupRouting.ListOf]] member as [[funnelSeqSpec]]
+    * with q231's OWN step pattern, so the unchanged sequenceCount
+    * query routes (the three-step q230 states can't serve it: a
+    * different CASE is a different measure, honestly). */
+  def seqCountSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id"),
+      aggs = Seq(
+        ListOf(ExprPat(funnelStruct(Seq("view", "purchase"))), "ev_seq2"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q237, rows-only + routed≡live spec — q231's
+    * semantics have no SQL twin): the SAME sequenceCount distribution
+    * answered from EVENT-SEQUENCE MV STATES — the r15 verdict's last
+    * perf-weak row: raw q231 re-scans the fact per read (5.8× at
+    * ×100), while this read flattens per-(day, user) list states
+    * (q230's 2.5× economics; the fact is never scanned). */
+  def sequenceCountsFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "seqcount_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), seqCountSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(seqCountSpec(dir))) {
+      sequenceCountsOver(Tables.events(spark, sfDir))
+    }
   }
 
   /** Retention counts over anchor cohorts from per-day BITMAP states:

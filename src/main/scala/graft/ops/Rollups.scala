@@ -535,16 +535,76 @@ object Rollups {
     * the state is EXACT and the total order (weight DESC, user ASC)
     * makes the exploded report hash-oracled against the plain
     * SUM-and-rank SQL. */
+  /** The cent-scaled weight measure the weighted-top-k family ranks
+    * by — shared by the live query, the MV registration, and the
+    * advised twin so the registered pattern IS the query's own
+    * expression (integral weights; both engines round identically). */
+  private def centWeight: Column = round(col("value") * lit(100.0d)).cast("long")
+
   def topKWeightedUsers(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.expr.TkW
-    val weight = round(col("value") * lit(100.0d)).cast("long")
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(TkW.topK(TkW.agg(col("user_id"), weight), 3).as("top"))
+      .agg(TkW.topK(TkW.agg(col("user_id"), centWeight), 3).as("top"))
       .select(col("event_type"), explode(col("top")).as("t"))
       .select(col("event_type"),
               col("t.item").as("user_id"), col("t.weight").as("wt"))
       .orderBy(col("event_type"), col("wt").desc, col("user_id"))
+  }
+
+  /** The GRAINLESS per-type WEIGHTED-TOP-K registration (round 16):
+    * all-time weighted frequent-items states per event type
+    * ([[graft.plans.RollupRouting.TopKWeightedOf]] — ClickHouse's
+    * `topKWeightedState`). Both the item column and the cent-scaling
+    * weight EXPRESSION register as patterns. */
+  def topKWeightedSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "all", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        TopKWeightedOf(ColRef("user_id"), ExprPat(centWeight), "user_topkw_p"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q235, oracled — shares q233's oracle): the SAME
+    * weighted-top-k dashboard ROUTED through a registered MV —
+    * `graft_topk_weighted_agg(user_id, weight)` rewrites to
+    * `graft_topk_weighted_merge` over the stored per-type states (the
+    * weight-map sum — exact in the fixture regime, so the explode is
+    * bit-equal to q233), and the fact is never scanned. The weighted
+    * frequent-items family as a first-class registry member — the
+    * reference's "top senders by volume" dashboard
+    * (`usdc-transfers/README.md:73-78`) answered from MV state. */
+  def topKWeightedUsersRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "topkw_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), topKWeightedSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(topKWeightedSpec(dir))) {
+      topKWeightedUsers(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q236, oracled — shares q233's oracle): the
+    * weighted-top-k dashboard ADVISED end-to-end — the captured
+    * workload is the per-type state read (estimate over
+    * `graft_topk_weighted_agg`), the advisor mints the
+    * [[graft.plans.RollupRouting.TopKWeightedOf]] member (item +
+    * weight patterns at the query's own capacity), builds and
+    * registers the rollup, and the UNCHANGED q233 query routes. */
+  def topKWeightedUsersAdvised(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.TkW
+    val root = StarJoins.scratch(sfDir, "advised_topkw")
+    val workload = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(TkW.topK(TkW.agg(col("user_id"), centWeight), 3).as("top"))
+    val advice = graft.plans.Advisor.advise(Seq(workload), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    graft.plans.Advisor.runRouted(spark, advice) {
+      topKWeightedUsers(spark, sfDir)
+    }
   }
 
   /** Driver entry (q234, oracled): EXACT sliding 7-day distinct users

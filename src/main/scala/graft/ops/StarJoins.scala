@@ -253,6 +253,50 @@ object StarJoins {
     }
   }
 
+  /** Per-segment EXACT distinct customers over orders⋈customer —
+    * written against the raw join; [[segmentCustomersRouted]] runs it
+    * UNCHANGED with the bitmap join MV registered. */
+  def segmentCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  def segmentCustomersRollupDir(sfDir: String): String =
+    scratch(sfDir, "segcust_rollup")
+  private def ensureSegmentCustomersRollup(spark: SparkSession,
+                                           sfDir: String): String = {
+    import graft.plans.RollupRouting
+    ensureRollup(spark, segmentCustomersRollupDir(sfDir)) {
+      RollupRouting.buildJoinPartials(
+        Map("orders" -> Tables.orders(spark, sfDir),
+            "customer" -> Tables.customer(spark, sfDir)),
+        RollupRouting.JoinSpec.segmentCustomers("unused"))
+    }
+  }
+
+  /** Driver entry (q243, oracled — shares [[segmentCustomers]]'s
+    * oracle): the EXACT-distinct BITMAP member on the JOIN path
+    * (round 16) — the unchanged per-segment `COUNT(DISTINCT
+    * o_custkey)` dashboard rewrites to
+    * `graft_bitmap_count(graft_bitmap_merge(state))` over five
+    * segment-grain rows; neither base table is scanned and the join
+    * never runs. The star-schema twin of the single-table q218
+    * member, mirroring the reference's uniq() MVs
+    * (`usdc-transfers/sql/analytics.sql:34-35`) onto a join core. */
+  def segmentCustomersRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = ensureSegmentCustomersRollup(spark, sfDir)
+    Rollups.withRoutingJoinSpecs(spark,
+        Seq(RollupRouting.JoinSpec.segmentCustomers(dir))) {
+      segmentCustomers(spark, sfDir)
+    }
+  }
+
   /** Per-segment line-quantity stats over the 3-table join — exact
     * decimal average (the dsum-shaped form), min, max, line count.
     * Written against the raw join; [[segmentQtyRouted]] runs it

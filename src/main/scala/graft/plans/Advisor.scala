@@ -234,6 +234,16 @@ object Advisor {
     case p: ExprPat =>
       s"m${math.abs(ExprPat.canonOrdered(p.expr).toString.hashCode) % 1000000}_${state}_p"
   }
+  /** The weighted top-k partial name hashes BOTH patterns: the same
+    * item weighed by a different measure is a different state. */
+  private def topkwPartialName(ip: SrcPat, wp: SrcPat): String = {
+    val wTag = s"w${math.abs(patKey(wp).hashCode) % 1000000}"
+    ip match {
+      case ColRef(n) => s"${n}_${wTag}_topkw_p"
+      case p =>
+        s"m${math.abs(patKey(p).hashCode) % 1000000}_${wTag}_topkw_p"
+    }
+  }
 
   /** True for the types [[graft.expr.BitmapAgg]] accepts — the
     * exact-distinct bitmap member's integral contract. */
@@ -384,11 +394,38 @@ object Advisor {
                   TopKOf(p, statePartialName(p, "topk"), m))
               case _ => None
             }
+          // a WEIGHTED top-k demand (round 16) registers the
+          // frequent-items-by-summed-weight state at the query's own
+          // capacity — the reference's "top senders by volume" shape;
+          // item and weight both mint patterns (the weight is
+          // typically a scaling expression like round(value*100)),
+          // and the partial name hashes BOTH so two dashboards
+          // weighing the same item differently register distinct
+          // states
+          case tk: graft.expr.TopKWeightedAgg if !ae.isDistinct =>
+            for {
+              ip <- toPat(resolve(tk.left))
+              wp <- toPat(resolve(tk.right))
+            } yield TopKWeightedOf(ip, wp,
+              topkwPartialName(ip, wp), tk.maxMapSize)
           // a collect_set demand registers the distinct-set state
           // (round 13 — groupUniqArrayState)
           case cs: CollectSet if !ae.isDistinct =>
             toPat(resolve(cs.child)).map(p =>
               SetOf(p, statePartialName(p, "set")))
+          // a collected EVENT-SEQUENCE demand (round 16): collect_list
+          // over a CASE-guarded PATTERN (the funnel-struct shape —
+          // non-matching rows are NULL and never enter the list)
+          // registers the ListOf sequence member, the groupArrayState
+          // MV behind funnel/sequence reads. Only pattern sources
+          // mint: a bare-column collect_list would duplicate the
+          // column with no compression story (the registry scaladoc's
+          // own warning) — register that by hand or not at all.
+          case cl: CollectList if !ae.isDistinct =>
+            toPat(resolve(cl.child)) match {
+              case Some(p: ExprPat) => Some(ListOf(p, statePartialName(p, "seq")))
+              case _ => None
+            }
           case _ => None
         }
       // the estimates are scalars over the sketch aggregates — the
@@ -400,6 +437,9 @@ object Advisor {
       case g: GetStructField => mapOne(g.child, resolve, inLattice)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve, inLattice)
       case graft.expr.ThetaEstimate(c) => mapOne(c, resolve, inLattice)
+      // the weighted top-k read `graft_topk_weighted(state, k)` — the
+      // demand is the weighted-frequency aggregate underneath (r16)
+      case graft.expr.TopKWeightedEstimate(c, _) => mapOne(c, resolve, inLattice)
       // the set member's idiomatic reads (round 13): a sorted set, or
       // the exact distinct count as size-of-set — both route through
       // the same array state, so the demand is the collect_set inside
@@ -632,6 +672,8 @@ object Advisor {
     case BitmapUniqOf(p, _) => s"bitmap:${patKey(p)}"
     case ThetaUniqOf(p, _, k) => s"theta:${patKey(p)}:$k"
     case ListOf(p, _) => s"list:${patKey(p)}"
+    case TopKWeightedOf(ip, wp, _, m) =>
+      s"topkw:${patKey(ip)}:${patKey(wp)}:$m"
     case MinPatOf(p, _) => s"minpat:${patKey(p)}"
     case MaxPatOf(p, _) => s"maxpat:${patKey(p)}"
     case CountDistinctGrain(g) => s"cdg:$g"

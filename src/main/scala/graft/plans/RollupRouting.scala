@@ -331,6 +331,9 @@ object RollupRouting {
           case "!=" => Not(EqualTo(l, r))
           case "and" => And(l, r)
           case "or" => Or(l, r)
+          // round(e, scale) — weighted-top-k scaling measures (r16);
+          // the ANSI tag is erased by canon/canonOrdered on both sides
+          case "round" => Round(l, r, ansiEnabled = false)
           case _ => f
         }
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -341,6 +344,11 @@ object RollupRouting {
           case "!" | "not" => Not(c)
           case "isnull" => IsNull(c)
           case "isnotnull" => IsNotNull(c)
+          // round(e) — the weighted-top-k members register scaling
+          // measures like round(value*100) (round 16); the analyzer's
+          // node carries an ANSI tag that [[canon]]/[[canonOrdered]]
+          // erase, so either registration surface matches
+          case "round" => Round(c, Literal(0), ansiEnabled = false)
           case _ => f
         }
       // a struct measure's SQL rendering (the JSON catalog's travel
@@ -365,6 +373,7 @@ object RollupRouting {
       case Subtract(l, r, _) => Subtract(l, r, EvalMode.LEGACY)
       case Multiply(l, r, _) => Multiply(l, r, EvalMode.LEGACY)
       case Divide(l, r, _) => Divide(l, r, EvalMode.LEGACY)
+      case Round(c, s, _) => Round(c, s, ansiEnabled = false)
       case l @ Literal(v, _) if v != null && numericString(v).isDefined =>
         Literal.create(numericString(v).get, org.apache.spark.sql.types.StringType)
     }
@@ -390,6 +399,7 @@ object RollupRouting {
         case Subtract(l, r, _) => Subtract(l, r, EvalMode.LEGACY)
         case Multiply(l, r, _) => Multiply(l, r, EvalMode.LEGACY)
         case Divide(l, r, _) => Divide(l, r, EvalMode.LEGACY)
+        case Round(c, s, _) => Round(c, s, ansiEnabled = false)
         case l @ Literal(v, _) if v != null && numericString(v).isDefined =>
           Literal.create(numericString(v).get, org.apache.spark.sql.types.StringType)
       }
@@ -791,13 +801,45 @@ object RollupRouting {
     * carry the partial's element type — a same-shaped struct with
     * different field names/types must not rewrite (type guard).
     * State size is the group's own row count — the member for
-    * BOUNDED per-group sequences (per-user-per-day events); there is
-    * deliberately no unbounded-key guard here because the advisor
-    * never mints it (register-only, like ClickHouse's groupArray
-    * MVs). */
+    * BOUNDED per-group sequences (per-user-per-day events). The
+    * advisor mints it ONLY for CASE-guarded pattern sources (round
+    * 16 — a captured funnel workload's `collect_list(struct(ts,
+    * step))`, where the guard's NULLs bound the state to qualifying
+    * events); a bare-column collect_list stays register-only, like
+    * ClickHouse's groupArray MVs. */
   case class ListOf(pat: SrcPat, partial: String) extends AggMap
   object ListOf {
     def apply(col: String, partial: String): ListOf = ListOf(ColRef(col), partial)
+  }
+  /** `graft_topk_weighted_agg(item, weight[, maxMapSize])` (usually
+    * under the `graft_topk_weighted(state, k)` estimate) →
+    * `graft_topk_weighted_merge(partial, maxMapSize)` — the WEIGHTED
+    * frequent-items member (round 16): ClickHouse's
+    * `topKWeightedState`/`topKWeightedMerge`, the aggregate behind
+    * "top senders by VOLUME" dashboards (the reference's flagship
+    * ranked read, `usdc-transfers/README.md:73-78`, is a weighted
+    * top-k: rank by summed value, not row count — which the
+    * count-only [[TopKOf]] member cannot answer). The rollup stores
+    * the per-group [[graft.expr.TopKWeightedAgg]] state (binary); the
+    * merge is the member-wise SUM of the states' weight maps —
+    * associative and commutative — so per-group partials re-aggregate
+    * losslessly at any regrouping: coarser grains, grouping-set
+    * subtotals, the hybrid tail. In the exact regime (a group's
+    * distinct items under ~0.75·maxMapSize) the merged state IS the
+    * single-pass state and the `(weight DESC, item ASC)`-ordered
+    * estimate is bit-deterministic — routed ≡ live, hash-oracled;
+    * above it the sketch's published error bound applies identically
+    * on both plans. TWO patterns register (the item and the weight
+    * measure — typically an ExprPat like `round(value*100)::long`,
+    * the cent-scaling that keeps weights integral); both must match
+    * the query's own expressions ORDER-SENSITIVELY, and the
+    * registered maxMapSize must equal the query's (a different
+    * capacity is a different sketch). */
+  case class TopKWeightedOf(itemPat: SrcPat, weightPat: SrcPat,
+                            partial: String, maxMapSize: Int = 1024) extends AggMap
+  object TopKWeightedOf {
+    def apply(item: String, weight: String, partial: String): TopKWeightedOf =
+      TopKWeightedOf(ColRef(item), ColRef(weight), partial)
   }
   /** `min(expr)` / `max(expr)` over a PATTERN measure — the argMax /
     * argMin shape (round 13): the reference's `max(struct(value,
@@ -845,6 +887,7 @@ object RollupRouting {
     case BitmapUniqOf(_, p) => Some(p)
     case ThetaUniqOf(_, p, _) => Some(p)
     case ListOf(_, p) => Some(p)
+    case TopKWeightedOf(_, _, p, _) => Some(p)
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
     case CountDistinctGrain(_) => None
@@ -969,6 +1012,22 @@ object RollupRouting {
         MaxOf("l_quantity", "qmx_partial"),
         CountStarTo("n_lines_partial")),
       grainCols = Map("o_orderkey" -> "o_orderkey"))
+
+    /** A join MV whose value is the EXACT-DISTINCT BITMAP member on
+      * the JOIN path (round 16): per-segment distinct CUSTOMERS over
+      * orders⋈customer — `COUNT(DISTINCT o_custkey)` dashboards
+      * served by OR-union of compressed bitmap states, the star-schema
+      * twin of the single-table q218 member. The build pre-aggregates
+      * per customer key on the fact, attaches the dim, and merges the
+      * states down to five segment rows; the read never joins. */
+    def segmentCustomers(rollupPath: String): JoinSpec = JoinSpec(
+      rollupPath,
+      tables = Set("orders", "customer"),
+      joinKeys = Set(("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        BitmapUniqOf("o_custkey", "cust_bm"),
+        CountStarTo("n_orders_p")))
 
     /** The gross-charge measure
       * `l_extendedprice * (1 - l_discount) * (1 + l_tax)` — a
@@ -1117,6 +1176,9 @@ object RollupRouting {
         partials.getOrElseUpdate(p, graft.expr.Tht.agg(srcColumn(pt), k).as(p))
       case ListOf(pt, p) =>
         partials.getOrElseUpdate(p, collect_list(srcColumn(pt)).as(p))
+      case TopKWeightedOf(ip, wp, p, m) =>
+        partials.getOrElseUpdate(p,
+          graft.expr.TkW.agg(srcColumn(ip), srcColumn(wp), m).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1191,6 +1253,7 @@ object RollupRouting {
       case BitmapUniqOf(pt, _) => pt.refs.toSeq
       case ThetaUniqOf(pt, _, _) => pt.refs.toSeq
       case ListOf(pt, _) => pt.refs.toSeq
+      case TopKWeightedOf(ip, wp, _, _) => (ip.refs ++ wp.refs).toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case _ => Nil
@@ -1323,6 +1386,8 @@ object RollupRouting {
         merges.getOrElseUpdate(p, graft.expr.Tht.union(col(p), k).as(p))
       case ListOf(_, p) =>
         merges.getOrElseUpdate(p, flatten(collect_list(col(p))).as(p))
+      case TopKWeightedOf(_, _, p, m) =>
+        merges.getOrElseUpdate(p, graft.expr.TkW.merge(col(p), m).as(p))
       case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
       case CountDistinctGrain(_) => ()
@@ -1408,6 +1473,9 @@ object RollupRouting {
         ("kind" -> "thetaUniq") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p) ~ ("lgK" -> k)
       case ListOf(pt, p) =>
         ("kind" -> "groupArray") ~ ("pat" -> patJson(pt)) ~ ("partial" -> p)
+      case TopKWeightedOf(ip, wp, p, m) =>
+        ("kind" -> "topKWeighted") ~ ("item" -> patJson(ip)) ~
+          ("weight" -> patJson(wp)) ~ ("partial" -> p) ~ ("maxMapSize" -> m)
       case MinPatOf(pat, p) =>
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
@@ -1502,6 +1570,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "lgK").extract[Int])
       case "groupArray" => ListOf(patOrLegacyCol(j),
         (j \ "partial").extract[String])
+      case "topKWeighted" => TopKWeightedOf(pat(j \ "item"), pat(j \ "weight"),
+        (j \ "partial").extract[String], (j \ "maxMapSize").extract[Int])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "countDistinctGrain" =>
@@ -2064,6 +2134,16 @@ object RollupRouting {
                    pt.matchesOrdered(resolved(ta.child)) && ta.lgK == k =>
               attr(partial).map(p =>
                 ae.copy(aggregateFunction = graft.expr.ThetaUnionAgg(p, k)))
+            // the weighted top-k member on the JOIN path (round 16) —
+            // same two-pattern + capacity guards as the single-table
+            // twin; the estimate scalar above survives untouched
+            case (TopKWeightedOf(ip, wp, partial, m), tk: graft.expr.TopKWeightedAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   ip.matchesOrdered(resolved(tk.left)) &&
+                   wp.matchesOrdered(resolved(tk.right)) &&
+                   tk.maxMapSize == m =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.TopKWeightedMergeAgg(p, m)))
             case (ListOf(pt, partial), cl: CollectList)
                 if !ae.isDistinct && ae.filter.isEmpty &&
                    pt.matchesOrdered(resolved(cl.child)) =>
@@ -2845,17 +2925,23 @@ object RollupRouting {
               // sameType: the parquet roundtrip relaxes struct-field
               // nullability inside the stored element type — values
               // and ordering are unaffected, so nullability must not
-              // block the rewrite (strict equality would)
+              // block the rewrite (strict equality would). Round 16:
+              // an ADVISED sequence rollup is built from the RAW scan,
+              // so its stored ts labels may be the pre-loader NTZ
+              // while the query reads the relabeled TimestampType —
+              // value-identical under the pinned-UTC session, aligned
+              // with an explicit element cast (see relabelFlatten).
               attr(partial).collect {
                 case p if (p.dataType match {
                       case org.apache.spark.sql.types.ArrayType(et, _) =>
-                        org.apache.spark.sql.graftx.Bridge.sameTypeIgnoreNullability(et, cl.child.dataType)
+                        org.apache.spark.sql.graftx.Bridge.sameTypeIgnoreNullability(et, cl.child.dataType) ||
+                          relabelOnly(et, cl.child.dataType)
                       case _ => false
                     }) =>
                   val merged = ae.copy(
                     aggregateFunction = CollectList(p),
                     resultId = NamedExpression.newExprId)
-                  Flatten(merged)
+                  relabelFlatten(merged, p.dataType, cl.child.dataType)
               }
             // approx_count_distinct onto the EXACT bitmap state: a
             // zero-error answer dominates ANY requested tolerance, so
@@ -3017,6 +3103,23 @@ object RollupRouting {
                   catch { case scala.util.control.NonFatal(_) => false }
                 if (same) Some(est) else None
               }
+            // WEIGHTED TOP-K via frequent-items state (round 16,
+            // topKWeightedState/topKWeightedMerge): the state read
+            // `graft_topk_weighted_agg(item, w, m)` re-aggregates as
+            // the weight-map sum-merge of the stored per-group states
+            // — both item AND weight patterns must match the query's
+            // own expressions, and the registered capacity must equal
+            // the query's (a different maxMapSize is a different
+            // sketch). Both nodes are BinaryType, so the preserved
+            // ExprId keeps its type; the `graft_topk_weighted(st, k)`
+            // estimate scalar above survives the rewrite untouched.
+            case (TopKWeightedOf(ip, wp, partial, m), tk: graft.expr.TopKWeightedAgg)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                   ip.matchesOrdered(resolveThroughProjects(tk.left, child)) &&
+                   wp.matchesOrdered(resolveThroughProjects(tk.right, child)) &&
+                   tk.maxMapSize == m =>
+              attr(partial).map(p =>
+                ae.copy(aggregateFunction = graft.expr.TopKWeightedMergeAgg(p, m)))
             // DISTINCT-SET via array state (round 13, the
             // groupUniqArrayState/Merge member): `collect_set(col)`
             // re-aggregates as distinct-flatten over the per-group set
@@ -3506,6 +3609,51 @@ object RollupRouting {
       }
     }
 
+    /** `src`'s structure and NULLABILITY with `like`'s timestamp
+      * LABELS (TimestampNTZ vs Timestamp) at every nesting — the cast
+      * target that aligns a raw-scan-built rollup's stored time label
+      * with the loader-relabeled query side without touching the
+      * nullability flags a Cast cannot change (round 16). */
+    private def withTimeLabelsOf(src: org.apache.spark.sql.types.DataType,
+                                 like: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      (src, like) match {
+        case (TimestampNTZType, TimestampType) => TimestampType
+        case (TimestampType, TimestampNTZType) => TimestampNTZType
+        case (f: StructType, t: StructType) if f.length == t.length =>
+          StructType(f.fields.zip(t.fields).map { case (a, b) =>
+            a.copy(dataType = withTimeLabelsOf(a.dataType, b.dataType)) })
+        case (f: ArrayType, t: ArrayType) =>
+          f.copy(elementType = withTimeLabelsOf(f.elementType, t.elementType))
+        case _ => src
+      }
+    }
+
+    /** Flatten of merged list states, with the element type's time
+      * labels aligned to the query's own element type when the stored
+      * states carry the pre-loader NTZ label (an advised rollup built
+      * from the raw scan). The relabel cast changes NO value under
+      * the pinned-UTC session — the loader-contract invariant — and
+      * the cast target keeps the stored nullability flags, so the
+      * routed output differs from the live one only where the
+      * existing sameTypeIgnoreNullability contract already allows. */
+    private def relabelFlatten(merged: Expression,
+                               storedType: org.apache.spark.sql.types.DataType,
+                               queryElem: org.apache.spark.sql.types.DataType)
+        : Expression = {
+      import org.apache.spark.sql.types._
+      val flat = Flatten(merged)
+      storedType match {
+        case ArrayType(et, cn)
+            if !org.apache.spark.sql.graftx.Bridge
+              .sameTypeIgnoreNullability(et, queryElem) =>
+          Cast(flat, ArrayType(withTimeLabelsOf(et, queryElem), cn),
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+        case _ => flat
+      }
+    }
+
     /** Align a hybrid tail's output types with the rollup block it
       * unions against. The tail rebuilds measures from the RAW scan,
       * below the loader's normalization project, so a measure that
@@ -3665,6 +3813,12 @@ object RollupRouting {
           case ListOf(pt, p) if p == n => // the tail's own list state
             pt.rebuild(scanAttr).map(e =>
               Alias(CollectList(e).toAggregateExpression(), n)())
+          case TopKWeightedOf(ip, wp, p, m) if p == n => // the tail's own state
+            for {
+              ie <- ip.rebuild(scanAttr)
+              we <- wp.rebuild(scanAttr)
+            } yield Alias(
+              graft.expr.TopKWeightedAgg(ie, we, m).toAggregateExpression(), n)()
           case MinPatOf(pt, p) if p == n =>
             pt.rebuild(scanAttr).map(e => Alias(Min(e).toAggregateExpression(), n)())
           case MaxPatOf(pt, p) if p == n =>

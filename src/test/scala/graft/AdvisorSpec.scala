@@ -1380,4 +1380,78 @@ class AdvisorSpec extends AnyFunSuite {
       assert(RollupRouting.registered.forall(_.sourceSuffix == "events.parquet"))
     } finally RollupRouting.clear()
   }
+
+  test("a join-lattice exact-distinct dashboard advises the bitmap " +
+       "member on the JOIN path and routes") {
+    // per-(segment) AND grand-total distinct customers over
+    // orders⋈customer — the subtotal makes the grain-claim mapping
+    // unusable, so the integral distinct must advise BitmapUniqOf
+    val q = () => Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"c_custkey" === $"o_custkey")
+      .rollup($"c_mktsegment")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+    val root = java.nio.file.Files.createTempDirectory("graft_jbm").toString
+    val advice = Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty && advice.joins.size == 1, advice)
+    assert(advice.joins.head.spec.aggs.exists {
+        case RollupRouting.BitmapUniqOf(_, _) => true; case _ => false },
+      s"the join lattice must advise the bitmap member: ${advice.joins.head.spec.aggs}")
+    val truth = q().collect().toSeq
+    routedWith(advice) {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(!plan.contains("orders.parquet") && !plan.contains("customer.parquet"),
+        s"the advised join bitmap MV must serve the lattice join-free:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "the advised lattice must equal the live join (exact bitmaps)")
+    }
+  }
+
+  test("a funnel sequence workload advises the ListOf member and the " +
+       "unchanged funnel routes; bare-column collect_list stays live") {
+    // the captured workload: per-user when-guarded event sequences —
+    // the collect_list(struct(ts, step)) shape behind windowFunnel MVs
+    val steps = Seq("view", "click", "purchase")
+    def guard = steps.zipWithIndex.tail.foldLeft(
+        when($"event_type" === steps.head,
+          struct($"ts".as("ts"), lit(0).as("step")))) { case (acc, (s, i)) =>
+      acc.when($"event_type" === s, struct($"ts".as("ts"), lit(i).as("step")))
+    }
+    val workload = () => Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(guard)).as("seq"))
+    val root = java.nio.file.Files.createTempDirectory("graft_funadv").toString
+    val advice = Advisor.advise(Seq(workload()), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1, advice)
+    assert(advice.singles.head.spec.aggs.exists {
+        case RollupRouting.ListOf(_: RollupRouting.ExprPat, _) => true
+        case _ => false },
+      s"the sequence demand must mint ListOf: ${advice.singles.head.spec.aggs}")
+    val truth = ops.Behavior.windowFunnel(spark, sf).collect().toSeq
+    routedWith(advice) {
+      val funnel = Tables.events(spark, sf)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(guard)).as("seq"))
+        .filter(size($"seq") > 0)
+        .select(org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager($"seq"),
+            3, 7L * 24 * 3600 * 1000000L)).as("level"))
+        .groupBy($"level").agg(count(lit(1)).as("users")).orderBy("level")
+      val plan = funnel.queryExecution.executedPlan.toString
+      assert(plan.contains("advised") && !plan.contains("events.parquet"),
+        s"the advised sequence MV must serve the funnel:\n$plan")
+      assert(funnel.collect().toSeq == truth,
+        "the advised funnel histogram must equal the live one")
+    }
+    // a BARE-COLUMN collect_list is refused (no compression story) —
+    // the demand is skipped, never silently registered
+    val bare = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(collect_list($"value").as("vs"))
+    val advice2 = Advisor.advise(Seq(bare), root)
+    assert(advice2.singles.isEmpty && advice2.skipped.nonEmpty,
+      s"bare-column collect_list must be skipped, got $advice2")
+  }
 }

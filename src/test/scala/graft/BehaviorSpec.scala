@@ -140,6 +140,167 @@ class BehaviorSpec extends AnyFunSuite {
     assert(dist.nonEmpty && dist.map(_.getLong(1)).sum > 0)
   }
 
+  /** Independent POSITIONAL reference for strict_order (the oracle's
+    * formulation): anchor at the first step-0 position of the
+    * (ts, step)-sorted list; the level is 1 + the longest consecutive
+    * run of following positions carrying steps 1, 2, … with strictly
+    * increasing ts inside the anchor's window. */
+  private def bruteStrictOrder(events: Seq[(Long, Int)], steps: Int,
+                               window: Long): Int = {
+    val sorted = events.sorted
+    val arn = sorted.indexWhere(_._2 == 0)
+    if (arn < 0) return 0
+    val t1 = sorted(arn)._1
+    var level = 1
+    var prev = t1
+    var i = arn + 1
+    while (i < sorted.length && level < steps) {
+      val (ts, st) = sorted(i)
+      if (st == level && ts > prev && ts - t1 <= window) {
+        level += 1; prev = ts; i += 1
+      } else return level
+    }
+    level
+  }
+
+  /** Functional respelling of strict_dedup / relaxed-increase (the
+    * greedy contract with the mode hooks spelled as a fold). */
+  private def bruteMode(events: Seq[(Long, Int)], steps: Int, window: Long,
+                        sd: Boolean, si: Boolean): Int = {
+    @annotation.tailrec
+    def go(evs: List[(Long, Int)], lvl: Int, t1: Long, tPrev: Long): Int =
+      evs match {
+        case Nil => lvl
+        case _ if lvl == steps => lvl
+        case (ts, st) :: rest =>
+          if (lvl == 0)
+            if (st == 0) go(rest, 1, ts, ts) else go(rest, 0, t1, tPrev)
+          else if (st == lvl && (if (si) ts > tPrev else ts >= tPrev) &&
+                   ts - t1 <= window) go(rest, lvl + 1, t1, ts)
+          else if (sd && st >= 0 && st < lvl) lvl
+          else go(rest, lvl, t1, tPrev)
+      }
+    go(events.sorted.toList, 0, 0L, 0L)
+  }
+
+  private def sparkLevel(evs: Seq[(Long, Int)], steps: Int, window: Long,
+                         so: Boolean, sd: Boolean, si: Boolean): Int = {
+    val df = evs.toDF("ts", "step")
+      .agg(sort_array(collect_list(struct(
+        col("ts").as("ts"), col("step").as("step")))).as("seq"))
+    df.select(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps, window, strictOrder = so, strictDedup = sd,
+          strictIncrease = si)).as("level"))
+      .collect().head.getInt(0)
+  }
+
+  test("funnel modes = independent references on 300 random sequences each") {
+    val rnd = new scala.util.Random(43)
+    val window = 50L
+    val cases: Seq[Seq[(Long, Int)]] = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(5) - 2)) // steps -2..2
+    }
+    // batch each mode's 300 cases into ONE Spark job (a per-case
+    // round-trip would be 1200 jobs)
+    def sparkLevels(so: Boolean, sd: Boolean, si: Boolean): Map[Int, Int] =
+      cases.zipWithIndex.flatMap { case (evs, i) => evs.map(e => (i, e._1, e._2)) }
+        .toDF("case_id", "ts", "step")
+        .groupBy(col("case_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts").as("ts"), col("step").as("step")))).as("seq"))
+        .select(col("case_id"), org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            3, window, strictOrder = so, strictDedup = sd,
+            strictIncrease = si)).as("level"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val gotSo = sparkLevels(so = true, sd = false, si = true)
+    val gotSd = sparkLevels(so = false, sd = true, si = true)
+    val gotSi = sparkLevels(so = false, sd = false, si = false)
+    cases.zipWithIndex.foreach { case (evs, i) =>
+      assert(gotSo(i) == bruteStrictOrder(evs, 3, window),
+        s"strict_order case $i: $evs")
+      assert(gotSd(i) == bruteMode(evs, 3, window, sd = true, si = true),
+        s"strict_dedup case $i: $evs")
+      assert(gotSi(i) == bruteMode(evs, 3, window, sd = false, si = false),
+        s"relaxed-increase case $i: $evs")
+    }
+    // and the mode matrix driver query is internally consistent: every
+    // mode's histogram covers the same cohort
+    val matrix = ops.Behavior.funnelModeMatrix(spark, sf).collect()
+    val byMode = matrix.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byMode.values.toSet.size == 1,
+      s"every mode must histogram the same cohort: ${byMode.toMap}")
+  }
+
+  /** Exhaustive independent reference for pattern matching: try every
+    * index tuple (conditions are ≤ 3, events ≤ 10 — O(n^m) is fine). */
+  private def bruteSeqMatch(evs: Seq[(Long, Int)],
+                            conds: Seq[(Int, Option[(String, Long)])]): Boolean = {
+    val sorted = evs.sorted
+    def gapOk(c: Option[(String, Long)], dt: Long): Boolean = c match {
+      case None => true
+      case Some(("<", s)) => dt < s * 1000000L
+      case Some(("<=", s)) => dt <= s * 1000000L
+      case Some((">", s)) => dt > s * 1000000L
+      case Some((">=", s)) => dt >= s * 1000000L
+      case _ => false
+    }
+    def rec(j: Int, prevTs: Long): Boolean =
+      if (j == conds.size) true
+      else sorted.exists { case (ts, st) =>
+        st == conds(j)._1 && (j == 0 || (ts > prevTs &&
+          gapOk(conds(j)._2, ts - prevTs))) && rec(j + 1, ts)
+      }
+    rec(0, 0L)
+  }
+
+  test("sequenceMatch pattern grammar = exhaustive reference; parser rejects junk") {
+    import graft.expr.SequenceMatchPattern
+    val rnd = new scala.util.Random(44)
+    // micros-scale gaps so (?t<2)/(?t>1) (seconds) bite: ts in 0..5s
+    val cases: Seq[Seq[(Long, Int)]] = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      Seq.fill(n)((rnd.nextInt(5000000).toLong * 1L, rnd.nextInt(4) - 1))
+    }
+    val patterns = Seq(
+      "(?1).*(?2)",
+      "(?1)(?2)",
+      "(?1)(?t<2)(?2)",
+      "(?1)(?t>1)(?2).*(?3)",
+      "(?1)(?t<=3)(?2)(?t>=1)(?3)")
+    for (p <- patterns) {
+      // re-parse with the production parser; the reference consumes
+      // the parsed (step, constraint) pairs — the grammar itself is
+      // pinned by the rejection cases below
+      val conds = graft.expr.SequenceMatchPattern.parseForTest(p)
+      val got = cases.zipWithIndex.flatMap { case (evs, i) =>
+        evs.map(e => (i, e._1, e._2)) }
+        .toDF("case_id", "ts", "step")
+        .groupBy(col("case_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts").as("ts"), col("step").as("step")))).as("seq"))
+        .select(col("case_id"), org.apache.spark.sql.graftx.Bridge.column(
+          SequenceMatchPattern(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            p)).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      cases.zipWithIndex.foreach { case (evs, i) =>
+        assert(got(i) == bruteSeqMatch(evs, conds),
+          s"pattern $p case $i: $evs")
+      }
+    }
+    // rejected shapes fail fast with the offending token
+    for (bad <- Seq("(?0)", "(?t<5)(?1)", "(?1)(?t<5)", "(?1)(?t<5)(?t<6)(?2)",
+                    "(?1)x(?2)", "", "(?1)(?t<5).*(?2)"))
+      intercept[IllegalArgumentException] {
+        graft.expr.SequenceMatchPattern.parseForTest(bad)
+      }
+  }
+
   test("sequence match = unbounded-window funnel (order only)") {
     val events = Tables.events(spark, sf)
     val got = ops.Behavior.sequenceMatch(spark, sf).collect().head
@@ -241,6 +402,32 @@ class BehaviorSpec extends AnyFunSuite {
       "carry-forward must be NULL before the first observation")
   }
 
+  test("numeric WITH FILL: exclusive TO, grid spine, iterative INTERPOLATE") {
+    // key "a": real rows at 0 and 75; "b": real row at 50 only
+    val sparse = Seq(("a", 0L, 10L, 3.0), ("a", 75L, 2L, 5.0),
+                     ("b", 50L, 7L, 2.0))
+      .toDF("k", "x", "n", "v")
+    // doubling interpolation: a NON-linear expr proves the fold is
+    // iterative (a closed-form carry could not fake acc*2 per step)
+    val got = ops.GapFill.fillNumericRange(sparse, "x", Seq("k"),
+        from = 0L, to = 100L, step = 25L,
+        defaults = Map("n" -> lit(0L)),
+        interpolate = Map("v" -> (acc => acc * lit(2.0d))))
+      .orderBy("k", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      // a: v=3 at 0, then 6, 12 filled; real 5 at 75
+      ("a", 0L, 10L, Some(3.0)), ("a", 25L, 0L, Some(6.0)),
+      ("a", 50L, 0L, Some(12.0)), ("a", 75L, 2L, Some(5.0)),
+      // b: NULL before the first observation; real 2 at 50; then 4, 8
+      ("b", 0L, 0L, None), ("b", 25L, 0L, None),
+      ("b", 50L, 7L, Some(2.0)), ("b", 75L, 0L, Some(4.0))),
+      s"got ${got.toSeq}")
+    // TO is exclusive: x = 100 must not appear
+    assert(!got.exists(_._2 == 100L), "TO must be exclusive")
+  }
+
   test("retention cells = distinct-intersect truth") {
     val events = Tables.events(spark, sf)
     def usersOn(d: String) = events
@@ -252,6 +439,62 @@ class BehaviorSpec extends AnyFunSuite {
     val got = ops.Behavior.retentionReport(spark, sf).collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((r0, r1, r2)),
       s"bitmap-AND cells must equal set-op truth: $got vs ($r0,$r1,$r2)")
+  }
+
+  test("sequenceCount routes through two-step sequence MV states: " +
+       "routed ≡ live on the fixture AND a 300-user random corpus") {
+    import graft.plans.RollupRouting
+    // fixture: the driver query, MV-served, equals the live scan
+    // (withRoutingSpecs materializes, so the plan is asserted on an
+    // inline-registered scope below)
+    assert(ops.Behavior.sequenceCountsFromStates(spark, sf).collect().toSeq ==
+             ops.Behavior.sequenceCounts(spark, sf).collect().toSeq,
+      "MV-served sequenceCount must equal the live scan (multiset-exact states)")
+    val fixtureDir = ops.StarJoins.scratch(sf, "seqcount_rollup")
+    RollupRouting.register(ops.Behavior.seqCountSpec(fixtureDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val inline = ops.Behavior.sequenceCountsOver(Tables.events(spark, sf))
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains("seqcount_rollup") && !plan.contains("events.parquet"),
+        s"the sequenceCount read must route onto the sequence states:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // random corpus: 300 users × random (ts, type) rows, written as an
+    // events.parquet-suffixed table so the registration applies
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "purchase", "click", "other")
+    val rows = (0 until 300).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(12)) {
+        val (d, h, m) = (1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60))
+        (u.toLong,
+         java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:$m%02d:00"),
+         types(rnd.nextInt(types.size)))
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_seqcorpus")
+    val srcPath = base.resolve("events.parquet").toString
+    rows.toDF("user_id", "ts", "event_type").write.parquet(srcPath)
+    val corpus = spark.read.parquet(srcPath)
+    val dir = base.resolve("rollup").toString
+    val spec = ops.Behavior.seqCountSpec(dir)
+    RollupRouting.buildPartials(corpus, spec).write.parquet(dir)
+    val live = ops.Behavior.sequenceCountsOver(corpus).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = ops.Behavior.sequenceCountsOver(corpus)
+      val cplan = r.queryExecution.executedPlan.toString
+      assert(cplan.contains("rollup") && !cplan.contains("events.parquet"),
+        s"the corpus read must route onto the corpus states:\n$cplan")
+      assert(r.collect().toSeq == live,
+        "routed sequenceCount must equal live on the random corpus")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 
   test("retention: a requested day with no events yields 0 cells, not " +

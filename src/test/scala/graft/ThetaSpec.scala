@@ -52,6 +52,26 @@ class ThetaSpec extends AnyFunSuite {
     }
   }
 
+  test("theta bounds: exact regime collapses to the exact count; " +
+       "estimation regime brackets the truth and flags it") {
+    // exact regime: every audience under 2^12 nominal entries
+    ops.Behavior.audienceBounds(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(4), s"fixture states must be exact: $r")
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        s"exact-regime bounds must collapse to the estimate: $r")
+    }
+    // estimation regime: 100k distinct at lgK 12 — flagged, bracketed
+    val b = spark.range(100000)
+      .agg(Tht.bounds(Tht.agg($"id")).as("b"))
+      .select($"b.estimate", $"b.lower", $"b.upper", $"b.is_exact")
+      .collect().head
+    assert(!b.getBoolean(3), "100k >> 4096 nominal entries must flag estimation")
+    assert(b.getDouble(1) <= 100000.0 && 100000.0 <= b.getDouble(2),
+      s"2-sigma bounds must bracket the truth: $b")
+    assert(b.getDouble(1) < b.getDouble(0) && b.getDouble(0) < b.getDouble(2),
+      s"bounds must be a proper interval around the estimate: $b")
+  }
+
   test("above nominal entries the estimate stays inside the published bound") {
     // 100k distinct longs >> 2^12 nominal entries: rsd ≈ 1/√4096 ≈
     // 1.6%; assert within 5% (≈ 3 sigma)

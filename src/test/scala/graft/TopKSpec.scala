@@ -86,6 +86,144 @@ class TopKSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("weighted top-k member routes: MV states read, bit-equal; guards; " +
+       "lattice; catalog; advised") {
+    import graft.expr.TkW
+    import graft.plans.RollupRouting
+    val sf = TestSpark.sf
+    val dir = java.nio.file.Files.createTempDirectory("graft_topkw")
+      .resolve("topkwrollup").toString
+    val spec = ops.Rollups.topKWeightedSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val weight = round($"value" * lit(100.0d)).cast("long")
+    val q = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(TkW.topK(TkW.agg($"user_id", weight), 3).as("top"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("topkwrollup") && !plan.contains("events.parquet"),
+        s"the weighted top-k read must route onto the MV states:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "routed weighted top-k must be bit-equal to live (exact regime)")
+      // a DIFFERENT capacity is a different sketch — stays live
+      val otherCap = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(TkW.topK(TkW.agg($"user_id", weight, maxMapSize = 64), 3).as("top"))
+      assert(otherCap.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a different maxMapSize must not route onto the registered state")
+      // a DIFFERENT weight measure is a different state — stays live
+      val otherWeight = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(TkW.topK(TkW.agg($"user_id",
+          round($"value" * lit(10.0d)).cast("long")), 3).as("top"))
+      assert(otherWeight.queryExecution.executedPlan.toString
+          .contains("events.parquet"),
+        "a different weight pattern must not route onto the registered state")
+      // LATTICE: the weight-map sum is subtotal-safe, so a ROLLUP
+      // dashboard over the estimate routes per grain
+      spark.experimental.extraOptimizations = Nil
+      val latQ = () => Tables.events(spark, sf)
+        .rollup($"event_type")
+        .agg(TkW.topK(TkW.agg($"user_id", weight), 2).as("top"))
+        .orderBy($"event_type".asc_nulls_first)
+      val latPlain = latQ().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val lat = latQ()
+      assert(lat.queryExecution.executedPlan.toString.contains("topkwrollup"),
+        "the weighted top-k lattice must route through the states")
+      assert(lat.collect().toSeq == latPlain,
+        "every lattice grain's weighted top-k must equal the live one")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // JSON catalog: the two-pattern member saves, loads (ExprPat
+    // reparses from SQL), is a save-load-save fixed point, and the
+    // RELOADED registration still routes the unchanged query
+    val regDir = java.nio.file.Files.createTempDirectory("graft_topkwreg")
+    val reg = regDir.resolve("r.json").toString
+    val reg2 = regDir.resolve("r2.json").toString
+    RollupRouting.register(spec)
+    RollupRouting.saveRegistry(reg)
+    RollupRouting.clear()
+    RollupRouting.loadRegistry(spark, reg)
+    RollupRouting.saveRegistry(reg2)
+    assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(reg)),
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(reg2))),
+      "the weighted top-k catalog document must be a save-load-save fixed point")
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString.contains("topkwrollup"),
+        "the RELOADED TopKWeightedOf registration must still route")
+      assert(routed.collect().toSeq == truth)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // the raw weighted-rank dashboard ADVISES the member
+    val root = java.nio.file.Files.createTempDirectory("graft_topkwadv").toString
+    val advice = graft.plans.Advisor.advise(Seq(q()), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1, advice)
+    assert(advice.singles.head.spec.aggs.exists {
+        case RollupRouting.TopKWeightedOf(_, _, _, 1024) => true; case _ => false },
+      s"the weighted-rank demand must mint its member: ${advice.singles.head.spec.aggs}")
+  }
+
+  test("weighted top-k states stream-maintain: merged partials equal the batch answer") {
+    import graft.expr.TkW
+    import graft.plans.RollupRouting
+    val sf = TestSpark.sf
+    val base = java.nio.file.Files.createTempDirectory("graft_topkwmv")
+    val weight = round($"value" * lit(100.0d)).cast("long")
+    val spec = RollupRouting.Spec("events.parquet",
+      base.resolve("topkwstream").toString, grain = "day", timeCol = "ts",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        RollupRouting.TopKWeightedOf(RollupRouting.ColRef("user_id"),
+          RollupRouting.ExprPat(weight), "user_topkw_p"),
+        RollupRouting.CountStarTo("c_p")))
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp") // mid-day: groups split
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    val dayQ = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(TkW.topK(TkW.agg($"user_id", weight), 2).as("top"),
+           count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+    val truth = dayQ().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val maintained = dayQ()
+      assert(maintained.queryExecution.executedPlan.toString.contains("topkwstream"),
+        "the stream-maintained weighted top-k rollup must answer")
+      assert(maintained.collect().toSeq == truth,
+        "stream-maintained states must sum-merge to the batch answer")
+      ops.Rollups.compactRollup(spark, spec)
+      assert(spark.read.parquet(spec.rollupPath).groupBy("day", "event_type")
+               .count().filter($"count" > 1).isEmpty,
+        "compaction must restore one row per (day, type)")
+      assert(dayQ().collect().toSeq == truth,
+        "compaction must not change any routed answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("multi-column grouping and string order keys") {
     val df = Seq(
       ("x", 1, "bb", 10L), ("x", 1, "aa", 20L), ("x", 2, "cc", 30L),
