@@ -96,7 +96,10 @@ object Bench {
     // state, a matching one says real regression. Bands live in
     // scripts/bench_bands.json (short query keys -> last round's
     // medians); a query without a band is new and never flagged.
-    val bands: Map[String, Double] = try {
+    // Bands are sf0.1 medians — any other SF dir (scale replicas,
+    // local sf0.001 iteration) skips the check entirely.
+    val bands: Map[String, Double] = if (!sfDir.endsWith("sf0.1")) Map.empty
+    else try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("scripts/bench_bands.json")), "UTF-8")
       """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)

@@ -619,6 +619,13 @@ object SparkEntry {
     // bounds + the exact-regime flag per audience (exact regime here,
     // so the oracle asserts the honesty contract itself)
     "q244_theta_bounds" -> (ops.Behavior.audienceBounds _),
+    // r16: the timed pattern match served from the REGISTERED q230
+    // sequence states — behavioral reads compose with the MV registry
+    "q245_sequence_match_from_states" -> (ops.Behavior.sequenceMatchTimedFromStates _),
+    // r16: windowFunnel with ClickHouse's OWN max-over-any-anchor
+    // semantics (the documented greedy divergence, resolved as an
+    // opt-in exact-parity mode; 3-day window where the modes differ)
+    "q246_funnel_max_anchor" -> (ops.Behavior.windowFunnelMaxAnchor _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2329,6 +2336,48 @@ object SparkEntry {
            WHERE v.event_type = 'view')
          SELECT (SELECT COUNT(*) FROM m) AS matched,
                 (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users""",
+    // the MV-served twin must reproduce the identical counts
+    "q245_sequence_match_from_states" ->
+      """WITH m AS (
+           SELECT DISTINCT v.user_id
+           FROM events v
+           JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts < v.ts + INTERVAL 3600 SECOND
+           JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts
+           WHERE v.event_type = 'view')
+         SELECT (SELECT COUNT(*) FROM m) AS matched,
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users""",
+    // max-over-anchors funnel: per-level EXISTS chains (deepest chain
+    // over ANY anchor inside one 3-day window)
+    "q246_funnel_max_anchor" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type IN ('view','click','purchase')),
+         l3 AS (SELECT DISTINCT v.user_id FROM events v
+                JOIN events c ON c.user_id = v.user_id
+                  AND c.event_type = 'click' AND c.ts > v.ts
+                  AND c.ts <= v.ts + INTERVAL 3 DAY
+                JOIN events p ON p.user_id = v.user_id
+                  AND p.event_type = 'purchase' AND p.ts > c.ts
+                  AND p.ts <= v.ts + INTERVAL 3 DAY
+                WHERE v.event_type = 'view'),
+         l2 AS (SELECT DISTINCT v.user_id FROM events v
+                JOIN events c ON c.user_id = v.user_id
+                  AND c.event_type = 'click' AND c.ts > v.ts
+                  AND c.ts <= v.ts + INTERVAL 3 DAY
+                WHERE v.event_type = 'view'),
+         l1 AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'view'),
+         ul AS (SELECT f.user_id,
+                  CASE WHEN l3.user_id IS NOT NULL THEN 3
+                       WHEN l2.user_id IS NOT NULL THEN 2
+                       WHEN l1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS level
+                FROM f LEFT JOIN l3 ON f.user_id = l3.user_id
+                       LEFT JOIN l2 ON f.user_id = l2.user_id
+                       LEFT JOIN l1 ON f.user_id = l1.user_id)
+         SELECT level, COUNT(*) AS users FROM ul
+         GROUP BY level ORDER BY level""",
     // strict_order funnel, positionally: rank a user's events by
     // (ts, step), anchor at the first step-0 position; the level is
     // 1 + the longest consecutive run of positions carrying steps

@@ -35,6 +35,17 @@ import org.apache.spark.sql.types._
   *    the default): chained steps may share a timestamp (`ts >=
   *    prev`); tie order is the lexicographic (ts, step) sort, so the
   *    result stays deterministic.
+  *  - `maxOverAnchors` (round 16): ClickHouse's OWN anchor semantics
+  *    — the deepest chain over ANY anchor, not just the earliest
+  *    (view@0, view@5, click@6 with window 3 is level 2 here, 1 on
+  *    the greedy default) — resolving the documented divergence as an
+  *    opt-in exact-parity mode. Computed by reachability DP per level
+  *    with a two-pointer prefix-max over chain starts (the window
+  *    measures from a chain's FIRST event, and a later start strictly
+  *    dominates), O(levels × events) after the sort — no per-anchor
+  *    rescans. Orthogonal to the interference modes (combining them
+  *    is refused: strict_order/strict_dedup are defined relative to
+  *    ONE growing chain).
   *
   * Input: `array<struct<ts: timestamp, step: int>>` sorted ascending
   * (build it with `sort_array(collect_list(struct(ts, step)))` —
@@ -51,11 +62,15 @@ import org.apache.spark.sql.types._
 case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long,
                        strictOrder: Boolean = false,
                        strictDedup: Boolean = false,
-                       strictIncrease: Boolean = true)
+                       strictIncrease: Boolean = true,
+                       maxOverAnchors: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
   require(steps >= 1, s"a funnel needs at least one step, got $steps")
   require(windowMicros > 0, s"the funnel window must be positive, got $windowMicros")
+  require(!(maxOverAnchors && (strictOrder || strictDedup)),
+    "maxOverAnchors is a whole-sequence existential — the interference " +
+      "modes are defined relative to one growing chain; combine is refused")
 
   override def prettyName: String = "graft_funnel_level"
   override def dataType: DataType = IntegerType
@@ -74,7 +89,70 @@ case class FunnelLevel(child: Expression, steps: Int, windowMicros: Long,
         s"graft_funnel_level needs array<struct<ts: timestamp, step: int>>, got $dt")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    if (maxOverAnchors) evalMaxOverAnchors(input) else evalGreedy(input)
+
+  /** ClickHouse-parity level: per level j, the ascending (endTs,
+    * latest-feasible-chain-start) frontier; an event extends j+1 if
+    * SOME frontier entry precedes it (strictly, or ≥ under relaxed
+    * increase) with the chain start inside the window — a later start
+    * strictly dominates, so a running prefix-max of starts decides
+    * feasibility in one two-pointer sweep per level. */
+  private def evalMaxOverAnchors(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ts = new Array[Long](n)
+    val st = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ts(m) = row.getLong(0); st(m) = row.getInt(1); m += 1
+        }
+      }
+      i += 1
+    }
+    // frontier for the current level: ascending end timestamps with
+    // the latest chain start that reaches each end
+    var endTs = new Array[Long](m)
+    var startOf = new Array[Long](m)
+    var fLen = 0
+    var k = 0
+    while (k < m) {
+      if (st(k) == 0) { endTs(fLen) = ts(k); startOf(fLen) = ts(k); fLen += 1 }
+      k += 1
+    }
+    if (fLen == 0) return 0
+    var level = 1
+    while (level < steps && fLen > 0) {
+      val nEnd = new Array[Long](m)
+      val nStart = new Array[Long](m)
+      var nLen = 0
+      var p = 0 // frontier pointer (events and frontier both ascend)
+      var bestStart = Long.MinValue
+      k = 0
+      while (k < m) {
+        if (st(k) == level) {
+          while (p < fLen &&
+                 (if (strictIncrease) endTs(p) < ts(k) else endTs(p) <= ts(k))) {
+            if (startOf(p) > bestStart) bestStart = startOf(p)
+            p += 1
+          }
+          if (bestStart != Long.MinValue && ts(k) - bestStart <= windowMicros) {
+            nEnd(nLen) = ts(k); nStart(nLen) = bestStart; nLen += 1
+          }
+        }
+        k += 1
+      }
+      if (nLen > 0) { level += 1; endTs = nEnd; startOf = nStart; fLen = nLen }
+      else fLen = 0
+    }
+    level
+  }
+
+  private def evalGreedy(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var level = 0

@@ -252,6 +252,49 @@ object Behavior {
       events.agg(countDistinct(col("user_id")).as("total_users"))))
   }
 
+  /** Driver entry (q245, oracled — shares q238's oracle): the SAME
+    * timed pattern match answered from the REGISTERED q230 sequence
+    * states (round 16): the pattern's collect uses the identical
+    * three-step funnel struct, so `collect_list` rewrites to flatten
+    * of the per-(day, user) list states and the reachability DP runs
+    * over the merged sequence — behavioral reads COMPOSE with the MV
+    * registry; the fact is never scanned. */
+  def sequenceMatchTimedFromStates(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "funnel_seq_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), funnelSeqSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelSeqSpec(dir))) {
+      sequenceMatchTimed(spark, sfDir)
+    }
+  }
+
+  /** Driver entry (q246, oracled): windowFunnel with ClickHouse's OWN
+    * anchor semantics — `maxOverAnchors`: the deepest chain over ANY
+    * anchor inside a 3-day window (tight enough that the greedy
+    * earliest-anchor scan UNDER-reports on this fixture, so the two
+    * modes provably differ), resolving the documented divergence as
+    * an opt-in exact-parity mode. Oracled as per-level EXISTS chains:
+    * level 3 iff some view<click<purchase chain fits one window, else
+    * 2 iff some view<click does, else 1 iff any view. */
+  def windowFunnelMaxAnchor(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val window = 3L * 24 * 3600 * 1000000L
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+      .select(org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps.size, window, maxOverAnchors = true)).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("level"))
+  }
+
   /** Driver entry (q223, oracled): `sequenceMatch('(?1).*(?2)')` —
     * did view … purchase ever happen in order, any gap — as the
     * unbounded-window funnel; reported as matched users vs the

@@ -236,6 +236,82 @@ class BehaviorSpec extends AnyFunSuite {
       s"every mode must histogram the same cohort: ${byMode.toMap}")
   }
 
+  /** Exhaustive independent reference for max-over-anchors: try every
+    * strictly-increasing chain of steps 0..L-1 within the window of
+    * its own first event; the level is the deepest L that exists. */
+  private def bruteMaxAnchor(events: Seq[(Long, Int)], steps: Int,
+                             window: Long): Int = {
+    val sorted = events.sorted
+    def chainExists(depth: Int): Boolean = {
+      def rec(j: Int, prevTs: Long, firstTs: Long): Boolean =
+        if (j == depth) true
+        else sorted.exists { case (ts, st) =>
+          st == j && (j == 0 || (ts > prevTs && ts - firstTs <= window)) &&
+            rec(j + 1, ts, if (j == 0) ts else firstTs)
+        }
+      rec(0, 0L, 0L)
+    }
+    (steps to 1 by -1).find(chainExists).getOrElse(0)
+  }
+
+  test("max-over-anchors funnel = exhaustive reference; diverges from " +
+       "greedy exactly where a later anchor goes deeper") {
+    val rnd = new scala.util.Random(45)
+    val window = 30L
+    val cases: Seq[Seq[(Long, Int)]] = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(4) - 1))
+    }
+    val got = cases.zipWithIndex.flatMap { case (evs, i) =>
+        evs.map(e => (i, e._1, e._2)) }
+      .toDF("case_id", "ts", "step")
+      .groupBy(col("case_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts").as("ts"), col("step").as("step")))).as("seq"))
+      .select(col("case_id"),
+        org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            3, window, maxOverAnchors = true)).as("maxlvl"),
+        org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            3, window)).as("greedy"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    var diverged = 0
+    cases.zipWithIndex.foreach { case (evs, i) =>
+      val (maxlvl, greedy) = got(i)
+      assert(maxlvl == bruteMaxAnchor(evs, 3, window),
+        s"max-anchor case $i: $evs")
+      assert(maxlvl >= greedy,
+        s"the existential level can never trail the greedy one: case $i $evs")
+      if (maxlvl > greedy) diverged += 1
+    }
+    assert(diverged > 0,
+      "the corpus must witness the documented greedy divergence")
+    // the ClickHouse doc example: view@0, view@5, click@6, window 3
+    val doc = Seq((0L, 0), (5L, 0), (6L, 1))
+    assert(bruteMaxAnchor(doc, 3, 3L) == 2)
+    val docGot = Seq(doc).zipWithIndex.flatMap { case (evs, i) =>
+        evs.map(e => (i, e._1, e._2)) }
+      .toDF("case_id", "ts", "step")
+      .groupBy(col("case_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts").as("ts"), col("step").as("step")))).as("seq"))
+      .select(
+        org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            3, 3L, maxOverAnchors = true)).as("m"),
+        org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.FunnelLevel(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            3, 3L)).as("g"))
+      .collect().head
+    assert(docGot.getInt(0) == 2 && docGot.getInt(1) == 1,
+      s"the doc example must be 2 under max-anchor, 1 under greedy: $docGot")
+  }
+
   /** Exhaustive independent reference for pattern matching: try every
     * index tuple (conditions are ≤ 3, events ≤ 10 — O(n^m) is fine). */
   private def bruteSeqMatch(evs: Seq[(Long, Int)],
