@@ -16,5 +16,6 @@ object Functions {
     expr.Bmp.register(spark)
     expr.Tht.register(spark)
     expr.TkW.register(spark)
+    expr.Funnel.register(spark)
   }
 }

@@ -264,33 +264,133 @@ case class SequenceMatchPattern(child: Expression, pattern: String,
     }
     // reachability DP: ends(k) = ts of events where conds 0..j can end,
     // paired with the chain's FIRST timestamp (for the whole-chain
-    // window); ascending by construction (events scan in order)
-    var ends: Seq[(Long, Long)] = // (endTs, firstTs)
-      (0 until m).collect { case k if st(k) == conds.head._1 => (ts(k), ts(k)) }
+    // window); ascending by construction (events scan in order). Per
+    // end we keep the LATEST feasible chain start — the window
+    // measures from the chain's first event, so a later start leaves
+    // the most room for the remaining conditions (dominance: the only
+    // start-dependent constraint is the window, monotone in it).
+    var endT = new Array[Long](m)
+    var firstT = new Array[Long](m)
+    var len = 0
+    var k = 0
+    while (k < m) {
+      if (st(k) == conds.head._1) { endT(len) = ts(k); firstT(len) = ts(k); len += 1 }
+      k += 1
+    }
     var j = 1
-    while (j < conds.size && ends.nonEmpty) {
+    while (j < conds.size && len > 0) {
       val (step, constraint) = conds(j)
-      val next = (0 until m).collect {
-        case k if st(k) == step && ends.exists { case (e, f) =>
-          e < ts(k) && gapOk(constraint, ts(k) - e) &&
-            ts(k) - f <= windowMicros
-        } =>
-          // keep the LATEST feasible chain start per end — the window
-          // measures from the chain's first event, so a later start
-          // leaves the most room for the remaining conditions
-          val f = ends.collect { case (e, f0)
-            if e < ts(k) && gapOk(constraint, ts(k) - e) &&
-               ts(k) - f0 <= windowMicros => f0 }.max
-          (ts(k), f)
+      val nEnd = new Array[Long](m)
+      val nFirst = new Array[Long](m)
+      var nLen = 0
+      k = 0
+      while (k < m) {
+        if (st(k) == step) {
+          // one pass over the frontier: the latest feasible start
+          var best = Long.MinValue
+          var p = 0
+          while (p < len) {
+            if (endT(p) < ts(k) && gapOk(constraint, ts(k) - endT(p)) &&
+                ts(k) - firstT(p) <= windowMicros && firstT(p) > best)
+              best = firstT(p)
+            p += 1
+          }
+          if (best != Long.MinValue) {
+            nEnd(nLen) = ts(k); nFirst(nLen) = best; nLen += 1
+          }
+        }
+        k += 1
       }
-      ends = next
+      endT = nEnd; firstT = nFirst; len = nLen
       j += 1
     }
-    ends.nonEmpty
+    len > 0
   }
 
   override protected def withNewChildInternal(c: Expression): SequenceMatchPattern =
     copy(child = c)
+}
+
+/** Column-DSL + SQL surface for the behavioral scan family —
+  * `graft_funnel_level(seq, steps, windowMicros[, 'modes'])`,
+  * `graft_funnel_count(seq, steps, windowMicros)`,
+  * `graft_sequence_match(seq, 'pattern'[, windowMicros])` — so
+  * SQL-only users (the reference's `clickhouse-client` audience) run
+  * funnels over collected sequences without the Column API. Modes are
+  * a comma-separated literal: `strict_order`, `strict_dedup`,
+  * `relaxed_increase` (the engine's DEFAULT is ClickHouse's
+  * strict_increase — the oracle-pinned contract — so relaxing is the
+  * opt-in here), `max_anchors` (ClickHouse's own anchor semantics). */
+object Funnel {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.graftx.Bridge
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def level(seq: Column, steps: Int, windowMicros: Long,
+            modes: String = ""): Column = {
+    val (so, sd, si, ma) = parseModes(modes)
+    Bridge.column(FunnelLevel(Bridge.expressionEager(seq), steps, windowMicros,
+      strictOrder = so, strictDedup = sd, strictIncrease = si,
+      maxOverAnchors = ma))
+  }
+  def count(seq: Column, steps: Int, windowMicros: Long): Column =
+    Bridge.column(FunnelCount(Bridge.expressionEager(seq), steps, windowMicros))
+  def matches(seq: Column, pattern: String): Column =
+    Bridge.column(SequenceMatchPattern(Bridge.expressionEager(seq), pattern))
+
+  private def parseModes(modes: String): (Boolean, Boolean, Boolean, Boolean) = {
+    val ts = modes.split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val known = Set("strict_order", "strict_dedup", "relaxed_increase",
+      "max_anchors")
+    val bad = ts -- known
+    require(bad.isEmpty,
+      s"unknown funnel mode(s) ${bad.mkString(",")} — supported: " +
+        known.toSeq.sorted.mkString(", "))
+    (ts("strict_order"), ts("strict_dedup"),
+     !ts("relaxed_increase"), ts("max_anchors"))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    def intOf(e: Expression): Int = e match {
+      case Literal(i: Int, _) => i
+      case other => throw new IllegalArgumentException(
+        s"expected an int literal, got ${other.sql}")
+    }
+    def longOf(e: Expression): Long = e match {
+      case Literal(l: Long, _) => l
+      case Literal(i: Int, _) => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"expected a long literal, got ${other.sql}")
+    }
+    def strOf(e: Expression): String = e match {
+      case Literal(s: UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"expected a string literal, got ${other.sql}")
+    }
+    Bridge.registerFunction(spark, "graft_funnel_level", {
+      case Seq(c, s, w) => FunnelLevel(c, intOf(s), longOf(w))
+      case Seq(c, s, w, m) =>
+        val (so, sd, si, ma) = parseModes(strOf(m))
+        FunnelLevel(c, intOf(s), longOf(w), strictOrder = so,
+          strictDedup = sd, strictIncrease = si, maxOverAnchors = ma)
+      case args => throw new IllegalArgumentException(
+        s"graft_funnel_level takes (seq, steps, windowMicros[, modes]), " +
+          s"got ${args.size} args")
+    })
+    Bridge.registerFunction(spark, "graft_funnel_count", {
+      case Seq(c, s, w) => FunnelCount(c, intOf(s), longOf(w))
+      case args => throw new IllegalArgumentException(
+        s"graft_funnel_count takes (seq, steps, windowMicros), got ${args.size}")
+    })
+    Bridge.registerFunction(spark, "graft_sequence_match", {
+      case Seq(c, p) => SequenceMatchPattern(c, strOf(p))
+      case Seq(c, p, w) => SequenceMatchPattern(c, strOf(p), longOf(w))
+      case args => throw new IllegalArgumentException(
+        s"graft_sequence_match takes (seq, pattern[, windowMicros]), " +
+          s"got ${args.size}")
+    })
+  }
 }
 
 object SequenceMatchPattern {

@@ -177,6 +177,84 @@ class TopKSpec extends AnyFunSuite {
       s"the weighted-rank demand must mint its member: ${advice.singles.head.spec.aggs}")
   }
 
+  test("weighted top-k member routes on the JOIN path: top parts by " +
+       "summed quantity per segment, join never runs") {
+    import graft.expr.TkW
+    import graft.plans.RollupRouting
+    val sf = TestSpark.sf
+    val weight = $"l_quantity".cast("long")
+    val spec = RollupRouting.JoinSpec(
+      java.nio.file.Files.createTempDirectory("graft_jtopkw")
+        .resolve("jtopkwrollup").toString,
+      tables = Set("lineitem", "orders", "customer"),
+      joinKeys = Set(("l_orderkey", "o_orderkey"), ("c_custkey", "o_custkey")),
+      groupings = Map("c_mktsegment" -> "c_mktsegment"),
+      aggs = Seq(
+        RollupRouting.TopKWeightedOf(RollupRouting.ColRef("l_partkey"),
+          RollupRouting.ExprPat(weight), "pq_topkw_p"),
+        RollupRouting.CountStarTo("n_lines_p")))
+    RollupRouting.buildJoinPartials(
+      Map("lineitem" -> Tables.lineitem(spark, sf),
+          "orders" -> Tables.orders(spark, sf),
+          "customer" -> Tables.customer(spark, sf)), spec)
+      .write.parquet(spec.rollupPath)
+    val q = () => Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(TkW.topK(TkW.agg($"l_partkey", weight), 2).as("top"),
+           count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+    val truth = q().collect().toSeq
+    RollupRouting.registerJoin(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("jtopkwrollup") && !plan.contains("lineitem.parquet"),
+        s"the join-path weighted top-k must read the MV, join-free:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "the routed join dashboard must be bit-equal (exact regime)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("funnel family SQL surface: graft_funnel_level modes, " +
+       "graft_sequence_match, rejection of junk modes") {
+    Functions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT graft_funnel_level(seq, 3, 100L) AS greedy,
+                graft_funnel_level(seq, 3, 100L, 'max_anchors') AS ma,
+                graft_funnel_level(seq, 3, 100L, 'strict_order') AS so,
+                graft_sequence_match(seq, '(?1).*(?2)') AS m
+         FROM (SELECT array(
+                 named_struct('ts', TIMESTAMP '2024-01-01 00:00:00', 'step', 0),
+                 named_struct('ts', TIMESTAMP '2024-01-01 00:00:01', 'step', -1),
+                 named_struct('ts', TIMESTAMP '2024-01-01 00:00:02', 'step', 1)
+               ) AS seq)""").collect().head
+    // window 100 MICROS: the 1-second gaps blow it — greedy and
+    // max-anchor level 1; strict_order stops at the -1 row (level 1);
+    // the unwindowed pattern still matches
+    assert(rows.getInt(0) == 1 && rows.getInt(1) == 1 && rows.getInt(2) == 1)
+    assert(rows.getBoolean(3), "(?1).*(?2) must match regardless of window")
+    val wide = spark.sql(
+      """SELECT graft_funnel_level(seq, 2, 10000000L) AS greedy
+         FROM (SELECT array(
+                 named_struct('ts', TIMESTAMP '2024-01-01 00:00:00', 'step', 0),
+                 named_struct('ts', TIMESTAMP '2024-01-01 00:00:01', 'step', 1)
+               ) AS seq)""").collect().head
+    assert(wide.getInt(0) == 2, "a 10-second window must chain 1-second steps")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_funnel_level(array(named_struct('ts', " +
+        "TIMESTAMP '2024-01-01 00:00:00', 'step', 0)), 2, 10L, 'bogus')")
+        .collect()
+    }
+    assert(ex.getMessage.contains("bogus"),
+      s"junk modes must be named in the refusal: ${ex.getMessage}")
+  }
+
   test("weighted top-k states stream-maintain: merged partials equal the batch answer") {
     import graft.expr.TkW
     import graft.plans.RollupRouting
