@@ -626,6 +626,10 @@ object SparkEntry {
     // semantics (the documented greedy divergence, resolved as an
     // opt-in exact-parity mode; 3-day window where the modes differ)
     "q246_funnel_max_anchor" -> (ops.Behavior.windowFunnelMaxAnchor _),
+    // r16: retention over ARBITRARY conditions — ClickHouse's full
+    // retention(cond1..condN) signature; one fact pass, one bitmap
+    // state per condition, cells as scalar state ANDs
+    "q247_retention_conditions" -> (ops.Behavior.retentionConditions _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2295,6 +2299,19 @@ object SparkEntry {
     // the MV-served twin must reproduce the identical cells — the
     // Spark side reads ONLY the bitmap rollup
     "q227_retention_from_states" -> retentionSql,
+    // condition-based retention: each cell the exact distinct-user
+    // intersection of the anchor condition with a return condition
+    "q247_retention_conditions" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase' AND value > 100),
+         c1 AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'click'),
+         c2 AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'view' AND value > 200)
+         SELECT
+           (SELECT COUNT(*) FROM a) AS r0,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c1) t) AS r1,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c2) t) AS r2""",
     // theta set algebra at exact cardinality: distinct / intersect /
     // except counts per type against the click cohort
     "q228_audience_overlap" -> audienceOverlapSql,

@@ -269,6 +269,38 @@ case class BitmapCardinality(child: Expression)
     copy(child = c)
 }
 
+/** `graft_bitmap_and(a, b)` — the AND of two serialized bitmap states
+  * as a state (round 16): the scalar pair form of
+  * [[BitmapIntersectAgg]], for reads that intersect one row's state
+  * against another column of the SAME row (condition-based retention
+  * cells; the theta family's [[ThetaAndPair]] twin). Exact. */
+case class BitmapAndPair(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def prettyName: String = "graft_bitmap_and"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_and needs two binary bitmap states, got " +
+          s"${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = Bitmap.deserializeBitmap(a.asInstanceOf[Array[Byte]])
+    x.and(Bitmap.deserializeBitmap(b.asInstanceOf[Array[Byte]]))
+    Bitmap.serializeBitmap(x)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BitmapAndPair = copy(left = l, right = r)
+}
+
 /** Column-DSL + SQL surface for the bitmap family. */
 object Bmp {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -297,6 +329,10 @@ object Bmp {
   def count(c: Column): Column =
     Bridge.column(BitmapCardinality(Bridge.expressionEager(c)))
 
+  /** Scalar AND of two bitmap states (the pair form of [[intersect]]). */
+  def and(a: Column, b: Column): Column =
+    Bridge.column(BitmapAndPair(Bridge.expressionEager(a), Bridge.expressionEager(b)))
+
   /** SQL surface: `graft_bitmap_agg(v)`, `graft_bitmap_merge(st)`,
     * `graft_bitmap_intersect(st)`, `graft_bitmap_count(st)`. */
   def register(spark: SparkSession): Unit = {
@@ -319,6 +355,11 @@ object Bmp {
       case Seq(c) => BitmapCardinality(c)
       case args => throw new IllegalArgumentException(
         s"graft_bitmap_count takes (state), got ${args.size} args")
+    })
+    Bridge.registerFunction(spark, "graft_bitmap_and", {
+      case Seq(a, b) => BitmapAndPair(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_bitmap_and takes (a, b), got ${args.size} args")
     })
   }
 }

@@ -510,6 +510,44 @@ object Behavior {
     daily.agg(cells.head, cells.tail: _*)
   }
 
+  /** ClickHouse's FULL `retention(cond1, …, condN)` signature (round
+    * 16): arbitrary per-event CONDITIONS, not just day equality — r0 =
+    * users with any cond1 event, r_i = users with both a cond1 and a
+    * cond_i event. One fact pass builds a bitmap state per condition
+    * (`when(cond, user)` — NULLs never enter), then every cell is an
+    * AND of two compressed states; a condition no event satisfies
+    * yields an explicit EMPTY state via the agg itself (BitmapAgg of
+    * an all-NULL column is the empty bitmap), so unmet conditions are
+    * 0, never skipped. */
+  def retentionConds(events: DataFrame, conds: Seq[Column]): DataFrame = {
+    import graft.expr.Bmp
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val states = events.agg(
+      Bmp.agg(when(conds.head, col("user_id"))).as("bm0"),
+      conds.zipWithIndex.tail.map { case (c, i) =>
+        Bmp.agg(when(c, col("user_id"))).as(s"bm$i")
+      }: _*)
+    val cells: Seq[Column] =
+      Bmp.count(col("bm0")).as("r0") +:
+      conds.indices.tail.map { i =>
+        Bmp.count(Bmp.and(col("bm0"), col(s"bm$i"))).as(s"r$i")
+      }
+    states.select(cells: _*)
+  }
+
+  /** Driver entry (q247, oracled): condition-based retention — the
+    * anchor cohort is "purchased with value > 100" and the return
+    * conditions are later behavioral facts (clicked at all; viewed
+    * with value > 200) — the full ClickHouse signature over arbitrary
+    * predicates, where q222's cells are the day-equality special
+    * case. The DuckDB oracle is the equivalent DISTINCT-INTERSECT
+    * counts per condition pair. */
+  def retentionConditions(spark: SparkSession, sfDir: String): DataFrame =
+    retentionConds(Tables.events(spark, sfDir), Seq(
+      col("event_type") === "purchase" && col("value") > 100.0d,
+      col("event_type") === "click",
+      col("event_type") === "view" && col("value") > 200.0d))
+
   /** Driver entry (q222, oracled): day-1/day-7 retention from the
     * 2024-01-05 cohort — each cell an exact bitmap intersection, the
     * DuckDB oracle the equivalent DISTINCT-INTERSECT counts. */

@@ -573,6 +573,28 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("condition retention = set-op truth; an unmet condition is 0") {
+    val events = Tables.events(spark, sf)
+    def usersWhere(c: org.apache.spark.sql.Column) =
+      events.filter(c).select($"user_id").distinct()
+    val anchor = usersWhere($"event_type" === "purchase" && $"value" > 100.0d)
+    val r1 = anchor.intersect(usersWhere($"event_type" === "click")).count()
+    val got = ops.Behavior.retentionConditions(spark, sf).collect().head
+    assert(got.getLong(0) == anchor.count() && got.getLong(1) == r1,
+      s"condition cells must equal set-op truth: $got")
+    // a condition NO event satisfies must yield 0, not be skipped
+    val z = ops.Behavior.retentionConds(events, Seq(
+      $"event_type" === "purchase",
+      $"event_type" === "no_such_type")).collect().head
+    assert(z.getLong(1) == 0L, s"unmet condition must be 0: $z")
+    // an unmet ANCHOR zeroes everything
+    val za = ops.Behavior.retentionConds(events, Seq(
+      $"event_type" === "no_such_type",
+      $"event_type" === "click")).collect().head
+    assert(za.getLong(0) == 0L && za.getLong(1) == 0L,
+      s"unmet anchor must zero the report: $za")
+  }
+
   test("retention: a requested day with no events yields 0 cells, not " +
        "the surviving day's cardinality") {
     // two users active on day 5 only; day 6 and day 99 have no rows
