@@ -97,9 +97,12 @@ object Bench {
     // scripts/bench_bands.json (short query keys -> last round's
     // medians); a query without a band is new and never flagged.
     // Bands are sf0.1 medians — any other SF dir (scale replicas,
-    // local sf0.001 iteration) skips the check entirely.
-    val bands: Map[String, Double] = if (!sfDir.endsWith("sf0.1")) Map.empty
-    else try {
+    // local sf0.001 iteration) skips the check entirely. Matched on
+    // the path's BASENAME so a trailing slash or an absolute spelling
+    // never silently disables the adjudication.
+    val bands: Map[String, Double] =
+      if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
+      else try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("scripts/bench_bands.json")), "UTF-8")
       """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
@@ -113,13 +116,20 @@ object Bench {
       case (name, med) if !failed.contains(name) &&
         bands.get(shortOf(name)).exists(b => med > 2.0 * b + 0.3) => name
     }
+    // a FAILED solo re-run reports -1 (never silently drops — a
+    // query that crashes alone is the opposite of adjudicated-clean);
+    // fatal JVM errors propagate, they are not adjudication data
     val isolated: Map[String, Double] = outOfBand.flatMap { name =>
-      selected.find(_._1 == name).flatMap { case (_, fn) =>
+      selected.find(_._1 == name).map { case (_, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] isolated $name FAILED: ${e.getMessage}")
+            name -> -1.0
+        }
       }
     }.toMap
     def isolatedJson(keyOf: String => String): String =

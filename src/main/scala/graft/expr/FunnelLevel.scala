@@ -217,8 +217,11 @@ case class SequenceMatchPattern(child: Expression, pattern: String,
 
   import SequenceMatchPattern._
 
-  /** (step, constraint-vs-previous); head's constraint is None. */
-  private lazy val conds: Seq[(Int, Option[(String, Long)])] = parse(pattern)
+  /** (step, constraint-vs-previous); head's constraint is None.
+    * EAGER: a bad pattern must be rejected at construction on the
+    * driver (the parser's fail-fast contract), never surface as a
+    * task failure on executors. */
+  private val conds: Seq[(Int, Option[(String, Long)])] = parse(pattern)
 
   override def prettyName: String = "graft_sequence_match"
   override def dataType: DataType = BooleanType

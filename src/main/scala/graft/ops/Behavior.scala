@@ -217,16 +217,30 @@ object Behavior {
   def funnelModeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val steps = Seq("view", "click", "purchase")
     val week = 7L * 24 * 3600 * 1000000L
-    val events = Tables.events(spark, sfDir)
-    def hist(mode: String, so: Boolean, sd: Boolean, si: Boolean): DataFrame =
-      funnelLevelsAll(events, steps, week, so, sd, si)
-        .groupBy(col("level"))
-        .agg(count(lit(1)).as("users"))
-        .select(lit(mode).as("mode"), col("level"), col("users"))
-    hist("base", so = false, sd = false, si = true)
-      .unionByName(hist("strict_order", so = true, sd = false, si = true))
-      .unionByName(hist("strict_dedup", so = false, sd = true, si = true))
-      .unionByName(hist("relaxed_increase", so = false, sd = false, si = false))
+    // ONE fact scan, ONE per-user shuffle: the sequence is collected
+    // once and all four mode scans evaluate over the same array —
+    // four O(events-per-user) passes per row, never four fact scans
+    def lvl(so: Boolean, sd: Boolean, si: Boolean): Column =
+      org.apache.spark.sql.graftx.Bridge.column(
+        graft.expr.FunnelLevel(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+          steps.size, week, strictOrder = so, strictDedup = sd,
+          strictIncrease = si))
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
+      .filter(exists(col("seq"), e => e.getField("step") >= 0))
+      .select(explode(array(
+        struct(lit("base").as("mode"),
+          lvl(so = false, sd = false, si = true).as("level")),
+        struct(lit("strict_order").as("mode"),
+          lvl(so = true, sd = false, si = true).as("level")),
+        struct(lit("strict_dedup").as("mode"),
+          lvl(so = false, sd = true, si = true).as("level")),
+        struct(lit("relaxed_increase").as("mode"),
+          lvl(so = false, sd = false, si = false).as("level")))).as("m"))
+      .groupBy(col("m.mode").as("mode"), col("m.level").as("level"))
+      .agg(count(lit(1)).as("users"))
       .orderBy(col("mode"), col("level"))
   }
 
@@ -239,17 +253,20 @@ object Behavior {
     * join chain computes. */
   def sequenceMatchTimed(spark: SparkSession, sfDir: String): DataFrame = {
     val steps = Seq("view", "click", "purchase")
-    val events = Tables.events(spark, sfDir)
-    val matched = events
+    // ONE aggregate serves both columns: the grouped frame has exactly
+    // one row per distinct user (users with no funnel events carry an
+    // empty sequence — the guard's NULLs never enter collect_list), so
+    // total_users is its row count and no separate fact scan (which
+    // would also defeat the q245 MV routing) is ever needed
+    Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
-      .select(org.apache.spark.sql.graftx.Bridge.column(
-        graft.expr.SequenceMatchPattern(
-          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
-          "(?1)(?t<3600)(?2).*(?3)")).as("m"))
-      .agg(count(when(col("m"), 1)).as("matched"))
-    matched.crossJoin(broadcast(
-      events.agg(countDistinct(col("user_id")).as("total_users"))))
+      .agg(
+        count(when(org.apache.spark.sql.graftx.Bridge.column(
+          graft.expr.SequenceMatchPattern(
+            org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
+            "(?1)(?t<3600)(?2).*(?3)")), 1)).as("matched"),
+        count(lit(1)).as("total_users"))
   }
 
   /** Driver entry (q245, oracled — shares q238's oracle): the SAME

@@ -414,14 +414,20 @@ object Advisor {
             toPat(resolve(cs.child)).map(p =>
               SetOf(p, statePartialName(p, "set")))
           // a collected EVENT-SEQUENCE demand (round 16): collect_list
-          // over a CASE-guarded PATTERN (the funnel-struct shape —
-          // non-matching rows are NULL and never enter the list)
+          // over a CASE-GUARDED pattern WITH NO ELSE (the funnel-struct
+          // shape — non-matching rows are NULL and never enter the
+          // list, which is what bounds the state to qualifying events)
           // registers the ListOf sequence member, the groupArrayState
-          // MV behind funnel/sequence reads. Only pattern sources
-          // mint: a bare-column collect_list would duplicate the
-          // column with no compression story (the registry scaladoc's
-          // own warning) — register that by hand or not at all.
-          case cl: CollectList if !ae.isDistinct =>
+          // MV behind funnel/sequence reads. Anything else — a bare
+          // column, an unguarded expression, a CASE with an else
+          // branch (every row enters) — would duplicate the fact with
+          // no compression story (the registry scaladoc's own
+          // warning) and stays register-by-hand.
+          case cl: CollectList if !ae.isDistinct &&
+              (resolve(cl.child) match {
+                case c: CaseWhen => c.elseValue.isEmpty
+                case _ => false
+              }) =>
             toPat(resolve(cl.child)) match {
               case Some(p: ExprPat) => Some(ListOf(p, statePartialName(p, "seq")))
               case _ => None

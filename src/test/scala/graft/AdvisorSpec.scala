@@ -1453,5 +1453,21 @@ class AdvisorSpec extends AnyFunSuite {
     val advice2 = Advisor.advise(Seq(bare), root)
     assert(advice2.singles.isEmpty && advice2.skipped.nonEmpty,
       s"bare-column collect_list must be skipped, got $advice2")
+    // an UNGUARDED expression (every row enters the list — full
+    // duplication) is refused too: only a CASE with no else mints
+    val unguarded = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(collect_list(struct($"ts", $"value")).as("vs"))
+    val advice3 = Advisor.advise(Seq(unguarded), root)
+    assert(advice3.singles.isEmpty && advice3.skipped.nonEmpty,
+      s"unguarded collect_list must be skipped, got $advice3")
+    // ...and a CASE WITH an else branch (every row still enters)
+    val withElse = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(collect_list(when($"event_type" === "view", $"value")
+        .otherwise(lit(0.0d))).as("vs"))
+    val advice4 = Advisor.advise(Seq(withElse), root)
+    assert(advice4.singles.isEmpty && advice4.skipped.nonEmpty,
+      s"else-carrying CASE collect_list must be skipped, got $advice4")
   }
 }
