@@ -630,6 +630,12 @@ object SparkEntry {
     // retention(cond1..condN) signature; one fact pass, one bitmap
     // state per condition, cells as scalar state ANDs
     "q247_retention_conditions" -> (ops.Behavior.retentionConditions _),
+    // r16: sumMap/maxMap — per-day keyed-measure maps rendered as
+    // sorted key:value csv (cents, the q233 recipe)
+    "q248_sum_map" -> (Rollups.sumMapDaily _),
+    // r16: the same maps with the inner (day × type) aggregate ROUTED
+    // through a registered value rollup — the fact never scanned
+    "q249_sum_map_routed" -> (Rollups.sumMapDailyRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2331,6 +2337,9 @@ object SparkEntry {
          FROM d JOIN events e
            ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
          GROUP BY 1 ORDER BY day""",
+    // keyed-measure maps: raw and MV-routed must render identically
+    "q248_sum_map" -> sumMapSql,
+    "q249_sum_map_routed" -> sumMapSql,
     // the MV-routed and advisor-minted twins must reproduce the
     // identical weighted ranking (exact regime: state sum-merge is
     // the global weight map)
@@ -2599,6 +2608,22 @@ object SparkEntry {
             INTERSECT
             SELECT DISTINCT user_id FROM events
             WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2"""
+
+  /** sumMap/maxMap: the keyed-measure maps as sorted key:cents csv —
+    * shared by the raw q248 and the MV-routed q249. */
+  private lazy val sumMapSql =
+    s"""WITH m AS (
+         SELECT CAST(ts AS DATE) AS day, event_type,
+           ${dsum("value")} AS vol, MAX(value) AS mx
+         FROM events GROUP BY 1, 2)
+       SELECT day,
+         string_agg(event_type || ':' ||
+           CAST(CAST(ROUND(CAST(vol AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
+           ',' ORDER BY event_type) AS sum_map,
+         string_agg(event_type || ':' ||
+           CAST(CAST(ROUND(mx * 100) AS BIGINT) AS VARCHAR),
+           ',' ORDER BY event_type) AS max_map
+       FROM m GROUP BY day ORDER BY day"""
 
   /** topKWeighted at exact capacity: the sketch report equals the
     * plain weighted rank (total order: weight DESC, user ASC) —

@@ -541,6 +541,65 @@ object Rollups {
     * expression (integral weights; both engines round identically). */
   private def centWeight: Column = round(col("value") * lit(100.0d)).cast("long")
 
+  /** ClickHouse's `sumMap` / `maxMap` re-expressed Spark-first (round
+    * 16): the keyed-measure MAP — per day, `{event_type → Σvalue}` and
+    * `{event_type → max(value)}` — is a two-level aggregate (the inner
+    * (day, key) grain IS the map's entry set) rendered canonically as
+    * a sorted `key:value` csv so the report is hash-oracled
+    * (DuckDB `string_agg(… ORDER BY key)`). Values render as CENTS
+    * (the q233 recipe — round(x·100) on both engines) so no
+    * decimal-to-string formatting divergence can flake the hash.
+    * Scale shape: one fact pass to (day × type) grain — exactly the
+    * reference's MV grain — then a calendar-sized map fold; the inner
+    * aggregate is the routable part ([[sumMapDailyRouted]]). */
+  def sumMapDaily(spark: SparkSession, sfDir: String): DataFrame =
+    sumMapRead(Tables.events(spark, sfDir))
+
+  private def sumMapRead(events: DataFrame): DataFrame = {
+    val inner = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(Fns.dsum(col("value")).as("vol"), max(col("value")).as("mx"))
+    def cents(c: Column): Column = round(c.cast("double") * 100.0d).cast("long")
+    def entry(v: Column): Column =
+      concat(col("event_type"), lit(":"), v.cast("string"))
+    inner
+      .groupBy(col("day"))
+      .agg(
+        array_join(sort_array(collect_list(entry(cents(col("vol"))))), ",")
+          .as("sum_map"),
+        array_join(sort_array(collect_list(entry(cents(col("mx"))))), ",")
+          .as("max_map"))
+      .orderBy("day")
+  }
+
+  /** The (day × event_type) VALUE rollup the map reads route through:
+    * the exact decimal sum, the bare max, and the row count. */
+  def dayTypeValueSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day",
+      timeCol = "ts", keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        SumOf(ColRef("value"), "vol_p"),
+        MaxOf("value", "mx_p"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q249, oracled — shares q248's oracle): the SAME
+    * map report with the INNER (day × type) aggregate ROUTED through
+    * a registered value rollup — sumMap/maxMap dashboards become a
+    * calendar-sized state read (the map fold rides above the routed
+    * aggregate untouched); the fact is never scanned. */
+  def sumMapDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "daytype_value_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), dayTypeValueSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(dayTypeValueSpec(dir))) {
+      sumMapRead(Tables.events(spark, sfDir))
+    }
+  }
+
   def topKWeightedUsers(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.expr.TkW
     Tables.events(spark, sfDir)

@@ -3967,4 +3967,35 @@ class RollupRoutingSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  test("sumMap/maxMap's inner (day, type) aggregate routes; the map " +
+       "fold rides above untouched") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_summap")
+      .resolve("dtvrollup").toString
+    val spec = ops.Rollups.dayTypeValueSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val q = () => Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(ops.Fns.dsum($"value").as("vol"), max($"value").as("mx"))
+      .groupBy($"day")
+      .agg(array_join(sort_array(collect_list(concat($"event_type", lit(":"),
+        round($"vol".cast("double") * 100.0d).cast("long").cast("string")))), ",")
+        .as("sum_map"))
+      .orderBy("day")
+    val truth = q().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("dtvrollup") && !plan.contains("events.parquet"),
+        s"the map read's inner aggregate must route onto the value rollup:\n$plan")
+      assert(routed.collect().toSeq == truth,
+        "the routed map render must be bit-equal (exact decimal sums, bare max)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }
