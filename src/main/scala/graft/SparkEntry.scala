@@ -636,6 +636,37 @@ object SparkEntry {
     // r16: the same maps with the inner (day × type) aggregate ROUTED
     // through a registered value rollup — the fact never scanned
     "q249_sum_map_routed" -> (Rollups.sumMapDailyRouted _),
+    // r17: the max-over-anchors funnel served from the REGISTERED q230
+    // sequence states — r16 verdict's first weak row cleared (the raw
+    // scan stays q246's honest baseline)
+    "q250_funnel_max_anchor_from_states" -> (ops.Behavior.windowFunnelMaxAnchorFromStates _),
+    // r17: theta error bounds COMPOSED with the registered q229 theta
+    // MV — r16 verdict's second weak row cleared
+    "q251_theta_bounds_routed" -> (ops.Behavior.audienceBoundsFromStates _),
+    // r17: condition retention from REGISTERED per-condition bitmap
+    // states (hand-registered spec; per-day states OR-merge at read)
+    "q252_retention_conditions_routed" -> (ops.Behavior.retentionConditionsFromStates _),
+    // r17: condition retention ADVISED end-to-end — the advisor mints
+    // one BitmapUniqOf member per when(cond, user) guard pattern
+    "q253_retention_conditions_advised" -> (ops.Behavior.retentionConditionsAdvised _),
+    // r17: minMap/avgMap — completing the keyed-measure family (avg as
+    // the A6 sum+count invariant, so it re-aggregates from the same
+    // value rollup)
+    "q254_min_avg_map" -> (Rollups.minAvgMapDaily _),
+    // r17: the same min/avg maps ROUTED through the one registered
+    // (day × type) value rollup
+    "q255_min_avg_map_routed" -> (Rollups.minAvgMapDailyRouted _),
+    // r17: sumMapFiltered(['click','purchase']) — the keyed map over a
+    // declared key subset
+    "q256_sum_map_filtered" -> (Rollups.sumMapFilteredDaily _),
+    // r17: the filtered map ROUTED — the key-set predicate subsumes
+    // onto the rollup's own key column
+    "q257_sum_map_filtered_routed" -> (Rollups.sumMapFilteredDailyRouted _),
+    // r17: the four-mode funnel matrix served from ALL-EVENTS sequence
+    // states (the interference modes honestly need every event — the
+    // hand-registered groupArrayState-over-everything pattern);
+    // rows-only like q240, plus a routed≡live spec on the same corpus
+    "q258_funnel_modes_from_states" -> (ops.Behavior.funnelModeMatrixFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2305,19 +2336,14 @@ object SparkEntry {
     // the MV-served twin must reproduce the identical cells — the
     // Spark side reads ONLY the bitmap rollup
     "q227_retention_from_states" -> retentionSql,
+    // the state-served and advisor-minted twins must reproduce the
+    // identical cells (bitmap states are exact; OR-merge of per-day
+    // states is the same set)
+    "q252_retention_conditions_routed" -> retentionCondsSql,
+    "q253_retention_conditions_advised" -> retentionCondsSql,
     // condition-based retention: each cell the exact distinct-user
     // intersection of the anchor condition with a return condition
-    "q247_retention_conditions" ->
-      """WITH a AS (SELECT DISTINCT user_id FROM events
-                    WHERE event_type = 'purchase' AND value > 100),
-         c1 AS (SELECT DISTINCT user_id FROM events
-                WHERE event_type = 'click'),
-         c2 AS (SELECT DISTINCT user_id FROM events
-                WHERE event_type = 'view' AND value > 200)
-         SELECT
-           (SELECT COUNT(*) FROM a) AS r0,
-           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c1) t) AS r1,
-           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c2) t) AS r2""",
+    "q247_retention_conditions" -> retentionCondsSql,
     // theta set algebra at exact cardinality: distinct / intersect /
     // except counts per type against the click cohort
     "q228_audience_overlap" -> audienceOverlapSql,
@@ -2340,6 +2366,12 @@ object SparkEntry {
     // keyed-measure maps: raw and MV-routed must render identically
     "q248_sum_map" -> sumMapSql,
     "q249_sum_map_routed" -> sumMapSql,
+    // r17 keyed-map completion: min/avg raw + routed, filtered raw +
+    // routed — each pair shares one oracle
+    "q254_min_avg_map" -> minAvgMapSql,
+    "q255_min_avg_map_routed" -> minAvgMapSql,
+    "q256_sum_map_filtered" -> sumMapFilteredSql,
+    "q257_sum_map_filtered_routed" -> sumMapFilteredSql,
     // the MV-routed and advisor-minted twins must reproduce the
     // identical weighted ranking (exact regime: state sum-merge is
     // the global weight map)
@@ -2375,35 +2407,10 @@ object SparkEntry {
          SELECT (SELECT COUNT(*) FROM m) AS matched,
                 (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users""",
     // max-over-anchors funnel: per-level EXISTS chains (deepest chain
-    // over ANY anchor inside one 3-day window)
-    "q246_funnel_max_anchor" ->
-      """WITH f AS (SELECT DISTINCT user_id FROM events
-                    WHERE event_type IN ('view','click','purchase')),
-         l3 AS (SELECT DISTINCT v.user_id FROM events v
-                JOIN events c ON c.user_id = v.user_id
-                  AND c.event_type = 'click' AND c.ts > v.ts
-                  AND c.ts <= v.ts + INTERVAL 3 DAY
-                JOIN events p ON p.user_id = v.user_id
-                  AND p.event_type = 'purchase' AND p.ts > c.ts
-                  AND p.ts <= v.ts + INTERVAL 3 DAY
-                WHERE v.event_type = 'view'),
-         l2 AS (SELECT DISTINCT v.user_id FROM events v
-                JOIN events c ON c.user_id = v.user_id
-                  AND c.event_type = 'click' AND c.ts > v.ts
-                  AND c.ts <= v.ts + INTERVAL 3 DAY
-                WHERE v.event_type = 'view'),
-         l1 AS (SELECT DISTINCT user_id FROM events
-                WHERE event_type = 'view'),
-         ul AS (SELECT f.user_id,
-                  CASE WHEN l3.user_id IS NOT NULL THEN 3
-                       WHEN l2.user_id IS NOT NULL THEN 2
-                       WHEN l1.user_id IS NOT NULL THEN 1
-                       ELSE 0 END AS level
-                FROM f LEFT JOIN l3 ON f.user_id = l3.user_id
-                       LEFT JOIN l2 ON f.user_id = l2.user_id
-                       LEFT JOIN l1 ON f.user_id = l1.user_id)
-         SELECT level, COUNT(*) AS users FROM ul
-         GROUP BY level ORDER BY level""",
+    // over ANY anchor inside one 3-day window); the state-served twin
+    // must reproduce the identical histogram
+    "q246_funnel_max_anchor" -> maxAnchorFunnelSql,
+    "q250_funnel_max_anchor_from_states" -> maxAnchorFunnelSql,
     // strict_order funnel, positionally: rank a user's events by
     // (ts, step), anchor at the first step-0 position; the level is
     // 1 + the longest consecutive run of positions carrying steps
@@ -2479,14 +2486,11 @@ object SparkEntry {
          LEFT JOIN sparse sp ON sp.day = s.day AND sp.event_type = k.event_type
          ORDER BY s.day, k.event_type""",
     // theta bounds in the exact regime: is_exact true, estimate =
-    // lower = upper = the exact distinct count
-    "q244_theta_bounds" ->
-      """SELECT event_type,
-         COUNT(DISTINCT user_id) AS users,
-         COUNT(DISTINCT user_id) AS lower,
-         COUNT(DISTINCT user_id) AS upper,
-         TRUE AS is_exact
-         FROM events GROUP BY 1 ORDER BY event_type""",
+    // lower = upper = the exact distinct count; the MV-composed twin
+    // must reproduce the identical columns (value-set-deterministic
+    // states)
+    "q244_theta_bounds" -> thetaBoundsSql,
+    "q251_theta_bounds_routed" -> thetaBoundsSql,
     // the join-path bitmap member: the routed segment dashboard must
     // equal the exact distinct-customer counts off the raw join
     "q243_segment_customers_bitmap" ->
@@ -2609,20 +2613,99 @@ object SparkEntry {
             SELECT DISTINCT user_id FROM events
             WHERE CAST(ts AS DATE) = DATE '2024-01-12')) AS r2"""
 
+  /** Max-over-anchors funnel — per-level EXISTS chains (deepest chain
+    * over ANY anchor inside one 3-day window); shared by the raw q246
+    * and the state-served q250. */
+  private lazy val maxAnchorFunnelSql =
+    """WITH f AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type IN ('view','click','purchase')),
+       l3 AS (SELECT DISTINCT v.user_id FROM events v
+              JOIN events c ON c.user_id = v.user_id
+                AND c.event_type = 'click' AND c.ts > v.ts
+                AND c.ts <= v.ts + INTERVAL 3 DAY
+              JOIN events p ON p.user_id = v.user_id
+                AND p.event_type = 'purchase' AND p.ts > c.ts
+                AND p.ts <= v.ts + INTERVAL 3 DAY
+              WHERE v.event_type = 'view'),
+       l2 AS (SELECT DISTINCT v.user_id FROM events v
+              JOIN events c ON c.user_id = v.user_id
+                AND c.event_type = 'click' AND c.ts > v.ts
+                AND c.ts <= v.ts + INTERVAL 3 DAY
+              WHERE v.event_type = 'view'),
+       l1 AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'view'),
+       ul AS (SELECT f.user_id,
+                CASE WHEN l3.user_id IS NOT NULL THEN 3
+                     WHEN l2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS level
+              FROM f LEFT JOIN l3 ON f.user_id = l3.user_id
+                     LEFT JOIN l2 ON f.user_id = l2.user_id
+                     LEFT JOIN l1 ON f.user_id = l1.user_id)
+       SELECT level, COUNT(*) AS users FROM ul
+       GROUP BY level ORDER BY level"""
+
+  /** Theta bounds in the exact regime — shared by the raw q244 and the
+    * MV-composed q251. */
+  private lazy val thetaBoundsSql =
+    """SELECT event_type,
+       COUNT(DISTINCT user_id) AS users,
+       COUNT(DISTINCT user_id) AS lower,
+       COUNT(DISTINCT user_id) AS upper,
+       TRUE AS is_exact
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
+  /** Condition retention cells — shared by the raw q247, the
+    * state-served q252, and the advised q253. */
+  private lazy val retentionCondsSql =
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase' AND value > 100),
+       c1 AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'click'),
+       c2 AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'view' AND value > 200)
+       SELECT
+         (SELECT COUNT(*) FROM a) AS r0,
+         (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c1) t) AS r1,
+         (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c2) t) AS r2"""
+
   /** sumMap/maxMap: the keyed-measure maps as sorted key:cents csv —
-    * shared by the raw q248 and the MV-routed q249. */
-  private lazy val sumMapSql =
+    * shared by the raw q248 and the MV-routed q249; with a WHERE
+    * prefix, by the key-filtered q256/q257. The SUM side rounds in
+    * DECIMAL on both engines (round 17 — exact at any group volume);
+    * the max stays in double (its source column is double). */
+  private def sumMapSqlWhere(where: String) =
     s"""WITH m AS (
          SELECT CAST(ts AS DATE) AS day, event_type,
-           ${dsum("value")} AS vol, MAX(value) AS mx
-         FROM events GROUP BY 1, 2)
+           SUM(CAST(value AS DECIMAL(38,6))) AS vol, MAX(value) AS mx
+         FROM events $where GROUP BY 1, 2)
        SELECT day,
          string_agg(event_type || ':' ||
-           CAST(CAST(ROUND(CAST(vol AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(ROUND(vol * 100, 0) AS BIGINT) AS VARCHAR),
            ',' ORDER BY event_type) AS sum_map,
          string_agg(event_type || ':' ||
            CAST(CAST(ROUND(mx * 100) AS BIGINT) AS VARCHAR),
            ',' ORDER BY event_type) AS max_map
+       FROM m GROUP BY day ORDER BY day"""
+  private lazy val sumMapSql = sumMapSqlWhere("")
+  private lazy val sumMapFilteredSql =
+    sumMapSqlWhere("WHERE event_type IN ('click','purchase')")
+
+  /** minMap/avgMap — shared by the raw q254 and the MV-routed q255;
+    * avg divides the exact decimal sum by the row count in double on
+    * both engines (the A6 spelling). */
+  private lazy val minAvgMapSql =
+    s"""WITH m AS (
+         SELECT CAST(ts AS DATE) AS day, event_type,
+           MIN(value) AS mn, ${dsum("value")} AS vol, COUNT(*) AS n
+         FROM events GROUP BY 1, 2)
+       SELECT day,
+         string_agg(event_type || ':' ||
+           CAST(CAST(ROUND(mn * 100) AS BIGINT) AS VARCHAR),
+           ',' ORDER BY event_type) AS min_map,
+         string_agg(event_type || ':' ||
+           CAST(CAST(ROUND(vol / CAST(n AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
+           ',' ORDER BY event_type) AS avg_map
        FROM m GROUP BY day ORDER BY day"""
 
   /** topKWeighted at exact capacity: the sketch report equals the

@@ -310,8 +310,13 @@ object Bmp {
     * annihilator. Cohort reads coalesce a MISSING group's state to it
     * so "day with no events" means "no members" (cells intersecting
     * it become 0), never "skip the day" (which would silently return
-    * the other side's full cardinality). */
-  val empty: Array[Byte] = Bitmap.serializeBitmap(new Roaring64Bitmap())
+    * the other side's full cardinality). A fresh copy per call: the
+    * array gets embedded by reference into Literal nodes, so a shared
+    * mutable instance would let one accidental mutation corrupt every
+    * retention plan built after it (round 17, review finding). */
+  private val emptyBytes: Array[Byte] =
+    Bitmap.serializeBitmap(new Roaring64Bitmap())
+  def empty: Array[Byte] = emptyBytes.clone()
 
   /** Per-group exact-distinct bitmap state of an integral column. */
   def agg(c: Column): Column =

@@ -214,7 +214,10 @@ object Behavior {
     * the matched-so-far SET, a stateful fold); each mode's semantics
     * are pinned against an independent brute-force reference on 300
     * random sequences (BehaviorSpec). */
-  def funnelModeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+  def funnelModeMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    funnelModeMatrixOver(Tables.events(spark, sfDir))
+
+  private[graft] def funnelModeMatrixOver(events: DataFrame): DataFrame = {
     val steps = Seq("view", "click", "purchase")
     val week = 7L * 24 * 3600 * 1000000L
     // ONE fact scan, ONE per-user shuffle: the sequence is collected
@@ -226,7 +229,7 @@ object Behavior {
           org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
           steps.size, week, strictOrder = so, strictDedup = sd,
           strictIncrease = si))
-    Tables.events(spark, sfDir)
+    events
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
       .filter(exists(col("seq"), e => e.getField("step") >= 0))
@@ -242,6 +245,45 @@ object Behavior {
       .groupBy(col("m.mode").as("mode"), col("m.level").as("level"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("mode"), col("level"))
+  }
+
+  /** The (day × user) ALL-EVENTS sequence registration (round 17):
+    * per-user-per-day collected [[funnelStructAll]] events — EVERY
+    * event enters (step −1 for non-funnel rows), which is the input
+    * the interference modes honestly require (`strict_order` must see
+    * the interrupting event). State economics are explicit: one struct
+    * per event, so state ≈ the (day, user)-grouped fact — the
+    * groupArrayState-over-everything pattern a ClickHouse deployment
+    * registers when a repeated dashboard needs interference semantics
+    * (priced honestly in docs/SCALING.md; compare the guarded
+    * [[funnelSeqSpec]] whose state holds funnel events only). */
+  def funnelAllSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id"),
+      aggs = Seq(
+        ListOf(ExprPat(funnelStructAll(Seq("view", "click", "purchase"))),
+          "ev_all"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q258, rows-only + routed≡live spec — like q240,
+    * two of the four modes have no positional SQL twin): the SAME
+    * four-mode matrix answered from ALL-EVENTS sequence MV states —
+    * the collect of [[funnelStructAll]] rewrites to flatten of the
+    * per-(day, user) list states, the query's own `sort_array`
+    * re-canonicalizes, and all four mode scans run over the merged
+    * sequence; the fact is never scanned. */
+  def funnelModeMatrixFromStates(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "funnel_all_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), funnelAllSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir))) {
+      funnelModeMatrixOver(Tables.events(spark, sfDir))
+    }
   }
 
   /** Driver entry (q238, oracled): the TIMED pattern grammar —
@@ -296,13 +338,23 @@ object Behavior {
     * an opt-in exact-parity mode. Oracled as per-level EXISTS chains:
     * level 3 iff some view<click<purchase chain fits one window, else
     * 2 iff some view<click does, else 1 iff any view. */
-  def windowFunnelMaxAnchor(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowFunnelMaxAnchor(spark: SparkSession, sfDir: String): DataFrame =
+    windowFunnelMaxAnchorOver(Tables.events(spark, sfDir))
+
+  /** The q246 report over any events-shaped frame — shared by the live
+    * read and the MV-routed q250 so the routed query IS the unchanged
+    * one. No `isin` pre-filter: [[funnelStruct]]'s NULL-on-non-step
+    * guard already keeps non-funnel events out of the collect (and the
+    * cohort out via the size>0 filter), and a redundant fact filter
+    * would block the ListOf rewrite whose registered pattern is the
+    * bare guarded collect (r16 verdict finding). */
+  private[graft] def windowFunnelMaxAnchorOver(events: DataFrame): DataFrame = {
     val steps = Seq("view", "click", "purchase")
     val window = 3L * 24 * 3600 * 1000000L
-    Tables.events(spark, sfDir)
-      .filter(col("event_type").isin(steps: _*))
+    events
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStruct(steps))).as("seq"))
+      .filter(size(col("seq")) > 0)
       .select(org.apache.spark.sql.graftx.Bridge.column(
         graft.expr.FunnelLevel(
           org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")),
@@ -310,6 +362,26 @@ object Behavior {
       .groupBy(col("level"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("level"))
+  }
+
+  /** Driver entry (q250, oracled — shares q246's oracle): the SAME
+    * max-over-anchors funnel answered from the REGISTERED q230
+    * sequence states — the exact-parity anchor scan uses the identical
+    * three-step [[funnelStruct]], so its collect rewrites to flatten
+    * of the per-(day, user) list states and the per-anchor DP runs
+    * over the merged sequence; the fact is never scanned (the r16
+    * verdict's first weak row: 5.8× at ×100 raw, q230's flat
+    * economics routed). */
+  def windowFunnelMaxAnchorFromStates(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "funnel_seq_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), funnelSeqSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelSeqSpec(dir))) {
+      windowFunnelMaxAnchorOver(Tables.events(spark, sfDir))
+    }
   }
 
   /** Driver entry (q223, oracled): `sequenceMatch('(?1).*(?2)')` —
@@ -401,9 +473,15 @@ object Behavior {
     * the same columns tell a deployment exactly when (and by how
     * much) a dashboard left the exact regime — the estimation-regime
     * bracketing is spec-pinned (ThetaSpec). */
-  def audienceBounds(spark: SparkSession, sfDir: String): DataFrame = {
+  def audienceBounds(spark: SparkSession, sfDir: String): DataFrame =
+    audienceBoundsOver(Tables.events(spark, sfDir))
+
+  /** The q244 report over any events-shaped frame — shared by the live
+    * read and the MV-routed q251 so the routed query IS the unchanged
+    * one. */
+  private[graft] def audienceBoundsOver(events: DataFrame): DataFrame = {
     import graft.expr.Tht
-    Tables.events(spark, sfDir)
+    events
       .groupBy(col("event_type"))
       .agg(Tht.agg(col("user_id")).as("st"))
       .select(col("event_type"), Tht.bounds(col("st")).as("b"))
@@ -413,6 +491,24 @@ object Behavior {
               col("b.upper").cast("long").as("upper"),
               col("b.is_exact").as("is_exact"))
       .orderBy("event_type")
+  }
+
+  /** Driver entry (q251, oracled — shares q244's oracle): the SAME
+    * error-bound dashboard COMPOSED with the registered q229 theta MV —
+    * `graft_theta_agg(user_id)` rewrites to union over the stored
+    * per-type states (value-set deterministic, so the bounds columns —
+    * pure functions of the state — are bit-identical) and the fact is
+    * never scanned (the r16 verdict's second weak row: 3.4× at ×100
+    * raw, q229's 2.0× economics routed). */
+  def audienceBoundsFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "theta_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), thetaSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(thetaSpec(dir))) {
+      audienceBoundsOver(Tables.events(spark, sfDir))
+    }
   }
 
   /** Driver entry (q231, rows-only + brute-force spec): ClickHouse's
@@ -560,10 +656,75 @@ object Behavior {
     * case. The DuckDB oracle is the equivalent DISTINCT-INTERSECT
     * counts per condition pair. */
   def retentionConditions(spark: SparkSession, sfDir: String): DataFrame =
-    retentionConds(Tables.events(spark, sfDir), Seq(
-      col("event_type") === "purchase" && col("value") > 100.0d,
-      col("event_type") === "click",
-      col("event_type") === "view" && col("value") > 200.0d))
+    retentionConds(Tables.events(spark, sfDir), retentionCondSet)
+
+  /** The q247 condition set — one shared definition for the live read,
+    * the MV registration, and the advised twin, so the registered
+    * `when(cond, user_id)` patterns ARE the query's own expressions. */
+  private def retentionCondSet: Seq[Column] = Seq(
+    col("event_type") === "purchase" && col("value") > 100.0d,
+    col("event_type") === "click",
+    col("event_type") === "view" && col("value") > 200.0d)
+
+  /** The per-day PER-CONDITION bitmap registration (round 17): one
+    * [[graft.plans.RollupRouting.BitmapUniqOf]] state per retention
+    * condition over the `when(cond, user_id)` guard (NULLs never enter
+    * a bitmap, so each state IS the conditional cohort), at day grain
+    * with no key columns — the read OR-merges a calendar-sized state
+    * column per condition. ClickHouse's `groupBitmapState(if(cond,
+    * user, null))` MV under a `retention()` read. */
+  def retentionCondSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map.empty,
+      aggs = retentionCondSet.zipWithIndex.map { case (c, i) =>
+        BitmapUniqOf(ExprPat(when(c, col("user_id"))), s"cond${i}_bm_p")
+      } :+ CountStarTo("c_p"))
+  }
+
+  /** Driver entry (q252, oracled — shares q247's oracle): the SAME
+    * condition-retention report answered from REGISTERED per-condition
+    * bitmap states — each `graft_bitmap_agg(when(cond, user))` rewrites
+    * to OR-union of the stored per-day states (bit-equal: canonical
+    * serialization of the identical exact set), the AND cells compose
+    * above, and the fact is never scanned — a repeated retention
+    * dashboard becomes a calendar-sized state read. */
+  def retentionConditionsFromStates(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "retention_cond_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), retentionCondSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(retentionCondSpec(dir))) {
+      retentionConds(Tables.events(spark, sfDir), retentionCondSet)
+    }
+  }
+
+  /** Driver entry (q253, oracled — shares q247's oracle): condition
+    * retention ADVISED end-to-end — the captured workload is the
+    * per-condition state build (`graft_bitmap_agg(when(cond, user))`
+    * × 3), the advisor mints one BitmapUniqOf member per guard
+    * pattern (round 17 — the same guard-pattern machinery that mints
+    * the when-guarded ListOf), builds and registers the rollup, and
+    * the unchanged retention read routes through it — where q252's
+    * spec was hand-registered. */
+  def retentionConditionsAdvised(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val root = StarJoins.scratch(sfDir, "advised_retention_cond")
+    val cs = retentionCondSet
+    val workload = Tables.events(spark, sfDir).agg(
+      graft.expr.Bmp.agg(when(cs.head, col("user_id"))).as("bm0"),
+      cs.zipWithIndex.tail.map { case (c, i) =>
+        graft.expr.Bmp.agg(when(c, col("user_id"))).as(s"bm$i")
+      }: _*)
+    val advice = graft.plans.Advisor.advise(Seq(workload), root)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    graft.plans.Advisor.runRouted(spark, advice) {
+      retentionConds(Tables.events(spark, sfDir), retentionCondSet)
+    }
+  }
 
   /** Driver entry (q222, oracled): day-1/day-7 retention from the
     * 2024-01-05 cohort — each cell an exact bitmap intersection, the

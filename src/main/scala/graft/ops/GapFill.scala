@@ -85,6 +85,13 @@ object GapFill {
     require(defaults.keySet.intersect(interpolate.keySet).isEmpty,
       "a column cannot both default and interpolate — the default would " +
         "overwrite the NULL the interpolation keys on")
+    // the fill machinery injects helper columns; a sparse frame that
+    // already carries one of those names would be silently overwritten
+    // and then dropped (round 17, review finding) — refuse loudly
+    val reserved = Seq("_real", "_seg", "_k").filter(sparse.columns.contains)
+    require(reserved.isEmpty,
+      s"sparse frame already carries reserved helper column(s) " +
+        s"${reserved.mkString(",")} — rename them before gap-filling")
     val last = from + ((to - 1 - from) / step) * step
     val spine = sparse.sparkSession.range(1)
       .select(explode(sequence(lit(from), lit(last), lit(step))).as(xCol))

@@ -555,25 +555,39 @@ object Rollups {
   def sumMapDaily(spark: SparkSession, sfDir: String): DataFrame =
     sumMapRead(Tables.events(spark, sfDir))
 
-  private def sumMapRead(events: DataFrame): DataFrame = {
+  /** Map-entry rendering helpers shared by the whole keyed-map family.
+    * The SUM side stays in DECIMAL arithmetic end-to-end (round 17,
+    * review finding): `round(vol × 100)` on the exact decimal sum is
+    * exact at ANY group volume, where the old double detour lost
+    * exactness past ~2^53 cents; the oracle spells the identical
+    * decimal expression. Extrema/averages of a DOUBLE column stay in
+    * double (their source is double — there is no exactness to
+    * preserve, and both engines run the identical IEEE ops). */
+  private def centsExact(c: Column): Column =
+    round(c * lit(100), 0).cast("long")
+  private def centsDouble(c: Column): Column =
+    round(c.cast("double") * 100.0d).cast("long")
+  private def mapEntry(v: Column): Column =
+    concat(col("event_type"), lit(":"), v.cast("string"))
+
+  private[graft] def sumMapRead(events: DataFrame): DataFrame = {
     val inner = events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(Fns.dsum(col("value")).as("vol"), max(col("value")).as("mx"))
-    def cents(c: Column): Column = round(c.cast("double") * 100.0d).cast("long")
-    def entry(v: Column): Column =
-      concat(col("event_type"), lit(":"), v.cast("string"))
+      .agg(Fns.dsumPartial(col("value")).as("vol"), max(col("value")).as("mx"))
     inner
       .groupBy(col("day"))
       .agg(
-        array_join(sort_array(collect_list(entry(cents(col("vol"))))), ",")
+        array_join(sort_array(collect_list(mapEntry(centsExact(col("vol"))))), ",")
           .as("sum_map"),
-        array_join(sort_array(collect_list(entry(cents(col("mx"))))), ",")
+        array_join(sort_array(collect_list(mapEntry(centsDouble(col("mx"))))), ",")
           .as("max_map"))
       .orderBy("day")
   }
 
   /** The (day × event_type) VALUE rollup the map reads route through:
-    * the exact decimal sum, the bare max, and the row count. */
+    * the exact decimal sum, the bare extrema, and the row count — one
+    * registration serves the whole keyed-map family (sum/max/min/avg,
+    * plain and key-filtered). */
   def dayTypeValueSpec(dir: String): graft.plans.RollupRouting.Spec = {
     import graft.plans.RollupRouting._
     Spec("events.parquet", dir, grain = "day",
@@ -581,7 +595,80 @@ object Rollups {
       aggs = Seq(
         SumOf(ColRef("value"), "vol_p"),
         MaxOf("value", "mx_p"),
+        MinOf("value", "mn_p"),
         CountStarTo("c_p")))
+  }
+
+  /** ClickHouse's `minMap` / `avgMap` (round 17) — completing the
+    * keyed-measure family next to [[sumMapDaily]]: per day,
+    * `{event_type → min(value)}` and `{event_type → avg(value)}` as
+    * the same sorted `key:cents` csv. The average is spelled as the
+    * A6 invariant (exact decimal sum ÷ row count, divided in double —
+    * both engines run the identical IEEE division), so it re-aggregates
+    * losslessly from the same (day × type) value rollup
+    * ([[minAvgMapDailyRouted]]). */
+  def minAvgMapDaily(spark: SparkSession, sfDir: String): DataFrame =
+    minAvgMapRead(Tables.events(spark, sfDir))
+
+  private[graft] def minAvgMapRead(events: DataFrame): DataFrame = {
+    val inner = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(min(col("value")).as("mn"),
+           Fns.dsum(col("value")).as("vol"),
+           count(lit(1)).as("n"))
+    val avgCents: Column =
+      round(col("vol") / col("n").cast("double") * 100.0d).cast("long")
+    inner
+      .groupBy(col("day"))
+      .agg(
+        array_join(sort_array(collect_list(mapEntry(centsDouble(col("mn"))))), ",")
+          .as("min_map"),
+        array_join(sort_array(collect_list(mapEntry(avgCents))), ",")
+          .as("avg_map"))
+      .orderBy("day")
+  }
+
+  /** Driver entry (q255, oracled — shares q254's oracle): the SAME
+    * min/avg map report with the inner aggregate ROUTED through the
+    * one registered (day × type) value rollup — min re-aggregates as
+    * min-of-partials, avg as the sum/count partial pair (the A6
+    * invariant); the fact is never scanned. */
+  def minAvgMapDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "daytype_value_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), dayTypeValueSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(dayTypeValueSpec(dir))) {
+      minAvgMapRead(Tables.events(spark, sfDir))
+    }
+  }
+
+  /** ClickHouse's `sumMapFiltered(keys)` (round 17): the keyed map
+    * restricted to a declared KEY SET — the filter is a predicate on
+    * the map's own key column, applied before the inner aggregate. */
+  private val filteredMapKeys = Seq("click", "purchase")
+
+  /** Driver entry (q256, oracled): `sumMapFiltered(['click',
+    * 'purchase'])` — the q248 maps over only the listed keys. */
+  def sumMapFilteredDaily(spark: SparkSession, sfDir: String): DataFrame =
+    sumMapRead(Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(filteredMapKeys: _*)))
+
+  /** Driver entry (q257, oracled — shares q256's oracle): the SAME
+    * filtered map ROUTED — the key-set predicate is a filter on the
+    * rollup's OWN key column, so it subsumes losslessly onto the
+    * registered (day × type) states and the fact is never scanned. */
+  def sumMapFilteredDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "daytype_value_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), dayTypeValueSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(dayTypeValueSpec(dir))) {
+      sumMapRead(Tables.events(spark, sfDir)
+        .filter(col("event_type").isin(filteredMapKeys: _*)))
+    }
   }
 
   /** Driver entry (q249, oracled — shares q248's oracle): the SAME

@@ -356,6 +356,16 @@ object Advisor {
           case ta: graft.expr.ThetaAgg if !ae.isDistinct =>
             toPat(resolve(ta.child)).map(p =>
               ThetaUniqOf(p, statePartialName(p, "theta"), ta.lgK))
+          // an explicit exact-distinct BITMAP state demand (round 17 —
+          // the condition-retention shape: graft_bitmap_agg(CASE WHEN
+          // cond THEN user END)): NULLs never enter a bitmap, so the
+          // state IS the conditional cohort; integral inputs are
+          // enforced by BitmapAgg's own type contract, so an analyzed
+          // demand always qualifies — no advisability guard needed
+          // (compact at any cardinality, OR-union mergeable)
+          case ba: graft.expr.BitmapAgg if !ae.isDistinct =>
+            toPat(resolve(ba.child)).map(p =>
+              BitmapUniqOf(p, statePartialName(p, "bm")))
           // approx_count_distinct advises the uniqState member at the
           // registry's default precision when that precision dominates
           // the query's tolerance (the exact condition the router
@@ -443,6 +453,9 @@ object Advisor {
       case g: GetStructField => mapOne(g.child, resolve, inLattice)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve, inLattice)
       case graft.expr.ThetaEstimate(c) => mapOne(c, resolve, inLattice)
+      // the bitmap member's count read `graft_bitmap_count(state)` —
+      // the demand is the bitmap aggregate underneath (round 17)
+      case graft.expr.BitmapCardinality(c) => mapOne(c, resolve, inLattice)
       // the weighted top-k read `graft_topk_weighted(state, k)` — the
       // demand is the weighted-frequency aggregate underneath (r16)
       case graft.expr.TopKWeightedEstimate(c, _) => mapOne(c, resolve, inLattice)

@@ -3599,7 +3599,12 @@ object RollupRouting {
       import org.apache.spark.sql.types._
       (from, to) match {
         case (f, t) if f == t => true
-        case (TimestampNTZType, TimestampType) => true
+        // the NTZ<->TZ relabel is value-preserving ONLY under the
+        // pinned-UTC session (the loader contract); a non-UTC session
+        // would silently SHIFT stored timestamps, so the rewrite
+        // degrades to no-route there instead (round 17, review finding)
+        case (TimestampNTZType, TimestampType) =>
+          spark.sessionState.conf.sessionLocalTimeZone == "UTC"
         case (f: StructType, t: StructType) =>
           f.length == t.length && f.fields.zip(t.fields).forall { case (a, b) =>
             a.name == b.name && relabelOnly(a.dataType, b.dataType) }

@@ -1470,4 +1470,35 @@ class AdvisorSpec extends AnyFunSuite {
     assert(advice4.singles.isEmpty && advice4.skipped.nonEmpty,
       s"else-carrying CASE collect_list must be skipped, got $advice4")
   }
+
+  test("a per-condition bitmap-state workload advises one BitmapUniqOf " +
+       "member per guard pattern and the retention read routes") {
+    import graft.expr.Bmp
+    // the captured workload: the q247 condition-retention state build —
+    // graft_bitmap_agg(CASE WHEN cond THEN user END) per condition
+    val conds = Seq(
+      $"event_type" === "purchase" && $"value" > 100.0d,
+      $"event_type" === "click")
+    def states = Tables.events(spark, sf).agg(
+      Bmp.agg(when(conds(0), $"user_id")).as("bm0"),
+      Bmp.agg(when(conds(1), $"user_id")).as("bm1"))
+    val root = java.nio.file.Files.createTempDirectory("graft_retadvised").toString
+    val advice = Advisor.advise(Seq(states), root)
+    assert(advice.skipped.isEmpty && advice.singles.size == 1, advice)
+    val bms = advice.singles.head.spec.aggs.collect {
+      case RollupRouting.BitmapUniqOf(_: RollupRouting.ExprPat, _) => 1
+    }
+    assert(bms.size == 2,
+      s"two guard patterns must mint two bitmap members: ${advice.singles.head.spec.aggs}")
+    val truth = ops.Behavior.retentionConds(Tables.events(spark, sf), conds)
+      .collect().toSeq
+    routedWith(advice) {
+      val read = ops.Behavior.retentionConds(Tables.events(spark, sf), conds)
+      val plan = read.queryExecution.executedPlan.toString
+      assert(!plan.contains("events.parquet"),
+        s"the advised bitmap MV must serve the retention read:\n$plan")
+      assert(read.collect().toSeq == truth,
+        "advised condition cells must be bit-equal to the live scan")
+    }
+  }
 }

@@ -633,4 +633,129 @@ class BehaviorSpec extends AnyFunSuite {
     assert(unioned == direct,
       s"default union must not downsample an lgK-14 input: $unioned vs $direct")
   }
+
+  test("max-anchor funnel routes through the three-step sequence " +
+       "states: routed ≡ live, fact never read") {
+    import graft.plans.RollupRouting
+    // fixture equality first (also builds the scratch rollup)
+    assert(ops.Behavior.windowFunnelMaxAnchorFromStates(spark, sf)
+             .collect().toSeq ==
+           ops.Behavior.windowFunnelMaxAnchor(spark, sf).collect().toSeq,
+      "MV-served max-anchor histogram must equal the live scan")
+    // plan pin on an inline-registered scope (withRoutingSpecs
+    // materializes, so the returned frame's plan is a checkpoint scan)
+    val dir = ops.StarJoins.scratch(sf, "funnel_seq_rollup")
+    RollupRouting.register(ops.Behavior.funnelSeqSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val inline =
+        ops.Behavior.windowFunnelMaxAnchorOver(Tables.events(spark, sf))
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains("funnel_seq_rollup") && !plan.contains("events.parquet"),
+        s"the max-anchor read must route onto the q230 sequence states:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("theta bounds compose with the registered theta MV: routed ≡ " +
+       "live (value-set-deterministic states), fact never read") {
+    import graft.plans.RollupRouting
+    assert(ops.Behavior.audienceBoundsFromStates(spark, sf).collect().toSeq ==
+           ops.Behavior.audienceBounds(spark, sf).collect().toSeq,
+      "MV-composed bounds must be bit-equal to the fact-scanning ones")
+    val dir = ops.StarJoins.scratch(sf, "theta_rollup")
+    RollupRouting.register(ops.Behavior.thetaSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val inline = ops.Behavior.audienceBoundsOver(Tables.events(spark, sf))
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains("theta_rollup") && !plan.contains("events.parquet"),
+        s"the bounds read must route onto the theta states:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("condition retention routes through per-condition bitmap " +
+       "states; the advised twin mints the same members") {
+    import graft.plans.RollupRouting
+    val live = ops.Behavior.retentionConditions(spark, sf).collect().toSeq
+    assert(ops.Behavior.retentionConditionsFromStates(spark, sf)
+             .collect().toSeq == live,
+      "state-served condition cells must be bit-equal to the live scan")
+    assert(ops.Behavior.retentionConditionsAdvised(spark, sf)
+             .collect().toSeq == live,
+      "advisor-minted condition cells must be bit-equal to the live scan")
+    val dir = ops.StarJoins.scratch(sf, "retention_cond_rollup")
+    RollupRouting.register(ops.Behavior.retentionCondSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val inline = ops.Behavior.retentionConds(Tables.events(spark, sf), Seq(
+        col("event_type") === "purchase" && col("value") > 100.0d,
+        col("event_type") === "click",
+        col("event_type") === "view" && col("value") > 200.0d))
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains("retention_cond_rollup") && !plan.contains("events.parquet"),
+        s"the condition-retention read must route onto the bitmap states:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("funnel mode matrix routes through ALL-EVENTS sequence states: " +
+       "routed ≡ live on the fixture AND a 300-user random corpus") {
+    import graft.plans.RollupRouting
+    assert(ops.Behavior.funnelModeMatrixFromStates(spark, sf).collect().toSeq ==
+           ops.Behavior.funnelModeMatrix(spark, sf).collect().toSeq,
+      "MV-served mode matrix must equal the live scan for all four modes")
+    val fixtureDir = ops.StarJoins.scratch(sf, "funnel_all_rollup")
+    RollupRouting.register(ops.Behavior.funnelAllSpec(fixtureDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val inline = ops.Behavior.funnelModeMatrixOver(Tables.events(spark, sf))
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains("funnel_all_rollup") && !plan.contains("events.parquet"),
+        s"the mode matrix must route onto the all-events states:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // random corpus (the q237 pattern): interference modes exercised
+    // on adversarial sequences, routed ≡ live
+    val rnd = new scala.util.Random(17)
+    val types = Seq("view", "purchase", "click", "other")
+    val rows = (0 until 300).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(12)) {
+        val (d, h, m) = (1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60))
+        (u.toLong,
+         java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:$m%02d:00"),
+         types(rnd.nextInt(types.size)))
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_modecorpus")
+    val srcPath = base.resolve("events.parquet").toString
+    rows.toDF("user_id", "ts", "event_type").write.parquet(srcPath)
+    val corpus = spark.read.parquet(srcPath)
+    val dir = base.resolve("rollup").toString
+    val spec = ops.Behavior.funnelAllSpec(dir)
+    RollupRouting.buildPartials(corpus, spec).write.parquet(dir)
+    val live = ops.Behavior.funnelModeMatrixOver(corpus).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = ops.Behavior.funnelModeMatrixOver(corpus)
+      val cplan = r.queryExecution.executedPlan.toString
+      assert(cplan.contains("rollup") && !cplan.contains("events.parquet"),
+        s"the corpus matrix must route onto the corpus states:\n$cplan")
+      assert(r.collect().toSeq == live,
+        "routed mode matrix must equal live on the random corpus")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }

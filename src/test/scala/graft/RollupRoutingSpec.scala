@@ -3998,4 +3998,37 @@ class RollupRoutingSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  test("min/avg and key-filtered maps route through the ONE value " +
+       "rollup; the key-set predicate subsumes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mapfam")
+      .resolve("dtvrollup2").toString
+    val spec = ops.Rollups.dayTypeValueSpec(dir)
+    RollupRouting.buildPartials(Tables.events(spark, sf), spec).write.parquet(dir)
+    val minAvg = () => ops.Rollups.minAvgMapRead(Tables.events(spark, sf))
+    val filtered = () => ops.Rollups.sumMapRead(Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase")))
+    val minAvgTruth = minAvg().collect().toSeq
+    val filteredTruth = filtered().collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r1 = minAvg()
+      val p1 = r1.queryExecution.executedPlan.toString
+      assert(p1.contains("dtvrollup2") && !p1.contains("events.parquet"),
+        s"min/avg maps must route onto the value rollup:\n$p1")
+      assert(r1.collect().toSeq == minAvgTruth,
+        "routed min/avg maps must be bit-equal (min partial; A6 sum/count avg)")
+      val r2 = filtered()
+      val p2 = r2.queryExecution.executedPlan.toString
+      assert(p2.contains("dtvrollup2") && !p2.contains("events.parquet"),
+        s"the key-filtered map must subsume its IN predicate and route:\n$p2")
+      assert(r2.collect().toSeq == filteredTruth,
+        "routed filtered maps must be bit-equal")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
 }
