@@ -667,6 +667,10 @@ object SparkEntry {
     // hand-registered groupArrayState-over-everything pattern);
     // rows-only like q240, plus a routed≡live spec on the same corpus
     "q258_funnel_modes_from_states" -> (ops.Behavior.funnelModeMatrixFromStates _),
+    // r17: min/avgMapFiltered — the -Filtered combinator over the q254
+    // pair, completing the keyed-map matrix (raw + routed)
+    "q259_min_avg_map_filtered" -> (Rollups.minAvgMapFilteredDaily _),
+    "q260_min_avg_map_filtered_routed" -> (Rollups.minAvgMapFilteredDailyRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2372,6 +2376,8 @@ object SparkEntry {
     "q255_min_avg_map_routed" -> minAvgMapSql,
     "q256_sum_map_filtered" -> sumMapFilteredSql,
     "q257_sum_map_filtered_routed" -> sumMapFilteredSql,
+    "q259_min_avg_map_filtered" -> minAvgMapFilteredSql,
+    "q260_min_avg_map_filtered_routed" -> minAvgMapFilteredSql,
     // the MV-routed and advisor-minted twins must reproduce the
     // identical weighted ranking (exact regime: state sum-merge is
     // the global weight map)
@@ -2693,12 +2699,13 @@ object SparkEntry {
 
   /** minMap/avgMap — shared by the raw q254 and the MV-routed q255;
     * avg divides the exact decimal sum by the row count in double on
-    * both engines (the A6 spelling). */
-  private lazy val minAvgMapSql =
+    * both engines (the A6 spelling). With a WHERE prefix, by the
+    * key-filtered q259/q260. */
+  private def minAvgMapSqlWhere(where: String) =
     s"""WITH m AS (
          SELECT CAST(ts AS DATE) AS day, event_type,
            MIN(value) AS mn, ${dsum("value")} AS vol, COUNT(*) AS n
-         FROM events GROUP BY 1, 2)
+         FROM events $where GROUP BY 1, 2)
        SELECT day,
          string_agg(event_type || ':' ||
            CAST(CAST(ROUND(mn * 100) AS BIGINT) AS VARCHAR),
@@ -2707,6 +2714,9 @@ object SparkEntry {
            CAST(CAST(ROUND(vol / CAST(n AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
            ',' ORDER BY event_type) AS avg_map
        FROM m GROUP BY day ORDER BY day"""
+  private lazy val minAvgMapSql = minAvgMapSqlWhere("")
+  private lazy val minAvgMapFilteredSql =
+    minAvgMapSqlWhere("WHERE event_type IN ('click','purchase')")
 
   /** topKWeighted at exact capacity: the sketch report equals the
     * plain weighted rank (total order: weight DESC, user ASC) —

@@ -671,6 +671,28 @@ object Rollups {
     }
   }
 
+  /** Driver entry (q259, oracled): `minMapFiltered` / `avgMapFiltered`
+    * — the -Filtered combinator applied to the q254 pair, completing
+    * the keyed-map matrix (sum/max/min/avg × plain/filtered). */
+  def minAvgMapFilteredDaily(spark: SparkSession, sfDir: String): DataFrame =
+    minAvgMapRead(Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(filteredMapKeys: _*)))
+
+  /** Driver entry (q260, oracled — shares q259's oracle): the filtered
+    * min/avg maps ROUTED through the same single value rollup. */
+  def minAvgMapFilteredDailyRouted(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "daytype_value_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), dayTypeValueSpec("unused"))
+    }
+    withRoutingSpecs(spark, Seq(dayTypeValueSpec(dir))) {
+      minAvgMapRead(Tables.events(spark, sfDir)
+        .filter(col("event_type").isin(filteredMapKeys: _*)))
+    }
+  }
+
   /** Driver entry (q249, oracled — shares q248's oracle): the SAME
     * map report with the INNER (day × type) aggregate ROUTED through
     * a registered value rollup — sumMap/maxMap dashboards become a

@@ -453,6 +453,10 @@ object Advisor {
       case g: GetStructField => mapOne(g.child, resolve, inLattice)
       case graft.expr.KllQuantileEst(c, _) => mapOne(c, resolve, inLattice)
       case graft.expr.ThetaEstimate(c) => mapOne(c, resolve, inLattice)
+      // the theta bounds read `graft_theta_bounds(state)` — the bounds
+      // struct is a pure function of the state, so the demand is the
+      // theta aggregate underneath (round 17; the q251 read shape)
+      case graft.expr.ThetaBounds(c, _) => mapOne(c, resolve, inLattice)
       // the bitmap member's count read `graft_bitmap_count(state)` —
       // the demand is the bitmap aggregate underneath (round 17)
       case graft.expr.BitmapCardinality(c) => mapOne(c, resolve, inLattice)

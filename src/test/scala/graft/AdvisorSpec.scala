@@ -1471,6 +1471,42 @@ class AdvisorSpec extends AnyFunSuite {
       s"else-carrying CASE collect_list must be skipped, got $advice4")
   }
 
+  test("bounds/count reads advise through their scalar shells: " +
+       "graft_theta_bounds and graft_bitmap_count demands mint state members") {
+    import graft.expr.{Bmp, Tht}
+    val boundsQ = () => Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(Tht.bounds(Tht.agg($"user_id")).as("b"))
+      .orderBy("event_type")
+    val countQ = () => Tables.events(spark, sf)
+      .agg(Bmp.count(Bmp.agg(when($"event_type" === "click", $"user_id")))
+        .as("clickers"))
+    val root = java.nio.file.Files.createTempDirectory("graft_shelladv").toString
+    val advice = Advisor.advise(Seq(boundsQ(), countQ()), root)
+    assert(advice.skipped.isEmpty && advice.singles.nonEmpty, advice)
+    val aggs = advice.singles.flatMap(_.spec.aggs)
+    assert(aggs.exists { case _: RollupRouting.ThetaUniqOf => true; case _ => false },
+      s"the bounds read must mint the theta member: $aggs")
+    assert(aggs.exists {
+        case RollupRouting.BitmapUniqOf(_: RollupRouting.ExprPat, _) => true
+        case _ => false },
+      s"the guarded count read must mint the bitmap member: $aggs")
+    val boundsTruth = boundsQ().collect().toSeq
+    val countTruth = countQ().collect().toSeq
+    routedWith(advice) {
+      val b = boundsQ()
+      assert(!b.queryExecution.executedPlan.toString.contains("events.parquet"),
+        s"the bounds read must route:\n${b.queryExecution.executedPlan}")
+      assert(b.collect().toSeq == boundsTruth,
+        "routed bounds must be bit-equal (value-set-deterministic states)")
+      val c = countQ()
+      assert(!c.queryExecution.executedPlan.toString.contains("events.parquet"),
+        s"the guarded count read must route:\n${c.queryExecution.executedPlan}")
+      assert(c.collect().toSeq == countTruth,
+        "routed guarded count must be exact")
+    }
+  }
+
   test("a per-condition bitmap-state workload advises one BitmapUniqOf " +
        "member per guard pattern and the retention read routes") {
     import graft.expr.Bmp
