@@ -671,6 +671,11 @@ object SparkEntry {
     // pair, completing the keyed-map matrix (raw + routed)
     "q259_min_avg_map_filtered" -> (Rollups.minAvgMapFilteredDaily _),
     "q260_min_avg_map_filtered_routed" -> (Rollups.minAvgMapFilteredDailyRouted _),
+    // r17: condition retention over a TIME WINDOW, raw + routed — the
+    // whole-day bounds subsume onto the spec's day grain (the reason
+    // the per-condition states register per day, not as one global row)
+    "q261_retention_conditions_windowed" -> (ops.Behavior.retentionConditionsWindowed _),
+    "q262_retention_conditions_windowed_routed" -> (ops.Behavior.retentionConditionsWindowedRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2345,6 +2350,9 @@ object SparkEntry {
     // states is the same set)
     "q252_retention_conditions_routed" -> retentionCondsSql,
     "q253_retention_conditions_advised" -> retentionCondsSql,
+    // the windowed pair: whole-day bounds, shared oracle
+    "q261_retention_conditions_windowed" -> retentionCondsWindowedSql,
+    "q262_retention_conditions_windowed_routed" -> retentionCondsWindowedSql,
     // condition-based retention: each cell the exact distinct-user
     // intersection of the anchor condition with a return condition
     "q247_retention_conditions" -> retentionCondsSql,
@@ -2662,18 +2670,22 @@ object SparkEntry {
        FROM events GROUP BY 1 ORDER BY event_type"""
 
   /** Condition retention cells — shared by the raw q247, the
-    * state-served q252, and the advised q253. */
-  private lazy val retentionCondsSql =
-    """WITH a AS (SELECT DISTINCT user_id FROM events
-                  WHERE event_type = 'purchase' AND value > 100),
+    * state-served q252, and the advised q253; with an extra conjunct,
+    * by the windowed q261/q262. */
+  private def retentionCondsSqlAnd(extra: String) =
+    s"""WITH a AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase' AND value > 100$extra),
        c1 AS (SELECT DISTINCT user_id FROM events
-              WHERE event_type = 'click'),
+              WHERE event_type = 'click'$extra),
        c2 AS (SELECT DISTINCT user_id FROM events
-              WHERE event_type = 'view' AND value > 200)
+              WHERE event_type = 'view' AND value > 200$extra)
        SELECT
          (SELECT COUNT(*) FROM a) AS r0,
          (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c1) t) AS r1,
          (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM c2) t) AS r2"""
+  private lazy val retentionCondsSql = retentionCondsSqlAnd("")
+  private lazy val retentionCondsWindowedSql = retentionCondsSqlAnd(
+    " AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'")
 
   /** sumMap/maxMap: the keyed-measure maps as sorted key:cents csv —
     * shared by the raw q248 and the MV-routed q249; with a WHERE

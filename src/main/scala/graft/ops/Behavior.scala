@@ -701,6 +701,41 @@ object Behavior {
     }
   }
 
+  /** The half-month window the windowed retention pair reads — whole-day
+    * timestamp bounds, so the predicate subsumes losslessly onto the
+    * registered day grain. */
+  private def retentionWindow(events: DataFrame): DataFrame =
+    events.filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+                  col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+
+  /** Driver entry (q261, oracled): condition retention over a TIME
+    * WINDOW — the q247 cells restricted to January's first half, the
+    * dashboard shape a deployment actually schedules (retention per
+    * quarter/month). */
+  def retentionConditionsWindowed(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    retentionConds(retentionWindow(Tables.events(spark, sfDir)),
+      retentionCondSet)
+
+  /** Driver entry (q262, oracled — shares q261's oracle): the windowed
+    * cells ROUTED — this is WHY [[retentionCondSpec]] registers at DAY
+    * grain rather than one global state row: the whole-day bounds
+    * subsume onto the rollup's day key, the per-condition states
+    * OR-merge over just the window's days, and the fact is never
+    * scanned at any window width. */
+  def retentionConditionsWindowedRouted(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "retention_cond_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), retentionCondSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(retentionCondSpec(dir))) {
+      retentionConds(retentionWindow(Tables.events(spark, sfDir)),
+        retentionCondSet)
+    }
+  }
+
   /** Driver entry (q253, oracled — shares q247's oracle): condition
     * retention ADVISED end-to-end — the captured workload is the
     * per-condition state build (`graft_bitmap_agg(when(cond, user))`

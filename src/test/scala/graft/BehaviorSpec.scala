@@ -693,13 +693,31 @@ class BehaviorSpec extends AnyFunSuite {
     RollupRouting.register(ops.Behavior.retentionCondSpec(dir))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
-      val inline = ops.Behavior.retentionConds(Tables.events(spark, sf), Seq(
+      val conds = Seq(
         col("event_type") === "purchase" && col("value") > 100.0d,
         col("event_type") === "click",
-        col("event_type") === "view" && col("value") > 200.0d))
+        col("event_type") === "view" && col("value") > 200.0d)
+      val inline = ops.Behavior.retentionConds(Tables.events(spark, sf), conds)
       val plan = inline.queryExecution.executedPlan.toString
       assert(plan.contains("retention_cond_rollup") && !plan.contains("events.parquet"),
         s"the condition-retention read must route onto the bitmap states:\n$plan")
+      // WINDOWED cells: whole-day ts bounds subsume onto the spec's
+      // day grain (the reason the states register per day); a MID-DAY
+      // cut provably stays live
+      val windowed = ops.Behavior.retentionConds(
+        Tables.events(spark, sf).filter(
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))),
+        conds)
+      val wplan = windowed.queryExecution.executedPlan.toString
+      assert(wplan.contains("retention_cond_rollup") && !wplan.contains("events.parquet"),
+        s"whole-day-windowed cells must subsume onto the day grain:\n$wplan")
+      val midday = ops.Behavior.retentionConds(
+        Tables.events(spark, sf).filter(
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))),
+        conds)
+      assert(midday.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a mid-day cut must keep the windowed cells live")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's r17 self-calibration, pinned as pure logic: a uniform
+  * machine slowdown must NOT flag rows (r16's +28% headline was noise
+  * that cost a judge re-measurement), while a genuine regression must
+  * be flagged even ON a slow machine — and near-miss escapes like
+  * r16's q92/q104/q194 (2.3–3.2× band, under the old 2×+0.3 trigger)
+  * must now fire. */
+class BenchCalibrationSpec extends AnyFunSuite {
+  private val sentinels = Set("q01", "q08", "q09", "q23", "q68", "q89")
+  private val bands = Map(
+    "q01" -> 0.5, "q08" -> 0.25, "q09" -> 0.8, "q23" -> 0.3,
+    "q68" -> 1.0, "q89" -> 0.6, "q92" -> 0.3, "q104" -> 0.6)
+
+  private def run(rows: (String, Double)*): (Double, Seq[String]) =
+    Bench.calibrate(rows, Set.empty, bands, sentinels)
+
+  test("an idle run reports factor 1.0 and flags nothing in-band") {
+    val (f, out) = run(
+      "q01_a" -> 0.5, "q08_b" -> 0.25, "q09_c" -> 0.8, "q23_d" -> 0.3,
+      "q68_e" -> 1.0, "q89_f" -> 0.6, "q92_g" -> 0.3, "q104_h" -> 0.6)
+    assert(f == 1.0 && out.isEmpty, s"($f, $out)")
+  }
+
+  test("a uniform 1.35x machine slowdown normalizes away: rows at " +
+       "1.35x band are NOT out-of-band (the r16 false headline)") {
+    val (f, out) = run(
+      "q01_a" -> 0.675, "q08_b" -> 0.3375, "q09_c" -> 1.08,
+      "q23_d" -> 0.405, "q68_e" -> 1.35, "q89_f" -> 0.81,
+      "q92_g" -> 0.405, "q104_h" -> 0.81)
+    assert(math.abs(f - 1.35) < 1e-9, s"factor must be the uniform ratio: $f")
+    assert(out.isEmpty, s"uniformly-inflated rows must not flag: $out")
+  }
+
+  test("the r16 escapes fire even on a slow machine: q92 at 2.6x band " +
+       "and q104 at 2.3x band flag under the 1.5x+0.2 trigger") {
+    // sentinels at 1.35x (machine state), the two suspects genuinely hot
+    val (f, out) = run(
+      "q01_a" -> 0.675, "q08_b" -> 0.3375, "q09_c" -> 1.08,
+      "q23_d" -> 0.405, "q68_e" -> 1.35, "q89_f" -> 0.81,
+      "q92_g" -> 0.3 * 2.6 * 1.35, "q104_h" -> 0.6 * 2.3 * 1.35)
+    assert(math.abs(f - 1.35) < 1e-9)
+    assert(out.toSet == Set("q92_g", "q104_h"),
+      s"both residual-hot rows must flag after normalization: $out")
+  }
+
+  test("no sentinel bands -> factor 1.0 (subset runs never divide by " +
+       "a guess); failed queries never enter the factor or the flags") {
+    val (f, out) = Bench.calibrate(
+      Seq("q92_g" -> 5.0, "q104_h" -> 0.6), Set("q92_g"),
+      bands, sentinels)
+    assert(f == 1.0 && out.isEmpty, s"($f, $out)")
+  }
+
+  test("a query without a band is new and never flagged") {
+    val (_, out) = run("q01_a" -> 0.5, "q260_new" -> 99.0)
+    assert(out.isEmpty, s"band-less queries must not flag: $out")
+  }
+}
