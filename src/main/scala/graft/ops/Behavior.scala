@@ -635,17 +635,26 @@ object Behavior {
   def retentionConds(events: DataFrame, conds: Seq[Column]): DataFrame = {
     import graft.expr.Bmp
     require(conds.nonEmpty, "retention needs at least one condition")
-    val states = events.agg(
-      Bmp.agg(when(conds.head, col("user_id"))).as("bm0"),
-      conds.zipWithIndex.tail.map { case (c, i) =>
-        Bmp.agg(when(c, col("user_id"))).as(s"bm$i")
-      }: _*)
+    val states = retentionCondStates(events, conds)
     val cells: Seq[Column] =
       Bmp.count(col("bm0")).as("r0") +:
       conds.indices.tail.map { i =>
         Bmp.count(Bmp.and(col("bm0"), col(s"bm$i"))).as(s"r$i")
       }
     states.select(cells: _*)
+  }
+
+  /** The per-condition bitmap STATE frame (`bm0..bmN`) — one shared
+    * builder, so the advised twin's captured workload is provably the
+    * query's own state build (the property the twin exists to prove). */
+  private def retentionCondStates(events: DataFrame,
+                                  conds: Seq[Column]): DataFrame = {
+    import graft.expr.Bmp
+    events.agg(
+      Bmp.agg(when(conds.head, col("user_id"))).as("bm0"),
+      conds.zipWithIndex.tail.map { case (c, i) =>
+        Bmp.agg(when(c, col("user_id"))).as(s"bm$i")
+      }: _*)
   }
 
   /** Driver entry (q247, oracled): condition-based retention — the
@@ -747,12 +756,8 @@ object Behavior {
   def retentionConditionsAdvised(spark: SparkSession,
                                  sfDir: String): DataFrame = {
     val root = StarJoins.scratch(sfDir, "advised_retention_cond")
-    val cs = retentionCondSet
-    val workload = Tables.events(spark, sfDir).agg(
-      graft.expr.Bmp.agg(when(cs.head, col("user_id"))).as("bm0"),
-      cs.zipWithIndex.tail.map { case (c, i) =>
-        graft.expr.Bmp.agg(when(c, col("user_id"))).as(s"bm$i")
-      }: _*)
+    val workload =
+      retentionCondStates(Tables.events(spark, sfDir), retentionCondSet)
     val advice = graft.plans.Advisor.advise(Seq(workload), root)
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"advisor unexpectedly skipped: ${advice.skipped}")

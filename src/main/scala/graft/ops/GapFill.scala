@@ -87,8 +87,12 @@ object GapFill {
         "overwrite the NULL the interpolation keys on")
     // the fill machinery injects helper columns; a sparse frame that
     // already carries one of those names would be silently overwritten
-    // and then dropped (round 17, review finding) — refuse loudly
-    val reserved = Seq("_real", "_seg", "_k").filter(sparse.columns.contains)
+    // and then dropped (round 17, review finding) — refuse loudly.
+    // _seg/_k are reserved only on the interpolate path (the plain
+    // default fill injects _real alone — previously-working inputs
+    // stay working)
+    val helpers = "_real" +: (if (interpolate.isEmpty) Nil else Seq("_seg", "_k"))
+    val reserved = helpers.filter(sparse.columns.contains)
     require(reserved.isEmpty,
       s"sparse frame already carries reserved helper column(s) " +
         s"${reserved.mkString(",")} — rename them before gap-filling")

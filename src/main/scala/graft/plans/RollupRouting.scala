@@ -3602,9 +3602,14 @@ object RollupRouting {
         // the NTZ<->TZ relabel is value-preserving ONLY under the
         // pinned-UTC session (the loader contract); a non-UTC session
         // would silently SHIFT stored timestamps, so the rewrite
-        // degrades to no-route there instead (round 17, review finding)
+        // degrades to no-route there instead (round 17, review
+        // finding). UTC is recognized by ZONE RULES, not string
+        // equality — "Etc/UTC"/"GMT"/"+00:00" are all the same fixed
+        // zero offset and must not silently disable routing.
         case (TimestampNTZType, TimestampType) =>
-          spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+          scala.util.Try(java.time.ZoneId
+            .of(spark.sessionState.conf.sessionLocalTimeZone)
+            .normalized() == java.time.ZoneOffset.UTC).getOrElse(false)
         case (f: StructType, t: StructType) =>
           f.length == t.length && f.fields.zip(t.fields).forall { case (a, b) =>
             a.name == b.name && relabelOnly(a.dataType, b.dataType) }

@@ -46,6 +46,20 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"both residual-hot rows must flag after normalization: $out")
   }
 
+  test("a HALF-contended run takes the true middle-pair median, not " +
+       "the upper-middle element — a residual-hot row still flags") {
+    // three sentinels idle, three at 1.5x: true median 1.25 (the
+    // upper-middle 1.5 would normalize 2.2x/1.5 = 1.47x under the
+    // trigger and let the regression escape — the r16 class again)
+    val rows = Seq(
+      "q01_a" -> 0.5, "q08_b" -> 0.25, "q09_c" -> 0.8,
+      "q23_d" -> 0.45, "q68_e" -> 1.5, "q89_f" -> 0.9,
+      "q92_g" -> 0.3 * 2.9) // 2.9x band; 2.9/1.25 = 2.32 > 1.5 + 0.2/0.3
+    val (f, out) = run(rows: _*)
+    assert(math.abs(f - 1.25) < 1e-9, s"even-count median must average the middle pair: $f")
+    assert(out == Seq("q92_g"), s"the residual-hot row must flag: $out")
+  }
+
   test("no sentinel bands -> factor 1.0 (subset runs never divide by " +
        "a guess); failed queries never enter the factor or the flags") {
     val (f, out) = Bench.calibrate(
