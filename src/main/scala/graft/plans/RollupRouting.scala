@@ -3749,8 +3749,15 @@ object RollupRouting {
           case _ => None
         }
       }
+      // round 17: a GRAINED spec can also serve a query with NO time
+      // term (an all-time dashboard over the maintained daily MV) —
+      // the query then never groups by time, so a group's partials
+      // merely split across rollup (timeKey < wm) and tail (ts ≥ wm)
+      // and the final aggregate re-merges them, the same losslessness
+      // argument as the grainless branch; the normalized ts rebuilds
+      // from the scan exactly as there
       val normTsE = normTsCandidates.view.flatMap(findNormTs).headOption
-        .orElse(if (spec.grain == "all") rebuiltNormTs else None)
+        .orElse(rebuiltNormTs)
         .getOrElse(return None)
       val timeIsDate = normTsE.dataType == DateType
       // a DATE time column is day-granular: a mid-day watermark would

@@ -724,6 +724,41 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("per-condition bitmap states stream-maintain (T5): the routed " +
+       "retention read over the maintained rollup equals batch") {
+    import graft.plans.RollupRouting
+    val base = java.nio.file.Files.createTempDirectory("graft_condmv")
+    val spec = ops.Behavior.retentionCondSpec(
+      base.resolve("condstream").toString)
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    // mid-day cut: the same day's condition states land in TWO appended
+    // partial blocks, so the read must OR-union across blocks
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp")
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    val conds = Seq(
+      col("event_type") === "purchase" && col("value") > 100.0d,
+      col("event_type") === "click",
+      col("event_type") === "view" && col("value") > 200.0d)
+    val truth = ops.Behavior.retentionConds(events, conds).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val routed = ops.Behavior.retentionConds(Tables.events(spark, sf), conds)
+      assert(routed.queryExecution.executedPlan.toString.contains("condstream"),
+        "the stream-maintained condition rollup must answer")
+      assert(routed.collect().toSeq == truth,
+        "stream-maintained condition states must OR-union to the batch cells")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("funnel mode matrix routes through ALL-EVENTS sequence states: " +
        "routed ≡ live on the fixture AND a 300-user random corpus") {
     import graft.plans.RollupRouting

@@ -393,11 +393,11 @@ class PropertySpec extends AnyFunSuite {
         val expectDay = (s.reg == 0 || s.reg == 2) && aggsOk && grainAnswers(hourly = false)
         val expectHour = !expectDay && (s.reg == 1 || s.reg == 2) && aggsOk &&
           grainAnswers(hourly = true)
-        // the STALE hybrid rollup additionally needs a normalized-ts
-        // term in the query to rebuild the tail's grain key — without
-        // one it must never answer (a stale MV alone is wrong)
-        val hasTsTerm = s.gTime == 1 || s.gTime == 3 || s.filter == 1 || s.filter == 2
-        val expectHybrid = s.reg == 3 && aggsOk && grainAnswers(hourly = false) && hasTsTerm
+        // the STALE hybrid rollup answers every lossless shape — since
+        // round 17 the tail's grain key rebuilds from the scan itself,
+        // so a query with NO time term routes hybrid too (the stale MV
+        // still never answers ALONE: the tail scan is asserted below)
+        val expectHybrid = s.reg == 3 && aggsOk && grainAnswers(hourly = false)
         // the SKETCH rollup (round 12): count + sketch aggregates only,
         // no user key registered — a user grouping or a user/non-key
         // filter keeps the query live; day/month/global grains route

@@ -708,9 +708,9 @@ class RollupRoutingSpec extends AnyFunSuite {
 
   /** Hybrid MV + live-tail routing (round 11): a rollup stamped with a
     * coverage watermark answers as rollup ∪ tail — BOTH scans in the
-    * plan, the result bit-equal to raw, and a query that can't rebuild
-    * the grain key over the scan (no time term anywhere) stays live
-    * rather than reading the stale rollup alone. */
+    * plan, the result bit-equal to raw. Since round 17 the tail's
+    * grain key rebuilds from the scan itself, so even a query with no
+    * time term routes hybrid; the stale rollup never answers ALONE. */
   test("hybrid rollup routes as rollup ∪ live tail; stale rollup never answers alone") {
     import graft.ops.Rollups
     val raw = Rollups.hybridWindowRaw(spark, sf).collect().toSeq
@@ -739,12 +739,21 @@ class RollupRoutingSpec extends AnyFunSuite {
       val fullRouted = fullQ()
       assert(fullRouted.queryExecution.executedPlan.toString.contains("hybrid_rollup"))
       assert(fullRouted.collect().toSeq == fullRaw)
-      // near-miss: no time term anywhere → the tail's grain key can't
-      // be rebuilt → live (a stale rollup must never answer alone)
-      val noTs = Tables.events(spark, sf)
-        .groupBy($"user_id").agg(count(lit(1)).as("c"))
-      assert(!noTs.queryExecution.executedPlan.toString.contains("hybrid_rollup"),
-        "a stale rollup answered a query it cannot cover")
+      // round 17: a query with NO time term routes HYBRID too — the
+      // tail's grain key rebuilds from the scan, a group's partials
+      // split across the union and the final aggregate re-merges them;
+      // the stale rollup still never answers ALONE (both scans pinned)
+      val noTsQ = () => Tables.events(spark, sf)
+        .groupBy($"user_id").agg(count(lit(1)).as("c")).orderBy("user_id")
+      spark.experimental.extraOptimizations = Nil
+      val noTsRaw = noTsQ().collect().toSeq
+      spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+      val noTs = noTsQ()
+      val ntPlan = noTs.queryExecution.executedPlan.toString
+      assert(ntPlan.contains("hybrid_rollup") && ntPlan.contains("events.parquet"),
+        s"a no-time-term query must route as rollup ∪ tail:\n$ntPlan")
+      assert(noTs.collect().toSeq == noTsRaw,
+        "the no-time-term hybrid must be bit-equal to raw")
       // a CORRUPTED sidecar must abort routing entirely — the rollup
       // claims partial coverage without proving the boundary, so
       // treating it as complete would answer wrong
