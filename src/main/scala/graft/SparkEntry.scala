@@ -676,6 +676,10 @@ object SparkEntry {
     // the per-condition states register per day, not as one global row)
     "q261_retention_conditions_windowed" -> (ops.Behavior.retentionConditionsWindowed _),
     "q262_retention_conditions_windowed_routed" -> (ops.Behavior.retentionConditionsWindowedRouted _),
+    // r17: strict_order served from the ALL-EVENTS sequence states —
+    // the one interference mode with a positional SQL twin gets a
+    // hash-checked state-served path (shares q239's oracle)
+    "q263_funnel_strict_order_from_states" -> (ops.Behavior.windowFunnelStrictOrderFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2429,40 +2433,8 @@ object SparkEntry {
     // (ts, step), anchor at the first step-0 position; the level is
     // 1 + the longest consecutive run of positions carrying steps
     // 1, 2, … with strictly-increasing ts inside the anchor's window
-    "q239_funnel_strict_order" ->
-      """WITH q AS (
-           SELECT user_id, ts,
-             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-                  WHEN 'purchase' THEN 2 ELSE -1 END AS step
-           FROM events),
-         r AS (
-           SELECT user_id, ts, step,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, step) AS pts
-           FROM q),
-         coh AS (SELECT DISTINCT user_id FROM q WHERE step >= 0),
-         a AS (SELECT user_id, MIN(rn) AS arn FROM r WHERE step = 0
-               GROUP BY user_id),
-         anch AS (SELECT r.user_id, a.arn, r.ts AS ats
-                  FROM a JOIN r ON r.user_id = a.user_id AND r.rn = a.arn),
-         t AS (SELECT r.user_id, r.rn - anch.arn AS off, r.step, r.ts,
-                      r.pts, anch.ats
-               FROM r JOIN anch ON r.user_id = anch.user_id
-               WHERE r.rn > anch.arn),
-         lv AS (SELECT user_id,
-                  LEAST(3, 1 + COALESCE(
-                    MIN(CASE WHEN NOT (step = off AND ts > pts
-                                       AND ts <= ats + INTERVAL 7 DAY)
-                             THEN off END) - 1,
-                    COUNT(*))) AS level
-                FROM t GROUP BY user_id),
-         ul AS (SELECT coh.user_id,
-                  CAST(CASE WHEN anch.user_id IS NULL THEN 0
-                            ELSE COALESCE(lv.level, 1) END AS INTEGER) AS level
-                FROM coh LEFT JOIN anch ON coh.user_id = anch.user_id
-                LEFT JOIN lv ON coh.user_id = lv.user_id)
-         SELECT level, COUNT(*) AS users FROM ul
-         GROUP BY level ORDER BY level""",
+    "q239_funnel_strict_order" -> strictOrderFunnelSql,
+    "q263_funnel_strict_order_from_states" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2656,6 +2628,46 @@ object SparkEntry {
               FROM f LEFT JOIN l3 ON f.user_id = l3.user_id
                      LEFT JOIN l2 ON f.user_id = l2.user_id
                      LEFT JOIN l1 ON f.user_id = l1.user_id)
+       SELECT level, COUNT(*) AS users FROM ul
+       GROUP BY level ORDER BY level"""
+
+  /** strict_order funnel, positionally: rank a user's events by
+    * (ts, step), anchor at the first step-0 position; the level is
+    * 1 + the longest consecutive run of positions carrying steps
+    * 1, 2, … with strictly-increasing ts inside the anchor's window.
+    * Shared by the raw q239 and the state-served q263. */
+  private lazy val strictOrderFunnelSql =
+    """WITH q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'purchase' THEN 2 ELSE -1 END AS step
+         FROM events),
+       r AS (
+         SELECT user_id, ts, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, step) AS pts
+         FROM q),
+       coh AS (SELECT DISTINCT user_id FROM q WHERE step >= 0),
+       a AS (SELECT user_id, MIN(rn) AS arn FROM r WHERE step = 0
+             GROUP BY user_id),
+       anch AS (SELECT r.user_id, a.arn, r.ts AS ats
+                FROM a JOIN r ON r.user_id = a.user_id AND r.rn = a.arn),
+       t AS (SELECT r.user_id, r.rn - anch.arn AS off, r.step, r.ts,
+                    r.pts, anch.ats
+             FROM r JOIN anch ON r.user_id = anch.user_id
+             WHERE r.rn > anch.arn),
+       lv AS (SELECT user_id,
+                LEAST(3, 1 + COALESCE(
+                  MIN(CASE WHEN NOT (step = off AND ts > pts
+                                     AND ts <= ats + INTERVAL 7 DAY)
+                           THEN off END) - 1,
+                  COUNT(*))) AS level
+              FROM t GROUP BY user_id),
+       ul AS (SELECT coh.user_id,
+                CAST(CASE WHEN anch.user_id IS NULL THEN 0
+                          ELSE COALESCE(lv.level, 1) END AS INTEGER) AS level
+              FROM coh LEFT JOIN anch ON coh.user_id = anch.user_id
+              LEFT JOIN lv ON coh.user_id = lv.user_id)
        SELECT level, COUNT(*) AS users FROM ul
        GROUP BY level ORDER BY level"""
 

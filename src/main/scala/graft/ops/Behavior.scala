@@ -205,6 +205,26 @@ object Behavior {
       .orderBy(col("level"))
   }
 
+  /** Driver entry (q263, oracled — shares q239's positional oracle):
+    * the strict_order funnel answered from the ALL-EVENTS sequence
+    * states ([[funnelAllSpec]]) — the one interference mode with a
+    * positional SQL twin gets a HASH-CHECKED state-served path (the
+    * matrix q258 is rows-only because two of its modes have no SQL
+    * spelling); the collect of [[funnelStructAll]] rewrites to flatten
+    * of the per-(day, user) list states and the strict-order scan runs
+    * over the merged sequence. */
+  def windowFunnelStrictOrderFromStates(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "funnel_all_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), funnelAllSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir))) {
+      windowFunnelStrictOrder(spark, sfDir)
+    }
+  }
+
   /** Driver entry (q240, rows-only + brute-force mode-matrix spec):
     * the SAME funnel under all four parametric modes, one labeled
     * histogram per mode — the ClickHouse windowFunnel mode matrix

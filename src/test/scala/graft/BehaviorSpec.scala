@@ -765,6 +765,13 @@ class BehaviorSpec extends AnyFunSuite {
     assert(ops.Behavior.funnelModeMatrixFromStates(spark, sf).collect().toSeq ==
            ops.Behavior.funnelModeMatrix(spark, sf).collect().toSeq,
       "MV-served mode matrix must equal the live scan for all four modes")
+    // the strict_order single-mode read shares the same collect — its
+    // state-served twin (q263) must be bit-equal to the raw positional
+    // oracle's answer too
+    assert(ops.Behavior.windowFunnelStrictOrderFromStates(spark, sf)
+             .collect().toSeq ==
+           ops.Behavior.windowFunnelStrictOrder(spark, sf).collect().toSeq,
+      "MV-served strict_order must equal the live scan")
     val fixtureDir = ops.StarJoins.scratch(sf, "funnel_all_rollup")
     RollupRouting.register(ops.Behavior.funnelAllSpec(fixtureDir))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
@@ -773,6 +780,10 @@ class BehaviorSpec extends AnyFunSuite {
       val plan = inline.queryExecution.executedPlan.toString
       assert(plan.contains("funnel_all_rollup") && !plan.contains("events.parquet"),
         s"the mode matrix must route onto the all-events states:\n$plan")
+      val soPlan = ops.Behavior.windowFunnelStrictOrder(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(soPlan.contains("funnel_all_rollup") && !soPlan.contains("events.parquet"),
+        s"strict_order must route onto the all-events states:\n$soPlan")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
