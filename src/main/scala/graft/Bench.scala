@@ -7,6 +7,14 @@ object Bench {
     case i  => k.substring(0, i)
   }
 
+  /** True median: middle element on odd counts, middle-pair average on
+    * even — shared by the per-query medians and the calibration so an
+    * even run count (SPARK_GRAFT_BENCH_RUNS=2/4) cannot re-open the
+    * upper-middle over-normalization the r17 fix closed. */
+  private[graft] def median(sorted: Seq[Double]): Double =
+    if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+    else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+
   /** The r17 self-calibration, pure and spec-testable: given the run's
     * per-query medians, the recorded bands, and the sentinel set,
     * returns (machineFactor, outOfBand). machineFactor = median of
@@ -28,10 +36,7 @@ object Bench {
         bands.get(shortOf(name)).exists(_ > 0) =>
         med / bands(shortOf(name))
     }.sorted
-    val factor =
-      if (ratios.isEmpty) 1.0
-      else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
-      else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
+    val factor = if (ratios.isEmpty) 1.0 else median(ratios)
     val out = results.collect {
       case (name, med) if !failed.contains(name) &&
         bands.get(shortOf(name))
@@ -122,7 +127,7 @@ object Bench {
       // a query with zero successes keeps a 0.0 placeholder in the map
       // (and sits in `failed`, excluded from every total)
       val ts = ts0.sorted
-      name -> (if (ts.isEmpty) 0.0 else ts(ts.length / 2))
+      name -> (if (ts.isEmpty) 0.0 else median(ts))
     }
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)

@@ -214,15 +214,22 @@ object Behavior {
     * of the per-(day, user) list states and the strict-order scan runs
     * over the merged sequence. */
   def windowFunnelStrictOrderFromStates(spark: SparkSession,
-                                        sfDir: String): DataFrame = {
+                                        sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      windowFunnelStrictOrder(spark, sfDir)
+    }
+
+  /** Build-once + route scope for the ALL-EVENTS sequence rollup —
+    * shared by the q258 matrix and the q263 strict_order read so the
+    * registration can never diverge between them. */
+  private def withFunnelAllStates(spark: SparkSession, sfDir: String)
+                                 (read: => DataFrame): DataFrame = {
     val dir = StarJoins.scratch(sfDir, "funnel_all_rollup")
     StarJoins.ensureRollup(spark, dir) {
       graft.plans.RollupRouting.buildPartials(
         Tables.events(spark, sfDir), funnelAllSpec("unused"))
     }
-    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir))) {
-      windowFunnelStrictOrder(spark, sfDir)
-    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir)))(read)
   }
 
   /** Driver entry (q240, rows-only + brute-force mode-matrix spec):
@@ -295,16 +302,10 @@ object Behavior {
     * re-canonicalizes, and all four mode scans run over the merged
     * sequence; the fact is never scanned. */
   def funnelModeMatrixFromStates(spark: SparkSession,
-                                 sfDir: String): DataFrame = {
-    val dir = StarJoins.scratch(sfDir, "funnel_all_rollup")
-    StarJoins.ensureRollup(spark, dir) {
-      graft.plans.RollupRouting.buildPartials(
-        Tables.events(spark, sfDir), funnelAllSpec("unused"))
-    }
-    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir))) {
+                                 sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
       funnelModeMatrixOver(Tables.events(spark, sfDir))
     }
-  }
 
   /** Driver entry (q238, oracled): the TIMED pattern grammar —
     * `sequenceMatch('(?1)(?t<3600)(?2).*(?3)')`: a view followed
