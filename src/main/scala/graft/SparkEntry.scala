@@ -680,6 +680,11 @@ object SparkEntry {
     // the one interference mode with a positional SQL twin gets a
     // hash-checked state-served path (shares q239's oracle)
     "q263_funnel_strict_order_from_states" -> (ops.Behavior.windowFunnelStrictOrderFromStates _),
+    // r17: ClickHouse's sequenceNextNode(forward, first_match) — the
+    // event after the first consecutive view->click pair, raw + served
+    // from the same all-events sequence states
+    "q264_sequence_next_node" -> (ops.Behavior.sequenceNextNode _),
+    "q265_sequence_next_node_from_states" -> (ops.Behavior.sequenceNextNodeFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2435,6 +2440,10 @@ object SparkEntry {
     // 1, 2, … with strictly-increasing ts inside the anchor's window
     "q239_funnel_strict_order" -> strictOrderFunnelSql,
     "q263_funnel_strict_order_from_states" -> strictOrderFunnelSql,
+    // sequenceNextNode: the positional next-event histogram, raw +
+    // state-served
+    "q264_sequence_next_node" -> sequenceNextNodeSql,
+    "q265_sequence_next_node_from_states" -> sequenceNextNodeSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2670,6 +2679,36 @@ object SparkEntry {
               LEFT JOIN lv ON coh.user_id = lv.user_id)
        SELECT level, COUNT(*) AS users FROM ul
        GROUP BY level ORDER BY level"""
+
+  /** sequenceNextNode(forward, first_match), positionally: rank each
+    * user's events by (ts, step); the first position p with step 0
+    * immediately followed by step 1 yields the node at p+2 (NULL when
+    * nothing follows) — shared by the raw q264 and the state-served
+    * q265. */
+  private lazy val sequenceNextNodeSql =
+    """WITH q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'purchase' THEN 2 ELSE -1 END AS step
+         FROM events),
+       r AS (
+         SELECT user_id, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn
+         FROM q),
+       m AS (
+         SELECT r1.user_id, MIN(r1.rn) AS p
+         FROM r r1 JOIN r r2
+           ON r2.user_id = r1.user_id AND r2.rn = r1.rn + 1
+         WHERE r1.step = 0 AND r2.step = 1
+         GROUP BY r1.user_id),
+       nx AS (
+         SELECT m.user_id,
+           CASE r3.step WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                WHEN 2 THEN 'purchase' WHEN -1 THEN 'other' END AS next_node
+         FROM m LEFT JOIN r r3
+           ON r3.user_id = m.user_id AND r3.rn = m.p + 2)
+       SELECT next_node, COUNT(*) AS users
+       FROM nx GROUP BY next_node ORDER BY next_node NULLS FIRST"""
 
   /** Theta bounds in the exact regime — shared by the raw q244 and the
     * MV-composed q251. */

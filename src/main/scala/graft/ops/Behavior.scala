@@ -307,6 +307,60 @@ object Behavior {
       funnelModeMatrixOver(Tables.events(spark, sfDir))
     }
 
+  /** ClickHouse's `sequenceNextNode(forward, first_match)` (round 17)
+    * — PATH ANALYSIS: per user, find the first CONSECUTIVE view→click
+    * pair in the full event stream and report the event immediately
+    * after it (the "where do users go next" question), as a
+    * users-per-next-node histogram. Non-chain events matter twice:
+    * they can break consecutiveness AND be the answer ("other") — so
+    * the input is the ALL-EVENTS sequence, the same collect the
+    * registered [[funnelAllSpec]] states serve. Composed entirely from
+    * builtin higher-order functions over the sorted sequence (no new
+    * Expression needed): `filter(sequence(...))` finds the first
+    * adjacent (step 0, step 1) pair, `element_at` reads the node after. */
+  def sequenceNextNode(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceNextNodeOver(Tables.events(spark, sfDir))
+
+  private[graft] def sequenceNextNodeOver(events: DataFrame): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val n = size(col("seq"))
+    def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
+    // 1-based positions i with S[i].step=0 and S[i+1].step=1; guard the
+    // n<2 case explicitly (Spark's sequence(1, 0) would count DOWN).
+    // The scan lands in its OWN projection so it evaluates ONCE per
+    // row: higher-order functions are interpreted (no codegen CSE), so
+    // referencing `p` several times in one select would re-run the
+    // whole O(events) scan per reference (measured 4x at x100).
+    val cand = when(n >= 2,
+      filter(sequence(lit(1), n - 1),
+        i => stepAt(i) === 0 && stepAt(i + 1) === 1))
+    val p = try_element_at(cand, lit(1)) // NULL (not ANSI error) on no match
+    val nextStep = when(col("p") + lit(2) <= n, stepAt(col("p") + lit(2)))
+    val nextNode = when(nextStep === 0, steps(0))
+      .when(nextStep === 1, steps(1))
+      .when(nextStep === 2, steps(2))
+      .when(nextStep === -1, "other") // a non-chain event is an answer too
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
+      .select(col("seq"), p.as("p"))
+      .filter(col("p").isNotNull) // ClickHouse: only users whose chain matched
+      .select(nextNode.as("next_node"))
+      .groupBy(col("next_node"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("next_node").asc_nulls_first)
+  }
+
+  /** Driver entry (q265, oracled — shares q264's oracle): the SAME
+    * next-node histogram served from the registered ALL-EVENTS
+    * sequence states — path analysis composes with the MV registry
+    * exactly like the mode matrix (q258) and strict_order (q263). */
+  def sequenceNextNodeFromStates(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      sequenceNextNodeOver(Tables.events(spark, sfDir))
+    }
+
   /** Driver entry (q238, oracled): the TIMED pattern grammar —
     * `sequenceMatch('(?1)(?t<3600)(?2).*(?3)')`: a view followed
     * within an hour by a click, eventually followed by a purchase.

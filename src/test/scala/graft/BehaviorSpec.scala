@@ -772,6 +772,9 @@ class BehaviorSpec extends AnyFunSuite {
              .collect().toSeq ==
            ops.Behavior.windowFunnelStrictOrder(spark, sf).collect().toSeq,
       "MV-served strict_order must equal the live scan")
+    assert(ops.Behavior.sequenceNextNodeFromStates(spark, sf).collect().toSeq ==
+           ops.Behavior.sequenceNextNode(spark, sf).collect().toSeq,
+      "MV-served sequenceNextNode must equal the live scan")
     val fixtureDir = ops.StarJoins.scratch(sf, "funnel_all_rollup")
     RollupRouting.register(ops.Behavior.funnelAllSpec(fixtureDir))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
@@ -784,6 +787,10 @@ class BehaviorSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(soPlan.contains("funnel_all_rollup") && !soPlan.contains("events.parquet"),
         s"strict_order must route onto the all-events states:\n$soPlan")
+      val nnPlan = ops.Behavior.sequenceNextNodeOver(Tables.events(spark, sf))
+        .queryExecution.executedPlan.toString
+      assert(nnPlan.contains("funnel_all_rollup") && !nnPlan.contains("events.parquet"),
+        s"sequenceNextNode must route onto the all-events states:\n$nnPlan")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
