@@ -815,6 +815,10 @@ class BehaviorSpec extends AnyFunSuite {
     val spec = ops.Behavior.funnelAllSpec(dir)
     RollupRouting.buildPartials(corpus, spec).write.parquet(dir)
     val live = ops.Behavior.funnelModeMatrixOver(corpus).collect().toSeq
+    // sequenceNextNode rides the same states — the corpus's random
+    // minute-resolution timestamps produce ties, exercising the
+    // (ts, step) ordering determinism the fixture barely has
+    val nnLive = ops.Behavior.sequenceNextNodeOver(corpus).collect().toSeq
     RollupRouting.register(spec)
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
@@ -824,6 +828,11 @@ class BehaviorSpec extends AnyFunSuite {
         s"the corpus matrix must route onto the corpus states:\n$cplan")
       assert(r.collect().toSeq == live,
         "routed mode matrix must equal live on the random corpus")
+      val nn = ops.Behavior.sequenceNextNodeOver(corpus)
+      assert(!nn.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "the corpus next-node read must route onto the corpus states")
+      assert(nn.collect().toSeq == nnLive,
+        "routed sequenceNextNode must equal live on the random corpus")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
