@@ -15,6 +15,42 @@ object Bench {
     if (sorted.length % 2 == 1) sorted(sorted.length / 2)
     else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
 
+  /** r18 (the r17 advice): a LARGE machine_factor cannot by itself
+    * distinguish machine state from an engine-wide regression — the
+    * sentinels are query-frozen but run the full shared engine, so a
+    * code change that uniformly slows every query inflates the factor,
+    * norm_value reports flat, and the normalized trigger flags nothing.
+    * Corroboration: past the threshold, ONE sentinel re-runs SOLO after
+    * the timed passes; a flat isolated time (ratio ≤ the same 1.2
+    * threshold) confirms contention, a still-inflated one means the
+    * ENGINE regressed and the RAW total is the honest headline. Pure
+    * and spec-testable; `soloRatio = None` means the solo run itself
+    * failed (reported, never silently dropped). */
+  private[graft] val FactorCheckThreshold = 1.2
+  private[graft] def factorVerdict(factor: Double,
+                                   soloRatio: Option[Double]): String =
+    if (factor <= FactorCheckThreshold) "not_needed"
+    else soloRatio match {
+      case None => "unverified"
+      case Some(r) =>
+        if (r <= FactorCheckThreshold) "contention" else "engine_regression"
+    }
+
+  /** The sentinel to corroborate with: the one whose med/band ratio is
+    * NEAREST the factor (the median witness — an outlier sentinel like
+    * r17's q01 wobble would test the wrong hypothesis). */
+  private[graft] def corroborationPick(results: Seq[(String, Double)],
+                                       failed: Set[String],
+                                       bands: Map[String, Double],
+                                       sentinels: Set[String],
+                                       factor: Double): Option[String] =
+    results.collect {
+      case (name, med) if sentinels.contains(shortOf(name)) &&
+        !failed.contains(name) &&
+        bands.get(shortOf(name)).exists(_ > 0) =>
+        name -> med / bands(shortOf(name))
+    }.minByOption { case (_, r) => math.abs(r - factor) }.map(_._1)
+
   /** The r17 self-calibration, pure and spec-testable: given the run's
     * per-query medians, the recorded bands, and the sentinel set,
     * returns (machineFactor, outOfBand). machineFactor = median of
@@ -157,26 +193,74 @@ object Bench {
     // first, then the working directory — and an sf0.1 run that CANNOT
     // read it warns instead of silently disabling adjudication (a
     // bench launched from any other cwd used to lose the check)
-    val bands: Map[String, Double] =
-      if (!bandsExpected) Map.empty
+    val bandsTxt: String =
+      if (!bandsExpected) ""
       else try {
-      val path = sys.props.get("graft.bench.bands")
-        .getOrElse("scripts/bench_bands.json")
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        val path = sys.props.get("graft.bench.bands")
+          .getOrElse("scripts/bench_bands.json")
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println("[bench] WARNING: bands file unreadable " +
+            s"(${e.getMessage}) — out-of-band adjudication disabled this run")
+          ""
+      }
+    // the provenance block's mode values are STRINGS, so the numeric
+    // band regex can never confuse a provenance row for a band
+    val bands: Map[String, Double] =
+      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(bandsTxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println("[bench] WARNING: bands file unreadable " +
-          s"(${e.getMessage}) — out-of-band adjudication disabled this run")
-        Map.empty
-    }
+    // r18 band-provenance passthrough: the bands file records, per
+    // band, HOW it was set (scripts/rerecord_bands.py's ratchet — see
+    // the provenance block there); the bench line carries the summary
+    // so BENCH_r{N}.json proves which bands were ratcheted vs fresh
+    val bandsRun: String =
+      """"run"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(bandsTxt)
+        .map(_.group(1)).getOrElse("none")
+    val provCounts: Seq[(String, Int)] =
+      Seq("ratchet", "solo", "normalized", "fresh").map { m =>
+        m -> s""":\\s*"$m"""".r.findAllMatchIn(bandsTxt).size
+      }
+    val bandsJson = (s""""run":"$bandsRun"""" +:
+      provCounts.map { case (m, n) => s""""$m":$n""" }).mkString("{", ",", "}")
     // code-frozen sentinel set (untouched since r14; r16's judge used
     // these exact rows to establish the 1.35x contention factor)
     val sentinels = Set("q01", "q08", "q09", "q23", "q68", "q89")
     val (machineFactor, outOfBand) =
       calibrate(results, failed.toSet, bands, sentinels)
+    // r18 factor corroboration (the r17 advice): a factor past the
+    // threshold re-runs ONE sentinel solo — flat solo = contention
+    // (trust norm_value), inflated solo = the ENGINE regressed and the
+    // raw total is the honest headline (factorVerdict documents the
+    // rule; BenchCalibrationSpec pins it)
+    def soloRun(name: String): Option[Double] =
+      selected.find(_._1 == name).map { case (_, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] solo $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      }
+    val sentinelSolo: Option[(String, Double, Double)] =
+      if (machineFactor <= FactorCheckThreshold) None
+      else corroborationPick(results, failed.toSet, bands, sentinels,
+          machineFactor).flatMap { name =>
+        soloRun(name).collect { case sec if sec > 0 =>
+          (name, sec, sec / bands(shortOf(name)))
+        }
+      }
+    val factorCheck =
+      factorVerdict(machineFactor, sentinelSolo.map(_._3))
+    val sentinelSoloJson = sentinelSolo match {
+      case Some((n, sec, r)) =>
+        s"""{"name":"${shortOf(n)}","sec":${f(sec, 2)},"ratio":${f(r, 2)}}"""
+      case None => "{}"
+    }
     // a FAILED solo re-run reports -1 (never silently drops — a
     // query that crashes alone is the opposite of adjudicated-clean);
     // fatal JVM errors propagate, they are not adjudication data
@@ -219,7 +303,7 @@ object Bench {
     def line(keyOf: String => String, dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"isolated":${isolatedJson(keyOf)},"machine_factor":${f(machineFactor, 3)},"norm_value":${f(total / machineFactor, dp)},"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"warm_sec":${f(warmSec, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}"""
+      s"""{"metric":"total","value":${f(total, dp)},"unit":"sec","runs":$runs,"queries":$qs,"isolated":${isolatedJson(keyOf)},"machine_factor":${f(machineFactor, 3)},"factor_check":"$factorCheck","sentinel_solo":$sentinelSoloJson,"norm_value":${f(total / machineFactor, dp)},"bands":$bandsJson,"sf":"$sfDir","batch_value":${f(batchTotal, dp)},"warm_sec":${f(warmSec, dp)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}"""
     }
     // Full-precision, full-name report for humans and diffing.
     val fullJson = line(identity, 3)
@@ -241,7 +325,7 @@ object Bench {
     // survive the tail parse; the per-query map lives one line up and
     // in target/bench_full.json.
     println(
-      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","runs":$runs,"isolated":${isolatedJson(shortOf)},"machine_factor":${f(machineFactor, 3)},"norm_value":${f(total / machineFactor, 2)},"sf":"$sfDir","batch_value":${f(batchTotal, 2)},"warm_sec":${f(warmSec, 2)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}""")
+      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","runs":$runs,"isolated":${isolatedJson(shortOf)},"machine_factor":${f(machineFactor, 3)},"factor_check":"$factorCheck","sentinel_solo":$sentinelSoloJson,"norm_value":${f(total / machineFactor, 2)},"bands":$bandsJson,"sf":"$sfDir","batch_value":${f(batchTotal, 2)},"warm_sec":${f(warmSec, 2)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky":$flakyJson,"sink":"noop"}""")
     spark.stop()
   }
 }

@@ -685,6 +685,35 @@ object SparkEntry {
     // from the same all-events sequence states
     "q264_sequence_next_node" -> (ops.Behavior.sequenceNextNode _),
     "q265_sequence_next_node_from_states" -> (ops.Behavior.sequenceNextNodeFromStates _),
+    // r18: the FULL sequenceNextNode parameter surface — ClickHouse's
+    // six accepted (direction, base) combinations; (forward, head) and
+    // (backward, last_match) get dedicated raw + state-served rows,
+    // the six-way matrix is positionally oracled in one UNION ALL
+    "q266_seq_next_node_head" -> (ops.Behavior.sequenceNextNodeHead _),
+    "q267_seq_next_node_head_from_states" -> (ops.Behavior.sequenceNextNodeHeadFromStates _),
+    "q268_seq_next_node_back_last" -> (ops.Behavior.sequenceNextNodeBackLast _),
+    "q269_seq_next_node_back_last_from_states" -> (ops.Behavior.sequenceNextNodeBackLastFromStates _),
+    "q270_seq_next_node_matrix" -> (ops.Behavior.sequenceNextNodeMatrix _),
+    // r18: windowFunnel strict_dedup gets a POSITIONAL oracle (the
+    // interrupt — a repeat of an already-matched step — is expressible
+    // with per-level min-position CTEs), moving the mode matrix from
+    // 1/4 to 2/4 hash-checked; raw + served from the all-events states
+    "q271_funnel_strict_dedup" -> (ops.Behavior.windowFunnelStrictDedup _),
+    "q272_funnel_strict_dedup_from_states" -> (ops.Behavior.windowFunnelStrictDedupFromStates _),
+    // r18: ClickHouse's ARRAY-PAIR keyed-map input form —
+    // sumMap(k_arr, v_arr) over parallel array columns, exploded back
+    // to the scalar matrix before the aggregate grain
+    "q273_sum_map_array_pairs" -> (Rollups.sumMapArrayPairs _),
+    // r18: strict_order from WINDOW-TRUNCATED all-events states — the
+    // lossless truncation of the state≈fact member (non-step events
+    // beyond the window of every anchor can never change a windowed
+    // funnel level); same positional oracle as q239/q263
+    "q274_funnel_strict_order_truncated" -> (ops.Behavior.windowFunnelStrictOrderTruncated _),
+    // r18: the all-events sequence member ADVISED under the explicit
+    // allowUnboundedSequences opt-in (cost warning stamped) — the
+    // unchanged strict_order read routes through the advisor-built
+    // rollup, sharing the same positional oracle
+    "q275_funnel_strict_order_advised" -> (ops.Behavior.windowFunnelStrictOrderAdvised _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2444,6 +2473,16 @@ object SparkEntry {
     // state-served
     "q264_sequence_next_node" -> sequenceNextNodeSql,
     "q265_sequence_next_node_from_states" -> sequenceNextNodeSql,
+    "q266_seq_next_node_head" -> seqNextNodeHeadSql,
+    "q267_seq_next_node_head_from_states" -> seqNextNodeHeadSql,
+    "q268_seq_next_node_back_last" -> seqNextNodeBackLastSql,
+    "q269_seq_next_node_back_last_from_states" -> seqNextNodeBackLastSql,
+    "q270_seq_next_node_matrix" -> seqNextNodeMatrixSql,
+    "q271_funnel_strict_dedup" -> strictDedupFunnelSql,
+    "q272_funnel_strict_dedup_from_states" -> strictDedupFunnelSql,
+    "q273_sum_map_array_pairs" -> sumMapSql,
+    "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
+    "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
     "q223_sequence_match" ->
       """WITH v AS (
@@ -2709,6 +2748,138 @@ object SparkEntry {
            ON r3.user_id = m.user_id AND r3.rn = m.p + 2)
        SELECT next_node, COUNT(*) AS users
        FROM nx GROUP BY next_node ORDER BY next_node NULLS FIRST"""
+
+  /** The full sequenceNextNode(direction, base) surface, positionally
+    * (round 18): rank each user's events by (ts, step); a FORWARD
+    * anchor is a position p with step(p)=0 and step(p+1)=1 (answer at
+    * p+2), a BACKWARD anchor has step(p−1)=1 (answer at p−2); `head`
+    * pins p=1, `tail` pins p=n (the user's row count), the match bases
+    * take MIN/MAX over anchors. Generates the per-combo m/nx blocks
+    * over shared q/r/cnt CTEs — one generator, so an edit to the
+    * adjacency or answer-offset semantics hits every combination. */
+  private def seqNextNodeBlock(forward: Boolean, base: String): String = {
+    val adj = if (forward) "r2.rn = r1.rn + 1" else "r2.rn = r1.rn - 1"
+    val pick = if (base == "last_match" || base == "tail") "MAX(r1.rn)" else "MIN(r1.rn)"
+    val cntJoin = if (base == "tail") " JOIN cnt ON cnt.user_id = r1.user_id" else ""
+    val baseCond = base match {
+      case "head" => " AND r1.rn = 1"
+      case "tail" => " AND r1.rn = cnt.c"
+      case _ => ""
+    }
+    val ans = if (forward) "m.p + 2" else "m.p - 2"
+    s"""SELECT m.user_id,
+           CASE r3.step WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                WHEN 2 THEN 'purchase' WHEN -1 THEN 'other' END AS next_node
+         FROM (SELECT r1.user_id, $pick AS p
+               FROM r r1 JOIN r r2
+                 ON r2.user_id = r1.user_id AND $adj$cntJoin
+               WHERE r1.step = 0 AND r2.step = 1$baseCond
+               GROUP BY r1.user_id) m
+         LEFT JOIN r r3 ON r3.user_id = m.user_id AND r3.rn = $ans"""
+  }
+
+  private lazy val seqNextNodeCtes =
+    """WITH q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'purchase' THEN 2 ELSE -1 END AS step
+         FROM events),
+       r AS (
+         SELECT user_id, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn
+         FROM q),
+       cnt AS (SELECT user_id, COUNT(*) AS c FROM r GROUP BY user_id)"""
+
+  private def seqNextNodeSqlFor(forward: Boolean, base: String): String =
+    s"""$seqNextNodeCtes
+       SELECT next_node, COUNT(*) AS users
+       FROM (${seqNextNodeBlock(forward, base)}) nx
+       GROUP BY next_node ORDER BY next_node NULLS FIRST"""
+
+  /** (forward, head) — shared by the raw q266 and the state-served
+    * q267. */
+  private lazy val seqNextNodeHeadSql = seqNextNodeSqlFor(forward = true, "head")
+  /** (backward, last_match) — shared by the raw q268 and the
+    * state-served q269. */
+  private lazy val seqNextNodeBackLastSql =
+    seqNextNodeSqlFor(forward = false, "last_match")
+
+  /** All six accepted combinations, one labeled UNION ALL (q270). */
+  private lazy val seqNextNodeMatrixSql = {
+    val combos = Seq(
+      ("forward_head", true, "head"),
+      ("forward_first_match", true, "first_match"),
+      ("forward_last_match", true, "last_match"),
+      ("backward_tail", false, "tail"),
+      ("backward_first_match", false, "first_match"),
+      ("backward_last_match", false, "last_match"))
+    val branches = combos.map { case (label, fwd, base) =>
+      s"""SELECT '$label' AS combo, next_node, COUNT(*) AS users
+         FROM (${seqNextNodeBlock(fwd, base)}) nx
+         GROUP BY 1, 2"""
+    }.mkString("\n UNION ALL\n ")
+    s"""$seqNextNodeCtes
+       $branches
+       ORDER BY combo, next_node NULLS FIRST"""
+  }
+
+  /** strict_dedup funnel, positionally (round 18): anchor at the first
+    * step-0 position; each level's advance is the earliest in-window
+    * strictly-later next step, VALID only if no already-matched step
+    * value recurs strictly between the previous advance and it (the
+    * dedup interrupt); a recurrence before any valid advance freezes
+    * the level. Shared by the raw q271 and the state-served q272. */
+  private lazy val strictDedupFunnelSql =
+    """WITH q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'purchase' THEN 2 ELSE -1 END AS step
+         FROM events),
+       r AS (
+         SELECT user_id, ts, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn
+         FROM q),
+       coh AS (SELECT DISTINCT user_id FROM q WHERE step >= 0),
+       a AS (SELECT user_id, MIN(rn) AS arn FROM r WHERE step = 0
+             GROUP BY user_id),
+       anch AS (SELECT r.user_id, a.arn, r.ts AS ats
+                FROM a JOIN r ON r.user_id = a.user_id AND r.rn = a.arn),
+       s1 AS (SELECT anch.user_id, MIN(r.rn) AS srn
+              FROM anch JOIN r ON r.user_id = anch.user_id
+                AND r.rn > anch.arn AND r.step = 0
+              GROUP BY anch.user_id),
+       c2 AS (SELECT anch.user_id, MIN(r.rn) AS crn
+              FROM anch JOIN r ON r.user_id = anch.user_id
+                AND r.rn > anch.arn AND r.step = 1
+                AND r.ts > anch.ats AND r.ts <= anch.ats + INTERVAL 7 DAY
+              GROUP BY anch.user_id),
+       adv2 AS (SELECT c2.user_id, c2.crn, rc.ts AS cts, anch.ats
+                FROM c2 JOIN anch ON anch.user_id = c2.user_id
+                JOIN r rc ON rc.user_id = c2.user_id AND rc.rn = c2.crn
+                LEFT JOIN s1 ON s1.user_id = c2.user_id
+                WHERE s1.srn IS NULL OR c2.crn < s1.srn),
+       s2 AS (SELECT adv2.user_id, MIN(r.rn) AS srn
+              FROM adv2 JOIN r ON r.user_id = adv2.user_id
+                AND r.rn > adv2.crn AND r.step IN (0, 1)
+              GROUP BY adv2.user_id),
+       p3 AS (SELECT adv2.user_id, MIN(r.rn) AS prn
+              FROM adv2 JOIN r ON r.user_id = adv2.user_id
+                AND r.rn > adv2.crn AND r.step = 2
+                AND r.ts > adv2.cts AND r.ts <= adv2.ats + INTERVAL 7 DAY
+              GROUP BY adv2.user_id),
+       adv3 AS (SELECT p3.user_id FROM p3
+                LEFT JOIN s2 ON s2.user_id = p3.user_id
+                WHERE s2.srn IS NULL OR p3.prn < s2.srn),
+       ul AS (SELECT coh.user_id,
+                CAST(CASE WHEN adv3.user_id IS NOT NULL THEN 3
+                          WHEN adv2.user_id IS NOT NULL THEN 2
+                          WHEN anch.user_id IS NOT NULL THEN 1
+                          ELSE 0 END AS INTEGER) AS level
+              FROM coh LEFT JOIN anch ON anch.user_id = coh.user_id
+                       LEFT JOIN adv2 ON adv2.user_id = coh.user_id
+                       LEFT JOIN adv3 ON adv3.user_id = coh.user_id)
+       SELECT level, COUNT(*) AS users FROM ul
+       GROUP BY level ORDER BY level"""
 
   /** Theta bounds in the exact regime — shared by the raw q244 and the
     * MV-composed q251. */

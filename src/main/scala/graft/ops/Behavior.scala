@@ -232,6 +232,147 @@ object Behavior {
     Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir)))(read)
   }
 
+  /** Driver entry (q271, oracled): `windowFunnel(..., 'strict_dedup')`
+    * — a REPEAT of an already-matched step (a second view while
+    * waiting for the click, a view or click replay while waiting for
+    * the purchase) freezes the chain; unrelated events still pass.
+    * Unlike relaxed-increase (whose interrupt depends on the
+    * matched-so-far SET mid-fold), strict_dedup's interrupt IS
+    * positionally expressible for a 3-step funnel: the chain advances
+    * at the earliest valid next step only if NO already-matched step
+    * value recurs strictly between the previous advance and it — the
+    * DuckDB oracle spells exactly that with per-level min-position
+    * CTEs, so this mode is HASH-CHECKED (the mode matrix q240/q258
+    * stays rows-only only for the modes SQL cannot spell). */
+  def windowFunnelStrictDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    funnelLevelsAll(Tables.events(spark, sfDir),
+        Seq("view", "click", "purchase"), week,
+        strictOrder = false, strictDedup = true, strictIncrease = true)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("level"))
+  }
+
+  /** Driver entry (q272, oracled — shares q271's positional oracle):
+    * strict_dedup served from the ALL-EVENTS sequence states, the
+    * second hash-checked interference mode through the same member
+    * (q263 was the first). */
+  def windowFunnelStrictDedupFromStates(spark: SparkSession,
+                                        sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      windowFunnelStrictDedup(spark, sfDir)
+    }
+
+  /** WINDOW-TRUNCATED all-events partials (round 18) — the lossless
+    * answer to the honest pain-point the full [[funnelAllSpec]] states
+    * carry (state ≈ the (day, user)-grouped fact, priced in
+    * docs/SCALING.md): for WINDOWED funnel reads, a non-step event can
+    * only interrupt a chain while the chain can still advance, i.e.
+    * within `windowMicros` of a step-0 anchor — every interference
+    * past the window freezes a chain that window expiry already
+    * froze at the same level. So the maintainer KEEPS
+    *  - every step event (cohort membership, anchors, advances, and
+    *    the dedup/strict interrupts they cause), and
+    *  - every step −1 event inside `[a, a + window]` of ANY of the
+    *    user's step-0 anchors,
+    * and DROPS the rest — value-identical for the whole registered
+    * windowed read family (all four q240/q258 modes and the q239/q263
+    * strict_order read at any window ≤ `windowMicros`), proven
+    * routed≡live on the 300-user random corpus (BehaviorSpec) and
+    * hash-checked through q274's shared positional oracle.
+    *
+    * NOT value-identical for UNWINDOWED collects over the same pattern
+    * (sequenceNextNode's adjacency can cross any gap), so the
+    * truncated rollup registers only around reads declared
+    * window-bounded — the same contract as a ClickHouse TTL'd MV.
+    * Build economics: the anchor-list build and the semi-join both
+    * hash on `user_id` — the same key the partial grouping shuffles
+    * on, so the truncation rides the build's own exchange; the
+    * per-event anchor probe is bounded by the user's OWN step-0 count.
+    * The stored `c_p` counts KEPT rows (it is the state's own row
+    * count, not the fact's) — another reason the member is scoped to
+    * funnel reads, which never consume it. */
+  def truncatedFunnelAllPartials(events: DataFrame,
+                                 windowMicros: Long): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val anchors = events
+      .filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(collect_list(unix_micros(col("ts"))).as("anchor_us"))
+    val kept = events
+      .join(anchors, Seq("user_id"), "left")
+      .filter(col("event_type").isin(steps: _*) ||
+        (col("anchor_us").isNotNull &&
+         exists(col("anchor_us"), a =>
+           unix_micros(col("ts")) >= a &&
+           unix_micros(col("ts")) - a <= lit(windowMicros))))
+      .drop("anchor_us")
+    graft.plans.RollupRouting.buildPartials(kept, funnelAllSpec("unused"))
+  }
+
+  /** Build-once + route scope for the TRUNCATED all-events rollup —
+    * the registered SPEC is [[funnelAllSpec]] itself (same member
+    * names, same patterns, different directory): truncation lives in
+    * the BUILD, the routing is unchanged. */
+  private def withFunnelAllTruncStates(spark: SparkSession, sfDir: String)
+                                      (read: => DataFrame): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    val dir = StarJoins.scratch(sfDir, "funnel_all_trunc_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      truncatedFunnelAllPartials(Tables.events(spark, sfDir), week)
+    }
+    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir)))(read)
+  }
+
+  /** Driver entry (q274, oracled — shares q239's positional oracle):
+    * strict_order answered from the WINDOW-TRUNCATED all-events states
+    * — the same hash-checked answer as q263 with the state no longer
+    * carrying the fact's out-of-reach non-step events (measured bytes
+    * in docs/SCALING.md). */
+  def windowFunnelStrictOrderTruncated(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    withFunnelAllTruncStates(spark, sfDir) {
+      windowFunnelStrictOrder(spark, sfDir)
+    }
+
+  /** The q258 matrix through the truncated states — spec surface for
+    * the routed≡live proof on the random corpus (all four modes at
+    * once); not separately declared (q258 already benches the member). */
+  private[graft] def funnelModeMatrixTruncated(spark: SparkSession,
+                                               sfDir: String): DataFrame =
+    withFunnelAllTruncStates(spark, sfDir) {
+      funnelModeMatrixOver(Tables.events(spark, sfDir))
+    }
+
+  /** Driver entry (q275, oracled — shares q239's positional oracle):
+    * strict_order ADVISED end-to-end — the captured workload is the
+    * ALL-EVENTS sequence extraction (`sort_array(collect_list(
+    * struct(ts, CASE…ELSE −1)))`, every row enters), which the advisor
+    * mints ONLY under the explicit `allowUnboundedSequences` opt-in,
+    * surfacing its cost warning (state ≈ the keyed fact — the honest
+    * interference-mode price); the unchanged strict_order read then
+    * routes through the advisor-built rollup, completing the
+    * capture→advise→adopt loop q253 proved for retention and q241 for
+    * the guarded funnel. */
+  def windowFunnelStrictOrderAdvised(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val root = StarJoins.scratch(sfDir, "advised_funnel_all")
+    val workload = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        funnelStructAll(Seq("view", "click", "purchase")))).as("seq"))
+    val advice = graft.plans.Advisor.advise(Seq(workload), root,
+      allowUnboundedSequences = true)
+    require(advice.singles.size == 1 && advice.skipped.isEmpty,
+      s"advisor unexpectedly skipped: ${advice.skipped}")
+    require(advice.splits.exists(_.contains("all-events")),
+      "the opt-in must surface its state-cost warning")
+    graft.plans.Advisor.runRouted(spark, advice) {
+      windowFunnelStrictOrder(spark, sfDir)
+    }
+  }
+
   /** Driver entry (q240, rows-only + brute-force mode-matrix spec):
     * the SAME funnel under all four parametric modes, one labeled
     * histogram per mode — the ClickHouse windowFunnel mode matrix
@@ -321,21 +462,81 @@ object Behavior {
   def sequenceNextNode(spark: SparkSession, sfDir: String): DataFrame =
     sequenceNextNodeOver(Tables.events(spark, sfDir))
 
-  private[graft] def sequenceNextNodeOver(events: DataFrame): DataFrame = {
+  /** `c.isNotNull` as a PUSHDOWN-PROOF predicate: OR-ing a never-true
+    * non-deterministic term keeps `PushPredicateThroughNonJoin` from
+    * substituting the filter through the projection that computes `c`.
+    * The r17 advice measured why this matters: the pushed filter
+    * re-evaluates the projection's O(events) higher-order-function
+    * scan (interpreted, no codegen CSE), doubling the per-row cost —
+    * blocking the push bounds the scan at exactly ONE evaluation. The
+    * extra term is `monotonically_increasing_id() < 0`, false on every
+    * row, so the predicate's VALUE is exactly `c.isNotNull`. */
+  private def noPushIsNotNull(c: Column): Column =
+    c.isNotNull || monotonically_increasing_id() < lit(0L)
+
+  /** The full `sequenceNextNode(direction, base)` parameter surface
+    * (round 18) over the two-step view→click chain. ClickHouse accepts
+    * SIX combinations — direction `forward` with base `head` /
+    * `first_match` / `last_match`, direction `backward` with `tail` /
+    * `first_match` / `last_match` — and REJECTS (forward, tail) and
+    * (backward, head), where the chain would leave the stream at its
+    * first step; this surface mirrors that contract exactly.
+    *
+    * Over the ascending (ts, step)-sorted sequence, 1-based positions:
+    *  - forward: an anchor is a position p with step(p)=0 (view) and
+    *    step(p+1)=1 (click) — the chain travels later-in-time; the
+    *    answer is the node at p+2 ("where did they go next").
+    *  - backward: the chain travels earlier-in-time — step(p)=0 with
+    *    step(p−1)=1 (a click immediately BEFORE the view), answer at
+    *    p−2 ("where did they come from").
+    *  - `head` pins the anchor to the stream's first event (p=1),
+    *    `tail` to its last (p=n); `first_match`/`last_match` take the
+    *    chronologically first/last anchor where the full chain holds.
+    *
+    * `head`/`tail` are O(1) per user — no positional scan at all; the
+    * match bases pay one O(events) higher-order-function scan, hoisted
+    * into its own projection (the no-CSE trap) with the
+    * matched-cohort filter made pushdown-proof ([[noPushIsNotNull]])
+    * so the scan runs exactly once per row. */
+  private[graft] def sequenceNextNodeOver(events: DataFrame,
+                                          direction: String = "forward",
+                                          base: String = "first_match"): DataFrame = {
+    val forward = direction match {
+      case "forward" => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(
+        s"sequenceNextNode direction must be forward|backward, got $other")
+    }
+    require(Set("head", "tail", "first_match", "last_match")(base),
+      s"sequenceNextNode base must be head|tail|first_match|last_match, got $base")
+    require(!(forward && base == "tail") && !(!forward && base == "head"),
+      "ClickHouse rejects sequenceNextNode(forward, tail) and (backward, " +
+        "head) — the chain would step off the stream immediately; so do we")
     val steps = Seq("view", "click", "purchase")
     val n = size(col("seq"))
+    // in-bounds index access (lambdas below construct i >= 1 by range);
+    // the SAFE variant guards indices that may fall off either end —
+    // try_element_at returns NULL past the end but still rejects 0
     def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
-    // 1-based positions i with S[i].step=0 and S[i+1].step=1; guard the
-    // n<2 case explicitly (Spark's sequence(1, 0) would count DOWN).
-    // The scan lands in its OWN projection so it evaluates ONCE per
-    // row: higher-order functions are interpreted (no codegen CSE), so
-    // referencing `p` several times in one select would re-run the
-    // whole O(events) scan per reference (measured 4x at x100).
-    val cand = when(n >= 2,
-      filter(sequence(lit(1), n - 1),
-        i => stepAt(i) === 0 && stepAt(i + 1) === 1))
-    val p = try_element_at(cand, lit(1)) // NULL (not ANSI error) on no match
-    val nextStep = when(col("p") + lit(2) <= n, stepAt(col("p") + lit(2)))
+    def stepAtSafe(i: Column): Column =
+      when(i >= 1, try_element_at(col("seq"), i)).getField("step")
+    val p: Column = base match {
+      case "head" =>
+        when(n >= 2 && stepAtSafe(lit(1)) === 0 && stepAtSafe(lit(2)) === 1, lit(1))
+      case "tail" =>
+        when(n >= 2 && stepAtSafe(n) === 0 && stepAtSafe(n - 1) === 1, n)
+      case _ =>
+        // guard n<2 explicitly: Spark's sequence(1, 0) would count DOWN
+        val cand =
+          if (forward) when(n >= 2, filter(sequence(lit(1), n - 1),
+            i => stepAt(i) === 0 && stepAt(i + 1) === 1))
+          else when(n >= 2, filter(sequence(lit(2), n),
+            i => stepAt(i) === 0 && stepAt(i - 1) === 1))
+        // NULL (not ANSI error) on no match; -1 = the array's last entry
+        try_element_at(cand, lit(if (base == "first_match") 1 else -1))
+    }
+    val ansIdx = if (forward) col("p") + lit(2) else col("p") - lit(2)
+    val nextStep = stepAtSafe(ansIdx)
     val nextNode = when(nextStep === 0, steps(0))
       .when(nextStep === 1, steps(1))
       .when(nextStep === 2, steps(2))
@@ -344,11 +545,99 @@ object Behavior {
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
       .select(col("seq"), p.as("p"))
-      .filter(col("p").isNotNull) // ClickHouse: only users whose chain matched
+      .filter(noPushIsNotNull(col("p"))) // ClickHouse: matched users only
       .select(nextNode.as("next_node"))
       .groupBy(col("next_node"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("next_node").asc_nulls_first)
+  }
+
+  /** Driver entry (q266, oracled): `sequenceNextNode(forward, head)` —
+    * did the user's session OPEN with view→click, and where did it go
+    * next. O(1) per user after the sequence gather (position checks on
+    * the first two slots — no positional scan). */
+  def sequenceNextNodeHead(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceNextNodeOver(Tables.events(spark, sfDir), "forward", "head")
+
+  /** Driver entry (q267, oracled — shares q266's oracle): the head
+    * variant served from the registered ALL-EVENTS sequence states. */
+  def sequenceNextNodeHeadFromStates(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      sequenceNextNodeOver(Tables.events(spark, sfDir), "forward", "head")
+    }
+
+  /** Driver entry (q268, oracled): `sequenceNextNode(backward,
+    * last_match)` — the OTHER half of path analysis: anchored at the
+    * chronologically LAST click→view adjacency, the event that
+    * preceded it ("where did users come from"). */
+  def sequenceNextNodeBackLast(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceNextNodeOver(Tables.events(spark, sfDir), "backward", "last_match")
+
+  /** Driver entry (q269, oracled — shares q268's oracle): the backward
+    * last_match variant served from the same all-events states. */
+  def sequenceNextNodeBackLastFromStates(spark: SparkSession,
+                                         sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      sequenceNextNodeOver(Tables.events(spark, sfDir), "backward", "last_match")
+    }
+
+  /** Driver entry (q270, oracled): ALL SIX ClickHouse sequenceNextNode
+    * combinations in one labeled report — ONE fact scan, ONE per-user
+    * shuffle, TWO O(events) candidate scans (forward and backward,
+    * each hoisted into its own projection and shared by the three
+    * bases that read it; head/tail are O(1) position checks). The
+    * DuckDB oracle spells each combination positionally and UNION ALLs
+    * the six histograms. */
+  def sequenceNextNodeMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceNextNodeMatrixOver(Tables.events(spark, sfDir))
+
+  private[graft] def sequenceNextNodeMatrixOver(events: DataFrame): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val n = size(col("seq"))
+    def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
+    def stepAtSafe(i: Column): Column =
+      when(i >= 1, try_element_at(col("seq"), i)).getField("step")
+    val fwCand = when(n >= 2, filter(sequence(lit(1), n - 1),
+      i => stepAt(i) === 0 && stepAt(i + 1) === 1))
+    val bwCand = when(n >= 2, filter(sequence(lit(2), n),
+      i => stepAt(i) === 0 && stepAt(i - 1) === 1))
+    def combo(name: String, fwd: Boolean, p: Column): Column =
+      struct(lit(name).as("combo"), lit(fwd).as("fwd"), p.cast("int").as("p"))
+    val headP = when(n >= 2 && stepAtSafe(lit(1)) === 0 &&
+      stepAtSafe(lit(2)) === 1, lit(1))
+    val tailP = when(n >= 2 && stepAtSafe(n) === 0 &&
+      stepAtSafe(n - 1) === 1, n)
+    val rows = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
+      // the two scans land in their OWN projection (the no-CSE trap):
+      // the six combos below read the fw/bw ATTRIBUTES, never re-run
+      // the lambdas
+      .select(col("seq"), fwCand.as("fw"), bwCand.as("bw"))
+      .select(col("seq"), explode(array(
+        combo("forward_head", fwd = true, headP),
+        combo("forward_first_match", fwd = true, try_element_at(col("fw"), lit(1))),
+        combo("forward_last_match", fwd = true, try_element_at(col("fw"), lit(-1))),
+        combo("backward_tail", fwd = false, tailP),
+        combo("backward_first_match", fwd = false, try_element_at(col("bw"), lit(1))),
+        combo("backward_last_match", fwd = false, try_element_at(col("bw"), lit(-1)))
+      )).as("m"))
+      // m.p is GENERATOR output — the matched-cohort filter cannot be
+      // pushed below the explode, so no noPush guard is needed here
+      .filter(col("m.p").isNotNull)
+    val ansIdx = when(col("m.fwd"), col("m.p") + lit(2))
+      .otherwise(col("m.p") - lit(2))
+    val nextStep = stepAtSafe(ansIdx)
+    val nextNode = when(nextStep === 0, steps(0))
+      .when(nextStep === 1, steps(1))
+      .when(nextStep === 2, steps(2))
+      .when(nextStep === -1, "other")
+    rows
+      .select(col("m.combo").as("combo"), nextNode.as("next_node"))
+      .groupBy(col("combo"), col("next_node"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("combo"), col("next_node").asc_nulls_first)
   }
 
   /** Driver entry (q265, oracled — shares q264's oracle): the SAME
@@ -787,10 +1076,14 @@ object Behavior {
 
   /** The half-month window the windowed retention pair reads — whole-day
     * timestamp bounds, so the predicate subsumes losslessly onto the
-    * registered day grain. */
+    * registered day grain. Bounds parse as STRING casts (session-TZ
+    * semantics, r17 advice): `Timestamp.valueOf` would interpret the
+    * wall-clock string in the JVM default timezone, shifting the window
+    * against the oracle's naive literals — and silently un-subsuming
+    * the day-grain routing — under any non-UTC JVM default. */
   private def retentionWindow(events: DataFrame): DataFrame =
-    events.filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
-                  col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    events.filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
 
   /** Driver entry (q261, oracled): condition retention over a TIME
     * WINDOW — the q247 cells restricted to January's first half, the

@@ -570,10 +570,14 @@ object Rollups {
   private def mapEntry(v: Column): Column =
     concat(col("event_type"), lit(":"), v.cast("string"))
 
-  private[graft] def sumMapRead(events: DataFrame): DataFrame = {
-    val inner = events
+  private[graft] def sumMapRead(events: DataFrame): DataFrame =
+    sumMapFold(events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(Fns.dsumPartial(col("value")).as("vol"), max(col("value")).as("mx"))
+      .agg(Fns.dsumPartial(col("value")).as("vol"), max(col("value")).as("mx")))
+
+  /** The outer map fold shared by the scalar read and the array-pair
+    * wrapper: per day, the (type → cents) entries as sorted csv. */
+  private def sumMapFold(inner: DataFrame): DataFrame =
     inner
       .groupBy(col("day"))
       .agg(
@@ -582,6 +586,41 @@ object Rollups {
         array_join(sort_array(collect_list(mapEntry(centsDouble(col("mx"))))), ",")
           .as("max_map"))
       .orderBy("day")
+
+  /** ClickHouse's ARRAY-PAIR keyed-map input form (round 18):
+    * `sumMap(k_arr, v_arr)` consumes PARALLEL per-row arrays — a row
+    * carries its keys and values as two aligned array columns, not as
+    * scalar (key, value) rows. The wrapper zips the pairs back to
+    * scalar rows (`explode(arrays_zip(...))` — position-aligned by
+    * construction) and hands them to the existing scalar matrix, so
+    * the explode lands BEFORE the aggregate grain and every downstream
+    * economics (including MV routing over a scalar corpus) is
+    * unchanged. One shuffle total: the explode is row-local. */
+  def sumMapOverPairs(pairs: DataFrame, day: Column,
+                      kArr: Column, vArr: Column): DataFrame =
+    sumMapFold(pairs
+      .select(day.as("day"),
+        explode(arrays_zip(kArr.as("k"), vArr.as("v"))).as("e"))
+      .groupBy(col("day"), col("e.k").as("event_type"))
+      .agg(Fns.dsumPartial(col("e.v")).as("vol"), max(col("e.v")).as("mx")))
+
+  /** Driver entry (q273, oracled — shares q248's oracle, since
+    * zip∘unzip is a multiset identity): sumMap/maxMap over an
+    * ARRAY-PAIR corpus. The testdata carries no array-typed columns,
+    * so the corpus is derived deterministically from `events` — each
+    * (day, user)'s rows folded into parallel key/value arrays through
+    * ONE struct collect (two independent `collect_list`s would not be
+    * position-aligned), the shape a property bag lands in after
+    * upstream JSON decoding. */
+  def sumMapArrayPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val paired = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(collect_list(struct(col("event_type").as("k"),
+        col("value").as("v"))).as("kv"))
+      .select(col("day"),
+        transform(col("kv"), e => e.getField("k")).as("k_arr"),
+        transform(col("kv"), e => e.getField("v")).as("v_arr"))
+    sumMapOverPairs(paired, col("day"), col("k_arr"), col("v_arr"))
   }
 
   /** The (day × event_type) VALUE rollup the map reads route through:

@@ -574,7 +574,37 @@ object Advisor {
   }
 
   /** One query → one demand, or a reason it is out of scope. */
-  private def demandOf(label: String, df: DataFrame): scala.Either[String, Any] = {
+  /** The OPT-IN all-events sequence demand (round 18): a collected
+    * sequence whose guard has an ELSE branch — EVERY row enters the
+    * list, so the state duplicates the keyed fact, which is exactly
+    * why the default [[mapOne]] refuses it (the registry scaladoc's
+    * warning). The interference-mode funnel family honestly REQUIRES
+    * that input (a strict_order chain must see the interrupting
+    * non-step event), so under `allowUnboundedSequences` the demand
+    * mints the same [[RollupRouting.ListOf]] member the hand-written
+    * [[graft.ops.Behavior.funnelAllSpec]] registers — and [[advise]]
+    * stamps a cost warning into the advice's split log. Only the
+    * collect shape widens; everything else stays [[mapOne]]'s. */
+  private def mapUnboundedSeq(e: Expression,
+                              resolve: Expression => Expression): Option[AggMap] =
+    e match {
+      case Alias(c, _) => mapUnboundedSeq(c, resolve)
+      case SortArray(c, _) => mapUnboundedSeq(c, resolve)
+      case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case cl: CollectList =>
+            toPat(resolve(cl.child)) match {
+              case Some(p: ExprPat) => Some(ListOf(p, statePartialName(p, "seq")))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def demandOf(label: String, df: DataFrame,
+                       allowUnboundedSequences: Boolean = false)
+      : scala.Either[String, Any] = {
     val plan = df.queryExecution.analyzed
     val agg0 = topAggregate(plan) match {
       case Some(a) => a
@@ -592,7 +622,8 @@ object Advisor {
     def resolve(e: Expression): Expression = resolveThroughProjects(e, child)
     val aggOutputs = agg.aggregateExpressions
       .filter(_.exists(_.isInstanceOf[AggregateExpression]))
-    val aggs0 = aggOutputs.map(ne => mapOne(ne, resolve, inLattice = fromLattice))
+    val aggs0 = aggOutputs.map(ne => mapOne(ne, resolve, inLattice = fromLattice)
+      .orElse(if (allowUnboundedSequences) mapUnboundedSeq(ne, resolve) else None))
     if (aggs0.exists(_.isEmpty))
       return scala.Left(s"$label: unmappable aggregate " +
         aggOutputs(aggs0.indexWhere(_.isEmpty)).sql)
@@ -783,12 +814,35 @@ object Advisor {
     * (hour vs day) never count as inflation — they are bounded at any
     * data volume, unlike user-shaped keys that grow with it. */
   def advise(queries: Seq[DataFrame], rollupRoot: String,
-             maxReadInflation: Double = Double.NaN): Advice = {
+             maxReadInflation: Double = Double.NaN,
+             /** Round 18 OPT-IN: also mint collected sequences whose
+               * guard admits EVERY row ([[mapUnboundedSeq]]) — required
+               * by interference-mode funnel reads, priced state ≈ fact;
+               * each minted member stamps a warning into `splits`. */
+             allowUnboundedSequences: Boolean = false): Advice = {
     val spark = queries.headOption.map(_.sparkSession).orNull
-    val demands = queries.zipWithIndex.map { case (q, i) => demandOf(s"query#$i", q) }
+    val demands = queries.zipWithIndex.map { case (q, i) =>
+      demandOf(s"query#$i", q, allowUnboundedSequences) }
     val bound = if (maxReadInflation.isNaN) confMaxReadInflation(spark)
                 else maxReadInflation
-    adviseDemands(spark, demands, rollupRoot, bound)
+    val advice = adviseDemands(spark, demands, rollupRoot, bound)
+    if (!allowUnboundedSequences) advice
+    else {
+      // a guarded sequence is a top-level CaseWhen with NO else (rows
+      // outside the guard never enter) — anything else collects every
+      // row, and the adopter must see the price before registering
+      val warns = advice.singles.flatMap(s => s.spec.aggs.collect {
+        case ListOf(p: ExprPat, name) if (p.expr match {
+              case c: CaseWhen => c.elseValue.isDefined
+              case _ => true
+            }) =>
+          s"${s.spec.sourceSuffix}: OPT-IN all-events sequence member " +
+            s"$name — every row enters the list, so the state ≈ the " +
+            "keyed fact (the interference-mode price; register only " +
+            "for repeated window-bounded reads, see docs/SCALING.md)"
+      })
+      advice.copy(splits = advice.splits ++ warns)
+    }
   }
 
   private def adviseDemands(spark: SparkSession,

@@ -573,6 +573,183 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent positional reference for the full sequenceNextNode
+    * surface (round 18): over the (ts, step)-sorted 0-based list, a
+    * forward anchor i has step(i)=0, step(i+1)=1, answer at i+2; a
+    * backward anchor has step(i−1)=1, answer at i−2; head pins i=0,
+    * tail i=n−1, the match bases take the first/last anchor. Outer
+    * None = chain never matched (user excluded); inner None = matched
+    * with nothing beyond the chain (a NULL histogram row). */
+  private def bruteNextNode(evs: Seq[(Long, Int)], forward: Boolean,
+                            base: String): Option[Option[String]] = {
+    val s = evs.sorted
+    val n = s.length
+    val cands =
+      if (forward) (0 until n - 1).filter(i => s(i)._2 == 0 && s(i + 1)._2 == 1)
+      else (1 until n).filter(i => s(i)._2 == 0 && s(i - 1)._2 == 1)
+    val p = base match {
+      case "head" => cands.find(_ == 0)
+      case "tail" => cands.find(_ == n - 1)
+      case "first_match" => cands.headOption
+      case "last_match" => cands.lastOption
+    }
+    p.map { i =>
+      val a = if (forward) i + 2 else i - 2
+      if (a < 0 || a >= n) None
+      else Some(s(a)._2 match {
+        case 0 => "view"; case 1 => "click"; case 2 => "purchase"
+        case _ => "other"
+      })
+    }
+  }
+
+  test("sequenceNextNode: all six ClickHouse combinations = positional " +
+       "reference on a 300-user tie-heavy corpus; invalid combos refused") {
+    val rnd = new scala.util.Random(46)
+    val types = Seq("view", "click", "purchase", "other")
+    val stepOf = Map("view" -> 0, "click" -> 1, "purchase" -> 2, "other" -> -1)
+    val cases: Map[Long, Seq[(Long, String)]] = (0 until 300).map { u =>
+      val n = 1 + rnd.nextInt(12)
+      // minute resolution on a small domain forces (ts, step) ties
+      u.toLong -> Seq.fill(n) {
+        val (d, h, m) = (1 + rnd.nextInt(10), rnd.nextInt(4), rnd.nextInt(10))
+        (java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:$m%02d:00").getTime * 1000L,
+         types(rnd.nextInt(types.size)))
+      }
+    }.toMap
+    val corpus = cases.toSeq.flatMap { case (u, evs) =>
+      evs.map { case (us, t) => (u, us / 1000L, t) }
+    }.toDF("user_id", "ms", "event_type")
+      .select($"user_id", timestamp_millis($"ms").as("ts"), $"event_type")
+    val combos = Seq(
+      ("forward", "head"), ("forward", "first_match"),
+      ("forward", "last_match"), ("backward", "tail"),
+      ("backward", "first_match"), ("backward", "last_match"))
+    for ((dir, base) <- combos) {
+      val expect: Map[Option[String], Long] = cases.values.toSeq
+        .flatMap(evs => bruteNextNode(
+          evs.map { case (us, t) => (us, stepOf(t)) }, dir == "forward", base))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = ops.Behavior.sequenceNextNodeOver(corpus, dir, base)
+        .collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got == expect, s"($dir, $base): $got vs $expect")
+    }
+    // the matrix is the six singles, labeled — one scan, same answers
+    val matrix = ops.Behavior.sequenceNextNodeMatrixOver(corpus).collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.map(r => Option(r.getString(1)) -> r.getLong(2)).toMap).toMap
+    for ((dir, base) <- combos) {
+      val single = ops.Behavior.sequenceNextNodeOver(corpus, dir, base)
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(matrix(s"${dir}_$base") == single,
+        s"matrix must agree with the single ($dir, $base)")
+    }
+    // ClickHouse's own rejections, mirrored
+    intercept[IllegalArgumentException] {
+      ops.Behavior.sequenceNextNodeOver(corpus, "forward", "tail")
+    }
+    intercept[IllegalArgumentException] {
+      ops.Behavior.sequenceNextNodeOver(corpus, "backward", "head")
+    }
+    intercept[IllegalArgumentException] {
+      ops.Behavior.sequenceNextNodeOver(corpus, "sideways", "head")
+    }
+  }
+
+  test("window-truncated all-events states are LOSSLESS for the " +
+       "windowed funnel family: routed ≡ live, only out-of-reach " +
+       "non-step events dropped, state strictly smaller") {
+    import graft.plans.RollupRouting
+    // fixture: the truncated-states strict_order and four-mode matrix
+    // equal the live scans (q274's oracle shares q239's)
+    assert(ops.Behavior.windowFunnelStrictOrderTruncated(spark, sf)
+             .collect().toSeq ==
+           ops.Behavior.windowFunnelStrictOrder(spark, sf).collect().toSeq,
+      "truncated-state strict_order must equal the live scan")
+    assert(ops.Behavior.funnelModeMatrixTruncated(spark, sf).collect().toSeq ==
+           ops.Behavior.funnelModeMatrix(spark, sf).collect().toSeq,
+      "truncated-state mode matrix must equal the live scan on all modes")
+    // random corpus: adversarial sequences, truncation provably bites
+    val rnd = new scala.util.Random(18)
+    val types = Seq("view", "purchase", "click", "other")
+    val rows = (0 until 300).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(12)) {
+        val (d, h, m) = (1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60))
+        (u.toLong,
+         java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:$m%02d:00"),
+         types(rnd.nextInt(types.size)))
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_trunccorpus")
+    val srcPath = base.resolve("events.parquet").toString
+    rows.toDF("user_id", "ts", "event_type").write.parquet(srcPath)
+    val corpus = spark.read.parquet(srcPath)
+    val week = 7L * 24 * 3600 * 1000000L
+    val full = RollupRouting.buildPartials(
+      corpus, ops.Behavior.funnelAllSpec("unused"))
+    val trunc = ops.Behavior.truncatedFunnelAllPartials(corpus, week)
+    // the dropped elements are EXACTLY non-step events out of window
+    // reach (multiset difference of the exploded states)
+    val dropped = full.select(explode($"ev_all").as("e"))
+      .exceptAll(trunc.select(explode($"ev_all").as("e")))
+      .select($"e.step").collect().map(_.getInt(0))
+    assert(dropped.nonEmpty,
+      "the 28-day corpus must make a 7-day truncation bite")
+    assert(dropped.forall(_ == -1),
+      s"only step -1 events may be dropped: ${dropped.toSet}")
+    val nFull = full.select(sum(size($"ev_all"))).collect().head.getLong(0)
+    val nTrunc = trunc.select(sum(size($"ev_all"))).collect().head.getLong(0)
+    assert(nTrunc < nFull, s"state must shrink: $nTrunc vs $nFull")
+    // routed ≡ live through the truncated states, fact never read
+    val dir = base.resolve("rollup").toString
+    trunc.write.parquet(dir)
+    val liveMatrix = ops.Behavior.funnelModeMatrixOver(corpus).collect().toSeq
+    RollupRouting.register(ops.Behavior.funnelAllSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = ops.Behavior.funnelModeMatrixOver(corpus)
+      val cplan = r.queryExecution.executedPlan.toString
+      assert(cplan.contains("rollup") && !cplan.contains("events.parquet"),
+        s"the corpus matrix must route onto the truncated states:\n$cplan")
+      assert(r.collect().toSeq == liveMatrix,
+        "matrix through TRUNCATED states must equal live on the corpus")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("all-events sequence advising is OPT-IN: the default refuses " +
+       "(state ≈ fact), the opt-in mints with a cost warning and the " +
+       "advised read equals live") {
+    import graft.plans.Advisor
+    val structAll = {
+      val steps = Seq("view", "click", "purchase")
+      val idx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when($"event_type" === s, lit(i)).otherwise(acc)
+      }
+      struct($"ts".as("ts"), idx.as("step"))
+    }
+    val workload = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(structAll)).as("seq"))
+    val root = java.nio.file.Files.createTempDirectory("graft_optin").toString
+    val deflt = Advisor.advise(Seq(workload), root)
+    assert(deflt.singles.isEmpty && deflt.skipped.nonEmpty,
+      s"the unguarded collect must stay register-by-hand by default: $deflt")
+    val opted = Advisor.advise(Seq(workload), root,
+      allowUnboundedSequences = true)
+    assert(opted.singles.size == 1 && opted.skipped.isEmpty,
+      s"the opt-in must mint the all-events member: $opted")
+    assert(opted.splits.exists(_.contains("all-events")),
+      s"the opt-in must stamp its cost warning: ${opted.splits}")
+    assert(ops.Behavior.windowFunnelStrictOrderAdvised(spark, sf)
+             .collect().toSeq ==
+           ops.Behavior.windowFunnelStrictOrder(spark, sf).collect().toSeq,
+      "the advised strict_order read must equal the live scan")
+  }
+
   test("condition retention = set-op truth; an unmet condition is 0") {
     val events = Tables.events(spark, sf)
     def usersWhere(c: org.apache.spark.sql.Column) =

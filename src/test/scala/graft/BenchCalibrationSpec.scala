@@ -72,4 +72,39 @@ class BenchCalibrationSpec extends AnyFunSuite {
     val (_, out) = run("q01_a" -> 0.5, "q260_new" -> 99.0)
     assert(out.isEmpty, s"band-less queries must not flag: $out")
   }
+
+  test("factor corroboration (r18, the r17 advice): a flat solo " +
+       "sentinel says contention, an inflated one says the ENGINE " +
+       "regressed; sub-threshold factors skip the check") {
+    assert(Bench.factorVerdict(1.1, None) == "not_needed",
+      "a factor inside the threshold needs no corroboration")
+    assert(Bench.factorVerdict(1.5, Some(1.02)) == "contention",
+      "a flat isolated sentinel confirms machine state")
+    assert(Bench.factorVerdict(1.5, Some(1.48)) == "engine_regression",
+      "a solo run matching the factor means the engine itself slowed")
+    assert(Bench.factorVerdict(1.5, None) == "unverified",
+      "a failed solo run must be reported, never silently dropped")
+  }
+
+  test("the corroboration sentinel is the MEDIAN witness — nearest " +
+       "the factor, not an outlier like r17's q01 wobble") {
+    // q01 at 1.76x its band (the r17 driver-run wobble), q89 failed
+    // (excluded), the rest spread around 1.35x: the odd-count median
+    // IS q68's ratio, so the pick is q68 at distance zero — never q01
+    val rows = Seq(
+      "q01_a" -> 0.5 * 1.76, "q08_b" -> 0.25 * 1.2, "q09_c" -> 0.8 * 1.3,
+      "q23_d" -> 0.3 * 1.4, "q68_e" -> 1.0 * 1.35, "q89_f" -> 0.6)
+    val failed = Set("q89_f")
+    val (f, _) = Bench.calibrate(rows, failed, bands, sentinels)
+    assert(math.abs(f - 1.35) < 1e-9, s"factor: $f")
+    val pick = Bench.corroborationPick(rows, failed, bands, sentinels, f)
+    assert(pick.contains("q68_e"),
+      s"the pick must be the sentinel nearest the factor $f: $pick")
+    // the failed sentinel is never picked, even as runner-up
+    val pick2 = Bench.corroborationPick(rows, failed + "q68_e", bands,
+      sentinels, f)
+    assert(pick2.isDefined && !pick2.contains("q68_e") &&
+      !pick2.contains("q89_f") && !pick2.contains("q01_a"),
+      s"failed sentinels and outliers must not be picked: $pick2")
+  }
 }
