@@ -462,17 +462,20 @@ object Behavior {
   def sequenceNextNode(spark: SparkSession, sfDir: String): DataFrame =
     sequenceNextNodeOver(Tables.events(spark, sfDir))
 
-  /** `c.isNotNull` as a PUSHDOWN-PROOF predicate: OR-ing a never-true
-    * non-deterministic term keeps `PushPredicateThroughNonJoin` from
-    * substituting the filter through the projection that computes `c`.
-    * The r17 advice measured why this matters: the pushed filter
-    * re-evaluates the projection's O(events) higher-order-function
-    * scan (interpreted, no codegen CSE), doubling the per-row cost —
-    * blocking the push bounds the scan at exactly ONE evaluation. The
-    * extra term is `monotonically_increasing_id() < 0`, false on every
-    * row, so the predicate's VALUE is exactly `c.isNotNull`. */
-  private def noPushIsNotNull(c: Column): Column =
-    c.isNotNull || monotonically_increasing_id() < lit(0L)
+  /** A PUSHDOWN-PROOF drop-NULL-rows step: `explode(array_compact(
+    * array(c)))` emits exactly one row where `c` is non-NULL and none
+    * where it is NULL, referencing `c` ONCE — and a predicate can
+    * never be substituted below GENERATOR output, so the O(events)
+    * higher-order-function scan inside `c` evaluates exactly once per
+    * row. The r17 advice measured why this matters: a plain
+    * `.filter(c.isNotNull)` is pushed through the projection that
+    * computes `c` (`PushPredicateThroughNonJoin` substitutes through a
+    * Project regardless of the condition's determinism — an OR-ed
+    * nondeterministic guard does not block it; verified on the
+    * optimized plan), re-running the interpreted scan (no codegen CSE)
+    * and doubling the per-row cost. */
+  private def keepMatched(c: Column): Column =
+    explode(array_compact(array(c)))
 
   /** The full `sequenceNextNode(direction, base)` parameter surface
     * (round 18) over the two-step view→click chain. ClickHouse accepts
@@ -494,10 +497,10 @@ object Behavior {
     *    chronologically first/last anchor where the full chain holds.
     *
     * `head`/`tail` are O(1) per user — no positional scan at all; the
-    * match bases pay one O(events) higher-order-function scan, hoisted
-    * into its own projection (the no-CSE trap) with the
-    * matched-cohort filter made pushdown-proof ([[noPushIsNotNull]])
-    * so the scan runs exactly once per row. */
+    * match bases pay one O(events) higher-order-function scan (the
+    * no-CSE trap), ridden inside the [[keepMatched]] generator so the
+    * matched-cohort drop can never be pushed into a second
+    * evaluation — the scan runs exactly once per row. */
   private[graft] def sequenceNextNodeOver(events: DataFrame,
                                           direction: String = "forward",
                                           base: String = "first_match"): DataFrame = {
@@ -544,8 +547,8 @@ object Behavior {
     events
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
-      .select(col("seq"), p.as("p"))
-      .filter(noPushIsNotNull(col("p"))) // ClickHouse: matched users only
+      // ClickHouse: matched users only — the generator IS the filter
+      .select(col("seq"), keepMatched(p).as("p"))
       .select(nextNode.as("next_node"))
       .groupBy(col("next_node"))
       .agg(count(lit(1)).as("users"))
