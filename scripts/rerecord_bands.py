@@ -60,25 +60,36 @@ def object_files():
 
 
 def code_hashes():
-    """Per short query key: sha256(entry line + referenced ops file).
+    """Per short query key: sha256(ALL its SparkEntry lines + the ops
+    files they reference).
 
-    The entry lines are single-line `"qNN_x" -> (Obj.method _)` method
-    references; a lambda entry (none today) degrades to hashing just
-    its line, which still detects edits to the entry itself.
+    A key matches BOTH its `queries` entry (`"qNN_x" -> (Obj.method
+    _)`, which resolves the implementing ops file) and its `oracleSql`
+    entry (`"qNN_x" -> someSql`, line-only) — every matching line and
+    every resolved file feeds the hash, so an edit to the
+    implementation, the wiring, or the oracle binding all count as
+    "changed". A lambda entry degrades to hashing its line, which
+    still detects edits to the entry itself.
     """
     objs = object_files()
-    hashes = {}
+    parts = {}  # q -> (lines, file paths)
     with open(ENTRY, encoding="utf-8") as f:
         for line in f:
             m = re.search(r'"(q\d+)[a-z0-9_]*"\s*->\s*(.*)', line)
             if not m:
                 continue
-            h = hashlib.sha256(line.strip().encode())
+            lines, files = parts.setdefault(m.group(1), ([], []))
+            lines.append(line.strip())
             ref = re.search(r"\(\s*((?:\w+\.)*)(\w+)\.\w+\s+_\s*\)", m.group(2))
-            if ref and ref.group(2) in objs:
-                with open(objs[ref.group(2)], "rb") as src:
-                    h.update(src.read())
-            hashes[m.group(1)] = h.hexdigest()[:16]
+            if ref and ref.group(2) in objs and objs[ref.group(2)] not in files:
+                files.append(objs[ref.group(2)])
+    hashes = {}
+    for q, (lines, files) in parts.items():
+        h = hashlib.sha256("\n".join(lines).encode())
+        for path in files:
+            with open(path, "rb") as src:
+                h.update(src.read())
+        hashes[q] = h.hexdigest()[:16]
     return hashes
 
 
@@ -88,6 +99,11 @@ def main():
     run_path, tag = sys.argv[1], sys.argv[2]
     with open(run_path, encoding="utf-8") as f:
         run = json.load(f)
+    # bands are sf0.1 medians by contract (graft.Bench only adjudicates
+    # there) — refuse to bake a scale replica or local-iteration run in
+    if os.path.basename(run.get("sf", "").rstrip("/")) != "sf0.1":
+        sys.exit("refusing: bands must come from an sf0.1 run, got sf=%r"
+                 % run.get("sf"))
     with open(BANDS, encoding="utf-8") as f:
         old = json.load(f)
     old_prov = old.get("provenance", {})
@@ -127,6 +143,13 @@ def main():
         else:
             bands[q], modes[q] = cand, cand_mode  # changed/new: fresh
         bands[q] = round(bands[q], 3)
+
+    # bands for queries ABSENT from this run (subset runs; a renamed
+    # query keeps its number) carry forward untouched — dropping them
+    # would lose adjudication for everything outside the subset
+    for q, v in old.items():
+        if re.fullmatch(r"q\d+", q) and q not in bands:
+            bands[q], modes[q] = v, "ratchet"
 
     out = {"sentinels": old.get("sentinels", [])}
     for q in sorted(bands, key=lambda k: int(k[1:])):
