@@ -14,12 +14,14 @@ changed since the band was recorded.
     SparkEntry.scala + the bytes of the ops file that entry references)
     is stored in the bands file's provenance block;
   - on re-record, a query whose hash is UNCHANGED takes
-    min(old_band, candidate) — contention can tighten a band, never
-    loosen it (on a busy machine untouched bands stay bit-identical);
-  - a changed/new query takes the fresh candidate;
-  - the candidate is the run's SOLO re-run time when the run
-    adjudicated the query solo (mode "solo"), else the
-    calibration-normalized median med/machine_factor ("normalized");
+    min(old_band, normalized candidate) — contention can tighten a
+    band ("normalized"), never loosen it ("ratchet"; on a busy machine
+    untouched bands stay bit-identical);
+  - a changed/new query takes the run's normalized median ("fresh");
+  - a query the run adjudicated SOLO takes its isolated time ("solo")
+    either way — an isolated measurement is the same provenance as the
+    original band, and this is the recovery path for a query that got
+    slower without its own hash changing (shared-helper edits);
   - per-band provenance {mode} + the run tag + the code hashes land in
     the bands file; graft.Bench summarizes them into BENCH_r{N}.json
     ("bands":{"run":...,"ratchet":N,...}) so the judge sees the ratchet
@@ -59,36 +61,74 @@ def object_files():
     return out
 
 
-def code_hashes():
-    """Per short query key: sha256(ALL its SparkEntry lines + the ops
-    files they reference).
+def method_body(path, name, file_cache={}):
+    """The source block of `def <name>` inside an ops file — from its
+    def line to the next sibling-or-outer-indent `def`/`val`/`}` — so
+    the per-query hash tracks the METHOD, not the whole file: one new
+    method appended to Rollups.scala must not mark all 65 Rollups
+    queries "changed" (that would let every band loosen in exactly the
+    rounds the ratchet exists for). Deliberately NOT transitive: an
+    edit to a shared helper leaves callers' hashes alone — fail-safe,
+    because a tight band only flags the query out-of-band, and the
+    solo adjudication path below then re-measures it honestly. Returns
+    None when the def is not found (the caller falls back to the whole
+    file)."""
+    if path not in file_cache:
+        with open(path, encoding="utf-8") as f:
+            file_cache[path] = f.read().split("\n")
+    lines = file_cache[path]
+    pat = re.compile(r"^(\s*)(?:private(?:\[\w+\])?\s+)?def\s+%s\b"
+                     % re.escape(name))
+    for i, line in enumerate(lines):
+        m = pat.match(line)
+        if not m:
+            continue
+        indent = len(m.group(1))
+        end = re.compile(r"^\s{0,%d}(?:(?:private(?:\[\w+\])?\s+)?"
+                         r"(?:def|val|lazy val|object|case class)\s|\})"
+                         % indent)
+        j = i + 1
+        while j < len(lines) and not end.match(lines[j]):
+            j += 1
+        return "\n".join(lines[i:j])
+    return None
 
-    A key matches BOTH its `queries` entry (`"qNN_x" -> (Obj.method
-    _)`, which resolves the implementing ops file) and its `oracleSql`
-    entry (`"qNN_x" -> someSql`, line-only) — every matching line and
-    every resolved file feeds the hash, so an edit to the
-    implementation, the wiring, or the oracle binding all count as
-    "changed". A lambda entry degrades to hashing its line, which
-    still detects edits to the entry itself.
+
+def code_hashes():
+    """Per short query key: sha256(ALL its SparkEntry lines + the
+    source of every `Obj.method` the queries entry references).
+
+    A key matches BOTH its `queries` entry and its `oracleSql` entry —
+    every matching line feeds the hash, so an edit to the wiring or
+    the oracle binding counts as "changed". Method references resolve
+    whether eta-expanded (`(Obj.method _)`) or written as a lambda
+    body (`((s, d) => Obj.method(s, d))`); the referenced method's own
+    source block is hashed (see [[method_body]]), falling back to the
+    whole file when the def cannot be located.
     """
     objs = object_files()
-    parts = {}  # q -> (lines, file paths)
+    parts = {}  # q -> (lines, (path, method) refs)
     with open(ENTRY, encoding="utf-8") as f:
         for line in f:
             m = re.search(r'"(q\d+)[a-z0-9_]*"\s*->\s*(.*)', line)
             if not m:
                 continue
-            lines, files = parts.setdefault(m.group(1), ([], []))
+            lines, refs = parts.setdefault(m.group(1), ([], []))
             lines.append(line.strip())
-            ref = re.search(r"\(\s*((?:\w+\.)*)(\w+)\.\w+\s+_\s*\)", m.group(2))
-            if ref and ref.group(2) in objs and objs[ref.group(2)] not in files:
-                files.append(objs[ref.group(2)])
+            for om in re.finditer(r"\b([A-Z]\w*)\.(\w+)", m.group(2)):
+                obj, meth = om.group(1), om.group(2)
+                if obj in objs and (objs[obj], meth) not in refs:
+                    refs.append((objs[obj], meth))
     hashes = {}
-    for q, (lines, files) in parts.items():
+    for q, (lines, refs) in parts.items():
         h = hashlib.sha256("\n".join(lines).encode())
-        for path in files:
-            with open(path, "rb") as src:
-                h.update(src.read())
+        for path, meth in refs:
+            body = method_body(path, meth)
+            if body is None:
+                with open(path, "rb") as src:
+                    h.update(src.read())
+            else:
+                h.update(body.encode())
         hashes[q] = h.hexdigest()[:16]
     return hashes
 
@@ -114,6 +154,18 @@ def main():
     failed = {short(k) for k in run.get("failed", [])}
     cur_code = code_hashes()
 
+    # per-band outcome modes:
+    #   solo       — the run adjudicated this query SOLO; an isolated
+    #                measurement is the same provenance as the original
+    #                band, so it may move the band EITHER way (this is
+    #                also the recovery path for a query whose code got
+    #                legitimately slower without its hash changing —
+    #                e.g. a shared helper edit: it flags out-of-band
+    #                once, the solo re-run re-measures it, done)
+    #   fresh      — code changed or the query is new: take the run's
+    #                normalized median, loosening allowed
+    #   ratchet    — unchanged code, candidate >= old band: keep old
+    #   normalized — unchanged code, candidate < old band: tighten
     bands, modes = {}, {}
     for name, med in sorted(run.get("queries", {}).items()):
         q = short(name)
@@ -123,25 +175,28 @@ def main():
             if q in old:
                 bands[q], modes[q] = old[q], "ratchet"
             continue
-        if q in isolated:
-            cand, cand_mode = isolated[q], "solo"
-        else:
-            cand, cand_mode = med / factor, "normalized"
         prev = old.get(q)
-        # migration: a pre-provenance band (no stored hash) cannot
-        # prove its code changed, so it RATCHETS — refusing to loosen
-        # is the safe default (a genuinely-slower changed query flags
-        # out-of-band, gets a solo adjudication, and the NEXT re-record
-        # takes its fresh median under a recorded hash)
+        # migration/fail-SAFE: no stored OLD hash (pre-provenance
+        # bands) ratchets — we cannot prove change, so refuse to
+        # loosen; no CURRENT hash for a query that has an old one is a
+        # parse regression in code_hashes() and must ALSO ratchet (and
+        # warn), never silently disable the ratchet
+        if prev is not None and old_code.get(q) is not None \
+                and cur_code.get(q) is None:
+            print("WARNING: no current code hash for %s — entry parse "
+                  "regression? ratcheting defensively" % q, file=sys.stderr)
         unchanged = (prev is not None and
                      (old_code.get(q) is None or
+                      cur_code.get(q) is None or
                       old_code.get(q) == cur_code.get(q)))
-        if unchanged and prev <= cand:
+        if q in isolated:
+            bands[q], modes[q] = isolated[q], "solo"
+        elif not unchanged:
+            bands[q], modes[q] = med / factor, "fresh"
+        elif prev <= med / factor:
             bands[q], modes[q] = prev, "ratchet"
-        elif unchanged:
-            bands[q], modes[q] = cand, cand_mode  # tightening is allowed
         else:
-            bands[q], modes[q] = cand, cand_mode  # changed/new: fresh
+            bands[q], modes[q] = med / factor, "normalized"
         bands[q] = round(bands[q], 3)
 
     # bands for queries ABSENT from this run (subset runs; a renamed

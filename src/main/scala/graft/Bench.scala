@@ -263,20 +263,11 @@ object Bench {
     }
     // a FAILED solo re-run reports -1 (never silently drops — a
     // query that crashes alone is the opposite of adjudicated-clean);
-    // fatal JVM errors propagate, they are not adjudication data
-    val isolated: Map[String, Double] = outOfBand.flatMap { name =>
-      selected.find(_._1 == name).map { case (_, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] isolated $name FAILED: ${e.getMessage}")
-            name -> -1.0
-        }
-      }
-    }.toMap
+    // fatal JVM errors propagate, they are not adjudication data.
+    // Same soloRun convention as the factor corroboration above — one
+    // copy of the isolated-measurement shape.
+    val isolated: Map[String, Double] =
+      outOfBand.flatMap(name => soloRun(name).map(name -> _)).toMap
     def isolatedJson(keyOf: String => String): String =
       isolated.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, 2) }
         .mkString("{", ",", "}")

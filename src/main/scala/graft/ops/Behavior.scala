@@ -477,6 +477,52 @@ object Behavior {
   private def keepMatched(c: Column): Column =
     explode(array_compact(array(c)))
 
+  /** The positional vocabulary of the sequenceNextNode family, over a
+    * frame carrying the sorted all-events `seq` column — ONE
+    * definition of the adjacency, the base pins, the answer offset,
+    * and the step→node labeling, shared by the single-combination
+    * reads and the six-way matrix so the two can never drift (the SQL
+    * side's `seqNextNodeBlock` generator is the same one-definition
+    * discipline for the oracles). */
+  private object NextNode {
+    val steps = Seq("view", "click", "purchase")
+    def n: Column = size(col("seq"))
+    /** In-bounds index access — lambdas construct i ≥ 1 by range. */
+    def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
+    /** Index that may fall off either end: try_element_at returns NULL
+      * past the end but still rejects 0, hence the explicit guard. */
+    def stepAtSafe(i: Column): Column =
+      when(i >= 1, try_element_at(col("seq"), i)).getField("step")
+    /** Candidate anchor positions p — step(p)=0 with step(p±1)=1 in
+      * the travel direction; guard n<2 explicitly (Spark's
+      * sequence(1, 0) would count DOWN). One O(events) interpreted
+      * scan: callers must land it in its own projection (the no-CSE
+      * trap). */
+    def cand(forward: Boolean): Column =
+      if (forward) when(n >= 2, filter(sequence(lit(1), n - 1),
+        i => stepAt(i) === 0 && stepAt(i + 1) === 1))
+      else when(n >= 2, filter(sequence(lit(2), n),
+        i => stepAt(i) === 0 && stepAt(i - 1) === 1))
+    /** `head`/`tail` pin the anchor to the stream's first/last event —
+      * O(1) position checks, no scan at all. */
+    def headP: Column =
+      when(n >= 2 && stepAtSafe(lit(1)) === 0 && stepAtSafe(lit(2)) === 1,
+        lit(1))
+    def tailP: Column =
+      when(n >= 2 && stepAtSafe(n) === 0 && stepAtSafe(n - 1) === 1, n)
+    /** The answer node at p+2 (forward) / p−2 (backward), labeled;
+      * NULL when nothing lies beyond the chain. `forward` is a Column
+      * so the matrix can drive it per exploded row. */
+    def answer(p: Column, forward: Column): Column = {
+      val ansIdx = when(forward, p + lit(2)).otherwise(p - lit(2))
+      val nextStep = stepAtSafe(ansIdx)
+      when(nextStep === 0, steps(0))
+        .when(nextStep === 1, steps(1))
+        .when(nextStep === 2, steps(2))
+        .when(nextStep === -1, "other") // a non-chain event is an answer too
+    }
+  }
+
   /** The full `sequenceNextNode(direction, base)` parameter surface
     * (round 18) over the two-step view→click chain. ClickHouse accepts
     * SIX combinations — direction `forward` with base `head` /
@@ -515,41 +561,19 @@ object Behavior {
     require(!(forward && base == "tail") && !(!forward && base == "head"),
       "ClickHouse rejects sequenceNextNode(forward, tail) and (backward, " +
         "head) — the chain would step off the stream immediately; so do we")
-    val steps = Seq("view", "click", "purchase")
-    val n = size(col("seq"))
-    // in-bounds index access (lambdas below construct i >= 1 by range);
-    // the SAFE variant guards indices that may fall off either end —
-    // try_element_at returns NULL past the end but still rejects 0
-    def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
-    def stepAtSafe(i: Column): Column =
-      when(i >= 1, try_element_at(col("seq"), i)).getField("step")
     val p: Column = base match {
-      case "head" =>
-        when(n >= 2 && stepAtSafe(lit(1)) === 0 && stepAtSafe(lit(2)) === 1, lit(1))
-      case "tail" =>
-        when(n >= 2 && stepAtSafe(n) === 0 && stepAtSafe(n - 1) === 1, n)
-      case _ =>
-        // guard n<2 explicitly: Spark's sequence(1, 0) would count DOWN
-        val cand =
-          if (forward) when(n >= 2, filter(sequence(lit(1), n - 1),
-            i => stepAt(i) === 0 && stepAt(i + 1) === 1))
-          else when(n >= 2, filter(sequence(lit(2), n),
-            i => stepAt(i) === 0 && stepAt(i - 1) === 1))
-        // NULL (not ANSI error) on no match; -1 = the array's last entry
-        try_element_at(cand, lit(if (base == "first_match") 1 else -1))
+      case "head" => NextNode.headP
+      case "tail" => NextNode.tailP
+      // NULL (not ANSI error) on no match; -1 = the array's last entry
+      case _ => try_element_at(NextNode.cand(forward),
+        lit(if (base == "first_match") 1 else -1))
     }
-    val ansIdx = if (forward) col("p") + lit(2) else col("p") - lit(2)
-    val nextStep = stepAtSafe(ansIdx)
-    val nextNode = when(nextStep === 0, steps(0))
-      .when(nextStep === 1, steps(1))
-      .when(nextStep === 2, steps(2))
-      .when(nextStep === -1, "other") // a non-chain event is an answer too
     events
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
+      .agg(sort_array(collect_list(funnelStructAll(NextNode.steps))).as("seq"))
       // ClickHouse: matched users only — the generator IS the filter
       .select(col("seq"), keepMatched(p).as("p"))
-      .select(nextNode.as("next_node"))
+      .select(NextNode.answer(col("p"), lit(forward)).as("next_node"))
       .groupBy(col("next_node"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("next_node").asc_nulls_first)
@@ -596,48 +620,29 @@ object Behavior {
     sequenceNextNodeMatrixOver(Tables.events(spark, sfDir))
 
   private[graft] def sequenceNextNodeMatrixOver(events: DataFrame): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
-    val n = size(col("seq"))
-    def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
-    def stepAtSafe(i: Column): Column =
-      when(i >= 1, try_element_at(col("seq"), i)).getField("step")
-    val fwCand = when(n >= 2, filter(sequence(lit(1), n - 1),
-      i => stepAt(i) === 0 && stepAt(i + 1) === 1))
-    val bwCand = when(n >= 2, filter(sequence(lit(2), n),
-      i => stepAt(i) === 0 && stepAt(i - 1) === 1))
     def combo(name: String, fwd: Boolean, p: Column): Column =
       struct(lit(name).as("combo"), lit(fwd).as("fwd"), p.cast("int").as("p"))
-    val headP = when(n >= 2 && stepAtSafe(lit(1)) === 0 &&
-      stepAtSafe(lit(2)) === 1, lit(1))
-    val tailP = when(n >= 2 && stepAtSafe(n) === 0 &&
-      stepAtSafe(n - 1) === 1, n)
-    val rows = events
+    events
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(funnelStructAll(steps))).as("seq"))
-      // the two scans land in their OWN projection (the no-CSE trap):
-      // the six combos below read the fw/bw ATTRIBUTES, never re-run
-      // the lambdas
-      .select(col("seq"), fwCand.as("fw"), bwCand.as("bw"))
+      .agg(sort_array(collect_list(funnelStructAll(NextNode.steps))).as("seq"))
+      // the two candidate scans land in their OWN projection (the
+      // no-CSE trap): the six combos below read the fw/bw ATTRIBUTES,
+      // never re-run the lambdas
+      .select(col("seq"), NextNode.cand(forward = true).as("fw"),
+        NextNode.cand(forward = false).as("bw"))
       .select(col("seq"), explode(array(
-        combo("forward_head", fwd = true, headP),
+        combo("forward_head", fwd = true, NextNode.headP),
         combo("forward_first_match", fwd = true, try_element_at(col("fw"), lit(1))),
         combo("forward_last_match", fwd = true, try_element_at(col("fw"), lit(-1))),
-        combo("backward_tail", fwd = false, tailP),
+        combo("backward_tail", fwd = false, NextNode.tailP),
         combo("backward_first_match", fwd = false, try_element_at(col("bw"), lit(1))),
         combo("backward_last_match", fwd = false, try_element_at(col("bw"), lit(-1)))
       )).as("m"))
       // m.p is GENERATOR output — the matched-cohort filter cannot be
-      // pushed below the explode, so no noPush guard is needed here
+      // pushed below the explode, so a plain filter is already safe
       .filter(col("m.p").isNotNull)
-    val ansIdx = when(col("m.fwd"), col("m.p") + lit(2))
-      .otherwise(col("m.p") - lit(2))
-    val nextStep = stepAtSafe(ansIdx)
-    val nextNode = when(nextStep === 0, steps(0))
-      .when(nextStep === 1, steps(1))
-      .when(nextStep === 2, steps(2))
-      .when(nextStep === -1, "other")
-    rows
-      .select(col("m.combo").as("combo"), nextNode.as("next_node"))
+      .select(col("m.combo").as("combo"),
+        NextNode.answer(col("m.p"), col("m.fwd")).as("next_node"))
       .groupBy(col("combo"), col("next_node"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("combo"), col("next_node").asc_nulls_first)

@@ -573,7 +573,6 @@ object Advisor {
     scala.Right(Aggregate(srcOf, flatAggs, ex.child))
   }
 
-  /** One query → one demand, or a reason it is out of scope. */
   /** The OPT-IN all-events sequence demand (round 18): a collected
     * sequence whose guard has an ELSE branch — EVERY row enters the
     * list, so the state duplicates the keyed fact, which is exactly
@@ -602,6 +601,7 @@ object Advisor {
       case _ => None
     }
 
+  /** One query → one demand, or a reason it is out of scope. */
   private def demandOf(label: String, df: DataFrame,
                        allowUnboundedSequences: Boolean = false)
       : scala.Either[String, Any] = {
