@@ -714,6 +714,13 @@ object SparkEntry {
     // unchanged strict_order read routes through the advisor-built
     // rollup, sharing the same positional oracle
     "q275_funnel_strict_order_advised" -> (ops.Behavior.windowFunnelStrictOrderAdvised _),
+    // r18: the two array-pair DEPLOYMENT shapes — the corpus array-typed
+    // AT REST (scan → row-local explode → the scalar matrix), and the
+    // ClickHouse "MV with ARRAY JOIN" pattern (explode once at ingest
+    // into the (day × type) value rollup; the dashboard reads rollup
+    // rows only)
+    "q276_sum_map_pairs_stored" -> (Rollups.sumMapArrayPairsStored _),
+    "q277_sum_map_pairs_rollup" -> (Rollups.sumMapArrayPairsRollup _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2481,6 +2488,8 @@ object SparkEntry {
     "q271_funnel_strict_dedup" -> strictDedupFunnelSql,
     "q272_funnel_strict_dedup_from_states" -> strictDedupFunnelSql,
     "q273_sum_map_array_pairs" -> sumMapSql,
+    "q276_sum_map_pairs_stored" -> sumMapSql,
+    "q277_sum_map_pairs_rollup" -> sumMapSql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
