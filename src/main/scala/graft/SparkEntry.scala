@@ -721,6 +721,10 @@ object SparkEntry {
     // rows only)
     "q276_sum_map_pairs_stored" -> (Rollups.sumMapArrayPairsStored _),
     "q277_sum_map_pairs_rollup" -> (Rollups.sumMapArrayPairsRollup _),
+    // r18: the VARIADIC chain — ClickHouse's event1..eventN take any
+    // number of adjacency conditions; the full three-step
+    // view->click->purchase chain, positionally oracled
+    "q278_seq_next_node_chain3" -> (ops.Behavior.sequenceNextNodeChain3 _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2490,6 +2494,7 @@ object SparkEntry {
     "q273_sum_map_array_pairs" -> sumMapSql,
     "q276_sum_map_pairs_stored" -> sumMapSql,
     "q277_sum_map_pairs_rollup" -> sumMapSql,
+    "q278_seq_next_node_chain3" -> seqNextNodeChain3Sql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
@@ -2766,8 +2771,15 @@ object SparkEntry {
     * take MIN/MAX over anchors. Generates the per-combo m/nx blocks
     * over shared q/r/cnt CTEs — one generator, so an edit to the
     * adjacency or answer-offset semantics hits every combination. */
-  private def seqNextNodeBlock(forward: Boolean, base: String): String = {
-    val adj = if (forward) "r2.rn = r1.rn + 1" else "r2.rn = r1.rn - 1"
+  private def seqNextNodeBlock(forward: Boolean, base: String,
+                               k: Int = 2): String = {
+    val sign = if (forward) "+" else "-"
+    // the VARIADIC chain: one adjacency self-join per condition past
+    // the anchor (r_{j+1}.rn = r1.rn ± j), each pinned to its step
+    val joins = (2 to k).map(j =>
+      s"JOIN r r$j ON r$j.user_id = r1.user_id AND r$j.rn = r1.rn $sign ${j - 1}")
+      .mkString(" ")
+    val stepConds = (2 to k).map(j => s" AND r$j.step = ${j - 1}").mkString
     val pick = if (base == "last_match" || base == "tail") "MAX(r1.rn)" else "MIN(r1.rn)"
     val cntJoin = if (base == "tail") " JOIN cnt ON cnt.user_id = r1.user_id" else ""
     val baseCond = base match {
@@ -2775,16 +2787,15 @@ object SparkEntry {
       case "tail" => " AND r1.rn = cnt.c"
       case _ => ""
     }
-    val ans = if (forward) "m.p + 2" else "m.p - 2"
+    val ans = s"m.p $sign $k"
     s"""SELECT m.user_id,
-           CASE r3.step WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+           CASE ra.step WHEN 0 THEN 'view' WHEN 1 THEN 'click'
                 WHEN 2 THEN 'purchase' WHEN -1 THEN 'other' END AS next_node
          FROM (SELECT r1.user_id, $pick AS p
-               FROM r r1 JOIN r r2
-                 ON r2.user_id = r1.user_id AND $adj$cntJoin
-               WHERE r1.step = 0 AND r2.step = 1$baseCond
+               FROM r r1 $joins$cntJoin
+               WHERE r1.step = 0$stepConds$baseCond
                GROUP BY r1.user_id) m
-         LEFT JOIN r r3 ON r3.user_id = m.user_id AND r3.rn = $ans"""
+         LEFT JOIN r ra ON ra.user_id = m.user_id AND ra.rn = $ans"""
   }
 
   private lazy val seqNextNodeCtes =
@@ -2799,10 +2810,11 @@ object SparkEntry {
          FROM q),
        cnt AS (SELECT user_id, COUNT(*) AS c FROM r GROUP BY user_id)"""
 
-  private def seqNextNodeSqlFor(forward: Boolean, base: String): String =
+  private def seqNextNodeSqlFor(forward: Boolean, base: String,
+                                k: Int = 2): String =
     s"""$seqNextNodeCtes
        SELECT next_node, COUNT(*) AS users
-       FROM (${seqNextNodeBlock(forward, base)}) nx
+       FROM (${seqNextNodeBlock(forward, base, k)}) nx
        GROUP BY next_node ORDER BY next_node NULLS FIRST"""
 
   /** (forward, head) — shared by the raw q266 and the state-served
@@ -2812,6 +2824,10 @@ object SparkEntry {
     * state-served q269. */
   private lazy val seqNextNodeBackLastSql =
     seqNextNodeSqlFor(forward = false, "last_match")
+
+  /** The VARIADIC chain (q278): three adjacency conditions. */
+  private lazy val seqNextNodeChain3Sql =
+    seqNextNodeSqlFor(forward = true, "first_match", k = 3)
 
   /** All six accepted combinations, one labeled UNION ALL (q270). */
   private lazy val seqNextNodeMatrixSql = {

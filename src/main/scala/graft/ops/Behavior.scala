@@ -493,28 +493,35 @@ object Behavior {
       * past the end but still rejects 0, hence the explicit guard. */
     def stepAtSafe(i: Column): Column =
       when(i >= 1, try_element_at(col("seq"), i)).getField("step")
-    /** Candidate anchor positions p — step(p)=0 with step(p±1)=1 in
-      * the travel direction; guard n<2 explicitly (Spark's
-      * sequence(1, 0) would count DOWN). One O(events) interpreted
-      * scan: callers must land it in its own projection (the no-CSE
-      * trap). */
-    def cand(forward: Boolean): Column =
-      if (forward) when(n >= 2, filter(sequence(lit(1), n - 1),
-        i => stepAt(i) === 0 && stepAt(i + 1) === 1))
-      else when(n >= 2, filter(sequence(lit(2), n),
-        i => stepAt(i) === 0 && stepAt(i - 1) === 1))
+    /** Candidate anchor positions p — the VARIADIC chain steps
+      * 0..k−1 matching CONSECUTIVELY from p in the travel direction
+      * (ClickHouse's event1..eventN are adjacency conditions); guard
+      * n<k explicitly (Spark's sequence(lo, hi) counts DOWN when
+      * hi < lo). One O(events × k) interpreted scan: callers must
+      * land it in its own projection (the no-CSE trap). */
+    def cand(forward: Boolean, k: Int = 2): Column = {
+      require(k >= 1, s"a chain needs at least one condition, got $k")
+      def chainAt(i: Column): Column = (0 until k).map { j =>
+        stepAt(if (forward) i + j else i - j) === j
+      }.reduce(_ && _)
+      if (forward) when(n >= k, filter(sequence(lit(1), n - (k - 1)), chainAt _))
+      else when(n >= k, filter(sequence(lit(k), n), chainAt _))
+    }
     /** `head`/`tail` pin the anchor to the stream's first/last event —
-      * O(1) position checks, no scan at all. */
-    def headP: Column =
-      when(n >= 2 && stepAtSafe(lit(1)) === 0 && stepAtSafe(lit(2)) === 1,
-        lit(1))
-    def tailP: Column =
-      when(n >= 2 && stepAtSafe(n) === 0 && stepAtSafe(n - 1) === 1, n)
-    /** The answer node at p+2 (forward) / p−2 (backward), labeled;
+      * O(k) position checks, no scan at all. */
+    def headP(k: Int = 2): Column = {
+      val ok = (0 until k).map(j => stepAtSafe(lit(1 + j)) === j).reduce(_ && _)
+      when(n >= k && ok, lit(1))
+    }
+    def tailP(k: Int = 2): Column = {
+      val ok = (0 until k).map(j => stepAtSafe(n - j) === j).reduce(_ && _)
+      when(n >= k && ok, n)
+    }
+    /** The answer node at p+k (forward) / p−k (backward), labeled;
       * NULL when nothing lies beyond the chain. `forward` is a Column
       * so the matrix can drive it per exploded row. */
-    def answer(p: Column, forward: Column): Column = {
-      val ansIdx = when(forward, p + lit(2)).otherwise(p - lit(2))
+    def answer(p: Column, forward: Column, k: Int = 2): Column = {
+      val ansIdx = when(forward, p + lit(k)).otherwise(p - lit(k))
       val nextStep = stepAtSafe(ansIdx)
       when(nextStep === 0, steps(0))
         .when(nextStep === 1, steps(1))
@@ -549,7 +556,8 @@ object Behavior {
     * evaluation — the scan runs exactly once per row. */
   private[graft] def sequenceNextNodeOver(events: DataFrame,
                                           direction: String = "forward",
-                                          base: String = "first_match"): DataFrame = {
+                                          base: String = "first_match",
+                                          chainLen: Int = 2): DataFrame = {
     val forward = direction match {
       case "forward" => true
       case "backward" => false
@@ -561,11 +569,13 @@ object Behavior {
     require(!(forward && base == "tail") && !(!forward && base == "head"),
       "ClickHouse rejects sequenceNextNode(forward, tail) and (backward, " +
         "head) — the chain would step off the stream immediately; so do we")
+    require(chainLen >= 1 && chainLen <= NextNode.steps.size,
+      s"the chain takes 1..${NextNode.steps.size} conditions, got $chainLen")
     val p: Column = base match {
-      case "head" => NextNode.headP
-      case "tail" => NextNode.tailP
+      case "head" => NextNode.headP(chainLen)
+      case "tail" => NextNode.tailP(chainLen)
       // NULL (not ANSI error) on no match; -1 = the array's last entry
-      case _ => try_element_at(NextNode.cand(forward),
+      case _ => try_element_at(NextNode.cand(forward, chainLen),
         lit(if (base == "first_match") 1 else -1))
     }
     events
@@ -573,11 +583,23 @@ object Behavior {
       .agg(sort_array(collect_list(funnelStructAll(NextNode.steps))).as("seq"))
       // ClickHouse: matched users only — the generator IS the filter
       .select(col("seq"), keepMatched(p).as("p"))
-      .select(NextNode.answer(col("p"), lit(forward)).as("next_node"))
+      .select(NextNode.answer(col("p"), lit(forward), chainLen).as("next_node"))
       .groupBy(col("next_node"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("next_node").asc_nulls_first)
   }
+
+  /** Driver entry (q278, oracled): the VARIADIC chain — ClickHouse's
+    * event1..eventN are as many adjacency conditions as the caller
+    * passes, not a fixed pair: here the full three-step
+    * view→click→purchase chain, `(forward, first_match)`, answering
+    * "after a user runs the WHOLE consecutive funnel, where next".
+    * The candidate scan is the same single hoisted pass at O(events ×
+    * k); the positional oracle chains one more ROW_NUMBER adjacency
+    * join. */
+  def sequenceNextNodeChain3(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceNextNodeOver(Tables.events(spark, sfDir), "forward",
+      "first_match", chainLen = 3)
 
   /** Driver entry (q266, oracled): `sequenceNextNode(forward, head)` —
     * did the user's session OPEN with view→click, and where did it go
@@ -631,10 +653,10 @@ object Behavior {
       .select(col("seq"), NextNode.cand(forward = true).as("fw"),
         NextNode.cand(forward = false).as("bw"))
       .select(col("seq"), explode(array(
-        combo("forward_head", fwd = true, NextNode.headP),
+        combo("forward_head", fwd = true, NextNode.headP()),
         combo("forward_first_match", fwd = true, try_element_at(col("fw"), lit(1))),
         combo("forward_last_match", fwd = true, try_element_at(col("fw"), lit(-1))),
-        combo("backward_tail", fwd = false, NextNode.tailP),
+        combo("backward_tail", fwd = false, NextNode.tailP()),
         combo("backward_first_match", fwd = false, try_element_at(col("bw"), lit(1))),
         combo("backward_last_match", fwd = false, try_element_at(col("bw"), lit(-1)))
       )).as("m"))

@@ -581,12 +581,14 @@ class BehaviorSpec extends AnyFunSuite {
     * None = chain never matched (user excluded); inner None = matched
     * with nothing beyond the chain (a NULL histogram row). */
   private def bruteNextNode(evs: Seq[(Long, Int)], forward: Boolean,
-                            base: String): Option[Option[String]] = {
+                            base: String, k: Int = 2): Option[Option[String]] = {
     val s = evs.sorted
     val n = s.length
-    val cands =
-      if (forward) (0 until n - 1).filter(i => s(i)._2 == 0 && s(i + 1)._2 == 1)
-      else (1 until n).filter(i => s(i)._2 == 0 && s(i - 1)._2 == 1)
+    def chainAt(i: Int): Boolean = (0 until k).forall { j =>
+      val a = if (forward) i + j else i - j
+      a >= 0 && a < n && s(a)._2 == j
+    }
+    val cands = (0 until n).filter(chainAt)
     val p = base match {
       case "head" => cands.find(_ == 0)
       case "tail" => cands.find(_ == n - 1)
@@ -594,7 +596,7 @@ class BehaviorSpec extends AnyFunSuite {
       case "last_match" => cands.lastOption
     }
     p.map { i =>
-      val a = if (forward) i + 2 else i - 2
+      val a = if (forward) i + k else i - k
       if (a < 0 || a >= n) None
       else Some(s(a)._2 match {
         case 0 => "view"; case 1 => "click"; case 2 => "purchase"
@@ -644,6 +646,21 @@ class BehaviorSpec extends AnyFunSuite {
         .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
       assert(matrix(s"${dir}_$base") == single,
         s"matrix must agree with the single ($dir, $base)")
+    }
+    // the VARIADIC chain (k = 1 and 3) against the same reference —
+    // ClickHouse's event1..eventN are as many conditions as passed
+    for (k <- Seq(1, 3); (dir, base) <- Seq(
+        ("forward", "first_match"), ("backward", "last_match"),
+        ("forward", "head"), ("backward", "tail"))) {
+      val expect: Map[Option[String], Long] = cases.values.toSeq
+        .flatMap(evs => bruteNextNode(
+          evs.map { case (us, t) => (us, stepOf(t)) }, dir == "forward",
+          base, k))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = ops.Behavior.sequenceNextNodeOver(corpus, dir, base, k)
+        .collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got == expect, s"($dir, $base, k=$k): $got vs $expect")
     }
     // ClickHouse's own rejections, mirrored
     intercept[IllegalArgumentException] {
