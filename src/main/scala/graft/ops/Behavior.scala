@@ -292,7 +292,16 @@ object Behavior {
     * per-event anchor probe is bounded by the user's OWN step-0 count.
     * The stored `c_p` counts KEPT rows (it is the state's own row
     * count, not the fact's) — another reason the member is scoped to
-    * funnel reads, which never consume it. */
+    * funnel reads, which never consume it.
+    *
+    * MAINTENANCE contract: this is a BATCH/compaction builder — a
+    * micro-batch cannot truncate (a non-step event may precede its
+    * anchor's arrival by up to the window). A continuous deployment
+    * maintains the FULL [[funnelAllSpec]] states (truncation is a size
+    * optimization, never required for correctness) and applies this
+    * builder at its periodic rebuild/compaction point —
+    * [[graft.ops.Rollups.writeRollupUpTo]]'s scratch-build + atomic
+    * swap is that one-call. */
   def truncatedFunnelAllPartials(events: DataFrame,
                                  windowMicros: Long): DataFrame = {
     val steps = Seq("view", "click", "purchase")
