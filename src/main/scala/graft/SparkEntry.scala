@@ -725,6 +725,11 @@ object SparkEntry {
     // number of adjacency conditions; the full three-step
     // view->click->purchase chain, positionally oracled
     "q278_seq_next_node_chain3" -> (ops.Behavior.sequenceNextNodeChain3 _),
+    // r18: state-served twins for the six-way matrix and the variadic
+    // chain — one all-events state read covers every (direction, base)
+    // dashboard; both share their raw twins' oracles
+    "q279_seq_next_node_matrix_from_states" -> (ops.Behavior.sequenceNextNodeMatrixFromStates _),
+    "q280_seq_next_node_chain3_from_states" -> (ops.Behavior.sequenceNextNodeChain3FromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2495,6 +2500,8 @@ object SparkEntry {
     "q276_sum_map_pairs_stored" -> sumMapSql,
     "q277_sum_map_pairs_rollup" -> sumMapSql,
     "q278_seq_next_node_chain3" -> seqNextNodeChain3Sql,
+    "q279_seq_next_node_matrix_from_states" -> seqNextNodeMatrixSql,
+    "q280_seq_next_node_chain3_from_states" -> seqNextNodeChain3Sql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase

@@ -598,6 +598,25 @@ object Behavior {
       .orderBy(col("next_node").asc_nulls_first)
   }
 
+  /** Driver entry (q279, oracled — shares q270's six-way oracle): the
+    * whole combination matrix served from the registered ALL-EVENTS
+    * sequence states — one state read covers every (direction, base)
+    * dashboard at once. */
+  def sequenceNextNodeMatrixFromStates(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      sequenceNextNodeMatrixOver(Tables.events(spark, sfDir))
+    }
+
+  /** Driver entry (q280, oracled — shares q278's oracle): the
+    * three-condition chain served from the same all-events states. */
+  def sequenceNextNodeChain3FromStates(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    withFunnelAllStates(spark, sfDir) {
+      sequenceNextNodeOver(Tables.events(spark, sfDir), "forward",
+        "first_match", chainLen = 3)
+    }
+
   /** Driver entry (q278, oracled): the VARIADIC chain — ClickHouse's
     * event1..eventN are as many adjacency conditions as the caller
     * passes, not a fixed pair: here the full three-step
