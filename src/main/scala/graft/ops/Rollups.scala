@@ -598,11 +598,19 @@ object Rollups {
     * unchanged. One shuffle total: the explode is row-local. */
   def sumMapOverPairs(pairs: DataFrame, day: Column,
                       kArr: Column, vArr: Column): DataFrame =
-    sumMapFold(pairs
+    sumMapFold(pairInnerAgg(pairs, day, kArr, vArr))
+
+  /** The pair-explode inner aggregate at (day × key) grain — ONE
+    * spelling of the zip alignment and the measures, shared by the
+    * direct read ([[sumMapOverPairs]]) and the q277 ingest build so
+    * the two can never drift apart under the shared oracle. */
+  private def pairInnerAgg(pairs: DataFrame, day: Column,
+                           kArr: Column, vArr: Column): DataFrame =
+    pairs
       .select(day.as("day"),
         explode(arrays_zip(kArr.as("k"), vArr.as("v"))).as("e"))
       .groupBy(col("day"), col("e.k").as("event_type"))
-      .agg(Fns.dsumPartial(col("e.v")).as("vol"), max(col("e.v")).as("mx")))
+      .agg(Fns.dsumPartial(col("e.v")).as("vol"), max(col("e.v")).as("mx"))
 
   /** The derived ARRAY-PAIR corpus: each (day, user)'s event rows
     * folded into parallel key/value arrays through ONE struct collect
@@ -658,13 +666,10 @@ object Rollups {
     }
     val dir = StarJoins.scratch(sfDir, "pairs_value_rollup")
     StarJoins.ensureRollup(spark, dir) {
-      spark.read.parquet(pairsDir)
-        .select(col("day"),
-          explode(arrays_zip(col("k_arr").as("k"), col("v_arr").as("v"))).as("e"))
-        .groupBy(col("day"), col("e.k").as("event_type"))
-        .agg(Fns.dsumPartial(col("e.v")).as("vol_p"),
-             max(col("e.v")).as("mx_p"),
-             count(lit(1)).as("c_p"))
+      pairInnerAgg(spark.read.parquet(pairsDir),
+          col("day"), col("k_arr"), col("v_arr"))
+        .withColumnRenamed("vol", "vol_p")
+        .withColumnRenamed("mx", "mx_p")
     }
     // decimal partials re-sum exactly (associative at DECIMAL(38,6) —
     // the [[Fns.dsumPartial]] contract), max-of-max is max

@@ -574,9 +574,10 @@ class BehaviorSpec extends AnyFunSuite {
   }
 
   /** Independent positional reference for the full sequenceNextNode
-    * surface (round 18): over the (ts, step)-sorted 0-based list, a
-    * forward anchor i has step(i)=0, step(i+1)=1, answer at i+2; a
-    * backward anchor has step(i−1)=1, answer at i−2; head pins i=0,
+    * surface (round 18): over the (ts, step)-sorted 0-based list, an
+    * anchor i carries the VARIADIC chain — steps 0..k−1 matching
+    * consecutively from i in the travel direction — with the answer k
+    * positions beyond it (i+k forward, i−k backward); head pins i=0,
     * tail i=n−1, the match bases take the first/last anchor. Outer
     * None = chain never matched (user excluded); inner None = matched
     * with nothing beyond the chain (a NULL histogram row). */
