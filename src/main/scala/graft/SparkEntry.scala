@@ -730,6 +730,12 @@ object SparkEntry {
     // dashboard; both share their raw twins' oracles
     "q279_seq_next_node_matrix_from_states" -> (ops.Behavior.sequenceNextNodeMatrixFromStates _),
     "q280_seq_next_node_chain3_from_states" -> (ops.Behavior.sequenceNextNodeChain3FromStates _),
+    // r18: ClickHouse's delta/moving aggregate families — deltaSum
+    // (positive-delta counter semantics) and groupArrayMovingSum(3),
+    // both as streaming ROWS-frame windows (no per-group collected
+    // series), positionally deterministic over (ts, event_id)
+    "q281_delta_sum" -> (Windows.deltaSumPerUser _),
+    "q282_moving_sum" -> (Windows.movingSumPerUser _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2502,6 +2508,8 @@ object SparkEntry {
     "q278_seq_next_node_chain3" -> seqNextNodeChain3Sql,
     "q279_seq_next_node_matrix_from_states" -> seqNextNodeMatrixSql,
     "q280_seq_next_node_chain3_from_states" -> seqNextNodeChain3Sql,
+    "q281_delta_sum" -> deltaSumSql,
+    "q282_moving_sum" -> movingSumSql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
@@ -2912,6 +2920,32 @@ object SparkEntry {
                        LEFT JOIN adv3 ON adv3.user_id = coh.user_id)
        SELECT level, COUNT(*) AS users FROM ul
        GROUP BY level ORDER BY level"""
+
+  /** deltaSum: positive deltas of the (ts, event_id)-ordered cents
+    * series per user (q281). DuckDB's SUM(BIGINT) widens to HUGEINT,
+    * hence the outer BIGINT cast. */
+  private lazy val deltaSumSql =
+    """WITH s AS (
+         SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,
+           LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN c > prev THEN c - prev END), 0)
+              AS BIGINT) AS delta_cents
+       FROM s GROUP BY user_id ORDER BY user_id"""
+
+  /** groupArrayMovingSum(3) per user, csv-rendered (q282). */
+  private lazy val movingSumSql =
+    """WITH m AS (
+         SELECT user_id, ts, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ms
+         FROM events)
+       SELECT user_id,
+         string_agg(CAST(ms AS VARCHAR), ',' ORDER BY ts, event_id) AS moving3
+       FROM m GROUP BY user_id ORDER BY user_id"""
 
   /** Theta bounds in the exact regime — shared by the raw q244 and the
     * MV-composed q251. */

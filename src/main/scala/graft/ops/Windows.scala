@@ -30,6 +30,65 @@ object Windows {
       .orderBy("user_id", "day")
   }
 
+  /** ClickHouse's `deltaSum` (round 18): the sum of POSITIVE deltas of
+    * a series in time order — the canonical monotone-counter-with-
+    * resets reading (a counter that only grows contributes its total
+    * growth; each reset contributes nothing). Per event type over the
+    * (ts, event_id)-ordered value series, in exact cents (LONG after
+    * one half-up rounding per value — both engines round the identical
+    * double, and the delta arithmetic is then integer-exact).
+    *
+    * Per USER — deltaSum is sequential per series by definition (each
+    * delta needs its predecessor), so the series key must be the
+    * high-cardinality counter entity: partitioning by user scales the
+    * window to any fact volume (one user's series per sort partition,
+    * the per-user shuffle every behavioral read already pays), where
+    * a per-type spelling would funnel the whole fact through five
+    * sequential sorts.
+    *
+    * Spark-first shape: ClickHouse computes this inside a streaming
+    * aggregate state; the Spark spelling is `lag` over the series'
+    * order + a conditional sum — NO per-group collected array, so the
+    * plan is one hash exchange and a streaming windowed sort.
+    * (ts, event_id) is a total order, so the lag — and therefore
+    * every delta — is deterministic. */
+  def deltaSumPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), cents.as("c"),
+        lag(cents, 1).over(w).as("prev"))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("c") > col("prev"),
+        col("c") - col("prev"))), lit(0L)).as("delta_cents"))
+      .orderBy("user_id")
+  }
+
+  /** ClickHouse's `groupArrayMovingSum(k)` (round 18) — per group, the
+    * ARRAY of k-window moving sums in series order. Per user over the
+    * (ts, event_id)-ordered cents series at k = 3, rendered as csv so
+    * the report hash-oracles. Spark-first: the moving sum is a
+    * ROWS-frame window (streaming, state bounded by k), and only the
+    * final per-user render collects — bounded by a user's OWN events,
+    * the same economics as every per-user sequence read. The collect
+    * re-sorts by (ts, event_id) explicitly: collect_list order is not
+    * guaranteed after a shuffle. */
+  def movingSumPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), struct(col("ts").as("ts"),
+        col("event_id").as("event_id"),
+        sum(cents).over(w).as("ms")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        x => x.getField("ms").cast("string")), ",").as("moving3"))
+      .orderBy("user_id")
+  }
+
   /** Day-over-day volume delta per user via lag(). */
   def dayOverDay(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
