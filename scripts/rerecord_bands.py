@@ -166,14 +166,20 @@ def main():
     #                normalized median, loosening allowed
     #   ratchet    — unchanged code, candidate >= old band: keep old
     #   normalized — unchanged code, candidate < old band: tighten
+    #   failed_kept— the query FAILED this run; its old band is kept
+    #                verbatim (re-recording 0 would flag it forever
+    #                once fixed) — r19 (r18 advice): distinct from
+    #                "ratchet", where a candidate median genuinely
+    #                compared against the old band
+    #   carried    — absent from this run (subset run / renamed
+    #                number): old band carried forward, no comparison
+    #                happened — likewise not a ratchet claim
     bands, modes = {}, {}
     for name, med in sorted(run.get("queries", {}).items()):
         q = short(name)
         if q in failed or not med:
-            # a failed query keeps its old band (re-recording it as 0
-            # would flag it forever once fixed)
             if q in old:
-                bands[q], modes[q] = old[q], "ratchet"
+                bands[q], modes[q] = old[q], "failed_kept"
             continue
         prev = old.get(q)
         # migration/fail-SAFE: no stored OLD hash (pre-provenance
@@ -204,7 +210,7 @@ def main():
     # would lose adjudication for everything outside the subset
     for q, v in old.items():
         if re.fullmatch(r"q\d+", q) and q not in bands:
-            bands[q], modes[q] = v, "ratchet"
+            bands[q], modes[q] = v, "carried"
 
     out = {"sentinels": old.get("sentinels", [])}
     for q in sorted(bands, key=lambda k: int(k[1:])):
@@ -220,11 +226,10 @@ def main():
             f.write('"%s": %s,\n' % (q, out[q]))
         f.write('"provenance": %s\n}\n' %
                 json.dumps(out["provenance"], indent=1, sort_keys=True))
-    n_ratchet = sum(1 for m in modes.values() if m == "ratchet")
-    print("wrote %d bands (%d ratcheted, %d solo, %d normalized) run=%s"
-          % (len(bands), n_ratchet,
-             sum(1 for m in modes.values() if m == "solo"),
-             sum(1 for m in modes.values() if m == "normalized"), tag))
+    counts = {m: sum(1 for v in modes.values() if v == m)
+              for m in ("ratchet", "solo", "normalized", "fresh",
+                        "failed_kept", "carried")}
+    print("wrote %d bands %s run=%s" % (len(bands), counts, tag))
 
 
 if __name__ == "__main__":

@@ -21,35 +21,74 @@ object Bench {
     * code change that uniformly slows every query inflates the factor,
     * norm_value reports flat, and the normalized trigger flags nothing.
     * Corroboration: past the threshold, ONE sentinel re-runs SOLO after
-    * the timed passes; a flat isolated time (ratio ≤ the same 1.2
-    * threshold) confirms contention, a still-inflated one means the
-    * ENGINE regressed and the RAW total is the honest headline. Pure
-    * and spec-testable; `soloRatio = None` means the solo run itself
-    * failed (reported, never silently dropped). */
+    * the timed passes; a flat isolated time confirms contention, a
+    * still-inflated one means the ENGINE regressed and the RAW total is
+    * the honest headline. */
   private[graft] val FactorCheckThreshold = 1.2
-  private[graft] def factorVerdict(factor: Double,
-                                   soloRatio: Option[Double]): String =
-    if (factor <= FactorCheckThreshold) "not_needed"
-    else soloRatio match {
-      case None => "unverified"
-      case Some(r) =>
-        if (r <= FactorCheckThreshold) "contention" else "engine_regression"
-    }
 
-  /** The sentinel to corroborate with: the one whose med/band ratio is
-    * NEAREST the factor (the median witness — an outlier sentinel like
-    * r17's q01 wobble would test the wrong hypothesis). */
+  /** The in-band rule shared with the out-of-band solo-retry trigger:
+    * a solo time is regression evidence only past `1.5 × band + 0.2 s`.
+    * The ABSOLUTE term is the r19 fix (the r18 verdict's one defect):
+    * a sub-second-band sentinel carries a ~0.1 s JIT/scheduler floor
+    * in ANY run, so a bare med/band ratio reads that floor as
+    * regression — r18's driver stamped `engine_regression` on q08's
+    * 0.34 s solo over a 0.243 s band (1.41× by ratio, well inside the
+    * floor) while seven non-sentinel solo re-runs landed in band and
+    * the judge's idle run measured contention. */
+  private[graft] def soloInBand(sec: Double, band: Double): Boolean =
+    sec <= 1.5 * band + 0.2
+
+  /** What the solo corroboration produced — keeps the three `None`
+    * causes the r18 advice flagged as indistinguishable apart:
+    * no eligible sentinel, a crashed solo run, or a measured time. */
+  private[graft] sealed trait SoloOutcome
+  private[graft] case object NoSentinel extends SoloOutcome
+  private[graft] case object SoloFailed extends SoloOutcome
+  private[graft] case class SoloTime(sec: Double, band: Double) extends SoloOutcome
+
+  /** The corroboration verdict (r19 — the r18 verdict's #1):
+    *  - the solo sentinel is judged by [[soloInBand]] (ratio alone
+    *    false-positives on sub-second bands, see there);
+    *  - UNANIMOUS in-band isolated re-runs VETO a regression verdict:
+    *    when every out-of-band row's solo re-run landed back in band,
+    *    the machine demonstrably reaches band speed in isolation —
+    *    which a real engine regression forbids;
+    *  - `no_sentinel` (no eligible sentinel — all failed or band-less)
+    *    and `unverified` (the solo run itself crashed) are distinct,
+    *    so the adjudication record is unambiguous (r18 advice).
+    * Pure and spec-testable (BenchCalibrationSpec replays r18's exact
+    * driver inputs). */
+  private[graft] def factorVerdict(factor: Double, solo: SoloOutcome,
+                                   isolated: Seq[(Double, Double)]): String = {
+    val isolatedVeto = isolated.nonEmpty &&
+      isolated.forall { case (sec, band) => sec > 0 && soloInBand(sec, band) }
+    if (factor <= FactorCheckThreshold) "not_needed"
+    else solo match {
+      case NoSentinel => "no_sentinel"
+      case SoloFailed => "unverified"
+      case SoloTime(sec, band) =>
+        if (soloInBand(sec, band) || isolatedVeto) "contention"
+        else "engine_regression"
+    }
+  }
+
+  /** The sentinel to corroborate with: the LARGEST-BAND one (r19 — was
+    * the ratio nearest the factor). The solo measurement carries a
+    * ~0.1 s absolute JIT/scheduler floor regardless of the query, so
+    * the sentinel where that floor is the smallest FRACTION of band
+    * (q68/q160/q183-class, >1 s) is the highest-fidelity witness; a
+    * 0.24 s-band pick like r18's q08 puts the floor at 40% of band and
+    * tests the noise, not the hypothesis. */
   private[graft] def corroborationPick(results: Seq[(String, Double)],
                                        failed: Set[String],
                                        bands: Map[String, Double],
-                                       sentinels: Set[String],
-                                       factor: Double): Option[String] =
+                                       sentinels: Set[String]): Option[String] =
     results.collect {
-      case (name, med) if sentinels.contains(shortOf(name)) &&
+      case (name, _) if sentinels.contains(shortOf(name)) &&
         !failed.contains(name) &&
         bands.get(shortOf(name)).exists(_ > 0) =>
-        name -> med / bands(shortOf(name))
-    }.minByOption { case (_, r) => math.abs(r - factor) }.map(_._1)
+        name -> bands(shortOf(name))
+    }.maxByOption { case (_, band) => band }.map(_._1)
 
   /** The r17 self-calibration, pure and spec-testable: given the run's
     * per-query medians, the recorded bands, and the sentinel set,
@@ -174,8 +213,9 @@ object Bench {
     // the whole run was a uniform ~1.35x slower and three >2x-band rows
     // escaped the solo-retry trigger by <2% — both cost a judge
     // re-measurement). Two mechanisms, both in the JSON line:
-    //  1. SENTINELS — six code-frozen queries (stable since r14) whose
-    //     medians move only with machine speed. machine_factor =
+    //  1. SENTINELS — eight code-frozen queries (six CPU-bound since
+    //     r14, two I/O-heavy >1 s bands since r19) whose medians move
+    //     only with machine speed. machine_factor =
     //     median(sentinel_med / sentinel_band); norm_value = total /
     //     machine_factor is the machine-speed-normalized headline.
     //  2. Any query whose FACTOR-NORMALIZED median exceeds 1.5x its
@@ -219,14 +259,21 @@ object Bench {
       """"run"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(bandsTxt)
         .map(_.group(1)).getOrElse("none")
     val provCounts: Seq[(String, Int)] =
-      Seq("ratchet", "solo", "normalized", "fresh").map { m =>
+      Seq("ratchet", "solo", "normalized", "fresh",
+          "failed_kept", "carried").map { m =>
         m -> s""":\\s*"$m"""".r.findAllMatchIn(bandsTxt).size
       }
     val bandsJson = (s""""run":"$bandsRun"""" +:
       provCounts.map { case (m, n) => s""""$m":$n""" }).mkString("{", ",", "}")
-    // code-frozen sentinel set (untouched since r14; r16's judge used
-    // these exact rows to establish the 1.35x contention factor)
-    val sentinels = Set("q01", "q08", "q09", "q23", "q68", "q89")
+    // code-frozen sentinel set: q01/q08/q09/q23/q68/q89 untouched since
+    // r14; r19 adds q160 (archive-lifecycle stored-corpus scan) and
+    // q183 (streaming-lifecycle drain) — two I/O-heavy >1 s bands, the
+    // r18 verdict's #6: six CPU-bound sub-second sentinels under-measure
+    // heterogeneous contention (r18's driver run spread 1.04–2.19× with
+    // q68, the only >1 s row, flat at 1.05×). All eight are code-frozen
+    // from their adding round on.
+    val sentinels = Set("q01", "q08", "q09", "q23", "q68", "q89",
+                        "q160", "q183")
     val (machineFactor, outOfBand) =
       calibrate(results, failed.toSet, bands, sentinels)
     // r18 factor corroboration (the r17 advice): a factor past the
@@ -246,21 +293,15 @@ object Bench {
             -1.0
         }
       }
-    val sentinelSolo: Option[(String, Double, Double)] =
+    val sentinelPick: Option[String] =
       if (machineFactor <= FactorCheckThreshold) None
-      else corroborationPick(results, failed.toSet, bands, sentinels,
-          machineFactor).flatMap { name =>
+      else corroborationPick(results, failed.toSet, bands, sentinels)
+    val sentinelSolo: Option[(String, Double, Double)] =
+      sentinelPick.flatMap { name =>
         soloRun(name).collect { case sec if sec > 0 =>
           (name, sec, sec / bands(shortOf(name)))
         }
       }
-    val factorCheck =
-      factorVerdict(machineFactor, sentinelSolo.map(_._3))
-    val sentinelSoloJson = sentinelSolo match {
-      case Some((n, sec, r)) =>
-        s"""{"name":"${shortOf(n)}","sec":${f(sec, 2)},"ratio":${f(r, 2)}}"""
-      case None => "{}"
-    }
     // a FAILED solo re-run reports -1 (never silently drops — a
     // query that crashes alone is the opposite of adjudicated-clean);
     // fatal JVM errors propagate, they are not adjudication data.
@@ -268,6 +309,26 @@ object Bench {
     // copy of the isolated-measurement shape.
     val isolated: Map[String, Double] =
       outOfBand.flatMap(name => soloRun(name).map(name -> _)).toMap
+    // r19: the verdict consumes (a) the solo sentinel under the same
+    // absolute-floor rule as the retry trigger and (b) the isolated
+    // map as a unanimity veto — see factorVerdict's scaladoc
+    val soloOutcome: SoloOutcome =
+      if (sentinelPick.isEmpty) NoSentinel
+      else sentinelSolo match {
+        case Some((n, sec, _)) => SoloTime(sec, bands(shortOf(n)))
+        case None => SoloFailed
+      }
+    val isolatedEvidence: Seq[(Double, Double)] = isolated.toSeq.collect {
+      case (name, sec) if bands.contains(shortOf(name)) =>
+        (sec, bands(shortOf(name)))
+    }
+    val factorCheck =
+      factorVerdict(machineFactor, soloOutcome, isolatedEvidence)
+    val sentinelSoloJson = sentinelSolo match {
+      case Some((n, sec, r)) =>
+        s"""{"name":"${shortOf(n)}","sec":${f(sec, 2)},"ratio":${f(r, 2)}}"""
+      case None => "{}"
+    }
     def isolatedJson(keyOf: String => String): String =
       isolated.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v, 2) }
         .mkString("{", ",", "}")

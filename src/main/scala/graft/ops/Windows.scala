@@ -33,7 +33,7 @@ object Windows {
   /** ClickHouse's `deltaSum` (round 18): the sum of POSITIVE deltas of
     * a series in time order — the canonical monotone-counter-with-
     * resets reading (a counter that only grows contributes its total
-    * growth; each reset contributes nothing). Per event type over the
+    * growth; each reset contributes nothing). Per user over the
     * (ts, event_id)-ordered value series, in exact cents (LONG after
     * one half-up rounding per value — both engines round the identical
     * double, and the delta arithmetic is then integer-exact).
