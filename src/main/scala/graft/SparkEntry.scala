@@ -567,8 +567,9 @@ object SparkEntry {
     // (groupArrayState + windowFunnel-at-read) — the fact never read
     "q230_funnel_from_states" -> (ops.Behavior.windowFunnelFromStates _),
     // r15: sequenceCount — non-overlapping view→purchase chains per
-    // user (rows-only: the per-chain reset is a stateful fold SQL
-    // cannot spell; brute-force differential spec instead)
+    // user. HASH-ORACLED since r19: the per-chain reset fold is a
+    // per-user recursive CTE (sequenceCountsSql) on top of the r15
+    // brute-force differential spec
     "q231_sequence_counts" -> (ops.Behavior.sequenceCounts _),
     // r15: the grain-claim → bitmap swap — a split-forcing exact
     // distinct pools into the calendar-sized spec as a bitmap member;
@@ -589,7 +590,7 @@ object SparkEntry {
     // unchanged query routes through the minted member
     "q236_topk_weighted_advised" -> (Rollups.topKWeightedUsersAdvised _),
     // r16: q231's sequenceCount served from registered two-step
-    // sequence MV states (rows-only like q231: the per-chain reset is
+    // sequence MV states (r19: hash-oracled like q231: the per-chain reset is
     // a stateful fold SQL cannot spell; routed ≡ live spec-pinned) —
     // clears the r15 verdict's last perf-weak row
     "q237_sequence_counts_from_states" -> (ops.Behavior.sequenceCountsFromStates _),
@@ -600,8 +601,10 @@ object SparkEntry {
     // chain; oracled positionally (rank + consecutive-run CTEs)
     "q239_funnel_strict_order" -> (ops.Behavior.windowFunnelStrictOrder _),
     // r16: the full mode matrix (base / strict_order / strict_dedup /
-    // relaxed strict_increase) in one labeled report — rows-only;
-    // each mode pinned against a brute-force reference in BehaviorSpec
+    // relaxed strict_increase) in one labeled report — 4/4
+    // HASH-CHECKED since r19 (funnelModeMatrixSql: one recursive-CTE
+    // fold per mode), on top of the brute-force reference in
+    // BehaviorSpec
     "q240_funnel_mode_matrix" -> (ops.Behavior.funnelModeMatrix _),
     // r16: the funnel ADVISED end-to-end — the advisor mines the
     // collect_list(struct(ts, step)) sequence demand and the
@@ -665,7 +668,8 @@ object SparkEntry {
     // r17: the four-mode funnel matrix served from ALL-EVENTS sequence
     // states (the interference modes honestly need every event — the
     // hand-registered groupArrayState-over-everything pattern);
-    // rows-only like q240, plus a routed≡live spec on the same corpus
+    // hash-oracled like q240 since r19, plus a routed≡live spec on the
+    // same corpus
     "q258_funnel_modes_from_states" -> (ops.Behavior.funnelModeMatrixFromStates _),
     // r17: min/avgMapFiltered — the -Filtered combinator over the q254
     // pair, completing the keyed-map matrix (raw + routed)
@@ -2490,6 +2494,14 @@ object SparkEntry {
     // 1 + the longest consecutive run of positions carrying steps
     // 1, 2, … with strictly-increasing ts inside the anchor's window
     "q239_funnel_strict_order" -> strictOrderFunnelSql,
+    // r19 (the r18 verdict's #5): the four-mode matrix and the
+    // sequenceCount reset-fold get recursive-CTE oracles — the
+    // mid-fold state plain positional SQL could not spell IS
+    // expressible as a per-user recursion over the (ts, step) ranks
+    "q240_funnel_mode_matrix" -> funnelModeMatrixSql,
+    "q258_funnel_modes_from_states" -> funnelModeMatrixSql,
+    "q231_sequence_counts" -> sequenceCountsSql,
+    "q237_sequence_counts_from_states" -> sequenceCountsSql,
     "q263_funnel_strict_order_from_states" -> strictOrderFunnelSql,
     // sequenceNextNode: the positional next-event histogram, raw +
     // state-served
@@ -2920,6 +2932,142 @@ object SparkEntry {
                        LEFT JOIN adv3 ON adv3.user_id = coh.user_id)
        SELECT level, COUNT(*) AS users FROM ul
        GROUP BY level ORDER BY level"""
+
+  /** ONE recursive-CTE spelling of the greedy funnel fold (round 19 —
+    * the r18 verdict's #5): the `evalGreedy` scan of
+    * [[graft.expr.FunnelLevel]] IS a per-user left fold over the
+    * (ts, step)-sorted positions with state (level, t1, tprev,
+    * stopped) — a recursion plain positional SQL cannot spell for the
+    * modes whose interrupt consults mid-fold state, but `WITH
+    * RECURSIVE` can, verbatim: seed one state row per user at pos 0,
+    * join position pos+1, apply the exact transition. One generator
+    * parameterizes all four q240 modes (base / strict_order /
+    * strict_dedup / relaxed_increase), so the matrix becomes 4/4
+    * HASH-CHECKED — and for strict_order/strict_dedup the recursion
+    * independently cross-checks the r16/r18 positional CTEs through
+    * the shared fixture.
+    *
+    * Transition, exactly [[graft.expr.FunnelLevel.evalGreedy]]:
+    * level 0 anchors on step 0 (pre-anchor rows never interrupt);
+    * level 1..2 advances on step = level with ts `cmp` tprev inside
+    * the 7-day anchor window; a non-advance sets stopped under
+    * strict_order, or under strict_dedup when the step value is an
+    * already-matched 0..level−1; level 3 is terminal. */
+  private def funnelFoldCte(name: String, cmp: String, strictOrder: Boolean,
+                            strictDedup: Boolean): String = {
+    val adv = s"(e.step = s.level AND e.ts $cmp s.tprev" +
+      " AND e.ts <= s.t1 + INTERVAL 7 DAY)"
+    val stopExtra =
+      if (strictOrder) "TRUE"
+      else if (strictDedup) "(e.step >= 0 AND e.step < s.level)"
+      else "FALSE"
+    s"""$name AS (
+       SELECT user_id, 0 AS pos, 0 AS level,
+              CAST(NULL AS TIMESTAMP) AS t1,
+              CAST(NULL AS TIMESTAMP) AS tprev, FALSE AS stopped, n
+       FROM cnt
+       UNION ALL
+       SELECT s.user_id, s.pos + 1,
+         CASE WHEN s.stopped OR s.level >= 3 THEN s.level
+              WHEN s.level = 0 THEN
+                CASE WHEN e.step = 0 THEN 1 ELSE 0 END
+              WHEN $adv THEN s.level + 1
+              ELSE s.level END,
+         CASE WHEN NOT s.stopped AND s.level = 0 AND e.step = 0
+              THEN e.ts ELSE s.t1 END,
+         CASE WHEN s.stopped OR s.level >= 3 THEN s.tprev
+              WHEN s.level = 0 AND e.step = 0 THEN e.ts
+              WHEN s.level > 0 AND $adv THEN e.ts
+              ELSE s.tprev END,
+         CASE WHEN s.stopped THEN TRUE
+              WHEN s.level = 0 OR s.level >= 3 THEN FALSE
+              WHEN $adv THEN FALSE
+              ELSE $stopExtra END,
+         s.n
+       FROM $name s JOIN r e
+         ON e.user_id = s.user_id AND e.rn = s.pos + 1
+       WHERE s.pos < s.n)"""
+  }
+
+  /** The FULL four-mode windowFunnel matrix, hash-oracled (round 19):
+    * four recursive folds over shared position CTEs, one histogram per
+    * mode — shared by the raw q240 and the state-served q258. */
+  private lazy val funnelModeMatrixSql = {
+    val folds = Seq(
+      ("base", "f_b", ">", false, false),
+      ("strict_order", "f_so", ">", true, false),
+      ("strict_dedup", "f_sd", ">", false, true),
+      ("relaxed_increase", "f_ri", ">=", false, false))
+    val cteList = folds.map { case (_, n, cmp, so, sd) =>
+      funnelFoldCte(n, cmp, so, sd) }.mkString(",\n ")
+    val union = folds.map { case (mode, n, _, _, _) =>
+      s"""SELECT '$mode' AS mode, f.level FROM $n f
+          JOIN coh ON coh.user_id = f.user_id WHERE f.pos = f.n"""
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH RECURSIVE q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'purchase' THEN 2 ELSE -1 END AS step
+         FROM events),
+       r AS (
+         SELECT user_id, ts, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn
+         FROM q),
+       cnt AS (SELECT user_id, COUNT(*) AS n FROM q GROUP BY user_id),
+       coh AS (SELECT DISTINCT user_id FROM q WHERE step >= 0),
+       $cteList,
+       lv AS ($union)
+       SELECT mode, CAST(level AS INTEGER) AS level, COUNT(*) AS users
+       FROM lv GROUP BY mode, level ORDER BY mode, level"""
+  }
+
+  /** sequenceCount (q231/q237), hash-oracled via the same recursion
+    * (round 19): the non-overlapping chain fold over the view/purchase
+    * subsequence — anchor on step 0, advance on a strictly-later
+    * step 1 inside the anchor's 7-day window, count + reset on
+    * completion. The mid-fold reset is exactly what positional SQL
+    * could not spell (the r15 "no SQL twin" declaration) and `WITH
+    * RECURSIVE` can. The pre-advance level is needed twice (completion
+    * test and carry), so the generator inlines it verbatim both times
+    * — one Scala binding, no SQL drift. */
+  private lazy val sequenceCountsSql = {
+    val adv = "(e.step = s.level AND e.ts > s.tprev" +
+      " AND e.ts <= s.t1 + INTERVAL 7 DAY)"
+    val lvlPre = s"""CASE WHEN s.level = 0 THEN
+                       CASE WHEN e.step = 0 THEN 1 ELSE 0 END
+                     WHEN $adv THEN s.level + 1
+                     ELSE s.level END"""
+    s"""WITH RECURSIVE q AS (
+         SELECT user_id, ts,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'purchase' THEN 1 END AS step
+         FROM events
+         WHERE event_type IN ('view', 'purchase')),
+       r AS (
+         SELECT user_id, ts, step,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, step) AS rn
+         FROM q),
+       cnt AS (SELECT user_id, COUNT(*) AS n FROM q GROUP BY user_id),
+       f AS (
+         SELECT user_id, 0 AS pos, 0 AS level,
+                CAST(NULL AS TIMESTAMP) AS t1,
+                CAST(NULL AS TIMESTAMP) AS tprev, 0 AS chains, n
+         FROM cnt
+         UNION ALL
+         SELECT s.user_id, s.pos + 1,
+           CASE WHEN ($lvlPre) = 2 THEN 0 ELSE ($lvlPre) END,
+           CASE WHEN s.level = 0 AND e.step = 0 THEN e.ts ELSE s.t1 END,
+           CASE WHEN s.level = 0 AND e.step = 0 THEN e.ts
+                WHEN s.level > 0 AND $adv THEN e.ts
+                ELSE s.tprev END,
+           s.chains + CASE WHEN ($lvlPre) = 2 THEN 1 ELSE 0 END,
+           s.n
+         FROM f s JOIN r e
+           ON e.user_id = s.user_id AND e.rn = s.pos + 1
+         WHERE s.pos < s.n)
+       SELECT CAST(chains AS INTEGER) AS chains, COUNT(*) AS users
+       FROM f WHERE pos = n
+       GROUP BY chains ORDER BY chains"""
+  }
 
   /** deltaSum: positive deltas of the (ts, event_id)-ordered cents
     * series per user (q281). DuckDB's SUM(BIGINT) widens to HUGEINT,

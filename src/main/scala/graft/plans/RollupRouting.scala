@@ -132,10 +132,20 @@ object RollupRouting {
     * grainless spec may set `timeCol = ""` to declare it has no time
     * column at all — then a sidecar can never be honored and the
     * rollup must always be complete. */
+  /** `truncatedToWindowUs` (round 19 — the r18 verdict's #3): when the
+    * directory holds WINDOW-TRUNCATED list states (the
+    * [[graft.ops.Behavior.truncatedFunnelAllPartials]] builder: step
+    * −1 rows beyond `window` of every step-0 anchor are dropped), the
+    * builder declares that window here and [[RuleImpl]] REFUSES to
+    * serve any read whose consumers are not provably
+    * truncation-invariant ([[RuleImpl.truncationSafe]] documents the
+    * whitelist) — the read falls back to raw or to an untruncated
+    * registration. `None` (every non-truncated build) gates nothing. */
   case class Spec(sourceSuffix: String, rollupPath: String, grain: String = "day",
                   timeCol: String = "ts",
                   keyCols: Map[String, String] = Spec.defaultKeys,
-                  aggs: Seq[AggMap] = Spec.defaultAggs)
+                  aggs: Seq[AggMap] = Spec.defaultAggs,
+                  truncatedToWindowUs: Option[Long] = None)
 
   object Spec {
     /** Cost order across grains: a grainless rollup has one row per
@@ -1492,7 +1502,8 @@ object RollupRouting {
       ("singles" -> registered.map { s =>
         ("sourceSuffix" -> s.sourceSuffix) ~ ("rollupPath" -> s.rollupPath) ~
         ("grain" -> s.grain) ~ ("timeCol" -> s.timeCol) ~
-        ("keyCols" -> s.keyCols) ~ ("aggs" -> s.aggs.map(aggJson))
+        ("keyCols" -> s.keyCols) ~ ("aggs" -> s.aggs.map(aggJson)) ~
+        ("truncatedToWindowUs" -> s.truncatedToWindowUs)
       }) ~
       ("joins" -> registeredJoins.map { j =>
         ("rollupPath" -> j.rollupPath) ~ ("tables" -> j.tables.toList.sorted) ~
@@ -1594,7 +1605,8 @@ object RollupRouting {
       Spec((j \ "sourceSuffix").extract[String], (j \ "rollupPath").extract[String],
         (j \ "grain").extract[String], (j \ "timeCol").extract[String],
         (j \ "keyCols").extract[Map[String, String]],
-        (j \ "aggs").children.map(agg))
+        (j \ "aggs").children.map(agg),
+        (j \ "truncatedToWindowUs").extractOpt[Long])
     }
     val joins = (doc \ "joins").children.map { j =>
       JoinSpec((j \ "rollupPath").extract[String],
@@ -1793,6 +1805,88 @@ object RollupRouting {
       aggExprs.exists(ne => partials.contains(ne.name))
     }
 
+    /** r19 (the r18 verdict's #3) — the TRUNCATED-member contract,
+      * machine-checked: a spec with [[Spec.truncatedToWindowUs]] holds
+      * list states whose step −1 rows beyond the declared window of
+      * every step-0 anchor were DROPPED at build time
+      * ([[graft.ops.Behavior.truncatedFunnelAllPartials]]'s keep-rule).
+      * Such states are value-identical only for readers that cannot
+      * observe the dropped rows, so before a truncated spec may compete
+      * for an Aggregate, EVERY consumer of the aggregate's
+      * collected-list outputs anywhere in the root plan must be on the
+      * truncation-invariant whitelist:
+      *  - [[graft.expr.FunnelLevel]] — under `strict_order` (the ONE
+      *    mode that reads step −1 rows, and then only inside the
+      *    anchor's window) its `windowMicros` must be ≤ the declared
+      *    truncation window; every other mode (base, strict_dedup,
+      *    relaxed increase, max-anchors) skips non-step rows entirely
+      *    and is invariant at any window;
+      *  - [[graft.expr.FunnelCount]] and
+      *    [[graft.expr.SequenceMatchPattern]] — their conditions are
+      *    step ≥ 0 by the pattern grammar, dropped rows are invisible;
+      *  - the cohort filter `exists(seq, x -> x.step >= 0)` —
+      *    truncation never drops a step event;
+      *  - a bare pass-through Alias (its output is traced
+      *    transitively).
+      * ANY other reference — a sequenceNextNode adjacency scan
+      * (`filter(sequence(...))`/`element_at`, whose answer can cross
+      * an arbitrary gap), `size(seq)`, a raw export — refuses the
+      * spec and the read falls back to raw or to a registered
+      * UNTRUNCATED directory. Negative-path spec: BehaviorSpec
+      * "truncated states refuse an unwindowed read". */
+    private def truncationSafe(root: LogicalPlan, agg: Aggregate,
+                               spec: Spec): Boolean =
+      spec.truncatedToWindowUs.forall { w =>
+        // the aggregate outputs that carry a collected list state
+        var tracked: Set[ExprId] = agg.aggregateExpressions.collect {
+          case a: Alias if a.exists {
+            case _: CollectList => true; case _ => false } => a.exprId
+        }.toSet
+        if (tracked.isEmpty) true
+        else {
+          // propagate through pass-through aliases to a fixpoint so a
+          // `select(col("seq"))` re-projection cannot launder a
+          // tracked sequence into an untracked name
+          var changed = true
+          while (changed) {
+            changed = false
+            root.foreach(_.expressions.foreach(_.foreach {
+              case al: Alias => al.child match {
+                case ar: AttributeReference
+                    if tracked(ar.exprId) && !tracked(al.exprId) =>
+                  tracked += al.exprId; changed = true
+                case _ => ()
+              }
+              case _ => ()
+            }))
+          }
+          def isCohortFilter(e: Expression): Boolean = e match {
+            case ArrayExists(ar: AttributeReference,
+                LambdaFunction(
+                  GreaterThanOrEqual(g: GetStructField, Literal(0, IntegerType)),
+                  _, _), _) if tracked(ar.exprId) =>
+              g.extractFieldName == "step"
+            case _ => false
+          }
+          def safe(e: Expression): Boolean = e match {
+            case fl: graft.expr.FunnelLevel =>
+              !fl.strictOrder || fl.windowMicros <= w
+            case _: graft.expr.FunnelCount => true
+            case _: graft.expr.SequenceMatchPattern => true
+            case ae: ArrayExists if isCohortFilter(ae) => true
+            case al: Alias => al.child match {
+              case _: AttributeReference => true // pass-through, traced above
+              case c => safe(c)
+            }
+            case ar: AttributeReference => !tracked(ar.exprId)
+            case other => other.children.forall(safe)
+          }
+          var ok = true
+          root.foreach(n => ok &&= n.expressions.forall(safe))
+          ok
+        }
+      }
+
     /** One handler tries BOTH registries (round 12): a child can
       * contain a registered single-table scan AND a Join (a table in
       * the spec registry participating in a registered join MV) — two
@@ -1816,6 +1910,10 @@ object RollupRouting {
             // cardinality). Sizes come from the cached analyzed scan,
             // so the choice adds no I/O.
             specsOf(child)
+              // r19: a truncated-directory spec competes only for
+              // provably truncation-invariant consumers (see
+              // truncationSafe above)
+              .filter(s => truncationSafe(plan, agg, s))
               .flatMap(s => rewrite(agg, groupings, aggExprs, s)
                               .orElse(rewriteExpand(agg, groupings, aggExprs,
                                 rewrite(_, _, _, s, inLattice = true)))

@@ -719,11 +719,15 @@ class BehaviorSpec extends AnyFunSuite {
     val nFull = full.select(sum(size($"ev_all"))).collect().head.getLong(0)
     val nTrunc = trunc.select(sum(size($"ev_all"))).collect().head.getLong(0)
     assert(nTrunc < nFull, s"state must shrink: $nTrunc vs $nFull")
-    // routed ≡ live through the truncated states, fact never read
+    // routed ≡ live through the truncated states, fact never read —
+    // registered WITH the r19 window declaration: the whole windowed
+    // mode family is on the truncation-invariant whitelist, so the
+    // machine-checked contract must still let these reads route
     val dir = base.resolve("rollup").toString
     trunc.write.parquet(dir)
     val liveMatrix = ops.Behavior.funnelModeMatrixOver(corpus).collect().toSeq
-    RollupRouting.register(ops.Behavior.funnelAllSpec(dir))
+    RollupRouting.register(
+      ops.Behavior.funnelAllSpec(dir).copy(truncatedToWindowUs = Some(week)))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
     try {
       val r = ops.Behavior.funnelModeMatrixOver(corpus)
@@ -732,6 +736,70 @@ class BehaviorSpec extends AnyFunSuite {
         s"the corpus matrix must route onto the truncated states:\n$cplan")
       assert(r.collect().toSeq == liveMatrix,
         "matrix through TRUNCATED states must equal live on the corpus")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("truncated states REFUSE an unwindowed read (r19, machine-" +
+       "checked contract): a sequenceNextNode adjacency over the same " +
+       "registered pattern falls back to raw; an undeclared " +
+       "registration would have silently served wrong states") {
+    import graft.plans.RollupRouting
+    // same corpus shape as the lossless test: 28 days vs a 7-day
+    // window, so truncation provably bites
+    val rnd = new scala.util.Random(19)
+    val types = Seq("view", "purchase", "click", "other")
+    val rows = (0 until 300).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(12)) {
+        val (d, h, m) = (1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60))
+        (u.toLong,
+         java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:$m%02d:00"),
+         types(rnd.nextInt(types.size)))
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_truncrefuse")
+    val srcPath = base.resolve("events.parquet").toString
+    rows.toDF("user_id", "ts", "event_type").write.parquet(srcPath)
+    val corpus = spark.read.parquet(srcPath)
+    val week = 7L * 24 * 3600 * 1000000L
+    val dir = base.resolve("rollup").toString
+    ops.Behavior.truncatedFunnelAllPartials(corpus, week).write.parquet(dir)
+    val live = ops.Behavior.sequenceNextNodeOver(corpus).collect().toSeq
+    // DECLARED truncation: the unwindowed next-node read must refuse
+    // the states and scan the fact — value-identical to live
+    RollupRouting.register(
+      ops.Behavior.funnelAllSpec(dir).copy(truncatedToWindowUs = Some(week)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = ops.Behavior.sequenceNextNodeOver(corpus)
+      val cplan = r.queryExecution.executedPlan.toString
+      assert(cplan.contains("events.parquet") && !cplan.contains("rollup"),
+        s"an unwindowed read must fall back to the fact scan:\n$cplan")
+      assert(r.collect().toSeq == live,
+        "the refused read must equal the live answer")
+      // a WINDOWED strict_order funnel over the same registration
+      // still routes — the gate is per-consumer, not per-directory
+      val ok = ops.Behavior.funnelModeMatrixOver(corpus)
+      val okPlan = ok.queryExecution.executedPlan.toString
+      assert(okPlan.contains("rollup") && !okPlan.contains("events.parquet"),
+        s"the windowed family must still route:\n$okPlan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+    // CONTROL — the pre-r19 mis-wiring: registering the truncated
+    // directory WITHOUT the declaration routes the next-node read onto
+    // the truncated states (this is exactly the silent-wrong-answer
+    // hazard the declaration closes)
+    RollupRouting.register(ops.Behavior.funnelAllSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = ops.Behavior.sequenceNextNodeOver(corpus)
+      val cplan = r.queryExecution.executedPlan.toString
+      assert(cplan.contains("rollup") && !cplan.contains("events.parquet"),
+        s"control: the undeclared registration routes:\n$cplan")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
