@@ -740,6 +740,30 @@ object SparkEntry {
     // series), positionally deterministic over (ts, event_id)
     "q281_delta_sum" -> (Windows.deltaSumPerUser _),
     "q282_moving_sum" -> (Windows.movingSumPerUser _),
+    // r19: the per-series counter aggregates ROUTED (the r18 verdict's
+    // two perf-weak rows) — deltaSum from the COMPACT per-(user, day)
+    // (first, last, dsum) member (DeltaSumOf; day states fold in day
+    // order), the moving sum from the cents-SEQUENCE ListOf states;
+    // both share their raw twins' oracles
+    "q283_delta_sum_from_states" -> (Windows.deltaSumPerUserFromStates _),
+    "q284_moving_sum_from_states" -> (Windows.movingSumFromStates _),
+    // r19: the rest of the ClickHouse window-aggregate family —
+    // groupArrayMovingAvg(3) (k-divisor, per-event rows), raw + from
+    // the same sequence states
+    "q285_moving_avg" -> (Windows.movingAvgPerUser _),
+    "q286_moving_avg_from_states" -> (Windows.movingAvgFromStates _),
+    // r19: deltaSumTimestamp at day grain — positive deltas of the
+    // DAILY volume series; the routed twin runs the UNCHANGED query
+    // under the registered daily rollup (transparent Aggregate
+    // rewrite — the one family member whose input is rollup-grain)
+    "q287_delta_sum_daily" -> (Windows.deltaSumDaily _),
+    "q288_delta_sum_daily_routed" -> (Windows.deltaSumDailyRouted _),
+    // r19: exponentialMovingAverage (per-observation EWMA, α = 0.5) —
+    // an aggregate() fold over the sorted cents sequence, raw + from
+    // states; the oracle replays the fold as a per-user recursive CTE
+    // with the identical IEEE op order
+    "q289_ema" -> (Windows.emaPerUser _),
+    "q290_ema_from_states" -> (Windows.emaFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2522,6 +2546,17 @@ object SparkEntry {
     "q280_seq_next_node_chain3_from_states" -> seqNextNodeChain3Sql,
     "q281_delta_sum" -> deltaSumSql,
     "q282_moving_sum" -> movingSumSql,
+    // r19: the routed twins share their raw oracles; the three new
+    // family members (movingAvg / deltaSumTimestamp / EMA) each bind
+    // raw + routed to one SQL
+    "q283_delta_sum_from_states" -> deltaSumSql,
+    "q284_moving_sum_from_states" -> movingSumSql,
+    "q285_moving_avg" -> movingAvgSql,
+    "q286_moving_avg_from_states" -> movingAvgSql,
+    "q287_delta_sum_daily" -> deltaSumDailySql,
+    "q288_delta_sum_daily_routed" -> deltaSumDailySql,
+    "q289_ema" -> emaSql,
+    "q290_ema_from_states" -> emaSql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
@@ -3082,6 +3117,64 @@ object SparkEntry {
          CAST(COALESCE(SUM(CASE WHEN c > prev THEN c - prev END), 0)
               AS BIGINT) AS delta_cents
        FROM s GROUP BY user_id ORDER BY user_id"""
+
+  /** groupArrayMovingAvg(3) per user as (user, pos, mavg) rows —
+    * divisor always k = 3 (ClickHouse's rule); BIGINT moving sum over
+    * exact cents, ONE double division at the end, so the double
+    * column hash-matches (q285/q286). */
+  private lazy val movingAvgSql =
+    """SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS INTEGER) AS pos,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           / CAST(3 AS DOUBLE) AS mavg
+       FROM events ORDER BY user_id, pos"""
+
+  /** deltaSumTimestamp at day grain (q287/q288): positive deltas of
+    * the user's day-ordered DAILY cents series — the daily total
+    * rounded once on the exact decimal sum. */
+  private lazy val deltaSumDailySql =
+    """WITH d AS (
+         SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       s AS (
+         SELECT user_id, c,
+           LAG(c) OVER (PARTITION BY user_id ORDER BY day) AS prev
+         FROM d)
+       SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN c > prev THEN c - prev END), 0)
+              AS BIGINT) AS delta_day_cents
+       FROM s GROUP BY user_id ORDER BY user_id"""
+
+  /** exponentialMovingAverage (q289/q290): the per-user EWMA fold at
+    * α = 0.5 replayed as a recursive CTE — `c·0.5 + ema·0.5` in the
+    * IDENTICAL IEEE op order as the engine's aggregate() lambda
+    * (double literals spelled 0.5e0 so DuckDB never routes the
+    * arithmetic through DECIMAL). */
+  private lazy val emaSql =
+    """WITH RECURSIVE r AS (
+         SELECT user_id,
+           CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS c,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+         FROM events),
+       cnt AS (SELECT user_id, COUNT(*) AS n FROM r GROUP BY user_id),
+       f AS (
+         SELECT user_id, 0 AS pos, CAST(NULL AS DOUBLE) AS ema, n
+         FROM cnt
+         UNION ALL
+         SELECT s.user_id, s.pos + 1,
+           CASE WHEN s.ema IS NULL THEN e.c
+                ELSE e.c * 0.5e0 + s.ema * 0.5e0 END,
+           s.n
+         FROM f s JOIN r e
+           ON e.user_id = s.user_id AND e.rn = s.pos + 1
+         WHERE s.pos < s.n)
+       SELECT user_id, ema FROM f WHERE pos = n ORDER BY user_id"""
 
   /** groupArrayMovingSum(3) per user, csv-rendered (q282). */
   private lazy val movingSumSql =

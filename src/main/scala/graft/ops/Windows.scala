@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -88,6 +88,241 @@ object Windows {
         x => x.getField("ms").cast("string")), ",").as("moving3"))
       .orderBy("user_id")
   }
+
+  /** The exact-cents measure shared by the per-series counter family
+    * (q281–q290): ONE half-up rounding per value, integer arithmetic
+    * after — both engines round the identical double, so every
+    * downstream delta/sum/fold is integer-exact. */
+  private def cents: Column = round(col("value") * 100).cast("long")
+
+  /** The per-event cents struct the SEQUENCE member stores —
+    * `(ts, event_id, c)`, lexicographic sort = the family's series
+    * order. ONE definition shared by the spec registration and every
+    * sequence-spelled read, so routed reads match their own pattern. */
+  private def centsStruct: Column =
+    struct(col("ts").as("ts"), col("event_id").as("event_id"), cents.as("c"))
+
+  /** The (day × user) COMPACT deltaSum registration (round 19 — the
+    * r18 verdict's #2): per-(user, day) `struct(first, last, dsum)` of
+    * the cents series — [[graft.plans.RollupRouting.DeltaSumOf]],
+    * ClickHouse's `deltaSumTimestamp` state keyed by the grain. Three
+    * LONGs per user-day vs the sequence member's struct per EVENT. */
+  def deltaSumSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id"),
+      aggs = Seq(
+        DeltaSumOf(ExprPat(cents), Seq("ts", "event_id"), "ds_p"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q283, oracled — shares q281's oracle): deltaSum
+    * served from the registered per-(user, day) states — the r18
+    * verdict's perf-weak row routed. Partials compose EXACTLY across
+    * day buckets (`dsum += next.dsum + max(0, next.first −
+    * prev.last)`: consecutive pairs inside a day are the day's dsum,
+    * the one pair straddling each boundary is the cross term), so the
+    * all-time read folds each user's day states in day order — a
+    * calendar-bounded array per user, never the event series. The
+    * read is an EXPLICIT state fold: the raw q281 plan is a
+    * Window(lag), outside the router's Aggregate-only contract
+    * (the q277 precedent, documented on the member). */
+  def deltaSumPerUserFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "delta_sum_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), deltaSumSpec("unused"))
+    }
+    val zero = struct(lit(0L).as("dsum"), lit(null).cast("long").as("last"))
+    spark.read.parquet(dir)
+      .groupBy(col("user_id"))
+      .agg(aggregate(
+          sort_array(collect_list(struct(col("day"), col("ds_p").as("s")))),
+          zero,
+          (acc, d) => struct(
+            (acc.getField("dsum") + d.getField("s").getField("dsum") +
+              coalesce(when(
+                d.getField("s").getField("first") > acc.getField("last"),
+                d.getField("s").getField("first") - acc.getField("last")),
+                lit(0L))).as("dsum"),
+            d.getField("s").getField("last").as("last")))
+        .getField("dsum").as("delta_cents"))
+      .orderBy("user_id")
+  }
+
+  /** The (day × user) cents-SEQUENCE registration (round 19): the
+    * ListOf member over [[centsStruct]] — the state the moving-window
+    * family reads route through. Unlike deltaSum, a moving-sum/avg
+    * read must emit one value PER EVENT, so its state is
+    * information-theoretically the series itself; the routed win is
+    * the same as every sequence family's: states are pre-grouped and
+    * pre-keyed, the fact is never re-scanned or re-shuffled. */
+  def centsSeqSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "ts",
+      keyCols = Map("user_id" -> "user_id"),
+      aggs = Seq(
+        ListOf(ExprPat(centsStruct), "cents_seq"),
+        CountStarTo("c_p")))
+  }
+
+  /** Build-once + route scope for the cents-sequence rollup — shared
+    * by the q284/q286/q290 state-served reads. */
+  private def withCentsSeqStates(spark: SparkSession, sfDir: String)
+                                (read: => DataFrame): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "cents_seq_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), centsSeqSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(centsSeqSpec(dir)))(read)
+  }
+
+  /** The per-user sorted cents sequence — the ListOf-routable collect
+    * (the registered pattern IS this expression, so the unchanged
+    * read rewrites to flatten of the per-(day, user) states). */
+  private def userCentsSeq(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(centsStruct)).as("seq"))
+
+  /** q282's moving sums spelled over the sorted SEQUENCE: ms_i =
+    * c_i + c_{i−1} + c_{i−2} by O(1) positional reads on the
+    * materialized array (`seq` is an aggregate output attribute — the
+    * element_at probes read it, they never recompute it, so the
+    * no-CSE HOF trap does not apply). Value-identical to the window
+    * spelling: same cents, same (ts, event_id) total order. */
+  private[graft] def movingSumsOverSeq(events: DataFrame): DataFrame =
+    userCentsSeq(events)
+      .select(col("user_id"),
+        array_join(transform(col("seq"), (x, i) =>
+          (x.getField("c")
+            + coalesce(when(i >= 1, try_element_at(col("seq"), i))
+                .getField("c"), lit(0L))
+            + coalesce(when(i >= 2, try_element_at(col("seq"), i - lit(1)))
+                .getField("c"), lit(0L))).cast("string")), ",").as("moving3"))
+      .orderBy("user_id")
+
+  /** Driver entry (q284, oracled — shares q282's oracle):
+    * groupArrayMovingSum(3) served from the registered cents-sequence
+    * states — the r18 verdict's second perf-weak row routed; the
+    * collect rewrites to flatten of per-(day, user) list states and
+    * the fact is never scanned. */
+  def movingSumFromStates(spark: SparkSession, sfDir: String): DataFrame =
+    withCentsSeqStates(spark, sfDir) {
+      movingSumsOverSeq(Tables.events(spark, sfDir))
+    }
+
+  /** Driver entry (q285, oracled): ClickHouse's
+    * `groupArrayMovingAvg(3)` (round 19 — the r18 verdict's #3) —
+    * the k-window moving AVERAGE per user in series order, divisor
+    * ALWAYS the window size k (ClickHouse's rule: the first k−1
+    * elements average over k, not over the elements seen), emitted as
+    * (user, pos, mavg) rows so the double column hash-oracles without
+    * string-rendering doubles. Same one-exchange streaming-window
+    * plan as q281/q282. */
+  def movingAvgPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        row_number().over(w).cast("int").as("pos"),
+        (sum(cents).over(w.rowsBetween(-2, Window.currentRow)).cast("double")
+          / 3.0d).as("mavg"))
+      .orderBy("user_id", "pos")
+  }
+
+  /** q285's moving averages over the sorted sequence (same positional
+    * probes as [[movingSumsOverSeq]], then the k divisor), exploded
+    * back to (user, pos, mavg) rows. */
+  private[graft] def movingAvgsOverSeq(events: DataFrame): DataFrame =
+    userCentsSeq(events)
+      .select(col("user_id"), posexplode(transform(col("seq"), (x, i) =>
+        x.getField("c")
+          + coalesce(when(i >= 1, try_element_at(col("seq"), i))
+              .getField("c"), lit(0L))
+          + coalesce(when(i >= 2, try_element_at(col("seq"), i - lit(1)))
+              .getField("c"), lit(0L)))))
+      .select(col("user_id"), (col("pos") + 1).cast("int").as("pos"),
+        (col("col").cast("double") / 3.0d).as("mavg"))
+      .orderBy("user_id", "pos")
+
+  /** Driver entry (q286, oracled — shares q285's oracle): the moving
+    * average served from the same registered cents-sequence states. */
+  def movingAvgFromStates(spark: SparkSession, sfDir: String): DataFrame =
+    withCentsSeqStates(spark, sfDir) {
+      movingAvgsOverSeq(Tables.events(spark, sfDir))
+    }
+
+  /** Driver entry (q287, oracled): ClickHouse's `deltaSumTimestamp`
+    * analog at DAY grain (round 19 — the r18 verdict's #3): the
+    * positive deltas of each user's DAILY-VOLUME cents series in day
+    * order — the form whose state merges are ordered by the grain key
+    * (exactly why ClickHouse added the timestamped variant for MVs).
+    * The inner aggregate is the registered daily rollup's own shape,
+    * so [[deltaSumDailyRouted]] runs THIS query unchanged and the
+    * fact is never scanned. */
+  def deltaSumDaily(spark: SparkSession, sfDir: String): DataFrame =
+    deltaSumDailyOver(Tables.events(spark, sfDir))
+
+  private[graft] def deltaSumDailyOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("v"))
+      // exact decimal rounding to cents — ONE rounding per day total
+      .withColumn("c", round(col("v") * 100).cast("long"))
+      .withColumn("prev", lag(col("c"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("c") > col("prev"), col("c") - col("prev"))),
+        lit(0L)).as("delta_day_cents"))
+      .orderBy("user_id")
+  }
+
+  /** Driver entry (q288, oracled — shares q287's oracle):
+    * deltaSumTimestamp ROUTED — the unchanged q287 query under the
+    * registered (day × user) daily rollup: the inner Aggregate
+    * rewrites onto `v_partial` TRANSPARENTLY (this family's one
+    * window read whose input is rollup-grain, so the standard
+    * Aggregate rewrite serves it — no explicit state read needed)
+    * and the day-ordered lag fold rides above rollup-sized rows. */
+  def deltaSumDailyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.RollupRouting
+    val dir = StarJoins.ensureRollup(spark, Rollups.dailyRollupDir(sfDir)) {
+      Rollups.dailyPartialsOf(Tables.events(spark, sfDir))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(RollupRouting.Spec("events.parquet", dir))) {
+      deltaSumDailyOver(Tables.events(spark, sfDir))
+    }
+  }
+
+  /** Driver entry (q289, oracled): `exponentialMovingAverage` (round
+    * 19 — the r18 verdict's #3) — the final per-user EMA of the cents
+    * series at α = 0.5: `ema_i = c_i·0.5 + ema_{i−1}·0.5`, seeded at
+    * the first value. One aggregate() fold over the sorted sequence —
+    * the recursion no window frame can spell — with the identical
+    * IEEE op order in the DuckDB recursive-CTE oracle, so the double
+    * is bit-deterministic. DIVERGENCE, honestly stated: ClickHouse's
+    * `exponentialMovingAverage(T)` decays by TIME-delta; this member
+    * decays per OBSERVATION (the classic EWMA) — the time-decayed
+    * variant changes only the decay factor expression. */
+  def emaPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    emaOverSeq(Tables.events(spark, sfDir))
+
+  private[graft] def emaOverSeq(events: DataFrame): DataFrame =
+    userCentsSeq(events)
+      .select(col("user_id"),
+        aggregate(col("seq"), lit(null).cast("double"), (acc, x) =>
+          coalesce(x.getField("c").cast("double") * lit(0.5d)
+                     + acc * lit(0.5d),
+                   x.getField("c").cast("double"))).as("ema"))
+      .orderBy("user_id")
+
+  /** Driver entry (q290, oracled — shares q289's oracle): the EMA
+    * served from the registered cents-sequence states — the same
+    * collect routes, the fold runs over the merged sequence. */
+  def emaFromStates(spark: SparkSession, sfDir: String): DataFrame =
+    withCentsSeqStates(spark, sfDir) {
+      emaOverSeq(Tables.events(spark, sfDir))
+    }
 
   /** Day-over-day volume delta per user via lag(). */
   def dayOverDay(spark: SparkSession, sfDir: String): DataFrame = {

