@@ -133,20 +133,18 @@ object Windows {
       graft.plans.RollupRouting.buildPartials(
         Tables.events(spark, sfDir), deltaSumSpec("unused"))
     }
-    val zero = struct(lit(0L).as("dsum"), lit(null).cast("long").as("last"))
+    // day-sorted flat states → ONE compiled fold per user
+    // ([[graft.expr.DeltaStateFold]]; the builtin aggregate() HOF is
+    // interpreted per element — see SeriesFold's scaladoc)
     spark.read.parquet(dir)
       .groupBy(col("user_id"))
-      .agg(aggregate(
-          sort_array(collect_list(struct(col("day"), col("ds_p").as("s")))),
-          zero,
-          (acc, d) => struct(
-            (acc.getField("dsum") + d.getField("s").getField("dsum") +
-              coalesce(when(
-                d.getField("s").getField("first") > acc.getField("last"),
-                d.getField("s").getField("first") - acc.getField("last")),
-                lit(0L))).as("dsum"),
-            d.getField("s").getField("last").as("last")))
-        .getField("dsum").as("delta_cents"))
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("ds_p.first").as("first"), col("ds_p.last").as("last"),
+        col("ds_p.dsum").as("dsum")))).as("states"))
+      .select(col("user_id"),
+        org.apache.spark.sql.graftx.Bridge.column(graft.expr.DeltaStateFold(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("states"))))
+          .as("delta_cents"))
       .orderBy("user_id")
   }
 
@@ -185,21 +183,19 @@ object Windows {
     events.groupBy(col("user_id"))
       .agg(sort_array(collect_list(centsStruct)).as("seq"))
 
-  /** q282's moving sums spelled over the sorted SEQUENCE: ms_i =
-    * c_i + c_{i−1} + c_{i−2} by O(1) positional reads on the
-    * materialized array (`seq` is an aggregate output attribute — the
-    * element_at probes read it, they never recompute it, so the
-    * no-CSE HOF trap does not apply). Value-identical to the window
-    * spelling: same cents, same (ts, event_id) total order. */
+  /** q282's moving sums spelled over the sorted SEQUENCE — one
+    * compiled ring-buffer pass per user
+    * ([[graft.expr.MovingSumCsv]]; the first draft's
+    * transform+element_at spelling was interpreted per element and
+    * measured 6.2× at ×100 where this kernel sits in the family's
+    * flat state-read regime). Value-identical to the window spelling:
+    * same cents, same (ts, event_id) total order. */
   private[graft] def movingSumsOverSeq(events: DataFrame): DataFrame =
     userCentsSeq(events)
       .select(col("user_id"),
-        array_join(transform(col("seq"), (x, i) =>
-          (x.getField("c")
-            + coalesce(when(i >= 1, try_element_at(col("seq"), i))
-                .getField("c"), lit(0L))
-            + coalesce(when(i >= 2, try_element_at(col("seq"), i - lit(1)))
-                .getField("c"), lit(0L))).cast("string")), ",").as("moving3"))
+        org.apache.spark.sql.graftx.Bridge.column(graft.expr.MovingSumCsv(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")), 3))
+          .as("moving3"))
       .orderBy("user_id")
 
   /** Driver entry (q284, oracled — shares q282's oracle):
@@ -230,19 +226,17 @@ object Windows {
       .orderBy("user_id", "pos")
   }
 
-  /** q285's moving averages over the sorted sequence (same positional
-    * probes as [[movingSumsOverSeq]], then the k divisor), exploded
-    * back to (user, pos, mavg) rows. */
+  /** q285's moving averages over the sorted sequence (the same
+    * compiled ring-buffer kernel with ClickHouse's always-k divisor —
+    * [[graft.expr.MovingAvgArr]]), exploded back to (user, pos, mavg)
+    * rows. */
   private[graft] def movingAvgsOverSeq(events: DataFrame): DataFrame =
     userCentsSeq(events)
-      .select(col("user_id"), posexplode(transform(col("seq"), (x, i) =>
-        x.getField("c")
-          + coalesce(when(i >= 1, try_element_at(col("seq"), i))
-              .getField("c"), lit(0L))
-          + coalesce(when(i >= 2, try_element_at(col("seq"), i - lit(1)))
-              .getField("c"), lit(0L)))))
+      .select(col("user_id"), posexplode(
+        org.apache.spark.sql.graftx.Bridge.column(graft.expr.MovingAvgArr(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")), 3))))
       .select(col("user_id"), (col("pos") + 1).cast("int").as("pos"),
-        (col("col").cast("double") / 3.0d).as("mavg"))
+        col("col").as("mavg"))
       .orderBy("user_id", "pos")
 
   /** Driver entry (q286, oracled — shares q285's oracle): the moving
@@ -297,10 +291,11 @@ object Windows {
   /** Driver entry (q289, oracled): `exponentialMovingAverage` (round
     * 19 — the r18 verdict's #3) — the final per-user EMA of the cents
     * series at α = 0.5: `ema_i = c_i·0.5 + ema_{i−1}·0.5`, seeded at
-    * the first value. One aggregate() fold over the sorted sequence —
-    * the recursion no window frame can spell — with the identical
-    * IEEE op order in the DuckDB recursive-CTE oracle, so the double
-    * is bit-deterministic. DIVERGENCE, honestly stated: ClickHouse's
+    * the first value. One compiled fold over the sorted sequence
+    * ([[graft.expr.EmaFold]]) — the recursion no window frame can
+    * spell — with the identical IEEE op order in the DuckDB
+    * recursive-CTE oracle, so the double is bit-deterministic.
+    * DIVERGENCE, honestly stated: ClickHouse's
     * `exponentialMovingAverage(T)` decays by TIME-delta; this member
     * decays per OBSERVATION (the classic EWMA) — the time-decayed
     * variant changes only the decay factor expression. */
@@ -310,10 +305,9 @@ object Windows {
   private[graft] def emaOverSeq(events: DataFrame): DataFrame =
     userCentsSeq(events)
       .select(col("user_id"),
-        aggregate(col("seq"), lit(null).cast("double"), (acc, x) =>
-          coalesce(x.getField("c").cast("double") * lit(0.5d)
-                     + acc * lit(0.5d),
-                   x.getField("c").cast("double"))).as("ema"))
+        org.apache.spark.sql.graftx.Bridge.column(graft.expr.EmaFold(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("seq")), 0.5d))
+          .as("ema"))
       .orderBy("user_id")
 
   /** Driver entry (q290, oracled — shares q289's oracle): the EMA

@@ -256,4 +256,57 @@ class ExprSpec extends AnyFunSuite {
       .select(Kll.quantile($"st", 0.5).as("p")).head()
     assert(row.isNullAt(0), "empty KLL state must estimate to NULL")
   }
+
+  test("r19 series-fold kernels: moving sum/avg ring buffer, EMA fold, " +
+       "delta-state fold — values, empties, null elements, type guards") {
+    import org.apache.spark.sql.graftx.Bridge
+    import graft.expr.{DeltaStateFold, EmaFold, MovingAvgArr, MovingSumCsv}
+    def seqCol = {
+      // (ts, event_id, c) struct series — measure LAST, sorted
+      val rows = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 40L))
+        .map { case (id, c) => (id, c) }
+      rows.toDF("event_id", "c")
+        .agg(sort_array(collect_list(struct($"event_id", $"c"))).as("seq"))
+    }
+    val ms = seqCol.select(Bridge.column(MovingSumCsv(
+      Bridge.expressionEager($"seq"), 3)).as("m")).as[String].head()
+    assert(ms == "10,30,35,65", s"k=3 ring-buffer sums: $ms")
+    val ma = seqCol.select(Bridge.column(MovingAvgArr(
+      Bridge.expressionEager($"seq"), 3)).as("m")).as[Seq[Double]].head()
+    assert(ma == Seq(10.0 / 3, 30.0 / 3, 35.0 / 3, 65.0 / 3),
+      s"always-k divisor (ClickHouse's rule), including the head: $ma")
+    val ema = seqCol.select(Bridge.column(EmaFold(
+      Bridge.expressionEager($"seq"), 0.5)).as("e")).as[Double].head()
+    // ((10*.5+? seed 10) -> 20*.5+10*.5=15 -> 5*.5+15*.5=10 -> 40*.5+10*.5=25
+    assert(ema == 25.0, s"EMA fold seeded at the first value: $ema")
+    // empty series: EMA is NULL, csv empty, avg array empty
+    val empty = Seq.empty[(Long, Long)].toDF("event_id", "c")
+      .agg(sort_array(collect_list(struct($"event_id", $"c"))).as("seq"))
+    assert(empty.select(Bridge.column(EmaFold(
+      Bridge.expressionEager($"seq"), 0.5))).head().isNullAt(0),
+      "empty series must fold to NULL")
+    assert(empty.select(Bridge.column(MovingSumCsv(
+      Bridge.expressionEager($"seq"), 3))).as[String].head() == "")
+    // delta-state fold: two day buckets with a positive boundary climb
+    // (5 -> 9 adds 4) and one with a reset boundary (contributes 0)
+    val states = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 3L, 5L, 7L),
+      (java.sql.Date.valueOf("2024-01-02"), 9L, 2L, 11L),
+      (java.sql.Date.valueOf("2024-01-03"), 1L, 6L, 13L))
+      .toDF("day", "first", "last", "dsum")
+      .agg(sort_array(collect_list(struct($"day", $"first", $"last", $"dsum")))
+        .as("st"))
+    val total = states.select(Bridge.column(DeltaStateFold(
+      Bridge.expressionEager($"st")))).as[Long].head()
+    assert(total == 7 + 11 + 13 + 4,
+      s"bucket dsums + the one positive boundary term: $total")
+    // type guard: a non-long trailing measure refuses at analysis
+    val bad = Seq((1, "x")).toDF("a", "b")
+      .agg(collect_list(struct($"a", $"b")).as("seq"))
+    val err = intercept[Exception] {
+      bad.select(Bridge.column(MovingSumCsv(
+        Bridge.expressionEager($"seq"), 3))).collect()
+    }
+    assert(err.getMessage.contains("measure"), err.getMessage)
+  }
 }

@@ -4121,6 +4121,23 @@ class RollupRoutingSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+    // q288's transparent path: the deltaSumTimestamp read's INNER
+    // aggregate is the daily rollup's own shape, so the unchanged
+    // query routes through the standard Aggregate rewrite — plan
+    // asserted (the window fold rides above rollup-sized rows)
+    val daily = new java.io.File(dir, "dailyrollup").getAbsolutePath
+    graft.ops.Rollups.dailyPartialsOf(corpus).write.parquet(daily)
+    RollupRouting.register(RollupRouting.Spec("events.parquet", daily))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val dst = Windows.deltaSumDailyOver(corpus)
+      val p = dst.queryExecution.executedPlan.toString
+      assert(p.contains("dailyrollup") && !p.contains("events.parquet"),
+        s"the day-grain delta read must route onto the daily rollup:\n$p")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 
   test("r19 registry persistence round-trips DeltaSumOf and the " +
