@@ -764,6 +764,19 @@ object SparkEntry {
     // with the identical IEEE op order
     "q289_ema" -> (Windows.emaPerUser _),
     "q290_ema_from_states" -> (Windows.emaFromStates _),
+    // r19: ClickHouse's interval aggregates as sweep-line windows —
+    // maxIntersections/-Position (peak concurrent transit intervals +
+    // the earliest peak day) and intervalLengthSum (union-covered
+    // days, overlaps once); both scan-time in ClickHouse too, both
+    // window-oracled
+    "q291_max_intersections" -> (Windows.maxIntersections _),
+    "q292_interval_length_sum" -> (Windows.intervalLengthSum _),
+    // r19: the sweep PEAK from registered (day × type) max-prefix
+    // states — the segment-tree monoid composes day buckets, so the
+    // dashboard reads a calendar-sized rollup (q292's covered-time
+    // has no such member by proof — offset-dependent level measure —
+    // and stays an honest scan, like ClickHouse's)
+    "q293_max_intersections_from_states" -> (Windows.maxIntersectionsFromStates _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2557,6 +2570,9 @@ object SparkEntry {
     "q288_delta_sum_daily_routed" -> deltaSumDailySql,
     "q289_ema" -> emaSql,
     "q290_ema_from_states" -> emaSql,
+    "q291_max_intersections" -> maxIntersectionsSql,
+    "q292_interval_length_sum" -> intervalLengthSumSql,
+    "q293_max_intersections_from_states" -> maxIntersectionsSql,
     "q274_funnel_strict_order_truncated" -> strictOrderFunnelSql,
     "q275_funnel_strict_order_advised" -> strictOrderFunnelSql,
     // sequenceMatch('(?1).*(?2)'): view then (ever) purchase
@@ -3175,6 +3191,51 @@ object SparkEntry {
            ON e.user_id = s.user_id AND e.rn = s.pos + 1
          WHERE s.pos < s.n)
        SELECT user_id, ema FROM f WHERE pos = n ORDER BY user_id"""
+
+  /** maxIntersections/-Position (q291): the ±1 sweep — ends sort
+    * before starts at ties (d = −1 < +1), so half-open intervals
+    * touching at a point do not intersect; the peak and its earliest
+    * day are tie-insensitive (see the Spark side's determinism
+    * argument). */
+  private lazy val maxIntersectionsSql =
+    """WITH pts AS (
+         SELECT event_type, ts AS p, 1 AS d FROM events
+         UNION ALL
+         SELECT event_type, ts + INTERVAL 1 HOUR AS p, -1 AS d FROM events),
+       r AS (
+         SELECT event_type, p,
+           SUM(d) OVER (PARTITION BY event_type ORDER BY p, d
+             ROWS UNBOUNDED PRECEDING) AS running
+         FROM pts),
+       g AS (SELECT event_type, MAX(running) AS peak FROM r
+             GROUP BY event_type)
+       SELECT r.event_type, CAST(g.peak AS BIGINT) AS max_open,
+              MIN(r.p) AS peak_ts
+       FROM r JOIN g ON g.event_type = r.event_type AND r.running = g.peak
+       GROUP BY r.event_type, g.peak ORDER BY r.event_type"""
+
+  /** intervalLengthSum (q292): the same ±1 sweep — an island (maximal
+    * covered stretch, half-open so touching intervals split) opens at
+    * a +1 point with running = 1 and closes at a −1 point with
+    * running = 0, so covered micros = Σ(closes) − Σ(opens) and the
+    * island count is the open count (DuckDB's HUGEINT sums absorb the
+    * epoch-micros magnitudes the Spark side runs in DECIMAL). */
+  private lazy val intervalLengthSumSql =
+    """WITH pts AS (
+         SELECT event_type, ts AS p, 1 AS d FROM events
+         UNION ALL
+         SELECT event_type, ts + INTERVAL 1 HOUR AS p, -1 AS d FROM events),
+       r AS (
+         SELECT event_type, p, d,
+           SUM(d) OVER (PARTITION BY event_type ORDER BY p, d
+             ROWS UNBOUNDED PRECEDING) AS running
+         FROM pts)
+       SELECT event_type,
+         CAST(SUM(CASE WHEN d = -1 AND running = 0 THEN epoch_us(p) END)
+            - SUM(CASE WHEN d = 1 AND running = 1 THEN epoch_us(p) END)
+           AS BIGINT) AS covered_micros,
+         COUNT(CASE WHEN d = 1 AND running = 1 THEN 1 END) AS n_islands
+       FROM r GROUP BY event_type ORDER BY event_type"""
 
   /** groupArrayMovingSum(3) per user, csv-rendered (q282). */
   private lazy val movingSumSql =

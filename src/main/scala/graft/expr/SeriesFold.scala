@@ -144,6 +144,58 @@ case class EmaFold(child: Expression, alpha: Double)
     copy(child = c)
 }
 
+/** The q293 day-state fold: over the DAY-SORTED array of
+  * `struct(day, tot, maxp, at_us)` max-prefix states, the composed
+  * sweep peak and its EARLIEST instant — the segment-tree combine
+  * `cand_i = run_before_i + maxp_i; run += tot_i`, strict > keeping
+  * the first day (and, via the state's own at_us, the first in-day
+  * point) achieving the global max. Returns
+  * struct(peak: long, at_us: long); NULL on an empty array. */
+case class SweepPeakFold(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_sweep_peak_fold"
+  override def dataType: DataType = StructType(Seq(
+    StructField("peak", LongType, nullable = false),
+    StructField("at_us", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _)
+          if s.length == 4 && s.drop(1).forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<struct<day, tot: long, maxp: long, " +
+            s"at_us: long>>, got $other")
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var run = 0L
+    var peak = Long.MinValue
+    var at = 0L
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 4)
+        if (!row.isNullAt(1) && !row.isNullAt(2) && !row.isNullAt(3)) {
+          val cand = run + row.getLong(2)
+          if (cand > peak) { peak = cand; at = row.getLong(3) }
+          run += row.getLong(1)
+          seen = true
+        }
+      }
+      i += 1
+    }
+    if (!seen) null
+    else org.apache.spark.sql.catalyst.InternalRow(peak, at)
+  }
+  override protected def withNewChildInternal(c: Expression): SweepPeakFold =
+    copy(child = c)
+}
+
 /** The q283 day-state fold: over the DAY-SORTED array of
   * `struct(day, first, last, dsum)` states, the composed deltaSum —
   * `Σ dsum_i + Σ max(0, first_i − last_{i−1})`. Field layout:

@@ -318,6 +318,167 @@ object Windows {
       emaOverSeq(Tables.events(spark, sfDir))
     }
 
+  /** Driver entry (q291, oracled): ClickHouse's `maxIntersections` /
+    * `maxIntersectionsPosition` (round 19) — per event type, the peak
+    * number of SIMULTANEOUSLY open one-hour activity windows
+    * (half-open [ts, ts + 1h)) and the EARLIEST instant the peak is
+    * reached. Sweep-line as relational algebra: each interval explodes
+    * to (+1 at start, −1 at end) points, a running sum over
+    * (point, delta) order is the concurrency curve — ends sort before
+    * starts at ties (delta −1 < +1), so touching intervals do not
+    * intersect, exactly the half-open contract the oracle spells.
+    * Ties among identical (point, delta) rows leave the row-frame
+    * prefix sums order-dependent WITHIN the tie run, but both reported
+    * columns are tie-insensitive (the run's max is its closing value;
+    * all tied rows share the point), so the output is deterministic.
+    * Scale: one exchange on the group key; the curve never
+    * materializes per group — the same two-window shape as
+    * sessionize. ClickHouse computes this scan-time too (the sweep
+    * needs the sorted points); there is no mergeable state to
+    * register, honestly. */
+  /** The shared concurrency curve: every interval explodes to (+1 at
+    * start, −1 at end) points, and the per-type running sum is a
+    * CALENDAR-BUCKETED two-level prefix sum — the distributed sweep:
+    *
+    *  1. local cumulative per (event_type, day-of-point) — a
+    *     HIGH-cardinality window partitioning (types × days), so the
+    *     curve parallelizes across the cluster;
+    *  2. per-bucket delta totals aggregate to a CALENDAR-SIZED frame
+    *     whose per-type day-prefix (the only low-cardinality window)
+    *     runs over types × days rows, invariant in fact volume;
+    *  3. broadcast the offsets back: running = local + offset.
+    *
+    * A naive per-type `Window` funnels each type's entire 2×|events|
+    * curve through ONE task (event_type has ~5 values — measured 35 s
+    * at ×100, ~43×); [[GlobalRank.withRunningTotal]] fixes the
+    * parallelism but its checkpointed range layout materializes the
+    * full curve to local storage (measured 28 s) — the bucketed form
+    * keeps the heavy data on one hash exchange. Ends sort before
+    * starts at ties (d = −1 < +1): half-open intervals touching at a
+    * point do not intersect. */
+  /** The ±1 endpoint frame of the one-hour activity intervals — shared
+    * by the live sweep and the [[sweepPeakSpec]] state build. */
+  private def sweepPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val hour = expr("INTERVAL 1 HOUR")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), explode(array(
+        struct(col("ts").as("p"), lit(1).as("d")),
+        struct((col("ts") + hour).as("p"), lit(-1).as("d")))).as("x"))
+      .select(col("event_type"), col("x.p").as("p"), col("x.d").as("d"))
+  }
+
+  private def sweepRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = sweepPoints(spark, sfDir)
+      .withColumn("__day", to_date(col("p")))
+    val local = Window.partitionBy(col("event_type"), col("__day"))
+      .orderBy(col("p"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy(col("event_type"), col("__day"))
+      .agg(sum(col("d")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(offW), lit(0L)))
+      .drop("__tot")
+    pts
+      .withColumn("__local", sum(col("d")).over(local))
+      .join(broadcast(offsets), Seq("event_type", "__day"))
+      .withColumn("running", (col("__local") + col("__off")).cast("long"))
+      .drop("__day", "__local", "__off")
+  }
+
+  def maxIntersections(spark: SparkSession, sfDir: String): DataFrame =
+    sweepRunning(spark, sfDir)
+      // ONE aggregate pass reads the curve once: the lexicographic
+      // struct max carries (peak, earliest-p-at-peak) together —
+      // among peak rows, max of the NEGATED epoch is the earliest
+      // point (a peaks-then-join spelling re-executed the whole
+      // sweep for the second pass; measured ~1.4x the single-pass)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("running"),
+        (-unix_micros(col("p"))).as("np"))).as("m"))
+      .select(col("event_type"),
+        col("m.running").cast("long").as("max_open"),
+        timestamp_micros(-col("m.np")).as("peak_ts"))
+      .orderBy("event_type")
+
+  /** Driver entry (q292, oracled): ClickHouse's `intervalLengthSum`
+    * (round 19) — per event type, the total wall-clock (exact micros)
+    * covered by the UNION of the one-hour activity windows (overlaps
+    * counted once) — "how much wall-clock was this event type live" —
+    * plus the count of maximal continuously-covered stretches
+    * (half-open convention: touching intervals share no point, so
+    * they start a new stretch). Rides the SAME distributed
+    * concurrency curve as q291 — see [[sweepRunning]] and the island
+    * identity in the body; like q291 the sweep is scan-time in
+    * ClickHouse too. */
+  /** The (day × type) MAX-PREFIX registration (round 19): per bucket
+    * the sweep monoid `(tot, maxp, at_us)` over the (p, d)-sorted ±1
+    * points — [[graft.plans.RollupRouting.MaxPrefixOf]]. Calendar ×
+    * types sized at ANY fact volume. */
+  def sweepPeakSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "day", timeCol = "p",
+      keyCols = Map("event_type" -> "event_type"),
+      aggs = Seq(
+        MaxPrefixOf(ColRef("d"), Seq("p", "d"), "sw_p"),
+        CountStarTo("c_p")))
+  }
+
+  /** Driver entry (q293, oracled — shares q291's oracle): the sweep
+    * peak from the registered (day × type) MAX-PREFIX states — the
+    * segment-tree fold `cand = run + maxp; run += tot` composes day
+    * buckets exactly, so the dashboard reads a CALENDAR-sized rollup
+    * (300 rows here, invariant in fact volume) where the raw sweep
+    * re-scans 2×|events| points; the earliest-peak instant rides the
+    * state's own at_us. Explicit state fold like q283 (the raw plan
+    * is a sweep, not an Aggregate — the member documents the
+    * contract). q292's covered-time read deliberately has NO such
+    * member: the union measure of a day depends on the incoming
+    * offset level (a per-level time histogram, unbounded state), so
+    * it stays an honest scan like ClickHouse's. */
+  def maxIntersectionsFromStates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "sweep_peak_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        sweepPoints(spark, sfDir), sweepPeakSpec("unused"))
+    }
+    spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("sw_p.tot").as("tot"), col("sw_p.maxp").as("maxp"),
+        col("sw_p.at_us").as("at_us")))).as("states"))
+      .select(col("event_type"),
+        org.apache.spark.sql.graftx.Bridge.column(graft.expr.SweepPeakFold(
+          org.apache.spark.sql.graftx.Bridge.expressionEager(col("states"))))
+          .as("m"))
+      .select(col("event_type"), col("m.peak").cast("long").as("max_open"),
+        timestamp_micros(col("m.at_us")).as("peak_ts"))
+      .orderBy("event_type")
+  }
+
+  def intervalLengthSum(spark: SparkSession, sfDir: String): DataFrame = {
+    // an ISLAND (maximal continuously-covered stretch; half-open, so
+    // touching intervals start a new island) opens at a +1 point whose
+    // running sum is 1 and closes at a −1 point whose running sum is
+    // 0 — so covered time is Σ(close points) − Σ(open points) and the
+    // island count is the open count: plain aggregates over the ONE
+    // distributed curve, no island-numbering window at all. The point
+    // sums run in DECIMAL(38,0) (4M epoch-micros each ~1.7e15 overflow
+    // a LONG sum long before the DIFFERENCE, which is small). Ties on
+    // (p, d) leave WHICH tied row carries running==1 order-dependent,
+    // but all tied rows share p, so both sums are deterministic.
+    val r = sweepRunning(spark, sfDir)
+    val pd = unix_micros(col("p")).cast("decimal(38,0)")
+    r.groupBy(col("event_type"))
+      .agg(
+        (sum(when(col("d") === -1 && col("running") === 0, pd))
+          - sum(when(col("d") === 1 && col("running") === 1, pd)))
+          .cast("long").as("covered_micros"),
+        count(when(col("d") === 1 && col("running") === 1, 1))
+          .as("n_islands"))
+      .orderBy("event_type")
+  }
+
   /** Day-over-day volume delta per user via lag(). */
   def dayOverDay(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)

@@ -891,6 +891,21 @@ object RollupRouting {
     * compaction for specs carrying it. */
   case class DeltaSumOf(pat: SrcPat, orderCols: Seq[String],
                         partial: String) extends AggMap
+  /** The MAX-PREFIX-SUM monoid (round 19) — the mergeable state behind
+    * sweep-line PEAKS (`maxIntersections`): per group, over the
+    * measure's series sorted by `orderCols`, the struct
+    * `(tot = Σ delta, maxp = max non-empty prefix sum, at_us = the
+    * series' earliest point achieving maxp)`. Adjacent grain buckets
+    * compose exactly — the textbook segment-tree combine
+    * `maxp = max(a.maxp, a.tot + b.maxp)` — so a calendar-sized
+    * rollup answers the peak (and its earliest instant) at ANY fact
+    * volume ([[graft.ops.Windows.maxIntersectionsFromStates]] folds
+    * the day states in day order). Same contracts as [[DeltaSumOf]]:
+    * explicit state-fold read (the raw plan is a sweep, not an
+    * Aggregate) and REBUILD-ONLY (same-group partial rows have no
+    * defined merge). */
+  case class MaxPrefixOf(pat: SrcPat, orderCols: Seq[String],
+                         partial: String) extends AggMap
 
   /** A pattern's expression form, for cross-member comparison (the
     * avgIf pairing, round 14). */
@@ -927,6 +942,7 @@ object RollupRouting {
     case MinPatOf(_, p) => Some(p)
     case MaxPatOf(_, p) => Some(p)
     case DeltaSumOf(_, _, p) => Some(p)
+    case MaxPrefixOf(_, _, p) => Some(p)
     case CountDistinctGrain(_) => None
   }
 
@@ -1224,18 +1240,36 @@ object RollupRouting {
         // group's rows), fold first/last/dsum in a single aggregate()
         // — the collect is build-time-only and bounded by the group's
         // own rows, never carried into any read
+        // the measure field is aliased __m so it can never collide
+        // with an orderCols name inside the collected struct
         val seq = sort_array(collect_list(
-          struct(ord.map(col) :+ srcColumn(pat).cast("long").as("c"): _*)))
+          struct(ord.map(col) :+ srcColumn(pat).cast("long").as("__m"): _*)))
         val zero = struct(
           lit(null).cast("long").as("first"), lit(null).cast("long").as("last"),
           lit(0L).as("dsum"))
         partials.getOrElseUpdate(p, aggregate(seq, zero, (acc, x) => struct(
-          coalesce(acc.getField("first"), x.getField("c")).as("first"),
-          x.getField("c").as("last"),
+          coalesce(acc.getField("first"), x.getField("__m")).as("first"),
+          x.getField("__m").as("last"),
           (acc.getField("dsum") + coalesce(
-            when(x.getField("c") > acc.getField("last"),
-              x.getField("c") - acc.getField("last")), lit(0L))).as("dsum")))
+            when(x.getField("__m") > acc.getField("last"),
+              x.getField("__m") - acc.getField("last")), lit(0L))).as("dsum")))
           .as(p))
+      case MaxPrefixOf(pat, ord, p) =>
+        // same build shape as DeltaSumOf: one sorted in-group pass;
+        // the fold keeps (tot, maxp, at_us) — at_us is the EARLIEST
+        // point achieving the max prefix (strict > keeps the first)
+        val seq = sort_array(collect_list(
+          struct(ord.map(col) :+ srcColumn(pat).cast("long").as("__m"): _*)))
+        val zero = struct(lit(0L).as("tot"),
+          lit(Long.MinValue).as("maxp"), lit(0L).as("at_us"))
+        partials.getOrElseUpdate(p, aggregate(seq, zero, (acc, x) => {
+          val newTot = acc.getField("tot") + x.getField("__m")
+          val isNew = newTot > acc.getField("maxp")
+          struct(newTot.as("tot"),
+            when(isNew, newTot).otherwise(acc.getField("maxp")).as("maxp"),
+            when(isNew, unix_micros(x.getField(ord.head)))
+              .otherwise(acc.getField("at_us")).as("at_us"))
+        }).as(p))
       case CountDistinctGrain(_) => ()
     }
     partials
@@ -1312,6 +1346,7 @@ object RollupRouting {
       case MinPatOf(pat, _) => pat.refs.toSeq
       case MaxPatOf(pat, _) => pat.refs.toSeq
       case DeltaSumOf(pat, ord, _) => pat.refs.toSeq ++ ord
+      case MaxPrefixOf(pat, ord, _) => pat.refs.toSeq ++ ord
       case _ => Nil
     }.toSet
     require(measureRefs.nonEmpty, "join spec declares no measure to locate the fact")
@@ -1455,6 +1490,11 @@ object RollupRouting {
           s"DeltaSumOf(${d.partial}) is rebuild-only: same-group partial " +
             "rows cannot merge (series order is lost across parts) — " +
             "maintain via writeRollupUpTo's scratch-build + swap")
+      case m: MaxPrefixOf =>
+        throw new IllegalArgumentException(
+          s"MaxPrefixOf(${m.partial}) is rebuild-only: same-group partial " +
+            "rows cannot merge (series order is lost across parts) — " +
+            "maintain via writeRollupUpTo's scratch-build + swap")
       case CountDistinctGrain(_) => ()
     }
     merges.toSeq
@@ -1547,6 +1587,9 @@ object RollupRouting {
         ("kind" -> "maxPat") ~ ("pat" -> patJson(pat)) ~ ("partial" -> p)
       case DeltaSumOf(pat, ord, p) =>
         ("kind" -> "deltaSum") ~ ("pat" -> patJson(pat)) ~
+          ("orderCols" -> ord.toList) ~ ("partial" -> p)
+      case MaxPrefixOf(pat, ord, p) =>
+        ("kind" -> "maxPrefix") ~ ("pat" -> patJson(pat)) ~
           ("orderCols" -> ord.toList) ~ ("partial" -> p)
       case CountDistinctGrain(g) => ("kind" -> "countDistinctGrain") ~ ("grainCol" -> g)
     }
@@ -1644,6 +1687,8 @@ object RollupRouting {
       case "minPat" => MinPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "maxPat" => MaxPatOf(pat(j \ "pat"), (j \ "partial").extract[String])
       case "deltaSum" => DeltaSumOf(pat(j \ "pat"),
+        (j \ "orderCols").extract[List[String]], (j \ "partial").extract[String])
+      case "maxPrefix" => MaxPrefixOf(pat(j \ "pat"),
         (j \ "orderCols").extract[List[String]], (j \ "partial").extract[String])
       case "countDistinctGrain" =>
         CountDistinctGrain((j \ "grainCol").extract[String])

@@ -4084,6 +4084,11 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(Windows.deltaSumDailyRouted(spark, dir).collect().toSeq ==
            Windows.deltaSumDaily(spark, dir).collect().toSeq,
       "deltaSumTimestamp routed through the daily rollup must equal raw")
+    assert(Windows.maxIntersectionsFromStates(spark, dir).collect().toSeq ==
+           Windows.maxIntersections(spark, dir).collect().toSeq,
+      "the sweep peak folded from (tot, maxp, at_us) day states must " +
+        "equal the distributed live sweep — the segment-tree combine " +
+        "composes day buckets exactly, earliest instant included")
     // rebuild-only contract: same-group partial rows have no defined
     // merge, so compaction refuses the spec loudly
     val e = intercept[IllegalArgumentException] {
@@ -4144,9 +4149,11 @@ class RollupRoutingSpec extends AnyFunSuite {
        "truncatedToWindowUs declaration") {
     val week = 7L * 24 * 3600 * 1000000L
     val ds = graft.ops.Windows.deltaSumSpec("/tmp/ds_rollup")
+    val sw = graft.ops.Windows.sweepPeakSpec("/tmp/sw_rollup")
     val trunc = graft.ops.Behavior.funnelAllSpec("/tmp/trunc_rollup")
       .copy(truncatedToWindowUs = Some(week))
     RollupRouting.register(ds)
+    RollupRouting.register(sw)
     RollupRouting.register(trunc)
     val reg = java.nio.file.Files.createTempDirectory("graft_reg19")
       .resolve("registry.json").toString
@@ -4161,6 +4168,12 @@ class RollupRoutingSpec extends AnyFunSuite {
           ord == Seq("ts", "event_id") && p == "ds_p"
         case _ => false
       }, s"DeltaSumOf must round-trip: ${lds.aggs}")
+      val lsw = loaded.find(_.rollupPath == "/tmp/sw_rollup").get
+      assert(lsw.aggs.exists {
+        case RollupRouting.MaxPrefixOf(RollupRouting.ColRef("d"), ord, p) =>
+          ord == Seq("p", "d") && p == "sw_p"
+        case _ => false
+      }, s"MaxPrefixOf must round-trip: ${lsw.aggs}")
       val ltr = loaded.find(_.rollupPath == "/tmp/trunc_rollup").get
       assert(ltr.truncatedToWindowUs.contains(week),
         s"the truncation declaration must round-trip: $ltr")
