@@ -115,7 +115,7 @@ object Bench {
     val out = results.collect {
       case (name, med) if !failed.contains(name) &&
         bands.get(shortOf(name))
-          .exists(b => med / factor > 1.5 * b + 0.2) => name
+          .exists(b => !soloInBand(med / factor, b)) => name
     }
     (factor, out)
   }

@@ -37,7 +37,17 @@ private[graft] trait SeriesInput { self: UnaryExpression =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$name needs array<struct<..., measure: long>>, got $other")
   }
-  /** The measure column of each non-null element, in array order. */
+  /** The measure column of each element, in array order. A NULL
+    * MEASURE REFUSES LOUDLY (review finding, r19): the raw window
+    * spellings these kernels share oracles with keep a null-measure
+    * row's POSITION (row_number counts it, the frame sum skips it),
+    * so silently dropping it here would shift every later position
+    * and silently break the shared-oracle equivalence — the family's
+    * contract is a non-null measure (the cents expressions are
+    * null-free over the loader's schema), and a violation must
+    * surface as an error, not a hash drift. Null ELEMENTS cannot
+    * arise (collect_list and flatten skip them) but are skipped
+    * defensively. */
   def longSeries(input: Any): Array[Long] = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -49,7 +59,12 @@ private[graft] trait SeriesInput { self: UnaryExpression =>
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val row = arr.getStruct(i, width)
-        if (!row.isNullAt(width - 1)) { out(m) = row.getLong(width - 1); m += 1 }
+        if (row.isNullAt(width - 1))
+          throw new IllegalArgumentException(
+            s"$prettyName: null measure at element $i — the series " +
+              "contract is a non-null measure (a dropped element would " +
+              "silently shift positions vs the raw window spelling)")
+        out(m) = row.getLong(width - 1); m += 1
       }
       i += 1
     }

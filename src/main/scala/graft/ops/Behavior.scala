@@ -171,7 +171,7 @@ object Behavior {
     * enters the sequence, non-funnel rows as step −1 — the input the
     * `strict_order` mode needs (interfering events must be visible to
     * interrupt the chain; the base scan just skips them). */
-  private def funnelStructAll(steps: Seq[String]): Column = {
+  private[graft] def funnelStructAll(steps: Seq[String]): Column = {
     val idx = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col("event_type") === s, lit(i)).otherwise(acc)
@@ -216,10 +216,10 @@ object Behavior {
 
   /** Driver entry (q263, oracled — shares q239's positional oracle):
     * the strict_order funnel answered from the ALL-EVENTS sequence
-    * states ([[funnelAllSpec]]) — the one interference mode with a
-    * positional SQL twin gets a HASH-CHECKED state-served path (the
-    * matrix q258 is rows-only because two of its modes have no SQL
-    * spelling); the collect of [[funnelStructAll]] rewrites to flatten
+    * states ([[funnelAllSpec]]) — the first interference mode to get
+    * a HASH-CHECKED state-served path (since r19 the whole matrix
+    * q240/q258 is hash-checked too, via the recursive-fold oracle);
+    * the collect of [[funnelStructAll]] rewrites to flatten
     * of the per-(day, user) list states and the strict-order scan runs
     * over the merged sequence. */
   def windowFunnelStrictOrderFromStates(spark: SparkSession,
@@ -251,8 +251,9 @@ object Behavior {
     * at the earliest valid next step only if NO already-matched step
     * value recurs strictly between the previous advance and it — the
     * DuckDB oracle spells exactly that with per-level min-position
-    * CTEs, so this mode is HASH-CHECKED (the mode matrix q240/q258
-    * stays rows-only only for the modes SQL cannot spell). */
+    * CTEs, so this mode is HASH-CHECKED (and since r19 the full
+    * matrix q240/q258 is too — the recursive-fold oracle spells even
+    * the modes positional SQL cannot). */
   def windowFunnelStrictDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L
     funnelLevelsAll(Tables.events(spark, sfDir),

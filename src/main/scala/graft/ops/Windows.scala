@@ -53,7 +53,6 @@ object Windows {
     * (ts, event_id) is a total order, so the lag — and therefore
     * every delta — is deterministic. */
   def deltaSumPerUser(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = round(col("value") * 100).cast("long")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, sfDir)
@@ -75,7 +74,6 @@ object Windows {
     * re-sorts by (ts, event_id) explicitly: collect_list order is not
     * guaranteed after a shuffle. */
   def movingSumPerUser(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = round(col("value") * 100).cast("long")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, Window.currentRow)
@@ -417,11 +415,13 @@ object Windows {
     * types sized at ANY fact volume. */
   def sweepPeakSpec(dir: String): graft.plans.RollupRouting.Spec = {
     import graft.plans.RollupRouting._
+    // deliberately NO CountStarTo: the build input is the ±1 POINT
+    // frame (two rows per event), so a c_p here would serve a
+    // transparent count(*) dashboard DOUBLED — the spec carries only
+    // the explicit-read member, and routing never consumes it
     Spec("events.parquet", dir, grain = "day", timeCol = "p",
       keyCols = Map("event_type" -> "event_type"),
-      aggs = Seq(
-        MaxPrefixOf(ColRef("d"), Seq("p", "d"), "sw_p"),
-        CountStarTo("c_p")))
+      aggs = Seq(MaxPrefixOf(ColRef("d"), Seq("p", "d"), "sw_p")))
   }
 
   /** Driver entry (q293, oracled — shares q291's oracle): the sweep

@@ -1947,7 +1947,11 @@ object RollupRouting {
           case a: Alias if a.exists {
             case _: CollectList => true; case _ => false } => a.exprId
         }.toSet
-        if (tracked.isEmpty) true
+        // a truncated directory serves ONLY whitelisted list reads: an
+        // aggregate with no collect at all (a count(*) dashboard —
+        // whose c_p counted KEPT rows, not the fact's) must refuse too,
+        // not sail through with nothing tracked
+        if (tracked.isEmpty) false
         else {
           // propagate through pass-through aliases to a fixpoint so a
           // `select(col("seq"))` re-projection cannot launder a
@@ -1986,7 +1990,10 @@ object RollupRouting {
             case ar: AttributeReference => !tracked(ar.exprId)
             case other => other.children.forall(safe)
           }
-          var ok = true
+          // a tracked sequence ESCAPING as a plan output is a raw
+          // export of (possibly truncated) state — refuse even though
+          // no expression "consumes" it
+          var ok = !root.output.exists(a => tracked(a.exprId))
           root.foreach(n => ok &&= n.expressions.forall(safe))
           ok
         }

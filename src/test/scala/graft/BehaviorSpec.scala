@@ -785,6 +785,23 @@ class BehaviorSpec extends AnyFunSuite {
       val okPlan = ok.queryExecution.executedPlan.toString
       assert(okPlan.contains("rollup") && !okPlan.contains("events.parquet"),
         s"the windowed family must still route:\n$okPlan")
+      // review finding (r19): a COUNT(*)-only dashboard must refuse
+      // too — the truncated build's c_p counted KEPT rows, and with no
+      // collect in the aggregate there is nothing to whitelist
+      val cnt = corpus.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val cntPlan = cnt.queryExecution.executedPlan.toString
+      assert(cntPlan.contains("events.parquet") && !cntPlan.contains("rollup"),
+        s"a no-collect aggregate must never read a truncated dir:\n$cntPlan")
+      // and a RAW EXPORT of the collected sequence (no consumer at
+      // all — the seq escapes as plan output) must refuse as well;
+      // the collect IS the registered pattern, so absent the gate it
+      // would route
+      val export = corpus.groupBy($"user_id")
+        .agg(sort_array(collect_list(
+          ops.Behavior.funnelStructAll(ops.Behavior.FunnelSteps))).as("seq"))
+      val exPlan = export.queryExecution.executedPlan.toString
+      assert(exPlan.contains("events.parquet") && !exPlan.contains("rollup"),
+        s"an escaping sequence must never come from a truncated dir:\n$exPlan")
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()

@@ -308,5 +308,18 @@ class ExprSpec extends AnyFunSuite {
         Bridge.expressionEager($"seq"), 3))).collect()
     }
     assert(err.getMessage.contains("measure"), err.getMessage)
+    // null-measure contract (r19 review finding): a dropped element
+    // would silently shift positions vs the raw window spelling the
+    // kernels share oracles with — refuse loudly instead
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("event_id", "c")
+      .agg(sort_array(collect_list(struct($"event_id", $"c"))).as("seq"))
+    val nullErr = intercept[Exception] {
+      withNull.select(Bridge.column(MovingSumCsv(
+        Bridge.expressionEager($"seq"), 3))).collect()
+    }
+    assert(nullErr.getMessage.contains("null measure") ||
+      Option(nullErr.getCause).exists(_.getMessage.contains("null measure")),
+      s"a null measure must refuse loudly: ${nullErr.getMessage}")
   }
 }
