@@ -286,7 +286,7 @@ object RollupRouting {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           resolve(u.name).getOrElse { ok = false; u }
       }
-      if (ok) Some(r) else None
+      if (ok) Some(ExprPat.coerceLiterals(r)) else None
     }
     def refs: Set[String] = expr.collect {
       case a: AttributeReference => a.name
@@ -294,6 +294,30 @@ object RollupRouting {
     }.toSet
   }
   object ExprPat {
+    /** r19 (found by the cents-sequence hybrid tail): a registered
+      * pattern like `col("value") * 100` stores an INT literal beside
+      * a DOUBLE column — the ANALYZER coerces the query's own copy,
+      * but [[ExprPat.rebuild]] re-roots the raw tree over scan
+      * attributes with no analysis pass, so the tail aggregate came
+      * out UNRESOLVED and plan validation failed the whole read.
+      * Upcast foldable literals to the other operand's type where the
+      * cast is provably value-preserving (`Cast.canUpCast`) — exactly
+      * the analyzer's own widening for these shapes; anything it
+      * cannot fix stays unresolved and [[RuleImpl.apply]]'s resolved
+      * guard falls the read back to live instead of crashing. */
+    private[plans] def coerceLiterals(e: Expression): Expression = e.transformUp {
+      case b: BinaryOperator
+          if b.left.resolved && b.right.resolved &&
+             b.left.dataType != b.right.dataType =>
+        (b.left, b.right) match {
+          case (l, lit: Literal) if Cast.canUpCast(lit.dataType, l.dataType) =>
+            b.withNewChildren(Seq(l, Cast(lit, l.dataType)))
+          case (lit: Literal, r) if Cast.canUpCast(lit.dataType, r.dataType) =>
+            b.withNewChildren(Seq(Cast(lit, r.dataType), r))
+          case _ => b
+        }
+    }
+
     /** Registration surface: a DataFrame-API `Column`, e.g.
       * `ExprPat(col("l_extendedprice") * (lit(1) + col("l_tax")))`.
       * The classic Column DSL encodes operators as unresolved function
@@ -2054,7 +2078,13 @@ object RollupRouting {
               .minByOption { case (s, _) => rollupSizeBytes(s.rollupPath) }
               .map(_._2)
           else None
-        }.getOrElse(agg)
+        }
+          // r19 safety net: a rewrite that came out unresolved (a
+          // rebuilt tail expression the coercion above could not fix)
+          // must FALL BACK to the live plan, never crash the query at
+          // plan validation
+          .filter(_.resolved)
+          .getOrElse(agg)
     }
 
     // ——— join-derived rollups: registry-driven matching ———

@@ -4098,6 +4098,45 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild-only"), e.getMessage)
   }
 
+  test("r19 cents-sequence states STREAM-MAINTAIN (T5): the moving " +
+       "family served from micro-batch-appended list partials equals " +
+       "the batch answer, before and after compaction") {
+    import graft.ops.{Rollups, Windows}
+    val base = java.nio.file.Files.createTempDirectory("graft_centsstream")
+    val spec = Windows.centsSeqSpec(base.resolve("centsstream").toString)
+    val events = Tables.events(spark, sf)
+    val srcDir = base.resolve("deliveries").toString
+    // mid-day cut: (day, user) groups SPLIT across micro-batches, so
+    // the read must flatten-merge multiple list partials per group
+    val cut = lit("2024-01-15 12:00:00").cast("timestamp")
+    events.filter($"ts" < cut).write.mode("append").parquet(srcDir)
+    events.filter($"ts" >= cut).write.mode("append").parquet(srcDir)
+    graft.streaming.Live.maintainRollup(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir), spec)
+    val msTruth = Windows.movingSumsOverSeq(events).collect().toSeq
+    val emaTruth = Windows.emaOverSeq(events).collect().toSeq
+    RollupRouting.register(spec)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val ms = Windows.movingSumsOverSeq(Tables.events(spark, sf))
+      assert(ms.queryExecution.executedPlan.toString.contains("centsstream"),
+        "the stream-maintained sequence rollup must answer")
+      assert(ms.collect().toSeq == msTruth,
+        "moving sums over stream-maintained list states must equal batch " +
+          "(sort_array re-canonicalizes the flatten-merged multiset)")
+      assert(Windows.emaOverSeq(Tables.events(spark, sf)).collect().toSeq
+               == emaTruth, "the EMA fold must equal batch too")
+      Rollups.compactRollup(spark, spec)
+      assert(Windows.movingSumsOverSeq(Tables.events(spark, sf))
+               .collect().toSeq == msTruth,
+        "compaction (flatten-of-lists merge) must not change the answer")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("r19 cents-sequence states ROUTE the moving family (plan " +
        "assertion): the collect rewrites to flatten of list states, " +
        "the fact is never scanned") {
