@@ -777,6 +777,13 @@ object SparkEntry {
     // has no such member by proof — offset-dependent level measure —
     // and stays an honest scan, like ClickHouse's)
     "q293_max_intersections_from_states" -> (Windows.maxIntersectionsFromStates _),
+    // r19: ClickHouse's statistical-test aggregates — welchTTest +
+    // studentTTest over two event-type cohorts, from six conditional
+    // exact-decimal sums (the moments vocabulary); the routed twin
+    // reads ONE grainless state row (p-value omitted: no cross-engine
+    // bit-stable CDF — documented divergence)
+    "q294_ab_tests" -> (ops.Moments.abTests _),
+    "q295_ab_tests_routed" -> (ops.Moments.abTestsRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2591,6 +2598,8 @@ object SparkEntry {
     // double arithmetic — hash-stable where native var_samp is not
     "q224_moments" -> momentsSql,
     "q225_moments_advised" -> momentsSql,
+    "q294_ab_tests" -> abTestsSql,
+    "q295_ab_tests_routed" -> abTestsSql,
     // WITH FILL: the same spine via generate_series, the same carry
     // via an IGNORE NULLS running window
     "q226_gap_fill" ->
@@ -3360,6 +3369,49 @@ object SparkEntry {
              sqrt((ss_q - s_q*s_q/$nD) * (ss_d - s_d*s_d/$nD))
          END AS corr_qty_disc
        FROM m ORDER BY l_returnflag"""
+  }
+
+  /** welchTTest + studentTTest (q294/q295): the two t statistics and
+    * their degrees of freedom from six conditional exact-decimal sums
+    * — every double op in the IDENTICAL order as the engine's
+    * arithmetic, so the report hash-matches (1e0 literals keep DuckDB
+    * in double). */
+  private lazy val abTestsSql = {
+    def csum(cond: String, e: String) =
+      s"CAST(SUM(CAST(CASE WHEN $cond THEN $e END AS DECIMAL(38,6))) AS DOUBLE)"
+    s"""WITH a AS (
+         SELECT
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n1,
+           ${csum("event_type = 'view'", "value")} AS s1,
+           ${csum("event_type = 'view'", "value*value")} AS ss1,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+           ${csum("event_type = 'click'", "value")} AS s2,
+           ${csum("event_type = 'click'", "value*value")} AS ss2
+         FROM events),
+       b AS (SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d,
+               CAST(n2 AS DOUBLE) AS n2d, s1, ss1, s2, ss2 FROM a),
+       c AS (SELECT n1, n2, n1d, n2d,
+               s1 / n1d AS m1, s2 / n2d AS m2,
+               (ss1 - s1*s1/n1d) / (n1d - 1) AS v1,
+               (ss2 - s2*s2/n2d) / (n2d - 1) AS v2
+             FROM b),
+       d AS (SELECT n1, n2, n1d, n2d, m1, m2, v1, v2,
+               v1 / n1d AS se1, v2 / n2d AS se2 FROM c)
+       SELECT 'student' AS test, n1, n2, m1 AS mean_a, m2 AS mean_b,
+         CASE WHEN n1 > 1 AND n2 > 1 THEN (m1 - m2) /
+           sqrt((((n1d - 1) * v1 + (n2d - 1) * v2) / (n1d + n2d - 2))
+                * (1e0 / n1d + 1e0 / n2d)) END AS t_stat,
+         CASE WHEN n1 > 1 AND n2 > 1 THEN n1d + n2d - 2 END AS df
+       FROM d
+       UNION ALL
+       SELECT 'welch', n1, n2, m1, m2,
+         CASE WHEN n1 > 1 AND n2 > 1
+           THEN (m1 - m2) / sqrt(se1 + se2) END,
+         CASE WHEN n1 > 1 AND n2 > 1
+           THEN (se1 + se2) * (se1 + se2) /
+                (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1)) END
+       FROM d
+       ORDER BY test"""
   }
 
   private lazy val rollupDashboardSql =

@@ -88,4 +88,97 @@ object Moments {
       s"advisor unexpectedly skipped: ${advice.skipped}")
     graft.plans.Advisor.runRouted(spark, advice) { momentsRaw(spark, sfDir) }
   }
+
+  /** The A/B test cohorts — ONE definition shared by the raw read,
+    * the spec registration, and (through both) the oracle's CASE
+    * spellings. */
+  private def isA = col("event_type") === "view"
+  private def isB = col("event_type") === "click"
+
+  /** Driver entry (q294, oracled): ClickHouse's `welchTTest` and
+    * `studentTTest` (round 19) — the A/B statistical tests over the
+    * value distributions of two event-type cohorts, from the SAME six
+    * conditional exact-decimal sums the moments family runs on
+    * (n, Σx, Σx² per cohort — `-If` measures, q211's vocabulary):
+    * Welch's unequal-variance t with Welch–Satterthwaite degrees of
+    * freedom, and Student's pooled-variance t with n₁+n₂−2. Every
+    * input is a mergeable sum, so the tests route through an ordinary
+    * grainless conditional-sum registration ([[abTestsRouted]]) — the
+    * A/B dashboard reads ONE state row at any fact volume, which is
+    * exactly what ClickHouse's dedicated welchTTest state buys.
+    * DIVERGENCE, honestly stated: ClickHouse also returns the
+    * p-value; the t→p CDF (incomplete beta) has no cross-engine
+    * bit-stable spelling, so this report returns (t, df) and leaves
+    * the CDF to the consumer. */
+  def abTests(spark: SparkSession, sfDir: String): DataFrame =
+    abTestsOver(Tables.events(spark, sfDir))
+
+  private[graft] def abTestsOver(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(when(isA, 1)).as("n1"),
+      Fns.dsum(when(isA, col("value"))).as("s1"),
+      Fns.dsum(when(isA, col("value") * col("value"))).as("ss1"),
+      count(when(isB, 1)).as("n2"),
+      Fns.dsum(when(isB, col("value"))).as("s2"),
+      Fns.dsum(when(isB, col("value") * col("value"))).as("ss2"))
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    val m1 = col("s1") / n1
+    val m2 = col("s2") / n2
+    // sample variances from the exact sums (the q224 numerical note
+    // applies — and the SAME expression order is spelled in the
+    // oracle, so every double is bit-identical)
+    val v1 = (col("ss1") - col("s1") * col("s1") / n1) / (n1 - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / n2) / (n2 - 1)
+    val se1 = v1 / n1
+    val se2 = v2 / n2
+    val welchT = (m1 - m2) / sqrt(se1 + se2)
+    val welchDf = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    val studentT = (m1 - m2) / sqrt(sp2 * (lit(1.0d) / n1 + lit(1.0d) / n2))
+    val guard = col("n1") > 1 && col("n2") > 1
+    agg
+      .select(col("n1"), col("n2"), m1.as("mean_a"), m2.as("mean_b"),
+        explode(array(
+          struct(lit("student").as("test"),
+            when(guard, studentT).as("t_stat"),
+            when(guard, n1 + n2 - 2).as("df")),
+          struct(lit("welch").as("test"),
+            when(guard, welchT).as("t_stat"),
+            when(guard, welchDf).as("df")))).as("r"))
+      .select(col("r.test").as("test"), col("n1"), col("n2"),
+        col("mean_a"), col("mean_b"), col("r.t_stat").as("t_stat"),
+        col("r.df").as("df"))
+      .orderBy("test")
+  }
+
+  /** The GRAINLESS conditional-sum registration behind the A/B tests:
+    * one global state row carrying the six `-If` partials. */
+  def abSpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "all", timeCol = "ts",
+      keyCols = Map.empty,
+      aggs = Seq(
+        CountOf(ExprPat(when(isA, lit(1))), "n1_p"),
+        SumOf(ExprPat(when(isA, col("value"))), "s1_p"),
+        SumOf(ExprPat(when(isA, col("value") * col("value"))), "ss1_p"),
+        CountOf(ExprPat(when(isB, lit(1))), "n2_p"),
+        SumOf(ExprPat(when(isB, col("value"))), "s2_p"),
+        SumOf(ExprPat(when(isB, col("value") * col("value"))), "ss2_p")))
+  }
+
+  /** Driver entry (q295, oracled — shares q294's oracle): the SAME
+    * A/B report ROUTED through the registered grainless state row —
+    * the six conditional sums rewrite onto partials, the test
+    * arithmetic rides above, and the fact is never scanned. */
+  def abTestsRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "ab_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), abSpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(abSpec(dir))) {
+      abTestsOver(Tables.events(spark, sfDir))
+    }
+  }
 }

@@ -4184,6 +4184,31 @@ class RollupRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("r19 A/B statistical tests route through the grainless " +
+       "conditional-sum state row: plan asserted, bit-equal to live") {
+    import graft.ops.Moments
+    val corpus = Tables.events(spark, sf)
+    val live = Moments.abTestsOver(corpus).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab19")
+      .resolve("abrollup").toString
+    RollupRouting.buildPartials(corpus, Moments.abSpec("unused"))
+      .write.parquet(dir)
+    RollupRouting.register(Moments.abSpec(dir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      val r = Moments.abTestsOver(corpus)
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.contains("abrollup") && !plan.contains("events.parquet"),
+        s"the six conditional sums must rewrite onto the state row:\n$plan")
+      assert(r.collect().toSeq == live,
+        "routed t statistics must be BIT-equal to live (exact decimal " +
+          "partials; identical IEEE op order above the aggregate)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("r19 registry persistence round-trips DeltaSumOf and the " +
        "truncatedToWindowUs declaration") {
     val week = 7L * 24 * 3600 * 1000000L
