@@ -784,6 +784,12 @@ object SparkEntry {
     // bit-stable CDF — documented divergence)
     "q294_ab_tests" -> (ops.Moments.abTests _),
     "q295_ab_tests_routed" -> (ops.Moments.abTestsRouted _),
+    // r19: mannWhitneyUTest completes the rank-test trio — integer-
+    // exact tie-averaged rank sums (no double until the final
+    // statistics), the cumulative count via the DISTRIBUTED prefix;
+    // the routed twin reads the per-value histogram states
+    "q296_mann_whitney" -> (ops.Moments.mannWhitney _),
+    "q297_mann_whitney_routed" -> (ops.Moments.mannWhitneyRouted _),
   )
 
   // Shared SQL fragments — single source of truth with the DataFrame side.
@@ -2600,6 +2606,8 @@ object SparkEntry {
     "q225_moments_advised" -> momentsSql,
     "q294_ab_tests" -> abTestsSql,
     "q295_ab_tests_routed" -> abTestsSql,
+    "q296_mann_whitney" -> mannWhitneySql,
+    "q297_mann_whitney_routed" -> mannWhitneySql,
     // WITH FILL: the same spine via generate_series, the same carry
     // via an IGNORE NULLS running window
     "q226_gap_fill" ->
@@ -3413,6 +3421,45 @@ object SparkEntry {
        FROM d
        ORDER BY test"""
   }
+
+  /** mannWhitneyUTest (q296/q297): tie-averaged rank sums stay
+    * INTEGER until the final statistics — rank of a value run =
+    * (2·cum − cnt + 1)/2, so 2·R₁ = Σ n1_v·(2·cum − cnt + 1) sums in
+    * HUGEINT (the engine's DECIMAL(38,0)); the z arithmetic mirrors
+    * the engine's IEEE op order. */
+  private lazy val mannWhitneySql =
+    """WITH pv AS (
+         SELECT value,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n1_v,
+           COUNT(CASE WHEN event_type = 'view'
+                        OR event_type = 'click' THEN 1 END) AS cnt
+         FROM events GROUP BY value
+         HAVING COUNT(CASE WHEN event_type = 'view'
+                             OR event_type = 'click' THEN 1 END) > 0),
+       c AS (
+         SELECT n1_v, cnt,
+           SUM(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+         FROM pv),
+       a AS (
+         SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                CAST(SUM(cnt - n1_v) AS BIGINT) AS n2,
+                SUM(n1_v * (2 * cum - cnt + 1)) AS r2x,
+                SUM(cnt * cnt * cnt - cnt) AS ties
+         FROM c),
+       f AS (
+         SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                CAST(r2x AS DOUBLE) / 2e0 AS r1, CAST(ties AS DOUBLE) AS tD
+         FROM a)
+       SELECT n1, n2,
+         r1 - n1d * (n1d + 1e0) / 2e0 AS u1,
+         n1d * n2d - (r1 - n1d * (n1d + 1e0) / 2e0) AS u2,
+         CASE WHEN n1d * n2d / 12e0 * (((n1d + n2d) + 1e0)
+                - tD / ((n1d + n2d) * ((n1d + n2d) - 1e0))) > 0
+           THEN ((r1 - n1d * (n1d + 1e0) / 2e0) - n1d * n2d / 2e0)
+                / sqrt(n1d * n2d / 12e0 * (((n1d + n2d) + 1e0)
+                    - tD / ((n1d + n2d) * ((n1d + n2d) - 1e0))))
+         END AS z
+       FROM f"""
 
   private lazy val rollupDashboardSql =
     s"""SELECT CAST(ts AS DATE) AS day, user_id,

@@ -181,4 +181,93 @@ object Moments {
       abTestsOver(Tables.events(spark, sfDir))
     }
   }
+
+  /** Driver entry (q296, oracled): ClickHouse's `mannWhitneyUTest`
+    * (round 19) — the RANK test completing the statistical trio. Over
+    * the combined view/click value sample: tie-averaged ranks, the
+    * cohort rank sum, U₁/U₂, and the tie-corrected normal
+    * approximation z.
+    *
+    * Exactness by construction: the tie-averaged rank of a value
+    * whose run starts after `cum − cnt` predecessors is
+    * `(2·cum − cnt + 1)/2` — an INTEGER numerator — so the rank sum
+    * is Σ n1_v·(2·cum − cnt + 1) over per-value LONGs, summed in
+    * DECIMAL(38,0): no double enters until the final statistics,
+    * whose op order the oracle mirrors, so z hash-matches bit-for-bit
+    * (a per-row double rank sum would be summation-order-dependent
+    * and could never hash). Tie correction Σ(cnt³ − cnt) likewise
+    * integer-exact.
+    *
+    * Scale shape: ONE aggregate to per-VALUE counts (cardinality =
+    * distinct values, not rows), then [[GlobalRank.withRunningTotal]]
+    * for the cumulative count over value order — the distributed
+    * prefix (an unpartitioned window here would single-task the
+    * value domain), then a second tiny aggregate. ClickHouse computes
+    * the same test scan-time. DIVERGENCE, honestly stated: the
+    * p-value (normal CDF of z) is left to the consumer like q294's. */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitneyOver(Tables.events(spark, sfDir))
+
+  private[graft] def mannWhitneyOver(events: DataFrame): DataFrame = {
+    // the cohort restriction lives ABOVE the aggregate (a HAVING over
+    // the combined count), never as a scan filter — a pre-aggregate
+    // filter on event_type would block the grainless value-histogram
+    // rewrite (event_type is not a spec key), and the stored
+    // conditional partials already carry the cohort split
+    val perValue = events
+      .groupBy(col("value"))
+      .agg(count(when(isA, 1)).as("n1_v"),
+           count(when(isA || isB, 1)).as("cnt"))
+      .filter(col("cnt") > 0)
+    val cum = GlobalRank.withRunningTotal(
+      perValue, Seq(col("value")), col("cnt"), "__cum")
+      .withColumn("cumL", col("__cum").cast("long"))
+    val term = col("n1_v") * (lit(2L) * col("cumL") - col("cnt") + 1)
+    val agg = cum.agg(
+      sum(col("n1_v")).as("n1"),
+      sum(col("cnt") - col("n1_v")).as("n2"),
+      sum(term.cast("decimal(38,0)")).as("r2x"), // 2·R1, exact
+      sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .cast("decimal(38,0)")).as("ties"))
+    val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
+    val nD = n1d + n2d
+    val r1 = col("r2x").cast("double") / 2.0d
+    val u1 = r1 - n1d * (n1d + 1.0d) / 2.0d
+    val mu = n1d * n2d / 2.0d
+    val tcorr = col("ties").cast("double") / (nD * (nD - 1.0d))
+    val varU = n1d * n2d / 12.0d * ((nD + 1.0d) - tcorr)
+    agg.select(col("n1"), col("n2"), u1.as("u1"),
+        (n1d * n2d - u1).as("u2"),
+        when(varU > 0, (u1 - mu) / sqrt(varU)).as("z"))
+  }
+
+  /** The per-VALUE conditional-count registration behind the rank
+    * test: a grainless spec keyed by the measure value itself — the
+    * "value histogram MV" (state cardinality = the value domain, not
+    * the fact). */
+  def mannWhitneySpec(dir: String): graft.plans.RollupRouting.Spec = {
+    import graft.plans.RollupRouting._
+    Spec("events.parquet", dir, grain = "all", timeCol = "ts",
+      keyCols = Map("value" -> "value"),
+      aggs = Seq(
+        CountOf(ExprPat(when(isA, lit(1))), "n1v_p"),
+        CountOf(ExprPat(when(isA || isB, lit(1))), "nab_p")))
+  }
+
+  /** Driver entry (q297, oracled — shares q296's oracle): the rank
+    * test ROUTED — the per-value inner aggregate rewrites onto the
+    * registered value-histogram states (the fact is never scanned;
+    * the scan is value-domain-sized) and the distributed rank pass
+    * rides above; the cohort HAVING filters state rows, not the
+    * fact. */
+  def mannWhitneyRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StarJoins.scratch(sfDir, "mw_rollup")
+    StarJoins.ensureRollup(spark, dir) {
+      graft.plans.RollupRouting.buildPartials(
+        Tables.events(spark, sfDir), mannWhitneySpec("unused"))
+    }
+    Rollups.withRoutingSpecs(spark, Seq(mannWhitneySpec(dir))) {
+      mannWhitneyOver(Tables.events(spark, sfDir))
+    }
+  }
 }

@@ -4207,6 +4207,36 @@ class RollupRoutingSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
     }
+    // the rank test routes through the per-VALUE histogram states:
+    // its inner aggregate groups by the measure value itself, the
+    // cohort HAVING filters state rows, and the distributed rank pass
+    // rides above
+    val mwLive = Moments.mannWhitneyOver(corpus).collect().toSeq
+    val mwDir = java.nio.file.Files.createTempDirectory("graft_mw19")
+      .resolve("mwrollup").toString
+    RollupRouting.buildPartials(corpus, Moments.mannWhitneySpec("unused"))
+      .write.parquet(mwDir)
+    RollupRouting.register(Moments.mannWhitneySpec(mwDir))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.RuleImpl(spark))
+    try {
+      // the full read's executed plan is truncated at GlobalRank's
+      // checkpointed layout, so the routing assertion targets the
+      // INNER per-value aggregate (the only fact-touching stage)
+      val inner = corpus.groupBy($"value")
+        .agg(count(when($"event_type" === "view", 1)).as("n1_v"),
+             count(when($"event_type" === "view" ||
+                        $"event_type" === "click", 1)).as("cnt"))
+        .filter($"cnt" > 0)
+      val plan = inner.queryExecution.executedPlan.toString
+      assert(plan.contains("mwrollup") && !plan.contains("events.parquet"),
+        s"the value histogram must serve the rank test's inner " +
+          s"aggregate:\n$plan")
+      assert(Moments.mannWhitneyOver(corpus).collect().toSeq == mwLive,
+        "routed U/z must be BIT-equal to live (integer rank sums)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
   }
 
   test("r19 registry persistence round-trips DeltaSumOf and the " +
