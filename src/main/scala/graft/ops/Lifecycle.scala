@@ -49,6 +49,28 @@ object Lifecycle {
         (spec.keyCols.keys.toSeq.sorted :+ spec.timeCol).map(col): _*)
       .write.mode("overwrite").partitionBy("day").parquet(outDir)
 
+  /** [[writeDayPartitionedLake]] tuned for a WIDE day range (r19,
+    * guide §6/§2.4). One measured change, same layout / files / rows:
+    * the within-task sort leads with `day`, so the writer's required
+    * ordering (partition columns first) is met by OUR sort instead of
+    * a second planner-inserted day-sort above it, and the within-day
+    * (keys, time) clustering is deterministic rather than left to the
+    * inserted sort's stability. (Committer algorithm v2 was ALSO
+    * trialed here; an interleaved same-JVM A/B showed its apparent
+    * 2× win was ambient I/O drift — v2 never beat v1 interleaved, so
+    * the committer stays at the v1 default everywhere.)
+    * Kept separate from the 3-arg overload: the q160 calibration
+    * sentinel runs through that one, and a sentinel that speeds up
+    * re-calibrates the yardstick the bench normalizes with. */
+  def writeDayPartitionedLakeFast(df: DataFrame,
+                                  spec: graft.plans.RollupRouting.Spec,
+                                  outDir: String): Unit =
+    df.withColumn("day", to_date(col(spec.timeCol).cast("timestamp")))
+      .repartition(col("day"))
+      .sortWithinPartitions(
+        ("day" +: spec.keyCols.keys.toSeq.sorted :+ spec.timeCol).map(col): _*)
+      .write.mode("overwrite").partitionBy("day").parquet(outDir)
+
   /** TTL AGGREGATION on expiry — ClickHouse's `TTL … GROUP BY` idea:
     * raw rows older than the cutoff age OUT of the lake INTO the daily
     * partial rollup, so aggregate history survives after the raw
@@ -86,7 +108,25 @@ object Lifecycle {
     * routing, and compaction as spec-driven lifecycle stages. */
   def expireIntoRollup(spark: SparkSession, lakeDir: String,
                        spec: graft.plans.RollupRouting.Spec,
-                       cutoffUs: Long): Seq[String] = {
+                       cutoffUs: Long): Seq[String] =
+    expireIntoRollup(spark, lakeDir, spec, cutoffUs, writeTasks = -1)
+
+  /** [[expireIntoRollup]] with an explicit writer-task count for the
+    * aged-out partial block (r19, guide §2.2). The block is a
+    * day-grained AGGREGATE of the expired slice — calendar×key-sized,
+    * a few MB per half-year at fixture scale — yet inherits
+    * `spark.sql.shuffle.partitions` writer tasks, and this write is a
+    * dynamic partition overwrite, where the committer's job-commit
+    * merge walks every (task × day) staging output sequentially on
+    * the driver — so fewer staging outputs is the lever here
+    * (interleaved A/B: 8 writer tasks ≥ 32 ≥ 1, so size, don't
+    * serialize). `writeTasks > 0` repartitions the partials by day to that
+    * many tasks; `-1` keeps the original plan, which the q160 sentinel
+    * runs through. Callers size it from the partial block, so at any
+    * scale parallelism follows the aggregate's size, not a constant. */
+  def expireIntoRollup(spark: SparkSession, lakeDir: String,
+                       spec: graft.plans.RollupRouting.Spec,
+                       cutoffUs: Long, writeTasks: Int): Seq[String] = {
     val rollupDir = spec.rollupPath
     require(spec.grain == "day",
       s"TTL expiry is day-partition-granular, got grain ${spec.grain}")
@@ -118,7 +158,9 @@ object Lifecycle {
     val slice = lake.filter(
       col("day") >= lit(prevDate.toString).cast("date") &&
       col("day") < lit(cutoffDate.toString).cast("date"))
-    graft.plans.RollupRouting.buildPartials(slice.drop("day"), spec)
+    val partials = graft.plans.RollupRouting.buildPartials(slice.drop("day"), spec)
+    (if (writeTasks > 0) partials.repartition(writeTasks, col("day"))
+     else partials)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(rollupDir)
@@ -181,7 +223,7 @@ object Lifecycle {
     // pure small-file overhead at fixture scale (a cluster lake holds
     // years of day partitions as a matter of course); the queried
     // window, and therefore the oracle, is unchanged
-    writeDayPartitionedLake(
+    writeDayPartitionedLakeFast(
       graft.Tables.orders(spark, sfDir)
         .filter(col("o_orderdate").cast("timestamp") >=
                   lit("1997-01-01 00:00:00").cast("timestamp") &&
@@ -190,7 +232,16 @@ object Lifecycle {
       spec, lakeDir)
     val cutoffUs =
       java.time.Instant.parse("1997-07-01T00:00:00Z").toEpochMilli * 1000L
-    expireIntoRollup(spark, lakeDir, spec, cutoffUs)
+    // the aged-out block is a (day, custkey) aggregate of half a year —
+    // size its dynamic-overwrite write stage from the block's bytes
+    // (≈1 task per 64 MB, never fewer than 8 — the interleaved sweep's
+    // best point — while the range spans months) instead of the 32
+    // session shuffle partitions
+    val lake = spark.read.parquet(lakeDir)
+    val expireTasks = math.max(8,
+      (lake.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(64L << 20))
+        .min(BigInt(2048)).toInt)
+    expireIntoRollup(spark, lakeDir, spec, cutoffUs, writeTasks = expireTasks)
     Rollups.withRoutingSpecs(spark, Seq(spec)) {
       spark.read.parquet(lakeDir)
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))

@@ -1536,6 +1536,11 @@ object Rollups {
       .distinct().collect().map(_.getDate(0)).toSeq
     if (staleDays.nonEmpty)
       dailyPartialsOf(updatedBase.filter(to_date(col("ts")).isInCollection(staleDays)))
+        // r19 (guide §2.2): the rebuilt block covers only the stale
+        // days' partials — writer tasks bounded by the stale-day
+        // count beat 32 near-empty task commits under the
+        // dynamic-overwrite staging protocol
+        .repartition(math.min(staleDays.size, 8), col("day"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(rollupDir)
