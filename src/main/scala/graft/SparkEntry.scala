@@ -39,7 +39,10 @@ object SparkEntry {
     "q90_uniq_approx"    -> (Rollups.uniqUsersApprox _),
     "q89_topk_sketch"    -> (Rollups.topUsersSketch _),
     // — star-schema joins (added capability, SURVEY §2.3) —
-    "q16_revenue_segment" -> (StarJoins.revenueBySegment _),
+    // r19: pre-aggregated plan shape (same oracle — StarJoinsSpec-free
+    // proof is the shared revenueSegmentSql hash); the classic routable
+    // join shape remains declared via q143–q145/q152/q171
+    "q16_revenue_segment" -> (StarJoins.revenueBySegmentPreAgg _),
     "q17_top_customers"   -> (StarJoins.topCustomers _),
     "q18_semi_join"       -> (StarJoins.semiJoin _),
     "q19_anti_join"       -> (StarJoins.antiJoin _),

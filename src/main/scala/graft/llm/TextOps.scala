@@ -187,16 +187,22 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = docsIn
     def trigrams(set: DataFrame): DataFrame = set
-      .repartition(spark.sparkContext.defaultParallelism)
       // a 400-char prefix carries the distributional signal; capping
       // bounds the explode factor and de-skews long documents. The
       // sliding window is pure position arithmetic, so it stays in
       // codegen'd expressions (explode over an index sequence + one
       // substr per position) — the earlier typed mapPartitions form
       // paid tuple encode/decode on every exploded row, which at ~400
-      // trigrams per doc was the whole cost of the classifier
+      // trigrams per doc was the whole cost of the classifier.
+      // r19 (guide §2.3/§2.5): project to the 400-char prefix BEFORE
+      // the parallelism repartition (the exchange used to carry the
+      // full text), and hash-partition by doc_id instead of
+      // round-robin — keyless repartition pays a local
+      // sort-before-repartition pass (SPARK-23207) that a
+      // deterministic key skips, and doc_id spreads evenly
       .select(col("doc_id"), col("lang"),
               lower(substring(col("text"), 1, 400)).as("s"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("s"),
               explode(when(length(col("s")) >= 3,
                            sequence(lit(1), length(col("s")) - 2))
@@ -214,10 +220,14 @@ object TextOps {
     val scores = test.join(broadcast(profiles), Seq("tg"))
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(count(lit(1)).as("hits"))
-    val best = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("cand"))
-    scores.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-      .groupBy(col("lang"), col("cand").as("predicted"))
+    // r19 (guide §2.4/§1.2): per-doc argmax as a HASH aggregate —
+    // min(struct(-hits, cand)) picks exactly the row_number()-over-
+    // (hits DESC, cand ASC) winner (cand is unique within a doc, so
+    // the order is total), replacing the window's exchange+sort with
+    // a partially-aggregated hash exchange
+    scores.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("hits")).as("nh"), col("cand"))).as("best"))
+      .groupBy(col("lang"), col("best").getField("cand").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
   }

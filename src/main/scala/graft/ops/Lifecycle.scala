@@ -233,14 +233,16 @@ object Lifecycle {
     val cutoffUs =
       java.time.Instant.parse("1997-07-01T00:00:00Z").toEpochMilli * 1000L
     // the aged-out block is a (day, custkey) aggregate of half a year —
-    // size its dynamic-overwrite write stage from the block's bytes
+    // size its dynamic-overwrite write stage from the lake's bytes
     // (≈1 task per 64 MB, never fewer than 8 — the interleaved sweep's
     // best point — while the range spans months) instead of the 32
-    // session shuffle partitions
-    val lake = spark.read.parquet(lakeDir)
-    val expireTasks = math.max(8,
-      (lake.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(64L << 20))
-        .min(BigInt(2048)).toInt)
+    // session shuffle partitions. Sized straight off the filesystem:
+    // a spark.read here would re-list all 365 day dirs and read a
+    // footer just to produce the same byte total
+    val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+    val lakeBytes = lakePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(lakePath).getLength
+    val expireTasks = math.max(8, math.min(2048L, lakeBytes / (64L << 20)).toInt)
     expireIntoRollup(spark, lakeDir, spec, cutoffUs, writeTasks = expireTasks)
     Rollups.withRoutingSpecs(spark, Seq(spec)) {
       spark.read.parquet(lakeDir)

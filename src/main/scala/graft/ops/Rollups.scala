@@ -1513,6 +1513,14 @@ object Rollups {
     * late-data correction rewrites one directory, not the MV. */
   def writePartitionedDailyRollup(events: DataFrame, dir: String): Unit =
     dailyPartialsOf(events)
+      // r19 (guide §6 small files): the partials leave the aggregate
+      // hash-partitioned by (day, user_id), so EVERY one of the 32
+      // writer tasks held a sliver of every day — ~32 × n_days tiny
+      // files per build (≈960 at the 30-day fixture). Clustering by
+      // day first writes one file per day — same rows, same layout
+      // contract, ~30× fewer file creates on write and footer reads
+      // on every read-back (same move as writeDayPartitionedLake).
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 
   /** PARTITION-LEVEL INCREMENTAL REFRESH (T5 at scale): late or

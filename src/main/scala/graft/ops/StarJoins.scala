@@ -46,6 +46,37 @@ object StarJoins {
   def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame =
     revenueBySegmentPlan(spark, sfDir, None)
 
+  /** q16's DECLARED plan, reshaped (r19 optimization, guide §2.3/§2.4):
+    * lineitem pre-aggregates per orderkey BEFORE the fact-fact join, so
+    * the exchange carries one (orderkey, rev, n_lines) row per order
+    * instead of one per line — and `COUNT(DISTINCT o_orderkey)`
+    * degenerates to `COUNT(*)` (each orderkey appears exactly once
+    * post-pre-aggregation under the primary-key join), which deletes
+    * the two-phase distinct aggregate and its extra exchange.
+    * Result-identical to [[revenueBySegmentPlan]]: the decimal partial
+    * sums re-aggregate exactly (same Money cast on both shapes) and
+    * the shared oracle hash pins it. [[revenueBySegment]] keeps the
+    * CLASSIC join shape — the routing/advisor family (q143–q145, q152,
+    * q171, the RollupRoutingSpec fixtures) declares THAT shape as the
+    * routable raw query, and the rule matches a plain aggregate-over-
+    * join core, not this pre-aggregated one. */
+  def revenueBySegmentPreAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsumPartial(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("rev_o"),
+           count(lit(1)).as("n_lines_o"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev_o")).cast("double").as("revenue"),
+           count(lit(1)).as("n_orders"),
+           sum(col("n_lines_o")).as("n_lines"))
+      .orderBy("c_mktsegment")
+
   /** Per-(sfDir, name) scratch dir for persisted rollup artifacts —
     * stable across runs (writes are mode=overwrite) and disjoint across
     * scale factors, same convention as the llm persisted indices. */

@@ -2084,7 +2084,35 @@ object RollupRouting {
           // must FALL BACK to the live plan, never crash the query at
           // plan validation
           .filter(_.resolved)
+          .map(pruneRewritten)
           .getOrElse(agg)
+    }
+
+    /** r19 (optimization round, guide §6/§2.3): extraOptimizations run
+      * AFTER the main optimizer, so the subtrees this rule plants — the
+      * rollup scan and especially the hybrid live-tail rebuilt over
+      * FULL-SCHEMA base relations — never see column pruning or
+      * predicate pushdown again. Measured on q171's tail before this:
+      * the lineitem scan read all 11 columns (3 used) and the orders
+      * broadcast hashed every row with the coverage bound
+      * `o_orderdate ≥ wm` evaluated only ABOVE the join. Re-running the
+      * three standard rules on just the rewritten subtree restores
+      * scan-level pruning + pushdown (PushedFilters/ReadSchema) without
+      * touching the rest of the plan; every rule is Spark's own, so the
+      * result is bit-identical by construction. The fixed point is tiny
+      * (≤ a few iterations) — 10 is a safety bound. */
+    private def pruneRewritten(p: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.optimizer.{
+        CollapseProject, ColumnPruning, PushDownPredicates}
+      var cur = p
+      var i = 0
+      while (i < 10) {
+        val next = CollapseProject(ColumnPruning(PushDownPredicates(cur)))
+        if (next.fastEquals(cur)) return cur
+        cur = next
+        i += 1
+      }
+      cur
     }
 
     // ——— join-derived rollups: registry-driven matching ———
