@@ -64,12 +64,28 @@ object Lifecycle {
     * re-calibrates the yardstick the bench normalizes with. */
   def writeDayPartitionedLakeFast(df: DataFrame,
                                   spec: graft.plans.RollupRouting.Spec,
-                                  outDir: String): Unit =
+                                  outDir: String): Unit = {
+    // r19 (guide §2.2/§6): size the writer stage instead of inheriting
+    // the 32 session shuffle partitions. Every concurrent task holds an
+    // open parquet writer per in-flight partition dir (and parquet's
+    // JVM-wide MemoryManager rebalances across ALL open writers on
+    // every open/close), so MORE writers than the data needs is pure
+    // churn — the interleaved sweep over a 365-dir write measured
+    // med 2.74/1.73/1.30/1.17/1.39 s for 2/4/8/16/32 tasks, and under
+    // a loaded I/O regime the 32-task penalty grew to ~3×. Tasks
+    // follow bytes (≈64 MB each) with a floor of half the cores, so a
+    // cluster writing a real lake still fans out with its data.
+    val spark = df.sparkSession
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.min(2048L,
+      math.max(math.max(1, spark.sparkContext.defaultParallelism / 2).toLong,
+        estBytes.min(BigInt(Long.MaxValue)).toLong / (64L << 20))).toInt
     df.withColumn("day", to_date(col(spec.timeCol).cast("timestamp")))
-      .repartition(col("day"))
+      .repartition(n, col("day"))
       .sortWithinPartitions(
         ("day" +: spec.keyCols.keys.toSeq.sorted :+ spec.timeCol).map(col): _*)
       .write.mode("overwrite").partitionBy("day").parquet(outDir)
+  }
 
   /** TTL AGGREGATION on expiry — ClickHouse's `TTL … GROUP BY` idea:
     * raw rows older than the cutoff age OUT of the lake INTO the daily
